@@ -1,0 +1,3 @@
+"""pdf_extractor_spark — PySpark-native web-page extraction & analytics engine."""
+
+__version__ = "0.1.0"

@@ -1,0 +1,133 @@
+"""Deterministic chunking — re-specification of the reference's semantic chunker.
+
+The reference calls ``unstructured.chunking.title.chunk_by_title`` with
+``max_characters=1500, new_after_n_chars=1200, overlap=150``
+(reference: app/processing/pdf_processor.py:31-33,129-136). Per the north_rule
+("deterministic fixed-window/sentence-boundary splitter") we re-specify it as a
+pure function over the extracted text plus its block boundaries:
+
+* HARD cap 1500 chars per chunk,
+* prefer to break at a block or sentence boundary; boundaries in the
+  [soft=1200, hard=1500] window win, else the latest boundary past the
+  half-window (750), else a hard cut at 1500,
+* 150-char overlap: the next chunk starts at ``end - 150``,
+* chunk ids are content-addressed ``sha256(url ':' chunk_index)`` — a
+  deliberate change from the reference's random ``uuid4`` default
+  (app/models/schemas.py:24) so reruns are byte-identical and resumable.
+
+Invariants (property-tested): ``text == doc_text[span_start:span_end]`` for
+every chunk; spans cover [0, n) with exactly 150-char overlaps except at
+boundary-break points; concatenating chunks with overlaps removed rebuilds the
+document text exactly.
+
+The same function runs in pytest (oracle) and inside the Spark UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+HARD_MAX = 1500
+SOFT_MAX = 1200
+OVERLAP = 150
+MIN_BREAK = 750  # never break earlier than this unless the doc ends
+
+_SENTENCE_END_RE = re.compile(r"[.!?](?=\s|$)")
+
+
+@dataclass
+class Chunk:
+    chunk_index: int
+    chunk_id: str
+    span_start: int
+    span_end: int
+    text: str
+
+
+def chunk_id_for(url: str, chunk_index: int) -> str:
+    return hashlib.sha256(f"{url}:{chunk_index}".encode("utf-8")).hexdigest()
+
+
+def _boundaries(text: str, block_starts: list[int] | None) -> list[int]:
+    """Sorted candidate break offsets: after sentence enders, at block starts."""
+    bset: set[int] = set()
+    for m in _SENTENCE_END_RE.finditer(text):
+        bset.add(m.end())
+    if block_starts:
+        bset.update(b for b in block_starts if 0 < b <= len(text))
+    return sorted(bset)
+
+
+def _pick_end(start: int, n: int, bounds: list[int]) -> int:
+    import bisect
+
+    hard_end = start + HARD_MAX
+    if hard_end >= n:
+        return n
+    soft_end = start + SOFT_MAX
+    # best: latest boundary in [soft_end, hard_end]
+    lo = bisect.bisect_left(bounds, soft_end)
+    hi = bisect.bisect_right(bounds, hard_end)
+    if hi > lo:
+        return bounds[hi - 1]
+    # else: latest boundary in (start+MIN_BREAK, soft_end)
+    lo2 = bisect.bisect_right(bounds, start + MIN_BREAK)
+    if lo > lo2:
+        return bounds[lo - 1]
+    return hard_end
+
+
+def chunk_text(url: str, text: str, block_starts: list[int] | None = None) -> list[Chunk]:
+    """Split extracted text into overlapping chunks. Empty text → no chunks
+    (mirrors the reference's empty-content short-circuit,
+    app/processing/pdf_processor.py:57-59)."""
+    n = len(text)
+    if n == 0:
+        return []
+    bounds = _boundaries(text, block_starts)
+    chunks: list[Chunk] = []
+    start = 0
+    idx = 0
+    while start < n:
+        end = _pick_end(start, n, bounds)
+        chunks.append(
+            Chunk(
+                chunk_index=idx,
+                chunk_id=chunk_id_for(url, idx),
+                span_start=start,
+                span_end=end,
+                text=text[start:end],
+            )
+        )
+        if end >= n:
+            break
+        idx += 1
+        start = max(start + 1, end - OVERLAP)
+    return chunks
+
+
+# --- fixed-window variant (SQL-expressible; used for the DuckDB oracle) -----
+
+FIXED_WINDOW = HARD_MAX          # 1500
+FIXED_STEP = HARD_MAX - OVERLAP  # 1350
+
+
+def chunk_fixed(url: str, text: str) -> list[Chunk]:
+    """Pure fixed-window splitter: chunk k covers [1350k, min(1350k+1500, n)).
+
+    Exactly expressible in ANSI SQL (generate_series + substr), which makes it
+    the oracle-checkable member of the chunker family; the boundary-aware
+    ``chunk_text`` is the flagship and is golden-file tested instead.
+    """
+    n = len(text)
+    if n == 0:
+        return []
+    k_max = max(0, -(-(n - FIXED_WINDOW) // FIXED_STEP))  # ceil div, >= 0
+    out = []
+    for k in range(k_max + 1):
+        s = FIXED_STEP * k
+        e = min(s + FIXED_WINDOW, n)
+        out.append(Chunk(k, chunk_id_for(url, k), s, e, text[s:e]))
+    return out

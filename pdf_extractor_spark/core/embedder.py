@@ -1,0 +1,51 @@
+"""Deterministic local embedder — the Embedder seam of the engine.
+
+The reference embeds chunks through a remote OpenAI-compatible API
+(reference: app/vector_db/vector_service.py:129-138, dim 1536 per
+app/core/config.py:15-16). A network call is neither deterministic nor
+sandbox-runnable, so the engine's default embedder is a hashed character
+trigram projection into 64 dims (matching the driver fixture
+``embeddings.parquet`` float[64]), L2-normalised. Swap in a real model by
+registering any other ``texts -> np.ndarray[n,d]`` batch function; the Spark
+operator (operators/embed.py) only sees the batch signature.
+
+Deterministic: zlib.crc32 (stable across processes, unlike Python ``hash``),
+no randomness. Mirrors the reference's newline scrub before embedding
+(app/vector_db/vector_service.py:137) — applied to the embedding input copy
+only, never to stored text (byte-identity of extracted text is sacred).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+DIM = 64
+
+
+def _prep(text: str) -> str:
+    # reference scrubs newlines before embedding ("improves embedding quality")
+    return " ".join(text.replace("\n", " ").lower().split())
+
+
+def embed_one(text: str) -> np.ndarray:
+    v = np.zeros(DIM, dtype=np.float64)
+    t = f" {_prep(text)} "
+    b = t.encode("utf-8")
+    # iterate UTF-8 bytes with a 3-byte window: fast, allocation-light, and
+    # identical regardless of how the corpus is partitioned
+    for i in range(len(b) - 2):
+        h = zlib.crc32(b[i : i + 3])
+        v[h & (DIM - 1)] += 1.0 if (h >> 6) & 1 else -1.0
+    norm = float(np.sqrt((v * v).sum()))
+    if norm > 0.0:
+        v /= norm
+    return v.astype(np.float32)
+
+
+def embed_batch(texts: list[str]) -> np.ndarray:
+    """Batch form used by the pandas UDF: (n,) texts -> (n, 64) float32."""
+    if not texts:
+        return np.zeros((0, DIM), dtype=np.float32)
+    return np.stack([embed_one(t) for t in texts])

@@ -1,0 +1,265 @@
+"""Main-content extraction from HTML — the pure-Python oracle core.
+
+This is a from-scratch re-specification of what the reference delegates to
+``unstructured.partition_pdf`` (reference: app/processing/pdf_processor.py:86-108):
+a layout parse that yields typed text blocks in reading order, here for
+Common-Crawl-style HTML pages (per BASELINE.json ``north_rule``):
+
+* DOM walk via stdlib ``html.parser`` (no bs4/lxml in this environment),
+* tag-blocklist pruning (script/style/nav/header/footer/aside/form/noscript/...),
+* link-density boilerplate heuristic (link farms dropped),
+* text-density heuristic (ultra-short link-bearing fragments dropped),
+* reading-order merge into one extracted text with per-block char spans.
+
+The module is deliberately Spark-free: the exact same function runs (a) directly
+in pytest as the golden oracle and (b) batched inside ``mapInArrow`` on executors,
+which makes byte-identity of extracted text per url (the north_rule invariant) a
+property of the code, not of the cluster.
+
+Determinism notes: no dict-iteration-order dependence (only lists), no floats in
+the emitted text, no randomness, no environment lookups.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Content inside these tags is never part of the main text.  Mirrors the
+# boilerplate families the reference's partitioner classifies away
+# (nav/header/footer chrome; see SURVEY.md §2.3 E1).
+BLOCKLIST_TAGS = frozenset(
+    """script style nav header footer aside form noscript template svg iframe
+    button select option optgroup head title meta link base object embed applet
+    datalist dialog canvas audio video picture source track map area
+    """.split()
+)
+
+# Tags that open/close a text block (reading-order segmentation).
+BLOCK_TAGS = frozenset(
+    """p div section article main h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table
+    thead tbody tfoot tr td th caption blockquote pre figure figcaption address
+    fieldset legend details summary hr br center body html
+    """.split()
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+TABLE_TAGS = frozenset({"table", "tr", "td", "th", "thead", "tbody", "tfoot", "caption"})
+LIST_TAGS = frozenset({"li", "dt", "dd"})
+
+# Void elements never nest; an unclosed <br>/<img> must not poison depth counters.
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+BLOCK_SEP = "\n\n"
+
+# Boilerplate thresholds (documented spec — the "link-density heuristic" of the
+# north_rule). A block is dropped when more than half its characters sit inside
+# anchors, or when it is a tiny fragment that also carries link text.
+MAX_LINK_DENSITY = 0.5
+MIN_WORDS_LINKY = 2
+
+
+@dataclass
+class Block:
+    """One reading-order text block with its span into the extracted text."""
+
+    index: int
+    kind: str  # text | heading | list | table | pre
+    text: str
+    span_start: int
+    span_end: int
+
+
+@dataclass
+class ExtractResult:
+    url: str
+    status: str  # ok | fallback | failed
+    text: str
+    blocks: list[Block] = field(default_factory=list)
+
+
+def _norm_ws(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _RawBlock:
+    __slots__ = ("kind", "parts", "link_chars", "total_chars")
+
+    def __init__(self, kind: str) -> None:
+        self.kind = kind
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.total_chars = 0
+
+
+class _MainContentParser(HTMLParser):
+    """Streaming DOM walk: segments text into blocks, tracks skip/anchor depth."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_RawBlock] = []
+        self._cur: _RawBlock | None = None
+        self._skip_counts: dict[str, int] = {}
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._kind_stack: list[str] = []
+
+    # -- tag kind bookkeeping ------------------------------------------------
+    def _kind_for(self, tag: str) -> str:
+        if tag in HEADING_TAGS:
+            return "heading"
+        if tag in TABLE_TAGS:
+            return "table"
+        if tag in LIST_TAGS:
+            return "list"
+        if tag == "pre":
+            return "pre"
+        return "text"
+
+    def _break_block(self) -> None:
+        self._cur = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            if tag in ("br", "hr"):
+                self._break_block()
+            return
+        if tag in BLOCKLIST_TAGS:
+            self._skip_counts[tag] = self._skip_counts.get(tag, 0) + 1
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self._break_block()
+            kind = self._kind_for(tag)
+            if kind != "text":
+                self._kind_stack.append(kind)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        if tag in BLOCKLIST_TAGS:
+            # Tolerate unbalanced ends in malformed markup.
+            if self._skip_counts.get(tag, 0) > 0:
+                self._skip_counts[tag] -= 1
+                self._skip_depth -= 1
+            return
+        if tag == "a":
+            if self._anchor_depth > 0:
+                self._anchor_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._break_block()
+            kind = self._kind_for(tag)
+            if kind != "text" and self._kind_stack and self._kind_stack[-1] == kind:
+                self._kind_stack.pop()
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in ("br", "hr"):
+            self._break_block()
+
+    def handle_data(self, data):
+        if self._skip_depth > 0:
+            return
+        norm_len = len(_norm_ws(data))
+        if norm_len == 0:
+            # keep whitespace joins inside an open block
+            if self._cur is not None and data:
+                self._cur.parts.append(" ")
+            return
+        if self._cur is None:
+            kind = self._kind_stack[-1] if self._kind_stack else "text"
+            self._cur = _RawBlock(kind)
+            self.blocks.append(self._cur)
+        self._cur.parts.append(data)
+        self._cur.total_chars += norm_len
+        if self._anchor_depth > 0:
+            self._cur.link_chars += norm_len
+
+
+_TAG_RE = re.compile(rb"<[^>]*>")
+_SCRIPTISH_RE = re.compile(
+    rb"<(script|style|noscript|svg|template)\b.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _decode(html: bytes) -> tuple[str, bool]:
+    """Decode page bytes; second element flags lossy decode (→ 'fallback')."""
+    try:
+        return html.decode("utf-8"), False
+    except UnicodeDecodeError:
+        return html.decode("utf-8", errors="replace"), True
+
+
+def _fallback_extract(html: bytes) -> str:
+    """Degraded strategy: regex tag strip (mirrors the reference's hi_res→fast
+    fallback ladder, app/processing/pdf_processor.py:102-108)."""
+    stripped = _SCRIPTISH_RE.sub(b" ", html)
+    stripped = _TAG_RE.sub(b" ", stripped)
+    return _norm_ws(_decode(stripped)[0])
+
+
+def _keep_block(b: _RawBlock, text: str) -> bool:
+    if not text:
+        return False
+    n = b.total_chars or len(text)
+    link_density = b.link_chars / n if n else 0.0
+    if link_density > MAX_LINK_DENSITY and b.kind != "heading":
+        return False
+    words = len(text.split())
+    if words <= MIN_WORDS_LINKY and b.link_chars > 0 and b.kind not in ("heading", "list"):
+        return False
+    return True
+
+
+def extract_html(url: str, html: bytes | None) -> ExtractResult:
+    """Parse one HTML document into reading-order main-content blocks.
+
+    Returns an ``ExtractResult`` whose ``text`` is the blocks joined by
+    ``BLOCK_SEP`` and whose block spans index into that text such that
+    ``text[b.span_start:b.span_end] == b.text`` (tested property).
+    """
+    if html is None or len(html) == 0:
+        return ExtractResult(url=url, status="ok", text="", blocks=[])
+    try:
+        decoded, lossy = _decode(html)
+        parser = _MainContentParser()
+        parser.feed(decoded)
+        parser.close()
+        kept: list[tuple[str, str]] = []
+        for rb in parser.blocks:
+            text = _norm_ws("".join(rb.parts))
+            if _keep_block(rb, text):
+                kept.append((rb.kind, text))
+        status = "fallback" if lossy else "ok"
+        if not kept and parser._skip_depth > 0:
+            # malformed page: an unclosed blocklist tag (e.g. <nav> never
+            # closed) swallowed the whole document — degrade like the
+            # reference's hi_res→fast ladder instead of returning nothing
+            text = _fallback_extract(html)
+            kept = [("text", text)] if text else []
+            status = "fallback"
+    except Exception:
+        try:
+            text = _fallback_extract(html)
+            kept = [("text", text)] if text else []
+            status = "fallback"
+        except Exception:
+            return ExtractResult(url=url, status="failed", text="", blocks=[])
+
+    blocks: list[Block] = []
+    pieces: list[str] = []
+    pos = 0
+    for i, (kind, text) in enumerate(kept):
+        if i > 0:
+            pos += len(BLOCK_SEP)
+        blocks.append(Block(index=i, kind=kind, text=text, span_start=pos, span_end=pos + len(text)))
+        pieces.append(text)
+        pos += len(text)
+    return ExtractResult(url=url, status=status, text=BLOCK_SEP.join(pieces), blocks=blocks)

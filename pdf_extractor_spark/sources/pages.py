@@ -1,0 +1,178 @@
+"""Deterministic synthetic Common-Crawl-style pages source.
+
+The production input is an Iceberg table of pages
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+(BASELINE.json ``input_hint``). In this sandbox we synthesise that table
+deterministically (seed-driven, no external data): boilerplate shell
+(nav/header/footer/aside/script/style/link-farm) wrapped around known main
+content, so the expected extracted text is known **by construction** — the
+golden-digest fixture is derived from it via the oracle
+(core/html_extract.py).
+
+Size distribution is skewed on purpose: mostly 1-50 KB pages plus a few
+"giant" pages (≥ ~1 MB) to exercise the size-balanced repartition / AQE skew
+path (SURVEY.md §4.1). Edge rows always included (FIXTURES.md §1): empty
+html, boilerplate-only, malformed html, duplicate-content urls, non-ASCII
+(Farsi RTL + CJK) content.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+WORDS = (
+    "data spark table query batch column row scan shuffle join filter hash "
+    "partition cluster engine vector chunk text page block index stream agg "
+    "window broadcast skew salt arrow pandas parquet snapshot manifest commit "
+    "resume lineage counter throughput latency executor driver task stage"
+).split()
+
+FA_WORDS = "داده جدول پردازش ستون ردیف متن صفحه بخش شاخص جریان".split()
+ZH_WORDS = "数据 表格 处理 列 行 文本 页面 区块 索引 流".split()
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+
+
+def _sentence(rng: random.Random, words: list[str], n: int) -> str:
+    return " ".join(rng.choice(words) for _ in range(n)).capitalize() + "."
+
+
+def _paragraph(rng: random.Random, words: list[str], n_sent: int) -> str:
+    return " ".join(_sentence(rng, words, rng.randint(5, 14)) for _ in range(n_sent))
+
+
+def _nav(rng: random.Random) -> str:
+    links = "".join(
+        f'<a href="/{rng.choice(WORDS)}/{i}">{rng.choice(WORDS)}</a> ' for i in range(rng.randint(5, 12))
+    )
+    return f"<nav><ul><li>{links}</li></ul></nav>"
+
+
+def _linkfarm(rng: random.Random) -> str:
+    links = " | ".join(
+        f'<a href="/t/{i}">{rng.choice(WORDS)} {rng.choice(WORDS)}</a>' for i in range(rng.randint(8, 20))
+    )
+    return f'<div class="related">{links}</div>'
+
+
+def render_page(rng: random.Random, paragraphs: list[str], headings: list[str]) -> str:
+    """Boilerplate shell around known main content. Main text after extraction
+    is headings+paragraphs in reading order (each one block)."""
+    body_parts: list[str] = []
+    body_parts.append("<header><h1>Site Chrome Title</h1><p>tagline boilerplate</p></header>")
+    body_parts.append(_nav(rng))
+    body_parts.append('<aside>promo text <a href="/x">ad link</a> more promo</aside>')
+    body_parts.append("<article>")
+    hi = 0
+    for i, p in enumerate(paragraphs):
+        if headings and i % max(1, len(paragraphs) // len(headings)) == 0 and hi < len(headings):
+            body_parts.append(f"<h2>{headings[hi]}</h2>")
+            hi += 1
+        body_parts.append(f"<p>{p}</p>")
+        if rng.random() < 0.2:
+            body_parts.append(_linkfarm(rng))
+    body_parts.append("</article>")
+    body_parts.append(f"<footer>© 2026 example — {_nav(rng)} contact legal privacy</footer>")
+    scripts = f"<script>var x={rng.randint(0, 9)};function f(){{return x*2}}</script>"
+    style = "<style>.a{color:red}</style>"
+    return (
+        "<!DOCTYPE html><html><head><title>t</title>"
+        f"{style}{scripts}</head><body>" + "".join(body_parts) + "</body></html>"
+    )
+
+
+def expected_main_text(paragraphs: list[str], headings: list[str]) -> str:
+    """The by-construction extraction result (blocks joined by \\n\\n)."""
+    parts: list[str] = []
+    hi = 0
+    for i, p in enumerate(paragraphs):
+        if headings and i % max(1, len(paragraphs) // len(headings)) == 0 and hi < len(headings):
+            parts.append(headings[hi])
+            hi += 1
+        parts.append(p)
+    return "\n\n".join(parts)
+
+
+def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_cases: bool = True):
+    """Yield dict rows for the pages table. Deterministic in (seed, n)."""
+    base_ts = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    rows = []
+    for i in range(n):
+        rng = random.Random((seed << 20) ^ i)  # per-row rng: order/partition independent
+        lang = LANGS[i % len(LANGS)]
+        if lang == "zh":
+            words = ZH_WORDS + WORDS[:8]
+        else:
+            words = WORDS
+        if giant_every and i > 0 and i % giant_every == 0:
+            n_par = rng.randint(400, 700)  # ~ a few hundred KB of main text
+        else:
+            n_par = rng.randint(2, 12)
+        paragraphs = [_paragraph(rng, words, rng.randint(1, 4)) for _ in range(n_par)]
+        headings = [_sentence(rng, words, 3).rstrip(".") for _ in range(max(1, n_par // 4))]
+        html = render_page(rng, paragraphs, headings)
+        rows.append(
+            {
+                "url": f"https://site-{i % 50}.test/page/{i}",
+                "warc_ts": base_ts + _dt.timedelta(seconds=i * 13),
+                "html": html.encode("utf-8"),
+                "text": expected_main_text(paragraphs, headings),
+                "lang": lang,
+            }
+        )
+    if include_edge_cases:
+        ts = base_ts + _dt.timedelta(days=1)
+        rng = random.Random(seed ^ 0xED6E)
+        par = _paragraph(rng, WORDS, 3)
+        dup_html = render_page(rng, [par], [])
+        fa_par = " ".join(rng.choice(FA_WORDS) for _ in range(40)) + "."
+        edge = [
+            {"url": "https://edge.test/empty", "html": b"", "text": ""},
+            {
+                "url": "https://edge.test/boilerplate-only",
+                "html": (
+                    "<html><body><nav><a href='/a'>a</a><a href='/b'>b</a></nav>"
+                    "<footer>foot</footer><script>x()</script></body></html>"
+                ).encode(),
+                "text": "",
+            },
+            {
+                "url": "https://edge.test/malformed",
+                "html": b"<html><body><p>truncated paragraph text here" + b"\xff\xfe" + b"<div<<<",
+                "text": "truncated paragraph text here",
+            },
+            {"url": "https://edge.test/dup-a", "html": dup_html.encode(), "text": par},
+            {"url": "https://edge.test/dup-b", "html": dup_html.encode(), "text": par},
+            {
+                "url": "https://edge.test/farsi",
+                "html": f"<html><body><article><p>{fa_par}</p></article></body></html>".encode(),
+                "text": fa_par,
+            },
+        ]
+        for j, e in enumerate(edge):
+            e.setdefault("warc_ts", ts + _dt.timedelta(seconds=j))
+            e.setdefault("lang", "fa" if "farsi" in e["url"] else "en")
+            rows.append(e)
+    return rows
+
+
+def write_pages_parquet(path: str, seed: int = 42, n: int = 200, giant_every: int = 97,
+                        include_edge_cases: bool = True) -> int:
+    """Write the pages table as parquet via pyarrow (no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_pages(seed=seed, n=n, giant_every=giant_every, include_edge_cases=include_edge_cases)
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(table, path)
+    return table.num_rows

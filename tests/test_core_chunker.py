@@ -1,0 +1,91 @@
+"""Chunker boundary/property tests (SURVEY.md §5.3-5.4)."""
+
+import random
+
+from pdf_extractor_spark.core.chunker import (
+    HARD_MAX,
+    OVERLAP,
+    Chunk,
+    chunk_fixed,
+    chunk_text,
+)
+
+
+def _reconstruct(text: str, chunks: list[Chunk]) -> str:
+    """Concatenate chunks minus overlaps must rebuild the text exactly."""
+    out = []
+    prev_end = 0
+    for c in chunks:
+        out.append(text[max(c.span_start, prev_end) : c.span_end])
+        prev_end = c.span_end
+    return "".join(out)
+
+
+def test_empty_doc_zero_chunks():
+    assert chunk_text("u", "") == []
+    assert chunk_fixed("u", "") == []
+
+
+def test_short_doc_single_chunk():
+    t = "Short sentence."
+    (c,) = chunk_text("u", t)
+    assert (c.span_start, c.span_end, c.text) == (0, len(t), t)
+
+
+def test_hard_cap_and_overlap():
+    # no sentence boundaries at all -> hard cuts at 1500 with 150 overlap
+    t = "x" * 4000
+    cs = chunk_text("u", t)
+    assert [c.span_start for c in cs] == [0, 1350, 2700]
+    assert all(len(c.text) <= HARD_MAX for c in cs)
+    assert cs[-1].span_end == 4000
+    assert _reconstruct(t, cs) == t
+
+
+def test_sentence_boundary_preferred():
+    # sentence end inside [1200,1500] window -> break there, not at 1500
+    t = "a" * 1299 + ". " + "b" * 2000
+    cs = chunk_text("u", t)
+    assert cs[0].span_end == 1300  # after the '.'
+    assert cs[1].span_start == 1300 - OVERLAP
+
+
+def test_block_boundary_preferred():
+    t = "a" * 1250 + "\n\n" + "b" * 2000
+    cs = chunk_text("u", t, block_starts=[1252])
+    assert cs[0].span_end == 1252
+
+
+def test_spans_slice_invariant_random():
+    rng = random.Random(1)
+    for _ in range(25):
+        n = rng.randint(0, 8000)
+        t = "".join(rng.choice("abc .!?\n") for _ in range(n))
+        cs = chunk_text("u", t)
+        for c in cs:
+            assert t[c.span_start : c.span_end] == c.text
+            assert 0 < len(c.text) <= HARD_MAX
+        if n:
+            assert cs[0].span_start == 0 and cs[-1].span_end == n
+            assert _reconstruct(t, cs) == t
+            # forward progress + bounded overlap
+            for a, b in zip(cs, cs[1:]):
+                assert b.span_start > a.span_start
+                assert a.span_end - b.span_start <= OVERLAP
+
+
+def test_chunk_ids_deterministic_and_distinct():
+    t = "word. " * 1000
+    a = chunk_text("url-1", t)
+    b = chunk_text("url-1", t)
+    assert [c.chunk_id for c in a] == [c.chunk_id for c in b]
+    assert len({c.chunk_id for c in a}) == len(a)
+    assert chunk_text("url-2", t)[0].chunk_id != a[0].chunk_id
+
+
+def test_fixed_window_exact_layout():
+    t = "y" * 3000
+    cs = chunk_fixed("u", t)
+    assert [(c.span_start, c.span_end) for c in cs] == [(0, 1500), (1350, 2850), (2700, 3000)]
+    t2 = "y" * 1500
+    assert [(c.span_start, c.span_end) for c in chunk_fixed("u", t2)] == [(0, 1500)]

@@ -1,0 +1,32 @@
+import numpy as np
+
+from pdf_extractor_spark.core.embedder import DIM, embed_batch, embed_one
+
+
+def test_shape_norm_determinism():
+    v = embed_one("hello world this is a test")
+    assert v.shape == (DIM,) and v.dtype == np.float32
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    assert np.array_equal(v, embed_one("hello world this is a test"))
+
+
+def test_newline_scrub_matches_reference_semantics():
+    # reference replaces \n with space before embedding (vector_service.py:137)
+    assert np.array_equal(embed_one("a b\nc d"), embed_one("a b c d"))
+
+
+def test_similar_texts_closer_than_different():
+    a = embed_one("spark table query batch column row")
+    b = embed_one("spark table query batch column line")
+    c = embed_one("完全不同的文本内容 اینجا متن")
+    assert float(a @ b) > float(a @ c)
+
+
+def test_batch_matches_single_and_empty():
+    texts = ["one", "two", ""]
+    m = embed_batch(texts)
+    assert m.shape == (3, DIM)
+    assert np.array_equal(m[0], embed_one("one"))
+    assert embed_batch([]).shape == (0, DIM)
+    # empty text -> zero vector (norm guard)
+    assert float(np.abs(m[2]).sum()) == 0.0

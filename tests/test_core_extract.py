@@ -1,0 +1,106 @@
+"""Unit tests for the pure-Python extraction oracle (no Spark).
+
+Mirrors the coverage the reference lacks (SURVEY.md §5): boilerplate strip,
+link-density pruning, span invariants, empty/malformed paths.
+"""
+
+from pdf_extractor_spark.core.html_extract import BLOCK_SEP, extract_html
+from pdf_extractor_spark.sources.pages import expected_main_text, gen_pages
+
+
+def test_strips_boilerplate_keeps_main():
+    html = (
+        b"<html><head><title>T</title><style>.x{}</style>"
+        b"<script>var a=1;</script></head><body>"
+        b"<header>site chrome</header>"
+        b"<nav><a href='/a'>Home</a><a href='/b'>About</a></nav>"
+        b"<article><h2>Heading One</h2><p>This is the main paragraph of text.</p>"
+        b"<p>Second paragraph with more words in it.</p></article>"
+        b"<aside>ads here</aside><footer>footer junk</footer>"
+        b"<noscript>enable js</noscript></body></html>"
+    )
+    r = extract_html("u", html)
+    assert r.status == "ok"
+    assert r.text == (
+        "Heading One" + BLOCK_SEP + "This is the main paragraph of text."
+        + BLOCK_SEP + "Second paragraph with more words in it."
+    )
+    assert [b.kind for b in r.blocks] == ["heading", "text", "text"]
+
+
+def test_link_farm_dropped_inline_link_kept():
+    html = (
+        b"<body><div><a href='/1'>one two</a> | <a href='/2'>three four</a> | "
+        b"<a href='/3'>five six</a></div>"
+        b"<p>Real sentence with an <a href='/x'>inline link</a> and plenty of "
+        b"other words so density stays low.</p></body>"
+    )
+    r = extract_html("u", html)
+    assert len(r.blocks) == 1
+    assert r.blocks[0].text.startswith("Real sentence")
+
+
+def test_span_invariant():
+    rows = gen_pages(seed=7, n=30)
+    for row in rows:
+        r = extract_html(row["url"], row["html"])
+        for b in r.blocks:
+            assert r.text[b.span_start : b.span_end] == b.text
+        if r.blocks:
+            assert r.blocks[0].span_start == 0
+            assert r.blocks[-1].span_end == len(r.text)
+
+
+def test_empty_and_boilerplate_only():
+    assert extract_html("u", b"").text == ""
+    assert extract_html("u", None).blocks == []
+    r = extract_html(
+        "u",
+        b"<body><nav><a href='/a'>a</a></nav><footer>f</footer><script>x()</script></body>",
+    )
+    # footer/nav/script all blocklisted -> no content
+    assert r.text == ""
+    assert r.status == "ok"
+
+
+def test_malformed_bytes_fallback_status():
+    r = extract_html("u", b"<body><p>truncated text here" + b"\xff\xfe" + b"<div<<<")
+    assert r.status == "fallback"
+    assert "truncated text here" in r.text
+
+
+def test_generator_by_construction_equality():
+    """For well-formed generated pages the oracle must reproduce the
+    by-construction main text exactly (the golden gate's foundation)."""
+    rows = gen_pages(seed=42, n=60, include_edge_cases=False)
+    for row in rows:
+        r = extract_html(row["url"], row["html"])
+        assert r.status == "ok"
+        assert r.text == row["text"], row["url"]
+
+
+def test_determinism_repeat_calls():
+    rows = gen_pages(seed=42, n=5, include_edge_cases=True)
+    for row in rows:
+        a = extract_html(row["url"], row["html"])
+        b = extract_html(row["url"], row["html"])
+        assert a.text == b.text and a.status == b.status
+
+
+def test_non_ascii_rtl_cjk():
+    fa = "داده جدول پردازش ستون".encode("utf-8")
+    r = extract_html("u", b"<body><p>" + fa + b"</p></body>")
+    assert r.status == "ok"
+    assert r.text == fa.decode("utf-8")
+    zh = "<body><article><p>数据 表格 处理</p></article></body>".encode("utf-8")
+    assert extract_html("u", zh).text == "数据 表格 处理"
+
+
+def test_unclosed_blocklist_tag_degrades_to_fallback():
+    # <nav> never closed would swallow the rest of the doc; guard degrades
+    r = extract_html(
+        "u",
+        b"<body><nav><a href='/x'>menu<p>Main content paragraph here.</p></body>",
+    )
+    assert r.status == "fallback"
+    assert "Main content paragraph here." in r.text
