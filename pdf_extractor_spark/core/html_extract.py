@@ -79,6 +79,10 @@ class ExtractResult:
     status: str  # ok | fallback | failed
     text: str
     blocks: list[Block] = field(default_factory=list)
+    # image descriptors in reading order ("alt text" or img_<i>), page-level
+    # context for the E5 related-images join (reference:
+    # app/processing/pdf_processor.py:121,170-173,207-218)
+    images: list[str] = field(default_factory=list)
 
 
 def _norm_ws(s: str) -> str:
@@ -101,6 +105,7 @@ class _MainContentParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[_RawBlock] = []
+        self.images: list[str] = []
         self._cur: _RawBlock | None = None
         self._skip_counts: dict[str, int] = {}
         self._skip_depth = 0
@@ -126,6 +131,10 @@ class _MainContentParser(HTMLParser):
         if tag in VOID_TAGS:
             if tag in ("br", "hr"):
                 self._break_block()
+            elif tag == "img" and self._skip_depth == 0:
+                alt = next((v for k, v in attrs if k == "alt" and v and v.strip()), None)
+                desc = _norm_ws(alt) if alt else f"img_{len(self.images)}"
+                self.images.append(desc)
             return
         if tag in BLOCKLIST_TAGS:
             self._skip_counts[tag] = self._skip_counts.get(tag, 0) + 1
@@ -262,4 +271,7 @@ def extract_html(url: str, html: bytes | None) -> ExtractResult:
         blocks.append(Block(index=i, kind=kind, text=text, span_start=pos, span_end=pos + len(text)))
         pieces.append(text)
         pos += len(text)
-    return ExtractResult(url=url, status=status, text=BLOCK_SEP.join(pieces), blocks=blocks)
+    images = parser.images if status != "failed" and "parser" in locals() else []
+    return ExtractResult(
+        url=url, status=status, text=BLOCK_SEP.join(pieces), blocks=blocks, images=images
+    )

@@ -1,0 +1,30 @@
+"""Embedding operator — Arrow-batched pandas UDF around the Embedder seam.
+
+Replaces the reference's remote OpenAI batch-embed loop (batch 50,
+semaphore 5; app/vector_db/vector_service.py:26-28,129-150,199-210): Spark's
+partition-level parallelism replaces the semaphore, Arrow batch transfer
+replaces the HTTP batching, and the default embedder is the deterministic
+local one (core/embedder.py). A real model is a drop-in: any
+``list[str] -> np.ndarray[n, d]`` callable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_extractor_spark.core.embedder import embed_batch
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_text_udf(texts: pd.Series) -> pd.Series:
+    mat = embed_batch(texts.fillna("").tolist())
+    return pd.Series(list(mat))
+
+
+def embed_chunks(chunks: DataFrame, text_col: str = "text",
+                 keep_cols: tuple[str, ...] = ("chunk_id", "url", "doc_hash")) -> DataFrame:
+    """chunk rows → (keep_cols..., embedding float[64])."""
+    return chunks.select(*keep_cols, embed_text_udf(F.col(text_col)).alias("embedding"))

@@ -1,0 +1,157 @@
+"""Extraction + chunking operators — Arrow-vectorized ``mapInArrow`` stages.
+
+The Spark re-expression of the reference's flagship path
+(reference: app/api/endpoints.py:84-169 → app/processing/pdf_processor.py:35-72):
+the per-document pure functions live in ``core/`` (shared with the pytest
+oracle — byte-identity by construction); here they are applied batch-at-a-time
+over Arrow RecordBatches, so the only per-row Python is the document parse
+itself (which is inherently per-document CPU work — exactly what the
+reference runs in its ProcessPoolExecutor, pdf_processor.py:47-55; Spark's
+Python workers are that pool, distributed).
+
+Plan shape (no shuffle between the two stages — they fuse into one task):
+
+    BatchScan pages → [optional size-balanced repartition] →
+    MapInArrow(extract) → MapInArrow(chunk) → sink
+
+At 100 TB: per-task memory is bounded by arrow maxRecordsPerBatch (session.py)
+times page size; skew is handled by operators/partitioning.py, not AQE (there
+is no shuffle boundary inside a UDF stage to re-plan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from pdf_extractor_spark.core.chunker import chunk_id_for, chunk_text
+from pdf_extractor_spark.core.html_extract import extract_html
+from pdf_extractor_spark.schemas import CHUNKS_ARROW, CHUNKS_SCHEMA, DOCS_ARROW, DOCS_SCHEMA
+
+_EMPTY_HASH = hashlib.sha256(b"").hexdigest()
+
+
+def _doc_hash(html: bytes | None) -> str:
+    # same bytes→sha256 identity as the reference (pdf_processor.py:74-84);
+    # hashlib here == F.sha2(html, 256) in SQL (tested equivalence)
+    return hashlib.sha256(html).hexdigest() if html is not None else _EMPTY_HASH
+
+
+def _extract_rows(urls: list, htmls: list) -> dict[str, list]:
+    cols: dict[str, list] = {k: [] for k in ("url", "doc_hash", "parse_status", "text", "blocks", "images")}
+    for url, html in zip(urls, htmls):
+        r = extract_html(url, html)
+        cols["url"].append(url)
+        cols["doc_hash"].append(_doc_hash(html))
+        cols["parse_status"].append(r.status)
+        cols["text"].append(r.text)
+        cols["blocks"].append(
+            [
+                {"block_index": b.index, "kind": b.kind, "span_start": b.span_start, "span_end": b.span_end}
+                for b in r.blocks
+            ]
+        )
+        cols["images"].append(r.images)
+    return cols
+
+
+def _section_lookup(blocks: list[dict]) -> Callable[[int], str]:
+    """section = text-span of the last heading block at/before the chunk start;
+    'General' default mirrors the reference (app/models/schemas.py:13)."""
+    headings = [(b["span_start"], b["span_end"]) for b in blocks if b["kind"] == "heading"]
+
+    def lookup(pos: int, text: str) -> str:
+        sec = "General"
+        for s, e in headings:
+            if s <= pos:
+                sec = text[s:e]
+            else:
+                break
+        return sec
+
+    return lookup
+
+
+MARKER_INDEX = -1  # per-doc marker row: records "this doc was processed" even
+# when it yielded 0 chunks, so resume (J2 anti-join) skips it next run without
+# a second scan over the raw bytes. Readers use chunk_index >= 0.
+
+
+def _chunk_rows(url: str, doc_hash: str, status: str, text: str, blocks: list[dict]) -> Iterator[tuple]:
+    starts = [b["span_start"] for b in blocks]
+    lookup = _section_lookup(blocks)
+    yield (
+        url, chunk_id_for(url, MARKER_INDEX), MARKER_INDEX, 0, 0, "",
+        "doc_marker", 0, "", doc_hash, status,
+    )
+    for c in chunk_text(url, text, starts):
+        yield (
+            url, c.chunk_id, c.chunk_index, c.span_start, c.span_end, c.text,
+            "text", 1, lookup(c.span_start, text), doc_hash, status,
+        )
+
+
+def _chunks_batch(rows: list[tuple]) -> pa.RecordBatch:
+    cols = list(zip(*rows)) if rows else [[] for _ in CHUNKS_ARROW.names]
+    arrays = [pa.array(col, type=CHUNKS_ARROW.field(i).type) for i, col in enumerate(cols)]
+    return pa.RecordBatch.from_arrays(arrays, schema=CHUNKS_ARROW)
+
+
+# --- public operators --------------------------------------------------------
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per document with extracted text,
+    reading-order block spans, image descriptors, parse status."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = _extract_rows(batch.column("url").to_pylist(), batch.column("html").to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in DOCS_ARROW], schema=DOCS_ARROW
+            )
+
+    return pages.select("url", "html").mapInArrow(run, DOCS_SCHEMA)
+
+
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """docs(url, doc_hash, parse_status, text, blocks) → chunk rows
+    (deterministic ids/spans; E4 in SURVEY.md §2.3)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            rows: list[tuple] = []
+            for url, h, st, text, blocks in zip(
+                d["url"], d["doc_hash"], d["parse_status"], d["text"], d["blocks"]
+            ):
+                rows.extend(_chunk_rows(url, h, st, text, blocks or []))
+            yield _chunks_batch(rows)
+
+    return docs.select("url", "doc_hash", "parse_status", "text", "blocks").mapInArrow(
+        run, CHUNKS_SCHEMA
+    )
+
+
+def extract_chunks(pages: DataFrame) -> DataFrame:
+    """Fused extract+chunk in a single Python pass (one JVM→Python hop);
+    the hot path used by pipeline.py and the bench."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            rows: list[tuple] = []
+            for url, html in zip(urls, htmls):
+                r = extract_html(url, html)
+                blocks = [
+                    {"block_index": b.index, "kind": b.kind, "span_start": b.span_start, "span_end": b.span_end}
+                    for b in r.blocks
+                ]
+                rows.extend(_chunk_rows(url, _doc_hash(html), r.status, r.text, blocks))
+            yield _chunks_batch(rows)
+
+    return pages.select("url", "html").mapInArrow(run, CHUNKS_SCHEMA)

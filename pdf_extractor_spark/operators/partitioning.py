@@ -1,0 +1,42 @@
+"""Skew-aware partitioning for giant-payload UDF stages (SURVEY.md §4.1).
+
+AQE's skew-join splitting only re-plans at shuffle boundaries; inside a
+``mapInArrow`` stage there is none, so a handful of multi-MB pages landing in
+one task serializes the whole stage. The fix is an explicit, deterministic
+pre-shuffle that balances *bytes*, not rows:
+
+* small pages are hash-salted over the first ``P_small`` partition slots,
+* giant pages (>= ``giant_bytes``) are spread over their own slot range so no
+  slot receives more than ~1 giant per round,
+* slot → partition via ``repartitionByRange`` (1 shuffle, exact slot count).
+
+Scale note (100 TB / 1000 executors): this is one extra shuffle of the raw
+bytes — unavoidable if the source layout is size-skewed. When the input table
+is already written with ~even file sizes (Iceberg write.target-file-size),
+skip it and let the scan's maxPartitionBytes do the balancing for free;
+``balance_pages`` is therefore opt-in in pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GIANT_BYTES = 1 << 20  # 1 MiB of html
+
+
+def size_balanced(df: DataFrame, num_partitions: int, size_col: str = "html",
+                  giant_bytes: int = GIANT_BYTES, key_col: str = "url") -> DataFrame:
+    """Deterministic byte-balancing repartition ahead of the extraction UDF."""
+    p_small = max(1, int(num_partitions * 3 / 4))
+    p_giant = max(1, num_partitions - p_small)
+    sz = F.length(F.col(size_col))
+    salt = F.when(
+        sz >= F.lit(giant_bytes),
+        F.lit(p_small) + F.pmod(F.xxhash64(F.col(key_col)), F.lit(p_giant)),
+    ).otherwise(F.pmod(F.xxhash64(F.col(key_col)), F.lit(p_small)))
+    return (
+        df.withColumn("__slot", salt)
+        .repartitionByRange(num_partitions, F.col("__slot"), F.xxhash64(F.col(key_col)))
+        .drop("__slot")
+    )

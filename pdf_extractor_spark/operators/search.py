@@ -1,0 +1,119 @@
+"""Similarity search — exact brute-force cosine top-k and an LSH-bucketed ANN.
+
+Re-expression of the reference's Qdrant cosine search
+(reference: app/vector_db/vector_service.py:214-258): the query vector is a
+broadcast literal, scoring is a JVM-side SQL expression (``zip_with`` +
+``aggregate`` fold — whole-stage-codegen'd, no Python in the hot path), and
+top-k compiles to ``TakeOrderedAndProject`` (distributed heap top-k, no full
+sort). The reference's HNSW index (vector_service.py:63-67) is replaced by an
+exact scan for correctness, plus a random-hyperplane LSH variant as the scale
+path (bucket pruning instead of graph traversal).
+
+At 100 TB: exact top-k is one scan, no shuffle (TakeOrderedAndProject merges
+per-partition heaps on the driver); the LSH variant prunes the scan to one
+bucket via partition/file pruning when the table is written partitioned by
+``bucket_id``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 5   # reference SearchRequest default (app/models/schemas.py:60)
+MAX_K = 50      # reference upper bound
+
+
+def _as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _qvec_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(_as_double_array(a), _as_double_array(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    num = dot_expr(a, b)
+    den = F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b))
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_hash: str | None = None,
+    hash_col: str = "doc_hash",
+) -> DataFrame:
+    """Exact cosine top-k; optional hash-scoped filter (reference J3,
+    vector_service.py:224-232) applied before scoring so it can prune."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}]")  # schemas.py:60 bounds
+    if doc_hash is not None:
+        emb = emb.filter(F.col(hash_col) == doc_hash)
+    scored = emb.withColumn("score", cosine_expr(F.col(vec_col), _qvec_lit(query_vec)))
+    # deterministic total order: score desc, id asc (stable under ties)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --- LSH-bucketed approximate variant ---------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)  # fixed-seed: deterministic across runs
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from random hyperplanes, as a pure SQL expression."""
+    bits = []
+    v = _as_double_array(vec_col)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 4,
+    multiprobe: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: restrict the exact scan to the query's LSH bucket (plus
+    hamming<=multiprobe neighbor buckets), then score exactly within it."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_bits, seed)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) >= 0))
+    probe = {qbits}
+    if multiprobe >= 1:
+        probe.update(qbits ^ (1 << i) for i in range(n_bits))
+    bucketed = emb.withColumn("bucket_id", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket_id").isin(sorted(probe)))
+    scored = cand.withColumn("score", cosine_expr(F.col(vec_col), _qvec_lit(query_vec)))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,90 @@
+"""End-to-end batch pipeline — the Spark form of the reference's /vectorize
+lifecycle (SURVEY.md §3.2):
+
+    pages → [resume anti-join] → [size-balanced repartition] →
+    extract+chunk (fused mapInArrow) → observe(counters) →
+    snapshot-commit chunks (+ per-partition lineage) → embed → commit
+
+Counters (docs in/out, chunks, parse failures, bytes processed — the
+north_rule lineage metrics) are collected with ``df.observe`` so they cost no
+extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from pdf_extractor_spark.operators.embed import embed_chunks
+from pdf_extractor_spark.operators.extract import extract_chunks
+from pdf_extractor_spark.operators.partitioning import size_balanced
+from pdf_extractor_spark.sources.tableio import SnapshotTable, resume_filter
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    chunks_table: SnapshotTable,
+    embeddings_table: SnapshotTable | None = None,
+    balance_partitions: int | None = None,
+    force_reload: bool = False,
+) -> dict:
+    """Run the flagship pipeline; returns the lineage/counter dict that was
+    committed with the snapshot."""
+    todo = resume_filter(pages, chunks_table, spark, force_reload=force_reload)
+
+    obs_in = Observation("pages_in")
+    todo = todo.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("docs_in"),
+        F.coalesce(F.sum(F.length("html")), F.lit(0)).alias("bytes_in"),
+    )
+
+    if balance_partitions:
+        todo = size_balanced(todo, balance_partitions)
+
+    chunks = extract_chunks(todo)
+    obs_out = Observation("chunks_out")
+    is_marker = F.col("chunk_index") < 0
+    chunks = chunks.observe(
+        obs_out,
+        F.count_if(~is_marker).alias("chunks_out"),
+        F.count_if(is_marker).alias("docs_out"),  # one marker row per processed doc
+        F.count_if(is_marker & (F.col("parse_status") == "failed")).alias("parse_failures"),
+        F.count_if(is_marker & (F.col("parse_status") == "fallback")).alias("parse_fallbacks"),
+    )
+    # per-partition lineage: which task wrote how many chunks (north_rule)
+    chunks = chunks.withColumn("part_id", F.spark_partition_id())
+
+    run_id = chunks_table.append(chunks, lineage={"stage": "chunks", "pending": True})
+    counters = {**obs_in.get, **obs_out.get}
+
+    import os
+
+    run_dir = os.path.join(chunks_table.path, "data", run_id)
+    # empty runs may write no part files — guard the read-back
+    this_run = spark.read.parquet(run_dir) if counters.get("docs_out", 0) else None
+    per_part = (
+        this_run.groupBy("part_id").count().orderBy("part_id").collect()
+        if this_run is not None
+        else []
+    )
+    lineage = {
+        "stage": "chunks",
+        "counters": counters,
+        "partitions": {int(r["part_id"]): int(r["count"]) for r in per_part},
+    }
+    # replace pending lineage with final counters (second manifest write,
+    # same snapshot chain — readers never see half-written data either way)
+    m = chunks_table.manifest()
+    for r in m["runs"]:
+        if r["run_id"] == run_id:
+            r["lineage"] = lineage
+    chunks_table._write_manifest(m)
+
+    if embeddings_table is not None and this_run is not None:
+        # only this run's real chunks (markers excluded) — never re-embed
+        emb = embed_chunks(this_run.filter(F.col("chunk_index") >= 0))
+        embeddings_table.append(emb, lineage={"stage": "embeddings", "source_run": run_id})
+    return lineage

@@ -1,0 +1,110 @@
+"""Explicit schema constants (SURVEY.md §1.3: declare, never infer).
+
+Maps the reference's Pydantic models (reference: app/models/schemas.py) onto
+Spark StructTypes; Arrow twins are provided for the ``mapInArrow`` operators,
+which must emit batches whose schema matches the declared one exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+# --- input: Common-Crawl-style pages (BASELINE.json input_hint) -------------
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# --- extraction output: one row per document --------------------------------
+BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("block_index", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("span_start", T.LongType(), False),
+        T.StructField("span_end", T.LongType(), False),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("doc_hash", T.StringType(), False),
+        T.StructField("parse_status", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT), False),
+        T.StructField("images", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+DOCS_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("doc_hash", pa.string()),
+        pa.field("parse_status", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field(
+            "blocks",
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("block_index", pa.int32()),
+                        pa.field("kind", pa.string()),
+                        pa.field("span_start", pa.int64()),
+                        pa.field("span_end", pa.int64()),
+                    ]
+                )
+            ),
+        ),
+        pa.field("images", pa.list_(pa.string())),
+    ]
+)
+
+# --- chunk output (FIXTURES.md §2; reference ProcessedContent,
+#     app/models/schemas.py:20-28, with deterministic ids) -------------------
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("chunk_index", T.IntegerType(), False),
+        T.StructField("span_start", T.LongType(), False),
+        T.StructField("span_end", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("doc_hash", T.StringType(), False),
+        T.StructField("parse_status", T.StringType(), False),
+    ]
+)
+
+CHUNKS_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("chunk_id", pa.string()),
+        pa.field("chunk_index", pa.int32()),
+        pa.field("span_start", pa.int64()),
+        pa.field("span_end", pa.int64()),
+        pa.field("text", pa.string()),
+        pa.field("content_type", pa.string()),
+        pa.field("page", pa.int32()),
+        pa.field("section", pa.string()),
+        pa.field("doc_hash", pa.string()),
+        pa.field("parse_status", pa.string()),
+    ]
+)
+
+# embedding rows (reference vector point, app/vector_db/vector_service.py:167-171)
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("doc_hash", T.StringType(), False),
+    ]
+)

@@ -1,0 +1,52 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local mode stands in for a multi-executor cluster (task directive); the same
+configs apply unchanged under ``spark-submit --py-files`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry whole HTML payloads — keep record counts low so a batch
+# of giant pages fits executor memory (SURVEY.md §4: the reference bounds RAM
+# with 8KB/64KB streaming reads, app/storage/storage_service.py:160-163; the
+# columnar analog is a small maxRecordsPerBatch).
+ARROW_BATCH_RECORDS = 128
+
+
+def get_spark(app_name: str = "pdf_extractor_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    # make the package importable in executor Python workers regardless of the
+    # driver's cwd — the local-mode analog of `spark-submit --py-files pkg.zip`
+    # (the documented cluster entry path, SURVEY.md §7.7)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ~cores locally; on a real cluster this would be 2-4x total cores
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_RECORDS))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

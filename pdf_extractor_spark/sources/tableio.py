@@ -1,0 +1,115 @@
+"""Snapshot-committed table IO — Iceberg semantics, parquet emulation.
+
+Production target is an Iceberg catalog (``CREATE TABLE ... USING iceberg``,
+``writeTo(...).append()``, snapshot-based resume). This sandbox has no Iceberg
+jars (verified; SURVEY.md §7), so the same semantics are emulated on parquet:
+
+* each run writes its data under ``<table>/data/<run_id>/`` (staging),
+* a commit atomically rewrites ``<table>/_MANIFEST.json`` listing committed
+  run dirs + per-run lineage (counters, input snapshot) — the moral
+  equivalent of an Iceberg snapshot commit,
+* readers only see committed runs; a crashed run leaves orphan files that are
+  never read (Iceberg's uncommitted-data invariant),
+* resume = anti-join against the committed snapshot's ``doc_hash`` set
+  (reference idempotency probe J2, app/vector_db/vector_service.py:77-103),
+* force_reload = drop runs owning those hashes from the manifest (the
+  reference's delete-before-rewrite S8, vector_service.py:105-127).
+
+The seam is intentionally tiny so the Iceberg swap is config, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST.json"
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest --------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"snapshot_id": 0, "runs": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        # atomic rename = the commit point (crash before rename → old snapshot)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".manifest-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
+    # -- write path --------------------------------------------------------
+    def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None) -> str:
+        """Stage df as parquet then commit a new snapshot. Returns run_id."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.path, "data", run_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        m = self.manifest()
+        m["snapshot_id"] += 1
+        m["runs"].append(
+            {
+                "run_id": run_id,
+                "path": data_dir,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "lineage": lineage or {},
+            }
+        )
+        self._write_manifest(m)
+        return run_id
+
+    def delete_runs(self, run_ids: set[str]) -> None:
+        """Snapshot-level delete (data files left orphaned, like Iceberg until
+        expire_snapshots)."""
+        m = self.manifest()
+        m["snapshot_id"] += 1
+        m["runs"] = [r for r in m["runs"] if r["run_id"] not in run_ids]
+        self._write_manifest(m)
+
+    # -- read path ---------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        paths = [r["path"] for r in self.manifest()["runs"]]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_chunks(self, spark: SparkSession) -> DataFrame | None:
+        """Committed chunk rows only (per-doc marker rows filtered out)."""
+        df = self.read(spark)
+        return None if df is None else df.filter(F.col("chunk_index") >= 0)
+
+    def committed_hashes(self, spark: SparkSession, col: str = "doc_hash") -> DataFrame | None:
+        df = self.read(spark)
+        return None if df is None else df.select(col).distinct()
+
+
+def resume_filter(pages: DataFrame, table: SnapshotTable, spark: SparkSession,
+                  force_reload: bool = False) -> DataFrame:
+    """Skip-if-done: left anti join incoming docs vs committed doc hashes
+    (J2). With force_reload the caller should delete first (S8) — here we
+    simply don't filter, mirroring endpoints.py:126-135 skip logic."""
+    if force_reload:
+        return pages
+    done = table.committed_hashes(spark)
+    if done is None:
+        return pages
+    hashed = pages.withColumn("doc_hash", F.sha2(F.col("html"), 256))
+    # no broadcast hint: AQE picks broadcast when the committed set is small;
+    # at 10^12 docs the hash set is huge and this must stay a shuffled anti-join
+    return hashed.join(done, "doc_hash", "left_anti").drop("doc_hash")

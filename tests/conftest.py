@@ -1,0 +1,24 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pdf_extractor_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def pages_parquet(tmp_path_factory):
+    from pdf_extractor_spark.sources.pages import write_pages_parquet
+
+    p = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    write_pages_parquet(str(p), seed=42, n=120, giant_every=57)
+    return str(p)
