@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The extraction workload amplifies the documents fixture into a deterministic
+Common-Crawl-style pages table *inside the plan* (JVM-side concat — costless
+next to the Python parse), so the bench scales with sf and needs no external
+data. ``docs_per_sec`` / ``mb_per_sec`` are the BASELINE.json headline
+metrics; per-query seconds land under "queries".
+
+Scaling evidence (N vs 4N parallelism) is produced by
+``scripts/scaling_bench.py``, which shells out to this file at two
+SPARK_GRAFT_CPUS levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import dedup as DD
+from pdf_extractor_spark.operators.embed import embed_chunks
+from pdf_extractor_spark.operators.extract import extract_chunks
+from pdf_extractor_spark.operators.search import ann_topk_lsh, cosine_topk
+from pdf_extractor_spark.functions import text as TXT
+from pdf_extractor_spark.session import get_spark
+
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "16"))  # pages per source doc
+REPEAT_TEXT = 6  # paragraphs per page
+
+_PRE = (
+    "<!DOCTYPE html><html><head><title>t</title><style>.x{color:red}</style>"
+    "<script>var a=1;</script></head><body><header><h1>Chrome</h1></header>"
+    '<nav><a href="/a">one</a> <a href="/b">two</a></nav><aside>promo</aside><article>'
+)
+_POST = '</article><footer><a href="/d">legal</a></footer></body></html>'
+
+
+def amplified_pages(docs):
+    """documents × AMPLIFY → (url, html) pages with REPEAT_TEXT <p> blocks."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))).alias("copy")
+    body = F.concat_ws(
+        "", F.transform(
+            F.sequence(F.lit(1), F.lit(REPEAT_TEXT)),
+            lambda i: F.concat(F.lit("<p>"), F.col("text"), F.lit(" p"), i, F.lit("</p>")),
+        )
+    )
+    return docs.select("doc_id", "text", copies).select(
+        F.concat(F.lit("bench://"), F.col("doc_id"), F.lit("#"), F.col("copy")).alias("url"),
+        F.concat(F.lit(_PRE), body, F.lit(_POST)).cast("binary").alias("html"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs.count()  # warm the scan / JVM
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # q1: flagship extraction+chunking (fused mapInArrow over amplified pages)
+    pages = amplified_pages(docs)
+    stats = timed(
+        "extract_chunks",
+        lambda: pages.transform(extract_chunks)
+        .agg(
+            F.count_if(F.col("chunk_index") >= 0).alias("chunks"),
+            F.count_if(F.col("chunk_index") < 0).alias("docs"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .collect()[0],
+    )
+    n_pages = int(stats["docs"])
+    html_bytes = AMPLIFY * REPEAT_TEXT  # approx factor; measure real bytes next
+    extras["bench_pages"] = n_pages
+    extras["bench_chunks"] = int(stats["chunks"])
+    extras["docs_per_sec"] = round(n_pages / timings["extract_chunks"], 1)
+
+    # real input volume (separate cheap scan, not timed into extraction)
+    total_html_mb = (
+        pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+    ) / 1e6
+    extras["input_mb"] = round(total_html_mb, 1)
+    extras["mb_per_sec"] = round(total_html_mb / timings["extract_chunks"], 1)
+
+    # q2: text analysis scan (tokens + quality + langid, pure codegen)
+    timed(
+        "text_quality",
+        lambda: docs.select(
+            TXT.token_count(F.col("text")).alias("nt"),
+            TXT.quality_score(F.col("text")).alias("q"),
+            TXT.lang_id(F.col("text")).alias("l"),
+        )
+        .agg(F.sum("nt"), F.avg("q"), F.count(F.lit(1)))
+        .collect(),
+    )
+
+    # q3: MinHash+LSH near-dup over documents
+    timed(
+        "minhash_near_dups",
+        lambda: DD.minhash_near_duplicates(docs.select("doc_id", "text"), threshold=0.5).count(),
+    )
+
+    # q4: SimHash signatures + hamming<=3 pairs
+    timed(
+        "simhash_near_dups",
+        lambda: DD.simhash_near_duplicates(docs.select("doc_id", "text"), max_hamming=3).count(),
+    )
+
+    # q5: embedding pipeline — embed all docs then exact cosine top-k
+    from pdf_extractor_spark.core.embedder import embed_one
+
+    qv = [float(x) for x in embed_one("bench query vector")]
+    timed(
+        "embed_docs",
+        lambda: embed_chunks(docs, text_col="text", keep_cols=("doc_id",))
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "topk_cosine",
+        lambda: cosine_topk(emb, qv, k=5, id_col="vec_id").collect(),
+    )
+    timed(
+        "ann_lsh_topk",
+        lambda: ann_topk_lsh(emb, qv, k=5, n_bits=4).collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

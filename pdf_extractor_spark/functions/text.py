@@ -1,0 +1,167 @@
+"""Text-analysis column functions — the training-data-pipeline scalar layer.
+
+Everything here is a *pure Spark Column expression* built from
+``pyspark.sql.functions`` built-ins: JVM-side, whole-stage-codegen'd, zero
+Python in the hot path. Each builder has an exact ANSI-SQL twin used as the
+DuckDB oracle in ``__spark_entry__.py`` — parity is by construction because
+both sides implement the same written spec (documented per function).
+
+These are the text-quality primitives a 100 TB training-data pipeline runs on
+every document (token counting, quality scoring, language ID, fingerprinting)
+— the batch analog of what the reference computes per-upload before embedding
+(reference: app/processing/pdf_processor.py:110-222 chunk metadata;
+app/vector_db/vector_service.py:137 embedding-input scrub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization -----------------------------------------------------------
+
+WS_RE = r"\s+"
+# BPE-ish lexer classes: letter runs | digit runs | single non-alnum symbol.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the trimmed text (empty text → empty array)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_RE)
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + punct symbols.
+
+    Approximates a BPE tokenizer's pre-tokenization pass (the per-symbol
+    upper bound on merges) with one regex scan.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+# --- quality scoring --------------------------------------------------------
+
+PUNCT_CLASS = r"[^\.\!\?\,\;\:]"
+DIGIT_CLASS = r"[^0-9]"
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation (.!?,;:)."""
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(text, PUNCT_CLASS, "")) / n.cast("double")
+    )
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(text, DIGIT_CLASS, "")) / n.cast("double")
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    """Average token length: non-space chars / token count."""
+    w = token_count(text)
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(w == 0, F.lit(0.0)).otherwise(nonspace / w.cast("double"))
+
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from"
+).split()
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are (lowercase) English stopwords."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n.cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Spec (mirrored exactly in the DuckDB oracle):
+        least(1, words/50) * (1 - punct_ratio) * (1 - digit_ratio)
+    — long-enough, low-noise documents score high. Deliberately free of
+    transcendental functions so both engines agree bit-for-bit after round().
+    """
+    w = token_count(text)
+    return (
+        F.least(F.lit(1.0), w / F.lit(50.0))
+        * (F.lit(1.0) - punct_ratio(text))
+        * (F.lit(1.0) - digit_ratio(text))
+    )
+
+
+# --- language identification ------------------------------------------------
+
+# Marker-word profiles (tiny, deterministic). Real pipelines plug a model UDF
+# here; the heuristic keeps the operator shape (and its oracle) exact.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of is in to that it was for".split(),
+    "de": "der die das und ist nicht ein mit von zu".split(),
+    "es": "el la los las es de que en un una".split(),
+    "fr": "le la les et est dans que pour une du".split(),
+    "zh": "的 了 是 在 我 有 和 就 不 人".split(),
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break order
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    # NB: the lambda must take exactly one parameter — PySpark treats a
+    # two-parameter lambda as (element, index), so capturing via a default
+    # argument silently rebinds it to the array index.
+    lst = list(markers)
+    return F.size(F.filter(toks, lambda t: t.isin(lst)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language: argmax marker-hit count, first-wins ties in
+    LANG_ORDER; 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # build CASE so earlier langs win ties
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined); shorter tail shingles clamp."""
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(k - 1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: min-md5 over word 4-grams (winnowing-lite).
+
+    Robust to small edits anywhere except the minimizing window — the
+    single-hash member of the MinHash family (operators/dedup.py carries the
+    full signature).
+    """
+    sh = shingles(tokens(F.lower(text)), k=4)
+    return F.when(F.size(sh) == 0, F.md5(F.lit(""))).otherwise(
+        F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )

@@ -1,0 +1,315 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference deduplicates only by exact content hash (skip-if-done probe,
+reference: app/vector_db/vector_service.py:77-103); a 100 TB training-data
+pipeline additionally needs *near*-duplicate removal. Every operator here is
+expressed with JVM-side built-ins (md5 / transform / array_min / explode /
+joins) — no Python UDFs — so Catalyst codegens the hashing and AQE handles
+the join skew.
+
+Scale notes (10^12 docs):
+* exact_duplicates: one hash-shuffle on a 32-char key; map-side partial agg.
+* MinHash+LSH: signatures are a scan-only projection; the candidate join
+  explodes each doc into BANDS rows and self-joins on (band, key) — the
+  classic band-bucket join; hot buckets (boilerplate pages) are capped via
+  ``max_bucket`` before the pair join, which is the standard guard against
+  quadratic blowup in a bucket of identical pages.
+* SimHash: scan-only 32-bit signature, duplicates = groupBy(simhash) — cheap
+  pre-cluster; hamming-distance refinement joins only within signature
+  buckets.
+* embedding near-dup: exact O(n^2) variant for oracle-checkable correctness
+  at test scale; LSH-bucketed variant (operators/search.py hyperplanes)
+  restricts the pair join to same-bucket candidates for the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import shingles, tokens
+from pdf_extractor_spark.operators.search import cosine_expr
+
+# MinHash geometry: 16 hashes, 4 bands x 4 rows → catches jaccard ≳ 0.55
+# pairs with high probability (s-curve threshold (1/b)^(1/r) ≈ 0.71).
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_K = 3
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids csv).
+
+    One shuffle on the 64-hex hash; ids sorted for deterministic output.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col).cast("binary"), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list(F.col(id_col).cast("string"))), ",").alias("doc_ids"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per identical text (lowest order_col wins) —
+    the batch form of the reference's skip-if-done. min_by avoids a window
+    sort: single hash-agg shuffle."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("__h")
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min_by(F.struct(*df.columns), F.col(order_col)).alias("r"))
+        .select("r.*")
+    )
+
+
+# --- MinHash signatures + LSH banding ---------------------------------------
+
+def minhash_signature(text_col: str = "text") -> list:
+    """NUM_HASHES min-md5 columns over word 3-shingles.
+
+    md5(seed ':' shingle) is a uniform hash family over hex strings; taking
+    the lexicographic min is a valid MinHash (collision prob = jaccard).
+    Pure Column expressions — codegen'd, partition-independent.
+    """
+    sh = shingles(tokens(F.lower(F.col(text_col))), k=SHINGLE_K)
+
+    def _mh(j: int):
+        # single-parameter lambda only (two params = (element, index) in Spark)
+        prefix = f"{j}:"
+        return F.when(F.size(sh) == 0, F.md5(F.lit(prefix))).otherwise(
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+        ).alias(f"mh{j}")
+
+    return [_mh(j) for j in range(NUM_HASHES)]
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("*", *minhash_signature(text_col))
+
+
+def lsh_band_keys(df_with_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key): band_key = md5 of the band's signature slice."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(b)), *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(BANDS)
+    ]
+    return df_with_sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_bucket: int = 64
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    ``max_bucket`` drops degenerate buckets (> max_bucket members — e.g. a
+    million identical boilerplate pages) *before* the pair join; those are
+    exact-dup territory handled by dedup_exact at a linear cost.
+    """
+    keys = lsh_band_keys(with_minhash(df, text_col), id_col)
+    # bucket-size cap via aggregate (no window: cheaper at scale)
+    big = (
+        keys.groupBy("band", "band_key").count().filter(F.col("count") > max_bucket)
+        .select("band", "band_key")
+    )
+    keys = keys.join(big, ["band", "band_key"], "left_anti")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard verification -------------------------------------------
+
+def jaccard_expr(sh_a, sh_b):
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard; keep ≥ threshold.
+
+    Two broadcast-or-shuffle hash joins attach the shingle arrays; the
+    quadratic part stays bounded by the candidate count, never n^2.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(tokens(F.lower(F.col(text_col))), k=SHINGLE_K).alias("sh")
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    return (
+        joined.select("id_a", "id_b", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    cand = minhash_candidates(df, text_col, id_col)
+    return ngram_jaccard_pairs(df, cand, text_col, id_col, threshold).orderBy("id_a", "id_b")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 32-bit: exact parity with the SQL oracle (no int64 UB)
+
+
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): per-token 32-bit md5-prefix hashes vote per bit.
+
+    Shape: explode tokens → one groupBy(id) with SIMHASH_BITS conditional
+    sums → bit-assemble. One shuffle on id (already the natural key).
+    Token multiplicity weights votes, as in Charikar's original scheme.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def hamming32(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with simhash hamming distance ≤ max_hamming.
+
+    Candidate generation uses the standard bit-block trick: split the 32-bit
+    signature into (max_hamming+1) blocks — any pair within distance d shares
+    at least one exact block (pigeonhole) — and join per block, so the join
+    is equi (hash-join-able), never a theta-join cross product.
+    """
+    sims = simhash_df(df, text_col, id_col)
+    nblocks = max_hamming + 1
+    width = SIMHASH_BITS // nblocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("blk_val"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    keyed = sims.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
+        id_col, "simhash", "b.blk", "b.blk_val"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming32(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+def embedding_near_duplicates_exact(
+    emb: DataFrame, threshold: float, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (id_a < id_b). O(n^2) — the
+    correctness baseline the LSH variant is validated against; only for
+    bounded inputs (tests / per-bucket refinement)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path: hyperplane-LSH bucket the vectors, pair-join only within
+    buckets, then exact cosine verify. Recall < 1 by design (near-identical
+    vectors collide with prob (1 - theta/pi)^n_bits); at 10^12 rows this is
+    the only join shape that survives."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.search import _hyperplanes, lsh_bucket_col
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket_id")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket_id") == F.col("b.bucket_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cosine"),
+    )
+    return cand.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")

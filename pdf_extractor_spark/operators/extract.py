@@ -28,7 +28,7 @@ from typing import Callable
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from pdf_extractor_spark.core.chunker import chunk_id_for, chunk_text
+from pdf_extractor_spark.core.chunker import chunk_fixed, chunk_id_for, chunk_text
 from pdf_extractor_spark.core.html_extract import extract_html
 from pdf_extractor_spark.schemas import CHUNKS_ARROW, CHUNKS_SCHEMA, DOCS_ARROW, DOCS_SCHEMA
 
@@ -134,6 +134,47 @@ def chunk_docs(docs: DataFrame) -> DataFrame:
     return docs.select("url", "doc_hash", "parse_status", "text", "blocks").mapInArrow(
         run, CHUNKS_SCHEMA
     )
+
+
+def chunk_fixed_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixed-window chunker over any (id, text) table — the SQL-expressible
+    member of the chunker family (core/chunker.py::chunk_fixed), run through
+    the same mapInArrow plumbing as the flagship boundary-aware chunker.
+
+    Output: (id_col, chunk_id, chunk_index, span_start, span_end, text);
+    chunk k covers [1350k, min(1350k+1500, n)) with deterministic
+    sha256(id ':' k) chunk ids. DuckDB oracle: generate_series + substr.
+    """
+    out_arrow = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("chunk_id", pa.string()),
+            pa.field("chunk_index", pa.int32()),
+            pa.field("span_start", pa.int64()),
+            pa.field("span_end", pa.int64()),
+            pa.field("text", pa.string()),
+        ]
+    )
+    out_schema = (
+        f"{id_col} long, chunk_id string, chunk_index int, "
+        "span_start long, span_end long, text string"
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            rows: list[tuple] = []
+            for i, text in zip(ids, texts):
+                for c in chunk_fixed(str(i), text or ""):
+                    rows.append((i, c.chunk_id, c.chunk_index, c.span_start, c.span_end, c.text))
+            cols = list(zip(*rows)) if rows else [[] for _ in out_arrow.names]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(col, type=out_arrow.field(j).type) for j, col in enumerate(cols)],
+                schema=out_arrow,
+            )
+
+    return df.select(id_col, text_col).mapInArrow(run, out_schema)
 
 
 def extract_chunks(pages: DataFrame) -> DataFrame:

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+The reference carries image crops as base64 strings inside chunk rows
+(reference: app/processing/pdf_processor.py:157-187, app/models/schemas.py:27)
+and never decodes them. Here the pattern is generalised for a training-data
+pipeline: media travel as ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.
+
+The actual pixel/sample decode is STUBBED (no PIL/ffmpeg in this container):
+``decode_media`` raises ``NotImplementedError`` unless ``fake=True``, in
+which case a deterministic fake decoder (pure function of the bytes) stands
+in, so the Spark-side plumbing — schema, batch shape, partition independence
+— is fully real and tested.
+
+Scale notes: media bytes dominate row size, so the arrow batch cap
+(session.ARROW_BATCH_RECORDS) bounds per-task memory; feature rows are tiny
+and shuffle freely. Frame-sampling emits multiple rows per input via the
+mapInPandas iterator (flat-map shape, no explode of a giant array).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder+encoder: 16 floats derived
+    from the sha256 digest, scaled to [0, 1). Pure function of the bytes —
+    identical on every executor and run."""
+    d = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in d[:FEATURE_DIM]]
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """media rows → per-media feature rows (decode + feature-extract stage).
+
+    With ``fake=False`` this is where PIL/torchaudio/ffmpeg decode would run;
+    this container has none, so it raises unless ``fake=True``.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decode needs PIL/ffmpeg (not in this container); "
+            "pass fake=True for the deterministic stand-in"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
+                    "payload_sha": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(_fake_feature),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """video rows → one row per sampled frame timestamp (flat-map shape).
+
+    Frame *decode* is stubbed like decode_media; the row-expansion plumbing
+    (duration metadata → frame_ts rows, bounded batches) is real.
+    """
+    if not fake:
+        raise NotImplementedError("frame decode needs ffmpeg; pass fake=True")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_ts_ms", T.IntegerType(), False),
+            T.StructField("frame_sha", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, shas = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                for t in range(0, int(dur or 0), every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+                    shas.append(
+                        hashlib.sha256((payload or b"") + t.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": ts, "frame_sha": shas})
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(run, out_schema)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic synthetic media table from the documents fixture
+    (text bytes as payload) — test/bench scaffolding, no external data."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length("text") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Two-point scaling bench: run bench.py at N and 4N parallelism on the SAME
+input and report throughput + scaling efficiency (BASELINE.json north_rule:
+>=0.8 from N to 4N executors; local[k] stands in for k executors in this
+sandbox — see BASELINE.md).
+
+Writes BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage: python scripts/scaling_bench.py [n_low] [n_high] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    lo = run_bench(n_low, sf_dir)
+    hi = run_bench(n_high, sf_dir)
+    ratio = n_high / n_low
+    # efficiency on the flagship extraction stage (docs/sec), the headline metric
+    eff_extract = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    eff_total = (lo["value"] / hi["value"]) / ratio
+    result = {
+        "sf_dir": sf_dir,
+        "n_low": n_low,
+        "n_high": n_high,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency_extract": round(eff_extract, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+        "target": 0.8,
+        "pass": eff_extract >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+Input: `{sf_dir}` (documents amplified x{lo.get('bench_pages', 0) // max(1, (lo.get('bench_pages', 1) and 1))} → {lo.get('bench_pages')} pages, {lo.get('input_mb')} MB HTML).
+Same input at both parallelism levels (`local[{n_low}]` vs `local[{n_high}]`
+— sandbox stand-in for N vs 4N executors, per BASELINE.md).
+
+| metric | local[{n_low}] | local[{n_high}] |
+|---|---|---|
+| extraction throughput (docs/sec) | {lo['docs_per_sec']} | {hi['docs_per_sec']} |
+| extraction throughput (MB/sec) | {lo['mb_per_sec']} | {hi['mb_per_sec']} |
+| extract_chunks wall (s) | {lo['queries']['extract_chunks']} | {hi['queries']['extract_chunks']} |
+| total bench wall (s) | {lo['value']} | {hi['value']} |
+
+**Scaling efficiency (N → {int(ratio)}N): extraction = {result['scaling_efficiency_extract']},
+whole-bench = {result['scaling_efficiency_total']} (target ≥ 0.8 → {'PASS' if result['pass'] else 'FAIL'}).**
+
+Per-query seconds:
+
+| query | local[{n_low}] | local[{n_high}] |
+|---|---|---|
+""" + "\n".join(
+        f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} |" for q in lo["queries"]
+    ) + "\n"
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result["low"]))
+    print(json.dumps(result["high"]))
+    print(
+        f"scaling efficiency extract={result['scaling_efficiency_extract']} "
+        f"total={result['scaling_efficiency_total']} pass={result['pass']}"
+    )
+
+
+if __name__ == "__main__":
+    main()

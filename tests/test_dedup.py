@@ -1,0 +1,100 @@
+"""Dedup operator family: exact, MinHash+LSH, SimHash, embedding-cosine."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import dedup as DD
+
+BASE_TEXTS = [
+    "spark reads the parquet table and shuffles rows across executors today",
+    "the optimizer prunes columns and pushes filters into the columnar scan",
+    "vectors are embedded with a hashed trigram projection into sixty four dims",
+    "chunking splits long documents at sentence boundaries with some overlap",
+    "completely unrelated content about cooking pasta with tomato sauce basil",
+]
+
+
+@pytest.fixture(scope="module")
+def near_dup_df(spark):
+    rows = []
+    for i, t in enumerate(BASE_TEXTS):
+        rows.append((i, t))
+        rows.append((100 + i, t + " extra"))  # near-dup of i
+    rows.append((999, BASE_TEXTS[0]))  # exact dup of 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(near_dup_df):
+    groups = {r["doc_ids"]: r["n_docs"] for r in DD.exact_duplicates(near_dup_df).collect()}
+    assert groups["0,999"] == 2
+    assert sum(n for n in groups.values()) == 11
+
+
+def test_dedup_exact_keeps_lowest_id(near_dup_df):
+    kept = sorted(r["doc_id"] for r in DD.dedup_exact(near_dup_df).collect())
+    assert 999 not in kept
+    assert 0 in kept
+    assert len(kept) == 10  # 11 rows - 1 exact dup
+
+
+def test_minhash_near_duplicates_recall(near_dup_df):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in DD.minhash_near_duplicates(near_dup_df, threshold=0.5).collect()
+    }
+    # every (i, 100+i) near-dup pair must be found (jaccard ≈ 0.9 ≫ 0.5)
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"missing near-dup pair {(i, 100+i)}"
+    # exact dup pair also found
+    assert (0, 999) in pairs
+    # unrelated docs never pair
+    assert not any(a < 5 and b < 5 for a, b in pairs)
+
+
+def test_minhash_signature_partition_independent(spark, near_dup_df):
+    one = DD.with_minhash(near_dup_df.coalesce(1)).orderBy("doc_id").collect()
+    many = DD.with_minhash(near_dup_df.repartition(7)).orderBy("doc_id").collect()
+    assert one == many
+
+
+def test_simhash_near_duplicates_exact_vs_bruteforce(spark, near_dup_df):
+    """The bit-block candidate join must find exactly the brute-force pairs
+    (pigeonhole guarantees no false negatives; filter removes false pos)."""
+    sims = {r["doc_id"]: r["simhash"] for r in DD.simhash_df(near_dup_df).collect()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(sims), 2):
+        if bin(sims[a] ^ sims[b]).count("1") <= 3:
+            brute.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_duplicates(near_dup_df, max_hamming=3).collect()
+    }
+    assert got == brute
+    # exact dup → hamming 0 → must be present
+    assert (0, 999) in got
+
+
+def test_embedding_near_dup_lsh_finds_exact_pairs(spark):
+    """LSH bucket join must find identical-vector pairs (always same bucket)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(16).astype("float32")
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, rows[3][1]))  # identical copy of vec 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_duplicates_exact(emb, threshold=0.99).collect()
+    }
+    assert (3, 100) in exact
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_duplicates_lsh(emb, threshold=0.99, n_bits=6).collect()
+    }
+    assert (3, 100) in lsh
+    assert lsh <= exact  # LSH candidates are verified exactly → subset

@@ -1,0 +1,59 @@
+"""Multimodal plumbing: binary payloads, stubbed decode, frame sampling."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    media_from_documents,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny image bytes"), (1, "audio payload here"), (2, "video content x")],
+        "doc_id long, text string",
+    )
+    return media_from_documents(docs)
+
+
+def test_decode_requires_explicit_fake(media_df):
+    with pytest.raises(NotImplementedError):
+        decode_media(media_df, fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media_df, fake=False)
+
+
+def test_decode_fake_deterministic(media_df):
+    rows = {r["media_id"]: r for r in decode_media(media_df, fake=True).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    r0 = rows["0"]
+    payload = b"tiny image bytes"
+    assert r0["kind"] == "image"
+    assert r0["n_bytes"] == len(payload)
+    assert r0["payload_sha"] == hashlib.sha256(payload).hexdigest()
+    assert len(r0["feature"]) == FEATURE_DIM
+    expected = [b / 255.0 for b in hashlib.sha256(payload).digest()[:FEATURE_DIM]]
+    assert all(abs(a - e) < 1e-6 for a, e in zip(r0["feature"], expected))
+
+
+def test_decode_partition_independent(media_df):
+    one = sorted(map(tuple, decode_media(media_df.coalesce(1), fake=True).collect()))
+    many = sorted(map(tuple, decode_media(media_df.repartition(5), fake=True).collect()))
+    assert one == many
+
+
+def test_frame_sample_counts(media_df):
+    frames = sample_frames(media_df, every_ms=50, fake=True).collect()
+    # only the video row (doc_id % 3 == 2), duration = len("video content x")*10 = 150ms
+    assert all(r["media_id"] == "2" for r in frames)
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 50, 100]
+    # frame hashes deterministic
+    payload = b"video content x"
+    expect0 = hashlib.sha256(payload + (0).to_bytes(4, "big")).hexdigest()
+    assert {r["frame_sha"] for r in frames if r["frame_ts_ms"] == 0} == {expect0}

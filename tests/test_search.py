@@ -1,0 +1,59 @@
+"""Similarity search: exact cosine top-k correctness vs numpy; LSH recall."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.operators.search import MAX_K, ann_topk_lsh, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), rows
+
+
+def _numpy_topk(rows, q, k, label=None):
+    scored = []
+    for vid, v, lab in rows:
+        if label is not None and lab != label:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        qq = np.asarray(q, dtype=np.float64)
+        scored.append((float(a @ qq / (np.linalg.norm(a) * np.linalg.norm(qq))), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [vid for _, vid in scored[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    df, rows = emb_df
+    q = rows[7][1]
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    assert got == _numpy_topk(rows, q, 10)
+    assert got[0] == 7  # self-similarity = 1.0 tops the list
+
+
+def test_cosine_topk_k_bounds(emb_df):
+    df, _ = emb_df
+    with pytest.raises(ValueError):
+        cosine_topk(df, [1.0] * 32, k=0)
+    with pytest.raises(ValueError):
+        cosine_topk(df, [1.0] * 32, k=MAX_K + 1)
+
+
+def test_ann_lsh_topk_contains_self(emb_df):
+    """The query's own vector lands in the query's bucket by construction."""
+    df, rows = emb_df
+    q = rows[42][1]
+    got = [r["vec_id"] for r in ann_topk_lsh(df, q, k=5, n_bits=4).collect()]
+    assert got[0] == 42
+    # ANN results are a subset of candidates scored exactly → every returned
+    # score must match the exact ranking restricted to those ids
+    exact = _numpy_topk(rows, q, 200)
+    pos = {vid: i for i, vid in enumerate(exact)}
+    assert all(vid in pos for vid in got)
+    assert sorted(got, key=lambda v: pos[v]) == got

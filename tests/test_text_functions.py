@@ -1,0 +1,114 @@
+"""Text-analysis column functions vs. pure-Python expectations."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions import text as TXT
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog."),
+    (1, "der hund und die katze sind nicht ein team mit der maus"),
+    (2, "numbers 123 and 456 appear, with punctuation; lots: of. it!"),
+    (3, "word"),
+    (4, "   "),
+    (5, "的 了 是 在 我 有 和 就 不 人 的 了"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_tokens(t):
+    t = t.strip()
+    return t.split() if t else []
+
+
+def test_token_count(docs_df):
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in docs_df.select("doc_id", TXT.token_count(F.col("text")).alias("n")).collect()
+    }
+    for doc_id, text in DOCS:
+        assert rows[doc_id] == len(py_tokens(text)), (doc_id, text)
+
+
+def test_bpe_token_count(docs_df):
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in docs_df.select("doc_id", TXT.bpe_token_count(F.col("text")).alias("n")).collect()
+    }
+    for doc_id, text in DOCS:
+        assert rows[doc_id] == len(pat.findall(text)), (doc_id, text)
+
+
+def test_ratios_and_quality(docs_df):
+    rows = {
+        r["doc_id"]: r
+        for r in docs_df.select(
+            "doc_id",
+            TXT.punct_ratio(F.col("text")).alias("pr"),
+            TXT.digit_ratio(F.col("text")).alias("dr"),
+            TXT.stopword_ratio(F.col("text")).alias("sr"),
+            TXT.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        n = len(text)
+        toks = py_tokens(text)
+        pr = sum(c in ".!?,;:" for c in text) / n if n else 0.0
+        dr = sum(c.isdigit() for c in text) / n if n else 0.0
+        sr = (
+            sum(t in TXT.STOPWORDS for t in py_tokens(text.lower())) / len(toks)
+            if toks
+            else 0.0
+        )
+        q = min(1.0, len(toks) / 50.0) * (1 - pr) * (1 - dr)
+        r = rows[doc_id]
+        assert abs(r["pr"] - pr) < 1e-9
+        assert abs(r["dr"] - dr) < 1e-9
+        assert abs(r["sr"] - sr) < 1e-9
+        assert abs(r["q"] - q) < 1e-9
+
+
+def test_lang_id(docs_df):
+    rows = {
+        r["doc_id"]: r["lang"]
+        for r in docs_df.select("doc_id", TXT.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert rows[0] == "en"
+    assert rows[1] == "de"
+    assert rows[4] == "und"  # no tokens at all
+    assert rows[5] == "zh"
+
+
+def test_fingerprint_deterministic_and_edit_sensitive(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " tail"), (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", TXT.doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert rows[0] == rows[1]  # identical text → identical fingerprint
+    assert rows[0] != rows[3]
+    # every fingerprint is a 32-hex md5
+    assert all(re.fullmatch(r"[0-9a-f]{32}", fp) for fp in rows.values())
+
+
+def test_shingles_spec(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(
+        TXT.shingles(TXT.tokens(F.col("text")), k=3).alias("sh")
+    ).collect()[0]["sh"]
+    assert got == ["a b c", "b c d"]
+    # shorter than k → single clamped shingle
+    df2 = spark.createDataFrame([("a b",)], "text string")
+    got2 = df2.select(TXT.shingles(TXT.tokens(F.col("text")), k=3).alias("sh")).collect()[0]["sh"]
+    assert got2 == ["a b"]
