@@ -338,6 +338,45 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(media, every_ms=1000, fake=True).select("media_id", "frame_ts_ms")
 
 
+def _pages_with_images(docs: DataFrame) -> DataFrame:
+    """(url, html): article carries one alt-tagged image + one without alt
+    (→ positional ``img_1`` name), plus chrome images that must be ignored."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit(_PRE.replace("<header>", '<header><img src="/logo.png" alt="chrome logo"/>')),
+            F.lit('<img src="/fig.png" alt="fig '),
+            F.col("source"),
+            F.lit('"/><p>'),
+            F.col("text"),
+            F.lit('</p><img src="/plain.png"/>' + _POST),
+        )
+        .cast("binary")
+        .alias("html"),
+    )
+
+
+def q_extract_images(spark, sf_dir):
+    """E7: image descriptors in reading order (alt text, else positional id);
+    chrome images inside blocklisted tags are ignored."""
+    res = extract_docs(_pages_with_images(_docs(spark, sf_dir)))
+    return res.select("url", F.array_join("images", ",").alias("images_csv"))
+
+
+def q_related_images(spark, sf_dir):
+    """E5/J1: page-image context join — every chunk carries the page's
+    image descriptors via groupBy-collect_list + left join."""
+    pages = _pages_with_images(_docs(spark, sf_dir))
+    docs = extract_docs(pages)
+    chunks = extract_chunks(pages).filter(F.col("chunk_index") >= 0)
+    from pdf_extractor_spark.operators.extract import attach_related_images
+
+    out = attach_related_images(chunks, docs)
+    return out.select(
+        "url", "chunk_index", F.array_join("related_images", ",").alias("related_images_csv")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -374,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_docs": q_embed_docs,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "extract_images": q_extract_images,
+        "related_images": q_related_images,
     }
 
 
@@ -582,6 +623,15 @@ SELECT doc_id::VARCHAR AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS payload_sha
 FROM documents""",
+        "extract_images": (
+            "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "
+            "FROM documents"
+        ),
+        # single text block ≤ 1500 chars → exactly one chunk (index 0) per doc
+        "related_images": (
+            "SELECT 'doc://' || doc_id AS url, 0 AS chunk_index, "
+            "'fig ' || source || ',img_1' AS related_images_csv FROM documents"
+        ),
         # duration_ms = length(text)*10 CHARACTERS (matches F.length on string)
         "frame_sample": """
 SELECT doc_id::VARCHAR AS media_id,

@@ -42,8 +42,15 @@ _PRE = (
 _POST = '</article><footer><a href="/d">legal</a></footer></body></html>'
 
 
-def amplified_pages(docs):
-    """documents × AMPLIFY → (url, html) pages with REPEAT_TEXT <p> blocks."""
+def amplified_pages(docs, n_partitions: int):
+    """documents × AMPLIFY → (url, html) pages with REPEAT_TEXT <p> blocks.
+
+    Explicit repartition: the source fixture is one small parquet file (one
+    scan partition), and explode does not add parallelism — without the
+    shuffle the whole Python extraction stage would run as a single task.
+    On a real corpus the scan itself provides the partitions and this
+    becomes the size_balanced() pre-shuffle (operators/partitioning.py).
+    """
     copies = F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))).alias("copy")
     body = F.concat_ws(
         "", F.transform(
@@ -51,9 +58,13 @@ def amplified_pages(docs):
             lambda i: F.concat(F.lit("<p>"), F.col("text"), F.lit(" p"), i, F.lit("</p>")),
         )
     )
-    return docs.select("doc_id", "text", copies).select(
-        F.concat(F.lit("bench://"), F.col("doc_id"), F.lit("#"), F.col("copy")).alias("url"),
-        F.concat(F.lit(_PRE), body, F.lit(_POST)).cast("binary").alias("html"),
+    return (
+        docs.select("doc_id", "text", copies)
+        .repartition(n_partitions, "doc_id", "copy")
+        .select(
+            F.concat(F.lit("bench://"), F.col("doc_id"), F.lit("#"), F.col("copy")).alias("url"),
+            F.concat(F.lit(_PRE), body, F.lit(_POST)).cast("binary").alias("html"),
+        )
     )
 
 
@@ -63,8 +74,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # The fixtures are single parquet files (= one scan partition); spread
+    # them once so every stage below gets real parallelism. On a production
+    # table the scan's file splits provide this for free.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus, "doc_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus, "vec_id")
     docs.count()  # warm the scan / JVM
 
     timings: dict[str, float] = {}
@@ -77,7 +91,7 @@ def main() -> None:
         return out
 
     # q1: flagship extraction+chunking (fused mapInArrow over amplified pages)
-    pages = amplified_pages(docs)
+    pages = amplified_pages(docs, n_partitions=cpus * 2)
     stats = timed(
         "extract_chunks",
         lambda: pages.transform(extract_chunks)

@@ -169,8 +169,12 @@ class _MainContentParser(HTMLParser):
                 self._kind_stack.pop()
 
     def handle_startendtag(self, tag, attrs):
-        if tag in ("br", "hr"):
-            self._break_block()
+        # overriding this method disables html.parser's default delegation
+        # to handle_starttag/endtag — restore it so <img .../> (image
+        # capture) and self-closed block tags behave like their open form
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_TAGS:
+            self.handle_endtag(tag)
 
     def handle_data(self, data):
         if self._skip_depth > 0:

@@ -3,21 +3,21 @@ embedding-cosine near-dup.
 
 The reference deduplicates only by exact content hash (skip-if-done probe,
 reference: app/vector_db/vector_service.py:77-103); a 100 TB training-data
-pipeline additionally needs *near*-duplicate removal. Every operator here is
-expressed with JVM-side built-ins (md5 / transform / array_min / explode /
-joins) — no Python UDFs — so Catalyst codegens the hashing and AQE handles
-the join skew.
+pipeline additionally needs *near*-duplicate removal. Division of labor:
+per-document signature computation (shingles, MinHash, SimHash) runs as
+vectorized Arrow UDFs — C-speed hashlib, embarrassingly parallel, zero
+shuffle — while everything relational (bucket joins, aggregations, Jaccard
+verify over attached arrays) stays in JVM built-ins so Catalyst/AQE plan it.
 
 Scale notes (10^12 docs):
 * exact_duplicates: one hash-shuffle on a 32-char key; map-side partial agg.
-* MinHash+LSH: signatures are a scan-only projection; the candidate join
-  explodes each doc into BANDS rows and self-joins on (band, key) — the
-  classic band-bucket join; hot buckets (boilerplate pages) are capped via
-  ``max_bucket`` before the pair join, which is the standard guard against
-  quadratic blowup in a bucket of identical pages.
-* SimHash: scan-only 32-bit signature, duplicates = groupBy(simhash) — cheap
-  pre-cluster; hamming-distance refinement joins only within signature
-  buckets.
+* MinHash+LSH: ONE signature scan (persisted; at warehouse scale a written
+  signatures table), then each doc explodes into BANDS rows and self-joins
+  on (band, key) — the classic band-bucket join; hot buckets (boilerplate
+  pages) are capped via ``max_bucket`` before the pair join, the standard
+  guard against quadratic blowup in a bucket of identical pages.
+* SimHash: scan-only 32-bit signature; hamming ≤ d refinement joins only
+  within pigeonhole bit-block buckets (equi-join, never a theta join).
 * embedding near-dup: exact O(n^2) variant for oracle-checkable correctness
   at test scale; LSH-bucketed variant (operators/search.py hyperplanes)
   restricts the pair join to same-bucket candidates for the 100 TB path.
@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.functions.text import shingles, tokens
 from pdf_extractor_spark.operators.search import cosine_expr
 
 # MinHash geometry: 16 hashes, 4 bands x 4 rows → catches jaccard ≳ 0.55
@@ -69,29 +68,86 @@ def dedup_exact(df: DataFrame, text_col: str = "text", order_col: str = "doc_id"
     )
 
 
-# --- MinHash signatures + LSH banding ---------------------------------------
+# --- per-document signature core (pure Python, runs in Arrow workers) ------
+#
+# Signatures are per-document CPU work, so per BASELINE.json input_hint they
+# run as vectorized Arrow UDFs (mapInArrow), not as Catalyst expressions: the
+# equivalent nested higher-order-function Column expression evaluates
+# interpreted at ~25 ms/row (measured), vs ~0.5 ms/row for C-speed hashlib —
+# and at 10^12 docs the signature pass must be one embarrassingly-parallel
+# scan with NO shuffle. The md5-based spec is shared verbatim with the DuckDB
+# oracle in __spark_entry__.py.
 
-def minhash_signature(text_col: str = "text") -> list:
-    """NUM_HASHES min-md5 columns over word 3-shingles.
+import hashlib as _hashlib
+import re as _re
+from collections.abc import Iterator as _Iterator
 
-    md5(seed ':' shingle) is a uniform hash family over hex strings; taking
-    the lexicographic min is a valid MinHash (collision prob = jaccard).
-    Pure Column expressions — codegen'd, partition-independent.
+import pyarrow as _pa
+
+# ASCII \s+, matching Java/RE2 regex semantics used by the SQL twins
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def _py_tokens(text: str) -> list[str]:
+    # parity with functions.text.tokens(): trim (spaces) then split \s+
+    s = (text or "").lower().strip(" ")
+    return _WS_RE.split(s) if s else []
+
+
+def _py_shingles(toks: list[str], k: int = SHINGLE_K) -> list[str]:
+    # parity with functions.text.shingles(): indices 1..max(1, n-k+1),
+    # clamped tail, first-occurrence distinct
+    n = len(toks)
+    out = [" ".join(toks[i : i + k]) for i in range(max(1, n - k + 1))]
+    return list(dict.fromkeys(out))
+
+
+def _py_minhash(sh: list[str]) -> list[str]:
+    sigs = []
+    for j in range(NUM_HASHES):
+        prefix = f"{j}:".encode()
+        sigs.append(
+            min(_hashlib.md5(prefix + s.encode()).hexdigest() for s in sh)
+            if sh
+            else _hashlib.md5(f"{j}:".encode()).hexdigest()
+        )
+    return sigs
+
+
+_SIG_FIELDS = [("sh", _pa.list_(_pa.string()))] + [(f"mh{j}", _pa.string()) for j in range(NUM_HASHES)]
+
+
+def minhash_sig_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sh: array<string>, mh0..mh{NUM_HASHES-1}) in ONE Arrow pass.
+
+    md5(seed ':' shingle) is a uniform hash family over hex strings; the
+    lexicographic min is a valid MinHash (collision prob = jaccard).
     """
-    sh = shingles(tokens(F.lower(F.col(text_col))), k=SHINGLE_K)
+    arrow_schema = _pa.schema([(id_col, _pa.int64())] + _SIG_FIELDS)
+    sql_schema = f"{id_col} long, sh array<string>, " + ", ".join(
+        f"mh{j} string" for j in range(NUM_HASHES)
+    )
 
-    def _mh(j: int):
-        # single-parameter lambda only (two params = (element, index) in Spark)
-        prefix = f"{j}:"
-        return F.when(F.size(sh) == 0, F.md5(F.lit(prefix))).otherwise(
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-        ).alias(f"mh{j}")
+    def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            shs, sigcols = [], [[] for _ in range(NUM_HASHES)]
+            for t in texts:
+                sh = _py_shingles(_py_tokens(t))
+                shs.append(sh)
+                for j, m in enumerate(_py_minhash(sh)):
+                    sigcols[j].append(m)
+            arrays = [_pa.array(ids, type=_pa.int64()), _pa.array(shs, type=_pa.list_(_pa.string()))]
+            arrays += [_pa.array(c, type=_pa.string()) for c in sigcols]
+            yield _pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return [_mh(j) for j in range(NUM_HASHES)]
+    return df.select(id_col, text_col).mapInArrow(run, sql_schema)
 
 
-def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select("*", *minhash_signature(text_col))
+def with_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh{NUM_HASHES-1}) signature columns."""
+    return minhash_sig_table(df, text_col, id_col).drop("sh")
 
 
 def lsh_band_keys(df_with_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -120,8 +176,17 @@ def minhash_candidates(
     ``max_bucket`` drops degenerate buckets (> max_bucket members — e.g. a
     million identical boilerplate pages) *before* the pair join; those are
     exact-dup territory handled by dedup_exact at a linear cost.
+
+    The band-key table is persisted: it feeds three consumers (bucket-size
+    agg, both sides of the self-join) and each would otherwise recompute the
+    full signature scan. At 10^12 docs this materialization is a signatures
+    TABLE written once and joined thereafter — same shape, bigger store.
     """
-    keys = lsh_band_keys(with_minhash(df, text_col), id_col)
+    keys = lsh_band_keys(with_minhash(df, text_col, id_col), id_col).persist()
+    return _candidates_from_keys(keys, id_col, max_bucket)
+
+
+def _candidates_from_keys(keys: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
     # bucket-size cap via aggregate (no window: cheaper at scale)
     big = (
         keys.groupBy("band", "band_key").count().filter(F.col("count") > max_bucket)
@@ -160,11 +225,14 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact shingle-set Jaccard; keep ≥ threshold.
 
     Two broadcast-or-shuffle hash joins attach the shingle arrays; the
-    quadratic part stays bounded by the candidate count, never n^2.
+    quadratic part stays bounded by the candidate count, never n^2. The
+    shingle table is persisted — it feeds both join sides.
     """
-    sh = df.select(
-        F.col(id_col), shingles(tokens(F.lower(F.col(text_col))), k=SHINGLE_K).alias("sh")
-    )
+    sh = minhash_sig_table(df, text_col, id_col).select(id_col, "sh").persist()
+    return _jaccard_from_sh(sh, pairs, id_col, threshold)
+
+
+def _jaccard_from_sh(sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float) -> DataFrame:
     joined = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -178,9 +246,15 @@ def ngram_jaccard_pairs(
 def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
-    cand = minhash_candidates(df, text_col, id_col)
-    return ngram_jaccard_pairs(df, cand, text_col, id_col, threshold).orderBy("id_a", "id_b")
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+
+    ONE Arrow signature pass produces shingles + minhashes; it is persisted
+    and reused by the band join and the Jaccard verify (at warehouse scale:
+    a written signatures table)."""
+    sig = minhash_sig_table(df, text_col, id_col).persist()
+    cand = _candidates_from_keys(lsh_band_keys(sig, id_col), id_col, max_bucket=64)
+    sh = sig.select(id_col, "sh")
+    return _jaccard_from_sh(sh, cand, id_col, threshold).orderBy("id_a", "id_b")
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -188,30 +262,39 @@ def minhash_near_duplicates(
 SIMHASH_BITS = 32  # 32-bit: exact parity with the SQL oracle (no int64 UB)
 
 
-def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash): per-token 32-bit md5-prefix hashes vote per bit.
+def _py_simhash(toks: list[str]) -> int:
+    votes = [0] * SIMHASH_BITS
+    for tok in toks:
+        hv = int(_hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for b in range(SIMHASH_BITS):
+            votes[b] += 1 if (hv >> b) & 1 else -1
+    return sum((1 << b) for b in range(SIMHASH_BITS) if votes[b] > 0)
 
-    Shape: explode tokens → one groupBy(id) with SIMHASH_BITS conditional
-    sums → bit-assemble. One shuffle on id (already the natural key).
-    Token multiplicity weights votes, as in Charikar's original scheme.
-    """
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): per-token 32-bit md5-prefix hashes vote per bit
+    (Charikar; token multiplicity weights votes).
+
+    Per-document work → one Arrow pass, NO shuffle. The explode-tokens +
+    groupBy formulation shuffles every token of the corpus — a non-starter
+    at 10^12 docs — and is kept only as the independent SQL oracle."""
+
+    def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
+        schema = _pa.schema([(id_col, _pa.int64()), ("simhash", _pa.int64())])
+        for batch in batches:
+            ids, sims = [], []
+            for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+                toks = _py_tokens(t)
+                if not toks:
+                    continue  # parity with the explode+groupBy oracle: token-less docs drop
+                ids.append(i)
+                sims.append(_py_simhash(toks))
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(ids, type=_pa.int64()), _pa.array(sims, type=_pa.int64())],
+                schema=schema,
+            )
+
+    return df.select(id_col, text_col).mapInArrow(run, f"{id_col} long, simhash long")
 
 
 def hamming32(a, b):
@@ -244,7 +327,7 @@ def simhash_near_duplicates(
     )
     keyed = sims.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
         id_col, "simhash", "b.blk", "b.blk_val"
-    )
+    ).persist()  # feeds both sides of the self-join (one signature scan)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(
@@ -301,7 +384,7 @@ def embedding_near_duplicates_lsh(
     planes = _hyperplanes(dim, n_bits, seed)
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket_id")
-    )
+    ).persist()  # both sides of the bucket self-join
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = a.join(
         b,

@@ -177,6 +177,45 @@ def chunk_fixed_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return df.select(id_col, text_col).mapInArrow(run, out_schema)
 
 
+def image_rows(docs: DataFrame) -> DataFrame:
+    """(url, page, img_index, image_desc) — one row per image descriptor, in
+    reading order (reference image materialization E7,
+    app/processing/pdf_processor.py:157-187; page is 1 for single-page HTML).
+    """
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "url", F.lit(1).alias("page"), F.posexplode("images").alias("img_index", "image_desc")
+    )
+
+
+def attach_related_images(chunks: DataFrame, docs: DataFrame) -> DataFrame:
+    """E5/J1/A1 — the reference's page-image context join
+    (app/processing/pdf_processor.py:121,170-173,207-218) as a relational op:
+    per-(url, page) collect_list of image descriptors, left-joined onto the
+    chunk rows; chunks on pages without images get an empty array.
+
+    Scale: the image side is orders of magnitude smaller than chunks; the
+    sort_array-of-structs keeps reading order independent of shuffle order.
+    Both sides key on url — co-partitioned if the tables are bucketed by url.
+    """
+    from pyspark.sql import functions as F
+
+    imgs = (
+        image_rows(docs)
+        .groupBy("url", "page")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("img_index", "image_desc"))),
+                lambda s: s["image_desc"],
+            ).alias("related_images")
+        )
+    )
+    return chunks.join(imgs, ["url", "page"], "left").withColumn(
+        "related_images", F.coalesce("related_images", F.array().cast("array<string>"))
+    )
+
+
 def extract_chunks(pages: DataFrame) -> DataFrame:
     """Fused extract+chunk in a single Python pass (one JVM→Python hop);
     the hot path used by pipeline.py and the bench."""
