@@ -80,6 +80,9 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus, "doc_id")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus, "vec_id")
     docs.count()  # warm the scan / JVM
+    # warm the Python workers (first Arrow stage pays worker spawn + imports
+    # on every core; steady-state throughput is what the bench measures)
+    extract_chunks(amplified_pages(docs.limit(64), n_partitions=cpus)).count()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

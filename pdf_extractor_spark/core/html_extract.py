@@ -71,6 +71,7 @@ class Block:
     text: str
     span_start: int
     span_end: int
+    page: int = 1  # real page number in the PDF flavor; 1 for HTML
 
 
 @dataclass

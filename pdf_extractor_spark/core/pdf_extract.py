@@ -1,0 +1,191 @@
+"""Minimal PDF text extraction — the layout-parse flavor of E1.
+
+A from-scratch re-specification of the reference's PDF path
+(reference: app/processing/pdf_processor.py:86-108 delegates to
+``unstructured.partition_pdf``: page → typed blocks in reading order). Scope
+per SURVEY.md §2.3 E1: a **controlled synthetic subset** of PDF — classic
+(non-compressed) cross-reference PDFs whose page content streams are
+uncompressed and whose text is carried in literal strings with Tj/TJ/'
+operators. No OCR, no font decoding (synthetic corpus uses ASCII/WinAnsi
+text), no object streams — those need the full CPU-impure stack that the
+north_rule's byte-identical requirement excludes.
+
+Reading order: pages in /Kids order; within a page, BT..ET text objects in
+stream order; each BT..ET object is one block. Page numbers are REAL here
+(1-based /Kids position), unlike the single-page HTML flavor.
+
+Pure Python (stdlib ``re`` only); shared verbatim by pytest oracle and the
+Spark ``mapInArrow`` operator — byte-identity by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pdf_extractor_spark.core.html_extract import Block, ExtractResult, _norm_ws
+
+BLOCK_SEP = "\n\n"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
+# literal string followed by a text-showing operator (Tj, ', ") or inside a
+# TJ array; PDF strings support balanced parens — one nesting level covered,
+# enough for the synthetic subset
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+
+_ESCAPES = {
+    b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
+    b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        if raw[i : i + 1] == b"\\" and i + 1 < len(raw):
+            pair = raw[i : i + 2]
+            if pair in _ESCAPES:
+                out += _ESCAPES[pair]
+                i += 2
+                continue
+            out += raw[i + 1 : i + 2]  # unknown escape: literal next char
+            i += 2
+            continue
+        out += raw[i : i + 1]
+        i += 1
+    return bytes(out)
+
+
+def is_pdf(payload: bytes | None) -> bool:
+    return payload is not None and payload[:5] == b"%PDF-"
+
+
+def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
+    """Parse one synthetic-subset PDF into reading-order page blocks.
+
+    Block spans index into ``text`` exactly like the HTML flavor
+    (``text[b.span_start:b.span_end] == b.text``). Any structural surprise
+    → ``status='failed'`` with empty text (the reference logs and degrades,
+    pdf_processor.py:102-108; there is no 'fast' fallback for binary PDF).
+    """
+    if data is None or len(data) == 0:
+        return ExtractResult(url=url, status="ok", text="", blocks=[])
+    try:
+        objs: dict[int, bytes] = {
+            int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+        }
+        kids: list[int] = []
+        for body in objs.values():
+            if b"/Type" in body and b"/Pages" in body:
+                m = _KIDS_RE.search(body)
+                if m:
+                    kids = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+                    break
+        page_blocks: list[tuple[int, str]] = []  # (page_no, block_text)
+        for page_no, kid in enumerate(kids, 1):
+            page_body = objs.get(kid, b"")
+            cm = _CONTENTS_RE.search(page_body)
+            if not cm:
+                continue
+            sm = _STREAM_RE.search(objs.get(int(cm.group(1)), b""))
+            if not sm:
+                continue
+            for bt in _BT_RE.finditer(sm.group(1)):
+                parts = [
+                    _unescape(s.group(1)).decode("latin-1")
+                    for s in _STR_RE.finditer(bt.group(1))
+                ]
+                btxt = _norm_ws(" ".join(parts))
+                if btxt:
+                    page_blocks.append((page_no, btxt))
+    except Exception:
+        return ExtractResult(url=url, status="failed", text="", blocks=[])
+
+    blocks: list[Block] = []
+    pieces: list[str] = []
+    pos = 0
+    for i, (page_no, btxt) in enumerate(page_blocks):
+        if i > 0:
+            pos += len(BLOCK_SEP)
+        blocks.append(
+            Block(
+                index=i, kind="text", text=btxt,
+                span_start=pos, span_end=pos + len(btxt), page=page_no,
+            )
+        )
+        pieces.append(btxt)
+        pos += len(btxt)
+    return ExtractResult(url=url, status="ok", text=BLOCK_SEP.join(pieces), blocks=blocks)
+
+
+def extract_any(url: str, payload: bytes | None) -> ExtractResult:
+    """Format dispatch — the batch form of the reference's content-type gate
+    (S2, app/api/endpoints.py:53-54): sniff magic bytes, route to the PDF or
+    HTML extractor."""
+    if is_pdf(payload):
+        return extract_pdf(url, payload)
+    from pdf_extractor_spark.core.html_extract import extract_html
+
+    return extract_html(url, payload)
+
+
+# --- deterministic synthetic PDF source (test/bench scaffolding) ------------
+
+def render_pdf(pages: list[list[str]]) -> bytes:
+    """Build a minimal classic PDF: one content stream per page, one BT..ET
+    text object per paragraph, lines wrapped at ~60 chars. Deterministic."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objs: list[bytes] = []
+
+    def add(body: str) -> int:
+        objs.append(body.encode("latin-1"))
+        return len(objs)  # 1-based object number
+
+    n_pages = len(pages)
+    add("<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    kids_nums = [3 + 2 * i for i in range(n_pages)]
+    add(
+        "<< /Type /Pages /Kids ["
+        + " ".join(f"{k} 0 R" for k in kids_nums)
+        + f" ] /Count {n_pages} >>"
+    )  # obj 2
+    for i, paragraphs in enumerate(pages):
+        content_num = 3 + 2 * i + 1
+        add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R >>")
+        ops = []
+        for p in paragraphs:
+            words = p.split(" ")
+            lines, cur = [], ""
+            for w in words:
+                cur = w if not cur else f"{cur} {w}"
+                if len(cur) >= 60:
+                    lines.append(cur)
+                    cur = ""
+            if cur:
+                lines.append(cur)
+            body = " T* ".join(f"({esc(ln)}) Tj" for ln in lines)
+            ops.append(f"BT /F1 12 Tf 72 720 Td {body} ET")
+        stream = "\n".join(ops)
+        add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

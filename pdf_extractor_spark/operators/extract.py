@@ -29,7 +29,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from pdf_extractor_spark.core.chunker import chunk_fixed, chunk_id_for, chunk_text
-from pdf_extractor_spark.core.html_extract import extract_html
+from pdf_extractor_spark.core.pdf_extract import extract_any
 from pdf_extractor_spark.schemas import CHUNKS_ARROW, CHUNKS_SCHEMA, DOCS_ARROW, DOCS_SCHEMA
 
 _EMPTY_HASH = hashlib.sha256(b"").hexdigest()
@@ -41,20 +41,25 @@ def _doc_hash(html: bytes | None) -> str:
     return hashlib.sha256(html).hexdigest() if html is not None else _EMPTY_HASH
 
 
+def _block_dicts(blocks) -> list[dict]:
+    return [
+        {
+            "block_index": b.index, "kind": b.kind,
+            "span_start": b.span_start, "span_end": b.span_end, "page": b.page,
+        }
+        for b in blocks
+    ]
+
+
 def _extract_rows(urls: list, htmls: list) -> dict[str, list]:
     cols: dict[str, list] = {k: [] for k in ("url", "doc_hash", "parse_status", "text", "blocks", "images")}
     for url, html in zip(urls, htmls):
-        r = extract_html(url, html)
+        r = extract_any(url, html)  # magic-byte dispatch: PDF vs HTML (S2)
         cols["url"].append(url)
         cols["doc_hash"].append(_doc_hash(html))
         cols["parse_status"].append(r.status)
         cols["text"].append(r.text)
-        cols["blocks"].append(
-            [
-                {"block_index": b.index, "kind": b.kind, "span_start": b.span_start, "span_end": b.span_end}
-                for b in r.blocks
-            ]
-        )
+        cols["blocks"].append(_block_dicts(r.blocks))
         cols["images"].append(r.images)
     return cols
 
@@ -81,9 +86,27 @@ MARKER_INDEX = -1  # per-doc marker row: records "this doc was processed" even
 # a second scan over the raw bytes. Readers use chunk_index >= 0.
 
 
+def _page_lookup(blocks: list[dict]) -> Callable[[int], int]:
+    """page of the block containing/preceding the chunk start — mirrors the
+    reference's first-page-of-merged-chunk rule (P8, pdf_processor.py:194-199)."""
+    spans = [(b["span_start"], b.get("page", 1)) for b in blocks]
+
+    def lookup(pos: int) -> int:
+        page = 1
+        for s, p in spans:
+            if s <= pos:
+                page = p
+            else:
+                break
+        return page
+
+    return lookup
+
+
 def _chunk_rows(url: str, doc_hash: str, status: str, text: str, blocks: list[dict]) -> Iterator[tuple]:
     starts = [b["span_start"] for b in blocks]
     lookup = _section_lookup(blocks)
+    page_of = _page_lookup(blocks)
     yield (
         url, chunk_id_for(url, MARKER_INDEX), MARKER_INDEX, 0, 0, "",
         "doc_marker", 0, "", doc_hash, status,
@@ -91,7 +114,7 @@ def _chunk_rows(url: str, doc_hash: str, status: str, text: str, blocks: list[di
     for c in chunk_text(url, text, starts):
         yield (
             url, c.chunk_id, c.chunk_index, c.span_start, c.span_end, c.text,
-            "text", 1, lookup(c.span_start, text), doc_hash, status,
+            "text", page_of(c.span_start), lookup(c.span_start, text), doc_hash, status,
         )
 
 
@@ -226,12 +249,8 @@ def extract_chunks(pages: DataFrame) -> DataFrame:
             htmls = batch.column("html").to_pylist()
             rows: list[tuple] = []
             for url, html in zip(urls, htmls):
-                r = extract_html(url, html)
-                blocks = [
-                    {"block_index": b.index, "kind": b.kind, "span_start": b.span_start, "span_end": b.span_end}
-                    for b in r.blocks
-                ]
-                rows.extend(_chunk_rows(url, _doc_hash(html), r.status, r.text, blocks))
+                r = extract_any(url, html)  # magic-byte dispatch: PDF vs HTML
+                rows.extend(_chunk_rows(url, _doc_hash(html), r.status, r.text, _block_dicts(r.blocks)))
             yield _chunks_batch(rows)
 
     return pages.select("url", "html").mapInArrow(run, CHUNKS_SCHEMA)

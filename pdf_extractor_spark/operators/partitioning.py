@@ -8,7 +8,13 @@ pre-shuffle that balances *bytes*, not rows:
 * small pages are hash-salted over the first ``P_small`` partition slots,
 * giant pages (>= ``giant_bytes``) are spread over their own slot range so no
   slot receives more than ~1 giant per round,
-* slot → partition via ``repartitionByRange`` (1 shuffle, exact slot count).
+* slot → physical partition via **exact hash-partition targeting**: for each
+  target partition p we precompute an integer token t_p with
+  ``pmod(hash(t_p), N) == p`` (one O(N)-row driver job), map slot → t_p, and
+  ``repartition(N, token)``. NOT ``repartitionByRange`` — range partitioning
+  runs a sampling job that re-executes the entire upstream plan (scan +
+  resume anti-join) a second time, which at 100 TB doubles the scan cost and
+  double-counts any ``observe`` metrics upstream of the exchange.
 
 Scale note (100 TB / 1000 executors): this is one extra shuffle of the raw
 bytes — unavoidable if the source layout is size-skewed. When the input table
@@ -24,6 +30,29 @@ from pyspark.sql import functions as F
 
 GIANT_BYTES = 1 << 20  # 1 MiB of html
 
+_token_cache: dict[int, list[int]] = {}
+
+
+def _partition_tokens(df: DataFrame, n: int) -> list[int]:
+    """token[p] hashes (Murmur3, Spark's repartition hash) into partition p."""
+    if n in _token_cache:
+        return _token_cache[n]
+    spark = df.sparkSession
+    found = {
+        int(r["p"]): int(r["tok"])
+        for r in spark.range(0, max(1024, 64 * n))
+        .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
+        .groupBy("p")
+        .agg(F.min("id").alias("tok"))
+        .collect()
+    }
+    missing = [p for p in range(n) if p not in found]
+    if missing:  # P(miss) ≈ e^-64 per partition; widen the search if ever hit
+        raise RuntimeError(f"no hash token found for partitions {missing}")
+    tokens = [found[p] for p in range(n)]
+    _token_cache[n] = tokens
+    return tokens
+
 
 def size_balanced(df: DataFrame, num_partitions: int, size_col: str = "html",
                   giant_bytes: int = GIANT_BYTES, key_col: str = "url") -> DataFrame:
@@ -31,12 +60,18 @@ def size_balanced(df: DataFrame, num_partitions: int, size_col: str = "html",
     p_small = max(1, int(num_partitions * 3 / 4))
     p_giant = max(1, num_partitions - p_small)
     sz = F.length(F.col(size_col))
-    salt = F.when(
+    slot = F.when(
         sz >= F.lit(giant_bytes),
         F.lit(p_small) + F.pmod(F.xxhash64(F.col(key_col)), F.lit(p_giant)),
     ).otherwise(F.pmod(F.xxhash64(F.col(key_col)), F.lit(p_small)))
+    tokens = _partition_tokens(df, num_partitions)
+    # array<bigint>: the token search hashed LONGs, and Murmur3 differs by
+    # type width — an int literal would land in a different partition
+    token = F.element_at(
+        F.array(*[F.lit(t) for t in tokens]).cast("array<bigint>"), (slot + 1).cast("int")
+    )
     return (
-        df.withColumn("__slot", salt)
-        .repartitionByRange(num_partitions, F.col("__slot"), F.xxhash64(F.col(key_col)))
-        .drop("__slot")
+        df.withColumn("__ptoken", token)
+        .repartition(num_partitions, F.col("__ptoken"))
+        .drop("__ptoken")
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +51,27 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
+def np_cosine_scores(vec_col: Column, query_vec: Sequence[float]) -> Column:
+    """Vectorized cosine scoring: Arrow-batched pandas UDF, one numpy matmul
+    per batch. Catalyst evaluates higher-order-function folds (cosine_expr)
+    interpreted at ~1 ms/row — fine for oracle queries, fatal at 10^9 rows;
+    this is the production scoring path (~ns/row)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def score(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="float64")
+        mat = np.stack(s.to_numpy()).astype(np.float64)
+        dots = mat @ q
+        dens = np.linalg.norm(mat, axis=1) * qn
+        out = np.divide(dots, dens, out=np.zeros_like(dots), where=dens > 0)
+        return pd.Series(out)
+
+    return score(vec_col)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec: Sequence[float],
@@ -60,12 +82,14 @@ def cosine_topk(
     hash_col: str = "doc_hash",
 ) -> DataFrame:
     """Exact cosine top-k; optional hash-scoped filter (reference J3,
-    vector_service.py:224-232) applied before scoring so it can prune."""
+    vector_service.py:224-232) applied before scoring so it can prune.
+    Scoring = numpy pandas UDF; top-k = TakeOrderedAndProject (per-partition
+    heaps, no full sort)."""
     if not 1 <= k <= MAX_K:
         raise ValueError(f"k must be in [1, {MAX_K}]")  # schemas.py:60 bounds
     if doc_hash is not None:
         emb = emb.filter(F.col(hash_col) == doc_hash)
-    scored = emb.withColumn("score", cosine_expr(F.col(vec_col), _qvec_lit(query_vec)))
+    scored = emb.withColumn("score", np_cosine_scores(F.col(vec_col), query_vec))
     # deterministic total order: score desc, id asc (stable under ties)
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -78,20 +102,21 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id from random hyperplanes, as a pure SQL expression."""
-    bits = []
-    v = _as_double_array(vec_col)
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    """Sign-bit bucket id from random hyperplanes — numpy pandas UDF (one
+    matmul per Arrow batch; the per-plane fold expression evaluates
+    interpreted per row and per plane, which does not scale)."""
+    pl = np.ascontiguousarray(planes.T)  # (dim, n_bits)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("int")
+    def bucket(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(s.to_numpy()).astype(np.float64)
+        bits = (mat @ pl) >= 0
+        return pd.Series((bits @ weights).astype("int32"))
+
+    return bucket(vec_col)
 
 
 def ann_topk_lsh(
@@ -115,5 +140,5 @@ def ann_topk_lsh(
         probe.update(qbits ^ (1 << i) for i in range(n_bits))
     bucketed = emb.withColumn("bucket_id", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("bucket_id").isin(sorted(probe)))
-    scored = cand.withColumn("score", cosine_expr(F.col(vec_col), _qvec_lit(query_vec)))
+    scored = cand.withColumn("score", np_cosine_scores(F.col(vec_col), query_vec))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

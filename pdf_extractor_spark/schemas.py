@@ -28,6 +28,7 @@ BLOCK_STRUCT = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("span_start", T.LongType(), False),
         T.StructField("span_end", T.LongType(), False),
+        T.StructField("page", T.IntegerType(), False),
     ]
 )
 
@@ -57,6 +58,7 @@ DOCS_ARROW = pa.schema(
                         pa.field("kind", pa.string()),
                         pa.field("span_start", pa.int64()),
                         pa.field("span_end", pa.int64()),
+                        pa.field("page", pa.int32()),
                     ]
                 )
             ),

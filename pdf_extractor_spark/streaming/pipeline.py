@@ -1,0 +1,83 @@
+"""Structured Streaming wrapper over the batch extraction pipeline.
+
+The reference is request/response (SURVEY.md §2.7: no streaming), and the
+north_rule's resume is batch snapshot resume — but a continuously-crawled
+pages table is naturally incremental, so the engine also exposes the
+pipeline as a streaming job:
+
+* ``stream_extract``: ``readStream`` over the pages directory →
+  ``foreachBatch`` running the SAME fused extract+chunk operator →
+  snapshot-table append keyed by epoch id. Exactly-once: Spark's streaming
+  checkpoint replays an epoch after a crash, and the snapshot table skips a
+  run_id it has already committed — the classic idempotent-foreachBatch
+  pattern (deterministic run ids make replays no-ops).
+* ``stream_quality_counters``: watermarked sliding-window aggregation over
+  ``warc_ts`` — the streaming form of the A2 lineage counters, demonstrating
+  event-time windows + late-data handling.
+
+Both run with ``trigger(availableNow=True)`` in tests (bounded drain of all
+available input, then stop) — the same code runs unbounded on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import extract_chunks
+from pdf_extractor_spark.schemas import PAGES_SCHEMA
+from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incrementally extract+chunk new page files into the snapshot table.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"epoch-{epoch_id:06d}"
+        if any(r["run_id"] == run_id for r in table.manifest()["runs"]):
+            return  # checkpoint replay of a committed epoch → no-op
+        chunks = extract_chunks(batch_df)
+        table.append(chunks, lineage={"stage": "chunks", "epoch": epoch_id}, run_id=run_id)
+
+    writer = pages.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_counters(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window per-lang counters over crawl time.
+
+    Returns the streaming DataFrame; callers attach a sink (tests use the
+    memory sink with availableNow). Late pages beyond the watermark drop out
+    of state — bounded-state by construction.
+    """
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "docs", "bytes_in")
+    )

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Cluster entry point for the extraction pipeline — the spark-submit path.
+
+    zip -r /tmp/pdf_extractor_spark.zip pdf_extractor_spark
+    spark-submit --py-files /tmp/pdf_extractor_spark.zip \
+        scripts/run_extraction_job.py \
+        --pages <pages table/parquet path> --out <chunks table path> \
+        [--embeddings <embeddings table path>] [--balance-partitions N]
+        [--force-reload]
+
+On a real cluster the session comes from spark-submit's conf (executors,
+AQE, arrow batch size — see pdf_extractor_spark/session.py for the settings
+this engine wants); locally the script self-configures via get_spark().
+Prints the committed lineage/counter dict as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages parquet/table path")
+    ap.add_argument("--out", required=True, help="chunks snapshot-table directory")
+    ap.add_argument("--embeddings", default=None, help="optional embeddings table dir")
+    ap.add_argument("--balance-partitions", type=int, default=None,
+                    help="explicit size-balanced repartition ahead of the UDF stage")
+    ap.add_argument("--force-reload", action="store_true")
+    ap.add_argument("--master", default=None, help="override master (local runs)")
+    args = ap.parse_args()
+
+    from pdf_extractor_spark.pipeline import run_extraction
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    spark = get_spark("extraction-job", master=args.master)
+    pages = spark.read.parquet(args.pages)
+    lineage = run_extraction(
+        spark,
+        pages,
+        SnapshotTable(args.out),
+        embeddings_table=SnapshotTable(args.embeddings) if args.embeddings else None,
+        balance_partitions=args.balance_partitions,
+        force_reload=args.force_reload,
+    )
+    json.dump(lineage, sys.stdout)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""PDF flavor of the extraction core: synthetic-subset parse, page numbers,
+span invariants, format dispatch."""
+
+from pdf_extractor_spark.core.pdf_extract import (
+    extract_any,
+    extract_pdf,
+    is_pdf,
+    render_pdf,
+)
+
+PAGES = [
+    ["first page paragraph one with several words inside", "second paragraph on page one"],
+    ["page two starts here with its own paragraph"],
+    ["final page has parentheses (escaped) and a backslash \\ char"],
+]
+
+
+def test_roundtrip_text_and_pages():
+    data = render_pdf(PAGES)
+    assert is_pdf(data)
+    r = extract_pdf("u", data)
+    assert r.status == "ok"
+    flat = [p for page in PAGES for p in page]
+    assert r.text == "\n\n".join(flat)
+    assert [b.page for b in r.blocks] == [1, 1, 2, 3]
+    assert [b.kind for b in r.blocks] == ["text"] * 4
+
+
+def test_span_invariant():
+    data = render_pdf(PAGES)
+    r = extract_pdf("u", data)
+    for b in r.blocks:
+        assert r.text[b.span_start : b.span_end] == b.text
+
+
+def test_empty_and_garbage():
+    assert extract_pdf("u", b"").status == "ok"
+    assert extract_pdf("u", b"").text == ""
+    r = extract_pdf("u", b"%PDF-1.4\nnot really a pdf")
+    # structurally empty but parseable → no blocks, ok status
+    assert r.text == ""
+
+
+def test_dispatch():
+    pdf = render_pdf([["hello pdf world"]])
+    html = b"<html><body><article><p>hello html world</p></article></body></html>"
+    assert extract_any("u", pdf).text == "hello pdf world"
+    assert extract_any("u", html).text == "hello html world"
+
+
+def test_deterministic():
+    assert render_pdf(PAGES) == render_pdf(PAGES)
+
+
+def test_line_wrap_rejoins():
+    # paragraphs longer than the 60-char wrap must re-join with single spaces
+    long_par = " ".join(f"word{i}" for i in range(40))
+    r = extract_pdf("u", render_pdf([[long_par]]))
+    assert r.text == long_par
+
+
+def test_spark_mixed_format_corpus(spark):
+    """One corpus, both formats, one operator: magic-byte dispatch inside the
+    fused UDF; PDF chunks carry real page numbers."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.extract import extract_chunks, extract_docs
+
+    # ~2k chars per page → 3 chunks; the last chunk STARTS inside page 2
+    # (page attribution = page of the chunk's first block, reference P8)
+    long_page = [" ".join(f"tok{i} word" for i in range(180))]
+    rows = [
+        ("pdf://a", render_pdf(PAGES)),
+        ("pdf://b", render_pdf([long_page, long_page])),  # 2 pages, multi-chunk
+        ("html://c", b"<html><body><article><p>plain html text</p></article></body></html>"),
+    ]
+    pages_df = spark.createDataFrame(rows, "url string, html binary")
+    docs = {r["url"]: r for r in extract_docs(pages_df).collect()}
+    assert docs["pdf://a"]["text"].startswith("first page paragraph")
+    assert [b["page"] for b in docs["pdf://a"]["blocks"]] == [1, 1, 2, 3]
+    assert docs["html://c"]["text"] == "plain html text"
+    assert [b["page"] for b in docs["html://c"]["blocks"]] == [1]
+
+    chunks = extract_chunks(pages_df).filter(F.col("chunk_index") >= 0).collect()
+    by_url = {}
+    for c in chunks:
+        by_url.setdefault(c["url"], []).append(c)
+    # pdf://b: ~2.7k chars → >1 chunk; chunk 0 on page 1, last chunk on page 2
+    b_chunks = sorted(by_url["pdf://b"], key=lambda c: c["chunk_index"])
+    assert len(b_chunks) >= 2
+    assert b_chunks[0]["page"] == 1
+    assert b_chunks[-1]["page"] == 2
