@@ -1,0 +1,112 @@
+"""Iceberg flavor of the snapshot-table seam — the production TableIO.
+
+The sandbox has no Iceberg runtime jars (verified, SURVEY.md §7), so local
+tests run the parquet+manifest emulation (tableio.SnapshotTable) with the
+same commit/resume semantics. On a cluster, start the session with
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:1.6.0 \
+        --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+        --conf spark.sql.catalog.lake.type=hive  (or hadoop/rest + warehouse)
+
+and this class is a drop-in for SnapshotTable: same ``append`` / ``read`` /
+``committed_hashes`` / ``delete_where`` surface used by pipeline.py, backed
+by real Iceberg snapshots. ``available()`` gates it so importing this module
+never requires the jars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHUNKS_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+  url STRING NOT NULL,
+  chunk_id STRING NOT NULL,
+  chunk_index INT NOT NULL,
+  span_start BIGINT NOT NULL,
+  span_end BIGINT NOT NULL,
+  text STRING NOT NULL,
+  content_type STRING NOT NULL,
+  page INT NOT NULL,
+  section STRING NOT NULL,
+  doc_hash STRING NOT NULL,
+  parse_status STRING NOT NULL
+) USING iceberg
+PARTITIONED BY (bucket(256, doc_hash))
+TBLPROPERTIES (
+  'write.target-file-size-bytes' = '536870912',
+  'write.distribution-mode' = 'hash'
+)
+"""
+
+PAGES_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+  url STRING NOT NULL,
+  warc_ts TIMESTAMP,
+  html BINARY,
+  text STRING,
+  lang STRING
+) USING iceberg
+PARTITIONED BY (days(warc_ts), bucket(1024, url))
+TBLPROPERTIES ('write.target-file-size-bytes' = '268435456')
+"""
+
+
+def available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is on the classpath/session."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTable:
+    """Iceberg-backed twin of tableio.SnapshotTable (requires jars)."""
+
+    def __init__(self, spark: SparkSession, table: str, ddl: str | None = CHUNKS_DDL):
+        if not available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath — use tableio.SnapshotTable "
+                "locally or launch via spark-submit --packages iceberg-spark-runtime"
+            )
+        self.spark = spark
+        self.table = table
+        if ddl:
+            spark.sql(ddl.format(table=table))
+
+    # -- write path ---------------------------------------------------------
+    def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None) -> str:
+        # snapshot summary properties carry the lineage (Iceberg's native
+        # analog of the emulation's _MANIFEST.json lineage entries)
+        writer = df.writeTo(self.table)
+        for k, v in (lineage or {}).items():
+            writer = writer.option(f"snapshot-property.lineage.{k}", str(v))
+        if run_id:
+            writer = writer.option("snapshot-property.lineage.run_id", run_id)
+        writer.append()
+        last = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return str(last["snapshot_id"])
+
+    def delete_where(self, predicate: str) -> None:
+        # reference S8 delete-before-rewrite (vector_service.py:105-127)
+        self.spark.sql(f"DELETE FROM {self.table} WHERE {predicate}")
+
+    # -- read path ----------------------------------------------------------
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        return (spark or self.spark).read.table(self.table)
+
+    def read_chunks(self, spark: SparkSession | None = None) -> DataFrame:
+        return self.read(spark).filter(F.col("chunk_index") >= 0)
+
+    def committed_hashes(self, spark: SparkSession | None = None, col: str = "doc_hash") -> DataFrame:
+        return self.read(spark).select(col).distinct()
+
+    def expire_snapshots(self, older_than_days: int = 7) -> None:
+        self.spark.sql(
+            f"CALL lake.system.expire_snapshots(table => '{self.table}', "
+            f"older_than => TIMESTAMP '{older_than_days} days ago')"
+        )

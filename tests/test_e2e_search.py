@@ -1,0 +1,63 @@
+"""End-to-end lifecycle: pages → extract+chunk → snapshot commit → embed →
+cosine search finds the right document (the reference's /vectorize +
+/search flow, SURVEY.md §3.2-3.3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.core.embedder import embed_one
+from pdf_extractor_spark.operators.search import cosine_topk
+from pdf_extractor_spark.pipeline import run_extraction
+from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    texts = {
+        "doc://animals": "the quick brown fox jumps over the lazy dog near the river bank",
+        "doc://spark": "distributed query engines shuffle partitions across executor nodes",
+        "doc://cooking": "simmer the tomato sauce with basil garlic and fresh olive oil",
+    }
+    rows = [
+        (url, f"<html><body><article><p>{t}</p></article></body></html>".encode())
+        for url, t in texts.items()
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    chunks_t = SnapshotTable(str(root / "chunks"))
+    emb_t = SnapshotTable(str(root / "emb"))
+    lineage = run_extraction(spark, pages, chunks_t, embeddings_table=emb_t)
+    return texts, chunks_t, emb_t, lineage
+
+
+def test_lineage_counters(corpus):
+    _, _, _, lineage = corpus
+    c = lineage["counters"]
+    assert c["docs_in"] == 3 and c["docs_out"] == 3
+    assert c["chunks_out"] == 3 and c["parse_failures"] == 0
+    assert sum(lineage["partitions"].values()) == 6  # 3 chunks + 3 markers
+
+
+def test_search_returns_matching_doc_first(spark, corpus):
+    texts, _, emb_t, _ = corpus
+    emb = emb_t.read(spark)
+    assert emb.count() == 3
+    for url, text in texts.items():
+        qv = [float(x) for x in embed_one(text)]
+        top = cosine_topk(emb, qv, k=3, id_col="chunk_id").collect()
+        assert top[0]["url"] == url, f"query for {url} returned {top[0]['url']}"
+        assert top[0]["score"] > 0.99  # same text → same embedding → cosine ≈ 1
+
+
+def test_search_scoped_by_doc_hash(spark, corpus):
+    texts, chunks_t, emb_t, _ = corpus
+    emb = emb_t.read(spark)
+    # J3: scope the search to one document's hash — only its chunks score
+    target_hash = (
+        chunks_t.read_chunks(spark).filter(F.col("url") == "doc://cooking")
+        .select("doc_hash").first()["doc_hash"]
+    )
+    qv = [float(x) for x in embed_one(texts["doc://animals"])]
+    top = cosine_topk(emb, qv, k=3, id_col="chunk_id", doc_hash=target_hash).collect()
+    assert len(top) == 1
+    assert top[0]["url"] == "doc://cooking"  # only in-scope doc, despite off-topic query

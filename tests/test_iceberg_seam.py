@@ -1,0 +1,20 @@
+"""Iceberg seam: gated availability, DDL sanity (no jars in this sandbox)."""
+
+import pytest
+
+from pdf_extractor_spark.sources import iceberg
+
+
+def test_unavailable_without_jars(spark):
+    assert iceberg.available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        iceberg.IcebergTable(spark, "lake.db.chunks")
+
+
+def test_ddl_covers_chunk_schema():
+    from pdf_extractor_spark.schemas import CHUNKS_SCHEMA
+
+    ddl = iceberg.CHUNKS_DDL.format(table="lake.db.chunks").lower()
+    for field in CHUNKS_SCHEMA.fields:
+        assert field.name.lower() in ddl, field.name
+    assert "partitioned by (bucket(256, doc_hash))" in ddl

@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the '.explain and iterate' guardrails.
+
+These lock in the optimizer behaviors the engine's scale story depends on:
+filters and column pruning reaching the parquet scan, top-k compiling to
+TakeOrderedAndProject (no full sort), and the extraction stage staying
+shuffle-free unless the explicit size-balanced repartition is requested.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import extract_chunks
+from pdf_extractor_spark.operators.partitioning import size_balanced
+from pdf_extractor_spark.operators.search import cosine_topk
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_filter_pushdown_and_column_pruning(docs):
+    q = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).select("doc_id", "source")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(lang)" in plan and "EqualTo(lang,en)" in plan
+    assert "GreaterThan(n_chars,200)" in plan
+    # pruned read schema: only the referenced columns reach the scan
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # widest column pruned away
+
+
+def test_topk_is_take_ordered(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = cosine_topk(emb, [0.1] * 64, k=5)
+    assert "TakeOrderedAndProject" in plan_of(q)
+    # and no global Sort node (a full sort would be O(n log n) + shuffle)
+    assert "Sort " not in plan_of(q).replace("TakeOrderedAndProject", "")
+
+
+def test_extraction_stage_is_shuffle_free(spark):
+    pages = spark.createDataFrame(
+        [(f"u{i}", b"<html><body><p>x</p></body></html>") for i in range(8)],
+        "url string, html binary",
+    )
+    plan = plan_of(extract_chunks(pages))
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+    assert "Exchange" not in plan  # scan → UDF, no shuffle
+
+
+def test_balanced_extraction_has_exactly_one_exchange(spark):
+    pages = spark.createDataFrame(
+        [(f"u{i}", b"<html><body><p>x</p></body></html>") for i in range(8)],
+        "url string, html binary",
+    )
+    plan = plan_of(extract_chunks(size_balanced(pages, 4)))
+    assert plan.count("Exchange") == 1  # the explicit byte-balancing shuffle only
+
+
+def test_resume_antijoin_prunes_columns(spark, tmp_path, docs):
+    """The committed-hash side of the resume anti-join must read only the
+    hash column, mirroring the reference's payload-free probe
+    (vector_service.py:96-97 with_payload=False)."""
+    chunks_path = str(tmp_path / "chunks.parquet")
+    docs.select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("doc_hash"),
+        F.col("text").alias("payload"),
+    ).write.parquet(chunks_path)
+    committed = spark.read.parquet(chunks_path).select("doc_hash").distinct()
+    probe = docs.withColumn("doc_hash", F.sha2(F.col("text").cast("binary"), 256)).join(
+        committed, "doc_hash", "left_anti"
+    )
+    plan = plan_of(probe)
+    # the committed-side scan reads exactly the hash column
+    assert "ReadSchema: struct<doc_hash:string>" in plan, plan
