@@ -338,6 +338,39 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(media, every_ms=1000, fake=True).select("media_id", "frame_ts_ms")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Similarity (IVF): k-means coarse quantizer → probe nearest lists →
+    exact cosine within them (rows-only: MLlib centroids aren't SQL)."""
+    from pdf_extractor_spark.core.embedder import embed_one
+    from pdf_extractor_spark.operators.search import ivf_assign, ivf_fit, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_fit(emb, n_lists=8, seed=7)
+    assigned = ivf_assign(emb, cents)
+    qv = [float(x) for x in embed_one("spark graft query")]
+    top = ivf_topk(assigned, cents, qv, k=5, n_probe=2)
+    return top.select("vec_id", "label", F.round(F.col("score"), 4).alias("score"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Fingerprinting (rolling hash): winnowed k-gram fingerprint sets
+    (rows-only: Rabin-Karp rolling hash isn't SQL-expressible)."""
+    from pdf_extractor_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir))
+    return fps.select(
+        "doc_id", F.size("fps").cast("long").alias("n_fps"),
+        F.element_at("fps", 1).alias("min_fp"),
+    )
+
+
+def q_winnow_near_dups(spark, sf_dir):
+    """Dedup (winnowing): fingerprint-overlap pairs over the near-dup set."""
+    from pdf_extractor_spark.operators.dedup import winnow_similar_pairs
+
+    return winnow_similar_pairs(_union_with_near_dups(_docs(spark, sf_dir)), threshold=0.5)
+
+
 def _pages_with_images(docs: DataFrame) -> DataFrame:
     """(url, html): article carries one alt-tagged image + one without alt
     (→ positional ``img_1`` name), plus chrome images that must be ignored."""
@@ -415,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "extract_images": q_extract_images,
         "related_images": q_related_images,
+        "ivf_topk": q_ivf_topk,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
     }
 
 

@@ -1,0 +1,62 @@
+"""Rolling-hash document fingerprinting (Rabin-Karp + winnowing).
+
+The classic MOSS/winnowing scheme (Schleimer, Wilkerson, Aiken 2003): hash
+every k-gram of characters with a rolling polynomial hash, then keep the
+minimum hash of each sliding window of W consecutive k-gram hashes
+(rightmost-min tie-break). The selected set is position-robust: a local edit
+perturbs only the fingerprints whose windows overlap it, so document overlap
+≈ fingerprint-set overlap.
+
+Pure Python spec (shared by pytest and the Arrow operator); all arithmetic
+in 61-bit Mersenne-prime space so Spark LongType carries values exactly.
+"""
+
+from __future__ import annotations
+
+K_GRAM = 8        # characters per gram
+WINDOW = 16       # k-gram hashes per winnowing window
+BASE = 257
+MOD = (1 << 61) - 1  # Mersenne prime; fits signed int64
+
+
+def _kgram_hashes(text: str, k: int = K_GRAM) -> list[int]:
+    n = len(text)
+    if n < k:
+        return []
+    h = 0
+    for ch in text[:k]:
+        h = (h * BASE + ord(ch)) % MOD
+    out = [h]
+    top = pow(BASE, k - 1, MOD)
+    for i in range(k, n):
+        h = ((h - ord(text[i - k]) * top) * BASE + ord(text[i])) % MOD
+        out.append(h)
+    return out
+
+
+def winnow(text: str, k: int = K_GRAM, w: int = WINDOW) -> list[int]:
+    """Sorted distinct winnowed fingerprints of the text (lowercased,
+    whitespace-collapsed first so formatting doesn't shift grams)."""
+    norm = " ".join(text.lower().split())
+    hs = _kgram_hashes(norm, k)
+    if not hs:
+        return []
+    if len(hs) <= w:
+        return sorted({min(hs)})
+    picked: set[int] = set()
+    # rightmost minimum per window — the standard winnowing selection rule
+    for i in range(len(hs) - w + 1):
+        window = hs[i : i + w]
+        m = min(window)
+        # rightmost occurrence
+        j = len(window) - 1 - window[::-1].index(m)
+        picked.add(hs[i + j])
+    return sorted(picked)
+
+
+def fingerprint_overlap(a: list[int], b: list[int]) -> float:
+    """Jaccard of fingerprint sets — the winnowing similarity measure."""
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)

@@ -257,6 +257,53 @@ def minhash_near_duplicates(
     return _jaccard_from_sh(sh, cand, id_col, threshold).orderBy("id_a", "id_b")
 
 
+# --- winnowing (rolling-hash) fingerprints ----------------------------------
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fps: array<long>) — Rabin-Karp winnowed fingerprint set per doc
+    (core/fingerprint.py spec), one Arrow pass, no shuffle."""
+    from pdf_extractor_spark.core.fingerprint import winnow
+
+    def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
+        schema = _pa.schema([(id_col, _pa.int64()), ("fps", _pa.list_(_pa.int64()))])
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            fps = [winnow(t or "") for t in batch.column(text_col).to_pylist()]
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(ids, type=_pa.int64()), _pa.array(fps, type=_pa.list_(_pa.int64()))],
+                schema=schema,
+            )
+
+    return df.select(id_col, text_col).mapInArrow(run, f"{id_col} long, fps array<long>")
+
+
+def winnow_similar_pairs(
+    df: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint Jaccard: explode fingerprints,
+    self-join on shared fingerprint (the candidate step — at scale an
+    inverted fingerprint→docs index), then exact set-Jaccard filter."""
+    fps = winnow_fingerprints(df, text_col, id_col).persist()
+    inv = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
+    joined = cand.join(fa, "id_a").join(fb, "id_b")
+    inter = F.size(F.array_intersect("fps_a", "fps_b"))
+    union = F.size(F.array_union("fps_a", "fps_b"))
+    sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+    return (
+        joined.select("id_a", "id_b", F.round(sim, 4).alias("overlap"))
+        .filter(F.col("overlap") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32  # 32-bit: exact parity with the SQL oracle (no int64 UB)

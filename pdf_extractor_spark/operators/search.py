@@ -119,6 +119,65 @@ def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket(vec_col)
 
 
+# --- IVF (inverted-file) approximate variant --------------------------------
+
+def ivf_fit(
+    emb: DataFrame, n_lists: int = 16, seed: int = 7, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Coarse quantizer: distributed k-means (MLlib kmeans||, seed-fixed) →
+    (n_lists, dim) centroid matrix. At warehouse scale this trains on a
+    sample and the centroid matrix (a few KB) broadcasts everywhere."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    return np.array(model.clusterCenters())
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Adds ``list_id`` = nearest centroid (L2; == cosine argmax for
+    normalized vectors). Writing the table partitioned by list_id turns
+    probe filters into partition pruning."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norms = (cents * cents).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(s.to_numpy()).astype(np.float64)
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x·c)
+        d = c_norms[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return emb.withColumn("list_id", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the n_probe inverted lists nearest the query,
+    exact cosine within them. emb_assigned = output of ivf_assign (or a
+    table written partitioned by list_id → probe filter prunes partitions).
+    """
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d = (cents * cents).sum(axis=1) - 2.0 * (cents @ q)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = emb_assigned.filter(F.col("list_id").isin(probes))
+    scored = cand.withColumn("score", np_cosine_scores(F.col(vec_col), query_vec))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_vec: Sequence[float],

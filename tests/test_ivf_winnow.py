@@ -1,0 +1,82 @@
+"""IVF similarity search and winnowing fingerprints."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.fingerprint import fingerprint_overlap, winnow
+from pdf_extractor_spark.operators.dedup import winnow_fingerprints, winnow_similar_pairs
+from pdf_extractor_spark.operators.search import ivf_assign, ivf_fit, ivf_topk
+
+
+# --- winnowing core ---------------------------------------------------------
+
+def test_winnow_deterministic_and_normalized():
+    t = "The Quick  Brown fox\njumps over the lazy dog again and again"
+    assert winnow(t) == winnow(t)
+    assert winnow(t) == winnow(t.upper())          # case-insensitive
+    assert winnow(t) == winnow("  ".join(t.split()))  # ws-collapse invariant
+
+
+def test_winnow_local_edit_keeps_most_fingerprints():
+    base = " ".join(f"word{i} filler text segment" for i in range(40))
+    edited = base.replace("word20", "WORDX")  # one local edit
+    ov = fingerprint_overlap(winnow(base), winnow(edited))
+    assert ov > 0.7, ov
+    other = " ".join(f"zebra{i} completely different content" for i in range(40))
+    assert fingerprint_overlap(winnow(base), winnow(other)) < 0.1
+
+
+def test_winnow_short_and_empty():
+    assert winnow("") == []
+    assert winnow("ab") == []            # shorter than k-gram
+    assert len(winnow("abcdefgh")) == 1  # exactly one gram
+
+
+def test_spark_winnow_matches_core(spark):
+    rows = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different content lives here in this row")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fps"] for r in winnow_fingerprints(df).collect()}
+    for i, t in rows:
+        assert got[i] == winnow(t)
+    pairs = winnow_similar_pairs(df, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["overlap"] == 1.0
+
+
+# --- IVF --------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_clustered(spark):
+    """3 well-separated clusters of normalized vectors."""
+    rng = np.random.RandomState(3)
+    centers = np.eye(3, 16) * 4.0
+    rows = []
+    for i in range(120):
+        c = i % 3
+        v = centers[c] + rng.standard_normal(16) * 0.2
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, truth int"), rows
+
+
+def test_ivf_end_to_end(spark, emb_clustered):
+    df, rows = emb_clustered
+    cents = ivf_fit(df, n_lists=3, seed=7)
+    assert cents.shape == (3, 16)
+    assigned = df.transform(lambda d: ivf_assign(d, cents))
+    # cluster purity: every truth-cluster maps to exactly one list_id
+    m = assigned.groupBy("truth", "list_id").count().collect()
+    by_truth = {}
+    for r in m:
+        by_truth.setdefault(r["truth"], []).append(r["count"])
+    assert all(len(v) == 1 for v in by_truth.values()), m
+
+    # query with a member vector: self must rank first with n_probe=1
+    q = rows[5][1]
+    top = ivf_topk(assigned, cents, q, k=5, n_probe=1).collect()
+    assert top[0]["vec_id"] == 5
+    assert top[0]["score"] > 0.999
+    # all results come from the query's own cluster
+    assert all(r["truth"] == rows[5][2] for r in top)
