@@ -136,6 +136,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     return vids.mapInPandas(run, out_schema)
 
 
+def resize_media(media: DataFrame, max_bytes: int = 64, fake: bool = False) -> DataFrame:
+    """image rows → resized payload rows (downscale stage).
+
+    Real resize needs PIL (stubbed like decode_media); the deterministic
+    fake truncates the payload to ``max_bytes`` and rewrites the metadata —
+    exercising the real concern: the output schema equals the input schema
+    so resize stages compose (resize → decode → features).
+    """
+    if not fake:
+        raise NotImplementedError("real image resize needs PIL; pass fake=True")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(lambda b: (b or b"")[:max_bytes])
+            out["meta"] = out["meta"].map(
+                lambda m: {**(m or {}), "width": max_bytes, "height": max_bytes}
+            )
+            yield out
+
+    imgs = media.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic synthetic media table from the documents fixture
     (text bytes as payload) — test/bench scaffolding, no external data."""

@@ -56,11 +56,20 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path())
 
     # -- write path --------------------------------------------------------
-    def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None) -> str:
-        """Stage df as parquet then commit a new snapshot. Returns run_id."""
+    def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None,
+               partition_cols: tuple[str, ...] | None = None) -> str:
+        """Stage df as parquet then commit a new snapshot. Returns run_id.
+
+        ``partition_cols`` writes hive-style partition directories — the
+        local analog of the Iceberg layout (iceberg.CHUNKS_DDL buckets by
+        doc_hash) so hash-scoped reads prune files instead of scanning.
+        """
         run_id = run_id or uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", run_id)
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(data_dir)
         m = self.manifest()
         m["snapshot_id"] += 1
         m["runs"].append(

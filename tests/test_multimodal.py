@@ -48,6 +48,20 @@ def test_decode_partition_independent(media_df):
     assert one == many
 
 
+def test_resize_composes_with_decode(media_df):
+    from pdf_extractor_spark.operators.multimodal import resize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media_df, fake=False)
+    small = resize_media(media_df, max_bytes=4, fake=True)
+    # resize preserves the media schema (names + types; nullability may relax)
+    assert small.schema.simpleString() == media_df.schema.simpleString()
+    rows = {r["media_id"]: r for r in decode_media(small, fake=True).collect()}
+    assert set(rows) == {"0"}  # only the image row
+    assert rows["0"]["n_bytes"] == 4
+    assert rows["0"]["payload_sha"] == hashlib.sha256(b"tiny").hexdigest()
+
+
 def test_frame_sample_counts(media_df):
     frames = sample_frames(media_df, every_ms=50, fake=True).collect()
     # only the video row (doc_id % 3 == 2), duration = len("video content x")*10 = 150ms

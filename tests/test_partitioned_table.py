@@ -1,0 +1,28 @@
+"""Partitioned snapshot writes: hash-prefix layout → partition pruning on
+hash-scoped reads (local analog of iceberg.CHUNKS_DDL bucket(doc_hash))."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import extract_chunks
+from pdf_extractor_spark.sources.pages import write_pages_parquet
+from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+
+def test_partitioned_write_and_pruned_read(spark, tmp_path):
+    pages_path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages_path, n=40, include_edge_cases=False)
+    chunks = extract_chunks(spark.read.parquet(pages_path)).withColumn(
+        "hash_prefix", F.substring("doc_hash", 1, 1)
+    )
+    table = SnapshotTable(str(tmp_path / "chunks"))
+    table.append(chunks, partition_cols=("hash_prefix",))
+
+    back = table.read(spark)
+    assert back.count() == chunks.count()
+    # a hash-scoped read compiles to a partition filter, not a data filter
+    some_hash = back.filter(F.col("chunk_index") >= 0).first()["doc_hash"]
+    scoped = back.filter(F.col("hash_prefix") == some_hash[0])
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(hash_prefix" in plan, plan
+    assert scoped.filter(F.col("doc_hash") == some_hash).count() > 0
