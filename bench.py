@@ -58,9 +58,14 @@ def amplified_pages(docs, n_partitions: int):
             lambda i: F.concat(F.lit("<p>"), F.col("text"), F.lit(" p"), i, F.lit("</p>")),
         )
     )
+    # shuffle the SMALL source rows first, explode+build AFTER: exploding
+    # before the exchange makes one map task serialize all AMPLIFY x html
+    # bytes through the shuffle write — a serial stage that caps speedup
+    # (measured: ~0.74 instead of ~0.9 scaling efficiency at 2→8 cores)
     return (
-        docs.select("doc_id", "text", copies)
-        .repartition(n_partitions, "doc_id", "copy")
+        docs.select("doc_id", "text")
+        .repartition(n_partitions, "doc_id")
+        .select("doc_id", "text", copies)
         .select(
             F.concat(F.lit("bench://"), F.col("doc_id"), F.lit("#"), F.col("copy")).alias("url"),
             F.concat(F.lit(_PRE), body, F.lit(_POST)).cast("binary").alias("html"),
