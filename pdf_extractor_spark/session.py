@@ -33,9 +33,21 @@ def get_spark(app_name: str = "pdf_extractor_spark", master: str | None = None,
         # ~cores locally; on a real cluster this would be 2-4x total cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
+    # Arrow-UDF stages run a JVM feeder thread AND a Python worker per task;
+    # at high thread counts on this VM the 2x oversubscription thrashes
+    # (see BENCH/BASELINE.md methodology notes), so tasks reserve 2 cpus
+    # when the session is wide. Override with SPARK_GRAFT_TASK_CPUS.
+    n_threads = cpus
+    if "[" in master:
+        inner = master[master.find("[") + 1 : master.find("]")]
+        if inner.isdigit():
+            n_threads = int(inner)
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or ("2" if n_threads > 16 else "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.task.cpus", task_cpus)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -104,6 +104,13 @@ The N→4N pair therefore uses cores the VM can actually deliver; on a real
 multi-executor cluster the same two-point test runs as N vs 4N executors via
 spark-submit (BASELINE.md).
 
+Wide-session mitigation: sessions wider than 16 threads set
+``spark.task.cpus=2`` (each Arrow-UDF task = 1 JVM feeder + 1 Python
+worker, so 2 cpus/task is the honest accounting, and the VM stops
+thrashing): at ``SPARK_GRAFT_CPUS=32`` the full bench runs ~15 s with
+extraction at ~20-21k docs/sec — the best absolute throughput measured —
+where task.cpus=1 gave 1.9-4.4k docs/sec with 2-5x run-to-run variance.
+
 Per-query seconds:
 
 | query | local[{n_low}] | local[{n_high}] |
