@@ -28,6 +28,41 @@ from pdf_extractor_spark.operators.search import ann_topk_lsh, cosine_expr
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_PKG_SENT: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile.
+
+    The driver may create its SparkSession from any cwd; module-by-reference
+    pickling of the Arrow UDF closures requires ``pdf_extractor_spark`` to be
+    importable in the workers. A zip of the package (built once) makes that
+    unconditional — the local-mode analog of ``spark-submit --py-files``.
+    """
+    import os
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PKG_SENT:
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "pdf_extractor_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            pkg = os.path.join(pkg_root, "pdf_extractor_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, pkg_root))
+        os.replace(zpath + ".tmp", zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added to this context
+    _PKG_SENT.add(key)
+
 # Boilerplate HTML shell: everything outside <article> is blocklisted chrome
 # the extractor must strip (core/html_extract.py BLOCKLIST_TAGS + link farm).
 _PRE = (
@@ -413,13 +448,24 @@ def q_related_images(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
+    _ensure_pkg(spark)
     pages = _pages_with_heading(_docs(spark, SF_DEFAULT))
     chunks = extract_chunks(pages)
     return chunks.filter(F.col("chunk_index") >= 0)
 
 
+def _with_pkg(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_blocks": q_extract_blocks,
         "chunk_fixed": q_chunk_fixed,
@@ -452,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
     }
+    return {name: _with_pkg(fn) for name, fn in qs.items()}
 
 
 # --------------------------------------------------------------------------
