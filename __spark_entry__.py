@@ -47,15 +47,21 @@ def _ensure_pkg(spark: SparkSession) -> None:
     if key in _PKG_SENT:
         return
     pkg_root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(pkg_root, "pdf_extractor_spark")
+    sources = [
+        os.path.join(dirpath, fn)
+        for dirpath, _dirs, files in os.walk(pkg)
+        for fn in files
+        if fn.endswith(".py")
+    ]
     zpath = os.path.join("/tmp", "pdf_extractor_spark_pyfiles.zip")
-    if not os.path.exists(zpath):
+    # rebuild when any source is newer — a stale zip would shadow the repo
+    # version on the workers' sys.path
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
         with zipfile.ZipFile(zpath + ".tmp", "w") as z:
-            pkg = os.path.join(pkg_root, "pdf_extractor_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, pkg_root))
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, pkg_root))
         os.replace(zpath + ".tmp", zpath)
     try:
         sc.addPyFile(zpath)
