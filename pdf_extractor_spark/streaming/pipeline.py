@@ -59,6 +59,53 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful operator: emit each doc_hash's FIRST occurrence across
+    the whole stream (cross-batch dedup) via ``applyInPandasWithState``.
+
+    State = one 'seen' flag per doc_hash group; later arrivals of the same
+    content hash (re-crawls, mirrors) emit nothing. This is the streaming
+    form of the batch skip-if-done anti-join (J2) — state lives in the
+    checkpoint instead of the committed table.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_hash", T.StringType(), False),
+            T.StructField("url", T.StringType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType(), False)])
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # already emitted for this hash — drop everything
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[0]
+        if first is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {"doc_hash": [key[0]], "url": [first["url"]], "n_bytes": [int(first["n_bytes"])]}
+        )
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    hashed = pages.select(
+        F.sha2(F.col("html"), 256).alias("doc_hash"),
+        "url",
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+    return hashed.groupBy("doc_hash").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_quality_counters(
     spark: SparkSession,
     input_dir: str,

@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.sources.pages import write_pages_parquet
 from pdf_extractor_spark.sources.tableio import SnapshotTable
-from pdf_extractor_spark.streaming.pipeline import stream_extract, stream_quality_counters
+from pdf_extractor_spark.streaming.pipeline import (
+    stream_dedup_first_seen,
+    stream_extract,
+    stream_quality_counters,
+)
 
 
 @pytest.fixture()
@@ -47,6 +51,34 @@ def test_stream_extract_exactly_once(spark, stream_dirs):
     q3.awaitTermination(120)
     n_docs2 = table.read(spark).filter(F.col("chunk_index") < 0).count()
     assert n_docs2 == 80
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Stateful cross-batch dedup: identical html in different files/batches
+    emits exactly once."""
+    inp = tmp_path / "pages_in"
+    inp.mkdir()
+    # same seed twice → identical content in two separate files (two batches
+    # via maxFilesPerTrigger-independent file splits)
+    write_pages_parquet(str(inp / "a.parquet"), seed=9, n=20, include_edge_cases=False)
+    write_pages_parquet(str(inp / "b.parquet"), seed=9, n=20, include_edge_cases=False)
+    write_pages_parquet(str(inp / "c.parquet"), seed=10, n=5, include_edge_cases=False)
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup_first_seen(spark, str(inp))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT doc_hash, count(*) c FROM {sink} GROUP BY doc_hash").collect()
+    assert rows, "no output"
+    assert all(r["c"] == 1 for r in rows)  # every hash exactly once
+    # seeds 9 and 10 have distinct content; seed 9's 20 pages appear once each
+    assert len(rows) == 25
 
 
 def test_stream_quality_counters(spark, stream_dirs):
