@@ -353,8 +353,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embed_docs(spark, sf_dir):
-    """Embedding seam: deterministic 64-dim embeddings (rows-only — the
-    hashed-trigram projection is not SQL-expressible)."""
+    """Embedding seam: deterministic 64-dim embeddings. Oracle checks the
+    construction invariants (dim == 64; unit L2 norm for any non-blank text,
+    0.0 for blank) — the projection itself is validated by pytest."""
     emb = embed_chunks(_docs(spark, sf_dir), text_col="text", keep_cols=("doc_id",))
     return emb.select(
         "doc_id",
@@ -517,9 +518,13 @@ _STOP = "['" + "','".join(
 ) + "']"
 
 
-def _sql_minhash_cols(sh: str) -> str:
+def _sql_minhash_cols(hx: str) -> str:
+    # mh_j = min over shingle digests of rotl(md5_hex, 2j) — one md5 per
+    # shingle (operators/dedup.py _py_minhash spec); ``hx`` is a column of
+    # precomputed md5-hex lists
     return ",\n  ".join(
-        f"list_min(list_transform({sh}, s -> md5('{j}:' || s))) AS mh{j}" for j in range(16)
+        f"list_min(list_transform({hx}, h -> substr(h, {2 * j + 1}) || substr(h, 1, {2 * j}))) AS mh{j}"
+        for j in range(16)
     )
 
 
@@ -548,8 +553,11 @@ def _sql_simhash(src: str) -> str:
         f"sum(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
     )
     bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    # trim(text) <> '': explicit parity with the Python side, which drops
+    # token-less docs (all-space text) — regexp_split_to_array('') would
+    # otherwise keep them as a single empty token
     return f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM ({src})),
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM ({src}) WHERE trim(text) <> ''),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hv FROM tok),
 v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({bits})::BIGINT AS simhash FROM v"""
@@ -615,9 +623,11 @@ WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 7 =
 SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
        count(*) AS n_docs
 FROM documents GROUP BY lang""",
+        # ::BIGINT casts: DuckDB sum/count_if return HUGEINT, which pandas
+        # widens to float64 before the driver hashes (56684.0 != 56684)
         "counters": """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       count_if(n_chars > 300) AS n_long, round(avg(n_chars), 2) AS avg_chars
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count_if(n_chars > 300)::BIGINT AS n_long, round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY lang""",
         "topk_cosine": """
 SELECT e.vec_id, e.label,
@@ -636,20 +646,29 @@ SELECT doc_id, lang, n_chars, rn FROM (
   SELECT doc_id, lang, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn <= 3""",
+        # CASE guards mirror the Spark side's explicit empty-text semantics
+        # (functions/text.py returns 0/0.0, never NaN or a phantom '' token)
         "token_counts": f"""
-SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+SELECT doc_id,
+       (CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe
 FROM documents""",
         "quality_scores": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS w,
-       length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) / length(text)::DOUBLE AS pr,
-       length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE AS dr
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr
 FROM documents)
 SELECT doc_id, w::BIGINT AS n_tokens,
-       round(length(regexp_replace(text, '\\s', '', 'g')) / w::DOUBLE, 4) AS mean_word_len,
+       round(CASE WHEN w = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '\\s', '', 'g')) / w::DOUBLE END, 4) AS mean_word_len,
        round(pr, 4) AS punct_ratio,
-       round(len(list_filter(toks, t2 -> list_contains({_STOP}, t2))) / len(toks)::DOUBLE, 4) AS stopword_ratio,
+       round(CASE WHEN w = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t2 -> list_contains({_STOP}, t2))) / len(toks)::DOUBLE END, 4) AS stopword_ratio,
        round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality
 FROM t""",
         "lang_id": _sql_lang_id(),
@@ -670,15 +689,17 @@ SELECT doc_id, lang, n_chars FROM u
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
         "minhash_signatures": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {_SH3} AS sh FROM t)
+s AS (SELECT doc_id, {_SH3} AS sh FROM t),
+hx AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM s)
 SELECT doc_id,
-  {_sql_minhash_cols('sh')}
-FROM s""",
+  {_sql_minhash_cols('hs')}
+FROM hx""",
         "minhash_near_dups": f"""
 WITH u AS ({_U_NEAR}),
 t AS (SELECT doc_id, {_TOKS} AS toks FROM u),
 shg AS (SELECT doc_id, {_SH3} AS sh FROM t),
-sig AS (SELECT doc_id, sh, {_sql_minhash_cols('sh')} FROM shg),
+hxx AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM shg),
+sig AS (SELECT doc_id, sh, {_sql_minhash_cols('hs')} FROM hxx),
 bands AS (SELECT doc_id, {band_keys} FROM sig),
 keys2 AS ({band_unnest}),
 big AS (SELECT band, band_key FROM keys2 GROUP BY band, band_key HAVING count(*) > 64),
@@ -705,8 +726,14 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
 ORDER BY id_a, id_b""",
-        # ann_lsh_topk, embed_docs: rows-only (non-SQL-expressible: LSH pruning
-        # over numpy hyperplanes / crc32 trigram embedder)
+        # embed_docs: the projection itself (crc32 trigram) is not SQL, but
+        # its invariants are — dim is the constant 64 and the L2 norm is
+        # exactly 1.0 for any text with >=1 trigram (normalisation step,
+        # core/embedder.py) and 0.0 for whitespace-only text
+        "embed_docs": """
+SELECT doc_id, 64::BIGINT AS dim,
+       (CASE WHEN trim(text) <> '' THEN 1.0 ELSE 0.0 END)::DOUBLE AS l2_norm
+FROM documents""",
         "multimodal_features": """
 SELECT doc_id::VARCHAR AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

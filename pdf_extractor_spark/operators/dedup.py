@@ -102,16 +102,18 @@ def _py_shingles(toks: list[str], k: int = SHINGLE_K) -> list[str]:
     return list(dict.fromkeys(out))
 
 
+# hash family: ONE md5 per shingle, h_j = the digest-hex rotated left by 2j
+# chars (j in 0..15). Each rotation reorders the lexicographic comparison by a
+# different leading byte of the digest, giving 16 near-independent uniform
+# orderings for the price of a single digest — the previous 16-md5-per-shingle
+# family cost 16x the hashlib CPU and dominated the whole bench. The spec is
+# shared verbatim with the DuckDB oracle (__spark_entry__._sql_minhash_cols).
+_ROT_OFFSETS = [2 * j for j in range(NUM_HASHES)]
+
+
 def _py_minhash(sh: list[str]) -> list[str]:
-    sigs = []
-    for j in range(NUM_HASHES):
-        prefix = f"{j}:".encode()
-        sigs.append(
-            min(_hashlib.md5(prefix + s.encode()).hexdigest() for s in sh)
-            if sh
-            else _hashlib.md5(f"{j}:".encode()).hexdigest()
-        )
-    return sigs
+    hexes = [_hashlib.md5(s.encode()).hexdigest() for s in (sh or [""])]
+    return [min(h[o:] + h[:o] for h in hexes) for o in _ROT_OFFSETS]
 
 
 _SIG_FIELDS = [("sh", _pa.list_(_pa.string()))] + [(f"mh{j}", _pa.string()) for j in range(NUM_HASHES)]
@@ -120,8 +122,9 @@ _SIG_FIELDS = [("sh", _pa.list_(_pa.string()))] + [(f"mh{j}", _pa.string()) for 
 def minhash_sig_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, sh: array<string>, mh0..mh{NUM_HASHES-1}) in ONE Arrow pass.
 
-    md5(seed ':' shingle) is a uniform hash family over hex strings; the
-    lexicographic min is a valid MinHash (collision prob = jaccard).
+    mh_j = lexicographic min over shingles of rotl(md5_hex(shingle), 2j) —
+    one digest per shingle, 16 derived orderings (see _py_minhash). The min
+    under each rotation is a valid MinHash (collision prob = jaccard).
     """
     arrow_schema = _pa.schema([(id_col, _pa.int64())] + _SIG_FIELDS)
     sql_schema = f"{id_col} long, sh array<string>, " + ", ".join(
