@@ -32,6 +32,14 @@ def run_extraction(
 ) -> dict:
     """Run the flagship pipeline; returns the lineage/counter dict that was
     committed with the snapshot."""
+    if force_reload:
+        # reference delete-before-rewrite (S8, vector_service.py:105-127,
+        # 192-194): purge every committed row owned by an incoming doc_hash
+        # BEFORE re-appending, so a re-crawl never duplicates chunk_ids.
+        victims = pages.select(F.sha2(F.col("html"), 256).alias("doc_hash")).distinct()
+        chunks_table.delete_matching(spark, victims)
+        if embeddings_table is not None:
+            embeddings_table.delete_matching(spark, victims)
     todo = resume_filter(pages, chunks_table, spark, force_reload=force_reload)
 
     obs_in = Observation("pages_in")

@@ -91,6 +91,64 @@ class SnapshotTable:
         m["runs"] = [r for r in m["runs"] if r["run_id"] not in run_ids]
         self._write_manifest(m)
 
+    def delete_matching(self, spark: SparkSession, victims: DataFrame,
+                        col: str = "doc_hash") -> int:
+        """Copy-on-write delete: drop every committed row whose ``col`` value
+        appears in ``victims`` — the parquet-emulation form of Iceberg's
+        ``DELETE FROM t WHERE col IN (SELECT ...)`` (reference S8
+        delete-before-rewrite, app/vector_db/vector_service.py:105-127).
+        Returns the number of runs that owned victim rows.
+
+        Scale shape: ownership discovery is ONE distributed job reading only
+        ``col`` plus file provenance (parquet column pruning; Iceberg gets
+        the same prune from per-file column stats in its manifests), then
+        only the owning runs are rewritten via anti-join and a SINGLE
+        manifest write swaps old for rewritten runs — readers see either the
+        full old snapshot or the full new one, never a mix. Runs untouched
+        by the predicate are never read or rewritten. The per-owning-run
+        anti-join runs twice (count + write) in this emulation; on Iceberg
+        the whole method is one SQL DELETE.
+        """
+        m = self.manifest()
+        if not m["runs"]:
+            return 0
+        victims = victims.select(col).distinct()
+        run_of = F.regexp_extract(F.input_file_name(), "/data/([^/]+)/", 1)
+        owning = {
+            r["run_id"]
+            for r in spark.read.parquet(*[r["path"] for r in m["runs"]])
+            .select(run_of.alias("run_id"), col)
+            .join(victims, col, "left_semi")
+            .select("run_id")
+            .distinct()
+            .collect()
+        }
+        if not owning:
+            return 0
+        new_runs = []
+        for r in m["runs"]:
+            if r["run_id"] not in owning:
+                new_runs.append(r)
+                continue
+            survivors = spark.read.parquet(r["path"]).join(victims, col, "left_anti")
+            if survivors.count() == 0:
+                continue  # run fully deleted; its files become orphans
+            cow_id = f"{r['run_id']}-cow{uuid.uuid4().hex[:6]}"
+            cow_dir = os.path.join(self.path, "data", cow_id)
+            survivors.write.mode("overwrite").parquet(cow_dir)
+            new_runs.append(
+                {
+                    "run_id": cow_id,
+                    "path": cow_dir,
+                    "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "lineage": {**r.get("lineage", {}), "rewritten_from": r["run_id"]},
+                }
+            )
+        m["snapshot_id"] += 1
+        m["runs"] = new_runs
+        self._write_manifest(m)
+        return len(owning)
+
     # -- read path ---------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame | None:
         paths = [r["path"] for r in self.manifest()["runs"]]
@@ -111,8 +169,9 @@ class SnapshotTable:
 def resume_filter(pages: DataFrame, table: SnapshotTable, spark: SparkSession,
                   force_reload: bool = False) -> DataFrame:
     """Skip-if-done: left anti join incoming docs vs committed doc hashes
-    (J2). With force_reload the caller should delete first (S8) — here we
-    simply don't filter, mirroring endpoints.py:126-135 skip logic."""
+    (J2). With force_reload nothing is filtered; pipeline.run_extraction
+    pairs that with delete_matching (S8 delete-before-rewrite) so the
+    re-append never commits duplicate chunk_ids."""
     if force_reload:
         return pages
     done = table.committed_hashes(spark)

@@ -26,3 +26,32 @@ def test_partitioned_write_and_pruned_read(spark, tmp_path):
     plan = scoped._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(hash_prefix" in plan, plan
     assert scoped.filter(F.col("doc_hash") == some_hash).count() > 0
+
+
+def test_delete_matching_cow(spark, tmp_path):
+    """S8 copy-on-write delete: only owning runs are rewritten, untouched
+    runs keep their identity, fully-deleted runs drop from the snapshot."""
+    table = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(f"h{i}", i) for i in range(10)], "doc_hash string, v int")
+    df2 = spark.createDataFrame([(f"h{i}", i) for i in range(10, 20)], "doc_hash string, v int")
+    r1 = table.append(df1)
+    r2 = table.append(df2)
+
+    victims = spark.createDataFrame([("h3",), ("h4",)], "doc_hash string")
+    assert table.delete_matching(spark, victims) == 1
+    m = table.manifest()
+    run_ids = [r["run_id"] for r in m["runs"]]
+    assert r2 in run_ids and r1 not in run_ids
+    cow = next(r for r in m["runs"] if r["run_id"] != r2)
+    assert cow["lineage"]["rewritten_from"] == r1
+    back = table.read(spark)
+    assert back.count() == 18
+    assert back.filter(F.col("doc_hash").isin("h3", "h4")).count() == 0
+
+    # deleting every row of a run drops the run from the snapshot entirely
+    all_r2 = spark.createDataFrame([(f"h{i}",) for i in range(10, 20)], "doc_hash string")
+    assert table.delete_matching(spark, all_r2) == 1
+    assert [r["run_id"] for r in table.manifest()["runs"]] == [cow["run_id"]]
+    assert table.read(spark).count() == 8
+    # no-op predicate touches nothing
+    assert table.delete_matching(spark, victims) == 0

@@ -125,6 +125,11 @@ def test_resume_idempotency(spark, pages_parquet, tmp_path, force_reload):
     l2 = run_extraction(spark, pages, table, force_reload=force_reload)
     if force_reload:
         assert l2["counters"]["docs_in"] == l1["counters"]["docs_in"]
+        # delete-before-rewrite (S8): the reload must NOT double committed
+        # rows — same totals as one run, and every chunk_id still unique
+        chunks = table.read_chunks(spark)
+        assert chunks.count() == n_after_first
+        assert chunks.select("chunk_id").distinct().count() == n_after_first
     else:
         # zero-chunk docs are marker-recorded too -> nothing re-processed
         assert l2["counters"]["docs_in"] == 0
