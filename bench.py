@@ -135,16 +135,21 @@ def main() -> None:
         .collect(),
     )
 
+    def counted_released(df):
+        n = df.count()
+        DD.release_caches(df)  # drop signature caches between queries
+        return n
+
     # q3: MinHash+LSH near-dup over documents
     timed(
         "minhash_near_dups",
-        lambda: DD.minhash_near_duplicates(docs.select("doc_id", "text"), threshold=0.5).count(),
+        lambda: counted_released(DD.minhash_near_duplicates(docs.select("doc_id", "text"), threshold=0.5)),
     )
 
     # q4: SimHash signatures + hamming<=3 pairs
     timed(
         "simhash_near_dups",
-        lambda: DD.simhash_near_duplicates(docs.select("doc_id", "text"), max_hamming=3).count(),
+        lambda: counted_released(DD.simhash_near_duplicates(docs.select("doc_id", "text"), max_hamming=3)),
     )
 
     # q5: embedding pipeline — embed all docs then exact cosine top-k

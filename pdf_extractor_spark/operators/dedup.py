@@ -38,6 +38,30 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_K = 3
 
 
+# --- cache scoping ----------------------------------------------------------
+#
+# Several operators persist() an intermediate (signature/fingerprint tables
+# feed multiple joins). A long-lived session (bench loop, streaming
+# foreachBatch) calling them repeatedly would accumulate cached blocks until
+# eviction pressure, so every persisted handle is attached to the returned
+# DataFrame for the caller to release once the result is consumed.
+
+def _attach_caches(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    out._cached_intermediates = list(cached)  # type: ignore[attr-defined]
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the intermediates an operator cached for ``df``. Call after
+    the final action on ``df`` (safe to call multiple times / on any df)."""
+    for c in getattr(df, "_cached_intermediates", ()):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    df._cached_intermediates = []  # type: ignore[attr-defined]
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -186,7 +210,7 @@ def minhash_candidates(
     TABLE written once and joined thereafter — same shape, bigger store.
     """
     keys = lsh_band_keys(with_minhash(df, text_col, id_col), id_col).persist()
-    return _candidates_from_keys(keys, id_col, max_bucket)
+    return _attach_caches(_candidates_from_keys(keys, id_col, max_bucket), keys)
 
 
 def _candidates_from_keys(keys: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
@@ -232,7 +256,7 @@ def ngram_jaccard_pairs(
     shingle table is persisted — it feeds both join sides.
     """
     sh = minhash_sig_table(df, text_col, id_col).select(id_col, "sh").persist()
-    return _jaccard_from_sh(sh, pairs, id_col, threshold)
+    return _attach_caches(_jaccard_from_sh(sh, pairs, id_col, threshold), sh)
 
 
 def _jaccard_from_sh(sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float) -> DataFrame:
@@ -257,7 +281,8 @@ def minhash_near_duplicates(
     sig = minhash_sig_table(df, text_col, id_col).persist()
     cand = _candidates_from_keys(lsh_band_keys(sig, id_col), id_col, max_bucket=64)
     sh = sig.select(id_col, "sh")
-    return _jaccard_from_sh(sh, cand, id_col, threshold).orderBy("id_a", "id_b")
+    out = _jaccard_from_sh(sh, cand, id_col, threshold).orderBy("id_a", "id_b")
+    return _attach_caches(out, sig)
 
 
 # --- winnowing (rolling-hash) fingerprints ----------------------------------
@@ -281,13 +306,23 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def winnow_similar_pairs(
-    df: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint Jaccard: explode fingerprints,
     self-join on shared fingerprint (the candidate step — at scale an
-    inverted fingerprint→docs index), then exact set-Jaccard filter."""
+    inverted fingerprint→docs index), then exact set-Jaccard filter.
+
+    ``max_bucket`` drops fingerprints shared by more than that many docs
+    before the pair join (same guard as minhash_candidates): one boilerplate
+    fingerprint shared by 10^6 docs would otherwise make the candidate join
+    quadratic. True duplicates dropped here still pair through their other,
+    rarer fingerprints (or through dedup_exact at linear cost).
+    """
     fps = winnow_fingerprints(df, text_col, id_col).persist()
     inv = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    hot = inv.groupBy("fp").count().filter(F.col("count") > max_bucket).select("fp")
+    inv = inv.join(hot, "fp", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -300,11 +335,12 @@ def winnow_similar_pairs(
     inter = F.size(F.array_intersect("fps_a", "fps_b"))
     union = F.size(F.array_union("fps_a", "fps_b"))
     sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
-    return (
+    out = (
         joined.select("id_a", "id_b", F.round(sim, 4).alias("overlap"))
         .filter(F.col("overlap") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    return _attach_caches(out, fps)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -393,7 +429,9 @@ def simhash_near_duplicates(
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+    return _attach_caches(
+        cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b"), keyed
+    )
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -421,16 +459,18 @@ def embedding_near_duplicates_lsh(
     id_col: str = "vec_id",
     n_bits: int = 8,
     seed: int = 7,
+    dim: int = 64,
 ) -> DataFrame:
     """Scale path: hyperplane-LSH bucket the vectors, pair-join only within
     buckets, then exact cosine verify. Recall < 1 by design (near-identical
     vectors collide with prob (1 - theta/pi)^n_bits); at 10^12 rows this is
-    the only join shape that survives."""
-    import numpy as np
+    the only join shape that survives.
 
+    ``dim`` is the (fixed, schema-level) embedding dimensionality — a
+    parameter rather than a ``.first()`` sniff, which would run an extra
+    driver-side job just to size the hyperplanes."""
     from pdf_extractor_spark.operators.search import _hyperplanes, lsh_bucket_col
 
-    dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, seed)
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket_id")
@@ -445,4 +485,6 @@ def embedding_near_duplicates_lsh(
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cosine"),
     )
-    return cand.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
+    return _attach_caches(
+        cand.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b"), bucketed
+    )

@@ -51,6 +51,25 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
+def _stack_vectors(s: pd.Series, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column. NULL or
+    wrong-length rows become zero vectors (→ cosine 0.0, deterministic
+    bucket) instead of failing the whole task; the fast np.stack path is
+    kept for the well-formed common case."""
+    arrs = s.to_numpy()
+    try:
+        mat = np.stack(arrs).astype(np.float64)
+        if mat.ndim == 2 and mat.shape[1] == dim:
+            return mat
+    except Exception:
+        pass
+    mat = np.zeros((len(arrs), dim), dtype=np.float64)
+    for i, a in enumerate(arrs):
+        if a is not None and len(a) == dim:
+            mat[i] = a
+    return mat
+
+
 def np_cosine_scores(vec_col: Column, query_vec: Sequence[float]) -> Column:
     """Vectorized cosine scoring: Arrow-batched pandas UDF, one numpy matmul
     per batch. Catalyst evaluates higher-order-function folds (cosine_expr)
@@ -58,12 +77,13 @@ def np_cosine_scores(vec_col: Column, query_vec: Sequence[float]) -> Column:
     this is the production scoring path (~ns/row)."""
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = float(np.linalg.norm(q))
+    dim = len(q)
 
     @F.pandas_udf("double")
     def score(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="float64")
-        mat = np.stack(s.to_numpy()).astype(np.float64)
+        mat = _stack_vectors(s, dim)
         dots = mat @ q
         dens = np.linalg.norm(mat, axis=1) * qn
         out = np.divide(dots, dens, out=np.zeros_like(dots), where=dens > 0)
@@ -108,11 +128,13 @@ def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
     pl = np.ascontiguousarray(planes.T)  # (dim, n_bits)
     weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
 
+    dim = pl.shape[0]
+
     @F.pandas_udf("int")
     def bucket(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.stack(s.to_numpy()).astype(np.float64)
+        mat = _stack_vectors(s, dim)
         bits = (mat @ pl) >= 0
         return pd.Series((bits @ weights).astype("int32"))
 
@@ -144,11 +166,13 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     c_norms = (cents * cents).sum(axis=1)
 
+    dim = cents.shape[1]
+
     @F.pandas_udf("int")
     def assign(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.stack(s.to_numpy()).astype(np.float64)
+        mat = _stack_vectors(s, dim)
         # argmin ||x-c||^2 = argmin (||c||^2 - 2 x·c)
         d = c_norms[None, :] - 2.0 * (mat @ cents.T)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))

@@ -80,14 +80,22 @@ class IcebergTable:
     def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None) -> str:
         # snapshot summary properties carry the lineage (Iceberg's native
         # analog of the emulation's _MANIFEST.json lineage entries)
+        import uuid
+
         writer = df.writeTo(self.table)
         for k, v in (lineage or {}).items():
             writer = writer.option(f"snapshot-property.lineage.{k}", str(v))
         if run_id:
             writer = writer.option("snapshot-property.lineage.run_id", run_id)
+        # a unique commit token identifies OUR snapshot in the snapshots
+        # metadata table — a post-hoc `ORDER BY committed_at DESC LIMIT 1`
+        # would race concurrent writers
+        token = uuid.uuid4().hex
+        writer = writer.option("snapshot-property.lineage.commit_token", token)
         writer.append()
         last = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            f"WHERE summary['lineage.commit_token'] = '{token}'"
         ).first()
         return str(last["snapshot_id"])
 
@@ -106,7 +114,11 @@ class IcebergTable:
         return self.read(spark).select(col).distinct()
 
     def expire_snapshots(self, older_than_days: int = 7) -> None:
+        # catalog comes from the table identifier (not hardcoded), and
+        # older_than is interval arithmetic — TIMESTAMP 'N days ago' is not
+        # a valid literal
+        catalog = self.table.split(".", 1)[0] if "." in self.table else "spark_catalog"
         self.spark.sql(
-            f"CALL lake.system.expire_snapshots(table => '{self.table}', "
-            f"older_than => TIMESTAMP '{older_than_days} days ago')"
+            f"CALL {catalog}.system.expire_snapshots(table => '{self.table}', "
+            f"older_than => now() - INTERVAL '{int(older_than_days)}' DAY)"
         )

@@ -94,7 +94,7 @@ def test_embedding_near_dup_lsh_finds_exact_pairs(spark):
     assert (3, 100) in exact
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in DD.embedding_near_duplicates_lsh(emb, threshold=0.99, n_bits=6).collect()
+        for r in DD.embedding_near_duplicates_lsh(emb, threshold=0.99, n_bits=6, dim=16).collect()
     }
     assert (3, 100) in lsh
     assert lsh <= exact  # LSH candidates are verified exactly → subset

@@ -57,3 +57,22 @@ def test_ann_lsh_topk_contains_self(emb_df):
     pos = {vid: i for i, vid in enumerate(exact)}
     assert all(vid in pos for vid in got)
     assert sorted(got, key=lambda v: pos[v]) == got
+
+
+def test_null_and_ragged_embeddings_score_zero(spark):
+    """NULL / wrong-length vectors must not kill the task (ADVICE r01):
+    they score 0.0 and bucket deterministically instead."""
+    from pdf_extractor_spark.operators.search import _hyperplanes, lsh_bucket_col
+    from pyspark.sql import functions as F
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, q), (1, None), (2, [1.0, 1.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["score"] for r in cosine_topk(df, q, k=4).collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == pytest.approx(0.0)
+    buckets = df.select(
+        "vec_id", lsh_bucket_col(F.col("embedding"), _hyperplanes(4, 3)).alias("b")
+    ).collect()
+    assert all(r["b"] is not None for r in buckets)
