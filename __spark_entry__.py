@@ -253,6 +253,36 @@ def q_topk_label_scoped(spark, sf_dir):
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(5)
 
 
+def q_search_chunks(spark, sf_dir):
+    """P5: search-result projection — top-k hits joined back to chunk
+    payload rows {score, url, text, page, section, content_type}
+    (reference vector_service.py:243-254). The embeddings fixture's vec_id
+    keys a derived chunk-payload table built from documents."""
+    from pdf_extractor_spark.operators.search import attach_chunk_payload
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    hits = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("chunk_key"),
+            F.round(cosine_expr(F.col("embedding"), F.col("qv")), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("chunk_key"))
+        .limit(5)
+    )
+    chunks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("chunk_key"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "text",
+        F.lit(1).alias("page"),
+        F.lit("General").alias("section"),
+        F.lit("text").alias("content_type"),
+    )
+    return attach_chunk_payload(hits, chunks, key_col="chunk_key")
+
+
 def q_window_topn(spark, sf_dir):
     """Window: top-3 docs per lang by n_chars (row_number)."""
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
@@ -483,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counters": q_counters,
         "topk_cosine": q_topk_cosine,
         "topk_label_scoped": q_topk_label_scoped,
+        "search_chunks": q_search_chunks,
         "window_topn": q_window_topn,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -641,6 +672,17 @@ SELECT e.vec_id, e.label,
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE e.label = 3
 ORDER BY score DESC, e.vec_id LIMIT 5""",
+        "search_chunks": """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+hits AS (
+  SELECT e.vec_id AS chunk_key,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY score DESC, e.vec_id LIMIT 5)
+SELECT h.chunk_key, h.score, 'doc://' || d.doc_id AS url, d.text,
+       1 AS page, 'General' AS section, 'text' AS content_type
+FROM hits h JOIN documents d ON h.chunk_key = d.doc_id
+ORDER BY score DESC, chunk_key""",
         "window_topn": """
 SELECT doc_id, lang, n_chars, rn FROM (
   SELECT doc_id, lang, n_chars,

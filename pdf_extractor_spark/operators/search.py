@@ -114,6 +114,49 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def attach_chunk_payload(
+    hits: DataFrame,
+    chunks: DataFrame,
+    key_col: str = "chunk_id",
+    payload_cols: Sequence[str] = ("url", "text", "page", "section", "content_type"),
+) -> DataFrame:
+    """P5 search-result projection (reference app/vector_db/
+    vector_service.py:243-254): join the k scored hits back to their chunk
+    payload rows so the caller gets {score, url, text, page, section,
+    content_type} per hit, not bare embedding-table columns.
+
+    The hits side is k ≤ MAX_K rows — broadcast it, so the payload lookup is
+    a map-side join against the (bucketed) chunks table with no shuffle of
+    the big side; with the chunks table partitioned by the key's hash bucket
+    the scan prunes too."""
+    sel = hits.select(key_col, "score")
+    out = chunks.join(F.broadcast(sel), key_col)
+    return out.select(key_col, "score", *payload_cols).orderBy(
+        F.col("score").desc(), F.col(key_col)
+    )
+
+
+def search_chunks(
+    emb: DataFrame,
+    chunks: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    vec_col: str = "embedding",
+    key_col: str = "chunk_id",
+    doc_hash: str | None = None,
+    hash_col: str = "doc_hash",
+    payload_cols: Sequence[str] = ("url", "text", "page", "section", "content_type"),
+) -> DataFrame:
+    """The reference's full /search surface: exact cosine top-k over the
+    embeddings table (optionally hash-scoped, J3) joined to chunk payloads
+    (P5). One scoring scan + one broadcast join."""
+    hits = cosine_topk(
+        emb, query_vec, k=k, vec_col=vec_col, id_col=key_col,
+        doc_hash=doc_hash, hash_col=hash_col,
+    )
+    return attach_chunk_payload(hits, chunks, key_col=key_col, payload_cols=payload_cols)
+
+
 # --- LSH-bucketed approximate variant ---------------------------------------
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:

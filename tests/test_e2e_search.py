@@ -61,3 +61,23 @@ def test_search_scoped_by_doc_hash(spark, corpus):
     top = cosine_topk(emb, qv, k=3, id_col="chunk_id", doc_hash=target_hash).collect()
     assert len(top) == 1
     assert top[0]["url"] == "doc://cooking"  # only in-scope doc, despite off-topic query
+
+
+def test_search_chunks_payload_projection(spark, corpus):
+    """P5: the full /search surface returns chunk payload fields per hit
+    (reference vector_service.py:243-254), not embedding-table columns."""
+    from pdf_extractor_spark.operators.search import search_chunks
+
+    texts, chunks_t, emb_t, _ = corpus
+    emb = emb_t.read(spark)
+    chunks = chunks_t.read_chunks(spark)
+    qv = [float(x) for x in embed_one(texts["doc://spark"])]
+    hits = search_chunks(emb, chunks, qv, k=2, key_col="chunk_id").collect()
+    assert len(hits) == 2
+    top = hits[0]
+    assert set(top.asDict()) == {"chunk_id", "score", "url", "text", "page", "section", "content_type"}
+    assert top["url"] == "doc://spark"
+    assert top["text"] == texts["doc://spark"]
+    assert top["page"] == 1 and top["section"] == "General" and top["content_type"] == "text"
+    assert top["score"] > 0.99
+    assert hits[0]["score"] >= hits[1]["score"]
