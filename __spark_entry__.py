@@ -371,9 +371,10 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Similarity (ANN): hyperplane-LSH bucketed top-k (rows-only check —
-    the pruning is approximate by design; exactness is covered by
-    q_topk_cosine and tests/test_search.py recall assertions)."""
+    """Similarity (ANN): hyperplane-LSH bucketed top-k. The bucketing is
+    seed-deterministic (numpy RandomState(7) hyperplanes), so the DuckDB
+    oracle reproduces the exact same probe set from plane literals —
+    the approximation itself is oracle-checked, not just row counts."""
     from pdf_extractor_spark.core.embedder import embed_one
 
     qv = [float(x) for x in embed_one("spark graft query")]
@@ -411,22 +412,39 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """Similarity (IVF): k-means coarse quantizer → probe nearest lists →
-    exact cosine within them (rows-only: MLlib centroids aren't SQL)."""
+    """Similarity (IVF): coarse quantizer → probe the n_probe nearest lists
+    → exact cosine within them. Centroids here are deterministic seed rows
+    (vec_id < 8), so assignment + probe + score are all SQL-expressible and
+    the DuckDB oracle checks the full IVF semantics; the MLlib k-means
+    quantizer (ivf_fit, pytest-covered) only changes recall, not the
+    operator's probe/score mechanics."""
+    import numpy as np
+
     from pdf_extractor_spark.core.embedder import embed_one
-    from pdf_extractor_spark.operators.search import ivf_assign, ivf_fit, ivf_topk
+    from pdf_extractor_spark.operators.search import ivf_assign, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    cents = ivf_fit(emb, n_lists=8, seed=7)
+    cents_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    cents = np.array([list(r["embedding"]) for r in cents_rows], dtype=np.float64)
     assigned = ivf_assign(emb, cents)
     qv = [float(x) for x in embed_one("spark graft query")]
     top = ivf_topk(assigned, cents, qv, k=5, n_probe=2)
     return top.select("vec_id", "label", F.round(F.col("score"), 4).alias("score"))
 
 
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Dedup (embedding LSH — the 100 TB path): hyperplane-bucketed pair
+    join + exact cosine verify. Seed-deterministic buckets → the oracle
+    reproduces them from plane literals."""
+    return DD.embedding_near_duplicates_lsh(
+        _emb(spark, sf_dir), threshold=0.35, n_bits=4, dim=64
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
-    """Fingerprinting (rolling hash): winnowed k-gram fingerprint sets
-    (rows-only: Rabin-Karp rolling hash isn't SQL-expressible)."""
+    """Fingerprinting (rolling hash): winnowed k-gram fingerprint sets.
+    The DuckDB oracle recomputes the full Rabin-Karp + winnowing scheme in
+    HUGEINT list arithmetic (same 2^61-1 field, same selection rule)."""
     from pdf_extractor_spark.operators.dedup import winnow_fingerprints
 
     fps = winnow_fingerprints(_docs(spark, sf_dir))
@@ -437,7 +455,8 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_winnow_near_dups(spark, sf_dir):
-    """Dedup (winnowing): fingerprint-overlap pairs over the near-dup set."""
+    """Dedup (winnowing): fingerprint-overlap pairs over the near-dup set,
+    hot fingerprints capped; oracle mirrors the full pipeline in SQL."""
     from pdf_extractor_spark.operators.dedup import winnow_similar_pairs
 
     return winnow_similar_pairs(_union_with_near_dups(_docs(spark, sf_dir)), threshold=0.5)
@@ -526,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_docs": q_embed_docs,
         "multimodal_features": q_multimodal_features,
@@ -610,6 +630,106 @@ WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM t),
 b AS (SELECT *, {best} AS best FROM s)
 SELECT doc_id, lang AS lang_true, {case} AS lang_pred FROM b"""
+
+
+def _sql_vec_lit(vals) -> str:
+    """Exact double literal list: shortest-repr decimals round-trip to the
+    same binary64 in DuckDB as in numpy."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _sql_plane_bucket(planes, vcol: str = "v") -> str:
+    """Sign-bit LSH bucket id from hyperplane literals — the SQL twin of
+    operators/search.py lsh_bucket_col (same seed-deterministic planes)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vcol}, {_sql_vec_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+def _sql_ann_lsh_topk() -> str:
+    import numpy as np
+
+    from pdf_extractor_spark.core.embedder import embed_one
+    from pdf_extractor_spark.operators.search import _hyperplanes
+
+    n_bits = 4
+    planes = _hyperplanes(64, n_bits, seed=7)
+    q = np.asarray([float(x) for x in embed_one("spark graft query")], dtype=np.float64)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) >= 0))
+    probe = sorted({qbits} | {qbits ^ (1 << i) for i in range(n_bits)})
+    return f"""
+WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                  {_sql_plane_bucket(planes)} AS bucket
+           FROM embeddings)
+SELECT vec_id, label, round(list_cosine_similarity(v, {_sql_vec_lit(q)}), 4) AS score
+FROM b WHERE bucket IN ({", ".join(str(p) for p in probe)})
+ORDER BY list_cosine_similarity(v, {_sql_vec_lit(q)}) DESC, vec_id LIMIT 5"""
+
+
+def _sql_ivf_topk() -> str:
+    from pdf_extractor_spark.core.embedder import embed_one
+
+    qlit = _sql_vec_lit(float(x) for x in embed_one("spark graft query"))
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT e.vec_id, e.label, e.v, c.cid,
+             list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS dist
+      FROM e CROSS JOIN c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1),
+probes AS (SELECT cid FROM c
+           ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(cv, {qlit}), cid
+           LIMIT 2)
+SELECT vec_id, label, round(list_cosine_similarity(v, {qlit}), 4) AS score
+FROM a WHERE cid IN (SELECT cid FROM probes)
+ORDER BY list_cosine_similarity(v, {qlit}) DESC, vec_id LIMIT 5"""
+
+
+def _sql_embedding_lsh_near_dups() -> str:
+    from pdf_extractor_spark.operators.search import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=7)
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_sql_plane_bucket(planes)} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b2.v), 4) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.35
+ORDER BY id_a, id_b"""
+
+
+def _sql_winnow_cte(src: str) -> str:
+    """CTE chain computing winnowed fingerprint lists per doc — the SQL twin
+    of core/fingerprint.py (Rabin-Karp over 8-grams in the 2^61-1 field,
+    rightmost-min winnowing over 16-hash windows). HUGEINT keeps the
+    polynomial exact; verified char-identical to the Python spec."""
+    pows = [257 ** p for p in range(8)]
+    terms = " + ".join(
+        f"unicode(substr(norm, i+{j}, 1))::HUGEINT * {pows[7 - j]}::HUGEINT" for j in range(8)
+    )
+    return f"""
+nn AS (SELECT doc_id,
+        array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''), ' ') AS norm
+       FROM ({src})),
+g AS (SELECT doc_id, norm, length(norm) AS n FROM nn),
+h AS (SELECT doc_id,
+        CASE WHEN n < 8 THEN []::BIGINT[]
+             ELSE list_transform(generate_series(1, n-7), i -> (({terms}) % 2305843009213693951)::BIGINT)
+        END AS hs
+      FROM g),
+w AS (SELECT doc_id, hs, len(hs) AS m FROM h),
+f AS (SELECT doc_id,
+        CASE WHEN m = 0 THEN []::BIGINT[]
+             WHEN m <= 16 THEN [list_min(hs)]
+             ELSE list_sort(list_distinct(list_transform(generate_series(1, m-15), i ->
+                    hs[i + 16 - list_position(list_reverse(list_slice(hs, i, i+15)),
+                                              list_min(list_slice(hs, i, i+15)))])))
+        END AS fps
+      FROM w)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -768,6 +888,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
 ORDER BY id_a, id_b""",
+        "winnow_fingerprints": f"""
+WITH {_sql_winnow_cte("SELECT doc_id, text FROM documents")}
+SELECT doc_id, len(fps)::BIGINT AS n_fps, fps[1] AS min_fp FROM f""",
+        "winnow_near_dups": f"""
+WITH {_sql_winnow_cte(_U_NEAR)},
+inv AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+hot AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) > 64),
+kept AS (SELECT i.* FROM inv i ANTI JOIN hot h ON i.fp = h.fp),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(fa.fps, fb.fps))
+             / len(list_distinct(list_concat(fa.fps, fb.fps)))::DOUBLE, 4) AS overlap
+FROM cand c JOIN f fa ON c.id_a = fa.doc_id JOIN f fb ON c.id_b = fb.doc_id
+WHERE round(len(list_intersect(fa.fps, fb.fps))
+            / len(list_distinct(list_concat(fa.fps, fb.fps)))::DOUBLE, 4) >= 0.5
+ORDER BY id_a, id_b""",
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
         # embed_docs: the projection itself (crc32 trigram) is not SQL, but
         # its invariants are — dim is the constant 64 and the L2 norm is
         # exactly 1.0 for any text with >=1 trigram (normalisation step,

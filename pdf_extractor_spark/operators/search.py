@@ -239,7 +239,9 @@ def ivf_topk(
     q = np.asarray(list(query_vec), dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
     d = (cents * cents).sum(axis=1) - 2.0 * (cents @ q)
-    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    # stable sort: equal-distance centroids resolve by index, matching the
+    # SQL twin's ORDER BY dist, cid
+    probes = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
     cand = emb_assigned.filter(F.col("list_id").isin(probes))
     scored = cand.withColumn("score", np_cosine_scores(F.col(vec_col), query_vec))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
