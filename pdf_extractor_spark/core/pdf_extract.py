@@ -4,11 +4,12 @@ A from-scratch re-specification of the reference's PDF path
 (reference: app/processing/pdf_processor.py:86-108 delegates to
 ``unstructured.partition_pdf``: page → typed blocks in reading order). Scope
 per SURVEY.md §2.3 E1: a **controlled synthetic subset** of PDF — classic
-(non-compressed) cross-reference PDFs whose page content streams are
-uncompressed and whose text is carried in literal strings with Tj/TJ/'
-operators. No OCR, no font decoding (synthetic corpus uses ASCII/WinAnsi
-text), no object streams — those need the full CPU-impure stack that the
-north_rule's byte-identical requirement excludes.
+cross-reference PDFs whose page content streams are uncompressed or
+FlateDecode-compressed (stdlib zlib inflate — the filter real-world PDFs
+overwhelmingly use) and whose text is carried in literal strings with
+Tj/TJ/' operators. No OCR, no font decoding (synthetic corpus uses
+ASCII/WinAnsi text), no object streams — those need the full CPU-impure
+stack that the north_rule's byte-identical requirement excludes.
 
 Reading order: pages in /Kids order; within a page, BT..ET text objects in
 stream order; each BT..ET object is one block. Page numbers are REAL here
@@ -21,6 +22,7 @@ Spark ``mapInArrow`` operator — byte-identity by construction.
 from __future__ import annotations
 
 import re
+import zlib
 
 from pdf_extractor_spark.core.html_extract import Block, ExtractResult, _norm_ws
 
@@ -31,6 +33,9 @@ _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
 # literal string followed by a text-showing operator (Tj, ', ") or inside a
 # TJ array; PDF strings support balanced parens — one nesting level covered,
@@ -65,6 +70,32 @@ def is_pdf(payload: bytes | None) -> bool:
     return payload is not None and payload[:5] == b"%PDF-"
 
 
+def _stream_bytes(body: bytes) -> bytes | None:
+    """Decoded content-stream bytes of one object body, or None.
+
+    Prefers the dict's ``/Length`` (compressed bytes may coincidentally
+    contain the ``endstream`` marker that the regex fallback keys on), and
+    inflates ``/FlateDecode`` streams via stdlib zlib — deterministic
+    round-trip, no new deps. Any other filter raises → 'failed' status."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None
+    head = body[: sm.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        raw = body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(body, sm.start())
+        if not m:
+            return None
+        raw = m.group(1)
+    if _FLATE_RE.search(head):
+        raw = zlib.decompress(raw)
+    elif b"/Filter" in head:
+        raise ValueError("unsupported stream filter")
+    return raw
+
+
 def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """Parse one synthetic-subset PDF into reading-order page blocks.
 
@@ -92,10 +123,10 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             cm = _CONTENTS_RE.search(page_body)
             if not cm:
                 continue
-            sm = _STREAM_RE.search(objs.get(int(cm.group(1)), b""))
-            if not sm:
+            content = _stream_bytes(objs.get(int(cm.group(1)), b""))
+            if content is None:
                 continue
-            for bt in _BT_RE.finditer(sm.group(1)):
+            for bt in _BT_RE.finditer(content):
                 parts = [
                     _unescape(s.group(1)).decode("latin-1")
                     for s in _STR_RE.finditer(bt.group(1))
@@ -136,17 +167,19 @@ def extract_any(url: str, payload: bytes | None) -> ExtractResult:
 
 # --- deterministic synthetic PDF source (test/bench scaffolding) ------------
 
-def render_pdf(pages: list[list[str]]) -> bytes:
+def render_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     """Build a minimal classic PDF: one content stream per page, one BT..ET
-    text object per paragraph, lines wrapped at ~60 chars. Deterministic."""
+    text object per paragraph, lines wrapped at ~60 chars. Deterministic.
+    ``compress=True`` FlateDecode-compresses the content streams (zlib
+    level default — deterministic for a given input)."""
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
     objs: list[bytes] = []
 
-    def add(body: str) -> int:
-        objs.append(body.encode("latin-1"))
+    def add(body: str | bytes) -> int:
+        objs.append(body if isinstance(body, bytes) else body.encode("latin-1"))
         return len(objs)  # 1-based object number
 
     n_pages = len(pages)
@@ -174,7 +207,15 @@ def render_pdf(pages: list[list[str]]) -> bytes:
             body = " T* ".join(f"({esc(ln)}) Tj" for ln in lines)
             ops.append(f"BT /F1 12 Tf 72 720 Td {body} ET")
         stream = "\n".join(ops)
-        add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
+        if compress:
+            comp = zlib.compress(stream.encode("latin-1"))
+            add(
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode("latin-1")
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -127,8 +127,20 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
         par = _paragraph(rng, WORDS, 3)
         dup_html = render_page(rng, [par], [])
         fa_par = " ".join(rng.choice(FA_WORDS) for _ in range(40)) + "."
+        from pdf_extractor_spark.core.pdf_extract import render_pdf
+
+        pdf_pages = [[par, "second pdf paragraph with more words"], ["pdf page two text body"]]
+        pdf_text = "\n\n".join(p for page in pdf_pages for p in page)
         edge = [
             {"url": "https://edge.test/empty", "html": b"", "text": ""},
+            # PDF flavor rows: the S2 content-type gate must dispatch these
+            # to the PDF extractor (plain + FlateDecode streams)
+            {"url": "https://edge.test/pdf-plain", "html": render_pdf(pdf_pages), "text": pdf_text},
+            {
+                "url": "https://edge.test/pdf-flate",
+                "html": render_pdf(pdf_pages, compress=True),
+                "text": pdf_text,
+            },
             {
                 "url": "https://edge.test/boilerplate-only",
                 "html": (

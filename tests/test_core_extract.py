@@ -5,6 +5,7 @@ link-density pruning, span invariants, empty/malformed paths.
 """
 
 from pdf_extractor_spark.core.html_extract import BLOCK_SEP, extract_html
+from pdf_extractor_spark.core.pdf_extract import extract_any
 from pdf_extractor_spark.sources.pages import expected_main_text, gen_pages
 
 
@@ -104,3 +105,14 @@ def test_unclosed_blocklist_tag_degrades_to_fallback():
     )
     assert r.status == "fallback"
     assert "Main content paragraph here." in r.text
+
+
+def test_pdf_edge_rows_extract_by_construction():
+    """The corpus's PDF rows (plain + FlateDecode) dispatch through the S2
+    gate and round-trip their by-construction text."""
+    rows = [r for r in gen_pages(seed=42, n=5, include_edge_cases=True) if "/pdf-" in r["url"]]
+    assert len(rows) == 2
+    for row in rows:
+        r = extract_any(row["url"], row["html"])
+        assert r.status == "ok"
+        assert r.text == row["text"], row["url"]

@@ -90,3 +90,24 @@ def test_spark_mixed_format_corpus(spark):
     assert len(b_chunks) >= 2
     assert b_chunks[0]["page"] == 1
     assert b_chunks[-1]["page"] == 2
+
+
+def test_flate_compressed_roundtrip():
+    """FlateDecode streams extract byte-identically to uncompressed ones."""
+    plain = extract_pdf("u", render_pdf(PAGES))
+    comp_bytes = render_pdf(PAGES, compress=True)
+    assert b"/FlateDecode" in comp_bytes
+    comp = extract_pdf("u", comp_bytes)
+    assert comp.status == "ok"
+    assert comp.text == plain.text
+    assert [(b.page, b.span_start, b.span_end) for b in comp.blocks] == [
+        (b.page, b.span_start, b.span_end) for b in plain.blocks
+    ]
+
+
+def test_unsupported_filter_fails_cleanly():
+    data = render_pdf(PAGES).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length", 1)
+    r = extract_pdf("u", data)
+    # the filtered page fails (its stream raises) -> whole parse degrades to
+    # failed, never garbage text
+    assert r.status == "failed" and r.text == ""

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.core.chunker import chunk_text
-from pdf_extractor_spark.core.html_extract import extract_html
+from pdf_extractor_spark.core.pdf_extract import extract_any
 from pdf_extractor_spark.operators.extract import chunk_docs, extract_chunks, extract_docs
 from pdf_extractor_spark.operators.partitioning import size_balanced
 
@@ -16,7 +16,7 @@ from pdf_extractor_spark.operators.partitioning import size_balanced
 def _oracle_digests(pages_parquet: str) -> dict[str, str]:
     rows = pq.read_table(pages_parquet, columns=["url", "html"]).to_pylist()
     return {
-        r["url"]: hashlib.sha256(extract_html(r["url"], r["html"]).text.encode()).hexdigest()
+        r["url"]: hashlib.sha256(extract_any(r["url"], r["html"]).text.encode()).hexdigest()
         for r in rows
     }
 
@@ -50,7 +50,7 @@ def test_chunk_rows_match_oracle(spark, pages_parquet):
     rows = pq.read_table(pages_parquet, columns=["url", "html"]).to_pylist()
     n_nonempty = 0
     for row in rows:
-        ex = extract_html(row["url"], row["html"])
+        ex = extract_any(row["url"], row["html"])
         expected = chunk_text(row["url"], ex.text, [b.span_start for b in ex.blocks])
         got = sorted(by_url.get(row["url"], []), key=lambda r: r["chunk_index"])
         assert len(got) == len(expected), row["url"]
