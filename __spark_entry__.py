@@ -161,6 +161,39 @@ def q_extract_blocks(spark, sf_dir):
     )
 
 
+def _pages_with_table(docs: DataFrame) -> DataFrame:
+    """(url, html): <p>text</p> plus a 2x2 table built from (source, lang)."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit(_PRE + "<p>"),
+            F.col("text"),
+            F.lit("</p><table><tr><th>source</th><th>lang</th></tr><tr><td>"),
+            F.col("source"),
+            F.lit("</td><td>"),
+            F.col("lang"),
+            F.lit("</td></tr></table>" + _POST),
+        )
+        .cast("binary")
+        .alias("html"),
+    )
+
+
+def q_extract_tables(spark, sf_dir):
+    """E6/P9: tables coalesce to one kind='table' block carrying canonical
+    text_as_html markup (reference pdf_processor.py:143-144 coalesce)."""
+    res = extract_docs(_pages_with_table(_docs(spark, sf_dir)))
+    b = res.select("url", "text", F.explode("blocks").alias("b")).filter(
+        F.col("b.kind") == "table"
+    )
+    return b.select(
+        "url",
+        F.col("b.block_index").cast("int").alias("block_index"),
+        F.expr("substring(text, b.span_start + 1, b.span_end - b.span_start)").alias("table_text"),
+        F.col("b.html").alias("table_html"),
+    )
+
+
 def q_chunk_fixed(spark, sf_dir):
     """E4 (fixed-window member): deterministic chunk ids + spans; text
     repeated x4 so every doc yields multiple chunks."""
@@ -402,7 +435,16 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal: binary payload + typed metadata → feature rows (decode
     stubbed with the deterministic fake; plumbing is real)."""
     media = media_from_documents(_docs(spark, sf_dir))
-    return decode_media(media, fake=True).select("media_id", "kind", "n_bytes", "payload_sha")
+    features = decode_media(media, fake=True).select("media_id", "kind", "n_bytes", "payload_sha")
+    # P3: base64 payload projection (reference returns b64 image crops,
+    # pdf_processor.py:157-187) — JVM built-in, joined on media_id
+    # F.base64 MIME-wraps at 76 chars; strip to RFC-4648 single-line form
+    # (what Python's b64encode — the reference's encoder — produces)
+    b64 = media.select(
+        "media_id",
+        F.regexp_replace(F.base64(F.col("payload")), "[\\r\\n]", "").alias("payload_b64"),
+    )
+    return features.join(b64, "media_id")
 
 
 def q_frame_sample(spark, sf_dir):
@@ -524,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_blocks": q_extract_blocks,
+        "extract_tables": q_extract_tables,
         "chunk_fixed": q_chunk_fixed,
         "doc_hash": q_doc_hash,
         "filter_project": q_filter_project,
@@ -753,6 +796,12 @@ UNION ALL
 SELECT 'doc://' || doc_id, 1, 'text',
        (length(source) + 2)::BIGINT, (length(source) + 2 + length(text))::BIGINT, text
 FROM documents""",
+        "extract_tables": """
+SELECT 'doc://' || doc_id AS url, 1 AS block_index,
+       'source lang ' || source || ' ' || lang AS table_text,
+       '<table><tr><td>source</td><td>lang</td></tr><tr><td>' || source ||
+       '</td><td>' || lang || '</td></tr></table>' AS table_html
+FROM documents""",
         "chunk_fixed": """
 WITH t AS (SELECT doc_id, repeat(text || ' ', 4) AS t4 FROM documents),
 ks AS (SELECT doc_id, t4,
@@ -919,7 +968,8 @@ FROM documents""",
         "multimodal_features": """
 SELECT doc_id::VARCHAR AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS payload_sha
+       octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS payload_sha,
+       to_base64(encode(text)) AS payload_b64
 FROM documents""",
         "extract_images": (
             "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "

@@ -72,6 +72,9 @@ class Block:
     span_start: int
     span_end: int
     page: int = 1  # real page number in the PDF flavor; 1 for HTML
+    # canonical rebuilt markup for kind='table' (P9 text_as_html coalesce,
+    # reference app/processing/pdf_processor.py:143-144); None otherwise
+    html: str | None = None
 
 
 @dataclass
@@ -91,13 +94,29 @@ def _norm_ws(s: str) -> str:
 
 
 class _RawBlock:
-    __slots__ = ("kind", "parts", "link_chars", "total_chars")
+    __slots__ = ("kind", "parts", "link_chars", "total_chars", "html")
 
     def __init__(self, kind: str) -> None:
         self.kind = kind
         self.parts: list[str] = []
         self.link_chars = 0
         self.total_chars = 0
+        self.html: str | None = None
+
+
+def _render_table_html(rows: list[list[str]]) -> str:
+    """Canonical table markup from captured cell texts — the engine's
+    ``text_as_html``: uniform <td> cells, entities escaped, no attributes.
+    (The reference emits unstructured's generated markup, likewise a
+    normalised rebuild rather than the raw source bytes.)"""
+
+    def esc(c: str) -> str:
+        return c.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    body = "".join(
+        "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in row) + "</tr>" for row in rows if row
+    )
+    return f"<table>{body}</table>"
 
 
 class _MainContentParser(HTMLParser):
@@ -112,6 +131,13 @@ class _MainContentParser(HTMLParser):
         self._skip_depth = 0
         self._anchor_depth = 0
         self._kind_stack: list[str] = []
+        # table capture (E6/P9): a whole <table> coalesces into ONE block of
+        # kind 'table' (inner tags never break it) while its cell texts are
+        # recorded for the canonical text_as_html rebuild
+        self._table_depth = 0
+        self._table_rows: list[list[str]] = []
+        self._cell_parts: list[str] | None = None
+        self._table_block: _RawBlock | None = None
 
     # -- tag kind bookkeeping ------------------------------------------------
     def _kind_for(self, tag: str) -> str:
@@ -144,6 +170,28 @@ class _MainContentParser(HTMLParser):
         if tag == "a":
             self._anchor_depth += 1
             return
+        if tag == "table":
+            self._break_block()
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self._table_rows = []
+                self._cell_parts = None
+                self._table_block = None
+                self._kind_stack.append("table")
+            return
+        if self._table_depth > 0:
+            # inside a table no tag breaks the block — the table is one
+            # block; cell boundaries are captured for the html rebuild and
+            # every tag contributes a space join so cell texts don't fuse
+            if tag == "tr":
+                self._table_rows.append([])
+            elif tag in ("td", "th"):
+                if not self._table_rows:
+                    self._table_rows.append([])
+                self._cell_parts = []
+            if self._cur is not None:
+                self._cur.parts.append(" ")
+            return
         if tag in BLOCK_TAGS:
             self._break_block()
             kind = self._kind_for(tag)
@@ -162,6 +210,27 @@ class _MainContentParser(HTMLParser):
         if tag == "a":
             if self._anchor_depth > 0:
                 self._anchor_depth -= 1
+            return
+        if tag == "table":
+            if self._table_depth > 0:
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    if self._cell_parts is not None and self._table_rows:
+                        # unclosed cell at table end
+                        self._table_rows[-1].append(_norm_ws("".join(self._cell_parts)))
+                        self._cell_parts = None
+                    if self._table_block is not None:
+                        self._table_block.html = _render_table_html(self._table_rows)
+                    if self._kind_stack and self._kind_stack[-1] == "table":
+                        self._kind_stack.pop()
+                    self._break_block()
+            return
+        if self._table_depth > 0:
+            if tag in ("td", "th") and self._cell_parts is not None and self._table_rows:
+                self._table_rows[-1].append(_norm_ws("".join(self._cell_parts)))
+                self._cell_parts = None
+            if self._cur is not None:
+                self._cur.parts.append(" ")
             return
         if tag in BLOCK_TAGS:
             self._break_block()
@@ -194,6 +263,11 @@ class _MainContentParser(HTMLParser):
         self._cur.total_chars += norm_len
         if self._anchor_depth > 0:
             self._cur.link_chars += norm_len
+        if self._table_depth > 0:
+            if self._table_block is None:
+                self._table_block = self._cur
+            if self._cell_parts is not None:
+                self._cell_parts.append(data)
 
 
 _TAG_RE = re.compile(rb"<[^>]*>")
@@ -246,23 +320,23 @@ def extract_html(url: str, html: bytes | None) -> ExtractResult:
         parser = _MainContentParser()
         parser.feed(decoded)
         parser.close()
-        kept: list[tuple[str, str]] = []
+        kept: list[tuple[str, str, str | None]] = []
         for rb in parser.blocks:
             text = _norm_ws("".join(rb.parts))
             if _keep_block(rb, text):
-                kept.append((rb.kind, text))
+                kept.append((rb.kind, text, rb.html))
         status = "fallback" if lossy else "ok"
         if not kept and parser._skip_depth > 0:
             # malformed page: an unclosed blocklist tag (e.g. <nav> never
             # closed) swallowed the whole document — degrade like the
             # reference's hi_res→fast ladder instead of returning nothing
             text = _fallback_extract(html)
-            kept = [("text", text)] if text else []
+            kept = [("text", text, None)] if text else []
             status = "fallback"
     except Exception:
         try:
             text = _fallback_extract(html)
-            kept = [("text", text)] if text else []
+            kept = [("text", text, None)] if text else []
             status = "fallback"
         except Exception:
             return ExtractResult(url=url, status="failed", text="", blocks=[])
@@ -270,10 +344,12 @@ def extract_html(url: str, html: bytes | None) -> ExtractResult:
     blocks: list[Block] = []
     pieces: list[str] = []
     pos = 0
-    for i, (kind, text) in enumerate(kept):
+    for i, (kind, text, thtml) in enumerate(kept):
         if i > 0:
             pos += len(BLOCK_SEP)
-        blocks.append(Block(index=i, kind=kind, text=text, span_start=pos, span_end=pos + len(text)))
+        blocks.append(
+            Block(index=i, kind=kind, text=text, span_start=pos, span_end=pos + len(text), html=thtml)
+        )
         pieces.append(text)
         pos += len(text)
     images = parser.images if status != "failed" and "parser" in locals() else []

@@ -46,6 +46,7 @@ def _block_dicts(blocks) -> list[dict]:
         {
             "block_index": b.index, "kind": b.kind,
             "span_start": b.span_start, "span_end": b.span_end, "page": b.page,
+            "html": b.html,
         }
         for b in blocks
     ]

@@ -29,6 +29,10 @@ BLOCK_STRUCT = T.StructType(
         T.StructField("span_start", T.LongType(), False),
         T.StructField("span_end", T.LongType(), False),
         T.StructField("page", T.IntegerType(), False),
+        # canonical rebuilt markup for kind='table' blocks (P9 text_as_html
+        # coalesce, reference app/processing/pdf_processor.py:143-144); NULL
+        # for every other kind
+        T.StructField("html", T.StringType(), True),
     ]
 )
 
@@ -59,6 +63,7 @@ DOCS_ARROW = pa.schema(
                         pa.field("span_start", pa.int64()),
                         pa.field("span_end", pa.int64()),
                         pa.field("page", pa.int32()),
+                        pa.field("html", pa.string()),
                     ]
                 )
             ),

@@ -1,0 +1,47 @@
+"""Ad-hoc file ingestion — the batch re-spec of the reference's URL source.
+
+The reference's S5 surface downloads a document over HTTP(S) and feeds it to
+the extractor (reference: app/storage/storage_service.py:173-193, called from
+the /vectorize-url endpoint). A batch engine ingests from storage, not from a
+live socket: crawled payloads land as files (or WARC dumps) on the object
+store and enter the pipeline through Spark's built-in ``binaryFile``
+datasource, which provides distributed listing, path-glob filtering, and
+predicate pushdown on (path, modificationTime, length) — the batch
+equivalents of per-URL fetch, content-type gate, and size guard.
+
+The output shape matches the pages input table (BASELINE.json input_hint):
+(url, warc_ts, html) — feed it straight to operators/extract.py or
+pipeline.run_extraction. The production path remains the Iceberg pages
+table; this closes the loop for ad-hoc corpora without a catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_binary_pages(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Directory/glob of raw page files → pages DataFrame (url, warc_ts, html).
+
+    ``glob`` filters filenames at LISTING time (pathGlobFilter — skipped
+    files are never opened); ``max_bytes`` is pushed down on the file
+    ``length`` column so oversized payloads are pruned before read — the
+    reference's upload size guard (S7 bounds), enforced at the scan.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+    )

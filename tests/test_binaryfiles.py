@@ -1,0 +1,28 @@
+"""Ad-hoc binaryFile ingestion (S5 re-spec): files → pages → extraction."""
+
+from pdf_extractor_spark.core.pdf_extract import render_pdf
+from pdf_extractor_spark.operators.extract import extract_docs
+from pdf_extractor_spark.sources.binaryfiles import read_binary_pages
+
+
+def test_read_binary_pages_and_extract(spark, tmp_path):
+    (tmp_path / "a.html").write_bytes(
+        b"<html><body><article><p>hello binary world</p></article></body></html>"
+    )
+    (tmp_path / "b.pdf").write_bytes(render_pdf([["pdf body text"]]))
+    (tmp_path / "skip.bin").write_bytes(b"x" * 100)
+
+    pages = read_binary_pages(spark, str(tmp_path), glob="*.{html,pdf}")
+    assert set(pages.columns) == {"url", "warc_ts", "html"}
+    assert pages.count() == 2
+    got = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in extract_docs(pages).collect()}
+    assert got["a.html"] == "hello binary world"
+    assert got["b.pdf"] == "pdf body text"
+
+
+def test_max_bytes_prunes_large_files(spark, tmp_path):
+    (tmp_path / "small.html").write_bytes(b"<p>tiny</p>")
+    (tmp_path / "large.html").write_bytes(b"<p>" + b"x" * 4096 + b"</p>")
+    pages = read_binary_pages(spark, str(tmp_path), max_bytes=1024)
+    urls = [r["url"] for r in pages.select("url").collect()]
+    assert len(urls) == 1 and urls[0].endswith("small.html")

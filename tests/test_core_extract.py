@@ -116,3 +116,30 @@ def test_pdf_edge_rows_extract_by_construction():
         r = extract_any(row["url"], row["html"])
         assert r.status == "ok"
         assert r.text == row["text"], row["url"]
+
+
+def test_table_coalesces_to_one_block_with_html():
+    """E6/P9: a <table> becomes ONE block of kind 'table' whose text is the
+    cell texts in reading order and whose .html is the canonical rebuild."""
+    html = (
+        b"<html><body><article><p>intro</p>"
+        b"<table><thead><tr><th>a&b</th><th>h2</th></tr></thead>"
+        b"<tbody><tr><td>c1 <b>bold</b></td><td>c2</td></tr></tbody></table>"
+        b"<p>outro</p></article></body></html>"
+    )
+    r = extract_html("u", html)
+    kinds = [b.kind for b in r.blocks]
+    assert kinds == ["text", "table", "text"]
+    t = r.blocks[1]
+    assert t.text == "a&b h2 c1 bold c2"
+    assert r.text[t.span_start:t.span_end] == t.text
+    assert t.html == (
+        "<table><tr><td>a&amp;b</td><td>h2</td></tr>"
+        "<tr><td>c1 bold</td><td>c2</td></tr></table>"
+    )
+    assert r.blocks[0].html is None and r.blocks[2].html is None
+
+
+def test_unclosed_table_still_extracts_text():
+    r = extract_html("u", b"<body><table><tr><td>cell one</td><td>cell two")
+    assert "cell one" in r.text and "cell two" in r.text
