@@ -13,8 +13,9 @@ from pyspark.sql import SparkSession
 # Arrow batches carry whole HTML payloads — keep record counts low so a batch
 # of giant pages fits executor memory (SURVEY.md §4: the reference bounds RAM
 # with 8KB/64KB streaming reads, app/storage/storage_service.py:160-163; the
-# columnar analog is a small maxRecordsPerBatch).
-ARROW_BATCH_RECORDS = 128
+# columnar analog is a small maxRecordsPerBatch). Corpora with a known small
+# page-size ceiling can raise this to cut per-batch overhead.
+ARROW_BATCH_RECORDS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "128"))
 
 
 def get_spark(app_name: str = "pdf_extractor_spark", master: str | None = None,

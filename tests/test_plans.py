@@ -82,3 +82,25 @@ def test_resume_antijoin_prunes_columns(spark, tmp_path, docs):
     plan = plan_of(probe)
     # the committed-side scan reads exactly the hash column
     assert "ReadSchema: struct<doc_hash:string>" in plan, plan
+
+
+def test_search_payload_join_is_broadcast(spark):
+    """P5: the k-row hits side must broadcast — the big chunks table is
+    never shuffled for a payload lookup."""
+    from pdf_extractor_spark.operators.search import search_chunks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumnRenamed(
+        "vec_id", "chunk_id"
+    )
+    chunks = emb.select(
+        "chunk_id",
+        F.concat(F.lit("doc://"), F.col("chunk_id")).alias("url"),
+        F.lit("payload text").alias("text"),
+        F.lit(1).alias("page"),
+        F.lit("General").alias("section"),
+        F.lit("text").alias("content_type"),
+    )
+    plan = plan_of(search_chunks(emb, chunks, [0.1] * 64, k=5, key_col="chunk_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    # never a shuffle join: the big chunks side must stay in place
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan, plan
