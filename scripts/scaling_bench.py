@@ -32,7 +32,7 @@ def run_bench_once(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
-def run_bench(cpus: int, sf_dir: str, repeats: int = 3) -> dict:
+def run_bench(cpus: int, sf_dir: str, repeats: int = 5) -> dict:
     """Best-of-k per query: this sandbox VM shows heavy steal-time noise
     (single runs vary 2-5x at high thread counts); the per-query minimum is
     the least-biased estimate of true cost."""
