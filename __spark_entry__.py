@@ -377,6 +377,18 @@ def q_dedup_keep_first(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Corpus curation composite: language select + quality gate + exact
+    dedup in one declarative plan (operators/curate.py) over the
+    dup-injected set."""
+    from pdf_extractor_spark.operators.curate import curate_corpus
+
+    out = curate_corpus(
+        _union_with_dups(_docs(spark, sf_dir)), langs=("en",), min_tokens=20, min_quality=0.3
+    )
+    return out.select("doc_id", "lang_pred", "n_tokens", "quality")
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Dedup (MinHash): 16-hash signature columns, pure Column exprs."""
     return DD.with_minhash(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
@@ -583,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dups": q_exact_dups,
         "dedup_keep_first": q_dedup_keep_first,
+        "curate_corpus": q_curate_corpus,
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -743,6 +756,40 @@ SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.35
 ORDER BY id_a, id_b"""
+
+
+def _sql_curate() -> str:
+    """SQL twin of operators/curate.py::curate_corpus over the dup-injected
+    union — lang-ID, guarded quality features, filter, then keep-first."""
+    from pdf_extractor_spark.functions.text import LANG_MARKERS, LANG_ORDER
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        arr = "['" + "','".join(LANG_MARKERS[lang]) + "']"
+        hit_cols.append(f"len(list_filter(toks, t2 -> list_contains({arr}, t2))) AS c_{lang}")
+    best = f"greatest({', '.join('c_' + lang for lang in LANG_ORDER)})"
+    case = "CASE " + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
+    ) + " ELSE 'und' END"
+    return f"""
+WITH u AS ({_U_DUPS}),
+t AS (SELECT doc_id, text, {_TOKS} AS toks,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr
+      FROM u),
+s AS (SELECT *, {', '.join(hit_cols)} FROM t),
+b AS (SELECT *, {best} AS best FROM s),
+f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
+             round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
+             {case} AS lang_pred
+      FROM b)
+SELECT doc_id, lang_pred, n_tokens, quality FROM f
+WHERE lang_pred IN ('en') AND n_tokens >= 20 AND quality >= 0.3
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""
 
 
 def _sql_winnow_cte(src: str) -> str:
@@ -937,6 +984,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
 ORDER BY id_a, id_b""",
+        "curate_corpus": _sql_curate(),
         "winnow_fingerprints": f"""
 WITH {_sql_winnow_cte("SELECT doc_id, text FROM documents")}
 SELECT doc_id, len(fps)::BIGINT AS n_fps, fps[1] AS min_fp FROM f""",

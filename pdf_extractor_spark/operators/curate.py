@@ -1,0 +1,54 @@
+"""Corpus curation — the composed LLM training-data filter pass.
+
+What a 100 TB pretraining pipeline runs between raw extraction and
+tokenization: language selection, quality gating, and exact deduplication,
+composed as ONE declarative plan. All scalar features are JVM Column
+expressions (functions/text.py — whole-stage codegen, zero Python), so the
+entire pass is a single scan plus exactly one shuffle (the dedup hash-agg);
+Catalyst pushes the language/quality predicates beneath everything else.
+
+The reference has no curation stage (it ingests single uploads); this is the
+batch generalization of its accept/reject gates (content-type, size bounds —
+app/api/endpoints.py:53-66) to corpus scale. Near-duplicate removal composes
+on top via operators/dedup.py (minhash_near_duplicates on the survivors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions import text as TXT
+from pdf_extractor_spark.operators.dedup import dedup_exact
+
+
+def curate_corpus(
+    docs: DataFrame,
+    langs: Sequence[str] = ("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-select + quality-gate + exact-dedup in one plan.
+
+    Adds ``lang_pred`` / ``n_tokens`` / ``quality`` columns, keeps rows
+    whose predicted language is in ``langs`` with at least ``min_tokens``
+    whitespace tokens and rounded quality >= ``min_quality``, then keeps one
+    representative per identical text (lowest ``id_col``). Filters run
+    before the dedup shuffle, so rejected docs never shuffle at all.
+    """
+    t = F.col(text_col)
+    scored = (
+        docs.withColumn("n_tokens", TXT.token_count(t).cast("long"))
+        .withColumn("quality", F.round(TXT.quality_score(t), 4))
+        .withColumn("lang_pred", TXT.lang_id(t))
+    )
+    kept = scored.filter(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    return dedup_exact(kept, text_col=text_col, order_col=id_col)

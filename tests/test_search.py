@@ -76,3 +76,27 @@ def test_null_and_ragged_embeddings_score_zero(spark):
         "vec_id", lsh_bucket_col(F.col("embedding"), _hyperplanes(4, 3)).alias("b")
     ).collect()
     assert all(r["b"] is not None for r in buckets)
+
+
+def test_bucketed_table_write_prunes_partitions(spark, tmp_path, emb_df):
+    """The ANN scale path: a table written partitioned by bucket_id turns the
+    probe filter into partition pruning — the scan never touches other
+    buckets' files."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.search import _hyperplanes, lsh_bucket_col
+
+    df, _rows = emb_df
+    planes = _hyperplanes(32, 3)
+    path = str(tmp_path / "emb_by_bucket")
+    df.withColumn("bucket_id", lsh_bucket_col(F.col("embedding"), planes)).write.partitionBy(
+        "bucket_id"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    probed = back.filter(F.col("bucket_id").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_id" in plan.split("PartitionFilters")[1][:200], plan
+    # and the pruned scan still returns exactly the probed buckets' rows
+    total = back.filter(F.col("bucket_id").isin([0, 1])).count()
+    assert probed.count() == total

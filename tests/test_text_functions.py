@@ -112,3 +112,26 @@ def test_shingles_spec(spark):
     df2 = spark.createDataFrame([("a b",)], "text string")
     got2 = df2.select(TXT.shingles(TXT.tokens(F.col("text")), k=3).alias("sh")).collect()[0]["sh"]
     assert got2 == ["a b"]
+
+
+def test_curate_corpus_filters_and_dedups(spark):
+    """Curation composite: language gate, token/quality floors, keep-first
+    exact dedup — in one plan."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.curate import curate_corpus
+
+    good = "the data table is in the scan and the join is on the key " * 3
+    rows = [
+        (1, good),                     # passes
+        (2, good),                     # exact dup of 1 -> dropped (keep-first)
+        (3, "der die das und ist nicht ein mit von zu " * 5),  # german -> dropped
+        (4, "the a of to in"),         # too few tokens -> dropped
+        (5, "12345 67890 " * 20 + "the of is"),  # digit-heavy -> quality < 0.3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(df, langs=("en",), min_tokens=20, min_quality=0.3)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1}
+    row = out.collect()[0]
+    assert row["lang_pred"] == "en" and row["n_tokens"] >= 20 and row["quality"] >= 0.3
