@@ -377,6 +377,14 @@ def q_dedup_keep_first(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Corpus-statistics text analysis: top-3 TF-IDF terms per document
+    (operators/keywords.py — two hash-aggs + broadcastable DF join)."""
+    from pdf_extractor_spark.operators.keywords import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3).select("doc_id", "term", "tf", "tfidf", "rank")
+
+
 def q_curate_corpus(spark, sf_dir):
     """Corpus curation composite: language select + quality gate + exact
     dedup in one declarative plan (operators/curate.py) over the
@@ -596,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": q_exact_dups,
         "dedup_keep_first": q_dedup_keep_first,
         "curate_corpus": q_curate_corpus,
+        "tfidf_topk": q_tfidf_topk,
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -985,6 +994,17 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
 ORDER BY id_a, id_b""",
         "curate_corpus": _sql_curate(),
+        "tfidf_topk": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n / dfx.df::DOUBLE), 4) AS tfidf
+      FROM tf JOIN dfx USING (term), n)
+SELECT doc_id, term, tf, tfidf,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term))::BIGINT AS rank
+FROM s QUALIFY rank <= 3""",
         "winnow_fingerprints": f"""
 WITH {_sql_winnow_cte("SELECT doc_id, text FROM documents")}
 SELECT doc_id, len(fps)::BIGINT AS n_fps, fps[1] AS min_fp FROM f""",

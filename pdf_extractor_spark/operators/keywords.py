@@ -1,0 +1,66 @@
+"""TF-IDF keyword extraction — corpus-statistics text analysis.
+
+Per-document keywords need a corpus-level statistic (document frequency), so
+unlike functions/text.py scalars this operator is genuinely relational:
+
+    docs → explode tokens → per-(doc, term) TF     (shuffle 1: doc+term agg)
+         → per-term DF over the corpus            (shuffle 2: term agg)
+         → TF x IDF join on term → top-k per doc  (window over doc partitions)
+
+Scale notes (10^12 docs): both aggregations are hash-aggs with map-side
+partial combine (the token explosion never materializes unaggregated through
+a shuffle — Spark combines per-partition before exchanging). The DF table is
+|vocabulary| rows — orders of magnitude smaller than the corpus — so AQE
+broadcasts it into the TF side; at warehouse scale it is a written,
+reusable dictionary table. The final top-k window partitions by doc_id,
+which is the same key TF is already shuffled on.
+
+The reference has no corpus statistics (single-document service); this is
+the standard keyword/feature-extraction pass an LLM-data pipeline runs for
+topic balancing and quality signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import tokens
+
+
+def doc_term_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, term, tf) — whitespace terms of the lowercased text."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (ties → lexicographic term).
+
+    idf = ln(N / df) with raw counts (no smoothing — the spec shared with
+    the SQL oracle); score rounded to 4 decimals before ranking so both
+    engines rank identically.
+    """
+    n_docs = docs.count()  # one tiny job; at warehouse scale a known stat
+    tf = doc_term_freq(docs, text_col, id_col)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tbl, "term").select(
+        F.col(id_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

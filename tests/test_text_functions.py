@@ -135,3 +135,21 @@ def test_curate_corpus_filters_and_dedups(spark):
     assert got == {1}
     row = out.collect()[0]
     assert row["lang_pred"] == "en" and row["n_tokens"] >= 20 and row["quality"] >= 0.3
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """Corpus-wide terms get IDF 0; doc-unique terms rank top."""
+    from pdf_extractor_spark.operators.keywords import tfidf_topk
+
+    rows = [
+        (1, "common common zebra zebra zebra"),
+        (2, "common common yak"),
+        (3, "common walrus walrus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in tfidf_topk(df, k=2).collect()}
+    assert out[(1, 1)][0] == "zebra"
+    assert out[(2, 1)][0] == "yak"
+    assert out[(3, 1)][0] == "walrus"
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    assert all(v[1] == 0.0 for k, v in out.items() if v[0] == "common")
