@@ -377,6 +377,31 @@ def q_dedup_keep_first(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_sessions(spark, sf_dir):
+    """Event-time sessionization (gap 10 min) — batch form of the streaming
+    session semantics; oracle is an independent gaps-and-islands SQL."""
+    from pdf_extractor_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap="10 minutes").select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"), "total_value",
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event_type."""
+    from pdf_extractor_spark.operators.events import windowed_type_counts
+
+    return windowed_type_counts(_events(spark, sf_dir), size="1 hour").select(
+        "event_type", "window_start",
+        F.col("n_events").cast("long").alias("n_events"), "total_value",
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus-statistics text analysis: top-3 TF-IDF terms per document
     (operators/keywords.py — two hash-aggs + broadcastable DF join)."""
@@ -605,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "curate_corpus": q_curate_corpus,
         "tfidf_topk": q_tfidf_topk,
+        "events_sessions": q_events_sessions,
+        "events_windowed": q_events_windowed,
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -994,6 +1021,27 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
 ORDER BY id_a, id_b""",
         "curate_corpus": _sql_curate(),
+        # sessions: new session iff gap STRICTLY exceeds 10 min (Spark merges
+        # sessions that touch exactly); end = last event + gap
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id, sid""",
+        "events_windowed": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         "tfidf_topk": f"""
 WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE trim(text) <> ''),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),

@@ -1,0 +1,67 @@
+"""Event-time operators over the events stream table — batch forms of the
+Structured Streaming windowing semantics (streaming/pipeline.py runs the
+same shapes with watermarks).
+
+Both are single hash-agg shuffles on their grouping keys; session windows
+use Spark's native ``session_window`` (gap-based merge inside the agg — no
+self-join, no window-function sort over the whole stream), which is the
+shape that survives 10^12 events. The DuckDB oracles re-derive sessions via
+the classic gaps-and-islands formulation, so the semantics (new session iff
+gap >= threshold; session end = last event + gap) are value-checked against
+an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user gap-based sessions: (user, session_start, session_end,
+    n_events, total_value). session_end = last event + gap (Spark
+    session_window semantics)."""
+    return (
+        events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def windowed_type_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time windows per key: (key, window_start, n_events,
+    total_value) — the batch twin of the streaming watermarked counter."""
+    return (
+        events.groupBy(F.col(key_col), F.window(F.col(ts_col), size))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,45 @@
+"""Event-time operators: gap sessions + tumbling windows."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.events import sessionize, windowed_type_counts
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, _ts(0), 1.0), (1, _ts(5), 1.0),      # session A (gap 5 < 10)
+        (1, _ts(15), 1.0),                        # exactly +10 -> still A (touching merges)
+        (1, _ts(26), 1.0),                        # +11 > gap -> NEW session B
+        (2, _ts(0), 2.5),                         # one-event session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"], r["total_value"])
+        for r in sessionize(df, gap="10 minutes").collect()
+    }
+    assert got[(1, _ts(0))] == (3, _ts(25), 3.0)
+    assert got[(1, _ts(26))] == (1, _ts(36), 1.0)
+    assert got[(2, _ts(0))] == (1, _ts(10), 2.5)
+
+
+def test_windowed_type_counts(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 2.0),
+        ("a", dt.datetime(2024, 1, 1, 1, 5), 4.0),
+        ("b", dt.datetime(2024, 1, 1, 0, 30), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["total_value"])
+        for r in windowed_type_counts(df, size="1 hour").collect()
+    }
+    assert got[("a", dt.datetime(2024, 1, 1, 0, 0))] == (2, 3.0)
+    assert got[("a", dt.datetime(2024, 1, 1, 1, 0))] == (1, 4.0)
+    assert got[("b", dt.datetime(2024, 1, 1, 0, 0))] == (1, 8.0)
