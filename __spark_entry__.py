@@ -432,6 +432,23 @@ def q_minhash_near_dups(spark, sf_dir):
     return DD.minhash_near_duplicates(_union_with_near_dups(_docs(spark, sf_dir)), threshold=0.5)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup: incoming batch (near-copies + genuinely fresh
+    reversed-text docs) filtered against the committed corpus signature
+    table — only survivors return (dedup.dedup_against_corpus)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus_sig = DD.minhash_sig_table(docs)
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra appended tail words")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), F.reverse(F.col("text")).alias("text")
+    )
+    out = DD.dedup_against_corpus(near.unionAll(fresh), corpus_sig, threshold=0.5)
+    return out.select("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """Dedup (SimHash): 32-bit per-doc signature via bit votes."""
     return DD.simhash_df(_docs(spark, sf_dir))
@@ -634,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_incremental": q_dedup_incremental,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -792,6 +810,50 @@ SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.35
 ORDER BY id_a, id_b"""
+
+
+def _sql_sig_chain(pfx: str, src: str) -> str:
+    """CTE chain ``{pfx}t → {pfx}sig → {pfx}keys`` computing MinHash
+    signatures + LSH band keys for a (doc_id, text) source — shared SQL twin
+    of dedup.minhash_sig_table + lsh_band_keys."""
+    band_keys = ", ".join(
+        f"md5('{b}' || '|' || mh{4 * b} || '|' || mh{4 * b + 1} || '|' || mh{4 * b + 2} || '|' || mh{4 * b + 3}) AS bk{b}"
+        for b in range(4)
+    )
+    band_unnest = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS band_key FROM {pfx}bands" for b in range(4)
+    )
+    return f"""
+{pfx}t AS (SELECT doc_id, {_TOKS} AS toks FROM ({src})),
+{pfx}shg AS (SELECT doc_id, {_SH3} AS sh FROM {pfx}t),
+{pfx}hx AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM {pfx}shg),
+{pfx}sig AS (SELECT doc_id, sh, {_sql_minhash_cols('hs')} FROM {pfx}hx),
+{pfx}bands AS (SELECT doc_id, {band_keys} FROM {pfx}sig),
+{pfx}keys AS ({band_unnest})"""
+
+
+_INCOMING = (
+    "SELECT doc_id+10000 AS doc_id, text || ' extra appended tail words' AS text "
+    "FROM documents WHERE doc_id % 25 = 0 "
+    "UNION ALL SELECT doc_id+20000, reverse(text) FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+def _sql_dedup_incremental() -> str:
+    return f"""
+WITH {_sql_sig_chain('c', 'SELECT doc_id, text FROM documents')},
+{_sql_sig_chain('i', _INCOMING)},
+big AS (SELECT band, band_key FROM ckeys GROUP BY band, band_key HAVING count(*) > 64),
+ck AS (SELECT k.* FROM ckeys k ANTI JOIN big b ON k.band = b.band AND k.band_key = b.band_key),
+cand AS (SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM ikeys i JOIN ck c ON i.band = c.band AND i.band_key = c.band_key),
+dup AS (SELECT DISTINCT cand.new_id
+        FROM cand
+        JOIN ishg isd ON cand.new_id = isd.doc_id
+        JOIN cshg csd ON cand.corpus_id = csd.doc_id
+        WHERE round(len(list_intersect(isd.sh, csd.sh))
+                    / len(list_distinct(list_concat(isd.sh, csd.sh)))::DOUBLE, 4) >= 0.5)
+SELECT inc.doc_id FROM ({_INCOMING}) inc ANTI JOIN dup ON inc.doc_id = dup.new_id"""
 
 
 def _sql_curate() -> str:
@@ -1005,6 +1067,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN shg sa ON c.id_a = sa.doc_id JOIN shg sb ON c.id_b = sb.doc_id
 WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= 0.5
 ORDER BY id_a, id_b""",
+        "dedup_incremental": _sql_dedup_incremental(),
         "simhash": _sql_simhash("SELECT doc_id, text FROM documents"),
         "simhash_near_dups": f"""
 WITH s AS ({_sql_simhash(_U_NEAR)})

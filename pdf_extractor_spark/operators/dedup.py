@@ -285,6 +285,51 @@ def minhash_near_duplicates(
     return _attach_caches(out, sig)
 
 
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental near-dup filter: drop incoming docs that are near-dups of
+    an already-committed corpus. Returns the surviving ``new_docs`` rows.
+
+    ``corpus_sig`` is the committed signature table — the output of
+    :func:`minhash_sig_table` over the corpus, WRITTEN ONCE at corpus build
+    (id, sh, mh0..mh15). The committed side is never re-tokenized or
+    re-hashed here: only the incoming batch (usually orders of magnitude
+    smaller) pays signature CPU, then its band keys equi-join the corpus
+    band keys (hot corpus buckets capped, same guard as within-batch LSH),
+    candidates verify with exact shingle Jaccard, and matched incoming ids
+    anti-join away. This is the re-crawl shape at 10^12 docs: per-batch
+    cost scales with the batch, not the corpus.
+    """
+    sig = minhash_sig_table(new_docs, text_col, id_col).persist()
+    new_keys = lsh_band_keys(sig, id_col).withColumnRenamed(id_col, "__new_id")
+    corpus_keys = lsh_band_keys(corpus_sig, id_col).withColumnRenamed(id_col, "__corpus_id")
+    big = (
+        corpus_keys.groupBy("band", "band_key").count()
+        .filter(F.col("count") > max_bucket).select("band", "band_key")
+    )
+    cand = (
+        new_keys.join(corpus_keys.join(big, ["band", "band_key"], "left_anti"),
+                      ["band", "band_key"])
+        .select("__new_id", "__corpus_id")
+        .distinct()
+    )
+    new_sh = sig.select(F.col(id_col).alias("__new_id"), F.col("sh").alias("sh_new"))
+    corpus_sh = corpus_sig.select(F.col(id_col).alias("__corpus_id"), F.col("sh").alias("sh_old"))
+    dup_ids = (
+        cand.join(new_sh, "__new_id").join(corpus_sh, "__corpus_id")
+        .filter(F.round(jaccard_expr(F.col("sh_new"), F.col("sh_old")), 4) >= threshold)
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return _attach_caches(new_docs.join(dup_ids, id_col, "left_anti"), sig)
+
+
 # --- winnowing (rolling-hash) fingerprints ----------------------------------
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

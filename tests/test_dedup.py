@@ -98,3 +98,25 @@ def test_embedding_near_dup_lsh_finds_exact_pairs(spark):
     }
     assert (3, 100) in lsh
     assert lsh <= exact  # LSH candidates are verified exactly → subset
+
+
+def test_dedup_against_corpus_drops_only_near_dups(spark):
+    """Incremental re-crawl shape: incoming near-copies of committed docs
+    drop; genuinely fresh docs survive; the corpus side is only its
+    signature table (never re-tokenized)."""
+    corpus = spark.createDataFrame(
+        [(i, f"unique document number {i} about topic {i % 3} with shared words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus_sig = DD.minhash_sig_table(corpus)
+    incoming = spark.createDataFrame(
+        [
+            (100, "unique document number 3 about topic 0 with shared words here and tail"),  # near-dup of 3
+            (101, "completely different subject matter entirely fresh tokens nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.dedup_against_corpus(incoming, corpus_sig, threshold=0.5)
+    got = {r["doc_id"] for r in out.collect()}
+    DD.release_caches(out)
+    assert got == {101}
