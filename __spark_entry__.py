@@ -402,6 +402,23 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction: pull props.k out of the JSON column
+    JVM-side (get_json_object — no Python, pushdown-friendly) and aggregate
+    per event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus-statistics text analysis: top-3 TF-IDF terms per document
     (operators/keywords.py — two hash-aggs + broadcastable DF join)."""
@@ -649,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "events_sessions": q_events_sessions,
         "events_windowed": q_events_windowed,
+        "events_json": q_events_json,
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_incremental": q_dedup_incremental,
@@ -1105,6 +1123,11 @@ FROM g GROUP BY user_id, sid""",
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_json": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum((props->>'k')::BIGINT)::BIGINT AS k_sum,
+       max((props->>'k')::BIGINT)::BIGINT AS k_max
+FROM events GROUP BY event_type""",
         "tfidf_topk": f"""
 WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE trim(text) <> ''),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),

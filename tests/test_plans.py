@@ -104,3 +104,28 @@ def test_search_payload_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     # never a shuffle join: the big chunks side must stay in place
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path, docs):
+    """Co-located join: two tables bucketed+sorted on the join key join with
+    ZERO Exchange — the pre-partitioning strategy for repeated big joins at
+    warehouse scale (iceberg.CHUNKS_DDL buckets by doc_hash for the same
+    reason)."""
+    left = docs.select("doc_id", "text")
+    right = docs.select("doc_id", "lang")
+    left.write.bucketBy(4, "doc_id").sortBy("doc_id").option(
+        "path", str(tmp_path / "t_left")
+    ).mode("overwrite").saveAsTable("t_left")
+    right.write.bucketBy(4, "doc_id").sortBy("doc_id").option(
+        "path", str(tmp_path / "t_right")
+    ).mode("overwrite").saveAsTable("t_right")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_left").join(spark.table("t_right"), "doc_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucket layout replaces the shuffle
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
