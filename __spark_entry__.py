@@ -526,6 +526,23 @@ def q_multimodal_features(spark, sf_dir):
     return features.join(b64, "media_id")
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize stage (deterministic fake): payloads truncate to
+    max_bytes, metadata rewritten, schema preserved so stages compose."""
+    from pdf_extractor_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    out = resize_media(media, max_bytes=64, fake=True)
+    # payload CONTENT equivalence is pytest-covered (test_multimodal); the
+    # oracle checks row filtering, truncation arithmetic, metadata rewrite
+    # (this DuckDB build cannot hash BLOBs)
+    return out.select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").cast("long").alias("width"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Multimodal: per-frame row expansion from duration metadata."""
     media = media_from_documents(_docs(spark, sf_dir))
@@ -677,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_docs": q_embed_docs,
         "multimodal_features": q_multimodal_features,
+        "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "extract_images": q_extract_images,
         "related_images": q_related_images,
@@ -1173,6 +1191,13 @@ SELECT doc_id::VARCHAR AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS payload_sha,
        to_base64(encode(text)) AS payload_b64
 FROM documents""",
+        # resize keeps only kind='image' (doc_id % 3 = 0) and truncates the
+        # utf-8 payload BYTES to 64
+        "media_resize": """
+SELECT doc_id::VARCHAR AS media_id,
+       least(octet_length(encode(text)), 64)::BIGINT AS n_bytes,
+       64::BIGINT AS width
+FROM documents WHERE doc_id % 3 = 0""",
         "extract_images": (
             "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "
             "FROM documents"

@@ -37,10 +37,11 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 _FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
-# literal string followed by a text-showing operator (Tj, ', ") or inside a
-# TJ array; PDF strings support balanced parens — one nesting level covered,
-# enough for the synthetic subset
-_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+# strings feeding the text-showing operators (Tj, ', ", TJ arrays): literal
+# ``(...)`` (balanced parens — one nesting level covered, enough for the
+# synthetic subset) or hex ``<...>``, matched in stream order so mixed forms
+# keep reading order
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 
 _ESCAPES = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
@@ -127,10 +128,15 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             if content is None:
                 continue
             for bt in _BT_RE.finditer(content):
-                parts = [
-                    _unescape(s.group(1)).decode("latin-1")
-                    for s in _STR_RE.finditer(bt.group(1))
-                ]
+                parts = []
+                for s in _STR_RE.finditer(bt.group(1)):
+                    if s.group(1) is not None:
+                        parts.append(_unescape(s.group(1)).decode("latin-1"))
+                    else:
+                        hx = b"".join(s.group(2).split())
+                        if len(hx) % 2:  # odd nibble count: pad with 0 (PDF spec)
+                            hx += b"0"
+                        parts.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
                 btxt = _norm_ws(" ".join(parts))
                 if btxt:
                     page_blocks.append((page_no, btxt))

@@ -111,3 +111,20 @@ def test_unsupported_filter_fails_cleanly():
     # the filtered page fails (its stream raises) -> whole parse degrades to
     # failed, never garbage text
     assert r.status == "failed" and r.text == ""
+
+
+def test_hex_strings_extract_in_stream_order():
+    """Real PDFs mix literal (..) and hex <..> strings; both extract, in
+    stream order, with odd-nibble padding per spec."""
+    hexs = "hello hex world".encode("latin-1").hex().upper()
+    stream = f"BT (lit part) Tj T* <{hexs}> Tj T* <4> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\nendobj\n".encode()
+    )
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "lit part hello hex world @"  # <4> pads to 0x40 = '@'
