@@ -402,6 +402,50 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_pricing_summary(spark, sf_dir):
+    """Relational core (TPC-H Q1 shape): wide grouped aggregation with
+    derived measures, pure codegen — the scan reads only 7 columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= "1999-12-31"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """Relational core (TPC-H Q3 shape): selective 3-way join (small filtered
+    dims broadcast under AQE) + grouped revenue + top-10."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1999-01-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1999-01-01"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured extraction: pull props.k out of the JSON column
     JVM-side (get_json_object — no Python, pushdown-friendly) and aggregate
@@ -684,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_windowed": q_events_windowed,
         "events_json": q_events_json,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_incremental": q_dedup_incremental,
@@ -1146,6 +1192,27 @@ SELECT event_type, count(*)::BIGINT AS n_events,
        sum((props->>'k')::BIGINT)::BIGINT AS k_sum,
        max((props->>'k')::BIGINT)::BIGINT AS k_max
 FROM events GROUP BY event_type""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_orders": """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+  AND l.l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
         "tfidf_topk": f"""
 WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE trim(text) <> ''),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
