@@ -278,7 +278,18 @@ _SCRIPTISH_RE = re.compile(
 
 
 def _decode(html: bytes) -> tuple[str, bool]:
-    """Decode page bytes; second element flags lossy decode (→ 'fallback')."""
+    """Decode page bytes; second element flags lossy decode (→ 'fallback').
+
+    BOM-aware: UTF-8 BOMs are stripped and UTF-16 LE/BE BOMs select the
+    right codec (real crawled pages carry all three); everything else is
+    UTF-8-or-replace."""
+    if html[:3] == b"\xef\xbb\xbf":
+        html = html[3:]
+    elif html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        try:
+            return html.decode("utf-16"), False  # codec consumes the BOM
+        except UnicodeDecodeError:
+            return html.decode("utf-16", errors="replace"), True
     try:
         return html.decode("utf-8"), False
     except UnicodeDecodeError:

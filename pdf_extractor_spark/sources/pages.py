@@ -133,6 +133,12 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
         pdf_text = "\n\n".join(p for page in pdf_pages for p in page)
         edge = [
             {"url": "https://edge.test/empty", "html": b"", "text": ""},
+            {
+                "url": "https://edge.test/bom",
+                "html": b"\xef\xbb\xbf"
+                + "<html><body><article><p>bom edge row</p></article></body></html>".encode(),
+                "text": "bom edge row",
+            },
             # PDF flavor rows: the S2 content-type gate must dispatch these
             # to the PDF extractor (plain + FlateDecode streams)
             {"url": "https://edge.test/pdf-plain", "html": render_pdf(pdf_pages), "text": pdf_text},

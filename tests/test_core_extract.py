@@ -143,3 +143,14 @@ def test_table_coalesces_to_one_block_with_html():
 def test_unclosed_table_still_extracts_text():
     r = extract_html("u", b"<body><table><tr><td>cell one</td><td>cell two")
     assert "cell one" in r.text and "cell two" in r.text
+
+
+def test_bom_decoding():
+    """UTF-8 BOM strips; UTF-16 LE/BE BOMs select the right codec."""
+    import codecs
+
+    body = "<html><body><article><p>bom page text</p></article></body></html>"
+    assert extract_html("u", b"\xef\xbb\xbf" + body.encode("utf-8")).text == "bom page text"
+    for enc, bom in (("utf-16-le", codecs.BOM_UTF16_LE), ("utf-16-be", codecs.BOM_UTF16_BE)):
+        r = extract_html("u", bom + body.encode(enc))
+        assert r.status == "ok" and r.text == "bom page text", enc
