@@ -129,3 +129,23 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path, docs):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_dedup_joins_are_never_theta(spark, docs):
+    """Every near-dup candidate join must be an equi-join (hash/sort-merge):
+    a CartesianProduct or BroadcastNestedLoopJoin in these plans would be
+    quadratic at corpus scale."""
+    from pdf_extractor_spark.operators import dedup as DD
+
+    d = docs.select("doc_id", "text")
+    sig = DD.minhash_sig_table(d)
+    for df in (
+        DD.minhash_near_duplicates(d, threshold=0.5),
+        DD.simhash_near_duplicates(d, max_hamming=3),
+        DD.winnow_similar_pairs(d, threshold=0.5),
+        DD.dedup_against_corpus(d.limit(10), sig),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        DD.release_caches(df)
