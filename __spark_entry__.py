@@ -402,6 +402,23 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_clean_text(spark, sf_dir):
+    """Unicode scrub: NFC + control-char strip. The query injects a control
+    byte and a combining-accent sequence so the pass provably fires
+    (operators/normalize.py; oracle uses DuckDB nfc_normalize)."""
+    from pdf_extractor_spark.operators.normalize import clean_text
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit("\x01e\u0301")).alias("dirty")
+    )
+    clean = clean_text(F.col("dirty"))
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        (F.length("dirty") - F.length(clean)).cast("long").alias("n_removed"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Relational core (TPC-H Q1 shape): wide grouped aggregation with
     derived measures, pure codegen — the scan reads only 7 columns."""
@@ -728,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_windowed": q_events_windowed,
         "events_json": q_events_json,
+        "clean_text": q_clean_text,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "minhash_signatures": q_minhash_signatures,
@@ -1192,6 +1210,12 @@ SELECT event_type, count(*)::BIGINT AS n_events,
        sum((props->>'k')::BIGINT)::BIGINT AS k_sum,
        max((props->>'k')::BIGINT)::BIGINT AS k_max
 FROM events GROUP BY event_type""",
+        "clean_text": r"""
+WITH d AS (SELECT doc_id, text || chr(1) || 'e' || chr(769) AS dirty FROM documents),
+c AS (SELECT doc_id, dirty,
+             regexp_replace(nfc_normalize(dirty), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean
+      FROM d)
+SELECT doc_id, clean, (length(dirty) - length(clean))::BIGINT AS n_removed FROM c""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

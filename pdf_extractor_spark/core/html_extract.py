@@ -270,6 +270,7 @@ class _MainContentParser(HTMLParser):
                 self._cell_parts.append(data)
 
 
+_META_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
 _TAG_RE = re.compile(rb"<[^>]*>")
 _SCRIPTISH_RE = re.compile(
     rb"<(script|style|noscript|svg|template)\b.*?</\1\s*>",
@@ -293,7 +294,16 @@ def _decode(html: bytes) -> tuple[str, bool]:
     try:
         return html.decode("utf-8"), False
     except UnicodeDecodeError:
-        return html.decode("utf-8", errors="replace"), True
+        pass
+    # non-UTF-8 page: honor a declared <meta charset=...> (searched in the
+    # head bytes, like browsers' pre-scan) before degrading to lossy replace
+    m = _META_CHARSET_RE.search(html[:2048])
+    if m:
+        try:
+            return html.decode(m.group(1).decode("ascii")), False
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return html.decode("utf-8", errors="replace"), True
 
 
 def _fallback_extract(html: bytes) -> str:

@@ -1,0 +1,32 @@
+"""Unicode text normalization — the pre-tokenization scrub pass.
+
+LLM training corpora normalize to NFC (so byte-identical text means
+glyph-identical text) and strip C0/C1-ish control characters before
+tokenization. NFC runs in an Arrow-batched pandas UDF (the JVM has no NFC
+Column builtin; unicodedata is C-speed per batch); the control-character
+strip stays a codegen'd ``regexp_replace``. Spec shared with the DuckDB
+oracle (``nfc_normalize`` + the same RE2 character class).
+
+Scan-only — no shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# C0 controls minus \t \n \r, plus DEL — the characters tokenizers choke on
+CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+@F.pandas_udf("string")
+def nfc_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+
+def clean_text(col: Column) -> Column:
+    """NFC-normalize then strip control characters."""
+    return F.regexp_replace(nfc_udf(col), CONTROL_CLASS, "")

@@ -134,6 +134,14 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
         edge = [
             {"url": "https://edge.test/empty", "html": b"", "text": ""},
             {
+                "url": "https://edge.test/latin1",
+                "html": (
+                    '<html><head><meta charset="iso-8859-1"></head>'
+                    "<body><article><p>café in latin one</p></article></body></html>"
+                ).encode("iso-8859-1"),
+                "text": "café in latin one",
+            },
+            {
                 "url": "https://edge.test/bom",
                 "html": b"\xef\xbb\xbf"
                 + "<html><body><article><p>bom edge row</p></article></body></html>".encode(),

@@ -154,3 +154,18 @@ def test_bom_decoding():
     for enc, bom in (("utf-16-le", codecs.BOM_UTF16_LE), ("utf-16-be", codecs.BOM_UTF16_BE)):
         r = extract_html("u", bom + body.encode(enc))
         assert r.status == "ok" and r.text == "bom page text", enc
+
+
+def test_meta_charset_decoding():
+    """A declared <meta charset> decodes non-UTF-8 pages cleanly (status ok)
+    instead of lossy replacement."""
+    body = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body><article><p>café naïve résumé</p></article></body></html>"
+    )
+    r = extract_html("u", body.encode("iso-8859-1"))
+    assert r.status == "ok"
+    assert r.text == "café naïve résumé"
+    # undeclared non-utf8 still degrades gracefully
+    r2 = extract_html("u", "<body><p>café page</p></body>".encode("iso-8859-1"))
+    assert r2.status == "fallback" and "caf" in r2.text
