@@ -1188,13 +1188,13 @@ ORDER BY id_a, id_b""",
         # sessions that touch exactly); end = last event + gap
         "events_sessions": """
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
-g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
 SELECT user_id, min(ts) AS session_start,

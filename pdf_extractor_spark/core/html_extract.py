@@ -170,16 +170,23 @@ class _MainContentParser(HTMLParser):
         if tag == "a":
             self._anchor_depth += 1
             return
-        if tag == "table":
+        if tag == "table" and self._table_depth == 0:
             self._break_block()
-            self._table_depth += 1
-            if self._table_depth == 1:
-                self._table_rows = []
-                self._cell_parts = None
-                self._table_block = None
-                self._kind_stack.append("table")
+            self._table_depth = 1
+            self._table_rows = []
+            self._cell_parts = None
+            self._table_block = None
+            self._kind_stack.append("table")
             return
         if self._table_depth > 0:
+            # a nested <table> stays inside the outer table's single block
+            # (one-table-one-block invariant, E6) — depth tracked so its
+            # </table> doesn't close the outer capture
+            if tag == "table":
+                self._table_depth += 1
+                if self._cur is not None:
+                    self._cur.parts.append(" ")
+                return
             # inside a table no tag breaks the block — the table is one
             # block; cell boundaries are captured for the html rebuild and
             # every tag contributes a space join so cell texts don't fuse
@@ -214,7 +221,12 @@ class _MainContentParser(HTMLParser):
         if tag == "table":
             if self._table_depth > 0:
                 self._table_depth -= 1
-                if self._table_depth == 0:
+                if self._table_depth > 0:
+                    # closing a nested table: stay inside the outer block,
+                    # space-join like any other in-table tag
+                    if self._cur is not None:
+                        self._cur.parts.append(" ")
+                elif self._table_depth == 0:
                     if self._cell_parts is not None and self._table_rows:
                         # unclosed cell at table end
                         self._table_rows[-1].append(_norm_ws("".join(self._cell_parts)))

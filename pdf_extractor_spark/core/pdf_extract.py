@@ -34,7 +34,12 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct /Length only: `/Length 6 0 R` (an indirect reference — the dominant
+# form in real PDFs) must NOT match, else the object number would be taken as
+# the byte count and the stream silently truncated to ~6 bytes
+# (?![0-9]) pins the full digit run so backtracking can't shorten "99" to
+# "9" and sneak past the indirect-reference lookahead
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
 # strings feeding the text-showing operators (Tj, ', ", TJ arrays): literal

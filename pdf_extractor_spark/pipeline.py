@@ -36,7 +36,12 @@ def run_extraction(
         # reference delete-before-rewrite (S8, vector_service.py:105-127,
         # 192-194): purge every committed row owned by an incoming doc_hash
         # BEFORE re-appending, so a re-crawl never duplicates chunk_ids.
-        victims = pages.select(F.sha2(F.col("html"), 256).alias("doc_hash")).distinct()
+        # coalesce(NULL html, b"") matches _doc_hash(None) = sha256(b'')
+        # (operators/extract.py) — a bare sha2(NULL) is NULL and would skip
+        # deleting a re-crawled NULL-html page's old rows
+        victims = pages.select(
+            F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256).alias("doc_hash")
+        ).distinct()
         chunks_table.delete_matching(spark, victims)
         if embeddings_table is not None:
             embeddings_table.delete_matching(spark, victims)

@@ -113,7 +113,14 @@ class SnapshotTable:
         if not m["runs"]:
             return 0
         victims = victims.select(col).distinct()
-        run_of = F.regexp_extract(F.input_file_name(), "/data/([^/]+)/", 1)
+        # run ownership = the path segment right after THIS table's data root.
+        # An unanchored "/data/(...)" would match the first '/data/' in the
+        # path — wrong segment when the table root itself contains '/data/'
+        # (common on object stores), silently rewriting nothing.
+        import re as _re
+
+        data_prefix = os.path.abspath(self.path) + "/data/"
+        run_of = F.regexp_extract(F.input_file_name(), _re.escape(data_prefix) + "([^/]+)/", 1)
         owning = {
             r["run_id"]
             for r in spark.read.parquet(*[r["path"] for r in m["runs"]])
@@ -177,7 +184,12 @@ def resume_filter(pages: DataFrame, table: SnapshotTable, spark: SparkSession,
     done = table.committed_hashes(spark)
     if done is None:
         return pages
-    hashed = pages.withColumn("doc_hash", F.sha2(F.col("html"), 256))
+    # coalesce NULL html to b"" for parity with _doc_hash(None): sha2(NULL)
+    # is NULL, which never matches in an anti-join, so NULL-html pages would
+    # be re-extracted on every resume
+    hashed = pages.withColumn(
+        "doc_hash", F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256)
+    )
     # no broadcast hint: AQE picks broadcast when the committed set is small;
     # at 10^12 docs the hash set is huge and this must stay a shuffled anti-join
     return hashed.join(done, "doc_hash", "left_anti").drop("doc_hash")

@@ -169,3 +169,24 @@ def test_meta_charset_decoding():
     # undeclared non-utf8 still degrades gracefully
     r2 = extract_html("u", "<body><p>café page</p></body>".encode("iso-8859-1"))
     assert r2.status == "fallback" and "caf" in r2.text
+
+
+def test_nested_table_stays_one_block():
+    """A table nested inside a cell must not split the outer table block:
+    the whole construct is ONE kind='table' block, spans intact."""
+    html = (
+        b"<body><article><p>intro</p>"
+        b"<table><tr><td>before</td></tr>"
+        b"<tr><td>cell <table><tr><td>inner</td></tr></table> tail</td></tr>"
+        b"<tr><td>after</td></tr></table>"
+        b"<p>outro</p></article></body>"
+    )
+    r = extract_html("u", html)
+    assert [b.kind for b in r.blocks] == ["text", "table", "text"]
+    t = r.blocks[1]
+    for frag in ("before", "cell", "inner", "tail", "after"):
+        assert frag in t.text, frag
+    assert r.text[t.span_start : t.span_end] == t.text
+    # canonical rebuild: one flattened table carrying rows from both levels
+    assert t.html.count("<table>") == 1
+    assert "inner" in t.html and "after" in t.html

@@ -128,3 +128,15 @@ def test_hex_strings_extract_in_stream_order():
     r = extract_pdf("u", pdf)
     assert r.status == "ok"
     assert r.text == "lit part hello hex world @"  # <4> pads to 0x40 = '@'
+
+
+def test_indirect_length_falls_back_to_stream_scan():
+    """`/Length 99 0 R` (indirect reference — the dominant real-world form)
+    must not be read as a 99-byte count; the stream..endstream scan recovers
+    the full text."""
+    import re
+
+    data = re.sub(rb"/Length \d+", b"/Length 99 0 R", render_pdf(PAGES))
+    r = extract_pdf("u", data)
+    assert r.status == "ok"
+    assert r.text == "\n\n".join(p for page in PAGES for p in page)

@@ -55,3 +55,17 @@ def test_delete_matching_cow(spark, tmp_path):
     assert table.read(spark).count() == 8
     # no-op predicate touches nothing
     assert table.delete_matching(spark, victims) == 0
+
+
+def test_delete_matching_with_data_in_root_path(spark, tmp_path):
+    """A table rooted under a path that itself contains '/data/' (common on
+    object stores) must still map file provenance to the run segment under
+    THIS table's data root — an unanchored '/data/' regexp extracts the wrong
+    segment and silently deletes nothing."""
+    table = SnapshotTable(str(tmp_path / "data" / "lake" / "t"))
+    table.append(spark.createDataFrame([(f"h{i}", i) for i in range(6)], "doc_hash string, v int"))
+    victims = spark.createDataFrame([("h1",)], "doc_hash string")
+    assert table.delete_matching(spark, victims) == 1
+    back = table.read(spark)
+    assert back.count() == 5
+    assert back.filter(F.col("doc_hash") == "h1").count() == 0

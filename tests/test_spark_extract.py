@@ -137,3 +137,23 @@ def test_resume_idempotency(spark, pages_parquet, tmp_path, force_reload):
         # chunk ids identical across runs -> dedup-safe output
         ids = table.read_chunks(spark).select("chunk_id").distinct().count()
         assert ids == n_after_first
+
+
+def test_null_html_resume_and_reload(spark, tmp_path):
+    """NULL html hashes as sha256(b'') on every path (extract marker rows,
+    resume anti-join, force_reload victims): a NULL-html page is neither
+    re-processed on resume nor duplicated by delete-before-rewrite."""
+    from pdf_extractor_spark.pipeline import run_extraction
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    pages = spark.createDataFrame(
+        [("u://null", None), ("u://ok", b"<p>some real page text here</p>")],
+        "url string, html binary",
+    )
+    table = SnapshotTable(str(tmp_path / "chunks"))
+    run_extraction(spark, pages, table)
+    n1 = table.read(spark).count()
+    l2 = run_extraction(spark, pages, table)
+    assert l2["counters"]["docs_in"] == 0  # sha2(NULL)=NULL must not leak through
+    l3 = run_extraction(spark, pages, table, force_reload=True)
+    assert table.read(spark).count() == n1  # old NULL-html rows were deleted
