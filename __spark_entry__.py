@@ -528,12 +528,13 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """Dedup (SimHash): 32-bit per-doc signature via bit votes."""
+    """Dedup (SimHash): 64-bit per-doc signature (two 32-bit halves) via
+    bit votes."""
     return DD.simhash_df(_docs(spark, sf_dir))
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """Dedup (SimHash): hamming ≤ 3 pairs via bit-block equi-join."""
+    """Dedup (SimHash): hamming ≤ 3 pairs via capped 16-bit-block equi-join."""
     pairs = DD.simhash_near_duplicates(_union_with_near_dups(_docs(spark, sf_dir)), max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -810,18 +811,47 @@ _U_NEAR = (
 
 
 def _sql_simhash(src: str) -> str:
+    # 64-bit signature as two 32-bit halves — the same md5-prefix trick
+    # twice (hex chars [0:8) vote the low half, [8:16) the high half),
+    # exact parity with dedup._py_simhash2
     sums = ", ".join(
-        f"sum(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+        f"sum(CASE WHEN ((lo >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS vl{b}, "
+        f"sum(CASE WHEN ((hi >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS vh{b}"
+        for b in range(32)
     )
-    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    hi_bits = " + ".join(f"(CASE WHEN vh{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    lo_bits = " + ".join(f"(CASE WHEN vl{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
     # trim(text) <> '': explicit parity with the Python side, which drops
     # token-less docs (all-space text) — regexp_split_to_array('') would
     # otherwise keep them as a single empty token
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM ({src}) WHERE trim(text) <> ''),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hv FROM tok),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS lo,
+             ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS hi FROM tok),
 v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, ({bits})::BIGINT AS simhash FROM v"""
+SELECT doc_id, ({hi_bits})::BIGINT AS simhash_hi, ({lo_bits})::BIGINT AS simhash_lo FROM v"""
+
+
+def _sql_simhash_near_dups(src: str, max_hamming: int = 3, max_bucket: int = 256) -> str:
+    """Full SQL twin of dedup.simhash_near_duplicates: 16-bit pigeonhole
+    blocks over the 64-bit signature, hot-bucket cap, equi-join, hamming
+    verify — mirrors the Spark plan exactly (including the cap semantics)."""
+    blk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash_hi, simhash_lo, {i} AS blk, "
+        f"(({'simhash_lo' if i < 2 else 'simhash_hi'} >> {16 * (i % 2)}) & 65535) AS blk_val FROM s"
+        for i in range(max_hamming + 1)
+    )
+    return f"""
+WITH s AS ({_sql_simhash(src)}),
+blks AS ({blk_selects}),
+big AS (SELECT blk, blk_val FROM blks GROUP BY blk, blk_val HAVING count(*) > {max_bucket}),
+kept AS (SELECT k.* FROM blks k ANTI JOIN big g ON k.blk = g.blk AND k.blk_val = g.blk_val),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                (bit_count(xor(a.simhash_hi, b.simhash_hi))
+                 + bit_count(xor(a.simhash_lo, b.simhash_lo)))::INT AS hamming
+         FROM kept a JOIN kept b
+           ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming} ORDER BY id_a, id_b"""
 
 
 def _sql_lang_id() -> str:
@@ -1169,13 +1199,7 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa
 ORDER BY id_a, id_b""",
         "dedup_incremental": _sql_dedup_incremental(),
         "simhash": _sql_simhash("SELECT doc_id, text FROM documents"),
-        "simhash_near_dups": f"""
-WITH s AS ({_sql_simhash(_U_NEAR)})
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY id_a, id_b""",
+        "simhash_near_dups": _sql_simhash_near_dups(_U_NEAR),
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -16,8 +16,9 @@ Scale notes (10^12 docs):
   on (band, key) — the classic band-bucket join; hot buckets (boilerplate
   pages) are capped via ``max_bucket`` before the pair join, the standard
   guard against quadratic blowup in a bucket of identical pages.
-* SimHash: scan-only 32-bit signature; hamming ≤ d refinement joins only
-  within pigeonhole bit-block buckets (equi-join, never a theta join).
+* SimHash: scan-only 64-bit signature (two 32-bit halves); hamming ≤ d
+  refinement joins only within pigeonhole 16-bit-block buckets (equi-join,
+  never a theta join), hot blocks capped via ``max_bucket``.
 * embedding near-dup: exact O(n^2) variant for oracle-checkable correctness
   at test scale; LSH-bucketed variant (operators/search.py hyperplanes)
   restricts the pair join to same-bucket candidates for the 100 TB path.
@@ -389,77 +390,131 @@ def winnow_similar_pairs(
 
 
 # --- SimHash ----------------------------------------------------------------
+#
+# 64-bit signature carried as TWO 32-bit halves (simhash_hi, simhash_lo):
+# 32 bits is too coarse at corpus scale — with hamming<=3 the pigeonhole join
+# keys on 8-bit blocks (256 distinct values), so at 10^9+ docs every block
+# bucket holds ~n/1024 rows and the equi-join degenerates toward quadratic.
+# 64 bits gives 16-bit blocks (65536 values per block); the halves keep the
+# arithmetic in exact int32 range on BOTH engines (no int64 sign UB, and the
+# DuckDB oracle reuses the same '0x'||substr(md5,...)  trick twice).
 
-SIMHASH_BITS = 32  # 32-bit: exact parity with the SQL oracle (no int64 UB)
+SIMHASH_BITS = 64
+_HALF_BITS = 32
 
 
-def _py_simhash(toks: list[str]) -> int:
-    votes = [0] * SIMHASH_BITS
+def _py_simhash2(toks: list[str]) -> tuple[int, int]:
+    """(hi, lo) 32-bit halves of the 64-bit Charikar signature: per-token
+    md5, hex chars [0:8) vote the low half, [8:16) the high half; token
+    multiplicity weights votes."""
+    votes_lo = [0] * _HALF_BITS
+    votes_hi = [0] * _HALF_BITS
     for tok in toks:
-        hv = int(_hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-        for b in range(SIMHASH_BITS):
-            votes[b] += 1 if (hv >> b) & 1 else -1
-    return sum((1 << b) for b in range(SIMHASH_BITS) if votes[b] > 0)
+        hx = _hashlib.md5(tok.encode()).hexdigest()
+        lo = int(hx[:8], 16)
+        hi = int(hx[8:16], 16)
+        for b in range(_HALF_BITS):
+            votes_lo[b] += 1 if (lo >> b) & 1 else -1
+            votes_hi[b] += 1 if (hi >> b) & 1 else -1
+    return (
+        sum((1 << b) for b in range(_HALF_BITS) if votes_hi[b] > 0),
+        sum((1 << b) for b in range(_HALF_BITS) if votes_lo[b] > 0),
+    )
 
 
 def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash): per-token 32-bit md5-prefix hashes vote per bit
-    (Charikar; token multiplicity weights votes).
+    """(id, simhash_hi, simhash_lo): 64-bit signature as two 32-bit halves.
 
     Per-document work → one Arrow pass, NO shuffle. The explode-tokens +
     groupBy formulation shuffles every token of the corpus — a non-starter
     at 10^12 docs — and is kept only as the independent SQL oracle."""
 
     def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
-        schema = _pa.schema([(id_col, _pa.int64()), ("simhash", _pa.int64())])
+        schema = _pa.schema(
+            [(id_col, _pa.int64()), ("simhash_hi", _pa.int64()), ("simhash_lo", _pa.int64())]
+        )
         for batch in batches:
-            ids, sims = [], []
+            ids, his, los = [], [], []
             for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
                 toks = _py_tokens(t)
                 if not toks:
                     continue  # parity with the explode+groupBy oracle: token-less docs drop
+                hi, lo = _py_simhash2(toks)
                 ids.append(i)
-                sims.append(_py_simhash(toks))
+                his.append(hi)
+                los.append(lo)
             yield _pa.RecordBatch.from_arrays(
-                [_pa.array(ids, type=_pa.int64()), _pa.array(sims, type=_pa.int64())],
+                [
+                    _pa.array(ids, type=_pa.int64()),
+                    _pa.array(his, type=_pa.int64()),
+                    _pa.array(los, type=_pa.int64()),
+                ],
                 schema=schema,
             )
 
-    return df.select(id_col, text_col).mapInArrow(run, f"{id_col} long, simhash long")
+    return df.select(id_col, text_col).mapInArrow(
+        run, f"{id_col} long, simhash_hi long, simhash_lo long"
+    )
 
 
-def hamming32(a, b):
-    return F.bit_count(a.bitwiseXOR(b))
+def hamming64(hi_a, lo_a, hi_b, lo_b):
+    """Hamming distance over the 64-bit signature = popcount per half."""
+    return F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
+
+
+def _simhash_block_exprs(max_hamming: int):
+    """(blk, blk_val) structs: the 64-bit signature split into
+    (max_hamming+1) equal blocks — any pair within distance d shares at
+    least one exact block (pigeonhole). Blocks are carved from the halves so
+    every value stays in int32 range."""
+    nblocks = max_hamming + 1
+    width = SIMHASH_BITS // nblocks
+    assert width <= _HALF_BITS and _HALF_BITS % width == 0, "block must fit a half"
+    per_half = _HALF_BITS // width
+    out = []
+    for i in range(nblocks):
+        half = F.col("simhash_lo") if i < per_half else F.col("simhash_hi")
+        shift = (i % per_half) * width
+        out.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(half, shift).bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
+            )
+        )
+    return out
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Pairs with simhash hamming distance ≤ max_hamming.
 
-    Candidate generation uses the standard bit-block trick: split the 32-bit
-    signature into (max_hamming+1) blocks — any pair within distance d shares
-    at least one exact block (pigeonhole) — and join per block, so the join
-    is equi (hash-join-able), never a theta-join cross product.
+    Candidate generation uses the standard bit-block trick: split the 64-bit
+    signature into (max_hamming+1) 16-bit blocks and join per block, so the
+    join is equi (hash-join-able), never a theta-join cross product.
+
+    ``max_bucket`` drops degenerate (blk, blk_val) buckets before the pair
+    join — the same guard as minhash_candidates: a sea of near-identical
+    boilerplate pages all sharing a block value would otherwise make that
+    bucket's self-join quadratic. True duplicates dropped here still pair
+    through their other blocks (or via dedup_exact at linear cost).
     """
     sims = simhash_df(df, text_col, id_col)
-    nblocks = max_hamming + 1
-    width = SIMHASH_BITS // nblocks
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("blk_val"),
-            )
-            for i in range(nblocks)
-        ]
+    blocks = F.array(*_simhash_block_exprs(max_hamming))
+    keyed = sims.select(
+        id_col, "simhash_hi", "simhash_lo", F.explode(blocks).alias("b")
+    ).select(id_col, "simhash_hi", "simhash_lo", "b.blk", "b.blk_val").persist()
+    # hot-bucket cap via aggregate (no window: cheaper at scale)
+    big = (
+        keyed.groupBy("blk", "blk_val").count().filter(F.col("count") > max_bucket)
+        .select("blk", "blk_val")
     )
-    keyed = sims.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
-        id_col, "simhash", "b.blk", "b.blk_val"
-    ).persist()  # feeds both sides of the self-join (one signature scan)
-    a, b = keyed.alias("a"), keyed.alias("b")
+    kept = keyed.join(big, ["blk", "blk_val"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(
             b,
@@ -470,7 +525,10 @@ def simhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming32(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            hamming64(
+                F.col("a.simhash_hi"), F.col("a.simhash_lo"),
+                F.col("b.simhash_hi"), F.col("b.simhash_lo"),
+            ).alias("hamming"),
         )
         .distinct()
     )

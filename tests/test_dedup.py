@@ -61,7 +61,10 @@ def test_minhash_signature_partition_independent(spark, near_dup_df):
 def test_simhash_near_duplicates_exact_vs_bruteforce(spark, near_dup_df):
     """The bit-block candidate join must find exactly the brute-force pairs
     (pigeonhole guarantees no false negatives; filter removes false pos)."""
-    sims = {r["doc_id"]: r["simhash"] for r in DD.simhash_df(near_dup_df).collect()}
+    sims = {
+        r["doc_id"]: (r["simhash_hi"] << 32) | r["simhash_lo"]
+        for r in DD.simhash_df(near_dup_df).collect()
+    }
     brute = set()
     for a, b in itertools.combinations(sorted(sims), 2):
         if bin(sims[a] ^ sims[b]).count("1") <= 3:
@@ -120,3 +123,31 @@ def test_dedup_against_corpus_drops_only_near_dups(spark):
     got = {r["doc_id"] for r in out.collect()}
     DD.release_caches(out)
     assert got == {101}
+
+
+def test_simhash_hot_bucket_cap_bounds_candidates(spark):
+    """200 near-identical boilerplate docs share all four 16-bit blocks; with
+    max_bucket below that, those buckets drop BEFORE the pair join (bounded
+    candidates — exact-dup territory), while a distinct near-dup pair outside
+    the hot bucket is still found through its own blocks."""
+    boiler = "cookie consent banner accept all cookies to continue to the site"
+    rows = [(i, boiler) for i in range(200)]
+    rare = "rare page about deterministic winnowing fingerprints and spans"
+    rows += [(901, rare), (902, rare)]  # hamming-0 pair in a 2-member bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.simhash_near_duplicates(df, max_hamming=3, max_bucket=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    DD.release_caches(pairs)
+    assert not any(a < 200 and b < 200 for a, b in got), "hot bucket leaked pairs"
+    assert (901, 902) in got
+
+
+def test_simhash_64bit_signature_range(spark, near_dup_df):
+    """Both halves stay in unsigned-32 range (no int64 sign UB on either
+    engine) and differ from each other for real text."""
+    rows = DD.simhash_df(near_dup_df).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["simhash_hi"] < 2**32
+        assert 0 <= r["simhash_lo"] < 2**32
+    assert any(r["simhash_hi"] != r["simhash_lo"] for r in rows)
