@@ -927,17 +927,19 @@ FROM a WHERE cid IN (SELECT cid FROM probes)
 ORDER BY list_cosine_similarity(v, {qlit}) DESC, vec_id LIMIT 5"""
 
 
-def _sql_embedding_lsh_near_dups() -> str:
+def _sql_embedding_lsh_near_dups(max_bucket: int = 1024) -> str:
     from pdf_extractor_spark.operators.search import _hyperplanes
 
     planes = _hyperplanes(64, 4, seed=7)
     return f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   {_sql_plane_bucket(planes)} AS bucket
-           FROM embeddings)
+           FROM embeddings),
+big AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > {max_bucket}),
+k AS (SELECT b.* FROM b ANTI JOIN big g ON b.bucket = g.bucket)
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b2.v), 4) AS cosine
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+FROM k a JOIN k b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.35
 ORDER BY id_a, id_b"""
 

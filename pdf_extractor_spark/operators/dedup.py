@@ -563,11 +563,18 @@ def embedding_near_duplicates_lsh(
     n_bits: int = 8,
     seed: int = 7,
     dim: int = 64,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Scale path: hyperplane-LSH bucket the vectors, pair-join only within
     buckets, then exact cosine verify. Recall < 1 by design (near-identical
     vectors collide with prob (1 - theta/pi)^n_bits); at 10^12 rows this is
     the only join shape that survives.
+
+    ``max_bucket`` drops degenerate buckets before the pair join (same guard
+    as minhash_candidates): a dense embedding cluster — boilerplate pages
+    again — would otherwise make one bucket's self-join quadratic. At corpus
+    scale size ``n_bits`` ~ log2(n) so expected bucket size stays bounded;
+    the cap is the backstop for skewed clusters, not the sizing mechanism.
 
     ``dim`` is the (fixed, schema-level) embedding dimensionality — a
     parameter rather than a ``.first()`` sniff, which would run an extra
@@ -577,8 +584,13 @@ def embedding_near_duplicates_lsh(
     planes = _hyperplanes(dim, n_bits, seed)
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket_id")
-    ).persist()  # both sides of the bucket self-join
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    ).persist()  # both sides of the bucket self-join + the hot-bucket agg
+    big = (
+        bucketed.groupBy("bucket_id").count().filter(F.col("count") > max_bucket)
+        .select("bucket_id")
+    )
+    kept = bucketed.join(big, ["bucket_id"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
     cand = a.join(
         b,
         (F.col("a.bucket_id") == F.col("b.bucket_id"))

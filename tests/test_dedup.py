@@ -151,3 +151,23 @@ def test_simhash_64bit_signature_range(spark, near_dup_df):
         assert 0 <= r["simhash_hi"] < 2**32
         assert 0 <= r["simhash_lo"] < 2**32
     assert any(r["simhash_hi"] != r["simhash_lo"] for r in rows)
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """A dense embedding cluster (300 identical vectors → one bucket) is
+    dropped before the pair join when it exceeds max_bucket, while an
+    identical pair in a normal-sized bucket is still found."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dense = rng.standard_normal(16)
+    dense /= np.linalg.norm(dense)
+    rare = -dense  # opposite bucket from the dense cluster by construction
+    rows = [(i, [float(x) for x in dense]) for i in range(300)]
+    rows += [(901, [float(x) for x in rare]), (902, [float(x) for x in rare])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = DD.embedding_near_duplicates_lsh(emb, threshold=0.99, n_bits=6, dim=16, max_bucket=64)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    DD.release_caches(out)
+    assert not any(a < 300 and b < 300 for a, b in got), "dense bucket leaked pairs"
+    assert (901, 902) in got
