@@ -1267,7 +1267,7 @@ ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
 WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE trim(text) <> ''),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
 dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT count(*) AS n FROM documents),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
 s AS (SELECT tf.doc_id, tf.term, tf.tf,
              round(tf.tf * ln(n.n / dfx.df::DOUBLE), 4) AS tfidf
       FROM tf JOIN dfx USING (term), n)

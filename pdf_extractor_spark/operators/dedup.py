@@ -63,6 +63,26 @@ def release_caches(df: DataFrame) -> None:
     df._cached_intermediates = []  # type: ignore[attr-defined]
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def scoped_caches(df: DataFrame):
+    """Consume an operator result inside a ``with`` block; its persisted
+    intermediates are unpersisted on exit even if the block raises — the
+    safe shape for long-lived sessions and streaming ``foreachBatch``
+    bodies, where an unreleased signature cache would accumulate across
+    micro-batches until eviction pressure.
+
+        with scoped_caches(minhash_near_duplicates(docs)) as pairs:
+            pairs.write.parquet(out)
+    """
+    try:
+        yield df
+    finally:
+        release_caches(df)
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -43,15 +43,29 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k terms per document by TF-IDF (ties → lexicographic term).
 
     idf = ln(N / df) with raw counts (no smoothing — the spec shared with
     the SQL oracle); score rounded to 4 decimals before ranking so both
-    engines rank identically.
+    engines rank identically. N counts documents with ≥1 token.
+
+    ``n_docs``: pass the known corpus size (a catalog statistic at warehouse
+    scale) to skip the counting job entirely. When None, N is derived from
+    the persisted TF aggregate — the corpus is scanned ONCE to build it and
+    every downstream consumer (the distinct-id count, the DF table, the
+    score join) reads the cache, never the corpus again. The caller should
+    release via dedup.release_caches once the result is consumed.
     """
-    n_docs = docs.count()  # one tiny job; at warehouse scale a known stat
+    from pdf_extractor_spark.operators.dedup import _attach_caches
+
     tf = doc_term_freq(docs, text_col, id_col)
+    cached = []
+    if n_docs is None:
+        tf = tf.persist()
+        cached.append(tf)
+        n_docs = tf.select(id_col).distinct().count()
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_tbl, "term").select(
         F.col(id_col),
@@ -60,7 +74,8 @@ def tfidf_topk(
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+    return _attach_caches(out, *cached)

@@ -40,9 +40,9 @@ def test_dedup_exact_keeps_lowest_id(near_dup_df):
 
 
 def test_minhash_near_duplicates_recall(near_dup_df):
-    pairs = {
-        (r["id_a"], r["id_b"]) for r in DD.minhash_near_duplicates(near_dup_df, threshold=0.5).collect()
-    }
+    out = DD.minhash_near_duplicates(near_dup_df, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    DD.release_caches(out)
     # every (i, 100+i) near-dup pair must be found (jaccard ≈ 0.9 ≫ 0.5)
     for i in range(5):
         assert (i, 100 + i) in pairs, f"missing near-dup pair {(i, 100+i)}"
@@ -69,10 +69,9 @@ def test_simhash_near_duplicates_exact_vs_bruteforce(spark, near_dup_df):
     for a, b in itertools.combinations(sorted(sims), 2):
         if bin(sims[a] ^ sims[b]).count("1") <= 3:
             brute.add((a, b))
-    got = {
-        (r["id_a"], r["id_b"])
-        for r in DD.simhash_near_duplicates(near_dup_df, max_hamming=3).collect()
-    }
+    nd = DD.simhash_near_duplicates(near_dup_df, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    DD.release_caches(nd)
     assert got == brute
     # exact dup → hamming 0 → must be present
     assert (0, 999) in got
@@ -95,10 +94,9 @@ def test_embedding_near_dup_lsh_finds_exact_pairs(spark):
         for r in DD.embedding_near_duplicates_exact(emb, threshold=0.99).collect()
     }
     assert (3, 100) in exact
-    lsh = {
-        (r["id_a"], r["id_b"])
-        for r in DD.embedding_near_duplicates_lsh(emb, threshold=0.99, n_bits=6, dim=16).collect()
-    }
+    lsh_df = DD.embedding_near_duplicates_lsh(emb, threshold=0.99, n_bits=6, dim=16)
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    DD.release_caches(lsh_df)
     assert (3, 100) in lsh
     assert lsh <= exact  # LSH candidates are verified exactly → subset
 
@@ -171,3 +169,29 @@ def test_embedding_lsh_hot_bucket_cap(spark):
     DD.release_caches(out)
     assert not any(a < 300 and b < 300 for a, b in got), "dense bucket leaked pairs"
     assert (901, 902) in got
+
+
+def test_consecutive_invocations_leave_no_persistent_rdds(spark, near_dup_df):
+    """Two consecutive scoped invocations of every cache-attaching operator
+    leave zero persisted blocks behind — a long-lived session (bench loop,
+    streaming foreachBatch) must not accumulate signature caches."""
+    from pdf_extractor_spark.operators.keywords import tfidf_topk
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()  # isolate from any prior test's session state
+    base = n_cached()
+    assert base == 0
+    ops = [
+        lambda: DD.minhash_near_duplicates(near_dup_df, threshold=0.5),
+        lambda: DD.minhash_candidates(near_dup_df),
+        lambda: DD.simhash_near_duplicates(near_dup_df, max_hamming=3),
+        lambda: DD.winnow_similar_pairs(near_dup_df, threshold=0.5),
+        lambda: tfidf_topk(near_dup_df, k=2),
+    ]
+    for op in ops:
+        for _ in range(2):
+            with DD.scoped_caches(op()) as out:
+                out.count()
+        assert n_cached() == base, f"cache leak after {op}"

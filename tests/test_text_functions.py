@@ -153,3 +153,28 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     assert out[(3, 1)][0] == "walrus"
     # 'common' appears in every doc -> idf = ln(1) = 0
     assert all(v[1] == 0.0 for k, v in out.items() if v[0] == "common")
+
+
+def test_tfidf_single_corpus_scan(spark, tmp_path):
+    """N is derived from the persisted TF aggregate (no second corpus job):
+    the scoring plan reads the cache, and passing n_docs as a catalog stat
+    gives identical results with no cache at all."""
+    from pdf_extractor_spark.operators.dedup import release_caches
+    from pdf_extractor_spark.operators.keywords import tfidf_topk
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"term{i} shared words appear here doc{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    derived = tfidf_topk(docs, k=2)
+    plan = derived._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # main query reads the TF cache, not the corpus
+    rows_derived = sorted(map(tuple, derived.collect()))
+    release_caches(derived)
+
+    stat = tfidf_topk(docs, k=2, n_docs=30)
+    assert not getattr(stat, "_cached_intermediates", None)  # stat path: fully lazy
+    assert sorted(map(tuple, stat.collect())) == rows_derived
