@@ -3,12 +3,13 @@
 A from-scratch re-specification of the reference's PDF path
 (reference: app/processing/pdf_processor.py:86-108 delegates to
 ``unstructured.partition_pdf``: page → typed blocks in reading order). Scope
-per SURVEY.md §2.3 E1: a **controlled synthetic subset** of PDF — classic
-cross-reference PDFs whose page content streams are uncompressed or
-FlateDecode-compressed (stdlib zlib inflate — the filter real-world PDFs
-overwhelmingly use) and whose text is carried in literal strings with
-Tj/TJ/' operators. No OCR, no font decoding (synthetic corpus uses
-ASCII/WinAnsi text), no object streams — those need the full CPU-impure
+per SURVEY.md §2.3 E1: a **controlled subset** of PDF — cross-reference
+PDFs (classic xref tables AND 1.5+ /Type /XRef cross-reference streams,
+with /Type /ObjStm compressed object streams) whose page content streams
+are uncompressed or FlateDecode-compressed (stdlib zlib inflate — the
+filter real-world PDFs overwhelmingly use) and whose text is carried in
+literal or hex strings with Tj/TJ/' operators. No OCR, no font decoding
+(synthetic corpus uses ASCII/WinAnsi text) — those need the full CPU-impure
 stack that the north_rule's byte-identical requirement excludes.
 
 Reading order: pages in /Kids order; within a page, BT..ET text objects in
@@ -102,6 +103,189 @@ def _stream_bytes(body: bytes) -> bytes | None:
     return raw
 
 
+# --- object-stream (/ObjStm) and xref-stream support ------------------------
+#
+# Post-2005 PDFs (1.5+) commonly store non-stream objects inside compressed
+# object streams and replace the classic xref table with a /Type /XRef
+# stream. Both are deterministic stdlib work: inflate, parse integer pairs /
+# fixed-width binary rows. The reference handles these via `unstructured`
+# (reference: app/processing/pdf_processor.py:86-101); here they extend the
+# same pure-Python core so extraction stays byte-identical by construction.
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_N_RE = re.compile(rb"/N\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_INT_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+
+
+def _objstm_members(body: bytes) -> dict[int, bytes]:
+    """Member objects of one /Type /ObjStm object body: {obj_num: obj_bytes}.
+
+    Layout per the PDF spec: the decoded stream opens with N (obj_num,
+    offset) integer pairs; object i's bytes start at /First + offset_i."""
+    data = _stream_bytes(body)
+    if data is None:
+        return {}
+    nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+    if not nm or not fm:
+        return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header, pairs = data[:first], []
+    pos = 0
+    for _ in range(n):
+        m = _INT_PAIR_RE.search(header, pos)
+        if not m:
+            return {}
+        pairs.append((int(m.group(1)), int(m.group(2))))
+        pos = m.end()
+    out: dict[int, bytes] = {}
+    for i, (num, off) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+        out[num] = data[first + off : end]
+    return out
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)\s*%%EOF", re.DOTALL)
+_XREF_OBJ_AT_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer\b(.*?)(?:startxref|\Z)", re.DOTALL)
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+
+
+def _parse_xref_stream(body: bytes) -> tuple[dict[int, tuple[int, int, int]], int | None]:
+    """One /Type /XRef stream → ({obj_num: (type, f2, f3)}, prev_offset).
+
+    Row types: 0 = free, 1 = (offset, gen), 2 = (objstm_num, index_in_stm).
+    /W gives the three field widths; /Index gives (start, count) subsection
+    pairs, defaulting to [0, /Size]."""
+    data = _stream_bytes(body)
+    wm = _W_RE.search(body)
+    if data is None or not wm:
+        raise ValueError("bad xref stream")
+    w1, w2, w3 = (int(wm.group(i)) for i in (1, 2, 3))
+    row_w = w1 + w2 + w3
+    im = _INDEX_RE.search(body)
+    if im:
+        nums = [int(x) for x in im.group(1).split()]
+        subsections = list(zip(nums[0::2], nums[1::2]))
+    else:
+        sm = _SIZE_RE.search(body)
+        if not sm:
+            raise ValueError("xref stream without /Index or /Size")
+        subsections = [(0, int(sm.group(1)))]
+    entries: dict[int, tuple[int, int, int]] = {}
+    pos = 0
+    for start, count in subsections:
+        for num in range(start, start + count):
+            row = data[pos : pos + row_w]
+            if len(row) < row_w:
+                raise ValueError("truncated xref stream")
+            pos += row_w
+            t = int.from_bytes(row[:w1], "big") if w1 else 1  # default type 1
+            f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+            f3 = int.from_bytes(row[w1 + w2 :], "big")
+            entries.setdefault(num, (t, f2, f3))
+    pm = _PREV_RE.search(body)
+    return entries, int(pm.group(1)) if pm else None
+
+
+def _load_objects_via_xref(data: bytes) -> dict[int, bytes]:
+    """Follow the xref chain from startxref; resolve type-1 entries to object
+    bodies at their byte offsets and type-2 entries through their /ObjStm.
+    Raises on any structural surprise — the caller falls back to the flat
+    regex scan (pre-1.5 classic PDFs and mildly damaged files)."""
+    sm = None
+    for sm in _STARTXREF_RE.finditer(data):
+        pass  # last startxref = the newest xref section
+    if not sm:
+        raise ValueError("no startxref")
+    entries: dict[int, tuple[int, int, int]] = {}
+    offset, seen = int(sm.group(1)), set()
+    while offset is not None and offset not in seen:
+        seen.add(offset)
+        if data[offset : offset + 4] == b"xref":
+            offset = _parse_classic_xref(data, offset, entries)
+        else:
+            m = _XREF_OBJ_AT_RE.match(data, offset)
+            if not m:
+                raise ValueError("startxref points at neither xref nor object")
+            body_m = _OBJ_RE.match(data, offset)
+            if not body_m:
+                raise ValueError("unterminated xref stream object")
+            sub, prev = _parse_xref_stream(body_m.group(2))
+            for k, v in sub.items():
+                entries.setdefault(k, v)
+            offset = prev
+    objs: dict[int, bytes] = {}
+    objstm_cache: dict[int, dict[int, bytes]] = {}
+    for num, (t, f2, _f3) in sorted(entries.items()):
+        if t == 1:
+            m = _OBJ_RE.match(data, f2)
+            if m and int(m.group(1)) == num:
+                objs[num] = m.group(2)
+        elif t == 2:
+            if f2 not in objstm_cache:
+                stm_entry = entries.get(f2)
+                if not stm_entry or stm_entry[0] != 1:
+                    continue
+                sm2 = _OBJ_RE.match(data, stm_entry[1])
+                objstm_cache[f2] = _objstm_members(sm2.group(2)) if sm2 else {}
+            if num in objstm_cache[f2]:
+                objs[num] = objstm_cache[f2][num]
+    if not objs:
+        raise ValueError("xref chain resolved no objects")
+    return objs
+
+
+def _parse_classic_xref(data: bytes, offset: int,
+                        entries: dict[int, tuple[int, int, int]]) -> int | None:
+    """Classic `xref` table section at ``offset`` → merge entries, return the
+    trailer's /Prev offset (None at chain end)."""
+    pos = offset + 4
+    while True:
+        m = re.compile(rb"\s*(\d+)\s+(\d+)\s*").match(data, pos)
+        if not m:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        pos = m.end()
+        for num in range(start, start + count):
+            row = data[pos : pos + 20]
+            if len(row) < 18:
+                raise ValueError("truncated classic xref")
+            f1, _gen, kind = row[:10], row[11:16], row[17:18]
+            if kind == b"n":
+                entries.setdefault(num, (1, int(f1), 0))
+            pos += 20
+    tm = _TRAILER_RE.search(data, pos)
+    if not tm:
+        raise ValueError("classic xref without trailer")
+    pm = _PREV_RE.search(tm.group(1))
+    return int(pm.group(1)) if pm else None
+
+
+def _load_objects(data: bytes) -> dict[int, bytes]:
+    """All reachable objects of the file. Prefers the xref chain (exact, and
+    the only route to /ObjStm members); falls back to the flat regex scan,
+    which additionally picks up ObjStm members of streams it can see."""
+    try:
+        return _load_objects_via_xref(data)
+    except Exception:
+        objs: dict[int, bytes] = {
+            int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+        }
+        for body in list(objs.values()):
+            if _OBJSTM_RE.search(body):
+                try:
+                    members = _objstm_members(body)
+                except Exception:
+                    continue
+                for k, v in members.items():
+                    objs.setdefault(k, v)
+        return objs
+
+
 def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """Parse one synthetic-subset PDF into reading-order page blocks.
 
@@ -113,9 +297,7 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     if data is None or len(data) == 0:
         return ExtractResult(url=url, status="ok", text="", blocks=[])
     try:
-        objs: dict[int, bytes] = {
-            int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
-        }
+        objs = _load_objects(data)
         kids: list[int] = []
         for body in objs.values():
             if b"/Type" in body and b"/Pages" in body:
@@ -178,14 +360,40 @@ def extract_any(url: str, payload: bytes | None) -> ExtractResult:
 
 # --- deterministic synthetic PDF source (test/bench scaffolding) ------------
 
-def render_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
-    """Build a minimal classic PDF: one content stream per page, one BT..ET
-    text object per paragraph, lines wrapped at ~60 chars. Deterministic.
-    ``compress=True`` FlateDecode-compresses the content streams (zlib
-    level default — deterministic for a given input)."""
+def _esc_pdf_str(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+def _page_content_stream(paragraphs: list[str]) -> str:
+    """Content-stream operators for one page: one BT..ET per paragraph,
+    lines wrapped at ~60 chars (shared by both render flavors)."""
+    ops = []
+    for p in paragraphs:
+        words = p.split(" ")
+        lines, cur = [], ""
+        for w in words:
+            cur = w if not cur else f"{cur} {w}"
+            if len(cur) >= 60:
+                lines.append(cur)
+                cur = ""
+        if cur:
+            lines.append(cur)
+        body = " T* ".join(f"({_esc_pdf_str(ln)}) Tj" for ln in lines)
+        ops.append(f"BT /F1 12 Tf 72 720 Td {body} ET")
+    return "\n".join(ops)
+
+
+def render_pdf(pages: list[list[str]], compress: bool = False, objstm: bool = False) -> bytes:
+    """Build a minimal PDF: one content stream per page, one BT..ET text
+    object per paragraph, lines wrapped at ~60 chars. Deterministic.
+
+    ``compress=True`` FlateDecode-compresses the content streams (zlib level
+    default — deterministic for a given input). ``objstm=True`` renders the
+    1.5+ flavor instead: all non-stream objects packed into a /Type /ObjStm
+    object stream and the classic xref table replaced by a /Type /XRef
+    cross-reference stream — the dominant post-2005 layout."""
+    if objstm:
+        return _render_pdf_objstm(pages, compress)
 
     objs: list[bytes] = []
 
@@ -204,20 +412,7 @@ def render_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     for i, paragraphs in enumerate(pages):
         content_num = 3 + 2 * i + 1
         add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R >>")
-        ops = []
-        for p in paragraphs:
-            words = p.split(" ")
-            lines, cur = [], ""
-            for w in words:
-                cur = w if not cur else f"{cur} {w}"
-                if len(cur) >= 60:
-                    lines.append(cur)
-                    cur = ""
-            if cur:
-                lines.append(cur)
-            body = " T* ".join(f"({esc(ln)}) Tj" for ln in lines)
-            ops.append(f"BT /F1 12 Tf 72 720 Td {body} ET")
-        stream = "\n".join(ops)
+        stream = _page_content_stream(paragraphs)
         if compress:
             comp = zlib.compress(stream.encode("latin-1"))
             add(
@@ -240,4 +435,93 @@ def render_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     out += (
         f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _render_pdf_objstm(pages: list[list[str]], compress: bool) -> bytes:
+    """PDF 1.5+ flavor: catalog/pages/page dicts inside one /Type /ObjStm,
+    content streams top-level, /Type /XRef cross-reference stream (W=[1 4 2],
+    type-2 rows pointing members into the ObjStm). Deterministic."""
+    n_pages = len(pages)
+    kids_nums = [3 + 2 * i for i in range(n_pages)]
+    content_nums = [4 + 2 * i for i in range(n_pages)]
+
+    members: list[tuple[int, str]] = [
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, "<< /Type /Pages /Kids ["
+            + " ".join(f"{k} 0 R" for k in kids_nums)
+            + f" ] /Count {n_pages} >>"),
+    ]
+    for i in range(n_pages):
+        members.append(
+            (kids_nums[i], f"<< /Type /Page /Parent 2 0 R /Contents {content_nums[i]} 0 R >>")
+        )
+
+    s_num = 3 + 2 * n_pages  # the ObjStm object
+    x_num = s_num + 1  # the XRef stream object
+
+    bodies = [m[1].encode("latin-1") for m in members]
+    offs, cur = [], 0
+    for b in bodies:
+        offs.append(cur)
+        cur += len(b) + 1  # members separated by one space
+    header = (" ".join(f"{num} {off}" for (num, _), off in zip(members, offs)) + " ").encode()
+    stm_data = header + b" ".join(bodies)
+    first = len(header)
+    if compress:
+        comp = zlib.compress(stm_data)
+        objstm_obj = (
+            f"<< /Type /ObjStm /N {len(members)} /First {first} "
+            f"/Filter /FlateDecode /Length {len(comp)} >>\nstream\n".encode("latin-1")
+            + comp + b"\nendstream"
+        )
+    else:
+        objstm_obj = (
+            f"<< /Type /ObjStm /N {len(members)} /First {first} "
+            f"/Length {len(stm_data)} >>\nstream\n".encode("latin-1")
+            + stm_data + b"\nendstream"
+        )
+
+    top_level: list[tuple[int, bytes]] = []
+    for i, paragraphs in enumerate(pages):
+        stream = _page_content_stream(paragraphs)
+        if compress:
+            comp = zlib.compress(stream.encode("latin-1"))
+            body = (
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode("latin-1")
+                + comp + b"\nendstream"
+            )
+        else:
+            body = f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream".encode("latin-1")
+        top_level.append((content_nums[i], body))
+    top_level.append((s_num, objstm_obj))
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, body in top_level:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    # xref rows, W = [1 4 2]: type, field2, field3
+    x_off = len(out)
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> None:
+        rows.extend(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big"))
+
+    member_index = {num: i for i, (num, _) in enumerate(members)}
+    row(0, 0, 65535)  # object 0: free
+    for num in range(1, x_num + 1):
+        if num in member_index:
+            row(2, s_num, member_index[num])
+        elif num in offsets:
+            row(1, offsets[num], 0)
+        elif num == x_num:
+            row(1, x_off, 0)
+    out += (
+        f"{x_num} 0 obj\n<< /Type /XRef /Size {x_num + 1} /W [1 4 2] "
+        f"/Root 1 0 R /Length {len(rows)} >>\nstream\n".encode("latin-1")
+        + bytes(rows) + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{x_off}\n%%EOF\n".encode()
     return bytes(out)

@@ -156,6 +156,13 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
                 "text": pdf_text,
             },
             {
+                # 1.5+ layout: /Type /ObjStm member objects + /Type /XRef
+                # cross-reference stream (the dominant post-2005 form)
+                "url": "https://edge.test/pdf-objstm",
+                "html": render_pdf(pdf_pages, compress=True, objstm=True),
+                "text": pdf_text,
+            },
+            {
                 "url": "https://edge.test/boilerplate-only",
                 "html": (
                     "<html><body><nav><a href='/a'>a</a><a href='/b'>b</a></nav>"

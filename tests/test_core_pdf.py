@@ -140,3 +140,35 @@ def test_indirect_length_falls_back_to_stream_scan():
     r = extract_pdf("u", data)
     assert r.status == "ok"
     assert r.text == "\n\n".join(p for page in PAGES for p in page)
+
+
+def test_objstm_xref_stream_roundtrip():
+    """PDF 1.5+ flavor (/ObjStm members + /XRef cross-reference stream)
+    extracts byte-identically to the classic layout, for both plain and
+    FlateDecode content streams."""
+    plain = extract_pdf("u", render_pdf(PAGES))
+    for compress in (False, True):
+        data = render_pdf(PAGES, compress=compress, objstm=True)
+        assert b"/ObjStm" in data and b"/XRef" in data and b"trailer" not in data
+        r = extract_pdf("u", data)
+        assert r.status == "ok"
+        assert r.text == plain.text
+        assert [(b.page, b.span_start, b.span_end) for b in r.blocks] == [
+            (b.page, b.span_start, b.span_end) for b in plain.blocks
+        ]
+
+
+def test_objstm_regex_fallback_without_startxref():
+    """A damaged 1.5+ file (startxref gone) still recovers member objects via
+    the flat-scan fallback's ObjStm expansion."""
+    data = render_pdf(PAGES, compress=True, objstm=True).replace(b"startxref", b"startxre_")
+    r = extract_pdf("u", data)
+    assert r.status == "ok"
+    assert r.text == extract_pdf("u", render_pdf(PAGES)).text
+
+
+def test_classic_files_resolve_through_xref_chain():
+    from pdf_extractor_spark.core.pdf_extract import _load_objects_via_xref
+
+    objs = _load_objects_via_xref(render_pdf(PAGES))
+    assert sorted(objs) == list(range(1, 2 * len(PAGES) + 3))
