@@ -308,13 +308,21 @@ def _decode(html: bytes) -> tuple[str, bool]:
     except UnicodeDecodeError:
         pass
     # non-UTF-8 page: honor a declared <meta charset=...> (searched in the
-    # head bytes, like browsers' pre-scan) before degrading to lossy replace
+    # head bytes, like browsers' pre-scan) before falling back
     m = _META_CHARSET_RE.search(html[:2048])
     if m:
         try:
             return html.decode(m.group(1).decode("ascii")), False
         except (LookupError, UnicodeDecodeError):
             pass
+    # undeclared legacy page: windows-1252, the browsers' de-facto fallback
+    # for the Latin-1-era web — decodes most such pages losslessly (strict:
+    # only bytes 81/8D/8F/90/9D are undefined), so 'fallback' status is
+    # reserved for genuinely undecodable bytes
+    try:
+        return html.decode("cp1252"), False
+    except UnicodeDecodeError:
+        pass
     return html.decode("utf-8", errors="replace"), True
 
 

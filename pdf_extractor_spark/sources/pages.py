@@ -171,9 +171,19 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
                 "text": "",
             },
             {
+                # 0x81 is undefined even in cp1252 -> genuinely undecodable
+                # -> lossy utf-8-replace -> parse_status 'fallback'
                 "url": "https://edge.test/malformed",
-                "html": b"<html><body><p>truncated paragraph text here" + b"\xff\xfe" + b"<div<<<",
+                "html": b"<html><body><p>truncated paragraph text here" + b"\x81\x90" + b"<div<<<",
                 "text": "truncated paragraph text here",
+            },
+            {
+                # legacy page: cp1252 bytes, NO declared charset -> the
+                # windows-1252 browser-fallback decodes it losslessly ('ok')
+                "url": "https://edge.test/cp1252",
+                "html": "<html><body><article><p>café résumé – “quoted” naïve</p>"
+                        "</article></body></html>".encode("cp1252"),
+                "text": "café résumé – “quoted” naïve",
             },
             {"url": "https://edge.test/dup-a", "html": dup_html.encode(), "text": par},
             {"url": "https://edge.test/dup-b", "html": dup_html.encode(), "text": par},

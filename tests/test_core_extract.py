@@ -65,9 +65,25 @@ def test_empty_and_boilerplate_only():
 
 
 def test_malformed_bytes_fallback_status():
-    r = extract_html("u", b"<body><p>truncated text here" + b"\xff\xfe" + b"<div<<<")
+    # 0x81 is undefined in cp1252 too -> genuinely undecodable -> fallback
+    r = extract_html("u", b"<body><p>truncated text here" + b"\x81\x90" + b"<div<<<")
     assert r.status == "fallback"
     assert "truncated text here" in r.text
+
+
+def test_cp1252_fallback_decodes_losslessly():
+    """Undeclared legacy pages (the Latin-1-era web) decode via the
+    windows-1252 browser fallback with parse_status 'ok', including the
+    cp1252-only 0x80-0x9F range (curly quotes, en-dash)."""
+    body = "café résumé – “quoted” naïve"
+    html = f"<html><body><article><p>{body}</p></article></body></html>".encode("cp1252")
+    r = extract_html("u", html)
+    assert r.status == "ok"
+    assert r.text == body
+    # corpus edge row exercises the same path end-to-end
+    row = next(r for r in gen_pages(seed=42, n=5, include_edge_cases=True) if "cp1252" in r["url"])
+    rr = extract_html(row["url"], row["html"])
+    assert rr.status == "ok" and rr.text == row["text"]
 
 
 def test_generator_by_construction_equality():
@@ -166,9 +182,10 @@ def test_meta_charset_decoding():
     r = extract_html("u", body.encode("iso-8859-1"))
     assert r.status == "ok"
     assert r.text == "café naïve résumé"
-    # undeclared non-utf8 still degrades gracefully
+    # undeclared non-utf8 now rescues via the cp1252 browser fallback
+    # (latin-1's printable range is a subset) — lossless, status 'ok'
     r2 = extract_html("u", "<body><p>café page</p></body>".encode("iso-8859-1"))
-    assert r2.status == "fallback" and "caf" in r2.text
+    assert r2.status == "ok" and r2.text == "café page"
 
 
 def test_nested_table_stays_one_block():
