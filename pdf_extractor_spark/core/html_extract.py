@@ -87,6 +87,9 @@ class ExtractResult:
     # context for the E5 related-images join (reference:
     # app/processing/pdf_processor.py:121,170-173,207-218)
     images: list[str] = field(default_factory=list)
+    # page number of each descriptor, parallel to ``images`` — always 1 for
+    # the single-page HTML flavor; real pages in the PDF flavor
+    image_pages: list[int] = field(default_factory=list)
 
 
 def _norm_ws(s: str) -> str:
@@ -395,5 +398,6 @@ def extract_html(url: str, html: bytes | None) -> ExtractResult:
         pos += len(text)
     images = parser.images if status != "failed" and "parser" in locals() else []
     return ExtractResult(
-        url=url, status=status, text=BLOCK_SEP.join(pieces), blocks=blocks, images=images
+        url=url, status=status, text=BLOCK_SEP.join(pieces), blocks=blocks,
+        images=images, image_pages=[1] * len(images),
     )

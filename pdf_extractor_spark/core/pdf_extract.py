@@ -48,6 +48,10 @@ _BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
 # synthetic subset) or hex ``<...>``, matched in stream order so mixed forms
 # keep reading order
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+# image XObject invocations (`/Name Do`) in a content stream — the PDF
+# analog of <img>: descriptors are positional (alt-less) `img_<i>` names
+# with REAL page attribution for the E5 related-images join
+_DO_RE = re.compile(rb"/\w+\s+Do\b")
 
 _ESCAPES = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
@@ -306,6 +310,8 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
                     kids = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
                     break
         page_blocks: list[tuple[int, str]] = []  # (page_no, block_text)
+        images: list[str] = []
+        image_pages: list[int] = []
         for page_no, kid in enumerate(kids, 1):
             page_body = objs.get(kid, b"")
             cm = _CONTENTS_RE.search(page_body)
@@ -314,6 +320,9 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             content = _stream_bytes(objs.get(int(cm.group(1)), b""))
             if content is None:
                 continue
+            for _ in _DO_RE.finditer(content):
+                images.append(f"img_{len(images)}")
+                image_pages.append(page_no)
             for bt in _BT_RE.finditer(content):
                 parts = []
                 for s in _STR_RE.finditer(bt.group(1)):
@@ -344,7 +353,10 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
         )
         pieces.append(btxt)
         pos += len(btxt)
-    return ExtractResult(url=url, status="ok", text=BLOCK_SEP.join(pieces), blocks=blocks)
+    return ExtractResult(
+        url=url, status="ok", text=BLOCK_SEP.join(pieces), blocks=blocks,
+        images=images, image_pages=image_pages,
+    )
 
 
 def extract_any(url: str, payload: bytes | None) -> ExtractResult:
@@ -364,9 +376,10 @@ def _esc_pdf_str(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_content_stream(paragraphs: list[str]) -> str:
+def _page_content_stream(paragraphs: list[str], n_images: int = 0) -> str:
     """Content-stream operators for one page: one BT..ET per paragraph,
-    lines wrapped at ~60 chars (shared by both render flavors)."""
+    lines wrapped at ~60 chars, then ``n_images`` image XObject invocations
+    (`/ImN Do`). Shared by both render flavors."""
     ops = []
     for p in paragraphs:
         words = p.split(" ")
@@ -380,10 +393,21 @@ def _page_content_stream(paragraphs: list[str]) -> str:
             lines.append(cur)
         body = " T* ".join(f"({_esc_pdf_str(ln)}) Tj" for ln in lines)
         ops.append(f"BT /F1 12 Tf 72 720 Td {body} ET")
+    for j in range(n_images):
+        ops.append(f"q 100 0 0 100 {72 + 110 * j} 480 cm /Im{j} Do Q")
     return "\n".join(ops)
 
 
-def render_pdf(pages: list[list[str]], compress: bool = False, objstm: bool = False) -> bytes:
+def _images_for(images_per_page: int | list[int], i: int) -> int:
+    return images_per_page[i] if isinstance(images_per_page, list) else images_per_page
+
+
+def render_pdf(
+    pages: list[list[str]],
+    compress: bool = False,
+    objstm: bool = False,
+    images_per_page: int | list[int] = 0,
+) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
 
@@ -393,7 +417,7 @@ def render_pdf(pages: list[list[str]], compress: bool = False, objstm: bool = Fa
     object stream and the classic xref table replaced by a /Type /XRef
     cross-reference stream — the dominant post-2005 layout."""
     if objstm:
-        return _render_pdf_objstm(pages, compress)
+        return _render_pdf_objstm(pages, compress, images_per_page)
 
     objs: list[bytes] = []
 
@@ -412,7 +436,7 @@ def render_pdf(pages: list[list[str]], compress: bool = False, objstm: bool = Fa
     for i, paragraphs in enumerate(pages):
         content_num = 3 + 2 * i + 1
         add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R >>")
-        stream = _page_content_stream(paragraphs)
+        stream = _page_content_stream(paragraphs, _images_for(images_per_page, i))
         if compress:
             comp = zlib.compress(stream.encode("latin-1"))
             add(
@@ -438,7 +462,9 @@ def render_pdf(pages: list[list[str]], compress: bool = False, objstm: bool = Fa
     return bytes(out)
 
 
-def _render_pdf_objstm(pages: list[list[str]], compress: bool) -> bytes:
+def _render_pdf_objstm(
+    pages: list[list[str]], compress: bool, images_per_page: int | list[int] = 0
+) -> bytes:
     """PDF 1.5+ flavor: catalog/pages/page dicts inside one /Type /ObjStm,
     content streams top-level, /Type /XRef cross-reference stream (W=[1 4 2],
     type-2 rows pointing members into the ObjStm). Deterministic."""
@@ -484,7 +510,7 @@ def _render_pdf_objstm(pages: list[list[str]], compress: bool) -> bytes:
 
     top_level: list[tuple[int, bytes]] = []
     for i, paragraphs in enumerate(pages):
-        stream = _page_content_stream(paragraphs)
+        stream = _page_content_stream(paragraphs, _images_for(images_per_page, i))
         if compress:
             comp = zlib.compress(stream.encode("latin-1"))
             body = (

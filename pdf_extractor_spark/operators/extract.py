@@ -53,7 +53,9 @@ def _block_dicts(blocks) -> list[dict]:
 
 
 def _extract_rows(urls: list, htmls: list) -> dict[str, list]:
-    cols: dict[str, list] = {k: [] for k in ("url", "doc_hash", "parse_status", "text", "blocks", "images")}
+    cols: dict[str, list] = {
+        k: [] for k in ("url", "doc_hash", "parse_status", "text", "blocks", "images", "image_pages")
+    }
     for url, html in zip(urls, htmls):
         r = extract_any(url, html)  # magic-byte dispatch: PDF vs HTML (S2)
         cols["url"].append(url)
@@ -62,6 +64,7 @@ def _extract_rows(urls: list, htmls: list) -> dict[str, list]:
         cols["text"].append(r.text)
         cols["blocks"].append(_block_dicts(r.blocks))
         cols["images"].append(r.images)
+        cols["image_pages"].append(r.image_pages)
     return cols
 
 
@@ -204,12 +207,17 @@ def chunk_fixed_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def image_rows(docs: DataFrame) -> DataFrame:
     """(url, page, img_index, image_desc) — one row per image descriptor, in
     reading order (reference image materialization E7,
-    app/processing/pdf_processor.py:157-187; page is 1 for single-page HTML).
-    """
+    app/processing/pdf_processor.py:157-187). ``page`` comes from the
+    parallel image_pages array: 1 for single-page HTML, real page numbers in
+    the PDF flavor, so the E5 join scopes per (url, page)."""
     from pyspark.sql import functions as F
 
-    return docs.select(
-        "url", F.lit(1).alias("page"), F.posexplode("images").alias("img_index", "image_desc")
+    z = F.arrays_zip(F.col("image_pages"), F.col("images"))
+    return docs.select("url", F.posexplode(z).alias("img_index", "z")).select(
+        "url",
+        F.col("z.image_pages").alias("page"),
+        "img_index",
+        F.col("z.images").alias("image_desc"),
     )
 
 

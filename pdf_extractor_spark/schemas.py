@@ -44,6 +44,9 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), False),
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT), False),
         T.StructField("images", T.ArrayType(T.StringType()), False),
+        # page of each descriptor, parallel to images (1 for HTML; real
+        # pages in the PDF flavor — feeds the E5 related-images join)
+        T.StructField("image_pages", T.ArrayType(T.IntegerType()), False),
     ]
 )
 
@@ -69,6 +72,7 @@ DOCS_ARROW = pa.schema(
             ),
         ),
         pa.field("images", pa.list_(pa.string())),
+        pa.field("image_pages", pa.list_(pa.int32())),
     ]
 )
 

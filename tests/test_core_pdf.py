@@ -172,3 +172,39 @@ def test_classic_files_resolve_through_xref_chain():
 
     objs = _load_objects_via_xref(render_pdf(PAGES))
     assert sorted(objs) == list(range(1, 2 * len(PAGES) + 3))
+
+
+def test_pdf_images_carry_real_pages():
+    """/Name Do invocations emit positional descriptors with real page
+    numbers (image_pages parallel to images)."""
+    data = render_pdf(PAGES, images_per_page=[2, 0, 1])
+    r = extract_pdf("u", data)
+    assert r.images == ["img_0", "img_1", "img_2"]
+    assert r.image_pages == [1, 1, 3]
+
+
+def test_related_images_join_on_real_pdf_pages(spark):
+    """E5 end-to-end across REAL page numbers: a multi-page PDF with
+    distinct image sets per page — each chunk picks up only its own page's
+    images through the (url, page) join."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.extract import (
+        attach_related_images,
+        extract_chunks,
+        extract_docs,
+    )
+
+    long_page = [" ".join(f"tok{i} word" for i in range(180))]
+    pages_df = spark.createDataFrame(
+        [("pdf://imgs", render_pdf([long_page, long_page], images_per_page=[2, 1]))],
+        "url string, html binary",
+    )
+    docs = extract_docs(pages_df)
+    chunks = extract_chunks(pages_df).filter(F.col("chunk_index") >= 0)
+    out = attach_related_images(chunks, docs).collect()
+    by_page = {}
+    for row in out:
+        by_page.setdefault(row["page"], set()).update(row["related_images"])
+    assert by_page[1] == {"img_0", "img_1"}
+    assert by_page[2] == {"img_2"}
