@@ -641,6 +641,30 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (functions/urls.py): crawl-url variants (scheme/
+    host case, default ports, fragments, utm_* params, query order) collapse
+    to one dedup key — pure Column exprs, codegen on the scan."""
+    from pdf_extractor_spark.functions.urls import with_canonical_url
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+            F.lit("Example"), (d % 7).cast("string"), F.lit(".COM"),
+            F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            F.lit("/Path/"), d.cast("string"),
+            F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(d % 3 == 1, F.lit("?z=9&y=8&utm_campaign=x"))
+            .otherwise(F.lit("")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return with_canonical_url(dirty).select("doc_id", "url", "canonical_url")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Fingerprinting (rolling hash): winnowed k-gram fingerprint sets.
     The DuckDB oracle recomputes the full Rabin-Karp + winnowing scheme in
@@ -766,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
+        "canonical_urls": q_canonical_urls,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1291,6 +1316,36 @@ FROM cand c JOIN f fa ON c.id_a = fa.doc_id JOIN f fb ON c.id_b = fb.doc_id
 WHERE round(len(list_intersect(fa.fps, fb.fps))
             / len(list_distinct(list_concat(fa.fps, fb.fps)))::DOUBLE, 4) >= 0.5
 ORDER BY id_a, id_b""",
+        # same dirty-url construction on both sides; canonicalization spec
+        # per functions/urls.py (fragment strip, lowercase authority, drop
+        # default ports, drop utm_*, sort surviving params)
+        "canonical_urls": r"""
+WITH d AS (SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+  || 'Example' || (doc_id % 7)::VARCHAR || '.COM'
+  || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+  || '/Path/' || doc_id::VARCHAR
+  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+           WHEN doc_id % 3 = 1 THEN '?z=9&y=8&utm_campaign=x' ELSE '' END)
+  || '#frag' AS url
+ FROM documents),
+c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM d),
+h AS (SELECT *, regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head0 FROM c),
+p AS (SELECT doc_id, url,
+  regexp_replace(regexp_replace(lower(head0), '^(http://.*):80$', '\1'),
+                 '^(https://.*):443$', '\1') AS head,
+  substr(nf, length(head0) + 1) AS rest FROM h),
+q AS (SELECT doc_id, url, head,
+  regexp_extract(rest, '^([^?]*)', 1) AS path,
+  CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS query
+ FROM p),
+s AS (SELECT doc_id, url, head, path,
+  list_sort(list_filter(string_split(query, '&'),
+                        x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params FROM q)
+SELECT doc_id, url,
+       head || path || (CASE WHEN len(params) > 0
+                             THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+FROM s""",
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),

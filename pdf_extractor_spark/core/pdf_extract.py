@@ -12,9 +12,11 @@ literal or hex strings with Tj/TJ/' operators. No OCR, no font decoding
 (synthetic corpus uses ASCII/WinAnsi text) — those need the full CPU-impure
 stack that the north_rule's byte-identical requirement excludes.
 
-Reading order: pages in /Kids order; within a page, BT..ET text objects in
-stream order; each BT..ET object is one block. Page numbers are REAL here
-(1-based /Kids position), unlike the single-page HTML flavor.
+Reading order: depth-first /Pages-tree walk in /Kids order (nested
+intermediate nodes supported); within a page, BT..ET text objects in stream
+order (a /Contents ARRAY concatenates its streams in order); each BT..ET
+object is one block. Page numbers are REAL here (1-based position in the
+walk), unlike the single-page HTML flavor.
 
 Pure Python (stdlib ``re`` only); shared verbatim by pytest oracle and the
 Spark ``mapInArrow`` operator — byte-identity by construction.
@@ -33,6 +35,13 @@ _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+# /Contents can also be an ARRAY of stream refs, concatenated in order
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+# /Page\b does NOT match inside /Pages (no word boundary before the 's')
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+_TYPE_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 # direct /Length only: `/Length 6 0 R` (an indirect reference — the dominant
@@ -43,6 +52,7 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
+_TF_RE = re.compile(rb"/(\w+)\s+[-.\d]+\s+Tf\b")
 # strings feeding the text-showing operators (Tj, ', ", TJ arrays): literal
 # ``(...)`` (balanced parens — one nesting level covered, enough for the
 # synthetic subset) or hex ``<...>``, matched in stream order so mixed forms
@@ -52,6 +62,95 @@ _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 # analog of <img>: descriptors are positional (alt-less) `img_<i>` names
 # with REAL page attribution for the E5 related-images join
 _DO_RE = re.compile(rb"/\w+\s+Do\b")
+
+# --- /ToUnicode CMap support (subset/CID fonts) ------------------------------
+#
+# Post-2005 PDFs embed subset fonts whose string bytes are character CODES,
+# not text; the /ToUnicode CMap stream maps code -> Unicode (bfchar/bfrange
+# entries, UTF-16BE destinations). The reference gets this via
+# unstructured/pdfminer (app/processing/pdf_processor.py:86-101); here the
+# deterministic core parses the CMap directly and tracks the active font
+# (`/Name size Tf`) through each page's content stream.
+
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CSR_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)+\s*\])"
+)
+
+
+def _utf16be_hex(dst: bytes) -> str:
+    hx = dst.decode("ascii")
+    if len(hx) % 4:  # pad to whole UTF-16BE code units
+        hx = hx.zfill((len(hx) + 3) // 4 * 4)
+    return bytes.fromhex(hx).decode("utf-16-be", errors="replace")
+
+
+class _CMap:
+    """code -> unicode mapping from one /ToUnicode stream."""
+
+    __slots__ = ("width", "map")
+
+    def __init__(self, data: bytes) -> None:
+        csr = _CSR_RE.search(data)
+        self.width = len(csr.group(1)) // 2 if csr else 2
+        self.map: dict[int, str] = {}
+        for m in _BFCHAR_RE.finditer(data):
+            toks = _HEXTOK_RE.findall(m.group(1))
+            for src, dst in zip(toks[0::2], toks[1::2]):
+                self.map[int(src, 16)] = _utf16be_hex(dst)
+        for m in _BFRANGE_RE.finditer(data):
+            for e in _BFRANGE_ENTRY_RE.finditer(m.group(1)):
+                lo, hi, dst = int(e.group(1), 16), int(e.group(2), 16), e.group(3)
+                if dst.startswith(b"["):
+                    dsts = _HEXTOK_RE.findall(dst)
+                    for i, d in enumerate(dsts[: hi - lo + 1]):
+                        self.map[lo + i] = _utf16be_hex(d)
+                else:
+                    base = _HEXTOK_RE.match(dst).group(1)
+                    start = int(base, 16)
+                    for i in range(hi - lo + 1):
+                        # increment the LAST code unit (the common
+                        # contiguous-range form of real CMaps)
+                        self.map[lo + i] = _utf16be_hex(
+                            (b"%0" + str(len(base)).encode() + b"X") % (start + i)
+                        )
+
+    def decode(self, raw: bytes) -> str:
+        w = self.width
+        return "".join(
+            self.map.get(int.from_bytes(raw[i : i + w], "big"), "")
+            for i in range(0, len(raw) - w + 1, w)
+        )
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _CMap]:
+    """{font resource name: CMap} for fonts on this page that carry a
+    /ToUnicode stream (inline /Resources dict or indirect reference)."""
+    res = page_body
+    rm = _RES_REF_RE.search(page_body)
+    if rm:
+        res = objs.get(int(rm.group(1)), b"")
+    fonts: dict[bytes, _CMap] = {}
+    fm = _FONTDICT_RE.search(res)
+    if not fm:
+        return fonts
+    for name, ref in _FONTREF_RE.findall(fm.group(1)):
+        font_body = objs.get(int(ref), b"")
+        tm = _TOUNI_RE.search(font_body)
+        if not tm:
+            continue
+        data = _stream_bytes(objs.get(int(tm.group(1)), b""))
+        if data is not None:
+            fonts[name] = _CMap(data)
+    return fonts
 
 _ESCAPES = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
@@ -290,6 +389,64 @@ def _load_objects(data: bytes) -> dict[int, bytes]:
         return objs
 
 
+def _page_leaves(objs: dict[int, bytes]) -> list[int]:
+    """Reading-order leaf /Page object numbers.
+
+    Walks the page tree from the catalog's /Pages root, expanding nested
+    intermediate /Pages nodes depth-first in /Kids order (real PDFs balance
+    their page trees; a flat single-level /Kids is just the depth-1 case).
+    Falls back to the first flat /Kids list when no catalog is found."""
+    root = None
+    for body in objs.values():
+        if _TYPE_CATALOG_RE.search(body):
+            m = _PAGES_REF_RE.search(body)
+            if m:
+                root = int(m.group(1))
+                break
+    if root is None:
+        for body in objs.values():
+            if _TYPE_PAGES_RE.search(body):
+                m = _KIDS_RE.search(body)
+                if m:
+                    return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+        return []
+    leaves: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int, depth: int) -> None:
+        if num in seen or depth > 64:  # cycle / runaway guard
+            return
+        seen.add(num)
+        body = objs.get(num, b"")
+        if _TYPE_PAGES_RE.search(body):
+            km = _KIDS_RE.search(body)
+            if km:
+                for r in _REF_RE.finditer(km.group(1)):
+                    walk(int(r.group(1)), depth + 1)
+        elif _TYPE_PAGE_RE.search(body):
+            leaves.append(num)
+
+    walk(root, 0)
+    return leaves
+
+
+def _page_content(objs: dict[int, bytes], page_body: bytes) -> bytes | None:
+    """Decoded content bytes of one page: single /Contents ref or an array
+    of refs concatenated in order (both real-world forms)."""
+    am = _CONTENTS_ARR_RE.search(page_body)
+    if am:
+        parts = []
+        for r in _REF_RE.finditer(am.group(1)):
+            c = _stream_bytes(objs.get(int(r.group(1)), b""))
+            if c is not None:
+                parts.append(c)
+        return b"\n".join(parts) if parts else None
+    cm = _CONTENTS_RE.search(page_body)
+    if cm:
+        return _stream_bytes(objs.get(int(cm.group(1)), b""))
+    return None
+
+
 def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """Parse one synthetic-subset PDF into reading-order page blocks.
 
@@ -302,37 +459,48 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
         return ExtractResult(url=url, status="ok", text="", blocks=[])
     try:
         objs = _load_objects(data)
-        kids: list[int] = []
-        for body in objs.values():
-            if b"/Type" in body and b"/Pages" in body:
-                m = _KIDS_RE.search(body)
-                if m:
-                    kids = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
-                    break
+        kids = _page_leaves(objs)
         page_blocks: list[tuple[int, str]] = []  # (page_no, block_text)
         images: list[str] = []
         image_pages: list[int] = []
         for page_no, kid in enumerate(kids, 1):
             page_body = objs.get(kid, b"")
-            cm = _CONTENTS_RE.search(page_body)
-            if not cm:
-                continue
-            content = _stream_bytes(objs.get(int(cm.group(1)), b""))
+            content = _page_content(objs, page_body)
             if content is None:
                 continue
             for _ in _DO_RE.finditer(content):
                 images.append(f"img_{len(images)}")
                 image_pages.append(page_no)
+            # /ToUnicode fonts: string bytes are codes; track the active
+            # font (`/Name size Tf`) by stream position so mixed simple/CID
+            # text decodes correctly
+            fonts = _page_fonts(objs, page_body)
+            tf_marks = (
+                [(m.start(), m.group(1)) for m in _TF_RE.finditer(content)] if fonts else []
+            )
+
+            def active_cmap(pos: int) -> _CMap | None:
+                cm = None
+                for s_pos, name in tf_marks:
+                    if s_pos <= pos:
+                        cm = fonts.get(name)  # None for simple (non-CMap) fonts
+                    else:
+                        break
+                return cm
+
             for bt in _BT_RE.finditer(content):
                 parts = []
+                base = bt.start(1)
                 for s in _STR_RE.finditer(bt.group(1)):
+                    cmap = active_cmap(base + s.start()) if tf_marks else None
                     if s.group(1) is not None:
-                        parts.append(_unescape(s.group(1)).decode("latin-1"))
+                        raw = _unescape(s.group(1))
                     else:
                         hx = b"".join(s.group(2).split())
                         if len(hx) % 2:  # odd nibble count: pad with 0 (PDF spec)
                             hx += b"0"
-                        parts.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                        raw = bytes.fromhex(hx.decode("ascii"))
+                    parts.append(cmap.decode(raw) if cmap else raw.decode("latin-1"))
                 btxt = _norm_ws(" ".join(parts))
                 if btxt:
                     page_blocks.append((page_no, btxt))
@@ -376,10 +544,14 @@ def _esc_pdf_str(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_content_stream(paragraphs: list[str], n_images: int = 0) -> str:
+def _page_content_stream(paragraphs: list[str], n_images: int = 0,
+                         encode_line=None) -> str:
     """Content-stream operators for one page: one BT..ET per paragraph,
     lines wrapped at ~60 chars, then ``n_images`` image XObject invocations
-    (`/ImN Do`). Shared by both render flavors."""
+    (`/ImN Do`). ``encode_line`` overrides the literal-string form (the CID
+    renderer passes a hex-code encoder). Shared by both render flavors."""
+    if encode_line is None:
+        encode_line = lambda ln: f"({_esc_pdf_str(ln)}) Tj"  # noqa: E731
     ops = []
     for p in paragraphs:
         words = p.split(" ")
@@ -391,7 +563,7 @@ def _page_content_stream(paragraphs: list[str], n_images: int = 0) -> str:
                 cur = ""
         if cur:
             lines.append(cur)
-        body = " T* ".join(f"({_esc_pdf_str(ln)}) Tj" for ln in lines)
+        body = " T* ".join(encode_line(ln) for ln in lines)
         ops.append(f"BT /F1 12 Tf 72 720 Td {body} ET")
     for j in range(n_images):
         ops.append(f"q 100 0 0 100 {72 + 110 * j} 480 cm /Im{j} Do Q")
@@ -407,6 +579,7 @@ def render_pdf(
     compress: bool = False,
     objstm: bool = False,
     images_per_page: int | list[int] = 0,
+    cid_font: bool = False,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -415,9 +588,19 @@ def render_pdf(
     default — deterministic for a given input). ``objstm=True`` renders the
     1.5+ flavor instead: all non-stream objects packed into a /Type /ObjStm
     object stream and the classic xref table replaced by a /Type /XRef
-    cross-reference stream — the dominant post-2005 layout."""
+    cross-reference stream — the dominant post-2005 layout. ``cid_font=True``
+    renders text as 2-byte character CODES in hex strings under a Type0 font
+    with a /ToUnicode CMap — the subset-font form extraction must reverse."""
     if objstm:
         return _render_pdf_objstm(pages, compress, images_per_page)
+
+    encode_line = None
+    if cid_font:
+        chars = sorted({c for page in pages for p in page for c in p})
+        code_of = {c: i + 1 for i, c in enumerate(chars)}
+
+        def encode_line(ln: str) -> str:  # noqa: F811
+            return "<" + "".join(f"{code_of[c]:04X}" for c in ln) + "> Tj"
 
     objs: list[bytes] = []
 
@@ -433,10 +616,16 @@ def render_pdf(
         + " ".join(f"{k} 0 R" for k in kids_nums)
         + f" ] /Count {n_pages} >>"
     )  # obj 2
+    font_num = 3 + 2 * n_pages  # only emitted when cid_font
+    resources = (
+        f" /Resources << /Font << /F1 {font_num} 0 R >> >>" if cid_font else ""
+    )
     for i, paragraphs in enumerate(pages):
         content_num = 3 + 2 * i + 1
-        add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R >>")
-        stream = _page_content_stream(paragraphs, _images_for(images_per_page, i))
+        add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R{resources} >>")
+        stream = _page_content_stream(
+            paragraphs, _images_for(images_per_page, i), encode_line
+        )
         if compress:
             comp = zlib.compress(stream.encode("latin-1"))
             add(
@@ -446,6 +635,16 @@ def render_pdf(
             )
         else:
             add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
+
+    if cid_font:
+        bf = "\n".join(f"<{code:04X}> <{ord(c):04X}>" for c, code in sorted(code_of.items()))
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(code_of)} beginbfchar\n{bf}\nendbfchar\nendcmap\nend"
+        )
+        add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth /ToUnicode {font_num + 1} 0 R >>")
+        add(f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

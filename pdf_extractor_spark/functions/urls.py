@@ -1,0 +1,63 @@
+"""URL canonicalization — pure Column expressions (zero Python, codegen).
+
+Common-Crawl-style pipelines dedup and join on urls, and raw crawl urls
+differ in ways that don't change the resource: scheme/host case, default
+ports, fragments, tracking params, query-param order. The reference keys its
+idempotency probe on the raw url string (reference:
+app/vector_db/vector_service.py:77-103); at 10^12 documents the same page
+crawled as ``HTTP://Ex.COM/a?b=2&a=1#x`` and ``http://ex.com/a?a=1&b=2``
+must collapse to one key BEFORE the dedup shuffle, or the exact-dup pass
+under-merges.
+
+Spec (shared verbatim with the DuckDB oracle in __spark_entry__.py):
+
+1. strip the fragment (``#...`` to end),
+2. lowercase the scheme and authority (userinfo@host:port), never the path,
+3. drop explicit default ports (``:80`` for http, ``:443`` for https),
+4. drop ``utm_*`` tracking params; sort the survivors byte-wise; drop the
+   ``?`` entirely when none survive,
+5. everything else (path case, trailing slashes, percent-escapes) is left
+   untouched — those CAN be semantic.
+
+All steps are built-in string/array functions, so canonicalization runs
+inside WholeStageCodegen on the scan — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# authority = scheme://[userinfo@]host[:port] — everything before the first
+# '/', '?' or '#' that follows the '//'
+_HEAD_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+def _head(url: Column) -> Column:
+    return F.regexp_extract(url, _HEAD_RE, 1)
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of ``url`` per the module spec."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    head = _head(no_frag)
+    # everything after the authority head (path + query)
+    rest = no_frag.substr(F.length(head) + 1, F.lit(2_147_483_647))
+    head = F.lower(head)
+    head = F.regexp_replace(head, "^(http://.*):80$", "$1")
+    head = F.regexp_replace(head, "^(https://.*):443$", "$1")
+
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    params = F.array_sort(params)
+    qjoined = F.array_join(params, "&")
+    tail = F.when(F.size(params) > 0, F.concat(path, F.lit("?"), qjoined)).otherwise(path)
+    return F.concat(head, tail)
+
+
+def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url"):
+    return df.withColumn(out_col, canonical_url(F.col(url_col)))

@@ -163,6 +163,12 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
                 "text": pdf_text,
             },
             {
+                # subset/CID-font text: 2-byte hex codes + /ToUnicode CMap
+                "url": "https://edge.test/pdf-cid",
+                "html": render_pdf(pdf_pages, cid_font=True),
+                "text": pdf_text,
+            },
+            {
                 "url": "https://edge.test/boilerplate-only",
                 "html": (
                     "<html><body><nav><a href='/a'>a</a><a href='/b'>b</a></nav>"

@@ -208,3 +208,78 @@ def test_related_images_join_on_real_pdf_pages(spark):
         by_page.setdefault(row["page"], set()).update(row["related_images"])
     assert by_page[1] == {"img_0", "img_1"}
     assert by_page[2] == {"img_2"}
+
+
+def test_nested_pages_tree_and_contents_array():
+    """Real PDFs balance their page tree and split page content across a
+    /Contents ARRAY: both resolve in reading order."""
+
+    def obj(num, body):
+        return f"{num} 0 obj\n{body}\nendobj\n".encode("latin-1")
+
+    def stream_obj(num, stream):
+        return (
+            f"{num} 0 obj\n<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\nendobj\n"
+        ).encode("latin-1")
+
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R ] /Count 2 >>")  # two subtrees
+    pdf += obj(3, "<< /Type /Pages /Parent 2 0 R /Kids [5 0 R ] /Count 1 >>")
+    pdf += obj(4, "<< /Type /Pages /Parent 2 0 R /Kids [6 0 R ] /Count 1 >>")
+    # page 1: content split across an array of two streams
+    pdf += obj(5, "<< /Type /Page /Parent 3 0 R /Contents [7 0 R 8 0 R ] >>")
+    pdf += obj(6, "<< /Type /Page /Parent 4 0 R /Contents 9 0 R >>")
+    pdf += stream_obj(7, "BT (page one part a) Tj ET")
+    pdf += stream_obj(8, "BT (page one part b) Tj ET")
+    pdf += stream_obj(9, "BT (page two text) Tj ET")
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "page one part a\n\npage one part b\n\npage two text"
+    assert [b.page for b in r.blocks] == [1, 1, 2]
+
+
+def test_cid_font_tounicode_roundtrip():
+    """Subset/CID-font text (2-byte hex codes + /ToUnicode CMap) extracts
+    byte-identically to the literal-string layout, non-ASCII included."""
+    pages = PAGES + [["accented café résumé text via cmap"]]
+    plain = extract_pdf("u", render_pdf(pages))
+    data = render_pdf(pages, cid_font=True)
+    assert b"/ToUnicode" in data and b"beginbfchar" in data
+    r = extract_pdf("u", data)
+    assert r.status == "ok"
+    assert r.text == plain.text
+    assert [(b.page, b.span_start, b.span_end) for b in r.blocks] == [
+        (b.page, b.span_start, b.span_end) for b in plain.blocks
+    ]
+
+
+def test_bfrange_and_mixed_fonts():
+    """A bfrange CMap decodes ranged codes, and a Tf switch back to a simple
+    font mid-page turns CMap decoding off for subsequent strings."""
+
+    def obj(num, body):
+        return f"{num} 0 obj\n{body}\nendobj\n".encode("latin-1")
+
+    # codes 0x41..0x5A -> 'A'..'Z' via one bfrange entry
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "1 beginbfrange\n<0041> <005A> <0041>\nendbfrange\nendcmap\nend"
+    )
+    stream = "BT /F9 12 Tf <00480045004C004C004F> Tj /F1 12 Tf (plain tail) Tj ET"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R ] /Count 1 >>")
+    pdf += obj(
+        3,
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R /F1 7 0 R >> >> >>",
+    )
+    pdf += obj(4, f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
+    pdf += obj(5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>")
+    pdf += obj(6, f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
+    pdf += obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "HELLO plain tail"

@@ -178,3 +178,21 @@ def test_tfidf_single_corpus_scan(spark, tmp_path):
     stat = tfidf_topk(docs, k=2, n_docs=30)
     assert not getattr(stat, "_cached_intermediates", None)  # stat path: fully lazy
     assert sorted(map(tuple, stat.collect())) == rows_derived
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    """Scheme/host case, default ports, fragments, utm_* params, and query
+    order all collapse; semantic parts (path case, real ports) survive."""
+    from pdf_extractor_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/A/b?b=2&utm_source=x&a=1#frag", "http://ex.com/A/b?a=1&b=2"),
+        ("https://User@Ex.Com:443/p", "https://user@ex.com/p"),
+        ("https://ex.com:8443/p?z=1", "https://ex.com:8443/p?z=1"),  # real port kept
+        ("http://ex.com/p?utm_only=1", "http://ex.com/p"),  # all params dropped -> no '?'
+        ("http://ex.com/", "http://ex.com/"),
+        ("http://ex.com", "http://ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
