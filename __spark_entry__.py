@@ -641,6 +641,38 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of repeated word 3-grams,
+    spam phrasing injected into every 4th doc so the signal separates."""
+    from pdf_extractor_spark.functions.text import repetition_ratio
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    spam = " spam phrase again spam phrase again spam phrase again"
+    dirty = docs.select(
+        "doc_id",
+        F.when(d % 4 == 0, F.concat(F.col("text"), F.lit(spam)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dirty.select(
+        "doc_id", F.round(repetition_ratio(F.col("text")), 4).alias("rep_ratio")
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash near-dup pairs (pairs → clusters →
+    keep-one-per-group): min-label propagation, oracle = recursive CTE."""
+    pairs = DD.minhash_near_duplicates(
+        _union_with_near_dups(_docs(spark, sf_dir)), threshold=0.5
+    )
+    out = DD.near_dup_clusters(pairs)
+    out._cached_intermediates = getattr(out, "_cached_intermediates", []) + getattr(
+        pairs, "_cached_intermediates", []
+    )
+    return out.select(F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster_id"))
+
+
 def q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/urls.py): crawl-url variants (scheme/
     host case, default ports, fragments, utm_* params, query order) collapse
@@ -791,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
         "canonical_urls": q_canonical_urls,
+        "repetition_scores": q_repetition_scores,
+        "dedup_clusters": q_dedup_clusters,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1077,7 +1111,7 @@ f AS (SELECT doc_id,
       FROM w)"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _sql_minhash_near_dups() -> str:
     band_keys = ", ".join(
         f"md5('{b}' || '|' || mh{4*b} || '|' || mh{4*b+1} || '|' || mh{4*b+2} || '|' || mh{4*b+3}) AS bk{b}"
         for b in range(4)
@@ -1085,6 +1119,26 @@ def oracle_sql() -> dict[str, str]:
     band_unnest = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, bk{b} AS band_key FROM bands" for b in range(4)
     )
+    return f"""
+WITH u AS ({_U_NEAR}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM u),
+shg AS (SELECT doc_id, {_SH3} AS sh FROM t),
+hxx AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM shg),
+sig AS (SELECT doc_id, sh, {_sql_minhash_cols('hs')} FROM hxx),
+bands AS (SELECT doc_id, {band_keys} FROM sig),
+keys2 AS ({band_unnest}),
+big AS (SELECT band, band_key FROM keys2 GROUP BY band, band_key HAVING count(*) > 64),
+kept AS (SELECT k.* FROM keys2 k ANTI JOIN big b ON k.band = b.band AND k.band_key = b.band_key),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM kept a JOIN kept b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) AS jaccard
+FROM cand c JOIN shg sa ON c.id_a = sa.doc_id JOIN shg sb ON c.id_b = sb.doc_id
+WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= 0.5
+ORDER BY id_a, id_b"""
+
+
+def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text AS extracted_text, 'ok' AS parse_status "
@@ -1207,23 +1261,35 @@ hx AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM s)
 SELECT doc_id,
   {_sql_minhash_cols('hs')}
 FROM hx""",
-        "minhash_near_dups": f"""
-WITH u AS ({_U_NEAR}),
-t AS (SELECT doc_id, {_TOKS} AS toks FROM u),
-shg AS (SELECT doc_id, {_SH3} AS sh FROM t),
-hxx AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM shg),
-sig AS (SELECT doc_id, sh, {_sql_minhash_cols('hs')} FROM hxx),
-bands AS (SELECT doc_id, {band_keys} FROM sig),
-keys2 AS ({band_unnest}),
-big AS (SELECT band, band_key FROM keys2 GROUP BY band, band_key HAVING count(*) > 64),
-kept AS (SELECT k.* FROM keys2 k ANTI JOIN big b ON k.band = b.band AND k.band_key = b.band_key),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM kept a JOIN kept b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-SELECT c.id_a, c.id_b,
-       round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) AS jaccard
-FROM cand c JOIN shg sa ON c.id_a = sa.doc_id JOIN shg sb ON c.id_b = sb.doc_id
-WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= 0.5
-ORDER BY id_a, id_b""",
+        "minhash_near_dups": _sql_minhash_near_dups(),
+        # connected components over the same pairs: recursive closure, then
+        # min reachable id per node — independent of the Spark label-
+        # propagation loop
+        "dedup_clusters": f"""
+WITH RECURSIVE
+p AS ({_sql_minhash_near_dups()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT src AS node FROM e),
+reach AS (
+  SELECT node, node AS peer FROM n
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN e ON r.peer = e.src
+)
+SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id""",
+        "repetition_scores": f"""
+WITH u AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0
+       THEN text || ' spam phrase again spam phrase again spam phrase again'
+       ELSE text END AS text FROM documents),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM u),
+g AS (SELECT doc_id, text, toks,
+  list_transform(generate_series(1, greatest(1, len(toks)-2)),
+                 i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams FROM t)
+SELECT doc_id,
+  round(CASE WHEN trim(text) = '' THEN 0.0
+             ELSE (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE END, 4) AS rep_ratio
+FROM g""",
         "dedup_incremental": _sql_dedup_incremental(),
         "simhash": _sql_simhash("SELECT doc_id, text FROM documents"),
         "simhash_near_dups": _sql_simhash_near_dups(_U_NEAR),

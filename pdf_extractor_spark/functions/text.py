@@ -165,3 +165,18 @@ def doc_fingerprint(text: Column) -> Column:
     return F.when(F.size(sh) == 0, F.md5(F.lit(""))).otherwise(
         F.array_min(F.transform(sh, lambda s: F.md5(s)))
     )
+
+
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Fraction of repeated word k-grams — the Gopher-style repetition
+    signal for filtering boilerplate/spam (a doc that keeps repeating the
+    same phrases scores high): 1 - distinct/total over the doc's k-gram
+    list, 0.0 for docs with no tokens. Pure Column exprs — runs inside
+    codegen on the scan at any scale."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(k - 1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    n = F.size(grams)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(grams))) / n.cast("double")
+    )

@@ -623,3 +623,66 @@ def embedding_near_duplicates_lsh(
     return _attach_caches(
         cand.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b"), bucketed
     )
+
+
+# --- near-dup clustering (pairs -> connected components) --------------------
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, cluster): connected components over near-dup pairs — cluster =
+    min node id reachable through the pair graph. This is the step between
+    "pairs found" and "keep one doc per duplicate group" in a real curation
+    pipeline (drop every node where node != cluster).
+
+    Implementation: iterative min-label propagation — each round every node
+    adopts the minimum label among itself and its neighbors, converging in
+    O(graph diameter) rounds. Near-dup graphs are dense little cliques (a
+    page and its near-copies all pair with each other), so the diameter is
+    tiny and 2-3 rounds settle real corpora; ``max_iter`` bounds pathological
+    chains. Each round is two equi-joins + a hash-agg on the (nodes+edges)
+    tables — never touches documents — and the per-round convergence probe
+    counts a boolean aggregate, not rows. At 10^12-edge scale the same loop
+    upgrades to the alternating large-star/small-star formulation (O(log n)
+    rounds); the round body and join shapes are identical.
+
+    ``pairs``: (id_a, id_b) DataFrame, any extra columns ignored.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()  # materialize before the loop
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
+    return _attach_caches(out, labels, edges)

@@ -195,3 +195,15 @@ def test_consecutive_invocations_leave_no_persistent_rdds(spark, near_dup_df):
             with DD.scoped_caches(op()) as out:
                 out.count()
         assert n_cached() == base, f"cache leak after {op}"
+
+
+def test_near_dup_clusters_connected_components(spark):
+    """Chained pairs merge transitively into one cluster labeled by the min
+    id; disjoint pairs stay separate; every node appears exactly once."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (40, 41), (41, 42)], "id_a long, id_b long"
+    )
+    out = DD.near_dup_clusters(pairs)
+    got = {r["node"]: r["cluster"] for r in out.collect()}
+    DD.release_caches(out)
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
