@@ -57,7 +57,6 @@ _TF_RE = re.compile(rb"/(\w+)\s+[-.\d]+\s+Tf\b")
 # ``(...)`` (balanced parens — one nesting level covered, enough for the
 # synthetic subset) or hex ``<...>``, matched in stream order so mixed forms
 # keep reading order
-_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 # image XObject invocations (`/Name Do`) in a content stream — the PDF
 # analog of <img>: descriptors are positional (alt-less) `img_<i>` names
 # with REAL page attribution for the E5 related-images join
@@ -153,27 +152,84 @@ def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _CMap]:
     return fonts
 
 _ESCAPES = {
-    b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
+    b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t", b"\\b": b"\b", b"\\f": b"\f",
     b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\",
 }
+_OCTAL_RE = re.compile(rb"[0-7]{1,3}")
 
 
 def _unescape(raw: bytes) -> bytes:
+    """PDF literal-string escapes: named escapes, \\ooo octal bytes (1-3
+    digits), backslash-EOL line continuations; unknown escapes drop the
+    backslash (spec behavior)."""
     out = bytearray()
     i = 0
-    while i < len(raw):
-        if raw[i : i + 1] == b"\\" and i + 1 < len(raw):
+    n = len(raw)
+    while i < n:
+        if raw[i : i + 1] == b"\\" and i + 1 < n:
             pair = raw[i : i + 2]
             if pair in _ESCAPES:
                 out += _ESCAPES[pair]
                 i += 2
                 continue
-            out += raw[i + 1 : i + 2]  # unknown escape: literal next char
+            nxt = raw[i + 1 : i + 2]
+            if nxt in (b"\r", b"\n"):  # line continuation: swallow the EOL
+                i += 2
+                if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            m = _OCTAL_RE.match(raw, i + 1)
+            if m:
+                out.append(int(m.group(0), 8) & 0xFF)
+                i = m.end()
+                continue
+            out += nxt  # unknown escape: literal next char
             i += 2
             continue
         out += raw[i : i + 1]
         i += 1
     return bytes(out)
+
+
+def _iter_strings(buf: bytes):
+    """Yield (kind, payload, start) for every string in ``buf`` in stream
+    order: kind 'lit' for ``(...)`` literals (escape-aware, BALANCED nested
+    parens per spec — no escaping required inside), 'hex' for ``<...>``
+    (``<<`` dict openers are skipped). Replaces a pure-regex scan, which
+    cannot count paren depth."""
+    i, n = 0, len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x28:  # (
+            depth, j, start = 1, i + 1, i
+            out = bytearray()
+            while j < n:
+                b = buf[j]
+                if b == 0x5C and j + 1 < n:  # backslash: keep escape pair raw
+                    out += buf[j : j + 2]
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                out.append(b)
+                j += 1
+            yield ("lit", bytes(out), start)
+            i = j + 1
+        elif c == 0x3C:  # <
+            if buf[i + 1 : i + 2] == b"<":  # dict opener, not a string
+                i += 2
+                continue
+            j = buf.find(b">", i + 1)
+            if j == -1:
+                break
+            yield ("hex", buf[i + 1 : j], i)
+            i = j + 1
+        else:
+            i += 1
 
 
 def is_pdf(payload: bytes | None) -> bool:
@@ -491,12 +547,12 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             for bt in _BT_RE.finditer(content):
                 parts = []
                 base = bt.start(1)
-                for s in _STR_RE.finditer(bt.group(1)):
-                    cmap = active_cmap(base + s.start()) if tf_marks else None
-                    if s.group(1) is not None:
-                        raw = _unescape(s.group(1))
+                for kind, payload, pos in _iter_strings(bt.group(1)):
+                    cmap = active_cmap(base + pos) if tf_marks else None
+                    if kind == "lit":
+                        raw = _unescape(payload)
                     else:
-                        hx = b"".join(s.group(2).split())
+                        hx = b"".join(payload.split())
                         if len(hx) % 2:  # odd nibble count: pad with 0 (PDF spec)
                             hx += b"0"
                         raw = bytes.fromhex(hx.decode("ascii"))

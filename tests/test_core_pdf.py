@@ -283,3 +283,29 @@ def test_bfrange_and_mixed_fonts():
     r = extract_pdf("u", pdf)
     assert r.status == "ok"
     assert r.text == "HELLO plain tail"
+
+
+def test_octal_escapes_nested_parens_line_continuation():
+    """Real-world literal-string forms: \\ooo octal escapes, BALANCED nested
+    parens (no escaping required inside), and backslash-EOL continuations."""
+
+    def obj(num, body):
+        return f"{num} 0 obj\n{body}\nendobj\n".encode("latin-1")
+
+    stream = (
+        b"BT (octal \\251 char) Tj T* "
+        b"(nested (parens (deep)) tail) Tj T* "
+        b"(line \\\ncontinued) Tj ET"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R ] /Count 1 >>")
+    pdf += obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    pdf += (
+        f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n".encode()
+        + stream + b"\nendstream\nendobj\n"
+    )
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    # continuation swallows only the EOL; the pre-backslash space survives
+    assert r.text == "octal \xa9 char nested (parens (deep)) tail line continued"
