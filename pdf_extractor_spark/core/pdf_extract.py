@@ -61,6 +61,10 @@ _TF_RE = re.compile(rb"/(\w+)\s+[-.\d]+\s+Tf\b")
 # analog of <img>: descriptors are positional (alt-less) `img_<i>` names
 # with REAL page attribution for the E5 related-images join
 _DO_RE = re.compile(rb"/\w+\s+Do\b")
+# inline images (BI ... ID <binary> EI): stripped before text/image scanning
+# so their binary payload can't fabricate strings or BT blocks; each counts
+# as one image descriptor
+_INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bEI\b", re.DOTALL)
 
 # --- /ToUnicode CMap support (subset/CID fonts) ------------------------------
 #
@@ -130,25 +134,36 @@ class _CMap:
         )
 
 
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
 def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _CMap]:
-    """{font resource name: CMap} for fonts on this page that carry a
-    /ToUnicode stream (inline /Resources dict or indirect reference)."""
-    res = page_body
-    rm = _RES_REF_RE.search(page_body)
-    if rm:
-        res = objs.get(int(rm.group(1)), b"")
+    """{font resource name: CMap} for fonts visible to this page that carry
+    a /ToUnicode stream. /Resources may be inline, an indirect reference, or
+    INHERITED from an ancestor /Pages node (walked via /Parent, the spec's
+    inheritance rule)."""
     fonts: dict[bytes, _CMap] = {}
-    fm = _FONTDICT_RE.search(res)
-    if not fm:
-        return fonts
-    for name, ref in _FONTREF_RE.findall(fm.group(1)):
-        font_body = objs.get(int(ref), b"")
-        tm = _TOUNI_RE.search(font_body)
-        if not tm:
-            continue
-        data = _stream_bytes(objs.get(int(tm.group(1)), b""))
-        if data is not None:
-            fonts[name] = _CMap(data)
+    body = page_body
+    for _ in range(16):  # /Parent chain depth guard
+        res = body
+        rm = _RES_REF_RE.search(body)
+        if rm:
+            res = objs.get(int(rm.group(1)), b"")
+        fm = _FONTDICT_RE.search(res)
+        if fm:
+            for name, ref in _FONTREF_RE.findall(fm.group(1)):
+                font_body = objs.get(int(ref), b"")
+                tm = _TOUNI_RE.search(font_body)
+                if not tm:
+                    continue
+                data = _stream_bytes(objs.get(int(tm.group(1)), b""))
+                if data is not None:
+                    fonts[name] = _CMap(data)
+            return fonts
+        pm = _PARENT_RE.search(body)
+        if not pm:
+            break
+        body = objs.get(int(pm.group(1)), b"")
     return fonts
 
 _ESCAPES = {
@@ -236,13 +251,88 @@ def is_pdf(payload: bytes | None) -> bool:
     return payload is not None and payload[:5] == b"%PDF-"
 
 
+# stream predictors (/DecodeParms): real xref streams are almost always
+# FlateDecode + PNG Predictor 12 (Up); content streams occasionally use
+# TIFF predictor 2. All are deterministic byte arithmetic.
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _png_defilter(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Reverse PNG row filters (types 0-4; each row prefixed by its filter
+    byte) — the /Predictor >= 10 family."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + rowlen])
+        pos += rowlen
+        if ft == 1:  # Sub
+            for k in range(bpp, len(row)):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(len(row)):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(len(row)):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(len(row)):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                c = prev[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prev = row
+        out += row
+    return bytes(out)
+
+
+def _apply_predictor(head: bytes, raw: bytes) -> bytes:
+    pm = _PREDICTOR_RE.search(head)
+    if not pm:
+        return raw
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return raw
+    cm = _COLUMNS_RE.search(head)
+    columns = int(cm.group(1)) if cm else 1
+    colm = _COLORS_RE.search(head)
+    colors = int(colm.group(1)) if colm else 1
+    bm = _BPC_RE.search(head)
+    bpc = int(bm.group(1)) if bm else 8
+    if pred >= 10:
+        return _png_defilter(raw, columns, colors, bpc)
+    if pred == 2 and bpc == 8:  # TIFF horizontal differencing
+        bpp = colors
+        rowlen = columns * bpp
+        out = bytearray(raw)
+        for r0 in range(0, len(out), rowlen):
+            for k in range(r0 + bpp, min(r0 + rowlen, len(out))):
+                out[k] = (out[k] + out[k - bpp]) & 0xFF
+        return bytes(out)
+    raise ValueError(f"unsupported predictor {pred}")
+
+
 def _stream_bytes(body: bytes) -> bytes | None:
     """Decoded content-stream bytes of one object body, or None.
 
     Prefers the dict's ``/Length`` (compressed bytes may coincidentally
-    contain the ``endstream`` marker that the regex fallback keys on), and
-    inflates ``/FlateDecode`` streams via stdlib zlib — deterministic
-    round-trip, no new deps. Any other filter raises → 'failed' status."""
+    contain the ``endstream`` marker that the regex fallback keys on),
+    inflates ``/FlateDecode`` streams via stdlib zlib, and reverses
+    PNG/TIFF predictors (/DecodeParms) — deterministic round-trip, no new
+    deps. Any other filter raises → 'failed' status."""
     sm = _STREAM_START_RE.search(body)
     if not sm:
         return None
@@ -256,7 +346,7 @@ def _stream_bytes(body: bytes) -> bytes | None:
             return None
         raw = m.group(1)
     if _FLATE_RE.search(head):
-        raw = zlib.decompress(raw)
+        raw = _apply_predictor(head, zlib.decompress(raw))
     elif b"/Filter" in head:
         raise ValueError("unsupported stream filter")
     return raw
@@ -524,6 +614,10 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             content = _page_content(objs, page_body)
             if content is None:
                 continue
+            content, n_inline = _INLINE_IMG_RE.subn(b" ", content)
+            for _ in range(n_inline):
+                images.append(f"img_{len(images)}")
+                image_pages.append(page_no)
             for _ in _DO_RE.finditer(content):
                 images.append(f"img_{len(images)}")
                 image_pages.append(page_no)
@@ -636,6 +730,7 @@ def render_pdf(
     objstm: bool = False,
     images_per_page: int | list[int] = 0,
     cid_font: bool = False,
+    xref_predictor: bool = False,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -648,7 +743,7 @@ def render_pdf(
     renders text as 2-byte character CODES in hex strings under a Type0 font
     with a /ToUnicode CMap — the subset-font form extraction must reverse."""
     if objstm:
-        return _render_pdf_objstm(pages, compress, images_per_page)
+        return _render_pdf_objstm(pages, compress, images_per_page, xref_predictor)
 
     encode_line = None
     if cid_font:
@@ -718,7 +813,8 @@ def render_pdf(
 
 
 def _render_pdf_objstm(
-    pages: list[list[str]], compress: bool, images_per_page: int | list[int] = 0
+    pages: list[list[str]], compress: bool, images_per_page: int | list[int] = 0,
+    xref_predictor: bool = False,
 ) -> bytes:
     """PDF 1.5+ flavor: catalog/pages/page dicts inside one /Type /ObjStm,
     content streams top-level, /Type /XRef cross-reference stream (W=[1 4 2],
@@ -799,10 +895,29 @@ def _render_pdf_objstm(
             row(1, offsets[num], 0)
         elif num == x_num:
             row(1, x_off, 0)
-    out += (
-        f"{x_num} 0 obj\n<< /Type /XRef /Size {x_num + 1} /W [1 4 2] "
-        f"/Root 1 0 R /Length {len(rows)} >>\nstream\n".encode("latin-1")
-        + bytes(rows) + b"\nendstream\nendobj\n"
-    )
+    if xref_predictor:
+        # PNG Up-filtered + Flate — the layout real writers emit
+        rowlen = 7
+        enc = bytearray()
+        prev = bytes(rowlen)
+        for r0 in range(0, len(rows), rowlen):
+            row = bytes(rows[r0 : r0 + rowlen])
+            enc.append(2)  # filter type: Up
+            enc += bytes((row[k] - prev[k]) & 0xFF for k in range(len(row)))
+            prev = row
+        comp = zlib.compress(bytes(enc))
+        out += (
+            f"{x_num} 0 obj\n<< /Type /XRef /Size {x_num + 1} /W [1 4 2] "
+            f"/Root 1 0 R /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+            f"/Length {len(comp)} >>\nstream\n".encode("latin-1")
+            + comp + b"\nendstream\nendobj\n"
+        )
+    else:
+        out += (
+            f"{x_num} 0 obj\n<< /Type /XRef /Size {x_num + 1} /W [1 4 2] "
+            f"/Root 1 0 R /Length {len(rows)} >>\nstream\n".encode("latin-1")
+            + bytes(rows) + b"\nendstream\nendobj\n"
+        )
     out += f"startxref\n{x_off}\n%%EOF\n".encode()
     return bytes(out)

@@ -309,3 +309,69 @@ def test_octal_escapes_nested_parens_line_continuation():
     assert r.status == "ok"
     # continuation swallows only the EOL; the pre-backslash space survives
     assert r.text == "octal \xa9 char nested (parens (deep)) tail line continued"
+
+
+def test_xref_predictor_roundtrip():
+    """Real writers emit xref streams as Flate + PNG Predictor 12 (Up):
+    decode must reverse the row filter before parsing entries."""
+    from pdf_extractor_spark.core.pdf_extract import _load_objects_via_xref
+
+    plain = extract_pdf("u", render_pdf(PAGES))
+    data = render_pdf(PAGES, compress=True, objstm=True, xref_predictor=True)
+    assert b"/Predictor 12" in data
+    assert len(_load_objects_via_xref(data)) >= 8  # xref chain, not fallback
+    r = extract_pdf("u", data)
+    assert r.status == "ok"
+    assert r.text == plain.text
+
+
+def _manual_pdf(objs_bodies):
+    out = b"%PDF-1.4\n"
+    for num, body in objs_bodies:
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    return out
+
+
+def test_inherited_resources_cmap():
+    """A page without /Resources inherits the font dict from its parent
+    /Pages node (spec inheritance)."""
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "1 beginbfrange\n<0041> <005A> <0061>\nendbfrange\nendcmap\nend"
+    )
+    stream = "BT /F9 12 Tf <00480049> Tj ET"
+    pdf = _manual_pdf([
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, "<< /Type /Pages /Kids [3 0 R ] /Count 1"
+            " /Resources << /Font << /F9 5 0 R >> >> >>"),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream"),
+        (5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+        (6, f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream"),
+    ])
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "hi"  # codes 0x48,0x49 -> 'h','i' via the bfrange
+
+
+def test_inline_image_skipped_and_counted():
+    """BI..EI binary payloads must not fabricate strings or text blocks;
+    each inline image counts as one descriptor on its page."""
+    stream = (
+        b"BI /W 2 /H 2 /BPC 8 ID \x28\x3c\xff\x00garbage(bytes EI\n"
+        b"BT (clean text after image) Tj ET"
+    )
+    pdf = _manual_pdf([
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, "<< /Type /Pages /Kids [3 0 R ] /Count 1 >>"),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream + b"\nendstream"),
+    ])
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "clean text after image"
+    assert r.images == ["img_0"] and r.image_pages == [1]
