@@ -684,5 +684,10 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        # NOTE at 10^12-edge scale: checkpoint labels every ~5 rounds to
+        # truncate the logical-plan chain (persist caches the DATA but the
+        # plan tree still deepens each round, and Catalyst planning time
+        # becomes the bottleneck) — a checkpoint dir is an environment
+        # concern, so this bounded loop leaves it to the caller.
     out = labels.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
     return _attach_caches(out, labels, edges)

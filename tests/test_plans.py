@@ -144,6 +144,9 @@ def test_dedup_joins_are_never_theta(spark, docs):
         DD.simhash_near_duplicates(d, max_hamming=3),
         DD.winnow_similar_pairs(d, threshold=0.5),
         DD.dedup_against_corpus(d.limit(10), sig),
+        DD.near_dup_clusters(
+            spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long"), max_iter=2
+        ),
     ):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, plan
