@@ -171,14 +171,16 @@ def minhash_sig_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     one digest per shingle, 16 derived orderings (see _py_minhash). The min
     under each rotation is a valid MinHash (collision prob = jaccard).
     """
-    arrow_schema = _pa.schema([(id_col, _pa.int64())] + _SIG_FIELDS)
-    sql_schema = f"{id_col} long, sh array<string>, " + ", ".join(
+    # id type follows the input (long doc ids, string urls, ...) — the
+    # streaming re-crawl path keys signatures by url
+    id_sql_type = df.schema[id_col].dataType.simpleString()
+    sql_schema = f"{id_col} {id_sql_type}, sh array<string>, " + ", ".join(
         f"mh{j} string" for j in range(NUM_HASHES)
     )
 
     def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_col).to_pylist()
+            id_arr = batch.column(id_col)
             texts = batch.column(text_col).to_pylist()
             shs, sigcols = [], [[] for _ in range(NUM_HASHES)]
             for t in texts:
@@ -186,9 +188,10 @@ def minhash_sig_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 shs.append(sh)
                 for j, m in enumerate(_py_minhash(sh)):
                     sigcols[j].append(m)
-            arrays = [_pa.array(ids, type=_pa.int64()), _pa.array(shs, type=_pa.list_(_pa.string()))]
+            arrays = [id_arr, _pa.array(shs, type=_pa.list_(_pa.string()))]
             arrays += [_pa.array(c, type=_pa.string()) for c in sigcols]
-            yield _pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+            names = [id_col] + [f[0] for f in _SIG_FIELDS]
+            yield _pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.select(id_col, text_col).mapInArrow(run, sql_schema)
 
@@ -358,17 +361,17 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     (core/fingerprint.py spec), one Arrow pass, no shuffle."""
     from pdf_extractor_spark.core.fingerprint import winnow
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
-        schema = _pa.schema([(id_col, _pa.int64()), ("fps", _pa.list_(_pa.int64()))])
         for batch in batches:
-            ids = batch.column(id_col).to_pylist()
             fps = [winnow(t or "") for t in batch.column(text_col).to_pylist()]
             yield _pa.RecordBatch.from_arrays(
-                [_pa.array(ids, type=_pa.int64()), _pa.array(fps, type=_pa.list_(_pa.int64()))],
-                schema=schema,
+                [batch.column(id_col), _pa.array(fps, type=_pa.list_(_pa.int64()))],
+                names=[id_col, "fps"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(run, f"{id_col} long, fps array<long>")
+    return df.select(id_col, text_col).mapInArrow(run, f"{id_col} {id_type}, fps array<long>")
 
 
 def winnow_similar_pairs(
@@ -449,11 +452,11 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     groupBy formulation shuffles every token of the corpus — a non-starter
     at 10^12 docs — and is kept only as the independent SQL oracle."""
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def run(batches: _Iterator[_pa.RecordBatch]) -> _Iterator[_pa.RecordBatch]:
-        schema = _pa.schema(
-            [(id_col, _pa.int64()), ("simhash_hi", _pa.int64()), ("simhash_lo", _pa.int64())]
-        )
         for batch in batches:
+            id_type_pa = batch.column(id_col).type
             ids, his, los = [], [], []
             for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
                 toks = _py_tokens(t)
@@ -465,15 +468,15 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
                 los.append(lo)
             yield _pa.RecordBatch.from_arrays(
                 [
-                    _pa.array(ids, type=_pa.int64()),
+                    _pa.array(ids, type=id_type_pa),
                     _pa.array(his, type=_pa.int64()),
                     _pa.array(los, type=_pa.int64()),
                 ],
-                schema=schema,
+                names=[id_col, "simhash_hi", "simhash_lo"],
             )
 
     return df.select(id_col, text_col).mapInArrow(
-        run, f"{id_col} long, simhash_hi long, simhash_lo long"
+        run, f"{id_col} {id_type}, simhash_hi long, simhash_lo long"
     )
 
 

@@ -96,10 +96,11 @@ def stream_dedup_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
         )
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    # coalesce NULL html to b"" — parity with extraction's _doc_hash(None)
     hashed = pages.select(
-        F.sha2(F.col("html"), 256).alias("doc_hash"),
+        F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256).alias("doc_hash"),
         "url",
-        F.length("html").cast("long").alias("n_bytes"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
     )
     return hashed.groupBy("doc_hash").applyInPandasWithState(
         first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -128,3 +129,57 @@ def stream_quality_counters(
         )
         .select(F.col("w.start").alias("window_start"), "lang", "docs", "bytes_in")
     )
+
+
+def stream_extract_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    table: SnapshotTable,
+    corpus_sig_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """``stream_extract`` with a per-batch NEAR-dup filter against the
+    committed corpus signature table — the streaming re-crawl shape:
+    incoming pages whose extracted text is a near-copy of an already-
+    committed document are dropped before chunking/commit.
+
+    ``corpus_sig_path``: parquet of ``dedup.minhash_sig_table(corpus,
+    id_col='url')`` — written once at corpus build; the committed side is
+    never re-tokenized (per-batch cost scales with the batch). Each
+    micro-batch runs ONE extraction pass (extract_docs), filters via
+    ``dedup_against_corpus``, and chunks only the survivors through
+    ``chunk_docs``; ``scoped_caches`` releases the batch's signature caches
+    so an unbounded stream can't accumulate cached blocks.
+    """
+    from pdf_extractor_spark.operators.dedup import dedup_against_corpus, scoped_caches
+    from pdf_extractor_spark.operators.extract import chunk_docs, extract_docs
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"epoch-{epoch_id:06d}"
+        if any(r["run_id"] == run_id for r in table.manifest()["runs"]):
+            return  # checkpoint replay of a committed epoch → no-op
+        corpus_sig = spark.read.parquet(corpus_sig_path)
+        docs = extract_docs(batch_df)
+        survivors = dedup_against_corpus(
+            docs.select("url", "text"), corpus_sig, id_col="url"
+        )
+        with scoped_caches(survivors) as s:
+            kept = docs.join(s.select("url"), "url", "left_semi")
+            chunks = chunk_docs(kept)
+            table.append(
+                chunks,
+                lineage={"stage": "chunks", "epoch": epoch_id, "dedup": "corpus-minhash"},
+                run_id=run_id,
+            )
+
+    writer = pages.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -100,3 +100,42 @@ def test_stream_quality_counters(spark, stream_dirs):
     rows = spark.sql(f"SELECT * FROM {sink}").collect()
     assert all(r["docs"] > 0 and r["bytes_in"] > 0 for r in rows)
     assert got is None or got <= 70
+
+
+def test_stream_extract_dedup_drops_corpus_near_dups(spark, tmp_path):
+    """Streaming re-crawl shape: a page whose extracted text near-dups an
+    already-committed corpus doc is dropped before commit; fresh pages pass.
+    Signature caches release every micro-batch (no persistent-RDD leak)."""
+    from pdf_extractor_spark.operators.dedup import minhash_sig_table
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+    from pdf_extractor_spark.streaming.pipeline import stream_extract_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([("c://1", base)], "url string, text string")
+    sig_path = str(tmp_path / "corpus_sig")
+    minhash_sig_table(corpus, id_col="url").write.parquet(sig_path)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    rows = [
+        ("s://dup", f"<html><body><article><p>{base} tail</p></article></body></html>".encode()),
+        ("s://new", b"<html><body><article><p>completely different fresh content"
+                    b" with novel words entirely</p></article></body></html>"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"url": [r[0] for r in rows], "html": [r[1] for r in rows]}),
+        str(inp / "part-0.parquet"),
+    )
+
+    spark.catalog.clearCache()
+    table = SnapshotTable(str(tmp_path / "chunks"))
+    q = stream_extract_dedup(
+        spark, str(inp), table, sig_path, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    urls = {r["url"] for r in table.read_chunks(spark).select("url").distinct().collect()}
+    assert urls == {"s://new"}
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
