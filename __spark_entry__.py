@@ -641,6 +641,17 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling (functions/sampling.py): membership
+    = md5(seed:id) threshold per stratum — reproducible across runs and
+    partitionings, unlike rand()."""
+    from pdf_extractor_spark.functions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = stratified_sample(docs, rates={"en": 0.5, "de": 1.0}, default_rate=0.1, seed=7)
+    return out.select("doc_id", "lang")
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition signal: fraction of repeated word 3-grams,
     spam phrasing injected into every 4th doc so the signal separates."""
@@ -825,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
+        "hash_sample": q_hash_sample,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1277,6 +1289,14 @@ reach AS (
 )
 SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id""",
+        # same md5-threshold spec as functions/sampling.py: uint32 of the
+        # first 8 hex chars / 2^32 (exact in binary64 on both engines)
+        "hash_sample": """
+WITH u AS (SELECT doc_id, lang,
+  ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS uval
+ FROM documents)
+SELECT doc_id, lang FROM u
+WHERE uval < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0 ELSE 0.1 END)""",
         "repetition_scores": f"""
 WITH u AS (SELECT doc_id,
   CASE WHEN doc_id % 4 = 0

@@ -1,0 +1,51 @@
+"""Deterministic hash-based sampling — pure Column expressions.
+
+Training-data pipelines downsample (and re-balance across languages/domains)
+with REPRODUCIBLE membership: the same doc must land in the same split on
+every run, machine, and cluster size — `rand()` can't promise that (its seed
+is per-partition, so membership changes with partitioning). The standard
+trick: hash the stable id with a seed and threshold the uniform value.
+
+    u(id) = uint32(md5(seed || ':' || id)[:8 hex]) / 2^32   ∈ [0, 1)
+    keep  ⇔  u(id) < rate
+
+Properties: deterministic, partitioning-independent, O(1) per row inside
+codegen (one md5 + arithmetic — no shuffle, no state), and nested splits
+compose (different seeds give independent hashes). The DuckDB oracle shares
+the exact spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_uniform(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform [0,1) value for a stable id (double)."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))), 1, 8)
+    return F.conv(hx, 16, 10).cast("double") / F.lit(float(1 << 32))
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Keep ~rate of rows, membership determined only by (seed, id)."""
+    return df.filter(sample_uniform(F.col(id_col), seed) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum rates (e.g. language re-balancing: keep 10% of English,
+    100% of low-resource languages). Strata absent from ``rates`` use
+    ``default_rate``. Same determinism guarantees as hash_sample; the rate
+    lookup folds to a CASE expression — still zero-shuffle scan logic."""
+    u = sample_uniform(F.col(id_col), seed)
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(u < rate)

@@ -196,3 +196,17 @@ def test_canonical_url_collapses_crawl_variants(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    """Membership depends only on (seed, id): same rows kept at any
+    partitioning; different seeds give different (independent) splits."""
+    from pdf_extractor_spark.functions.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df.coalesce(1), 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(13), 0.3, seed=1).collect()}
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35  # ~rate
+    c = {r["doc_id"] for r in hash_sample(df, 0.3, seed=2).collect()}
+    assert c != a  # independent split under a different seed
