@@ -1,0 +1,189 @@
+"""WARC ingestion — Common Crawl's native archive format.
+
+The north_rule's input is an Iceberg table of Common-Crawl-style pages, and
+Common Crawl itself ships WARC: a sequence of records, each a block of
+``WARC/1.0`` headers + payload, where ``response`` records wrap a full HTTP
+response (status line + headers + body = the page bytes). On disk each
+record is its own gzip member, so a ``.warc.gz`` file is a concatenation of
+gzip streams (stdlib ``zlib`` handles member-at-a-time inflation).
+
+This source turns WARC files into the pages table shape
+(url, warc_ts, html) so archives feed the SAME pipeline as the catalog
+table: ``binaryFile`` scan (distributed listing + length pushdown) →
+``mapInArrow`` record parse (pure-Python splitter shared with pytest) →
+pages rows → operators/extract.py.
+
+Scale notes: ``binaryFile`` materializes one whole file per row, so
+partition sizing = WARC file sizing (Common Crawl's ~1 GB segments want
+``spark.sql.files.maxPartitionBytes`` >= file size and a few files per
+task at most). For selective reads, Common Crawl's CDX index gives
+(file, offset, length) per url — at that point ingestion becomes a ranged
+object-store read per record, which is a different source (not needed for
+full-corpus extraction, which reads every record anyway).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Inflate a concatenation of gzip members (the .warc.gz layout) one
+    member at a time; non-gzip input yields itself unchanged."""
+    if data[:2] != b"\x1f\x8b":
+        yield data
+        return
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        yield d.decompress(data[pos:])
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def _parse_warc_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(b"\r\n")[1:]:  # [0] is the WARC/1.0 version line
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[bytes, bytes], bytes]]:
+    """(warc_headers, payload) per record, across all gzip members. Pure
+    Python — shared verbatim between pytest and the Spark operator."""
+    for member in _split_gzip_members(data):
+        pos = 0
+        while True:
+            start = member.find(b"WARC/", pos)
+            if start == -1:
+                break
+            hdr_end = member.find(_CRLF2, start)
+            if hdr_end == -1:
+                break
+            headers = _parse_warc_headers(member[start:hdr_end])
+            try:
+                length = int(headers.get(b"content-length", b""))
+            except ValueError:
+                break  # malformed record: stop scanning this member
+            body_start = hdr_end + len(_CRLF2)
+            yield headers, member[body_start : body_start + length]
+            pos = body_start + length
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP status line + headers from a response payload."""
+    sep = payload.find(_CRLF2)
+    return payload[sep + len(_CRLF2) :] if sep != -1 else payload
+
+
+def _parse_warc_date(raw: bytes) -> datetime | None:
+    try:
+        return datetime.strptime(raw.decode("ascii"), "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def warc_pages_from_bytes(data: bytes) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """(url, warc_ts, html) for every ``response`` record in one WARC file."""
+    for headers, payload in iter_warc_records(data):
+        if headers.get(b"warc-type") != b"response":
+            continue
+        uri = headers.get(b"warc-target-uri")
+        if not uri:
+            continue
+        yield (
+            uri.decode("utf-8", errors="replace"),
+            _parse_warc_date(headers.get(b"warc-date", b"")),
+            _http_body(payload),
+        )
+
+
+def read_warc_pages(
+    spark: SparkSession, path: str, glob: str = "*.warc*", max_bytes: int | None = None
+) -> DataFrame:
+    """Directory of .warc / .warc.gz files → pages DataFrame
+    (url, warc_ts, html), ready for operators/extract.py.
+
+    The file scan is ``binaryFile`` (distributed listing, pathGlobFilter at
+    LIST time, ``length`` pushdown for the oversized-file guard); record
+    parsing is one Arrow pass per file partition — no shuffle.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    files = reader.load(path)
+    if max_bytes is not None:
+        files = files.filter(F.col("length") <= max_bytes)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls: list[str] = []
+            tss: list[datetime | None] = []
+            htmls: list[bytes] = []
+            for content in batch.column("content").to_pylist():
+                for url, ts, html in warc_pages_from_bytes(content or b""):
+                    urls.append(url)
+                    tss.append(ts)
+                    htmls.append(html)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+                    pa.array(htmls, type=pa.binary()),
+                ],
+                names=["url", "warc_ts", "html"],
+            )
+
+    return files.select("content").mapInArrow(
+        run, "url string, warc_ts timestamp, html binary"
+    )
+
+
+# --- deterministic synthetic WARC writer (test/bench scaffolding) -----------
+
+def render_warc(
+    pages: list[tuple[str, str, bytes]], per_record_gzip: bool = False
+) -> bytes:
+    """Build a WARC file from (url, iso_ts, html) triples: one ``response``
+    record per page wrapping a minimal HTTP response. ``per_record_gzip``
+    emits the Common-Crawl layout (each record its own gzip member)."""
+    out = bytearray()
+    for url, iso_ts, html in pages:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode()
+            + html
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {iso_ts}\r\n".encode()
+            + f"Content-Length: {len(http)}".encode()
+            + _CRLF2
+            + http
+            + b"\r\n\r\n"
+        )
+        if per_record_gzip:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)

@@ -1,0 +1,65 @@
+"""WARC source: record parsing, gzip-member splitting, Spark ingestion into
+the pages shape, end-to-end extraction parity with the direct pipeline."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.sources.warc import (
+    iter_warc_records,
+    read_warc_pages,
+    render_warc,
+    warc_pages_from_bytes,
+)
+
+PAGES = [
+    ("https://a.test/1", "2026-03-01T00:00:00Z",
+     b"<html><body><article><p>first warc page text</p></article></body></html>"),
+    ("https://a.test/2", "2026-03-01T00:00:01Z",
+     b"<html><body><article><p>second warc page text</p></article></body></html>"),
+]
+
+
+def test_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        data = render_warc(PAGES, per_record_gzip=gz)
+        got = list(warc_pages_from_bytes(data))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in PAGES]
+        assert all(ts is not None and ts.year == 2026 for _, ts, _ in got)
+
+
+def test_non_response_records_skipped():
+    data = render_warc(PAGES)
+    # turn the first record into a request record: it must be skipped
+    data = data.replace(b"WARC-Type: response", b"WARC-Type: request", 1)
+    got = list(warc_pages_from_bytes(data))
+    assert [u for u, _, _ in got] == ["https://a.test/2"]
+    # but iter_warc_records still sees both
+    assert len(list(iter_warc_records(data))) == 2
+
+
+def test_binary_payload_with_warc_markers():
+    """A body that CONTAINS 'WARC/' bytes must not desync record framing
+    (framing is Content-Length-driven, not marker-driven)."""
+    tricky = [("https://a.test/t", "2026-03-01T00:00:02Z",
+               b"<p>embedded WARC/1.0\r\n\r\nfake header</p>")]
+    got = list(warc_pages_from_bytes(render_warc(tricky + PAGES)))
+    assert [u for u, _, _ in got] == [u for u, _, _ in tricky + PAGES]
+    assert got[0][2] == tricky[0][2]
+
+
+def test_spark_ingestion_and_extraction(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(render_warc(PAGES[:1]))
+    (tmp_path / "b.warc.gz").write_bytes(render_warc(PAGES[1:], per_record_gzip=True))
+    (tmp_path / "ignore.txt").write_bytes(b"not a warc")
+
+    pages = read_warc_pages(spark, str(tmp_path))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {u for u, _, _ in PAGES}
+    assert rows["https://a.test/1"]["html"] == PAGES[0][2]
+    assert rows["https://a.test/1"]["warc_ts"] is not None
+
+    from pdf_extractor_spark.operators.extract import extract_chunks
+
+    chunks = extract_chunks(pages).filter(F.col("chunk_index") >= 0)
+    texts = {r["url"]: r["text"] for r in chunks.collect()}
+    assert texts["https://a.test/1"] == "first warc page text"
+    assert texts["https://a.test/2"] == "second warc page text"
