@@ -641,6 +641,52 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (functions/pii.py): emails/IPv4/phones replaced with
+    typed tokens, audit counts from the original text; synthetic PII
+    injected per doc_id class."""
+    from pdf_extractor_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" contact bob@example.com now"))
+            .when(d % 3 == 1, F.lit(" server at 10.1.2.3 port 80"))
+            .otherwise(F.lit(" call +1 415 555 0100 today")),
+        ).alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    return dirty.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean_text"),
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup: paragraphs occurring >=2 times across
+    the corpus (injected banner/footer lines) drop from every doc;
+    survivors reassemble in order."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("shared cookie banner paragraph"),
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit("even footer boilerplate"))
+            .otherwise(F.concat(F.lit("unique tail "), d.cast("string"))),
+        ).alias("text"),
+    )
+    return DD.paragraph_dedup(built, min_count=2)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic stratified sampling (functions/sampling.py): membership
     = md5(seed:id) threshold per stratum — reproducible across runs and
@@ -837,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1150,6 +1198,30 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa
 ORDER BY id_a, id_b"""
 
 
+def _sql_pii_scrub() -> str:
+    from pdf_extractor_spark.functions.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    # identical pattern text + replacement order as functions/pii.py
+    scrub = "text"
+    for pat, tok in ((EMAIL_PATTERN, "<EMAIL>"), (IPV4_PATTERN, "<IP>"), (PHONE_PATTERN, "<PHONE>")):
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH u AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' contact bob@example.com now'
+       WHEN doc_id % 3 = 1 THEN ' server at 10.1.2.3 port 80'
+       ELSE ' call +1 415 555 0100 today' END AS text
+ FROM documents)
+SELECT doc_id, {scrub} AS clean_text,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_PATTERN}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{PHONE_PATTERN}'))::BIGINT AS n_phones
+FROM u"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": (
@@ -1289,6 +1361,20 @@ reach AS (
 )
 SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id""",
+        "pii_scrub": _sql_pii_scrub(),
+        "paragraph_dedup": """
+WITH built AS (SELECT doc_id,
+  'shared cookie banner paragraph' || chr(10)||chr(10) || text || chr(10)||chr(10) ||
+  CASE WHEN doc_id % 2 = 0 THEN 'even footer boilerplate'
+       ELSE 'unique tail ' || doc_id::VARCHAR END AS text
+ FROM documents),
+t AS (SELECT doc_id, regexp_split_to_array(text, '\\n\\n') AS parts FROM built),
+p AS (SELECT doc_id, unnest(parts) AS para,
+             unnest(generate_series(1, len(parts))) AS pos FROM t),
+hot AS (SELECT md5(para) AS pk FROM p GROUP BY md5(para) HAVING count(*) >= 2),
+k AS (SELECT p.* FROM p ANTI JOIN hot h ON md5(p.para) = h.pk)
+SELECT doc_id, array_to_string(list(para ORDER BY pos), chr(10)||chr(10)) AS clean_text
+FROM k GROUP BY doc_id""",
         # same md5-threshold spec as functions/sampling.py: uint32 of the
         # first 8 hex chars / 2^32 (exact in binary64 on both engines)
         "hash_sample": """

@@ -1,0 +1,49 @@
+"""PII scrubbing — pure Column expressions (codegen, scan-only).
+
+Training corpora redact personally-identifiable strings before anything
+downstream sees them. This is the standard regex tier (emails, IPv4,
+international-format phones) — the same class of pass CCNet/Dolma-style
+pipelines run; ML-based NER redaction would slot in as an Arrow UDF stage
+but needs models this environment doesn't ship.
+
+Patterns are deliberately restricted to syntax Java regex and RE2 share
+(character classes, bounded repeats, non-capturing groups, ``\\b``) so the
+Spark expression and the DuckDB oracle compile the SAME pattern text.
+Replacement order is fixed (email → ip → phone) and shared with the oracle:
+order matters because the later patterns could match inside the earlier
+ones' spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# +country-code style numbers: '+' then >= 8 phone chars ending in a digit
+PHONE_PATTERN = r"\+\d[\d\s\-()]{6,}\d"
+
+_REDACTIONS = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone numbers with typed tokens."""
+    out = text
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """{kind: count} of PII matches in the ORIGINAL text (for corpus audit
+    metrics — counted before scrubbing, on the same patterns)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))).cast("long"),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), F.lit(0))).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))).cast("long"),
+    }

@@ -694,3 +694,43 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # concern, so this bounded loop leaves it to the caller.
     out = labels.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
     return _attach_caches(out, labels, edges)
+
+
+# --- corpus-wide paragraph dedup --------------------------------------------
+
+def paragraph_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Drop every paragraph that occurs >= min_count times ACROSS the corpus
+    (the CCNet/Dolma-style boilerplate killer: cookie banners, footers, and
+    licence blurbs repeat across sites even when whole documents don't);
+    survivors reassemble in original order as ``clean_text``. Documents
+    whose every paragraph was boilerplate disappear entirely.
+
+    Scale shape: paragraphs are exploded once and aggregated on their md5
+    digest (32-char join key, map-side combined), then a left-anti join
+    drops hot digests and a per-doc hash-agg reassembles — two shuffles
+    total, both on bounded keys; the paragraph text itself never shuffles
+    twice. At 10^12 docs the hot-digest table is the written side artifact
+    (it IS the boilerplate dictionary, worth keeping).
+    """
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    ).withColumn("pk", F.md5("para"))
+    hot = (
+        paras.groupBy("pk").count().filter(F.col("count") >= min_count).select("pk")
+    )
+    kept = paras.join(hot, "pk", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text")
+    )

@@ -207,3 +207,16 @@ def test_near_dup_clusters_connected_components(spark):
     got = {r["node"]: r["cluster"] for r in out.collect()}
     DD.release_caches(out)
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
+
+
+def test_paragraph_dedup_drops_corpus_boilerplate(spark):
+    """Shared banner/footer paragraphs drop from every doc; unique content
+    survives in order; all-boilerplate docs disappear."""
+    rows = [
+        (1, "BANNER\n\nalpha unique body\n\nFOOTER"),
+        (2, "BANNER\n\nbeta unique body\n\nFOOTER"),
+        (3, "BANNER\n\nFOOTER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in DD.paragraph_dedup(df, min_count=2).collect()}
+    assert got == {1: "alpha unique body", 2: "beta unique body"}

@@ -210,3 +210,17 @@ def test_hash_sample_deterministic_and_partition_independent(spark):
     assert 0.25 < len(a) / 2000 < 0.35  # ~rate
     c = {r["doc_id"] for r in hash_sample(df, 0.3, seed=2).collect()}
     assert c != a  # independent split under a different seed
+
+
+def test_pii_scrub_and_counts(spark):
+    from pdf_extractor_spark.functions.pii import pii_counts, scrub_pii
+
+    rows = [(1, "mail a.b@c.de or ops@ex.io, host 192.168.0.1, call +44 20 7946 0958 now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = pii_counts(F.col("text"))
+    out = df.select(
+        scrub_pii(F.col("text")).alias("t"),
+        c["n_emails"].alias("e"), c["n_ips"].alias("i"), c["n_phones"].alias("p"),
+    ).collect()[0]
+    assert out["t"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> now"
+    assert (out["e"], out["i"], out["p"]) == (2, 1, 1)
