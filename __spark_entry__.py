@@ -641,6 +641,14 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): deterministic bucketed
+    token-budget assignment — (bucket, seq_id) per doc."""
+    from pdf_extractor_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=256, n_buckets=8)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (functions/pii.py): emails/IPv4/phones replaced with
     typed tokens, audit counts from the original text; synthetic PII
@@ -885,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "pack_sequences": q_pack_sequences,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1361,6 +1370,18 @@ reach AS (
 )
 SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id""",
+        # same spec as operators/packing.py: hash bucket, id-ordered cumsum,
+        # sequence = floor(preceding_cumsum / budget)
+        "pack_sequences": """
+WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+  (CASE WHEN trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens
+ FROM documents),
+c AS (SELECT doc_id, bucket, n_tokens,
+  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
+FROM c""",
         "pii_scrub": _sql_pii_scrub(),
         "paragraph_dedup": """
 WITH built AS (SELECT doc_id,

@@ -1,0 +1,53 @@
+"""Sequence packing — assign documents to fixed token-budget training rows.
+
+LLM training consumes fixed-length sequences; feeding one (usually short)
+document per sequence wastes most of the context window, so pipelines PACK
+multiple documents into each sequence. The assignment must be deterministic
+(the same corpus must pack identically on every run) and parallel (a global
+greedy pass is a single-threaded bottleneck at 10^12 docs).
+
+This operator packs with the standard scalable compromise: documents are
+hash-bucketed (``doc_id % n_buckets`` — deterministic, partitioning-
+independent), and WITHIN each bucket docs in id order accumulate token
+counts; a doc's sequence is ``floor(preceding_cumsum / max_tokens)``. Each
+bucket's window is independent, so parallelism = n_buckets (size it ~
+cluster cores); the only shuffle is the window's bucket partitioning.
+Documents longer than ``max_tokens`` still map to one sequence — splitting
+them is the chunker's job (core/chunker.py) upstream.
+
+Output: (id, bucket, seq_id, n_tokens) — (bucket, seq_id) is the global
+sequence key. The DuckDB oracle shares the whole spec (same token counter,
+same window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    n = token_count(F.col(text_col)).alias("n_tokens")
+    base = docs.select(
+        F.col(id_col), F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"), n
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / max_tokens).cast("long").alias("seq_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

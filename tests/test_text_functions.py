@@ -224,3 +224,21 @@ def test_pii_scrub_and_counts(spark):
     ).collect()[0]
     assert out["t"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> now"
     assert (out["e"], out["i"], out["p"]) == (2, 1, 1)
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Within a bucket, consecutive docs share a sequence until the token
+    budget would be crossed; assignment is partitioning-independent."""
+    from pdf_extractor_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(40)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=25, n_buckets=2)
+    got = {r["doc_id"]: (r["bucket"], r["seq_id"]) for r in out.collect()}
+    # bucket 0 holds even ids in order 0,2,4,...; cum 10,20,30 → seq 0,0,0? no:
+    # seq = floor(preceding/25): doc0→0, doc2→floor(10/25)=0, doc4→floor(20/25)=0,
+    # doc6→floor(30/25)=1 — 3 docs per 25-token budget at 10 tokens each
+    assert [got[i][1] for i in (0, 2, 4, 6, 8)] == [0, 0, 0, 1, 1]
+    repart = {r["doc_id"]: (r["bucket"], r["seq_id"])
+              for r in pack_sequences(df.repartition(7), max_tokens=25, n_buckets=2).collect()}
+    assert repart == got
