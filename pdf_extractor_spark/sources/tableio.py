@@ -54,6 +54,28 @@ class SnapshotTable:
         with os.fdopen(fd, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path())
+        # retained snapshot history (Iceberg metadata versions): enables
+        # time travel + rollback; expire_snapshots prunes it
+        hist = os.path.join(self.path, "_snapshots")
+        os.makedirs(hist, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=hist, prefix=".v-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(hist, f"v{m['snapshot_id']:08d}.json"))
+
+    def manifest_at(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.path, "_snapshots", f"v{snapshot_id:08d}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot_ids(self) -> list[int]:
+        hist = os.path.join(self.path, "_snapshots")
+        if not os.path.isdir(hist):
+            return []
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(hist)
+            if f.startswith("v") and f.endswith(".json")
+        )
 
     # -- write path --------------------------------------------------------
     def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None,
@@ -156,9 +178,80 @@ class SnapshotTable:
         self._write_manifest(m)
         return len(owning)
 
+    # -- maintenance (the Iceberg triad: time travel, compact, expire) -----
+    def rollback(self, snapshot_id: int) -> None:
+        """Restore an earlier snapshot as the NEW head (Iceberg
+        ``rollback_to_snapshot``): the old manifest is re-committed under a
+        fresh snapshot_id, so history stays linear and nothing is deleted."""
+        m = self.manifest_at(snapshot_id)
+        m["snapshot_id"] = self.manifest()["snapshot_id"] + 1
+        self._write_manifest(m)
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> str | None:
+        """Rewrite ALL committed runs into one run (Iceberg
+        ``rewrite_data_files``): fixes the small-file problem that
+        per-epoch streaming appends accumulate — a table with 10^4 tiny
+        runs pays listing + open overhead on every scan. One distributed
+        read → one write → ONE manifest swap; readers see either the old
+        run set or the compacted one. Old files stay for time travel until
+        expire_snapshots. Returns the new run_id (None for empty tables)."""
+        m = self.manifest()
+        if not m["runs"]:
+            return None
+        df = spark.read.parquet(*[r["path"] for r in m["runs"]])
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        run_id = f"compact-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.path, "data", run_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        new = self.manifest()  # re-read: concurrent appends since our scan abort the swap
+        if [r["run_id"] for r in new["runs"]] != [r["run_id"] for r in m["runs"]]:
+            raise RuntimeError("table changed during compaction; retry")
+        new["snapshot_id"] += 1
+        new["runs"] = [
+            {
+                "run_id": run_id,
+                "path": data_dir,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "lineage": {"stage": "compaction",
+                            "rewrote": [r["run_id"] for r in m["runs"]]},
+            }
+        ]
+        self._write_manifest(new)
+        return run_id
+
+    def expire_snapshots(self, retain_last: int = 1) -> list[str]:
+        """Drop snapshot history beyond the newest ``retain_last`` versions
+        and DELETE data directories no retained snapshot references (Iceberg
+        ``expire_snapshots`` + orphan cleanup). Time travel shrinks to the
+        retained window. Returns the deleted run dirs."""
+        import shutil
+
+        ids = self.snapshot_ids()
+        keep_ids = set(ids[-retain_last:]) if retain_last else set()
+        keep_ids.add(self.manifest()["snapshot_id"])  # never break the head
+        live_runs: set[str] = set()
+        for sid in keep_ids:
+            try:
+                live_runs |= {r["run_id"] for r in self.manifest_at(sid)["runs"]}
+            except FileNotFoundError:
+                pass
+        for sid in ids:
+            if sid not in keep_ids:
+                os.remove(os.path.join(self.path, "_snapshots", f"v{sid:08d}.json"))
+        deleted = []
+        data_root = os.path.join(self.path, "data")
+        for run_dir in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            if run_dir not in live_runs:
+                shutil.rmtree(os.path.join(data_root, run_dir), ignore_errors=True)
+                deleted.append(run_dir)
+        return deleted
+
     # -- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        paths = [r["path"] for r in self.manifest()["runs"]]
+    def read(self, spark: SparkSession, at_snapshot: int | None = None) -> DataFrame | None:
+        """Committed rows; ``at_snapshot`` time-travels to that version."""
+        m = self.manifest() if at_snapshot is None else self.manifest_at(at_snapshot)
+        paths = [r["path"] for r in m["runs"]]
         if not paths:
             return None
         return spark.read.parquet(*paths)

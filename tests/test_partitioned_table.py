@@ -69,3 +69,37 @@ def test_delete_matching_with_data_in_root_path(spark, tmp_path):
     back = table.read(spark)
     assert back.count() == 5
     assert back.filter(F.col("doc_hash") == "h1").count() == 0
+
+
+def test_time_travel_rollback_compact_expire(spark, tmp_path):
+    """The Iceberg maintenance triad on the emulated table: time travel
+    reads old versions, rollback re-commits one as a new head, compaction
+    collapses runs without changing rows, expiry prunes history + orphans."""
+    import pytest
+
+    table = SnapshotTable(str(tmp_path / "t"))
+    table.append(spark.createDataFrame([(f"h{i}", i) for i in range(10)], "doc_hash string, v int"))
+    table.append(spark.createDataFrame([(f"h{i}", i) for i in range(10, 20)], "doc_hash string, v int"))
+    sid_full = table.manifest()["snapshot_id"]
+
+    table.delete_matching(spark, spark.createDataFrame([("h3",)], "doc_hash string"))
+    assert table.read(spark).filter(F.col("doc_hash") == "h3").count() == 0
+    # time travel: the pre-delete snapshot still sees h3
+    assert table.read(spark, at_snapshot=sid_full).filter(F.col("doc_hash") == "h3").count() == 1
+    # rollback: deleted row returns at a NEW head (history stays linear)
+    table.rollback(sid_full)
+    assert table.read(spark).filter(F.col("doc_hash") == "h3").count() == 1
+    assert table.manifest()["snapshot_id"] > sid_full
+
+    n = table.read(spark).count()
+    table.compact(spark, target_partitions=1)
+    assert len(table.manifest()["runs"]) == 1
+    assert table.read(spark).count() == n
+    # pre-compaction version still readable: its files were not touched
+    assert table.read(spark, at_snapshot=sid_full).count() == 20
+
+    deleted = table.expire_snapshots(retain_last=1)
+    assert deleted, "expiry should remove pre-compaction run dirs"
+    assert table.read(spark).count() == n  # head unaffected
+    with pytest.raises(FileNotFoundError):
+        table.manifest_at(sid_full)
