@@ -641,6 +641,49 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 3
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (functions/sampling.py):
+    cumulative md5-thresholds, pure function of (weights, seed, id)."""
+    from pdf_extractor_spark.functions.sampling import assign_split
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", assign_split(F.col("doc_id"), SPLIT_WEIGHTS, seed=SPLIT_SEED).alias("split")
+    )
+
+
+def q_line_shape(spark, sf_dir):
+    """Gopher-rule line-shape signals: bullet/ellipsis line ratios and mean
+    line length via multiline regexes (codegen scan work, no per-line HOF);
+    list-page shape injected into every 5th doc."""
+    from pdf_extractor_spark.functions.text import (
+        bullet_line_ratio,
+        ellipsis_line_ratio,
+        line_count,
+        mean_line_len,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    extra = F.when(
+        d % 5 == 0,
+        F.lit("\n- bullet item one\n- bullet item two\n * spaced bullet\nteaser line...\nplain end"),
+    ).otherwise(F.lit(""))
+    dirty = docs.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+    t = F.col("text")
+    return dirty.select(
+        "doc_id",
+        line_count(t).alias("n_lines"),
+        F.round(bullet_line_ratio(t), 4).alias("bullet_ratio"),
+        F.round(ellipsis_line_ratio(t), 4).alias("ellipsis_ratio"),
+        F.round(mean_line_len(t), 4).alias("mean_line_len"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (operators/packing.py): deterministic bucketed
     token-budget assignment — (bucket, seq_id) per doc."""
@@ -894,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "pack_sequences": q_pack_sequences,
+        "split_assign": q_split_assign,
+        "line_shape": q_line_shape,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1207,6 +1252,24 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa
 ORDER BY id_a, id_b"""
 
 
+def _sql_split_assign() -> str:
+    # mirror assign_split exactly: sorted names, Python-float cumulative
+    # thresholds embedded via repr (bit-identical literals on both engines)
+    names = sorted(SPLIT_WEIGHTS)
+    cum, conds = 0.0, []
+    for name in names:
+        cum += float(SPLIT_WEIGHTS[name])
+        conds.append((cum, name))
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN '{n}'" for c, n in conds[:-1]
+    ) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH t AS (SELECT doc_id,
+  ('0x' || substr(md5('{SPLIT_SEED}:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS u
+ FROM documents)
+SELECT doc_id, {case} AS split FROM t"""
+
+
 def _sql_pii_scrub() -> str:
     from pdf_extractor_spark.functions.pii import (
         EMAIL_PATTERN,
@@ -1382,6 +1445,22 @@ c AS (SELECT doc_id, bucket, n_tokens,
                       ROWS UNBOUNDED PRECEDING) AS cum FROM t)
 SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
+        "split_assign": _sql_split_assign(),
+        "line_shape": r"""
+WITH u AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 5 = 0
+       THEN chr(10)||'- bullet item one'||chr(10)||'- bullet item two'||chr(10)||
+            ' * spaced bullet'||chr(10)||'teaser line...'||chr(10)||'plain end'
+       ELSE '' END AS text
+ FROM documents),
+t AS (SELECT doc_id, text, len(regexp_split_to_array(text, chr(10))) AS n FROM u)
+SELECT doc_id, n::BIGINT AS n_lines,
+  round(CASE WHEN n = 0 THEN 0.0
+             ELSE len(regexp_extract_all(text, '(?m)^\s*[-*•]')) / n::DOUBLE END, 4) AS bullet_ratio,
+  round(CASE WHEN n = 0 THEN 0.0
+             ELSE len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) / n::DOUBLE END, 4) AS ellipsis_ratio,
+  round(length(text) / n::DOUBLE, 4) AS mean_line_len
+FROM t""",
         "pii_scrub": _sql_pii_scrub(),
         "paragraph_dedup": """
 WITH built AS (SELECT doc_id,

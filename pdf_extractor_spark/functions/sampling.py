@@ -49,3 +49,23 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def assign_split(id_col: Column, weights: dict[str, float], seed: int = 0) -> Column:
+    """Deterministic named split (train/val/test): cumulative thresholds over
+    the uniform hash value, split names in SORTED order so the assignment is
+    a pure function of (weights, seed, id). Ids whose value lands past the
+    summed weights fall into the LAST (sorted) split, so weights need not
+    sum to exactly 1. Same md5-threshold spec as hash_sample."""
+    u = sample_uniform(id_col, seed)
+    names = sorted(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for name in names:
+        cum += float(weights[name])
+        conds.append((cum, name))
+    for threshold, name in reversed(conds[:-1]):
+        expr = F.when(u < threshold, F.lit(name)).otherwise(expr)
+    # thresholds are checked smallest-first by the nested whens above
+    return expr

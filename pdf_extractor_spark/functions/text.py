@@ -180,3 +180,33 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(grams))) / n.cast("double")
     )
+
+
+# --- line-shape quality signals (Gopher-rule family) ------------------------
+#
+# Boilerplate and scraped-list pages have distinctive LINE shapes: mostly
+# bullet items, ellipsis-truncated teasers, very short lines. Counted with
+# multiline regexes ((?m) is shared Java-regex/RE2 syntax) so the whole
+# family stays codegen scan work — no per-line higher-order functions.
+
+def line_count(text: Column) -> Column:
+    return F.size(F.split(text, "\n")).cast("long")
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    n = F.size(F.split(text, "\n"))
+    bullets = F.size(F.regexp_extract_all(text, F.lit(r"(?m)^\s*[-*•]"), F.lit(0)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(bullets / n.cast("double"))
+
+
+def ellipsis_line_ratio(text: Column) -> Column:
+    """Fraction of lines ending with '...' or '…' (truncated-teaser smell)."""
+    n = F.size(F.split(text, "\n"))
+    ell = F.size(F.regexp_extract_all(text, F.lit(r"(?m)(\.\.\.|…)$"), F.lit(0)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(ell / n.cast("double"))
+
+
+def mean_line_len(text: Column) -> Column:
+    n = F.size(F.split(text, "\n"))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.length(text) / n.cast("double"))

@@ -242,3 +242,39 @@ def test_pack_sequences_budget_and_determinism(spark):
     repart = {r["doc_id"]: (r["bucket"], r["seq_id"])
               for r in pack_sequences(df.repartition(7), max_tokens=25, n_buckets=2).collect()}
     assert repart == got
+
+
+def test_assign_split_partitions_and_determinism(spark):
+    from pdf_extractor_spark.functions.sampling import assign_split
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = df.select("doc_id", assign_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3).alias("s"))
+    counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    again = df.repartition(11).select("doc_id", assign_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3).alias("s"))
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_line_shape_signals(spark):
+    from pdf_extractor_spark.functions.text import (
+        bullet_line_ratio,
+        ellipsis_line_ratio,
+        line_count,
+        mean_line_len,
+    )
+
+    rows = [(1, "- a\n- b\nplain\nteaser...\n…")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    r = df.select(
+        line_count(t).alias("n"),
+        bullet_line_ratio(t).alias("b"),
+        ellipsis_line_ratio(t).alias("e"),
+        mean_line_len(t).alias("m"),
+    ).collect()[0]
+    assert r["n"] == 5
+    assert abs(r["b"] - 2 / 5) < 1e-9
+    assert abs(r["e"] - 2 / 5) < 1e-9  # 'teaser...' and the bare '…' line
+    assert r["m"] > 0
