@@ -645,6 +645,15 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 3
 
 
+def q_curate_full(spark, sf_dir):
+    """Widened curation composite (operators/curate.py::curate_corpus_full):
+    language + quality + repetition + line-shape gates, PII scrub, exact
+    dedup on the scrubbed text — over the dup-injected union."""
+    from pdf_extractor_spark.operators.curate import curate_corpus_full
+
+    return curate_corpus_full(_union_with_dups(_docs(spark, sf_dir)).select("doc_id", "text"))
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test assignment (functions/sampling.py):
     cumulative md5-thresholds, pure function of (weights, seed, id)."""
@@ -939,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "line_shape": q_line_shape,
+        "curate_full": q_curate_full,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1252,6 +1262,62 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa
 ORDER BY id_a, id_b"""
 
 
+def _sql_curate_full() -> str:
+    """SQL twin of curate_corpus_full over the dup-injected union: every
+    gate on the same rounded values, PII scrub chain, keep-first on the
+    scrubbed text."""
+    from pdf_extractor_spark.functions.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+    from pdf_extractor_spark.functions.text import LANG_MARKERS, LANG_ORDER
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        arr = "['" + "','".join(LANG_MARKERS[lang]) + "']"
+        hit_cols.append(f"len(list_filter(toks, t2 -> list_contains({arr}, t2))) AS c_{lang}")
+    best = f"greatest({', '.join('c_' + lang for lang in LANG_ORDER)})"
+    case = "CASE " + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
+    ) + " ELSE 'und' END"
+    scrub = "text"
+    for pat, tok in ((EMAIL_PATTERN, "<EMAIL>"), (IPV4_PATTERN, "<IP>"), (PHONE_PATTERN, "<PHONE>")):
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH u AS ({_U_DUPS}),
+t AS (SELECT doc_id, text, {_TOKS} AS toks,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr,
+      len(regexp_split_to_array(text, chr(10))) AS nl
+ FROM u),
+g AS (SELECT *, list_transform(generate_series(1, greatest(1, len(toks)-2)),
+                               i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams FROM t),
+s AS (SELECT *, {', '.join(hit_cols)} FROM g),
+b AS (SELECT *, {best} AS best FROM s),
+f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
+        round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
+        {case} AS lang_pred,
+        round(CASE WHEN trim(text) = '' THEN 0.0
+                   ELSE (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE END, 4) AS rep_ratio,
+        round(CASE WHEN nl = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) / nl::DOUBLE END, 4) AS bullet_ratio
+      FROM b)
+SELECT doc_id, lang_pred, n_tokens, quality, rep_ratio,
+       (len(regexp_extract_all(text, '{EMAIL_PATTERN}'))
+        + len(regexp_extract_all(text, '{IPV4_PATTERN}'))
+        + len(regexp_extract_all(text, '{PHONE_PATTERN}')))::BIGINT AS n_pii,
+       {scrub} AS clean_text
+FROM f
+WHERE lang_pred IN ('en') AND n_tokens >= 20 AND quality >= 0.3
+  AND rep_ratio <= 0.2 AND bullet_ratio <= 0.5
+QUALIFY row_number() OVER (PARTITION BY {scrub} ORDER BY doc_id) = 1"""
+
+
 def _sql_split_assign() -> str:
     # mirror assign_split exactly: sorted names, Python-float cumulative
     # thresholds embedded via repr (bit-identical literals on both engines)
@@ -1445,6 +1511,7 @@ c AS (SELECT doc_id, bucket, n_tokens,
                       ROWS UNBOUNDED PRECEDING) AS cum FROM t)
 SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
+        "curate_full": _sql_curate_full(),
         "split_assign": _sql_split_assign(),
         "line_shape": r"""
 WITH u AS (SELECT doc_id, text ||

@@ -52,3 +52,49 @@ def curate_corpus(
         & (F.col("quality") >= min_quality)
     )
     return dedup_exact(kept, text_col=text_col, order_col=id_col)
+
+
+def curate_corpus_full(
+    docs: DataFrame,
+    langs: Sequence[str] = ("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    max_repetition: float = 0.2,
+    max_bullet_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The widened curation pass: language + quality + repetition +
+    line-shape gates, PII scrubbing, exact dedup — still ONE scan plus one
+    shuffle. Every added signal is a Column expression, so the extra gates
+    cost zero additional passes; PII redaction happens only on survivors
+    (filters run first), and dedup keys on the SCRUBBED text so two pages
+    differing only in redacted PII collapse.
+
+    Output per kept doc: id, lang_pred, n_tokens, quality, rep_ratio,
+    n_pii (total redactions), clean_text.
+    """
+    from pdf_extractor_spark.functions.pii import pii_counts, scrub_pii
+
+    t = F.col(text_col)
+    scored = (
+        docs.withColumn("n_tokens", TXT.token_count(t).cast("long"))
+        .withColumn("quality", F.round(TXT.quality_score(t), 4))
+        .withColumn("lang_pred", TXT.lang_id(t))
+        .withColumn("rep_ratio", F.round(TXT.repetition_ratio(t), 4))
+        .withColumn("bullet_ratio", F.round(TXT.bullet_line_ratio(t), 4))
+    )
+    kept = scored.filter(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("rep_ratio") <= max_repetition)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+    )
+    c = pii_counts(t)
+    kept = kept.select(
+        F.col(id_col), "lang_pred", "n_tokens", "quality", "rep_ratio",
+        (c["n_emails"] + c["n_ips"] + c["n_phones"]).cast("long").alias("n_pii"),
+        scrub_pii(t).alias("clean_text"),
+    )
+    return dedup_exact(kept, text_col="clean_text", order_col=id_col)

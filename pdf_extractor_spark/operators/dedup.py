@@ -734,3 +734,27 @@ def paragraph_dedup(
             sep,
         ).alias("clean_text")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_sig: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Benchmark decontamination: drop training docs whose text near-dups a
+    held-out evaluation set — the screening every serious pretraining run
+    does so eval numbers aren't memorization artifacts.
+
+    Mechanically this IS :func:`dedup_against_corpus` with the benchmark's
+    written signature table on the corpus side (the benchmark is tiny and
+    static, so its signatures are computed once, ever); the default
+    ``threshold`` is stricter (0.8) because the target is close copies of
+    eval items, not general near-duplication. Returns the clean docs.
+    """
+    return dedup_against_corpus(
+        docs, benchmark_sig, text_col=text_col, id_col=id_col,
+        threshold=threshold, max_bucket=max_bucket,
+    )

@@ -220,3 +220,23 @@ def test_paragraph_dedup_drops_corpus_boilerplate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["clean_text"] for r in DD.paragraph_dedup(df, min_count=2).collect()}
     assert got == {1: "alpha unique body", 2: "beta unique body"}
+
+
+def test_decontaminate_drops_benchmark_copies(spark):
+    """A training doc that near-copies an eval item drops; clean docs pass."""
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france answer paris the city of light")],
+        "doc_id long, text string",
+    )
+    bench_sig = DD.minhash_sig_table(bench)
+    train = spark.createDataFrame(
+        [
+            (10, "what is the capital of france answer paris the city of light indeed"),
+            (11, "completely unrelated training document about gardening and soil quality"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.decontaminate(train, bench_sig, threshold=0.8)
+    got = {r["doc_id"] for r in out.collect()}
+    DD.release_caches(out)
+    assert got == {11}
