@@ -677,6 +677,67 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     )
 
 
+# --- embedded image materialization (E7: real crop source) ------------------
+
+_XOBJDICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)(?![0-9])")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)(?![0-9])")
+
+
+def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int, int, bytes]]:
+    """Embedded image XObjects: [(page, name, width, height, payload)].
+
+    Unlike the HTML flavor (descriptors only — a crawl page carries no crop
+    bytes), PDFs EMBED their images, so E7 materialization is real here:
+    each /Subtype /Image XObject's decoded stream is the image payload,
+    with /Width//Height metadata. Resources resolve like fonts (inline,
+    indirect, or inherited via /Parent). Any structural surprise → [].
+    """
+    if not is_pdf(data):
+        return []
+    out: list[tuple[int, str, int, int, bytes]] = []
+    try:
+        objs = _load_objects(data)
+        for page_no, kid in enumerate(_page_leaves(objs), 1):
+            cur = objs.get(kid, b"")
+            xm = None
+            for _ in range(16):  # /Parent inheritance walk
+                res = cur
+                rm = _RES_REF_RE.search(cur)
+                if rm:
+                    res = objs.get(int(rm.group(1)), b"")
+                xm = _XOBJDICT_RE.search(res)
+                if xm:
+                    break
+                pm = _PARENT_RE.search(cur)
+                if not pm:
+                    break
+                cur = objs.get(int(pm.group(1)), b"")
+            if not xm:
+                continue
+            for name, ref in _FONTREF_RE.findall(xm.group(1)):
+                xbody = objs.get(int(ref), b"")
+                if not _SUBTYPE_IMG_RE.search(xbody):
+                    continue
+                payload = _stream_bytes(xbody)
+                if payload is None:
+                    continue
+                wm, hm = _WIDTH_RE.search(xbody), _HEIGHT_RE.search(xbody)
+                out.append(
+                    (
+                        page_no,
+                        name.decode("latin-1"),
+                        int(wm.group(1)) if wm else 0,
+                        int(hm.group(1)) if hm else 0,
+                        payload,
+                    )
+                )
+    except Exception:
+        return []
+    return out
+
+
 def extract_any(url: str, payload: bytes | None) -> ExtractResult:
     """Format dispatch — the batch form of the reference's content-type gate
     (S2, app/api/endpoints.py:53-54): sniff magic bytes, route to the PDF or
@@ -768,14 +829,26 @@ def render_pdf(
         + f" ] /Count {n_pages} >>"
     )  # obj 2
     font_num = 3 + 2 * n_pages  # only emitted when cid_font
-    resources = (
-        f" /Resources << /Font << /F1 {font_num} 0 R >> >>" if cid_font else ""
-    )
+    img_counts = [_images_for(images_per_page, i) for i in range(n_pages)]
+    xobj_base = font_num + (2 if cid_font else 0)
+    img_offsets = [sum(img_counts[:i]) for i in range(n_pages)]
+
+    def page_resources(i: int) -> str:
+        parts = []
+        if cid_font:
+            parts.append(f"/Font << /F1 {font_num} 0 R >>")
+        if img_counts[i]:
+            refs = " ".join(
+                f"/Im{j} {xobj_base + img_offsets[i] + j} 0 R" for j in range(img_counts[i])
+            )
+            parts.append(f"/XObject << {refs} >>")
+        return f" /Resources << {' '.join(parts)} >>" if parts else ""
+
     for i, paragraphs in enumerate(pages):
         content_num = 3 + 2 * i + 1
-        add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R{resources} >>")
+        add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R{page_resources(i)} >>")
         stream = _page_content_stream(
-            paragraphs, _images_for(images_per_page, i), encode_line
+            paragraphs, img_counts[i], encode_line
         )
         if compress:
             comp = zlib.compress(stream.encode("latin-1"))
@@ -796,6 +869,18 @@ def render_pdf(
         )
         add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth /ToUnicode {font_num + 1} 0 R >>")
         add(f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
+
+    # real embedded image XObjects (E7 crop source): deterministic 2x2 RGB
+    # payloads per (page, index)
+    for i in range(n_pages):
+        for j in range(img_counts[i]):
+            px = bytes([(i * 31 + j * 7 + c) % 256 for c in range(12)])
+            add(
+                f"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+                f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+                f"/Length {len(px)} >>\nstream\n".encode("latin-1")
+                + px + b"\nendstream"
+            )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -174,3 +174,63 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             (F.length("text") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def pdf_media_rows(pages: DataFrame) -> DataFrame:
+    """E7 image MATERIALIZATION (not just descriptors): one media row per
+    image XObject embedded in a PDF page — payload bytes + typed metadata in
+    the MEDIA_SCHEMA shape, plus (url, page) context columns so the rows
+    join chunk tables the same way related_images does. Feeds straight into
+    decode_media / resize_media.
+
+    One Arrow pass over (url, html) — per-document parse CPU, no shuffle;
+    HTML pages contribute nothing (a crawl page carries no crop bytes, which
+    is why the HTML flavor stays descriptor-only by design).
+    """
+    from collections.abc import Iterator as _It
+
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf_images
+
+    meta_type = pa.struct(
+        [
+            pa.field("mime", pa.string()),
+            pa.field("width", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("duration_ms", pa.int32()),
+        ]
+    )
+    out_schema = (
+        "url string, page int, media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+
+    def run(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            urls, pgs, mids, kinds, payloads, metas = [], [], [], [], [], []
+            for url, html in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
+                for page, name, w, h, payload in extract_pdf_images(url, html):
+                    urls.append(url)
+                    pgs.append(page)
+                    mids.append(f"{url}#p{page}:{name}")
+                    kinds.append("image")
+                    payloads.append(payload)
+                    metas.append(
+                        {"mime": "image/x-raw", "width": w, "height": h, "duration_ms": None}
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(pgs, type=pa.int32()),
+                    pa.array(mids, type=pa.string()),
+                    pa.array(kinds, type=pa.string()),
+                    pa.array(payloads, type=pa.binary()),
+                    pa.array(metas, type=meta_type),
+                ],
+                names=["url", "page", "media_id", "kind", "payload", "meta"],
+            )
+
+    return pages.select("url", "html").mapInArrow(run, out_schema)

@@ -71,3 +71,36 @@ def test_frame_sample_counts(media_df):
     payload = b"video content x"
     expect0 = hashlib.sha256(payload + (0).to_bytes(4, "big")).hexdigest()
     assert {r["frame_sha"] for r in frames if r["frame_ts_ms"] == 0} == {expect0}
+
+
+def test_pdf_media_rows_materializes_embedded_images(spark):
+    """E7 end-to-end with a REAL crop source: embedded PDF image XObjects
+    become media rows (payload bytes + width/height) that feed the decode
+    stage; HTML pages contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf_images, render_pdf
+    from pdf_extractor_spark.operators.multimodal import decode_media, pdf_media_rows
+
+    pdf = render_pdf(
+        [["page one text body"], ["page two text body"]], images_per_page=[2, 1]
+    )
+    direct = extract_pdf_images("u", pdf)
+    assert [(p, n, w, h) for p, n, w, h, _ in direct] == [
+        (1, "Im0", 2, 2), (1, "Im1", 2, 2), (2, "Im0", 2, 2)
+    ]
+    assert len({payload for *_, payload in direct}) == 3  # distinct pixel data
+
+    pages_df = spark.createDataFrame(
+        [("pdf://m", pdf), ("html://x", b"<p>no crops in html</p>")],
+        "url string, html binary",
+    )
+    media = pdf_media_rows(pages_df)
+    rows = media.orderBy("media_id").collect()
+    assert [r["page"] for r in rows] == [1, 1, 2]
+    assert all(r["kind"] == "image" and r["meta"]["width"] == 2 for r in rows)
+    assert rows[0]["payload"] == direct[0][4]
+
+    feats = decode_media(media, fake=True)
+    assert feats.count() == 3
+    assert feats.filter(F.size("feature") == 16).count() == 3
