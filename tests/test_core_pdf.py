@@ -375,3 +375,28 @@ def test_inline_image_skipped_and_counted():
     assert r.status == "ok"
     assert r.text == "clean text after image"
     assert r.images == ["img_0"] and r.image_pages == [1]
+
+
+def test_pdf_roundtrip_property():
+    """Property: for ANY printable-ASCII paragraphs, render→extract
+    round-trips the whitespace-normalized text (escapes, wrapping, empty
+    paragraphs included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.core.html_extract import _norm_ws
+
+    paras = st.lists(
+        st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=90),
+        min_size=1, max_size=4,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(paras)
+    def check(paragraphs):
+        r = extract_pdf("u", render_pdf([paragraphs]))
+        assert r.status == "ok"
+        expected = "\n\n".join(_norm_ws(p) for p in paragraphs if _norm_ws(p))
+        assert r.text == expected
+
+    check()

@@ -63,3 +63,24 @@ def test_spark_ingestion_and_extraction(spark, tmp_path):
     texts = {r["url"]: r["text"] for r in chunks.collect()}
     assert texts["https://a.test/1"] == "first warc page text"
     assert texts["https://a.test/2"] == "second warc page text"
+
+
+def test_warc_roundtrip_property():
+    """Property: arbitrary binary bodies (including WARC markers and CRLF
+    pairs) frame correctly in both plain and per-record-gzip layouts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bodies = st.lists(st.binary(max_size=300), min_size=1, max_size=4)
+
+    @settings(max_examples=40, deadline=None)
+    @given(bodies, st.booleans())
+    def check(payloads, gz):
+        pages = [
+            (f"https://t.test/{i}", "2026-03-01T00:00:00Z", b)
+            for i, b in enumerate(payloads)
+        ]
+        got = list(warc_pages_from_bytes(render_warc(pages, per_record_gzip=gz)))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in pages]
+
+    check()
