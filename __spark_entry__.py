@@ -645,6 +645,28 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 3
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/events.py): each click attaches the latest
+    prior-or-simultaneous view's value per user — union + one window pass
+    (never a quadratic range join); oracle = DuckDB's native ASOF JOIN."""
+    from pdf_extractor_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", value_cols=("view_value",))
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("view_value_asof", 2).alias("last_view_value"),
+        "asof_ts",
+    )
+
+
 def q_curate_full(spark, sf_dir):
     """Widened curation composite (operators/curate.py::curate_corpus_full):
     language + quality + repetition + line-shape gates, PII scrub, exact
@@ -949,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "line_shape": q_line_shape,
         "curate_full": q_curate_full,
+        "asof_join": q_asof_join,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1512,6 +1535,15 @@ c AS (SELECT doc_id, bucket, n_tokens,
 SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
         "curate_full": _sql_curate_full(),
+        # independent implementation: DuckDB's NATIVE ASOF JOIN vs the
+        # engine's union+window formulation
+        "asof_join": """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS view_value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT l.user_id, l.event_id::BIGINT AS event_id,
+       round(r.view_value, 2) AS last_view_value, r.ts AS asof_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "split_assign": _sql_split_assign(),
         "line_shape": r"""
 WITH u AS (SELECT doc_id, text ||

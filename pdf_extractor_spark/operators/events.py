@@ -65,3 +65,67 @@ def windowed_type_counts(
             "total_value",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    ``right.ts <= left.ts`` per ``on`` key — the temporal lookup Spark has
+    no native operator for (trades-vs-quotes, event-vs-last-state).
+
+    Implementation is the scalable union trick, not a theta join: tag both
+    sides, union, and run ONE window pass per key ordered by
+    (ts, side) with ``last(..., ignorenulls=True)`` carrying the right
+    side's values forward onto left rows. Cost = one shuffle on the key +
+    a per-key sort — the same shape as any windowed aggregation, vs the
+    quadratic range-join a naive ``l.ts >= r.ts`` join plans. Right rows at
+    exactly left.ts DO match (side ordering puts right first on ties);
+    ``tolerance`` (an INTERVAL string like '15 minutes') nulls out matches
+    older than the window, matching pandas.merge_asof semantics.
+
+    Output: every left row + ``<col>_asof`` per value col + ``asof_ts``
+    (the matched right timestamp; NULL when no match).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        on, ts_col, *[F.col(c).alias(f"{c}_asof") for c in value_cols]
+    ).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in (on, ts_col) and c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    for c in value_cols:
+        l = l.withColumn(f"{c}_asof", F.lit(None))
+    u = l.withColumn("__rts", F.lit(None).cast("timestamp")).unionByName(
+        r.withColumn("__rts", F.col(ts_col))
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"{c}_asof", ignorenulls=True).over(w).alias(f"{c}_asof") for c in value_cols
+    ]
+    out = u.select(
+        *[c for c in lcols], "__side",
+        *carried,
+        F.last("__rts", ignorenulls=True).over(w).alias("asof_ts"),
+    ).filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        stale = F.col("asof_ts") < F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *lcols,
+            *[F.when(stale, F.lit(None)).otherwise(F.col(f"{c}_asof")).alias(f"{c}_asof")
+              for c in value_cols],
+            F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
+        )
+    return out

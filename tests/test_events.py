@@ -43,3 +43,37 @@ def test_windowed_type_counts(spark):
     assert got[("a", dt.datetime(2024, 1, 1, 0, 0))] == (2, 3.0)
     assert got[("a", dt.datetime(2024, 1, 1, 1, 0))] == (1, 4.0)
     assert got[("b", dt.datetime(2024, 1, 1, 0, 0))] == (1, 8.0)
+
+
+def test_asof_join_semantics(spark):
+    """Latest right row with ts <= left.ts per key; exact-ts rows match;
+    no-prior-match rows get NULLs; tolerance expires stale matches."""
+    from datetime import datetime as dt
+
+    from pdf_extractor_spark.operators.events import asof_join
+
+    L = spark.createDataFrame(
+        [
+            (1, 100, dt(2024, 1, 1, 10, 0)),
+            (1, 101, dt(2024, 1, 1, 12, 0)),
+            (2, 200, dt(2024, 1, 1, 9, 0)),   # before any right row
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 30), 5.0),
+            (1, dt(2024, 1, 1, 10, 0), 7.0),   # exact tie with left 100
+            (1, dt(2024, 1, 1, 11, 0), 9.0),
+            (2, dt(2024, 1, 1, 9, 30), 1.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: (r["value_asof"], r["asof_ts"]) for r in asof_join(L, R).collect()}
+    assert out[100] == (7.0, dt(2024, 1, 1, 10, 0))  # exact-ts right row wins
+    assert out[101] == (9.0, dt(2024, 1, 1, 11, 0))
+    assert out[200] == (None, None)
+
+    tol = {r["event_id"]: r["value_asof"] for r in asof_join(L, R, tolerance="30 minutes").collect()}
+    assert tol[100] == 7.0
+    assert tol[101] is None  # the 11:00 match is older than 30 min at 12:00
