@@ -645,6 +645,21 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 3
 
 
+def q_range_join(spark, sf_dir):
+    """Range/interval join (operators/events.py): errors counted per
+    containing session — interval-bucket explode + equi-join + refine
+    (hash-join shape, never the quadratic theta plan)."""
+    from pdf_extractor_spark.operators.events import range_join, sessionize
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev, gap="10 minutes")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    joined = range_join(errors, sessions, bucket_seconds=3600)
+    return joined.groupBy("user_id", "session_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/events.py): each click attaches the latest
     prior-or-simultaneous view's value per user — union + one window pass
@@ -972,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_shape": q_line_shape,
         "curate_full": q_curate_full,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1283,6 +1299,24 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN shg sa ON c.id_a = sa.doc_id JOIN shg sb ON c.id_b = sb.doc_id
 WHERE round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= 0.5
 ORDER BY id_a, id_b"""
+
+
+def _sql_events_sessions() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id, sid"""
 
 
 def _sql_curate_full() -> str:
@@ -1608,21 +1642,16 @@ ORDER BY id_a, id_b""",
         "curate_corpus": _sql_curate(),
         # sessions: new session iff gap STRICTLY exceeds 10 min (Spark merges
         # sessions that touch exactly); end = last event + gap
-        "events_sessions": """
-WITH o AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM o)
-SELECT user_id, min(ts) AS session_start,
-       max(ts) + INTERVAL 10 MINUTE AS session_end,
-       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
-FROM g GROUP BY user_id, sid""",
+        "events_sessions": _sql_events_sessions(),
+        # range join refined to the same sessions: errors counted per
+        # containing session (BETWEEN containment on both engines)
+        "range_join": f"""
+WITH sess AS ({_sql_events_sessions()}),
+err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.session_start, count(*)::BIGINT AS n_errors
+FROM err e JOIN sess s
+  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
+GROUP BY s.user_id, s.session_start""",
         "events_windowed": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value

@@ -129,3 +129,44 @@ def asof_join(
             F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
         )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval) join: every point row matched to the interval rows
+    containing it (``start <= ts <= end``, same key) — Spark plans the
+    naive theta predicate as a quadratic BroadcastNestedLoopJoin, so this
+    operator restores the hash-join shape: each interval EXPLODES into the
+    fixed time buckets it covers, points map to their single bucket, the
+    join is equi on (key, bucket), and the containment predicate refines
+    afterwards. Cost scales with points + interval-bucket spans, never
+    points x intervals.
+
+    ``bucket_seconds`` trades explode factor against bucket selectivity:
+    size it near the typical interval length (a 10-minute session in 1-hour
+    buckets explodes into 1-2 rows).
+    """
+    p = points.withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, [on, "__b"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__b")
+    )

@@ -77,3 +77,33 @@ def test_asof_join_semantics(spark):
     tol = {r["event_id"]: r["value_asof"] for r in asof_join(L, R, tolerance="30 minutes").collect()}
     assert tol[100] == 7.0
     assert tol[101] is None  # the 11:00 match is older than 30 min at 12:00
+
+
+def test_range_join_containment_and_plan(spark):
+    """Points land only in their containing intervals; bucket spans make the
+    join equi (no CartesianProduct/BroadcastNestedLoopJoin in the plan)."""
+    from datetime import datetime as dt
+
+    from pdf_extractor_spark.operators.events import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 10, 15)),
+            (1, 11, dt(2024, 1, 1, 13, 0)),   # outside any interval
+            (2, 20, dt(2024, 1, 1, 10, 15)),  # other key, same time
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 10, 30), "a"),
+            (1, dt(2024, 1, 1, 11, 0), dt(2024, 1, 1, 12, 0), "b"),
+            (2, dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 10, 30), "c"),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp, tag string",
+    )
+    out = range_join(points, intervals)
+    got = {(r["event_id"], r["tag"]) for r in out.collect()}
+    assert got == {(10, "a"), (20, "c")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
