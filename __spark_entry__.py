@@ -645,6 +645,33 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 3
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus audit dashboard: per-language doc counts, quality profile,
+    PII incidence, and exact-dup incidence in ONE grouped aggregation —
+    the health report a curation run publishes with its snapshot."""
+    from pdf_extractor_spark.functions.pii import pii_counts
+    from pdf_extractor_spark.functions.text import quality_score, token_count
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    c = pii_counts(t)
+    scored = docs.select(
+        "lang",
+        "text",
+        F.round(quality_score(t), 4).alias("q"),
+        token_count(t).alias("w"),
+        (c["n_emails"] + c["n_ips"] + c["n_phones"]).alias("pii"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.count_if(F.col("q") >= 0.5).cast("long").alias("n_high_quality"),
+        F.round(F.avg("w"), 2).alias("avg_tokens"),
+        F.count_if(F.col("pii") > 0).cast("long").alias("n_pii_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long").alias("n_dup_texts"),
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Range/interval join (operators/events.py): errors counted per
     containing session — interval-bucket explode + equi-join + refine
@@ -988,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": q_curate_full,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "corpus_report": q_corpus_report,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1375,6 +1403,36 @@ WHERE lang_pred IN ('en') AND n_tokens >= 20 AND quality >= 0.3
 QUALIFY row_number() OVER (PARTITION BY {scrub} ORDER BY doc_id) = 1"""
 
 
+def _sql_corpus_report() -> str:
+    from pdf_extractor_spark.functions.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    return f"""
+WITH t AS (SELECT lang, text,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr,
+      (len(regexp_extract_all(text, '{EMAIL_PATTERN}'))
+       + len(regexp_extract_all(text, '{IPV4_PATTERN}'))
+       + len(regexp_extract_all(text, '{PHONE_PATTERN}'))) AS pii
+ FROM documents),
+s AS (SELECT lang, text, w, pii,
+             round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS q FROM t)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(q), 4) AS avg_quality,
+       count_if(q >= 0.5)::BIGINT AS n_high_quality,
+       round(avg(w), 2) AS avg_tokens,
+       count_if(pii > 0)::BIGINT AS n_pii_docs,
+       (count(*) - count(DISTINCT text))::BIGINT AS n_dup_texts
+FROM s GROUP BY lang"""
+
+
 def _sql_split_assign() -> str:
     # mirror assign_split exactly: sorted names, Python-float cumulative
     # thresholds embedded via repr (bit-identical literals on both engines)
@@ -1569,6 +1627,7 @@ c AS (SELECT doc_id, bucket, n_tokens,
 SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
         "curate_full": _sql_curate_full(),
+        "corpus_report": _sql_corpus_report(),
         # independent implementation: DuckDB's NATIVE ASOF JOIN vs the
         # engine's union+window formulation
         "asof_join": """
