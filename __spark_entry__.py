@@ -645,6 +645,42 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 3
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (operators/quantize.py): emits per-vector
+    code extremes, scale, and the max reconstruction error — which must stay
+    <= scale/2 + fp slack (checked as a value column, not just a test)."""
+    from pdf_extractor_spark.operators.quantize import dequantize_expr, quantize_expr
+
+    emb = _emb(spark, sf_dir)
+    codes, scale = quantize_expr(F.col("embedding"))
+    q = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"),
+                   codes.alias("codes"), scale.alias("scale"))
+    err = F.array_max(
+        F.zip_with(dequantize_expr(F.col("codes"), F.col("scale")), F.col("v"),
+                   lambda a, b: F.abs(a - b))
+    )
+    # floor-based 6-decimal rounding: round()'s tie-break differs between
+    # engines right at .5 boundaries, floor does not
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    # err/within_bound computed in a SEPARATE stage: Spark's lateral column
+    # aliases would otherwise bind the "scale" inside err to the r6'd alias
+    # defined later in the same select list
+    pre = q.select(
+        "vec_id", "codes", "scale", err.alias("err"),
+        (err <= F.col("scale") / 2 + F.lit(1e-12)).alias("within_bound"),
+    )
+    return pre.select(
+        "vec_id",
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        r6(F.col("scale")).alias("scale"),
+        r6(F.col("err")).alias("max_err"),
+        "within_bound",
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus audit dashboard: per-language doc counts, quality profile,
     PII incidence, and exact-dup incidence in ONE grouped aggregation —
@@ -1016,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "corpus_report": q_corpus_report,
+        "quantize_embeddings": q_quantize_embeddings,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1628,6 +1665,25 @@ SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
         "curate_full": _sql_curate_full(),
         "corpus_report": _sql_corpus_report(),
+        # floor(x/scale + 0.5) on BOTH engines (round() tie-breaks differ)
+        "quantize_embeddings": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+q AS (SELECT vec_id, v,
+        CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale FROM s),
+c AS (SELECT vec_id, v, scale,
+        list_transform(v, x -> CASE WHEN scale > 0
+                                    THEN floor(x / scale + 0.5)::INT ELSE 0 END) AS codes
+      FROM q),
+r AS (SELECT vec_id, scale, codes,
+        list_max(list_transform(generate_series(1, len(v)),
+                 i -> abs(codes[i]::DOUBLE * scale - v[i]))) AS err
+      FROM c)
+SELECT vec_id, list_min(codes)::BIGINT AS code_min, list_max(codes)::BIGINT AS code_max,
+       floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+       floor(err * 1000000 + 0.5) / 1000000 AS max_err,
+       (err <= scale / 2 + 1e-12) AS within_bound
+FROM r""",
         # independent implementation: DuckDB's NATIVE ASOF JOIN vs the
         # engine's union+window formulation
         "asof_join": """

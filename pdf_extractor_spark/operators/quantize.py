@@ -1,0 +1,45 @@
+"""Embedding quantization — 4x storage cut for the vector table.
+
+At 10^12 chunks a float32[64] embedding column is ~256 TB; symmetric int8
+quantization stores the same vectors in ~64 TB plus one float scale per
+vector, with reconstruction error bounded by scale/2 per component —
+standard practice for warehouse-resident ANN corpora (score candidates on
+int8, re-rank the top slice on full precision).
+
+Rounding is expressed as ``floor(x/scale + 0.5)`` rather than ``round``:
+the two engines' round() tie-break conventions differ, but floor is the
+same function everywhere, so the quantized values are bit-identical between
+the Spark expression and the DuckDB oracle. Pure Column expressions — the
+quantization pass is a scan rewrite, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_expr(vec: Column) -> tuple[Column, Column]:
+    """(codes: array<int> in [-127, 127], scale: double) for one vector.
+    All-zero vectors quantize to zeros with scale 0."""
+    v = vec.cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.floor(x / scale + F.lit(0.5)).cast("int"))
+        .otherwise(F.lit(0)),
+    )
+    return codes, scale
+
+
+def dequantize_expr(codes: Column, scale: Column) -> Column:
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes, scale) — the stored form of the embeddings table."""
+    codes, scale = quantize_expr(F.col(vec_col))
+    return emb.select(F.col(id_col), codes.alias("codes"), scale.alias("scale"))

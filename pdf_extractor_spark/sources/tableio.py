@@ -256,6 +256,19 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*paths)
 
+    def read_changes(self, spark: SparkSession, since_snapshot_id: int) -> DataFrame | None:
+        """Incremental read (Iceberg incremental consumption): rows of runs
+        committed AFTER ``since_snapshot_id`` — the input for downstream
+        incremental consumers (embed only new chunks, sync only new rows)
+        without rescanning the table. COW-rewritten and compacted runs count
+        as new (their ``rewritten_from``/``rewrote`` lineage lets a consumer
+        recognize rewrites of data it already processed)."""
+        old = {r["run_id"] for r in self.manifest_at(since_snapshot_id)["runs"]}
+        paths = [r["path"] for r in self.manifest()["runs"] if r["run_id"] not in old]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
     def read_chunks(self, spark: SparkSession) -> DataFrame | None:
         """Committed chunk rows only (per-doc marker rows filtered out)."""
         df = self.read(spark)

@@ -103,3 +103,15 @@ def test_time_travel_rollback_compact_expire(spark, tmp_path):
     assert table.read(spark).count() == n  # head unaffected
     with pytest.raises(FileNotFoundError):
         table.manifest_at(sid_full)
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """read_changes returns only runs committed after the given snapshot —
+    the incremental-consumer surface."""
+    table = SnapshotTable(str(tmp_path / "t2"))
+    table.append(spark.createDataFrame([("a", 1)], "doc_hash string, v int"))
+    sid1 = table.manifest()["snapshot_id"]
+    table.append(spark.createDataFrame([("b", 2), ("c", 3)], "doc_hash string, v int"))
+    delta = table.read_changes(spark, sid1)
+    assert {r["doc_hash"] for r in delta.collect()} == {"b", "c"}
+    assert table.read_changes(spark, table.manifest()["snapshot_id"]) is None

@@ -100,3 +100,30 @@ def test_bucketed_table_write_prunes_partitions(spark, tmp_path, emb_df):
     # and the pruned scan still returns exactly the probed buckets' rows
     total = back.filter(F.col("bucket_id").isin([0, 1])).count()
     assert probed.count() == total
+
+
+def test_quantize_roundtrip_bound(spark):
+    """Int8 quantization: codes within [-127, 127], reconstruction error
+    bounded by scale/2 per component, zero vectors stable."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.quantize import dequantize_expr, quantize_expr
+
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, scale = quantize_expr(F.col("embedding"))
+    q = emb.select("vec_id", "embedding", codes.alias("codes"), scale.alias("scale"))
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[1]["codes"] == [64, -127, 32, 0]  # wait: 0.5/ (1/127) = 63.5 -> floor(64)=64
+    assert got[2]["codes"] == [0, 0, 0, 0] and got[2]["scale"] == 0.0
+    deq = q.select(
+        "vec_id",
+        F.array_max(
+            F.zip_with(dequantize_expr(F.col("codes"), F.col("scale")),
+                       F.col("embedding").cast("array<double>"),
+                       lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        "scale",
+    ).collect()
+    for r in deq:
+        assert r["err"] <= r["scale"] / 2 + 1e-12
