@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Cluster entry point for the full curation pipeline — raw pages to a
+training-ready corpus in one spark-submit:
+
+    spark-submit --py-files /tmp/pdf_extractor_spark.zip \
+        scripts/run_curation_job.py \
+        --pages <pages parquet> --out <curated table dir> \
+        [--near-dedup] [--max-tokens 2048] [--split]
+
+Stages (each a declarative plan over the previous stage's output):
+  1. extract+chunk (fused mapInArrow) → per-doc text via the doc markers
+  2. curate_corpus_full: language/quality/repetition/line-shape gates,
+     PII scrub, exact dedup on scrubbed text
+  3. optional MinHash near-dedup: pairs → connected components → keep the
+     cluster representative (lowest id)
+  4. pack_sequences: (bucket, seq_id) per doc; optional assign_split
+  5. snapshot-commit with counters lineage
+
+Prints one JSON line of stage counters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--near-dedup", action="store_true")
+    ap.add_argument("--langs", default="en",
+                    help="comma-separated accepted predicted languages (lang-ID is a "
+                         "marker-word heuristic; corpora without stopword coverage "
+                         "predict 'und')")
+    ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument("--split", action="store_true", help="add train/val/test split column")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.sampling import assign_split
+    from pdf_extractor_spark.operators import dedup as DD
+    from pdf_extractor_spark.operators.curate import curate_corpus_full
+    from pdf_extractor_spark.operators.extract import extract_docs
+    from pdf_extractor_spark.operators.packing import pack_sequences
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    spark = get_spark("curation-job", master=args.master)
+    pages = spark.read.parquet(args.pages)
+
+    docs = extract_docs(pages).select(
+        F.xxhash64("url").alias("doc_id"), F.col("url"), F.col("text")
+    )
+    n_in = docs.count()
+
+    curated = curate_corpus_full(docs, langs=tuple(args.langs.split(",")), text_col="text", id_col="doc_id")
+
+    if args.near_dedup:
+        pairs = DD.minhash_near_duplicates(
+            curated.select("doc_id", F.col("clean_text").alias("text")), threshold=0.8
+        )
+        clusters = DD.near_dup_clusters(pairs)
+        victims = clusters.filter(F.col("node") != F.col("cluster")).select(
+            F.col("node").alias("doc_id")
+        )
+        curated = curated.join(victims, "doc_id", "left_anti")
+        DD.release_caches(pairs)
+        DD.release_caches(clusters)
+
+    packed = pack_sequences(
+        curated, max_tokens=args.max_tokens, text_col="clean_text", id_col="doc_id"
+    )
+    out = curated.join(packed.select("doc_id", "bucket", "seq_id"), "doc_id")
+    if args.split:
+        out = out.withColumn(
+            "split", assign_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05})
+        )
+
+    table = SnapshotTable(args.out)
+    n_out = out.count()
+    run_id = table.append(out, lineage={"stage": "curated", "docs_in": n_in, "docs_out": n_out})
+    json.dump({"run_id": run_id, "docs_in": n_in, "docs_out": n_out}, sys.stdout)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

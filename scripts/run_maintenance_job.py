@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Cluster entry point for snapshot-table maintenance — the batch job a
+warehouse schedules nightly per table (Iceberg's rewrite_data_files +
+expire_snapshots pairing):
+
+    spark-submit --py-files /tmp/pdf_extractor_spark.zip \
+        scripts/run_maintenance_job.py --table <table dir> \
+        [--compact] [--target-partitions N] \
+        [--expire --retain-last K]
+
+Compaction collapses the run set accumulated by per-epoch streaming appends
+into one run (single manifest swap; old versions stay time-travelable);
+expiry prunes snapshot history beyond --retain-last and deletes data dirs
+no retained snapshot references. Prints one JSON status line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="snapshot-table directory")
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--target-partitions", type=int, default=None)
+    ap.add_argument("--expire", action="store_true")
+    ap.add_argument("--retain-last", type=int, default=3)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    spark = get_spark("maintenance-job", master=args.master)
+    table = SnapshotTable(args.table)
+    status: dict = {"table": args.table, "snapshot_id": table.manifest()["snapshot_id"]}
+    if args.compact:
+        status["compacted_run"] = table.compact(spark, args.target_partitions)
+    if args.expire:
+        status["expired_run_dirs"] = table.expire_snapshots(retain_last=args.retain_last)
+    status["runs"] = len(table.manifest()["runs"])
+    status["snapshots_retained"] = len(table.snapshot_ids())
+    json.dump(status, sys.stdout)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
