@@ -22,9 +22,21 @@ from pyspark.sql import functions as F
 CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 
 
-@F.pandas_udf("string")
-def nfc_udf(s: pd.Series) -> pd.Series:
+def _nfc(s: pd.Series) -> pd.Series:
     return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+
+_NFC_UDF = None
+
+
+def nfc_udf(col: Column) -> Column:
+    # the pandas_udf wrapper needs an active session, so it's created on
+    # first USE, not at import (module must be importable session-less,
+    # e.g. by spark-submit --py-files distribution or doc tooling)
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        _NFC_UDF = F.pandas_udf(_nfc, "string")
+    return _NFC_UDF(col)
 
 
 def clean_text(col: Column) -> Column:
