@@ -400,3 +400,29 @@ def test_pdf_roundtrip_property():
         assert r.text == expected
 
     check()
+
+
+def test_cmap_one_byte_codespace():
+    """A 1-byte codespacerange CMap decodes single-byte codes (simple
+    embedded fonts use these)."""
+
+    def obj(num, body):
+        return f"{num} 0 obj\n{body}\nendobj\n".encode("latin-1")
+
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        "2 beginbfchar\n<41> <0058>\n<42> <0059>\nendbfchar\nendcmap\nend"
+    )
+    stream = "BT /F1 12 Tf <4142> Tj ET"  # codes 0x41,0x42 -> X,Y
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R ] /Count 1 >>")
+    pdf += obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+                  " /Resources << /Font << /F1 5 0 R >> >> >>")
+    pdf += obj(4, f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
+    pdf += obj(5, "<< /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >>")
+    pdf += obj(6, f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "XY"

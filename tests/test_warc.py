@@ -84,3 +84,21 @@ def test_warc_roundtrip_property():
         assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in pages]
 
     check()
+
+
+def test_gzip_member_splitting_edges():
+    """Multi-member gzip splits member-at-a-time; plain bytes pass through."""
+    import gzip as _gz
+    import io
+
+    from pdf_extractor_spark.sources.warc import _split_gzip_members
+
+    def member(b):
+        buf = io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(b)
+        return buf.getvalue()
+
+    data = member(b"first") + member(b"") + member(b"third WARC/1.0 marker")
+    assert list(_split_gzip_members(data)) == [b"first", b"", b"third WARC/1.0 marker"]
+    assert list(_split_gzip_members(b"plain bytes")) == [b"plain bytes"]
