@@ -127,3 +127,19 @@ def test_quantize_roundtrip_bound(spark):
     ).collect()
     for r in deq:
         assert r["err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_quantize_arrow_matches_column_spec(spark):
+    """The numpy bulk path produces IDENTICAL codes/scales to the Column
+    expression spec on real embeddings."""
+    from pdf_extractor_spark.operators.quantize import (
+        quantize_embeddings,
+        quantize_embeddings_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: (r["codes"], r["scale"])
+         for r in quantize_embeddings(emb).collect()}
+    b = {r["vec_id"]: (r["codes"], r["scale"])
+         for r in quantize_embeddings_arrow(emb).collect()}
+    assert a == b and len(a) > 0
