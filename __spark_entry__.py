@@ -681,6 +681,32 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_domain_quota(spark, sf_dir):
+    """Per-domain quota capping: crawl corpora are dominated by a few hosts,
+    so curation keeps only the top-k docs per domain by quality — host from
+    the canonical url, rank by (quality desc, doc_id) window."""
+    from pdf_extractor_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    withurl = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        F.concat(
+            F.lit("https://host"), (d % 7).cast("string"), F.lit(".example.com/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:?#]+)", 1)
+    w = Window.partitionBy("domain").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        withurl.withColumn("domain", host)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+        .select("doc_id", "domain", "quality", "rank")
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus audit dashboard: per-language doc counts, quality profile,
     PII incidence, and exact-dup incidence in ONE grouped aggregation —
@@ -1053,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "corpus_report": q_corpus_report,
         "quantize_embeddings": q_quantize_embeddings,
+        "domain_quota": q_domain_quota,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1665,6 +1692,20 @@ SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
         "curate_full": _sql_curate_full(),
         "corpus_report": _sql_corpus_report(),
+        "domain_quota": r"""
+WITH u AS (SELECT doc_id,
+  round(least(1.0, (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50.0)
+        * (1 - CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[^\.\!\?\,\;\:]', '', 'g')) / length(text)::DOUBLE END)
+        * (1 - CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END), 4) AS quality,
+  'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS url
+ FROM documents),
+h AS (SELECT doc_id, quality, regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS domain FROM u)
+SELECT doc_id, domain, quality,
+       (row_number() OVER (PARTITION BY domain ORDER BY quality DESC, doc_id))::BIGINT AS rank
+FROM h QUALIFY rank <= 25""",
         # floor(x/scale + 0.5) on BOTH engines (round() tie-breaks differ)
         "quantize_embeddings": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
