@@ -681,6 +681,25 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered-step funnel: per user, first signup and the first purchase AT
+    OR AFTER it — one grouped agg per side plus a broadcastable join."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    joined = s.join(p, "user_id", "left").withColumn(
+        "valid_pts", F.when(F.col("pts") >= F.col("signup_ts"), F.col("pts"))
+    )
+    return joined.groupBy("user_id", "signup_ts").agg(
+        F.min("valid_pts").alias("first_purchase_ts"),
+        F.max(F.col("valid_pts").isNotNull()).alias("converted"),
+    )
+
+
 def q_domain_quota(spark, sf_dir):
     """Per-domain quota capping: crawl corpora are dominated by a few hosts,
     so curation keeps only the top-k docs per domain by quality — host from
@@ -1080,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "quantize_embeddings": q_quantize_embeddings,
         "domain_quota": q_domain_quota,
+        "events_funnel": q_events_funnel,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -1692,6 +1712,15 @@ SELECT doc_id, bucket, ((cum - n_tokens) // 256)::BIGINT AS seq_id, n_tokens
 FROM c""",
         "curate_full": _sql_curate_full(),
         "corpus_report": _sql_corpus_report(),
+        "events_funnel": """
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+SELECT s.user_id, s.signup_ts,
+       min(CASE WHEN p.pts >= s.signup_ts THEN p.pts END) AS first_purchase_ts,
+       bool_or(p.pts >= s.signup_ts) IS TRUE AS converted
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+GROUP BY s.user_id, s.signup_ts""",
         "domain_quota": r"""
 WITH u AS (SELECT doc_id,
   round(least(1.0, (CASE WHEN trim(text) = '' THEN 0
