@@ -527,6 +527,16 @@ def q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 100th doc is the held-out eval set;
+    training docs near-dupping it (including the eval items themselves)
+    drop at the stricter 0.8 threshold — survivors return."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    out = DD.decontaminate(docs, DD.minhash_sig_table(bench), threshold=0.8)
+    return out.select("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """Dedup (SimHash): 64-bit per-doc signature (two 32-bit halves) via
     bit votes."""
@@ -1070,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_incremental": q_dedup_incremental,
+        "decontaminate": q_decontaminate,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1815,6 +1826,20 @@ SELECT doc_id,
              ELSE (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE END, 4) AS rep_ratio
 FROM g""",
         "dedup_incremental": _sql_dedup_incremental(),
+        "decontaminate": f"""
+WITH {_sql_sig_chain('c', 'SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0')},
+{_sql_sig_chain('i', 'SELECT doc_id, text FROM documents')},
+big AS (SELECT band, band_key FROM ckeys GROUP BY band, band_key HAVING count(*) > 64),
+ck AS (SELECT k.* FROM ckeys k ANTI JOIN big b ON k.band = b.band AND k.band_key = b.band_key),
+cand AS (SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM ikeys i JOIN ck c ON i.band = c.band AND i.band_key = c.band_key),
+dup AS (SELECT DISTINCT cand.new_id
+        FROM cand
+        JOIN ishg isd ON cand.new_id = isd.doc_id
+        JOIN cshg csd ON cand.corpus_id = csd.doc_id
+        WHERE round(len(list_intersect(isd.sh, csd.sh))
+                    / len(list_distinct(list_concat(isd.sh, csd.sh)))::DOUBLE, 4) >= 0.8)
+SELECT doc_id FROM documents ANTI JOIN dup ON documents.doc_id = dup.new_id""",
         "simhash": _sql_simhash("SELECT doc_id, text FROM documents"),
         "simhash_near_dups": _sql_simhash_near_dups(_U_NEAR),
         "embedding_near_dups": """
