@@ -95,20 +95,54 @@ def main() -> None:
     # (BENCH/BASELINE.md methodology — single draws vary 2-7x); the per-query
     # minimum is the least-biased estimate of true cost, and matches how
     # scripts/scaling_bench.py has always aggregated its repeats
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+
+    def _stat_snap():
+        # /proc/stat aggregate cpu line: user nice system idle iowait irq
+        # softirq steal ... — steal is the hypervisor-withheld tick count,
+        # the objective gauge for whether a draw ran in a dirty window
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:9]]
+        except (OSError, ValueError):
+            return None
+
+    steal_pct: dict[str, float] = {}   # steal%, for the best (reported) draw
+    draws: dict[str, list[float]] = {}  # every wall-clock draw, for spread
 
     def timed(name, fn):
-        best, out = None, None
+        best, best_steal, out = None, None, None
+        draws[name] = []
         for i in range(repeats):
+            s0 = _stat_snap()
             t0 = time.perf_counter()
             r = fn()
             dt = time.perf_counter() - t0
+            s1 = _stat_snap()
+            pct = None
+            if s0 and s1:
+                total = sum(s1) - sum(s0)
+                pct = round(100.0 * (s1[7] - s0[7]) / total, 1) if total else 0.0
+            draws[name].append(round(dt, 3))
             if best is None or dt < best:
-                best = dt
+                best, best_steal = dt, pct
             if out is None:
                 out = r
         timings[name] = round(best, 3)
+        if best_steal is not None:
+            steal_pct[name] = best_steal
         return out
+
+    # q0 (calibration, not part of the total): identity mapInArrow over a
+    # fixed 2048-page slice. Zero parse work — it measures only JVM<->Python
+    # Arrow plumbing, the thing hypervisor steal amplifies. Compare across
+    # rounds at identical settings: a jump here (or a high steal_pct) marks
+    # the window hypervisor-dominated, machine-readably.
+    noop_slice = amplified_pages(docs.limit(128), n_partitions=cpus)
+    timed("noop_arrow", lambda: noop_slice.mapInArrow(lambda it: it, noop_slice.schema).count())
+    noop_sec = timings.pop("noop_arrow")
+    extras["noop_arrow_sec"] = noop_sec
+    noop_steal = steal_pct.pop("noop_arrow", None)
 
     # q1: flagship extraction+chunking (fused mapInArrow over amplified pages)
     pages = amplified_pages(docs, n_partitions=cpus * 2)
@@ -192,8 +226,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "repeats": repeats,
+        # steal-window forensics: steal_pct = hypervisor-stolen CPU share
+        # during each query's reported (fastest) draw; draws = every
+        # wall-clock sample. High steal_pct / wide draw spread = dirty
+        # window, not a code regression (BENCH/BASELINE.md methodology).
+        "steal_pct": steal_pct,
+        "draws": draws,
         **extras,
     }
+    if noop_steal is not None:
+        out["noop_arrow_steal_pct"] = noop_steal
     print(json.dumps(out))
     spark.stop()
 
