@@ -506,6 +506,12 @@ def _parse_classic_xref(data: bytes, offset: int,
             f1, _gen, kind = row[:10], row[11:16], row[17:18]
             if kind == b"n":
                 entries.setdefault(num, (1, int(f1), 0))
+            elif kind == b"f":
+                # record free entries too (type 0): sections are walked
+                # newest-first, so a deletion in an incremental update must
+                # SHADOW the older section's in-use offset — otherwise the
+                # deleted object resurrects; the resolver skips type 0
+                entries.setdefault(num, (0, int(f1), 0))
             pos += 20
     tm = _TRAILER_RE.search(data, pos)
     if not tm:

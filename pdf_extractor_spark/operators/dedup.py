@@ -26,6 +26,9 @@ Scale notes (10^12 docs):
 
 from __future__ import annotations
 
+import os as _os
+import warnings as _warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -492,7 +495,14 @@ def _simhash_block_exprs(max_hamming: int):
     every value stays in int32 range."""
     nblocks = max_hamming + 1
     width = SIMHASH_BITS // nblocks
-    assert width <= _HALF_BITS and _HALF_BITS % width == 0, "block must fit a half"
+    # explicit raise, not assert: under `python -O` a stripped assert would
+    # silently emit duplicate/incomplete blocks and miss near-dup pairs
+    if not (width <= _HALF_BITS and _HALF_BITS % width == 0 and SIMHASH_BITS % nblocks == 0):
+        raise ValueError(
+            f"max_hamming={max_hamming} unsupported: {SIMHASH_BITS}/(d+1) must "
+            f"divide {_HALF_BITS} so blocks carve evenly from the int32 halves "
+            "(supported: 1, 3, 7, 15, 31)"
+        )
     per_half = _HALF_BITS // width
     out = []
     for i in range(nblocks):
@@ -523,8 +533,13 @@ def simhash_near_duplicates(
     ``max_bucket`` drops degenerate (blk, blk_val) buckets before the pair
     join — the same guard as minhash_candidates: a sea of near-identical
     boilerplate pages all sharing a block value would otherwise make that
-    bucket's self-join quadratic. True duplicates dropped here still pair
-    through their other blocks (or via dedup_exact at linear cost).
+    bucket's self-join quadratic. The cap trades recall for boundedness: a
+    pair at distance exactly ``max_hamming`` is only guaranteed to share
+    ONE block (pigeonhole minimum), so if that bucket is capped the pair is
+    lost for good; closer pairs share more blocks and usually survive.
+    (The DuckDB oracle mirrors the cap, so parity is unaffected — but
+    recall < 1 whenever a bucket overflows. Exact duplicates are still
+    caught by dedup_exact at linear cost.)
     """
     sims = simhash_df(df, text_col, id_col)
     blocks = F.array(*_simhash_block_exprs(max_hamming))
@@ -630,36 +645,33 @@ def embedding_near_duplicates_lsh(
 
 # --- near-dup clustering (pairs -> connected components) --------------------
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """(node, cluster): connected components over near-dup pairs — cluster =
-    min node id reachable through the pair graph. This is the step between
-    "pairs found" and "keep one doc per duplicate group" in a real curation
-    pipeline (drop every node where node != cluster).
+def _truncate_plan(df: DataFrame) -> DataFrame:
+    """Cut an iteratively-built DataFrame's logical plan back to a leaf.
 
-    Implementation: iterative min-label propagation — each round every node
-    adopts the minimum label among itself and its neighbors, converging in
-    O(graph diameter) rounds. Near-dup graphs are dense little cliques (a
-    page and its near-copies all pair with each other), so the diameter is
-    tiny and 2-3 rounds settle real corpora; ``max_iter`` bounds pathological
-    chains. Each round is two equi-joins + a hash-agg on the (nodes+edges)
-    tables — never touches documents — and the per-round convergence probe
-    counts a boolean aggregate, not rows. At 10^12-edge scale the same loop
-    upgrades to the alternating large-star/small-star formulation (O(log n)
-    rounds); the round body and join shapes are identical.
+    persist() caches DATA but the plan tree still deepens every loop round,
+    and Catalyst planning time eventually dominates (each round re-analyzes
+    the whole unrolled chain). A checkpoint replaces the lineage with an
+    RDD-scan leaf: reliable checkpoint when the session has a checkpoint
+    dir configured (the cluster setting — survives executor loss), else
+    localCheckpoint (executor-local blocks; right for local mode)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
 
-    ``pairs``: (id_a, id_b) DataFrame, any extra columns ignored.
-    """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+
+def _cc_min_label(edges: DataFrame, max_iter: int, checkpoint_every: int):
+    """Min-label propagation rounds. Returns (labels, converged)."""
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
     labels.count()  # materialize before the loop
-    for _ in range(max_iter):
+    converged = False
+    for rnd in range(1, max_iter + 1):
         neigh = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("dlabel")),
@@ -675,8 +687,11 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
-            .persist()
         )
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            new_labels = _truncate_plan(new_labels)  # bounded plan depth
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") < F.col("old"))
@@ -686,12 +701,142 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-        # NOTE at 10^12-edge scale: checkpoint labels every ~5 rounds to
-        # truncate the logical-plan chain (persist caches the DATA but the
-        # plan tree still deepens each round, and Catalyst planning time
-        # becomes the bottleneck) — a checkpoint dir is an environment
-        # concern, so this bounded loop leaves it to the caller.
+    return labels, converged
+
+
+def _cc_two_phase(edges: DataFrame, max_iter: int, checkpoint_every: int):
+    """Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — O(log n) rounds on
+    high-diameter graphs vs min-label's O(diameter). Returns
+    (labels, converged) with the same (node, label=component min) shape.
+
+    Both phases are a groupBy-min plus an equi-join on the edge table —
+    never a theta join — so each round is two bounded shuffles regardless
+    of component shape.
+    """
+
+    def large_star(e):
+        # symmetrize; for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = (
+            sym.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # orient large→small; for each u: m = min(Γ(u) ∪ {u});
+        # connect u and all its (smaller) neighbors except m itself to m
+        ori = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        mins = ori.groupBy("src").agg(F.min("dst").alias("m"))
+        return (
+            ori.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionAll(mins.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def signature(e):
+        # cheap set-stability probe: (row count, order-free hash sum) — two
+        # aggregates, no extra shuffle beyond the agg itself
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: a long sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = edges.persist()
+    sig = signature(cur)
+    converged = False
+    for rnd in range(1, max_iter + 1):
+        nxt = small_star(large_star(cur))
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            nxt = _truncate_plan(nxt)
+        else:
+            nxt = nxt.persist()
+        nsig = signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            converged = True
+            break
+        sig = nsig
+    # converged edge set is a forest of stars (node → component-min root)
+    roots = cur.select(F.col("dst").alias("node")).distinct()
+    labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("label")).unionAll(
+        roots.select("node", F.col("node").alias("label"))
+    ).distinct().persist()
+    return labels, converged
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    method: str = "min_label",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(node, cluster): connected components over near-dup pairs — cluster =
+    min node id reachable through the pair graph. This is the step between
+    "pairs found" and "keep one doc per duplicate group" in a real curation
+    pipeline (drop every node where node != cluster).
+
+    ``method="min_label"`` (default): each round every node adopts the
+    minimum label among itself and its neighbors — O(graph diameter)
+    rounds. Near-dup graphs are dense little cliques (a page and its
+    near-copies all pair with each other), so 2-3 rounds settle real
+    corpora. Each round is two equi-joins + a hash-agg on the (nodes+edges)
+    tables — never touches documents — and the per-round convergence probe
+    counts a boolean aggregate, not rows.
+
+    ``method="star"``: alternating large-star/small-star — O(log n) rounds
+    independent of diameter; the big-graph mode for 10^12-edge corpora
+    where a pathological chain would make min-label iterate forever.
+    Identical output.
+
+    Every ``checkpoint_every`` rounds (default ``$SPARK_GRAFT_CC_CHECKPOINT_EVERY``
+    or 3) the iterate's logical plan is truncated via (local)checkpoint so
+    plan depth — and Catalyst planning time — stays bounded no matter how
+    many rounds run; persist alone caches data but the unrolled plan tree
+    would still deepen each round.
+
+    If the loop exhausts ``max_iter`` without the convergence probe going
+    quiet, a RuntimeWarning is raised — labels may be non-converged for
+    components whose diameter exceeds the budget (silently-wrong ids were
+    the old failure mode).
+
+    ``pairs``: (id_a, id_b) DataFrame, any extra columns ignored.
+    """
+    if checkpoint_every is None:
+        checkpoint_every = int(_os.environ.get("SPARK_GRAFT_CC_CHECKPOINT_EVERY", "3"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    if method == "min_label":
+        labels, converged = _cc_min_label(edges, max_iter, checkpoint_every)
+    elif method == "star":
+        labels, converged = _cc_two_phase(edges, max_iter, checkpoint_every)
+    else:
+        raise ValueError(f"unknown method {method!r}: expected 'min_label' or 'star'")
+    if not converged:
+        _warnings.warn(
+            f"near_dup_clusters({method}) hit max_iter={max_iter} before the "
+            "convergence probe went quiet — cluster ids may be wrong for "
+            "components with diameter beyond the budget; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = labels.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
     return _attach_caches(out, labels, edges)
 

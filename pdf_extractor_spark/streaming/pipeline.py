@@ -166,18 +166,23 @@ def stream_extract_dedup(
         if any(r["run_id"] == run_id for r in table.manifest()["runs"]):
             return  # checkpoint replay of a committed epoch → no-op
         corpus_sig = spark.read.parquet(corpus_sig_path)
-        docs = extract_docs(batch_df)
-        survivors = dedup_against_corpus(
-            docs.select("url", "text"), corpus_sig, id_col="url"
-        )
-        with scoped_caches(survivors) as s:
-            kept = docs.join(s.select("url"), "url", "left_semi")
-            chunks = chunk_docs(kept)
-            table.append(
-                chunks,
-                lineage={"stage": "chunks", "epoch": epoch_id, "dedup": "corpus-minhash"},
-                run_id=run_id,
+        # persist: both the dedup screen and the kept-join read docs — without
+        # the cache each micro-batch would pay the extraction CPU twice
+        docs = extract_docs(batch_df).persist()
+        try:
+            survivors = dedup_against_corpus(
+                docs.select("url", "text"), corpus_sig, id_col="url"
             )
+            with scoped_caches(survivors) as s:
+                kept = docs.join(s.select("url"), "url", "left_semi")
+                chunks = chunk_docs(kept)
+                table.append(
+                    chunks,
+                    lineage={"stage": "chunks", "epoch": epoch_id, "dedup": "corpus-minhash"},
+                    run_id=run_id,
+                )
+        finally:
+            docs.unpersist()
 
     writer = pages.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -426,3 +426,24 @@ def test_cmap_one_byte_codespace():
     r = extract_pdf("u", pdf)
     assert r.status == "ok"
     assert r.text == "XY"
+
+
+def test_incremental_update_free_entry_shadows_old_object():
+    """An incremental update that FREES an object (type-f row in the newest
+    xref section) must shadow the original section's in-use entry — the
+    deleted object may not resurrect while walking the /Prev chain."""
+    from pdf_extractor_spark.core.pdf_extract import _load_objects_via_xref
+
+    base = render_pdf(PAGES)
+    old_xref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    victim = 4  # page 1's content stream object (render_pdf layout)
+    assert victim in _load_objects_via_xref(base)
+    new_xref = len(base)
+    update = (
+        f"xref\n{victim} 1\n0000000000 00001 f \n"
+        f"trailer\n<< /Size 99 /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{new_xref}\n%%EOF\n"
+    ).encode()
+    objs = _load_objects_via_xref(base + update)
+    assert victim not in objs
+    assert 1 in objs and 2 in objs  # everything else still resolves

@@ -209,6 +209,73 @@ def test_near_dup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
 
 
+def _cc_reference(edge_list):
+    """Driver-side union-find oracle for tiny graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("method", ["min_label", "star"])
+def test_near_dup_clusters_methods_match_union_find(spark, method):
+    """Both CC formulations reproduce a union-find oracle on a graph mixing
+    cliques, chains, and singleton pairs (seeded pseudo-random edges)."""
+    import random
+
+    rng = random.Random(7)
+    edge_list = [(i, i + 1) for i in range(0, 12)]          # one long chain
+    edge_list += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]  # clique
+    edge_list += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    out = DD.near_dup_clusters(pairs, max_iter=40, method=method, checkpoint_every=2)
+    got = {r["node"]: r["cluster"] for r in out.collect()}
+    DD.release_caches(out)
+    assert got == _cc_reference(edge_list)
+
+
+def test_near_dup_clusters_checkpoint_bounds_plan(spark):
+    """With checkpointing every 2 rounds, a deep-diameter run's final plan
+    must stay shallow (the unrolled-loop plan blowup was the scale killer:
+    631 exchanges at sf0.01 before checkpointing)."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(16)], "id_a long, id_b long")
+    out = DD.near_dup_clusters(chain, max_iter=30, checkpoint_every=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    DD.release_caches(out)
+    # with per-round truncation the final iterate is a scan-of-RDD leaf +
+    # the final sort — a constant handful of exchanges regardless of how
+    # many rounds ran (the unrolled plan showed 631 at sf0.01)
+    assert n_exchanges <= 8, f"plan not truncated: {n_exchanges} exchanges"
+
+
+def test_near_dup_clusters_warns_on_max_iter(spark):
+    """Exhausting max_iter before convergence must be loud, not silent."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        out = DD.near_dup_clusters(chain, max_iter=2)
+        out.count()
+    DD.release_caches(out)
+
+
+def test_simhash_unsupported_max_hamming_raises(near_dup_df):
+    """Block widths that don't carve evenly must fail loudly (was a bare
+    assert — stripped under python -O, silently losing near-dup pairs)."""
+    with pytest.raises(ValueError, match="max_hamming=2"):
+        DD.simhash_near_duplicates(near_dup_df, max_hamming=2)
+
+
 def test_paragraph_dedup_drops_corpus_boilerplate(spark):
     """Shared banner/footer paragraphs drop from every doc; unique content
     survives in order; all-boilerplate docs disappear."""
