@@ -1029,6 +1029,46 @@ def q_related_images(spark, sf_dir):
     )
 
 
+def q_pdf_flags(spark, sf_dir):
+    """PDF-flavor gates (E2/needs_ocr) through the oracle: per doc_id the
+    corpus renders an ENCRYPTED pdf (doc_id%7==0 → parse_status 'failed' —
+    ciphertext never parses as text), an image-only scanned pdf (else
+    doc_id%5==0 → needs_ocr) or a normal text pdf; extraction is the real
+    byte-level PDF parse (core/pdf_extract.py) while the oracle derives the
+    expected flags from the same deterministic construction rule."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                body = str(t or "")[:80].encode("latin-1", "replace").decode("latin-1")
+                if int(d) % 7 == 0:
+                    base = render_pdf([[body]])
+                    html = base.replace(
+                        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+                    )
+                elif int(d) % 5 == 0:
+                    html = render_pdf([[]], images_per_page=1)  # scanned page
+                else:
+                    html = render_pdf([[body]])
+                urls.append(f"doc://{d}")
+                htmls.append(html)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id", "text").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    return extract_docs(pages).select("url", "parse_status", "needs_ocr")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1053,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_roundtrip": q_extract_roundtrip,
         "extract_blocks": q_extract_blocks,
         "extract_tables": q_extract_tables,
+        "pdf_flags": q_pdf_flags,
         "chunk_fixed": q_chunk_fixed,
         "doc_hash": q_doc_hash,
         "filter_project": q_filter_project,
@@ -1583,6 +1624,11 @@ FROM documents
 UNION ALL
 SELECT 'doc://' || doc_id, 1, 'text',
        (length(source) + 2)::BIGINT, (length(source) + 2 + length(text))::BIGINT, text
+FROM documents""",
+        "pdf_flags": """
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 7 = 0 THEN 'failed' ELSE 'ok' END AS parse_status,
+       (doc_id % 7 <> 0 AND doc_id % 5 = 0) AS needs_ocr
 FROM documents""",
         "extract_tables": """
 SELECT 'doc://' || doc_id AS url, 1 AS block_index,

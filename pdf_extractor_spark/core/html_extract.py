@@ -90,6 +90,11 @@ class ExtractResult:
     # page number of each descriptor, parallel to ``images`` — always 1 for
     # the single-page HTML flavor; real pages in the PDF flavor
     image_pages: list[int] = field(default_factory=list)
+    # True when some PDF page had images but zero text ops — a likely scan.
+    # OCR itself is a declared non-goal (SURVEY §2.3 E1: non-deterministic,
+    # CPU-impure); this flag is the honest signal so such docs aren't
+    # silently empty. Always False for HTML.
+    needs_ocr: bool = False
 
 
 def _norm_ws(s: str) -> str:

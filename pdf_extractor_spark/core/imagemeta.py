@@ -1,0 +1,61 @@
+"""Pure-stdlib image header sniffing: codec + pixel dimensions from magic
+bytes, no decode libraries.
+
+This is the real (non-stubbed) part of the media decode seam: the sandbox has
+no PIL/ffmpeg for pixel work, but JPEG/PNG/GIF geometry lives in fixed-layout
+headers that parse deterministically from bytes. Used by
+``operators.multimodal.decode_media`` (shallow decode) and by the PDF image
+materializer to tag DCTDecode passthrough payloads (the reference gets both
+via pdfminer/PIL, reference: app/processing/pdf_processor.py:86-101).
+"""
+
+from __future__ import annotations
+
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(codec, width, height) from the payload's header, or None.
+
+    Supported: JPEG (SOFn segment walk), PNG (IHDR), GIF (logical screen
+    descriptor). Truncated or foreign bytes → None, never an exception.
+    """
+    if not payload:
+        return None
+    b = payload
+    # PNG: 8-byte signature, IHDR is always the first chunk (offset 8:
+    # 4-byte length, b"IHDR", then 4-byte width / 4-byte height, big-endian)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR" and len(b) >= 24:
+        return ("png", int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big"))
+    # GIF: 6-byte signature then little-endian u16 width/height
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return ("gif", int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"))
+    # JPEG: walk marker segments to the first SOFn frame header
+    if b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:  # out of sync (fill bytes are 0xFF, data isn't)
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _SOF_MARKERS:
+                # segment: len(2) precision(1) height(2) width(2) ...
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None

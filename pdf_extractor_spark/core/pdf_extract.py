@@ -325,14 +325,11 @@ def _apply_predictor(head: bytes, raw: bytes) -> bytes:
     raise ValueError(f"unsupported predictor {pred}")
 
 
-def _stream_bytes(body: bytes) -> bytes | None:
-    """Decoded content-stream bytes of one object body, or None.
+def _raw_stream(body: bytes) -> tuple[bytes, bytes] | None:
+    """(dict head, undecoded stream bytes) of one object body, or None.
 
     Prefers the dict's ``/Length`` (compressed bytes may coincidentally
-    contain the ``endstream`` marker that the regex fallback keys on),
-    inflates ``/FlateDecode`` streams via stdlib zlib, and reverses
-    PNG/TIFF predictors (/DecodeParms) — deterministic round-trip, no new
-    deps. Any other filter raises → 'failed' status."""
+    contain the ``endstream`` marker that the regex fallback keys on)."""
     sm = _STREAM_START_RE.search(body)
     if not sm:
         return None
@@ -345,11 +342,59 @@ def _stream_bytes(body: bytes) -> bytes | None:
         if not m:
             return None
         raw = m.group(1)
+    return head, raw
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    """Decoded content-stream bytes of one object body, or None.
+
+    Inflates ``/FlateDecode`` streams via stdlib zlib and reverses PNG/TIFF
+    predictors (/DecodeParms) — deterministic round-trip, no new deps. Any
+    other filter raises → 'failed' status."""
+    hr = _raw_stream(body)
+    if hr is None:
+        return None
+    head, raw = hr
     if _FLATE_RE.search(head):
         raw = _apply_predictor(head, zlib.decompress(raw))
     elif b"/Filter" in head:
         raise ValueError("unsupported stream filter")
     return raw
+
+
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+Decode)\b")
+_IMG_PASSTHROUGH = {b"DCTDecode": "jpeg", b"JPXDecode": "jp2"}
+
+
+def _image_stream(body: bytes) -> tuple[bytes, str] | None:
+    """(payload, codec) of an image XObject's stream, or None to skip.
+
+    /DCTDecode and /JPXDecode are PASSTHROUGH: the stream bytes already ARE
+    a complete JPEG / JPEG-2000 file (the dominant embedded-image forms —
+    the reference decodes them via pdfminer/PIL,
+    app/processing/pdf_processor.py:86-101; here the bytes surface tagged
+    with their codec for a downstream decoder). /FlateDecode inflates to
+    raw samples (codec 'raw'); a Flate→DCT chain inflates then passes the
+    JPEG through. Unsupported filters (CCITTFax, JBIG2, ...) → None — skip
+    the one image, never fail the document."""
+    hr = _raw_stream(body)
+    if hr is None:
+        return None
+    head, raw = hr
+    names = _FILTER_NAME_RE.findall(head) if b"/Filter" in head else []
+    passthrough = [n for n in names if n in _IMG_PASSTHROUGH]
+    if any(n not in _IMG_PASSTHROUGH and n != b"FlateDecode" for n in names):
+        return None
+    try:
+        if b"FlateDecode" in names:
+            raw = zlib.decompress(raw)
+            if not passthrough:
+                raw = _apply_predictor(head, raw)
+        if passthrough:
+            return raw, _IMG_PASSTHROUGH[passthrough[-1]]
+        return raw, "raw"
+    except Exception:
+        return None
 
 
 # --- object-stream (/ObjStm) and xref-stream support ------------------------
@@ -599,6 +644,76 @@ def _page_content(objs: dict[int, bytes], page_body: bytes) -> bytes | None:
     return None
 
 
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """True when the file declares a security handler (/Encrypt in a trailer
+    dict, or in the /Type /XRef stream dict for 1.5+ layouts). Encrypted
+    strings/streams are ciphertext — parsing them would emit garbage text,
+    so the caller lands the document in ``parse_status='failed'`` instead
+    (the reference inherits RC4/AES handling from pdfminer; decryption is a
+    crypto concern out of this core's scope)."""
+    for tm in _TRAILER_RE.finditer(data):
+        if _ENCRYPT_REF_RE.search(tm.group(1)):
+            return True
+    sm = None
+    for sm in _STARTXREF_RE.finditer(data):
+        pass
+    if sm:
+        m = _OBJ_RE.match(data, int(sm.group(1)))
+        if m:
+            hr = _raw_stream(m.group(2))
+            head = hr[0] if hr else m.group(2)
+            if _ENCRYPT_REF_RE.search(head):
+                return True
+    return False
+
+
+# --- text positioning (reading order inside a page) --------------------------
+
+_NUM_B = rb"(-?\d+(?:\.\d+)?)"
+_TD_OP_RE = re.compile(_NUM_B + rb"\s+" + _NUM_B + rb"\s+(?:Td|TD)\b")
+_TM_OP_RE = re.compile((_NUM_B + rb"\s+") * 5 + _NUM_B + rb"\s+Tm\b")
+_SHOW_OP_RE = re.compile(rb"\b(?:Tj|TJ)\b|['\"]")
+
+
+def _mask_strings(buf: bytes) -> bytes:
+    """Copy of ``buf`` with every string literal / hex string blanked to
+    spaces, so operator scans can't key on bytes inside string data."""
+    ba = bytearray(buf)
+    for _kind, payload, start in _iter_strings(buf):
+        end = min(start + len(payload) + 2, len(ba))
+        for k in range(start, end):
+            ba[k] = 0x20
+    return bytes(ba)
+
+
+def _block_anchor(masked: bytes) -> tuple[float, float]:
+    """(x, y) text-space position of the first show op in a masked BT..ET
+    body: Td/TD accumulate line-matrix translations, Tm replaces them.
+    Real multi-column PDFs emit blocks in arbitrary stream order — the
+    anchor lets extract_pdf sort blocks into visual reading order (y desc,
+    x asc), the core of what the reference's hi-res layout sort provides
+    (app/processing/pdf_processor.py:88-99)."""
+    events = (
+        [(m.start(), "td", m) for m in _TD_OP_RE.finditer(masked)]
+        + [(m.start(), "tm", m) for m in _TM_OP_RE.finditer(masked)]
+        + [(m.start(), "show", None) for m in _SHOW_OP_RE.finditer(masked)]
+    )
+    events.sort(key=lambda e: e[0])
+    x = y = 0.0
+    for _pos, kind, m in events:
+        if kind == "show":
+            break
+        if kind == "tm":
+            x, y = float(m.group(5)), float(m.group(6))
+        else:
+            x += float(m.group(1))
+            y += float(m.group(2))
+    return x, y
+
+
 def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """Parse one synthetic-subset PDF into reading-order page blocks.
 
@@ -609,22 +724,28 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """
     if data is None or len(data) == 0:
         return ExtractResult(url=url, status="ok", text="", blocks=[])
+    if _is_encrypted(data):
+        # ciphertext strings would parse as garbage — fail loudly instead
+        return ExtractResult(url=url, status="failed", text="", blocks=[])
     try:
         objs = _load_objects(data)
         kids = _page_leaves(objs)
         page_blocks: list[tuple[int, str]] = []  # (page_no, block_text)
         images: list[str] = []
         image_pages: list[int] = []
+        needs_ocr = False
         for page_no, kid in enumerate(kids, 1):
             page_body = objs.get(kid, b"")
             content = _page_content(objs, page_body)
             if content is None:
                 continue
             content, n_inline = _INLINE_IMG_RE.subn(b" ", content)
+            n_page_images = n_inline
             for _ in range(n_inline):
                 images.append(f"img_{len(images)}")
                 image_pages.append(page_no)
             for _ in _DO_RE.finditer(content):
+                n_page_images += 1
                 images.append(f"img_{len(images)}")
                 image_pages.append(page_no)
             # /ToUnicode fonts: string bytes are codes; track the active
@@ -644,7 +765,8 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
                         break
                 return cm
 
-            for bt in _BT_RE.finditer(content):
+            placed: list[tuple[float, float, int, str]] = []  # (-y, x, seq, text)
+            for seq, bt in enumerate(_BT_RE.finditer(content)):
                 parts = []
                 base = bt.start(1)
                 for kind, payload, pos in _iter_strings(bt.group(1)):
@@ -659,7 +781,17 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
                     parts.append(cmap.decode(raw) if cmap else raw.decode("latin-1"))
                 btxt = _norm_ws(" ".join(parts))
                 if btxt:
-                    page_blocks.append((page_no, btxt))
+                    ax, ay = _block_anchor(_mask_strings(bt.group(1)))
+                    placed.append((-round(ay, 2), round(ax, 2), seq, btxt))
+            # visual reading order: top-to-bottom, then left-to-right; the
+            # sort is stable, so same-position blocks keep stream order
+            # (which keeps the synthetic corpus byte-identical — its blocks
+            # all anchor at the same Td)
+            placed.sort()
+            page_blocks.extend((page_no, btxt) for *_k, btxt in placed)
+            if n_page_images and not placed:
+                needs_ocr = True  # image-only page: likely a scan (OCR is a
+                # declared non-goal, SURVEY §2.3 E1 — flag, don't guess)
     except Exception:
         return ExtractResult(url=url, status="failed", text="", blocks=[])
 
@@ -679,7 +811,7 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
         pos += len(btxt)
     return ExtractResult(
         url=url, status="ok", text=BLOCK_SEP.join(pieces), blocks=blocks,
-        images=images, image_pages=image_pages,
+        images=images, image_pages=image_pages, needs_ocr=needs_ocr,
     )
 
 
@@ -691,18 +823,25 @@ _WIDTH_RE = re.compile(rb"/Width\s+(\d+)(?![0-9])")
 _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)(?![0-9])")
 
 
-def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int, int, bytes]]:
-    """Embedded image XObjects: [(page, name, width, height, payload)].
+def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int, int, bytes, str]]:
+    """Embedded image XObjects: [(page, name, width, height, payload, codec)].
 
     Unlike the HTML flavor (descriptors only — a crawl page carries no crop
     bytes), PDFs EMBED their images, so E7 materialization is real here:
-    each /Subtype /Image XObject's decoded stream is the image payload,
-    with /Width//Height metadata. Resources resolve like fonts (inline,
-    indirect, or inherited via /Parent). Any structural surprise → [].
+    each /Subtype /Image XObject's stream is the image payload — inflated
+    raw samples (codec 'raw') or DCT/JPX passthrough (codec 'jpeg'/'jp2':
+    the stream already IS the file; nearly every real PDF photo is an
+    embedded JPEG). Dimensions come from /Width//Height, cross-checked /
+    back-filled from the payload's own header (core/imagemeta.py) for
+    passthrough codecs. Resources resolve like fonts (inline, indirect, or
+    inherited via /Parent). A single undecodable image is skipped; any
+    structural surprise → [].
     """
-    if not is_pdf(data):
+    if not is_pdf(data) or _is_encrypted(data):
         return []
-    out: list[tuple[int, str, int, int, bytes]] = []
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+    out: list[tuple[int, str, int, int, bytes, str]] = []
     try:
         objs = _load_objects(data)
         for page_no, kid in enumerate(_page_leaves(objs), 1):
@@ -726,19 +865,20 @@ def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int
                 xbody = objs.get(int(ref), b"")
                 if not _SUBTYPE_IMG_RE.search(xbody):
                     continue
-                payload = _stream_bytes(xbody)
-                if payload is None:
+                decoded = _image_stream(xbody)
+                if decoded is None:
                     continue
+                payload, codec = decoded
                 wm, hm = _WIDTH_RE.search(xbody), _HEIGHT_RE.search(xbody)
-                out.append(
-                    (
-                        page_no,
-                        name.decode("latin-1"),
-                        int(wm.group(1)) if wm else 0,
-                        int(hm.group(1)) if hm else 0,
-                        payload,
-                    )
-                )
+                w = int(wm.group(1)) if wm else 0
+                h = int(hm.group(1)) if hm else 0
+                if codec != "raw":
+                    # the payload carries its own header — ground truth for
+                    # passthrough codecs (e.g. JPEG SOF dims)
+                    sniffed = sniff_image(payload)
+                    if sniffed:
+                        codec, w, h = sniffed
+                out.append((page_no, name.decode("latin-1"), w, h, payload, codec))
     except Exception:
         return []
     return out
@@ -791,6 +931,43 @@ def _images_for(images_per_page: int | list[int], i: int) -> int:
     return images_per_page[i] if isinstance(images_per_page, list) else images_per_page
 
 
+def _manual_stream_pdf(content: str) -> bytes:
+    """One-page PDF around a hand-written content stream — test scaffolding
+    for arbitrary operator sequences (positioning, odd orderings)."""
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        f"<< /Length {len(content)} >>\nstream\n{content}\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body.encode("latin-1") + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _fake_jpeg(width: int, height: int, seed: int) -> bytes:
+    """Minimal structurally-valid JPEG: SOI + SOF0 frame header (real
+    dimensions) + a seed-derived entropy stub + EOI. Header-sniffable
+    (core/imagemeta.py) and deterministic; not pixel-decodable (no sandbox
+    decoder to feed anyway)."""
+    sof = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01\x11\x00"
+    )
+    entropy = bytes((seed * 37 + i * 11) % 255 for i in range(8))  # never 0xFF
+    return b"\xff\xd8" + sof + entropy + b"\xff\xd9"
+
+
 def render_pdf(
     pages: list[list[str]],
     compress: bool = False,
@@ -798,6 +975,7 @@ def render_pdf(
     images_per_page: int | list[int] = 0,
     cid_font: bool = False,
     xref_predictor: bool = False,
+    jpeg_images: bool = False,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -877,16 +1055,26 @@ def render_pdf(
         add(f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
 
     # real embedded image XObjects (E7 crop source): deterministic 2x2 RGB
-    # payloads per (page, index)
+    # payloads per (page, index); ``jpeg_images=True`` emits them as
+    # /DCTDecode streams (the dominant real-PDF form — the stream IS a JPEG)
     for i in range(n_pages):
         for j in range(img_counts[i]):
-            px = bytes([(i * 31 + j * 7 + c) % 256 for c in range(12)])
-            add(
-                f"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
-                f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
-                f"/Length {len(px)} >>\nstream\n".encode("latin-1")
-                + px + b"\nendstream"
-            )
+            if jpeg_images:
+                px = _fake_jpeg(2, 2, seed=i * 31 + j * 7)
+                add(
+                    f"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+                    f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+                    f"/Filter /DCTDecode /Length {len(px)} >>\nstream\n".encode("latin-1")
+                    + px + b"\nendstream"
+                )
+            else:
+                px = bytes([(i * 31 + j * 7 + c) % 256 for c in range(12)])
+                add(
+                    f"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+                    f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+                    f"/Length {len(px)} >>\nstream\n".encode("latin-1")
+                    + px + b"\nendstream"
+                )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

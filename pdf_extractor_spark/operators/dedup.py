@@ -645,7 +645,26 @@ def embedding_near_duplicates_lsh(
 
 # --- near-dup clustering (pairs -> connected components) --------------------
 
-def _truncate_plan(df: DataFrame) -> DataFrame:
+class _CkptHandle:
+    """Unpersist handle for a checkpointed iterate: ``DataFrame.unpersist``
+    does NOT free a (local)checkpoint's cached RDD blocks, so the ids are
+    captured at checkpoint time and freed through the same ``unpersist()``
+    protocol release_caches() already speaks. Freeing is only safe once no
+    live plan can recompute through the checkpoint — i.e. after the NEXT
+    checkpoint materializes, or when the caller releases the final result."""
+
+    def __init__(self, sc, rdd_ids):
+        self._sc, self._ids = sc, rdd_ids
+
+    def unpersist(self, blocking: bool = False):
+        for i in self._ids:
+            try:
+                self._sc._jsc.sc().unpersistRDD(i, blocking)
+            except Exception:
+                pass
+
+
+def _truncate_plan(df: DataFrame) -> tuple[DataFrame, _CkptHandle]:
     """Cut an iteratively-built DataFrame's logical plan back to a leaf.
 
     persist() caches DATA but the plan tree still deepens every loop round,
@@ -653,17 +672,21 @@ def _truncate_plan(df: DataFrame) -> DataFrame:
     the whole unrolled chain). A checkpoint replaces the lineage with an
     RDD-scan leaf: reliable checkpoint when the session has a checkpoint
     dir configured (the cluster setting — survives executor loss), else
-    localCheckpoint (executor-local blocks; right for local mode)."""
+    localCheckpoint (executor-local blocks; right for local mode).
+    Returns (leaf DataFrame, handle that frees the checkpoint's blocks)."""
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
-    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, _CkptHandle(sc, after - before)
 
 
 def _cc_min_label(edges: DataFrame, max_iter: int, checkpoint_every: int):
-    """Min-label propagation rounds. Returns (labels, converged)."""
+    """Min-label propagation rounds. Returns (labels, converged, ckpt)."""
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -671,6 +694,7 @@ def _cc_min_label(edges: DataFrame, max_iter: int, checkpoint_every: int):
     )
     labels.count()  # materialize before the loop
     converged = False
+    ckpt = None  # handle of the newest live checkpoint
     for rnd in range(1, max_iter + 1):
         neigh = (
             edges.join(
@@ -688,8 +712,10 @@ def _cc_min_label(edges: DataFrame, max_iter: int, checkpoint_every: int):
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
         )
-        if checkpoint_every and rnd % checkpoint_every == 0:
-            new_labels = _truncate_plan(new_labels)  # bounded plan depth
+        is_ckpt_round = bool(checkpoint_every) and rnd % checkpoint_every == 0
+        handle = None
+        if is_ckpt_round:
+            new_labels, handle = _truncate_plan(new_labels)  # bounded plan depth
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -700,10 +726,16 @@ def _cc_min_label(edges: DataFrame, max_iter: int, checkpoint_every: int):
         )
         labels.unpersist()
         labels = new_labels
+        if is_ckpt_round and ckpt is not None:
+            # the new leaf supersedes the old checkpoint, and the probe (the
+            # last reader that could recompute through it) has run — free it
+            ckpt.unpersist()
+        if handle is not None:
+            ckpt = handle
         if changed == 0:
             converged = True
             break
-    return labels, converged
+    return labels, converged, ckpt
 
 
 def _cc_two_phase(edges: DataFrame, max_iter: int, checkpoint_every: int):
@@ -759,15 +791,22 @@ def _cc_two_phase(edges: DataFrame, max_iter: int, checkpoint_every: int):
     cur = edges.persist()
     sig = signature(cur)
     converged = False
+    ckpt = None
     for rnd in range(1, max_iter + 1):
         nxt = small_star(large_star(cur))
-        if checkpoint_every and rnd % checkpoint_every == 0:
-            nxt = _truncate_plan(nxt)
+        is_ckpt_round = bool(checkpoint_every) and rnd % checkpoint_every == 0
+        handle = None
+        if is_ckpt_round:
+            nxt, handle = _truncate_plan(nxt)
         else:
             nxt = nxt.persist()
-        nsig = signature(nxt)
+        nsig = signature(nxt)  # materializes nxt
         cur.unpersist()
         cur = nxt
+        if is_ckpt_round and ckpt is not None:
+            ckpt.unpersist()  # superseded by the new leaf, nxt materialized
+        if handle is not None:
+            ckpt = handle
         if nsig == sig:
             converged = True
             break
@@ -777,7 +816,9 @@ def _cc_two_phase(edges: DataFrame, max_iter: int, checkpoint_every: int):
     labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("label")).unionAll(
         roots.select("node", F.col("node").alias("label"))
     ).distinct().persist()
-    return labels, converged
+    labels.count()  # materialize so the edge iterate below can be released
+    cur.unpersist()
+    return labels, converged, ckpt
 
 
 def near_dup_clusters(
@@ -824,9 +865,9 @@ def near_dup_clusters(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
     if method == "min_label":
-        labels, converged = _cc_min_label(edges, max_iter, checkpoint_every)
+        labels, converged, ckpt = _cc_min_label(edges, max_iter, checkpoint_every)
     elif method == "star":
-        labels, converged = _cc_two_phase(edges, max_iter, checkpoint_every)
+        labels, converged, ckpt = _cc_two_phase(edges, max_iter, checkpoint_every)
     else:
         raise ValueError(f"unknown method {method!r}: expected 'min_label' or 'star'")
     if not converged:
@@ -838,7 +879,8 @@ def near_dup_clusters(
             stacklevel=2,
         )
     out = labels.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
-    return _attach_caches(out, labels, edges)
+    cached = [labels, edges] + ([ckpt] if ckpt is not None else [])
+    return _attach_caches(out, *cached)
 
 
 # --- corpus-wide paragraph dedup --------------------------------------------

@@ -54,7 +54,11 @@ def _block_dicts(blocks) -> list[dict]:
 
 def _extract_rows(urls: list, htmls: list) -> dict[str, list]:
     cols: dict[str, list] = {
-        k: [] for k in ("url", "doc_hash", "parse_status", "text", "blocks", "images", "image_pages")
+        k: []
+        for k in (
+            "url", "doc_hash", "parse_status", "text", "blocks", "images",
+            "image_pages", "needs_ocr",
+        )
     }
     for url, html in zip(urls, htmls):
         r = extract_any(url, html)  # magic-byte dispatch: PDF vs HTML (S2)
@@ -65,6 +69,7 @@ def _extract_rows(urls: list, htmls: list) -> dict[str, list]:
         cols["blocks"].append(_block_dicts(r.blocks))
         cols["images"].append(r.images)
         cols["image_pages"].append(r.image_pages)
+        cols["needs_ocr"].append(r.needs_ocr)
     return cols
 
 
@@ -107,18 +112,20 @@ def _page_lookup(blocks: list[dict]) -> Callable[[int], int]:
     return lookup
 
 
-def _chunk_rows(url: str, doc_hash: str, status: str, text: str, blocks: list[dict]) -> Iterator[tuple]:
+def _chunk_rows(url: str, doc_hash: str, status: str, text: str, blocks: list[dict],
+                needs_ocr: bool = False) -> Iterator[tuple]:
     starts = [b["span_start"] for b in blocks]
     lookup = _section_lookup(blocks)
     page_of = _page_lookup(blocks)
     yield (
         url, chunk_id_for(url, MARKER_INDEX), MARKER_INDEX, 0, 0, "",
-        "doc_marker", 0, "", doc_hash, status,
+        "doc_marker", 0, "", doc_hash, status, needs_ocr,
     )
     for c in chunk_text(url, text, starts):
         yield (
             url, c.chunk_id, c.chunk_index, c.span_start, c.span_end, c.text,
             "text", page_of(c.span_start), lookup(c.span_start, text), doc_hash, status,
+            needs_ocr,
         )
 
 
@@ -152,15 +159,17 @@ def chunk_docs(docs: DataFrame) -> DataFrame:
         for batch in batches:
             d = batch.to_pydict()
             rows: list[tuple] = []
-            for url, h, st, text, blocks in zip(
-                d["url"], d["doc_hash"], d["parse_status"], d["text"], d["blocks"]
+            for url, h, st, text, blocks, ocr in zip(
+                d["url"], d["doc_hash"], d["parse_status"], d["text"], d["blocks"],
+                d.get("needs_ocr") or [False] * len(d["url"]),
             ):
-                rows.extend(_chunk_rows(url, h, st, text, blocks or []))
+                rows.extend(_chunk_rows(url, h, st, text, blocks or [], bool(ocr)))
             yield _chunks_batch(rows)
 
-    return docs.select("url", "doc_hash", "parse_status", "text", "blocks").mapInArrow(
-        run, CHUNKS_SCHEMA
-    )
+    cols = ["url", "doc_hash", "parse_status", "text", "blocks"]
+    if "needs_ocr" in docs.columns:
+        cols.append("needs_ocr")
+    return docs.select(*cols).mapInArrow(run, CHUNKS_SCHEMA)
 
 
 def chunk_fixed_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -259,7 +268,12 @@ def extract_chunks(pages: DataFrame) -> DataFrame:
             rows: list[tuple] = []
             for url, html in zip(urls, htmls):
                 r = extract_any(url, html)  # magic-byte dispatch: PDF vs HTML
-                rows.extend(_chunk_rows(url, _doc_hash(html), r.status, r.text, _block_dicts(r.blocks)))
+                rows.extend(
+                    _chunk_rows(
+                        url, _doc_hash(html), r.status, r.text,
+                        _block_dicts(r.blocks), r.needs_ocr,
+                    )
+                )
             yield _chunks_batch(rows)
 
     return pages.select("url", "html").mapInArrow(run, CHUNKS_SCHEMA)

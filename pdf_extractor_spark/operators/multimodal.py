@@ -7,11 +7,13 @@ pipeline: media travel as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-The actual pixel/sample decode is STUBBED (no PIL/ffmpeg in this container):
-``decode_media`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic fake decoder (pure function of the bytes) stands
-in, so the Spark-side plumbing — schema, batch shape, partition independence
-— is fully real and tested.
+Decode honesty: ``decode_media``'s byte stats, payload sha, and codec/
+dimension sniffing (JPEG/PNG/GIF headers, core/imagemeta.py) are REAL and
+run in pure stdlib; only pixel-level features / resampling need PIL/ffmpeg
+(absent in this container) — the feature vector is null in the real path or
+a deterministic fake with ``fake=True``; ``resize_media``/``sample_frames``
+raise unless ``fake=True``. The Spark-side plumbing — schema, batch shape,
+partition independence — is fully real and tested either way.
 
 Scale notes: media bytes dominate row size, so the arrow batch cap
 (session.ARROW_BATCH_RECORDS) bounds per-task memory; feature rows are tiny
@@ -55,7 +57,15 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("payload_sha", T.StringType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        # header-sniffed (REAL, stdlib — core/imagemeta.py): null when the
+        # payload isn't a recognisable JPEG/PNG/GIF
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        # pixel-level feature vector: real decode needs PIL/ffmpeg (absent
+        # in this container) — null in the real path, deterministic fake
+        # with fake=True
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
 
@@ -73,18 +83,18 @@ def _fake_feature(payload: bytes) -> list[float]:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """media rows → per-media feature rows (decode + feature-extract stage).
 
-    With ``fake=False`` this is where PIL/torchaudio/ffmpeg decode would run;
-    this container has none, so it raises unless ``fake=True``.
+    The REAL part runs either way: byte stats, payload sha, and codec +
+    pixel dimensions sniffed from JPEG/PNG/GIF headers in pure stdlib
+    (core/imagemeta.py) — no decode library needed. Only the pixel-level
+    ``feature`` vector requires PIL/ffmpeg (absent in this container): it
+    is null in the real path, or a deterministic stand-in with ``fake=True``.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic stand-in"
-        )
+    from pdf_extractor_spark.core.imagemeta import sniff_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            sniffed = payloads.map(sniff_image)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -93,7 +103,10 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     "payload_sha": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": payloads.map(_fake_feature),
+                    "codec": sniffed.map(lambda s: s[0] if s else None),
+                    "width": sniffed.map(lambda s: s[1] if s else None),
+                    "height": sniffed.map(lambda s: s[2] if s else None),
+                    "feature": payloads.map(_fake_feature) if fake else None,
                 }
             )
 
@@ -212,14 +225,17 @@ def pdf_media_rows(pages: DataFrame) -> DataFrame:
             for url, html in zip(
                 batch.column("url").to_pylist(), batch.column("html").to_pylist()
             ):
-                for page, name, w, h, payload in extract_pdf_images(url, html):
+                for page, name, w, h, payload, codec in extract_pdf_images(url, html):
                     urls.append(url)
                     pgs.append(page)
                     mids.append(f"{url}#p{page}:{name}")
                     kinds.append("image")
                     payloads.append(payload)
+                    mime = {"jpeg": "image/jpeg", "jp2": "image/jp2"}.get(
+                        codec, "image/x-raw"
+                    )
                     metas.append(
-                        {"mime": "image/x-raw", "width": w, "height": h, "duration_ms": None}
+                        {"mime": mime, "width": w, "height": h, "duration_ms": None}
                     )
             yield pa.RecordBatch.from_arrays(
                 [

@@ -66,6 +66,7 @@ def run_extraction(
         F.count_if(is_marker).alias("docs_out"),  # one marker row per processed doc
         F.count_if(is_marker & (F.col("parse_status") == "failed")).alias("parse_failures"),
         F.count_if(is_marker & (F.col("parse_status") == "fallback")).alias("parse_fallbacks"),
+        F.count_if(is_marker & F.col("needs_ocr")).alias("needs_ocr_docs"),
     )
     # per-partition lineage: which task wrote how many chunks (north_rule)
     chunks = chunks.withColumn("part_id", F.spark_partition_id())

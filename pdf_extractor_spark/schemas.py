@@ -47,6 +47,8 @@ DOCS_SCHEMA = T.StructType(
         # page of each descriptor, parallel to images (1 for HTML; real
         # pages in the PDF flavor — feeds the E5 related-images join)
         T.StructField("image_pages", T.ArrayType(T.IntegerType()), False),
+        # likely-scanned signal: a PDF page had images but no text ops
+        T.StructField("needs_ocr", T.BooleanType(), False),
     ]
 )
 
@@ -73,6 +75,7 @@ DOCS_ARROW = pa.schema(
         ),
         pa.field("images", pa.list_(pa.string())),
         pa.field("image_pages", pa.list_(pa.int32())),
+        pa.field("needs_ocr", pa.bool_()),
     ]
 )
 
@@ -91,6 +94,10 @@ CHUNKS_SCHEMA = T.StructType(
         T.StructField("section", T.StringType(), False),
         T.StructField("doc_hash", T.StringType(), False),
         T.StructField("parse_status", T.StringType(), False),
+        # doc-level likely-scanned signal, carried on every row of the doc
+        # (marker rows included) so A2 counters can count it without a
+        # second extraction pass
+        T.StructField("needs_ocr", T.BooleanType(), False),
     ]
 )
 
@@ -107,6 +114,7 @@ CHUNKS_ARROW = pa.schema(
         pa.field("section", pa.string()),
         pa.field("doc_hash", pa.string()),
         pa.field("parse_status", pa.string()),
+        pa.field("needs_ocr", pa.bool_()),
     ]
 )
 

@@ -31,7 +31,8 @@ CREATE TABLE IF NOT EXISTS {table} (
   page INT NOT NULL,
   section STRING NOT NULL,
   doc_hash STRING NOT NULL,
-  parse_status STRING NOT NULL
+  parse_status STRING NOT NULL,
+  needs_ocr BOOLEAN NOT NULL
 ) USING iceberg
 PARTITIONED BY (bucket(256, doc_hash))
 TBLPROPERTIES (

@@ -41,6 +41,15 @@ def run_bench(cpus: int, sf_dir: str, repeats: int = 5) -> dict:
     best["queries"] = {
         q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
     }
+    # steal%% observed during the winning draw of each query (the objective
+    # dirty-window gauge bench.py emits per draw)
+    best["steal_pct"] = {
+        q: min(
+            (r for r in runs), key=lambda r: r["queries"][q]
+        ).get("steal_pct", {}).get(q)
+        for q in runs[0]["queries"]
+    }
+    best["noop_arrow_sec"] = min(r.get("noop_arrow_sec", 0) for r in runs)
     best["value"] = round(sum(best["queries"].values()), 3)
     best["docs_per_sec"] = max(r["docs_per_sec"] for r in runs)
     best["mb_per_sec"] = max(r["mb_per_sec"] for r in runs)
@@ -64,6 +73,13 @@ def main() -> None:
     # efficiency on the flagship extraction stage (docs/sec), the headline metric
     eff_extract = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     eff_total = (lo["value"] / hi["value"]) / ratio
+    # per-query N→4N efficiency: separates shuffle-bound queries that truly
+    # scale from short overhead-bound ones where fixed session/planning cost
+    # dominates the wall clock (whole-bench efficiency alone hides this)
+    eff_q = {
+        q: round((lo["queries"][q] / hi["queries"][q]) / ratio, 3)
+        for q in lo["queries"]
+    }
     result = {
         "sf_dir": sf_dir,
         "n_low": n_low,
@@ -72,6 +88,7 @@ def main() -> None:
         "high": hi,
         "scaling_efficiency_extract": round(eff_extract, 3),
         "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_per_query": eff_q,
         "target": 0.8,
         "pass": eff_extract >= 0.8,
     }
@@ -111,12 +128,20 @@ thrashing): at ``SPARK_GRAFT_CPUS=32`` the full bench runs ~15 s with
 extraction at ~20-21k docs/sec — the best absolute throughput measured —
 where task.cpus=1 gave 1.9-4.4k docs/sec with 2-5x run-to-run variance.
 
-Per-query seconds:
+Steal gauge (bench.py /proc/stat sampling): no-op Arrow passthrough
+{lo['noop_arrow_sec']} s at local[{n_low}] / {hi['noop_arrow_sec']} s at
+local[{n_high}]; per-query steal%% during the winning draw is in the table.
 
-| query | local[{n_low}] | local[{n_high}] |
-|---|---|---|
+Per-query seconds and N→{int(ratio)}N efficiency (eff = (t_low/t_high)/{int(ratio)};
+short queries are overhead-bound — fixed per-query planning/session cost, not
+shuffle pathology — which is why the headline gate is the extraction stage):
+
+| query | local[{n_low}] (steal%) | local[{n_high}] (steal%) | efficiency |
+|---|---|---|---|
 """ + "\n".join(
-        f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} |" for q in lo["queries"]
+        f"| {q} | {lo['queries'][q]} ({lo['steal_pct'].get(q)}) "
+        f"| {hi['queries'][q]} ({hi['steal_pct'].get(q)}) | {eff_q[q]} |"
+        for q in lo["queries"]
     ) + "\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -447,3 +447,69 @@ def test_incremental_update_free_entry_shadows_old_object():
     objs = _load_objects_via_xref(base + update)
     assert victim not in objs
     assert 1 in objs and 2 in objs  # everything else still resolves
+
+
+def test_encrypted_pdf_fails_cleanly():
+    """A file declaring /Encrypt must land in parse_status='failed' with no
+    blocks — its strings are ciphertext, never emit them as text."""
+    base = render_pdf(PAGES)
+    # splice /Encrypt into the trailer dict (classic layout)
+    enc = base.replace(b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size")
+    assert enc != base
+    r = extract_pdf("u", enc)
+    assert r.status == "failed" and r.text == "" and r.blocks == []
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf_images
+
+    assert extract_pdf_images("u", enc) == []
+    # unencrypted baseline still parses
+    assert extract_pdf("u", base).status == "ok"
+
+
+def test_positioned_reading_order_two_columns():
+    """Blocks whose stream order differs from visual order sort into reading
+    order (y desc, then x asc): a two-column page emitted right-column-first
+    must read left column first, top to bottom."""
+    from pdf_extractor_spark.core.pdf_extract import _manual_stream_pdf
+
+    # stream order: right-top, left-bottom, left-top
+    content = (
+        "BT 300 700 Td (right column top) Tj ET\n"
+        "BT 72 600 Td (left column lower) Tj ET\n"
+        "BT 1 0 0 1 72 700 Tm (left column top) Tj ET\n"
+    )
+    r = extract_pdf("u", _manual_stream_pdf(content))
+    texts = [b.text for b in r.blocks]
+    assert texts == ["left column top", "right column top", "left column lower"]
+
+
+def test_td_accumulates_and_strings_do_not_confuse_anchor():
+    """Td offsets accumulate before the first show op; positioning-looking
+    bytes INSIDE string literals must not move the anchor."""
+    from pdf_extractor_spark.core.pdf_extract import _manual_stream_pdf
+
+    content = (
+        "BT 10 700 Td 62 0 Td (fake 0 0 Td inside string) Tj ET\n"
+        "BT 72 710 Td (above it) Tj ET\n"
+    )
+    r = extract_pdf("u", _manual_stream_pdf(content))
+    assert [b.text for b in r.blocks] == ["above it", "fake 0 0 Td inside string"]
+
+
+def test_same_position_blocks_keep_stream_order():
+    """Equal anchors (the whole synthetic corpus: every paragraph at 72 720)
+    tie-break by stream order — byte-identity with pre-sort extraction."""
+    r = extract_pdf("u", render_pdf(PAGES))
+    flat = [p for page in PAGES for p in page]
+    assert [b.text for b in r.blocks] == [" ".join(p.split()) for p in flat]
+
+
+def test_needs_ocr_flags_image_only_pages():
+    """A page with images but no text ops flags the doc; pages with text
+    plus images don't."""
+    scanned = render_pdf([[]], images_per_page=1)  # image, no text
+    mixed = render_pdf([["some text"]], images_per_page=1)
+    assert extract_pdf("u", scanned).needs_ocr is True
+    assert extract_pdf("u", mixed).needs_ocr is False
+    from pdf_extractor_spark.core.html_extract import extract_html
+
+    assert extract_html("u", b"<p>html never needs ocr</p>").needs_ocr is False

@@ -22,11 +22,39 @@ def media_df(spark):
     return media_from_documents(docs)
 
 
-def test_decode_requires_explicit_fake(media_df):
-    with pytest.raises(NotImplementedError):
-        decode_media(media_df, fake=False)
+def test_decode_real_path_shallow(media_df):
+    """fake=False runs the REAL shallow decode: byte stats + sha + header
+    sniff (codec/width/height null for non-image bytes), feature null —
+    pixel decode needs PIL. Frame decode stays stubbed (ffmpeg)."""
+    rows = {r["media_id"]: r for r in decode_media(media_df, fake=False).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    r0 = rows["0"]
+    assert r0["n_bytes"] == len(b"tiny image bytes")
+    assert r0["codec"] is None and r0["width"] is None
+    assert r0["feature"] is None
     with pytest.raises(NotImplementedError):
         sample_frames(media_df, fake=False)
+
+
+def test_decode_sniffs_real_headers(spark):
+    """PNG/GIF/JPEG payloads yield real codec + dimensions from magic bytes."""
+    from pdf_extractor_spark.core.pdf_extract import _fake_jpeg
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00" + b"x" * 4
+    )
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + b"\x00" * 4
+    jpg = _fake_jpeg(320, 200, seed=5)
+    media = spark.createDataFrame(
+        [("p", "image", png), ("g", "image", gif), ("j", "image", jpg)],
+        "media_id string, kind string, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["codec"], r["width"], r["height"])
+        for r in decode_media(media, fake=False).collect()
+    }
+    assert got == {"p": ("png", 640, 480), "g": ("gif", 12, 34), "j": ("jpeg", 320, 200)}
 
 
 def test_decode_fake_deterministic(media_df):
@@ -86,10 +114,10 @@ def test_pdf_media_rows_materializes_embedded_images(spark):
         [["page one text body"], ["page two text body"]], images_per_page=[2, 1]
     )
     direct = extract_pdf_images("u", pdf)
-    assert [(p, n, w, h) for p, n, w, h, _ in direct] == [
-        (1, "Im0", 2, 2), (1, "Im1", 2, 2), (2, "Im0", 2, 2)
+    assert [(p, n, w, h, c) for p, n, w, h, _, c in direct] == [
+        (1, "Im0", 2, 2, "raw"), (1, "Im1", 2, 2, "raw"), (2, "Im0", 2, 2, "raw")
     ]
-    assert len({payload for *_, payload in direct}) == 3  # distinct pixel data
+    assert len({payload for *_, payload, _c in direct}) == 3  # distinct pixel data
 
     pages_df = spark.createDataFrame(
         [("pdf://m", pdf), ("html://x", b"<p>no crops in html</p>")],
@@ -104,3 +132,27 @@ def test_pdf_media_rows_materializes_embedded_images(spark):
     feats = decode_media(media, fake=True)
     assert feats.count() == 3
     assert feats.filter(F.size("feature") == 16).count() == 3
+
+
+def test_pdf_media_rows_dct_passthrough(spark):
+    """DCTDecode image XObjects surface as media rows with the stream bytes
+    passed through verbatim (the stream IS the JPEG), mime image/jpeg, and
+    dims parsed from the SOF header — previously silently dropped."""
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf_images, render_pdf
+    from pdf_extractor_spark.operators.multimodal import decode_media, pdf_media_rows
+
+    pdf = render_pdf([["text with a jpeg"]], images_per_page=1, jpeg_images=True)
+    direct = extract_pdf_images("u", pdf)
+    assert len(direct) == 1
+    page, name, w, h, payload, codec = direct[0]
+    assert (codec, w, h) == ("jpeg", 2, 2)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+
+    media = pdf_media_rows(
+        spark.createDataFrame([("pdf://j", pdf)], "url string, html binary")
+    )
+    row = media.collect()[0]
+    assert row["meta"]["mime"] == "image/jpeg"
+    assert row["payload"] == payload
+    feat = decode_media(media, fake=False).collect()[0]  # REAL shallow decode
+    assert (feat["codec"], feat["width"], feat["height"]) == ("jpeg", 2, 2)
