@@ -714,6 +714,45 @@ def _block_anchor(masked: bytes) -> tuple[float, float]:
     return x, y
 
 
+def _infer_tables(placed: list[tuple[float, float, int, str]]):
+    """Grid detection over position-sorted blocks of one page: a run of ≥2
+    consecutive text lines whose cells sit at the SAME ≥2 distinct x
+    positions is a table — emitted as ONE kind='table' block with canonical
+    ``text_as_html`` markup, matching the HTML flavor's E6/P9 contract
+    (the reference gets this from unstructured's infer_table_structure,
+    app/processing/pdf_processor.py:88). Everything else stays kind='text'.
+
+    ``placed``: sorted (-y, x, seq, text) rows. Returns (kind, text, html)
+    triples in reading order. Conservative by design: x tuples must match
+    exactly and be strictly increasing, so free-flowing paragraphs (all at
+    one x) and single multi-cell lines never collapse into tables."""
+    from pdf_extractor_spark.core.html_extract import _render_table_html
+
+    rows: list[tuple[float, list[tuple[float, str]]]] = []
+    for negy, x, _seq, t in placed:
+        if rows and rows[-1][0] == negy:
+            rows[-1][1].append((x, t))
+        else:
+            rows.append((negy, [(x, t)]))
+    out: list[tuple[str, str, str | None]] = []
+    i = 0
+    while i < len(rows):
+        xs = tuple(x for x, _ in rows[i][1])
+        j = i
+        if len(xs) >= 2 and len(set(xs)) == len(xs):
+            while j + 1 < len(rows) and tuple(x for x, _ in rows[j + 1][1]) == xs:
+                j += 1
+        if j > i:
+            cells = [[t for _, t in rows[k][1]] for k in range(i, j + 1)]
+            text = " ".join(c for row in cells for c in row)
+            out.append(("table", text, _render_table_html(cells)))
+            i = j + 1
+        else:
+            out.extend(("text", t, None) for _, t in rows[i][1])
+            i += 1
+    return out
+
+
 def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """Parse one synthetic-subset PDF into reading-order page blocks.
 
@@ -788,7 +827,10 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             # (which keeps the synthetic corpus byte-identical — its blocks
             # all anchor at the same Td)
             placed.sort()
-            page_blocks.extend((page_no, btxt) for *_k, btxt in placed)
+            page_blocks.extend(
+                (page_no, kind, btxt, bhtml)
+                for kind, btxt, bhtml in _infer_tables(placed)
+            )
             if n_page_images and not placed:
                 needs_ocr = True  # image-only page: likely a scan (OCR is a
                 # declared non-goal, SURVEY §2.3 E1 — flag, don't guess)
@@ -798,13 +840,14 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     blocks: list[Block] = []
     pieces: list[str] = []
     pos = 0
-    for i, (page_no, btxt) in enumerate(page_blocks):
+    for i, (page_no, kind, btxt, bhtml) in enumerate(page_blocks):
         if i > 0:
             pos += len(BLOCK_SEP)
         blocks.append(
             Block(
-                index=i, kind="text", text=btxt,
+                index=i, kind=kind, text=btxt,
                 span_start=pos, span_end=pos + len(btxt), page=page_no,
+                html=bhtml,
             )
         )
         pieces.append(btxt)

@@ -513,3 +513,52 @@ def test_needs_ocr_flags_image_only_pages():
     from pdf_extractor_spark.core.html_extract import extract_html
 
     assert extract_html("u", b"<p>html never needs ocr</p>").needs_ocr is False
+
+
+def test_pdf_table_inference_grid_to_table_block():
+    """≥2 consecutive lines whose cells sit at the same ≥2 x positions merge
+    into ONE kind='table' block with canonical text_as_html markup (the PDF
+    analog of the HTML flavor's E6/P9 table coalesce); surrounding prose
+    stays kind='text' and spans stay exact."""
+    from pdf_extractor_spark.core.pdf_extract import _manual_stream_pdf
+
+    content = (
+        "BT 72 720 Td (intro paragraph) Tj ET\n"
+        "BT 72 700 Td (name) Tj ET\n"
+        "BT 200 700 Td (score) Tj ET\n"
+        "BT 72 680 Td (alice) Tj ET\n"
+        "BT 200 680 Td (9) Tj ET\n"
+        "BT 72 660 Td (bob) Tj ET\n"
+        "BT 200 660 Td (7) Tj ET\n"
+        "BT 72 640 Td (closing remark) Tj ET\n"
+    )
+    r = extract_pdf("u", _manual_stream_pdf(content))
+    assert [(b.kind, b.text) for b in r.blocks] == [
+        ("text", "intro paragraph"),
+        ("table", "name score alice 9 bob 7"),
+        ("text", "closing remark"),
+    ]
+    tb = r.blocks[1]
+    assert tb.html == (
+        "<table><tr><td>name</td><td>score</td></tr>"
+        "<tr><td>alice</td><td>9</td></tr><tr><td>bob</td><td>7</td></tr></table>"
+    )
+    assert r.text[tb.span_start:tb.span_end] == tb.text
+
+
+def test_pdf_table_inference_conservative():
+    """No table from a single multi-cell line, from misaligned columns, or
+    from ordinary one-column paragraphs."""
+    from pdf_extractor_spark.core.pdf_extract import _manual_stream_pdf
+
+    single = "BT 72 700 Td (a) Tj ET\nBT 200 700 Td (b) Tj ET\n"
+    misaligned = (
+        "BT 72 700 Td (a) Tj ET\nBT 200 700 Td (b) Tj ET\n"
+        "BT 72 680 Td (c) Tj ET\nBT 210 680 Td (d) Tj ET\n"
+    )
+    for content in (single, misaligned):
+        r = extract_pdf("u", _manual_stream_pdf(content))
+        assert all(b.kind == "text" for b in r.blocks), content
+    # existing corpus unchanged: every render_pdf paragraph anchors at 72 720
+    r = extract_pdf("u", render_pdf(PAGES))
+    assert all(b.kind == "text" for b in r.blocks)
