@@ -6,11 +6,12 @@ A from-scratch re-specification of the reference's PDF path
 per SURVEY.md §2.3 E1: a **controlled subset** of PDF — cross-reference
 PDFs (classic xref tables AND 1.5+ /Type /XRef cross-reference streams,
 with /Type /ObjStm compressed object streams) whose page content streams
-are uncompressed or FlateDecode-compressed (stdlib zlib inflate — the
-filter real-world PDFs overwhelmingly use) and whose text is carried in
-literal or hex strings with Tj/TJ/' operators. No OCR, no font decoding
-(synthetic corpus uses ASCII/WinAnsi text) — those need the full CPU-impure
-stack that the north_rule's byte-identical requirement excludes.
+use the spec's lossless filters — uncompressed, FlateDecode (stdlib zlib),
+LZWDecode, ASCIIHexDecode, ASCII85Decode, RunLengthDecode, chained in any
+order, with PNG/TIFF predictor reversal — and whose text is carried in
+literal or hex strings with Tj/TJ/' operators. No OCR — that needs the
+CPU-impure stack the north_rule's byte-identical requirement excludes
+(scanned pages are flagged via ``needs_ocr`` instead).
 
 Reading order: depth-first /Pages-tree walk in /Kids order (nested
 intermediate nodes supported); within a page, BT..ET text objects in stream
@@ -50,7 +51,6 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 # (?![0-9]) pins the full digit run so backtracking can't shorten "99" to
 # "9" and sneak past the indirect-reference lookahead
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
-_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _BT_RE = re.compile(rb"BT\b(.*?)\bET", re.DOTALL)
 _TF_RE = re.compile(rb"/(\w+)\s+[-.\d]+\s+Tf\b")
 # strings feeding the text-showing operators (Tj, ', ", TJ arrays): literal
@@ -345,24 +345,116 @@ def _raw_stream(body: bytes) -> tuple[bytes, bytes] | None:
     return head, raw
 
 
+# --- stream filter chain ------------------------------------------------------
+#
+# Real-world PDFs chain filters (e.g. [/ASCII85Decode /LZWDecode]); all of the
+# spec's lossless text filters decode in deterministic stdlib Python. The
+# reference inherits these from pdfminer (app/processing/pdf_processor.py:86-101).
+
+_FILTER_ENTRY_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _filter_names(head: bytes) -> list[bytes]:
+    m = _FILTER_ENTRY_RE.search(head)
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1)) if m else []
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF-style: clear=256, EOD=257, 9→12-bit codes with
+    the spec-default EarlyChange=1 width bump one code early)."""
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    width, buf, bits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            else:
+                entry = table[code] if code < len(table) else prev + prev[:1]
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: length<128 → literal run of length+1 bytes;
+    length>128 → next byte repeats 257-length times; 128 → EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """PDF ASCIIHexDecode: hex pairs up to '>', whitespace ignored, odd
+    nibble count padded with 0."""
+    hx = b"".join(data.split(b">")[0].split())
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """PDF ASCII85Decode: Adobe alphabet + 'z' shortcut, '~>' EOD."""
+    import base64
+
+    return base64.a85decode(b"".join(data.split(b"~>")[0].split()))
+
+
+def _apply_text_filter(name: bytes, raw: bytes, head: bytes) -> bytes:
+    """One lossless filter step, or raise for unsupported (DCT/JPX/CCITT/
+    JBIG2 are image codecs — meaningless as text; /Crypt needs keys)."""
+    if name == b"FlateDecode":
+        return _apply_predictor(head, zlib.decompress(raw))
+    if name == b"LZWDecode":
+        return _apply_predictor(head, _lzw_decode(raw))
+    if name == b"ASCIIHexDecode":
+        return _ahx_decode(raw)
+    if name == b"ASCII85Decode":
+        return _a85_decode(raw)
+    if name == b"RunLengthDecode":
+        return _rl_decode(raw)
+    raise ValueError(f"unsupported stream filter {name!r}")
+
+
 def _stream_bytes(body: bytes) -> bytes | None:
     """Decoded content-stream bytes of one object body, or None.
 
-    Inflates ``/FlateDecode`` streams via stdlib zlib and reverses PNG/TIFF
-    predictors (/DecodeParms) — deterministic round-trip, no new deps. Any
-    other filter raises → 'failed' status."""
+    Applies the full /Filter chain in order (Flate, LZW, ASCIIHex, ASCII85,
+    RunLength — with PNG/TIFF predictor reversal for Flate/LZW) in
+    deterministic stdlib Python. Unsupported filters raise → 'failed'."""
     hr = _raw_stream(body)
     if hr is None:
         return None
     head, raw = hr
-    if _FLATE_RE.search(head):
-        raw = _apply_predictor(head, zlib.decompress(raw))
-    elif b"/Filter" in head:
-        raise ValueError("unsupported stream filter")
+    for name in _filter_names(head):
+        raw = _apply_text_filter(name, raw, head)
     return raw
 
 
-_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+Decode)\b")
 _IMG_PASSTHROUGH = {b"DCTDecode": "jpeg", b"JPXDecode": "jp2"}
 
 
@@ -381,17 +473,22 @@ def _image_stream(body: bytes) -> tuple[bytes, str] | None:
     if hr is None:
         return None
     head, raw = hr
-    names = _FILTER_NAME_RE.findall(head) if b"/Filter" in head else []
-    passthrough = [n for n in names if n in _IMG_PASSTHROUGH]
-    if any(n not in _IMG_PASSTHROUGH and n != b"FlateDecode" for n in names):
-        return None
     try:
-        if b"FlateDecode" in names:
-            raw = zlib.decompress(raw)
-            if not passthrough:
-                raw = _apply_predictor(head, raw)
-        if passthrough:
-            return raw, _IMG_PASSTHROUGH[passthrough[-1]]
+        names = _filter_names(head)
+        for i, name in enumerate(names):
+            if name in _IMG_PASSTHROUGH:
+                if i != len(names) - 1:
+                    return None  # codec must be the terminal filter
+                return raw, _IMG_PASSTHROUGH[name]
+            if name == b"FlateDecode" and i == len(names) - 1:
+                # terminal Flate carries raw samples — reverse predictors
+                raw = _apply_predictor(head, zlib.decompress(raw))
+            elif name == b"FlateDecode":
+                raw = zlib.decompress(raw)  # transport step before the codec
+            elif name in (b"ASCIIHexDecode", b"ASCII85Decode", b"RunLengthDecode", b"LZWDecode"):
+                raw = _apply_text_filter(name, raw, head if i == len(names) - 1 else b"")
+            else:
+                return None  # CCITTFax/JBIG2/Crypt: skip this image
         return raw, "raw"
     except Exception:
         return None

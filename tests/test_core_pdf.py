@@ -106,10 +106,11 @@ def test_flate_compressed_roundtrip():
 
 
 def test_unsupported_filter_fails_cleanly():
-    data = render_pdf(PAGES).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length", 1)
+    # JBIG2 (an image codec) can never carry a text stream — the parse must
+    # degrade to failed, never emit garbage text. (LZW/ASCII85/ASCIIHex/
+    # RunLength are supported since round 4, see the filter-chain test.)
+    data = render_pdf(PAGES).replace(b"<< /Length", b"<< /Filter /JBIG2Decode /Length", 1)
     r = extract_pdf("u", data)
-    # the filtered page fails (its stream raises) -> whole parse degrades to
-    # failed, never garbage text
     assert r.status == "failed" and r.text == ""
 
 
@@ -562,3 +563,101 @@ def test_pdf_table_inference_conservative():
     # existing corpus unchanged: every render_pdf paragraph anchors at 72 720
     r = extract_pdf("u", render_pdf(PAGES))
     assert all(b.kind == "text" for b in r.blocks)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference LZW encoder (TIFF/PDF variant, EarlyChange=1) for the
+    decoder round-trip test."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out, buf, bits = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal buf, bits
+        buf = (buf << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+
+    emit(256)  # clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_stream_filter_chain_lzw_a85_ahx_rl():
+    """All lossless text filters decode, alone and chained — the forms real
+    writers emit (reference inherits them from pdfminer)."""
+    import base64
+    import zlib as _z
+
+    from pdf_extractor_spark.core.pdf_extract import _stream_bytes
+
+    plain = b"BT (filtered stream payload) Tj ET " * 3
+
+    def obj(filters: str, payload: bytes) -> bytes:
+        return (
+            f"<< /Length {len(payload)} /Filter {filters} >>\nstream\n".encode()
+            + payload + b"\nendstream"
+        )
+
+    assert _stream_bytes(obj("/LZWDecode", _lzw_encode(plain))) == plain
+    assert _stream_bytes(obj("/ASCII85Decode", base64.a85encode(plain) + b"~>")) == plain
+    assert _stream_bytes(obj("/ASCIIHexDecode", plain.hex().encode() + b">")) == plain
+    rl = b"".join(
+        bytes([len(plain[i:i+100]) - 1]) + plain[i:i+100] for i in range(0, len(plain), 100)
+    ) + b"\x80"
+    assert _stream_bytes(obj("/RunLengthDecode", rl)) == plain
+    chained = base64.a85encode(_z.compress(plain)) + b"~>"
+    assert _stream_bytes(obj("[ /ASCII85Decode /FlateDecode ]", chained)) == plain
+    # a run-length long enough to exercise the repeat branch
+    rep = b"\x81x\x80"  # 257-129=128 copies of 'x'
+    assert _stream_bytes(obj("/RunLengthDecode", rep)) == b"x" * 128
+
+
+def test_lzw_content_stream_roundtrips_through_extract():
+    """A page whose content stream is LZW-compressed extracts identically to
+    the uncompressed rendering."""
+    from pdf_extractor_spark.core.pdf_extract import _manual_stream_pdf
+
+    content = "BT 72 720 Td (lzw compressed page text) Tj ET\n"
+    plain = extract_pdf("u", _manual_stream_pdf(content))
+    enc = _lzw_encode(content.encode("latin-1"))
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body.encode("latin-1") + b"\nendobj\n"
+    offsets.append(len(out))
+    out += (
+        f"4 0 obj\n<< /Length {len(enc)} /Filter /LZWDecode >>\nstream\n".encode()
+        + enc + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(out)
+    out += f"xref\n0 5\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    got = extract_pdf("u", bytes(out))
+    assert got.status == "ok" and got.text == plain.text == "lzw compressed page text"
