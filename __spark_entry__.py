@@ -969,6 +969,70 @@ def q_canonical_urls(spark, sf_dir):
     return with_canonical_url(dirty).select("doc_id", "url", "canonical_url")
 
 
+# --- link graph (core/links.py, operators/linkgraph.py) ---------------------
+
+def _linked_pages(docs: DataFrame) -> DataFrame:
+    """(url, html): boilerplate shell (nav /a /b /c + footer /d /e chrome
+    links) around an article with three deterministic outlinks per doc —
+    a same-host hub link (/p/{doc_id%97}), a cross-host link to the next
+    host's /p/{doc_id%89}, and a rel=nofollow ad link. Count-independent
+    (pure doc_id arithmetic) so the DuckDB oracle reconstructs the edge
+    list exactly at any sf."""
+    d = F.col("doc_id")
+    host = F.concat(F.lit("https://h"), (d % 7).cast("string"), F.lit(".example.org"))
+    src = F.concat(host, F.lit("/p/"), d.cast("string"))
+    nexthost = F.concat(F.lit("https://h"), ((d + 1) % 7).cast("string"), F.lit(".example.org"))
+    body = F.concat(
+        F.lit("<p>"), F.col("text"),
+        F.lit(' <a href="/p/'), (d % 97).cast("string"), F.lit('">'),
+        F.col("source"), F.lit("</a>"),
+        F.lit(' <a href="'), nexthost, F.lit("/p/"), (d % 89).cast("string"),
+        F.lit('">next '), F.col("lang"), F.lit("</a>"),
+        F.lit(' <a rel="nofollow" href="https://ads.example.net/'), F.col("lang"),
+        F.lit('">ad</a></p>'),
+    )
+    return docs.select(
+        src.alias("url"),
+        F.concat(F.lit(_PRE), body, F.lit(_POST)).cast("binary").alias("html"),
+    )
+
+
+def q_extract_links(spark, sf_dir):
+    """Outlink harvest (core/links.py): per-page followable anchors with
+    urljoin resolution, nofollow and chrome flags — scan → mapInArrow, the
+    same fused no-shuffle shape as the flagship extraction."""
+    from pdf_extractor_spark.operators.linkgraph import extract_links
+
+    return extract_links(_linked_pages(_docs(spark, sf_dir)))
+
+
+def q_link_hosts(spark, sf_dir):
+    """Host-level degrees of the link graph: two hash-aggs full-outer-merged
+    on the tiny post-agg host cardinality."""
+    from pdf_extractor_spark.operators.linkgraph import extract_links, host_degrees
+
+    return host_degrees(extract_links(_linked_pages(_docs(spark, sf_dir))))
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation per target: counts + dominant anchor via a
+    single min_by agg pass (no window sort), chrome links excluded."""
+    from pdf_extractor_spark.operators.linkgraph import anchor_summary, extract_links
+
+    return anchor_summary(extract_links(_linked_pages(_docs(spark, sf_dir))))
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (5 power iterations, d=0.85) over the non-chrome follow
+    edges — one shuffle per iteration, lineage checkpoint-truncated; the
+    quality-prior score a crawl-curation sampler consumes."""
+    from pdf_extractor_spark.operators.linkgraph import extract_links, pagerank
+
+    edges = extract_links(_linked_pages(_docs(spark, sf_dir))).filter(~F.col("in_chrome"))
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Fingerprinting (rolling hash): winnowed k-gram fingerprint sets.
     The DuckDB oracle recomputes the full Rabin-Karp + winnowing scheme in
@@ -1137,6 +1201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
         "canonical_urls": q_canonical_urls,
+        "extract_links": q_extract_links,
+        "link_hosts": q_link_hosts,
+        "anchor_topk": q_anchor_topk,
+        "pagerank": q_pagerank,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
@@ -1611,6 +1679,62 @@ SELECT doc_id, {scrub} AS clean_text,
 FROM u"""
 
 
+# link-graph oracle fragments: the same count-independent page construction
+# as _linked_pages, so the 8 anchors per doc (nav a/b/c, 3 article links,
+# footer d/e) are reconstructed row-wise without parsing HTML.
+_LINKED_D = """
+d AS (SELECT doc_id, lang, source,
+      'https://h' || (doc_id % 7) || '.example.org' AS root,
+      'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS src,
+      'https://h' || ((doc_id + 1) % 7) || '.example.org' AS nextroot
+      FROM documents)"""
+
+_LINK_ROWS = """
+links AS (
+  SELECT src, 0 AS link_index, root || '/a' AS dst, 'one' AS anchor,
+         false AS nofollow, true AS in_chrome FROM d
+  UNION ALL SELECT src, 1, root || '/b', 'two', false, true FROM d
+  UNION ALL SELECT src, 2, root || '/c', 'three', false, true FROM d
+  UNION ALL SELECT src, 3, root || '/p/' || (doc_id % 97), source, false, false FROM d
+  UNION ALL SELECT src, 4, nextroot || '/p/' || (doc_id % 89), 'next ' || lang,
+            false, false FROM d
+  UNION ALL SELECT src, 5, 'https://ads.example.net/' || lang, 'ad', true, false FROM d
+  UNION ALL SELECT src, 6, root || '/d', 'legal', false, true FROM d
+  UNION ALL SELECT src, 7, root || '/e', 'privacy', false, true FROM d)"""
+
+
+def _sql_pagerank(iterations: int = 5) -> str:
+    """Unrolled power-iteration PageRank over the link-graph fixture.
+
+    Same arithmetic as operators/linkgraph.py::pagerank with every literal
+    forced ::DOUBLE so both engines do identical IEEE ops (DuckDB would
+    otherwise parse 0.85 as DECIMAL)."""
+    parts = [
+        _LINKED_D,
+        _LINK_ROWS,
+        "e AS (SELECT DISTINCT src, dst FROM links WHERE NOT in_chrome AND NOT nofollow)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "od AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, "
+            "(1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn) "
+            "+ 0.85::DOUBLE * coalesce(s.c, 0::DOUBLE) AS rank "
+            "FROM nodes LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r.rank / od.od) AS c "
+            f"FROM e JOIN r{i - 1} r ON r.node = e.src "
+            "JOIN od ON od.src = e.src GROUP BY e.dst) s "
+            "ON nodes.node = s.node)"
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": (
@@ -2002,6 +2126,41 @@ SELECT doc_id, url,
        head || path || (CASE WHEN len(params) > 0
                              THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
 FROM s""",
+        # link-graph family: same page fixture as _linked_pages; the oracle
+        # reconstructs the 8 anchors per doc row-wise (no HTML parse)
+        "extract_links": f"""
+WITH {_LINKED_D}, {_LINK_ROWS}
+SELECT src AS src_url, link_index, dst AS dst_url, anchor, nofollow, in_chrome
+FROM links""",
+        "link_hosts": f"""
+WITH {_LINKED_D}, {_LINK_ROWS},
+e AS (SELECT lower(regexp_extract(src, '^https?://([^/]+)', 1)) AS sh,
+             lower(regexp_extract(dst, '^https?://([^/]+)', 1)) AS dh FROM links),
+o AS (SELECT sh AS host, count(*) AS out_links, count(DISTINCT dh) AS out_hosts
+      FROM e GROUP BY sh),
+i AS (SELECT dh AS host, count(*) AS in_links, count(DISTINCT sh) AS in_hosts
+      FROM e GROUP BY dh)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_links, 0)::BIGINT AS out_links,
+       coalesce(in_links, 0)::BIGINT AS in_links,
+       coalesce(out_hosts, 0)::BIGINT AS out_hosts,
+       coalesce(in_hosts, 0)::BIGINT AS in_hosts
+FROM o FULL OUTER JOIN i ON o.host = i.host""",
+        "anchor_topk": f"""
+WITH {_LINKED_D}, {_LINK_ROWS},
+e AS (SELECT * FROM links WHERE NOT in_chrome),
+pa AS (SELECT dst, anchor, count(*) AS cnt FROM e WHERE anchor <> ''
+       GROUP BY dst, anchor),
+top AS (SELECT dst, anchor FROM (
+          SELECT dst, anchor,
+                 row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn
+          FROM pa) WHERE rn = 1),
+c AS (SELECT dst, count(*) AS n_links, count(DISTINCT src) AS n_sources,
+             sum(nofollow::INT)::BIGINT AS n_nofollow FROM e GROUP BY dst)
+SELECT c.dst AS dst_url, n_links, n_sources, n_nofollow,
+       coalesce(top.anchor, '') AS top_anchor
+FROM c LEFT JOIN top ON c.dst = top.dst""",
+        "pagerank": _sql_pagerank(5),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),

@@ -1,0 +1,164 @@
+"""Hyperlink harvesting from HTML pages — the web-graph side of extraction.
+
+The reference pipeline treats a page as an isolated document
+(app/processing/pdf_processor.py extracts text only); a Common-Crawl-scale
+curation pipeline additionally needs the *link structure* — outlinks with
+anchor text feed URL frontier scoring, host-level dedup policy, anchor-text
+aggregation, and PageRank-family quality priors. This module is the pure
+per-document core (Spark-free, shared pytest oracle / ``mapInArrow`` body,
+same pattern as core/html_extract.py).
+
+Captured per anchor, in document order:
+
+* ``href`` resolved against the page URL (stdlib ``urllib.parse.urljoin`` —
+  RFC 3986 reference resolution); non-navigational schemes
+  (javascript/mailto/tel/data) and pure fragments are dropped,
+* normalized anchor text (whitespace-collapsed, like block text),
+* ``nofollow`` from ``rel`` (space-separated token match, case-insensitive),
+* ``in_chrome`` — the anchor sits inside nav/header/footer/aside/form, i.e.
+  the same boilerplate families the main-content extractor prunes
+  (core/html_extract.py BLOCKLIST_TAGS). Chrome links are kept but flagged:
+  the *graph* wants them distinguishable (site-template edges dominate raw
+  link counts), not silently gone.
+
+Determinism: list-only state, no environment lookups, no floats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit
+
+from pdf_extractor_spark.core.html_extract import _decode, _norm_ws
+
+# Anchor-bearing boilerplate containers (html chrome). script/style/svg etc.
+# never yield anchor *events* (html.parser treats their content as raw data),
+# so the chrome set is only the families that legitimately contain links.
+CHROME_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+# Schemes a crawler can follow. Everything else (javascript:, mailto:, tel:,
+# data:, about:, ftp…) is not a web-graph edge.
+FOLLOWABLE_SCHEMES = frozenset({"http", "https"})
+
+
+@dataclass
+class LinkRow:
+    """One harvested anchor, resolved and flagged."""
+
+    link_index: int  # 0-based position among kept anchors, document order
+    dst_url: str  # absolute, urljoin-resolved
+    anchor: str  # whitespace-normalized anchor text ('' when empty)
+    nofollow: bool
+    in_chrome: bool
+
+
+def resolve_href(base_url: str, href: str | None) -> str | None:
+    """Absolute followable URL for ``href`` against ``base_url``, else None.
+
+    Pure fragments (``#top``) are same-page references, not edges. The
+    scheme check runs *after* resolution so scheme-relative (``//host/x``)
+    and path-relative forms inherit the base scheme first.
+    """
+    if href is None:
+        return None
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    resolved = urljoin(base_url, href)
+    if urlsplit(resolved).scheme not in FOLLOWABLE_SCHEMES:
+        return None
+    return resolved
+
+
+def _rel_has_nofollow(rel: str | None) -> bool:
+    return rel is not None and "nofollow" in rel.lower().split()
+
+
+class _LinkParser(HTMLParser):
+    """Streaming anchor capture: href/rel at ``<a>``, text until ``</a>``.
+
+    HTML forbids nested anchors; browsers auto-close the open one when a new
+    ``<a>`` starts, and this parser mirrors that (a second ``<a>`` emits the
+    pending anchor first). Unbalanced chrome end-tags are tolerated the same
+    way the main-content parser tolerates unbalanced blocklist tags.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str | None, str | None, bool, list[str]]] = []
+        # (href, rel, in_chrome, text_parts) — resolution happens after the
+        # parse so a parser error can still fall back to the regex harvest
+        self._open: tuple[str | None, str | None, bool, list[str]] | None = None
+        self._chrome_counts: dict[str, int] = {}
+        self._chrome_depth = 0
+
+    def _flush(self) -> None:
+        if self._open is not None:
+            self.links.append(self._open)
+            self._open = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            href = next((v for k, v in attrs if k == "href"), None)
+            rel = next((v for k, v in attrs if k == "rel"), None)
+            self._open = (href, rel, self._chrome_depth > 0, [])
+        elif tag in CHROME_TAGS:
+            self._chrome_counts[tag] = self._chrome_counts.get(tag, 0) + 1
+            self._chrome_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+        elif tag in CHROME_TAGS:
+            if self._chrome_counts.get(tag, 0) > 0:
+                self._chrome_counts[tag] -= 1
+                self._chrome_depth -= 1
+
+    def handle_startendtag(self, tag, attrs):
+        # `<a href=x/>` is malformed-but-seen; treat like open+close (empty
+        # anchor text). Chrome tags never self-close meaningfully.
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+    def handle_data(self, data):
+        if self._open is not None and data:
+            self._open[3].append(data)
+
+    def close(self):  # flush an anchor left open by truncated markup
+        super().close()
+        self._flush()
+
+
+def harvest_links(url: str, html: bytes | None) -> list[LinkRow]:
+    """All followable outlinks of one page, resolved, in document order.
+
+    A page that fails to parse yields ``[]`` (links are an enrichment; the
+    parse-status signal lives on the document row, core/html_extract.py).
+    """
+    if html is None or len(html) == 0:
+        return []
+    try:
+        decoded, _lossy = _decode(html)
+        parser = _LinkParser()
+        parser.feed(decoded)
+        parser.close()
+        raw = parser.links
+    except Exception:
+        return []
+    rows: list[LinkRow] = []
+    for href, rel, in_chrome, parts in raw:
+        dst = resolve_href(url, href)
+        if dst is None:
+            continue
+        rows.append(
+            LinkRow(
+                link_index=len(rows),
+                dst_url=dst,
+                anchor=_norm_ws("".join(parts)),
+                nofollow=_rel_has_nofollow(rel),
+                in_chrome=in_chrome,
+            )
+        )
+    return rows

@@ -1,0 +1,220 @@
+"""Web-graph operators: outlink harvest, degrees, anchor text, PageRank.
+
+The reference treats each uploaded document as an island (its idempotency
+key is the single document's hash, app/vector_db/vector_service.py:77-103);
+a Common-Crawl-scale curation pipeline additionally consumes the *graph*
+between pages — host-level link stats for crawl policy, aggregated anchor
+text as an external description of a page, and PageRank-family scores as a
+quality prior for corpus sampling. These are the Spark-side operators over
+``core/links.py``'s pure per-document harvest.
+
+Plan shapes (the 100 TB story):
+
+* ``extract_links``: scan → [size-balanced repartition] → ``mapInArrow`` —
+  identical shape to the flagship extraction (operators/extract.py); no
+  shuffle, per-task memory bounded by the Arrow batch size.
+* ``host_degrees``: two hash-aggs (src-host, dst-host) + one shuffle each,
+  full-outer merged; cardinality after the agg is |hosts|, tiny vs |edges|.
+* ``anchor_summary``: one shuffle on dst_url; the top-anchor pick is a
+  max_by struct agg, not a window — single pass, partial-agg friendly.
+* ``pagerank``: one out-degree agg up front; per iteration one shuffle on
+  dst (contribution sum) and a broadcast-ish join back to the node list.
+  Lineage is truncated with the dedup stack's checkpoint helper every
+  ``checkpoint_every`` rounds so Catalyst plan depth stays bounded
+  (same fix as near_dup_clusters, operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.core.links import harvest_links
+from pdf_extractor_spark.operators.dedup import _truncate_plan
+
+LINKS_ARROW = pa.schema(
+    [
+        pa.field("src_url", pa.string()),
+        pa.field("link_index", pa.int32()),
+        pa.field("dst_url", pa.string()),
+        pa.field("anchor", pa.string()),
+        pa.field("nofollow", pa.bool_()),
+        pa.field("in_chrome", pa.bool_()),
+    ]
+)
+LINKS_SCHEMA = (
+    "src_url string, link_index int, dst_url string, anchor string, "
+    "nofollow boolean, in_chrome boolean"
+)
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per followable outlink.
+
+    Same fused scan→mapInArrow shape as ``extract_docs``; a page yields zero
+    rows when it has no followable links or fails to parse (parse status is
+    the document row's concern, not the edge list's).
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in LINKS_ARROW}
+            for url, html in zip(urls, htmls):
+                for lk in harvest_links(url, html):
+                    cols["src_url"].append(url)
+                    cols["link_index"].append(lk.link_index)
+                    cols["dst_url"].append(lk.dst_url)
+                    cols["anchor"].append(lk.anchor)
+                    cols["nofollow"].append(lk.nofollow)
+                    cols["in_chrome"].append(lk.in_chrome)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in LINKS_ARROW],
+                schema=LINKS_ARROW,
+            )
+
+    return pages.select("url", "html").mapInArrow(run, LINKS_SCHEMA)
+
+
+def host_of(url_col) -> F.Column:
+    """Lowercased host of a URL — JVM-side ``parse_url``, codegen-friendly."""
+    return F.lower(F.parse_url(url_col, F.lit("HOST")))
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host link-graph degrees: (host, out_links, in_links,
+    out_hosts, in_hosts).
+
+    Two independent hash-aggs merged with a full outer join on the tiny
+    post-agg host cardinality; missing sides are 0 (a host that only
+    receives links has out_links=0, and vice versa).
+    """
+    out = (
+        edges.groupBy(host_of(F.col("src_url")).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("out_links"),
+            F.count_distinct(host_of(F.col("dst_url"))).alias("out_hosts"),
+        )
+    )
+    inn = (
+        edges.groupBy(host_of(F.col("dst_url")).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("in_links"),
+            F.count_distinct(host_of(F.col("src_url"))).alias("in_hosts"),
+        )
+    )
+    return (
+        out.join(inn, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+            F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+        )
+    )
+
+
+def anchor_summary(edges: DataFrame, include_chrome: bool = False) -> DataFrame:
+    """Per target URL: inbound-link counts and the dominant anchor text.
+
+    (dst_url, n_links, n_sources, n_nofollow, top_anchor) where top_anchor
+    is the most frequent non-empty anchor string, ties broken by byte order
+    — expressed as ``max_by`` over a (count, reversed-anchor) ranking struct
+    so the whole thing is ONE agg pass (partial-aggregable), not a window
+    sort. Chrome (template) links are excluded by default: every footer of a
+    site saying "privacy" would otherwise dominate genuine anchors.
+    """
+    e = edges if include_chrome else edges.filter(~F.col("in_chrome"))
+    per_anchor = (
+        e.filter(F.col("anchor") != "")
+        .groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # ties: max_by on (cnt, anchor) would pick the byte-LARGEST anchor; the
+    # spec wants the smallest, so rank by the anchor's "negation" — a struct
+    # comparing (cnt asc→max, anchor desc→min) has no built-in, hence
+    # min_by on (-cnt, anchor).
+    top = per_anchor.groupBy("dst_url").agg(
+        F.min_by("anchor", F.struct((-F.col("cnt")).alias("c"), F.col("anchor").alias("a"))).alias(
+            "top_anchor"
+        )
+    )
+    counts = e.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("src_url").alias("n_sources"),
+        F.sum(F.col("nofollow").cast("int")).alias("n_nofollow"),
+    )
+    return counts.join(top, "dst_url", "left").select(
+        "dst_url", "n_links", "n_sources", "n_nofollow",
+        F.coalesce("top_anchor", F.lit("")).alias("top_anchor"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+    follow_only: bool = True,
+) -> DataFrame:
+    """PageRank by power iteration over (src_url, dst_url) edges.
+
+    Returns (node, rank) for every node appearing as a source or target.
+    The simplified-dangling variant (dangling mass is NOT redistributed;
+    each round is rank' = (1-d)/N + d·Σ_in rank/outdeg) — the standard
+    formulation for link-quality *priors* where relative order is what's
+    consumed, and the one an unrolled SQL oracle can replicate exactly.
+    Duplicate (src,dst) edges count once (a page linking twice to the same
+    target is one edge, the common convention for web graphs).
+
+    Scale: the node list and out-degrees are computed once and persisted;
+    each iteration is one shuffle (sum of contributions on dst) plus a join
+    back to nodes on the post-agg cardinality. ``checkpoint_every`` bounds
+    the unrolled plan exactly like near_dup_clusters. nofollow edges are
+    dropped when ``follow_only`` (rel=nofollow exists to withhold
+    endorsement — PageRank is the endorsement).
+    """
+    e = edges
+    if follow_only and "nofollow" in e.columns:
+        e = e.filter(~F.col("nofollow"))
+    e = e.select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst")).distinct()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # bounded driver-side scalar (like CC's probe)
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ckpt = None
+    for it in range(1, iterations + 1):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+        if it % checkpoint_every == 0 and it < iterations:
+            ranks, new_ckpt = _truncate_plan(ranks)
+            if ckpt is not None:
+                ckpt.unpersist()
+            ckpt = new_ckpt
+    out = ranks.select("node", "rank")
+    # caller-visible caches: nodes/outdeg stay pinned until the result is
+    # consumed; they are tiny (|nodes| rows) and session-scoped.
+    return out

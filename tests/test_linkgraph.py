@@ -1,0 +1,174 @@
+"""Link harvest + web-graph operators (core/links.py, operators/linkgraph.py)."""
+
+import pytest
+
+from pdf_extractor_spark.core.links import harvest_links, resolve_href
+
+
+PAGE = (
+    "<!DOCTYPE html><html><head><title>t</title>"
+    "<script>var a = '<a href=\"/not-a-link\">x</a>';</script></head><body>"
+    '<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+    "<article><p>Intro "
+    '<a href="rel/page">deep  link</a> and '
+    '<a href="https://Other.example.NET/x?b=2">absolute</a> and '
+    '<a href="//cdn.example.org/lib">protocol relative</a> and '
+    '<a href="?q=1">query only</a> and '
+    '<a href="#top">fragment</a> and '
+    '<a href="javascript:void(0)">js</a> and '
+    '<a href="mailto:x@y.z">mail</a> and '
+    '<a rel="NoFollow sponsored" href="/ad">Ad</a> and '
+    '<a href="/empty"></a>.</p></article>'
+    '<footer><a href="/legal">Legal</a></footer></body></html>'
+).encode()
+
+BASE = "https://host.example.org/p/dir/page.html"
+
+
+def test_harvest_resolution_flags_and_order():
+    rows = harvest_links(BASE, PAGE)
+    got = [(r.link_index, r.dst_url, r.anchor, r.nofollow, r.in_chrome) for r in rows]
+    assert got == [
+        (0, "https://host.example.org/a", "Home", False, True),
+        (1, "https://host.example.org/b", "About", False, True),
+        (2, "https://host.example.org/p/dir/rel/page", "deep link", False, False),
+        (3, "https://Other.example.NET/x?b=2", "absolute", False, False),
+        (4, "https://cdn.example.org/lib", "protocol relative", False, False),
+        (5, "https://host.example.org/p/dir/page.html?q=1", "query only", False, False),
+        (6, "https://host.example.org/ad", "Ad", True, False),
+        (7, "https://host.example.org/empty", "", False, False),
+        (8, "https://host.example.org/legal", "Legal", False, True),
+    ]
+
+
+def test_resolve_href_drops_non_navigational():
+    assert resolve_href(BASE, "#x") is None
+    assert resolve_href(BASE, "  ") is None
+    assert resolve_href(BASE, None) is None
+    assert resolve_href(BASE, "javascript:alert(1)") is None
+    assert resolve_href(BASE, "data:text/plain,hi") is None
+    assert resolve_href(BASE, "tel:+123") is None
+    assert resolve_href("ftp://host/x", "a") is None  # non-http base, rel href
+    assert resolve_href(BASE, "/x#frag") == "https://host.example.org/x#frag"
+
+
+def test_harvest_tolerates_nesting_and_truncation():
+    # browsers auto-close an open <a> when a new one starts; truncated markup
+    # still flushes the pending anchor
+    html = b'<p><a href="/one">first <a href="/two">second</p><a href="/three">tail'
+    rows = harvest_links("https://h.example.com/", html)
+    assert [(r.dst_url, r.anchor) for r in rows] == [
+        ("https://h.example.com/one", "first"),
+        ("https://h.example.com/two", "second"),
+        ("https://h.example.com/three", "tail"),
+    ]
+    assert harvest_links("https://h.example.com/", b"") == []
+    assert harvest_links("https://h.example.com/", None) == []
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    from pdf_extractor_spark.operators.linkgraph import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example.org/1",
+                (
+                    '<body><nav><a href="/chrome">c</a></nav>'
+                    '<p><a href="https://b.example.org/x">to bx</a> '
+                    '<a href="https://b.example.org/x">to bx again</a> '
+                    '<a href="/2">self two</a> '
+                    '<a rel="nofollow" href="https://spam.example.net/">sp</a></p></body>'
+                ).encode(),
+            ),
+            (
+                "https://b.example.org/x",
+                b'<p><a href="https://a.example.org/1">back</a></p>',
+            ),
+            ("https://c.example.org/only", b"<p>no links here</p>"),
+        ],
+        "url string, html binary",
+    )
+    return extract_links(pages)
+
+
+def test_extract_links_rows(edges):
+    rows = {(r.src_url, r.link_index): r for r in edges.collect()}
+    assert len(rows) == 6
+    r = rows[("https://a.example.org/1", 1)]
+    assert (r.dst_url, r.anchor, r.nofollow, r.in_chrome) == (
+        "https://b.example.org/x", "to bx", False, False,
+    )
+    assert rows[("https://a.example.org/1", 0)].in_chrome is True
+    assert rows[("https://a.example.org/1", 4)].nofollow is True
+
+
+def test_host_degrees(edges):
+    from pdf_extractor_spark.operators.linkgraph import host_degrees
+
+    d = {r.host: r for r in host_degrees(edges).collect()}
+    a = d["a.example.org"]
+    # out: chrome + 2×bx + self + spam = 5; in: chrome + self (both from a
+    # itself) + back from b = 3, from hosts {a, b}
+    assert (a.out_links, a.in_links, a.out_hosts, a.in_hosts) == (5, 3, 3, 2)
+    assert (d["b.example.org"].out_links, d["b.example.org"].in_links) == (1, 2)
+    assert (d["spam.example.net"].out_links, d["spam.example.net"].in_links) == (0, 1)
+
+
+def test_anchor_summary_excludes_chrome_and_picks_top(edges):
+    from pdf_extractor_spark.operators.linkgraph import anchor_summary
+
+    s = {r.dst_url: r for r in anchor_summary(edges).collect()}
+    bx = s["https://b.example.org/x"]
+    # two inbound anchors from one source; tie on count=1 → byte-smallest
+    assert (bx.n_links, bx.n_sources, bx.n_nofollow, bx.top_anchor) == (2, 1, 0, "to bx")
+    assert "https://a.example.org/chrome" not in s  # chrome excluded by default
+
+
+def _pr_reference(edge_list, iterations=5, damping=0.85):
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    e = sorted(set(edge_list))
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in e:
+            contrib[d] += rank[s] / out[s]
+        rank = {n: (1 - damping) / len(nodes) + damping * contrib[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_pure_python(spark):
+    from pdf_extractor_spark.operators.linkgraph import pagerank
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("a", "b"),
+    ]
+    edges = spark.createDataFrame(edge_list, "src_url string, dst_url string")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    want = _pr_reference(edge_list)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12)
+    # sanity: d has no inbound edges, so it sits at the (1-d)/N floor
+    assert min(got, key=got.get) == "d"
+    assert got["d"] == pytest.approx((1 - 0.85) / 4, rel=1e-12)
+
+
+def test_pagerank_drops_nofollow_and_checkpoints(spark):
+    from pdf_extractor_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", False), ("b", "a", False), ("a", "c", True)],
+        "src_url string, dst_url string, nofollow boolean",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=7, checkpoint_every=2).collect()}
+    # the nofollow edge is dropped before the node set is built, so c (which
+    # only appears via that edge) is not a node at all
+    assert set(got) == {"a", "b"}
+    want = _pr_reference([("a", "b"), ("b", "a")], iterations=7)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12)
