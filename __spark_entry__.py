@@ -1033,6 +1033,41 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4-style line+page cleaning (functions/text.py): prose-line filter
+    (terminal punctuation, ≥3 words, no javascript) then page screen (≥5
+    sentences, no braces/lorem-ipsum/spam words) — JVM array lambdas, one
+    scan. The fixture appends a deterministic multi-line suffix per doc so
+    every rule fires on a known subset."""
+    from pdf_extractor_spark.functions.text import c4_clean_text, c4_page_keep, sentence_count
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit("\nShort line.\nThis page uses javascript to render."
+              "\nA good sentence with many words appears here."),
+        F.when(
+            d % 2 == 0,
+            F.lit("\nSentence number one is here. Sentence number two follows."
+                  " Sentence number three ends."),
+        ).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("\nClick here to buy viagra online now.")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("\nlorem ipsum dolor sit amet here.")).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit("\ncode block { return 1; }")).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", raw.alias("raw"))
+    clean = c4_clean_text(F.col("raw"))
+    return staged.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.split(clean, "\n")).cast("long").alias("n_lines"),
+        sentence_count(clean).alias("n_sentences"),
+        c4_page_keep(F.col("raw"), clean).alias("keep"),
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Fingerprinting (rolling hash): winnowed k-gram fingerprint sets.
     The DuckDB oracle recomputes the full Rabin-Karp + winnowing scheme in
@@ -1205,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
         "pagerank": q_pagerank,
+        "c4_filters": q_c4_filters,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
@@ -2161,6 +2197,36 @@ SELECT c.dst AS dst_url, n_links, n_sources, n_nofollow,
        coalesce(top.anchor, '') AS top_anchor
 FROM c LEFT JOIN top ON c.dst = top.dst""",
         "pagerank": _sql_pagerank(5),
+        # C4 line+page filter: same suffix fixture, same rule spec
+        # (functions/text.py c4_* — terminal punct, ≥3 words, no javascript;
+        # page: no brace/lorem-ipsum/spam, ≥5 sentences in the kept text)
+        "c4_filters": r"""
+WITH raw AS (SELECT doc_id,
+  text || (CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END)
+  || chr(10) || 'Short line.'
+  || chr(10) || 'This page uses javascript to render.'
+  || chr(10) || 'A good sentence with many words appears here.'
+  || (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+      'Sentence number one is here. Sentence number two follows. Sentence number three ends.'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Click here to buy viagra online now.' ELSE '' END)
+  || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet here.' ELSE '' END)
+  || (CASE WHEN doc_id % 8 = 0 THEN chr(10) || 'code block { return 1; }' ELSE '' END)
+  AS raw FROM documents),
+k AS (SELECT doc_id, raw,
+      list_filter(string_split(raw, chr(10)),
+                  x -> regexp_matches(trim(x), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+                       AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM raw),
+c AS (SELECT doc_id, raw, array_to_string(kept, chr(10)) AS clean_text, len(kept) AS nl FROM k)
+SELECT doc_id, clean_text, nl::BIGINT AS n_lines,
+       len(regexp_extract_all(clean_text, '[.!?]+'))::BIGINT AS n_sentences,
+       (NOT contains(lower(raw), '{') AND NOT contains(lower(raw), 'lorem ipsum')
+        AND NOT contains(lower(raw), 'viagra') AND NOT contains(lower(raw), 'casino')
+        AND NOT contains(lower(raw), 'porn')
+        AND len(regexp_extract_all(clean_text, '[.!?]+')) >= 5) AS keep
+FROM c""",
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),

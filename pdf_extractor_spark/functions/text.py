@@ -210,3 +210,57 @@ def ellipsis_line_ratio(text: Column) -> Column:
 def mean_line_len(text: Column) -> Column:
     n = F.size(F.split(text, "\n"))
     return F.when(n == 0, F.lit(0.0)).otherwise(F.length(text) / n.cast("double"))
+
+
+# --- C4-style corpus filters ------------------------------------------------
+#
+# The line/page heuristics of the C4 cleaning recipe (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning...", §2.2 — public spec):
+# keep only lines that read like prose (terminal punctuation, ≥3 words, no
+# "javascript" artifacts), then keep only pages that still look like
+# documents (≥5 sentences, no code braces, no "lorem ipsum" filler, no spam
+# vocabulary). Expressed as array higher-order functions over the line split
+# — JVM-side lambdas, no Python, single scan; the whole family is one
+# projection over the corpus at any scale.
+
+# spam screen (parameterizable; stands in for C4's external blocklist, which
+# is a resource, not an algorithm)
+C4_BAD_WORDS = ("viagra", "casino", "porn")
+TERMINAL_PUNCT_RE = r'[.!?"]$'
+
+
+def c4_keep_line(line: Column) -> Column:
+    """True when a line reads like prose: trimmed line ends in terminal
+    punctuation, has ≥3 whitespace words, and doesn't mention javascript."""
+    t = F.trim(line)
+    return (
+        t.rlike(TERMINAL_PUNCT_RE)
+        & (F.size(F.split(t, WS_RE)) >= 3)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean_text(text: Column) -> Column:
+    """The document with non-prose lines removed (C4 line filter)."""
+    return F.array_join(F.filter(F.split(text, "\n"), c4_keep_line), "\n")
+
+
+def sentence_count(text: Column) -> Column:
+    """Number of terminal-punctuation runs — the C4 sentence proxy."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))).cast("long")
+
+
+def c4_page_keep(
+    raw: Column,
+    clean: Column,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> Column:
+    """C4 page filter: the RAW page must be free of code braces, filler and
+    spam vocabulary, and the line-filtered text must retain ≥min_sentences
+    sentences."""
+    low = F.lower(raw)
+    keep = ~low.contains("{") & ~low.contains("lorem ipsum")
+    for w in bad_words:
+        keep = keep & ~low.contains(w)
+    return keep & (sentence_count(clean) >= min_sentences)

@@ -278,3 +278,43 @@ def test_line_shape_signals(spark):
     assert abs(r["b"] - 2 / 5) < 1e-9
     assert abs(r["e"] - 2 / 5) < 1e-9  # 'teaser...' and the bare '…' line
     assert r["m"] > 0
+
+
+def test_c4_line_and_page_filters(spark):
+    from pdf_extractor_spark.functions.text import c4_clean_text, c4_page_keep, sentence_count
+
+    raw = (
+        "Good long prose sentence here.\n"      # kept
+        "Too short.\n"                           # < 3 words
+        "no terminal punctuation at all\n"       # no punct
+        "Enable javascript to view this page.\n" # javascript artifact
+        'She said "stop right there!"\n'         # kept (quote after punct)
+        "One. Two. Three. Four. Five ends here." # kept, 5 sentences
+    )
+    rows = [
+        (1, raw),
+        (2, raw + "\nBuy cheap viagra today folks."),   # spam page
+        (3, raw + "\nif (x) { return; } done now."),    # brace page
+        (4, "Only one sentence survives this one."),    # too few sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    clean = c4_clean_text(t)
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", clean.alias("c"), sentence_count(clean).alias("ns"),
+            c4_page_keep(t, clean).alias("keep"),
+        ).collect()
+    }
+    assert got[1]["c"].split("\n") == [
+        "Good long prose sentence here.",
+        'She said "stop right there!"',
+        "One. Two. Three. Four. Five ends here.",
+    ]
+    # '!"' run counts once; the last line carries 5 '.' runs
+    assert got[1]["ns"] == 7
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False  # spam vocabulary on the raw page
+    assert got[3]["keep"] is False  # code brace on the raw page
+    assert (got[4]["keep"], got[4]["ns"]) == (False, 1)  # below 5 sentences
