@@ -1033,6 +1033,34 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+# 23-token boilerplate suffix shared by every 5th doc — the repeated-span
+# fixture for substring-level dedup (plus exact copies of every 50th doc)
+_SPAN_BOILER = (
+    " the quick brown fox jumps over the lazy dog while seventeen silver"
+    " ships sail slowly past nine quiet harbors under pale morning light"
+)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Substring-level dedup (operators/dedup.py duplicated_token_spans):
+    maximal token spans whose 20-gram windows recur in ≥2 distinct docs —
+    the bounded Spark shape of Lee et al.'s exact-substring pass. Fixture:
+    a 23-token boilerplate suffix on every 5th doc + exact copies of every
+    50th, so both shared-suffix islands and whole-doc spans appear."""
+    from pdf_extractor_spark.operators.dedup import duplicated_token_spans
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.when(d % 5 == 0, F.lit(_SPAN_BOILER)).otherwise(F.lit(""))
+        ).alias("text"),
+    )
+    extra = staged.filter(d % 50 == 0).select((d + 10000).alias("doc_id"), "text")
+    return duplicated_token_spans(staged.unionAll(extra), n=20)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4-style line+page cleaning (functions/text.py): prose-line filter
     (terminal punctuation, ≥3 words, no javascript) then page screen (≥5
@@ -1241,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "pagerank": q_pagerank,
         "c4_filters": q_c4_filters,
+        "dup_spans": q_dup_spans,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
@@ -2197,6 +2226,32 @@ SELECT c.dst AS dst_url, n_links, n_sources, n_nofollow,
        coalesce(top.anchor, '') AS top_anchor
 FROM c LEFT JOIN top ON c.dst = top.dst""",
         "pagerank": _sql_pagerank(5),
+        # duplicated-token-spans: same fixture; the oracle replays the
+        # 20-gram md5 windows, df≥2 screen, and gaps-and-islands merge
+        "dup_spans": f"""
+WITH s AS (SELECT doc_id,
+           text || (CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BOILER}' ELSE '' END) AS text
+           FROM documents),
+u AS (SELECT doc_id, text FROM s
+      UNION ALL SELECT doc_id + 10000, text FROM s WHERE doc_id % 50 = 0),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM u),
+g0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 19)) AS i
+       FROM t WHERE len(toks) >= 20),
+g AS (SELECT doc_id, i - 1 AS pos,
+      md5(array_to_string(list_slice(toks, i, i + 19), ' ')) AS h FROM g0),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+m AS (SELECT doc_id, pos,
+      max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits),
+f AS (SELECT doc_id, pos,
+      CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk FROM m),
+grp AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grpid FROM f)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 19)::BIGINT AS span_end,
+       (max(pos) + 19 - min(pos) + 1)::BIGINT AS n_tokens
+FROM grp GROUP BY doc_id, grpid""",
         # C4 line+page filter: same suffix fixture, same rule spec
         # (functions/text.py c4_* — terminal punct, ≥3 words, no javascript;
         # page: no brace/lorem-ipsum/spam, ≥5 sentences in the kept text)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os as _os
 import warnings as _warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators.search import cosine_expr
@@ -944,4 +944,75 @@ def decontaminate(
     return dedup_against_corpus(
         docs, benchmark_sig, text_col=text_col, id_col=id_col,
         threshold=threshold, max_bucket=max_bucket,
+    )
+
+
+# --- duplicated-span detection (substring-level dedup) ----------------------
+
+def duplicated_token_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans repeated across ≥``min_df`` distinct documents.
+
+    The bounded re-expression of exact-substring training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array pass finds ≥50-token repeats; here every ``n``-token
+    window is hashed and windows whose hash occurs in ≥``min_df`` distinct
+    docs are merged into maximal spans). Returns
+    ``(id_col, span_start, span_end, n_tokens)`` in TOKEN indices —
+    span_end inclusive; a whole-document duplicate yields one span covering
+    the document.
+
+    Plan (all shuffles key-partitioned, no driver data):
+      1. one scan → explode per-token windows, ``md5`` the joined window
+         (same digest primitive as the MinHash path, so the DuckDB oracle
+         is exact),
+      2. hash-agg on the digest → document frequency, filter ≥ min_df,
+      3. equi-join windows against the surviving digests (both sides
+         hash-partitioned on the digest),
+      4. per-doc window merge of overlapping/adjacent hits (gaps-and-islands
+         over ``pos`` — one shuffle on the doc id).
+    At 10^12 docs the gram table is ~tokens-per-doc × docs rows; the df agg
+    is the dominant shuffle and partial-aggregates map-side. A hot gram
+    (site boilerplate) concentrates its *digest group*, but groups reduce
+    to one (h, df) row — no quadratic pair join anywhere.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    src = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("__toks") - n)
+    gram_h = lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n)))  # noqa: E731
+    grams = src.select(
+        "__doc", F.posexplode(F.transform(idx, gram_h)).alias("pos", "h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("__doc").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("__doc", "pos")
+    w = Window.partitionBy("__doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    grp = hits.select("__doc", "pos", F.sum(brk).over(w).alias("grp"))
+    return (
+        grp.groupBy("__doc", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("n_tokens"),
+        )
     )

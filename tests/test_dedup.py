@@ -307,3 +307,46 @@ def test_decontaminate_drops_benchmark_copies(spark):
     got = {r["doc_id"] for r in out.collect()}
     DD.release_caches(out)
     assert got == {11}
+
+
+def test_duplicated_token_spans(spark):
+    from pdf_extractor_spark.operators.dedup import duplicated_token_spans
+
+    boiler = "b" + " b".join(str(i) for i in range(1, 25))  # b1..b24: 24 shared tokens
+    uniq = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))  # noqa: E731
+    rows = [
+        (1, uniq("x", 40) + " " + boiler),   # 40 unique + shared suffix
+        (2, uniq("y", 10) + " " + boiler),   # 10 unique + shared suffix
+        (3, uniq("z", 50)),                  # all unique -> no spans
+        (4, uniq("w", 30)),                  # exact pair with doc 5
+        (5, uniq("w", 30)),
+        (6, "t0 t1 t2"),                     # shorter than n -> ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_tokens)
+        for r in duplicated_token_spans(df, n=20).collect()
+    }
+    # shared 24-token suffix -> one island over exactly those positions
+    assert got[1] == (40, 63, 24)
+    assert got[2] == (10, 33, 24)
+    # exact duplicates -> whole-document span
+    assert got[4] == (0, 29, 30)
+    assert got[5] == (0, 29, 30)
+    assert 3 not in got and 6 not in got
+
+
+def test_duplicated_token_spans_merges_adjacent_islands(spark):
+    from pdf_extractor_spark.operators.dedup import duplicated_token_spans
+
+    # two docs sharing one long run; a third doc breaks the run in the
+    # middle so its hits form ONE merged island through overlap chaining
+    shared = " ".join(f"s{i}" for i in range(45))
+    rows = [(1, shared), (2, shared), (3, "u0 u1 " + shared)]
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+        for r in duplicated_token_spans(spark.createDataFrame(rows, "doc_id long, text string"), n=20).collect()
+    }
+    assert got[1] == (0, 44, 45)
+    assert got[2] == (0, 44, 45)
+    assert got[3] == (2, 46, 45)
