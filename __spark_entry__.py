@@ -1033,6 +1033,21 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-routed incremental exact dedup (operators/bloom.py): new-batch
+    rows screen against a broadcast bloom of committed corpus hashes; only
+    maybe rows pay the anti-join. Result is exact, so the oracle is the
+    plain NOT IN — committed corpus = every 3rd doc's sha256."""
+    from pdf_extractor_spark.operators.bloom import dedup_incremental_exact
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("doc_hash"))
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.sha2(F.col("text"), 256).alias("doc_hash")
+    )
+    return dedup_incremental_exact(batch, corpus)
+
+
 # 23-token boilerplate suffix shared by every 5th doc — the repeated-span
 # fixture for substring-level dedup (plus exact copies of every 50th doc)
 _SPAN_BOILER = (
@@ -1270,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "c4_filters": q_c4_filters,
         "dup_spans": q_dup_spans,
+        "dedup_bloom": q_dedup_bloom,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
@@ -2226,6 +2242,12 @@ SELECT c.dst AS dst_url, n_links, n_sources, n_nofollow,
        coalesce(top.anchor, '') AS top_anchor
 FROM c LEFT JOIN top ON c.dst = top.dst""",
         "pagerank": _sql_pagerank(5),
+        # bloom-routed incremental dedup is EXACT by construction (the bloom
+        # only routes rows around the verify join), so the oracle is the
+        # plain anti-join semantics
+        "dedup_bloom": """
+SELECT doc_id, sha256(text) AS doc_hash FROM documents
+WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0)""",
         # duplicated-token-spans: same fixture; the oracle replays the
         # 20-gram md5 windows, df≥2 screen, and gaps-and-islands merge
         "dup_spans": f"""

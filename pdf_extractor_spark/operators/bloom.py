@@ -1,0 +1,141 @@
+"""Broadcast Bloom screen for cross-run (incremental) exact dedup.
+
+Re-crawl shape: a new batch arrives and must drop rows whose content hash is
+already in the committed corpus (reference analog: the per-upload existence
+probe, app/vector_db/vector_service.py:77-103, run once per document against
+the vector store). The plain Spark expression is an anti-join — correct, but
+it shuffles the corpus hash table every batch. A Bloom filter built ONCE
+from the corpus and broadcast turns that into:
+
+    batch ──probe bloom──► definitely-new rows   (no join at all, ~99%)
+                      └──► maybe-dup rows ──exact anti-join──► verified new
+
+Only the maybe rows (true dups + ~1% false positives) reach the join, so the
+probe side is tiny and storage-side semi-join/bucket pruning can skip most
+corpus files. The final result is EXACT — the Bloom only routes rows, the
+anti-join decides them.
+
+Construction is fully distributed: each corpus hash contributes k bit
+positions (JVM ``xxhash64`` with k seeds — zero Python in the build),
+positions reduce to ≤ m/64 ``(word_index, OR-of-bits)`` rows via a hash-agg,
+and only that word table (m=2^23 bits → 128 KiB) is collected and broadcast.
+Probing keeps hashing JVM-side too: the k (word, mask) pairs are computed as
+Column expressions and the only Python is one Arrow-vectorized numpy gather
+per batch (``words[W] & M``).
+
+Sizing: m ≈ 10 bits/key at k=5 gives ~1% FPR. The broadcast words array is
+m/8 bytes — 1.25 GB at 10^9 keys, the practical ceiling for a single
+broadcast bloom. Beyond that (the 10^12 corpus), shard by hash prefix:
+build one bloom per prefix bucket and co-partition batch and blooms on the
+prefix — each executor holds only its shard. This module implements the
+single-shard primitive that sharded layout composes from.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BloomScreen:
+    """A built bloom: broadcast word array + the (m, k, seeds) recipe.
+
+    ``words`` holds the driver-side copy; ``_bcast`` the executor broadcast.
+    """
+
+    num_bits: int
+    seeds: tuple[int, ...]
+    words: np.ndarray  # int64[num_bits // 64]
+    _bcast: object  # pyspark Broadcast[np.ndarray]
+
+
+def _positions(col: Column, num_bits: int, seeds: tuple[int, ...]) -> list[Column]:
+    return [F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits)) for s in seeds]
+
+
+def build_bloom(
+    df: DataFrame, col: str, num_bits: int = 1 << 23, num_hashes: int = 5
+) -> BloomScreen:
+    """Build a broadcast bloom over ``df[col]`` (any hashable column).
+
+    One scan, one hash-agg on the word index (≤ num_bits/64 groups), one
+    bounded collect of the word table. num_bits must be a multiple of 64.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    seeds = tuple(range(num_hashes))
+    pos = F.explode(F.array(*_positions(F.col(col), num_bits, seeds))).alias("pos")
+    word_rows = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    words = np.zeros(num_bits // 64, dtype=np.int64)
+    for r in word_rows:
+        words[r["w"]] = r["word"]
+    bcast = df.sparkSession.sparkContext.broadcast(words)
+    return BloomScreen(num_bits=num_bits, seeds=seeds, words=words, _bcast=bcast)
+
+
+def maybe_contains(screen: BloomScreen, col: Column) -> Column:
+    """Boolean Column: bloom says ``col`` MAY be in the built set.
+
+    False is definitive (no false negatives); True needs exact verification.
+    Hashing runs JVM-side; the bit lookup is one vectorized numpy gather in
+    an Arrow batch UDF over the broadcast word array.
+    """
+    ps = _positions(col, screen.num_bits, screen.seeds)
+    widx = F.array(*[(p / 64).cast("long") for p in ps])
+    masks = F.array(
+        *[F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")) for p in ps]
+    )
+    bcast = screen._bcast
+
+    @F.pandas_udf("boolean")
+    def _probe(w: pd.Series, m: pd.Series) -> pd.Series:
+        if len(w) == 0:
+            return pd.Series([], dtype=bool)
+        words = bcast.value
+        W = np.stack(w.to_numpy())
+        M = np.stack(m.to_numpy())
+        return pd.Series(((words[W] & M) != 0).all(axis=1))
+
+    return _probe(widx, masks)
+
+
+def dedup_incremental_exact(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    batch_hash_col: str = "doc_hash",
+    corpus_hash_col: str = "doc_hash",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Rows of ``batch`` whose hash is NOT in the committed corpus.
+
+    Exact semantics (≡ a plain left-anti join on the hash), bloom-routed:
+    rows the bloom clears skip the join entirely; only maybe rows verify.
+    ``corpus_hashes`` is the committed hash table (one column of content
+    hashes, e.g. the sha256 identity the extraction pipeline already
+    writes); at warehouse scale the bloom is built once per corpus snapshot
+    and reused across batches.
+    """
+    screen = build_bloom(corpus_hashes, corpus_hash_col, num_bits, num_hashes)
+    flagged = batch.withColumn("__maybe", maybe_contains(screen, F.col(batch_hash_col)))
+    clear = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+    corpus = corpus_hashes.select(F.col(corpus_hash_col).alias(batch_hash_col)).distinct()
+    # a USING-style join moves the key column first; restore the batch's
+    # column order so the positional union lines up
+    verified = maybe.join(corpus, batch_hash_col, "left_anti").select(*clear.columns)
+    return clear.unionAll(verified)

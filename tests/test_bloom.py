@@ -1,0 +1,51 @@
+"""Broadcast bloom screen (operators/bloom.py)."""
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from pdf_extractor_spark.operators.bloom import build_bloom, maybe_contains
+
+    corpus = spark.range(0, 2000).select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+    screen = build_bloom(corpus, "h", num_bits=1 << 18, num_hashes=5)
+
+    # every member must probe True
+    members = corpus.withColumn("m", maybe_contains(screen, F.col("h")))
+    assert members.filter(~F.col("m")).count() == 0
+
+    # non-members: FPR well under a few percent at ~10 bits/key... here
+    # 2^18 bits / 2000 keys = 131 bits/key -> FPR ~ 0
+    probe = (
+        spark.range(100000, 102000)
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+        .withColumn("m", maybe_contains(screen, F.col("h")))
+    )
+    assert probe.filter(F.col("m")).count() <= 5
+
+
+def test_dedup_incremental_exact_matches_anti_join(spark):
+    from pdf_extractor_spark.operators.bloom import dedup_incremental_exact
+
+    batch = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.sha2(F.col("id").cast("string"), 256).alias("doc_hash")
+    )
+    corpus = (
+        spark.range(0, 500, 3)
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("doc_hash"))
+    )
+    kept = dedup_incremental_exact(batch, corpus)
+    want = {r.doc_id for r in batch.join(corpus, "doc_hash", "left_anti").collect()}
+    got = {r.doc_id for r in kept.collect()}
+    assert got == want
+    assert all(i % 3 != 0 for i in got) and len(got) == 500 - len(range(0, 500, 3))
+
+
+def test_bloom_routes_most_rows_around_the_join(spark):
+    from pdf_extractor_spark.operators.bloom import build_bloom, maybe_contains
+
+    corpus = spark.range(0, 300).select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+    screen = build_bloom(corpus, "h", num_bits=1 << 18, num_hashes=5)
+    batch = spark.range(0, 3000).select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+    n_maybe = batch.filter(maybe_contains(screen, F.col("h"))).count()
+    # 300 true members + at most a handful of false positives reach the join
+    assert 300 <= n_maybe <= 310
