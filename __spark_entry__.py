@@ -1033,6 +1033,21 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity proxy (operators/langmodel.py): train a
+    smoothed unigram LM on the corpus (one token hash-agg), then score each
+    doc's mean token log-probability — two passes, all JVM arithmetic."""
+    from pdf_extractor_spark.operators.langmodel import (
+        score_unigram_logprob,
+        train_unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram_lm(docs)
+    scored = score_unigram_logprob(docs, lm)
+    return scored.select("doc_id", "n_tokens", F.round("avg_logprob", 4).alias("avg_logprob"))
+
+
 def q_dedup_bloom(spark, sf_dir):
     """Bloom-routed incremental exact dedup (operators/bloom.py): new-batch
     rows screen against a broadcast bloom of committed corpus hashes; only
@@ -1286,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "dup_spans": q_dup_spans,
         "dedup_bloom": q_dedup_bloom,
+        "unigram_logprob": q_unigram_logprob,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
@@ -2242,6 +2258,17 @@ SELECT c.dst AS dst_url, n_links, n_sources, n_nofollow,
        coalesce(top.anchor, '') AS top_anchor
 FROM c LEFT JOIN top ON c.dst = top.dst""",
         "pagerank": _sql_pagerank(5),
+        # unigram LM: identical add-one arithmetic; ln() in DuckDB is the
+        # natural log (its log() is base 10)
+        "unigram_logprob": r"""
+WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0),
+tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+cnt AS (SELECT tok, count(*) AS cnt FROM tk2 GROUP BY tok),
+tot AS (SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS v FROM cnt),
+lp AS (SELECT tok, ln((cnt + 1) / (total + v)) AS logp FROM cnt, tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(logp), 4) AS avg_logprob
+FROM tk2 JOIN lp USING (tok) GROUP BY doc_id""",
         # bloom-routed incremental dedup is EXACT by construction (the bloom
         # only routes rows around the verify join), so the oracle is the
         # plain anti-join semantics

@@ -1,0 +1,95 @@
+"""Corpus unigram language model — the perplexity-proxy quality score.
+
+CCNet-style curation (Wenzek et al. 2020, public) ranks documents by LM
+perplexity: text that a corpus-level language model finds surprising is
+disproportionately boilerplate, gibberish, or wrong-language. The full KenLM
+is a resource, not an algorithm; the re-expression here is the two-pass
+unigram version, fully relational and exact:
+
+  pass 1 (train): one explode + hash-agg over the corpus → token counts;
+    add-one smoothing over the observed vocabulary gives
+    ``logp(tok) = ln((count + 1) / (total + V))`` and the shared OOV floor
+    ``ln(1 / (total + V))``.
+  pass 2 (score): explode each doc's tokens, join the token table, average
+    the log-probabilities per document. ``avg_logprob`` near zero = typical
+    text; strongly negative = surprising text (the CCNet "tail").
+
+Plan shape: train is one shuffle (token hash-agg, partial-agg map-side) and
+the (total, V) scalars ride a 1-row broadcast cross-join — no driver round
+trip in the score plan. Scoring is one shuffle on the token join + one on
+the doc re-agg. The token table for a web corpus is ~10^6-10^8 word types —
+broadcastable at the low end; at the high end the join stays a shuffle join
+partitioned by token, which AQE handles. Everything is built-in Column
+arithmetic (ln/avg) — codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import WS_RE
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    return (
+        df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("__doc", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def train_unigram_lm(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token log-probability table: (tok, logp) with add-one smoothing.
+
+    One corpus scan; (total, V) come from an agg over the token counts and
+    join back as a broadcast 1-row cross-join, so the returned plan has no
+    collected scalars and composes lazily."""
+    counts = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vocab"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("cnt") + 1) / (F.col("__total") + F.col("__vocab"))).alias("logp"),
+        F.log(1 / (F.col("__total") + F.col("__vocab"))).alias("__oov"),
+    )
+
+
+def score_unigram_logprob(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """(id_col, n_tokens, avg_logprob): mean token log-probability per doc.
+
+    Tokens absent from ``lm`` score at the smoothed OOV floor (carried on
+    every lm row so no second scalar plumbing is needed). Set
+    ``broadcast_lm`` when the vocabulary fits an executor (the common case
+    below ~10^7 types) to turn the token join into a broadcast hash join.
+    """
+    lmj = F.broadcast(lm) if broadcast_lm else lm
+    toks = _doc_tokens(df, id_col, text_col)
+    # the OOV floor is the same on every lm row; reduce it to a 1-row
+    # broadcast so unmatched tokens can coalesce to it without a scalar
+    # collected on the driver
+    oov = lm.agg(F.min("__oov").alias("__oov"))
+    scored = (
+        toks.join(lmj.select("tok", "logp"), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.coalesce(F.col("logp"), F.col("__oov"))).alias("avg_logprob"),
+        )
+    )
+    return scored.select(F.col("__doc").alias(id_col), "n_tokens", "avg_logprob")

@@ -1,0 +1,46 @@
+"""Unigram-LM perplexity proxy (operators/langmodel.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_unigram_lm_exact_probabilities(spark):
+    from pdf_extractor_spark.operators.langmodel import score_unigram_logprob, train_unigram_lm
+
+    rows = [(1, "a a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_unigram_lm(df)
+    # counts: a=3, b=1, c=1; total=5, V=3 -> p(a)=4/8, p(b)=p(c)=2/8
+    got = {r.tok: r.logp for r in lm.collect()}
+    assert got["a"] == math.log(4 / 8)
+    assert got["b"] == math.log(2 / 8) == got["c"]
+
+    scored = {r.doc_id: r for r in score_unigram_logprob(df, lm).collect()}
+    assert scored[1].n_tokens == 3
+    want1 = (2 * math.log(4 / 8) + math.log(2 / 8)) / 3
+    assert abs(scored[1].avg_logprob - want1) < 1e-12
+
+
+def test_unigram_lm_oov_floor(spark):
+    from pdf_extractor_spark.operators.langmodel import score_unigram_logprob, train_unigram_lm
+
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    lm = train_unigram_lm(train)
+    # total=3, V=2 -> oov floor ln(1/5)
+    new = spark.createDataFrame([(9, "zz a")], "doc_id long, text string")
+    r = score_unigram_logprob(new, lm, broadcast_lm=True).collect()[0]
+    want = (math.log(1 / 5) + math.log((2 + 1) / 5)) / 2
+    assert r.doc_id == 9 and r.n_tokens == 2
+    assert abs(r.avg_logprob - want) < 1e-12
+
+
+def test_surprising_docs_score_lower(spark):
+    from pdf_extractor_spark.operators.langmodel import score_unigram_logprob, train_unigram_lm
+
+    common = [(i, "the cat sat on the mat") for i in range(20)]
+    weird = [(99, "zyzzyva qwerty plugh xyzzy")]
+    df = spark.createDataFrame(common + weird, "doc_id long, text string")
+    lm = train_unigram_lm(df)
+    s = {r.doc_id: r.avg_logprob for r in score_unigram_logprob(df, lm).collect()}
+    assert s[99] < s[0]
