@@ -863,7 +863,13 @@ def near_dup_clusters(
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct()
+    # truncate the INPUT plan once: edges is referenced by every round, and
+    # the pair-generation subtree (e.g. the whole MinHash pipeline) would
+    # otherwise be re-embedded — and re-analyzed by Catalyst — at each
+    # reference, which is where the old unbounded plan growth actually
+    # lived (a persist caches data but not the plan tree)
+    edges, edges_ckpt = _truncate_plan(edges)
     if method == "min_label":
         labels, converged, ckpt = _cc_min_label(edges, max_iter, checkpoint_every)
     elif method == "star":
@@ -878,9 +884,19 @@ def near_dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    out = labels.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
-    cached = [labels, edges] + ([ckpt] if ckpt is not None else [])
-    return _attach_caches(out, *cached)
+    # truncate the RESULT plan: convergence often lands between checkpoint
+    # rounds, leaving the last 1..checkpoint_every-1 rounds unrolled in the
+    # returned plan; one final (cheap — |nodes| rows, already materialized
+    # by the probe) truncation hands the caller a leaf no matter when the
+    # loop stopped. Everything upstream is then unreachable, so the loop's
+    # caches are freed here rather than deferred to release_caches().
+    final, final_ckpt = _truncate_plan(labels.select("node", "label"))
+    labels.unpersist()
+    edges_ckpt.unpersist()
+    if ckpt is not None:
+        ckpt.unpersist()
+    out = final.select(F.col("node"), F.col("label").alias("cluster")).orderBy("node")
+    return _attach_caches(out, final_ckpt)
 
 
 # --- corpus-wide paragraph dedup --------------------------------------------

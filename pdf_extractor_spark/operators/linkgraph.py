@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.core.links import harvest_links
-from pdf_extractor_spark.operators.dedup import _truncate_plan
+from pdf_extractor_spark.operators.dedup import _attach_caches, _truncate_plan
 
 LINKS_ARROW = pa.schema(
     [
@@ -183,6 +183,11 @@ def pagerank(
     if follow_only and "nofollow" in e.columns:
         e = e.filter(~F.col("nofollow"))
     e = e.select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst")).distinct()
+    # truncate the edge plan ONCE: every iteration references e, so without
+    # a leaf the upstream subtree (link harvest scan + distinct) is
+    # re-embedded and re-analyzed per round — same input-plan fix as
+    # near_dup_clusters
+    e, e_ckpt = _truncate_plan(e)
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -192,7 +197,8 @@ def pagerank(
     )
     n_nodes = nodes.count()  # bounded driver-side scalar (like CC's probe)
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        # the empty result still reads through nodes/e — defer the frees
+        return _attach_caches(nodes.withColumn("rank", F.lit(0.0)), nodes, e_ckpt)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
 
     base = (1.0 - damping) / n_nodes
@@ -214,7 +220,13 @@ def pagerank(
             if ckpt is not None:
                 ckpt.unpersist()
             ckpt = new_ckpt
-    out = ranks.select("node", "rank")
-    # caller-visible caches: nodes/outdeg stay pinned until the result is
-    # consumed; they are tiny (|nodes| rows) and session-scoped.
-    return out
+    # final truncation: iterations past the last checkpoint round stay
+    # unrolled otherwise; |nodes| rows, so the extra materialization is
+    # noise. Upstream caches are unreachable afterwards — free them now.
+    out, final_ckpt = _truncate_plan(ranks.select("node", "rank"))
+    nodes.unpersist()
+    outdeg.unpersist()
+    e_ckpt.unpersist()
+    if ckpt is not None:
+        ckpt.unpersist()
+    return _attach_caches(out, final_ckpt)
