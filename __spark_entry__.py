@@ -1226,6 +1226,73 @@ def q_pdf_flags(spark, sf_dir):
     return extract_docs(pages).select("url", "parse_status", "needs_ocr")
 
 
+def q_host_blocklist(spark, sf_dir):
+    """UT1/RefinedWeb-style host blocklist: blocking a domain must also drop
+    every SUBDOMAIN. The suffix test runs as domain-suffix explode + one
+    broadcast equi-join (operators/curate.py apply_host_blocklist) — never
+    the LIKE theta-join the oracle uses, which is quadratic at scale."""
+    from pdf_extractor_spark.operators.curate import apply_host_blocklist
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.lit("spam.example.com"))
+        .when(d % 6 == 1, F.lit("cdn.spam.example.com"))
+        .when(d % 6 == 2, F.lit("example.com"))
+        .when(d % 6 == 3, F.lit("notspam.example.com"))
+        .when(d % 6 == 4, F.concat(F.lit("ok"), (d % 3).cast("string"), F.lit(".org")))
+        .otherwise(F.lit("ads.tracker.net"))
+    )
+    withurl = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string")).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("spam.example.com",), ("tracker.net",)], ["domain"]
+    )
+    return apply_host_blocklist(withurl, bl).select("doc_id", "url")
+
+
+def q_latest_revision(spark, sf_dir):
+    """Crawl-recency dedup (dedup.keep_latest_revision): many crawls of one
+    page (url variants + re-crawl timestamps) collapse to the single latest
+    revision per canonical url — max_by struct agg, one shuffle, no window
+    sort. Timestamp ties break to the smallest raw url."""
+    from pdf_extractor_spark.operators.dedup import keep_latest_revision
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 10).cast("string"), F.lit(".com/page/"),
+        (d % 100).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=x"))
+        .when(d % 3 == 1, F.lit("#sec"))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + (d % 200)).alias("warc_ts"),
+    )
+    return keep_latest_revision(pages).select("doc_id", "url", "warc_ts")
+
+
+def q_mix_budget(spark, sf_dir):
+    """Token-budget mix sampling (functions/sampling.py budget_sample): fill
+    per-language token budgets in deterministic hash order — the step that
+    assembles a fixed-size training mix from an over-large curated pool.
+    One shuffle (window partitionBy stratum)."""
+    from pdf_extractor_spark.functions.sampling import budget_sample
+    from pdf_extractor_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("stratum"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = budget_sample(docs, {"en": 3000, "de": 1500}, seed=7)
+    return out.select("doc_id", F.col("stratum").alias("lang"), "n_tokens")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1294,6 +1361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
         "canonical_urls": q_canonical_urls,
+        "host_blocklist": q_host_blocklist,
+        "latest_revision": q_latest_revision,
+        "mix_budget": q_mix_budget,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -2223,6 +2293,43 @@ SELECT doc_id, url,
        head || path || (CASE WHEN len(params) > 0
                              THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
 FROM s""",
+        # host blocklist: the oracle may use the quadratic LIKE form (test
+        # scale); the Spark side must NOT (suffix-explode equi-join)
+        "host_blocklist": """
+WITH d AS (SELECT doc_id,
+  CASE doc_id % 6 WHEN 0 THEN 'spam.example.com' WHEN 1 THEN 'cdn.spam.example.com'
+       WHEN 2 THEN 'example.com' WHEN 3 THEN 'notspam.example.com'
+       WHEN 4 THEN 'ok' || (doc_id % 3)::VARCHAR || '.org'
+       ELSE 'ads.tracker.net' END AS host FROM documents),
+u AS (SELECT doc_id, 'https://' || host || '/p/' || doc_id::VARCHAR AS url, host FROM d),
+bl AS (SELECT unnest(['spam.example.com', 'tracker.net']) AS dom)
+SELECT doc_id, url FROM u
+WHERE NOT EXISTS (SELECT 1 FROM bl WHERE u.host = bl.dom OR u.host LIKE '%.' || bl.dom)""",
+        # latest-revision: canonical key collapses the utm/fragment variants
+        # (synthesized, so the oracle states the collapsed key directly);
+        # winner = max warc_ts, ties to the smallest raw url
+        "latest_revision": """
+WITH d AS (SELECT doc_id,
+  'https://site' || (doc_id % 10)::VARCHAR || '.com/page/' || (doc_id % 100)::VARCHAR
+  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x'
+           WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END) AS url,
+  make_timestamp((1704067200 + doc_id % 200) * 1000000) AS warc_ts,
+  'https://site' || (doc_id % 10)::VARCHAR || '.com/page/' || (doc_id % 100)::VARCHAR AS canon
+ FROM documents)
+SELECT doc_id, url, warc_ts FROM d
+QUALIFY row_number() OVER (PARTITION BY canon ORDER BY warc_ts DESC, url ASC) = 1""",
+        # mix sampling: running token sum per language in (md5-uniform, id)
+        # order, kept while within budget — same uniform spec as hash_sample
+        "mix_budget": r"""
+WITH t AS (SELECT doc_id, lang,
+  (CASE WHEN trim(text) = '' THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+  ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS uval
+ FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  sum(n_tokens) OVER (PARTITION BY lang ORDER BY uval, doc_id) AS cum FROM t)
+SELECT doc_id, lang, n_tokens FROM c
+WHERE cum <= (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 0 END)""",
         # link-graph family: same page fixture as _linked_pages; the oracle
         # reconstructs the 8 anchors per doc row-wise (no HTML parse)
         "extract_links": f"""

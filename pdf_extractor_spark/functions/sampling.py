@@ -69,3 +69,46 @@ def assign_split(id_col: Column, weights: dict[str, float], seed: int = 0) -> Co
         expr = F.when(u < threshold, F.lit(name)).otherwise(expr)
     # thresholds are checked smallest-first by the nested whens above
     return expr
+
+
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "stratum",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget mix sampling: keep docs per stratum, in deterministic
+    hash order, until the stratum's token budget is filled (the "sample N
+    tokens of each language/quality bucket" step that assembles a training
+    mix from an over-large curated pool).
+
+    A doc is kept while the RUNNING token total up to and INCLUDING it stays
+    within budget, so the mix slightly undershoots rather than overshoots.
+    Strata absent from ``budgets`` contribute nothing. Hash order makes the
+    result a pure function of (ids, budgets, seed) — independent of
+    partitioning and of any upstream sort.
+
+    Scale shape: one shuffle (the window partitionBy stratum). Stratum
+    cardinality is small (languages x buckets), so per-stratum cumsum skew
+    is real at 10^12 docs — but the window never materializes more than its
+    running sum, and a budget in tokens bounds how much of each stratum
+    anyone keeps. For extreme pools, pre-filter with hash_sample to an
+    expected few-x the budget first; determinism composes (same hash).
+    """
+    from pyspark.sql import Window
+
+    budget_map = F.create_map(
+        *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(sample_uniform(F.col(id_col), seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        .filter(F.col("__cum") <= F.coalesce(budget_map[F.col(stratum_col)], F.lit(0)))
+        .drop("__cum")
+    )

@@ -61,3 +61,29 @@ def canonical_url(url: Column) -> Column:
 
 def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url"):
     return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased registered host of ``url`` (userinfo and port stripped) —
+    the join key for host-level curation (blocklists, quotas, degrees)."""
+    auth = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(auth, "^.*@", "")  # drop userinfo
+    host = F.regexp_replace(host, ":\\d+$", "")  # drop port
+    return F.lower(host)
+
+
+def domain_suffixes(host: Column, max_labels: int = 10) -> Column:
+    """All dot-suffix domains of ``host`` as an array: ``a.b.example.com`` →
+    [a.b.example.com, b.example.com, example.com, com].
+
+    The scale primitive behind subdomain blocklist matching: exploding these
+    (bounded by the label count, capped at ``max_labels``) turns "host is
+    blocked-domain or a subdomain of one" — a LIKE theta-join that would go
+    quadratic on 10^12 rows — into a plain equi-join the planner can
+    broadcast or shuffle-partition. Pure Column exprs (codegen)."""
+    labels = F.slice(F.split(host, r"\."), 1, max_labels)
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )

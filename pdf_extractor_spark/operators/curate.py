@@ -98,3 +98,36 @@ def curate_corpus_full(
         scrub_pii(t).alias("clean_text"),
     )
     return dedup_exact(kept, text_col="clean_text", order_col=id_col)
+
+
+def apply_host_blocklist(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_labels: int = 10,
+) -> DataFrame:
+    """Drop docs whose url host IS a blocked domain or any SUBDOMAIN of one
+    (UT1/RefinedWeb-style curation: blocking ``example.com`` must also drop
+    ``cdn.a.example.com``).
+
+    Scale shape: the suffix test is NOT a LIKE theta-join (quadratic at
+    10^12 x 10^6). Each doc's host explodes into its dot-suffixes (bounded
+    by the label count, <= ``max_labels`` rows per doc), which left-anti
+    equi-join the blocklist on the exact domain string — broadcast when the
+    blocklist is small (the common case), shuffle-partitioned otherwise,
+    either way linear. Docs surviving every suffix survive the filter.
+    """
+    from pdf_extractor_spark.functions.urls import domain_suffixes, url_host
+
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("__blocked")).distinct()
+    suffixes = docs.select(
+        F.col(url_col).alias("__u"),
+        F.explode(domain_suffixes(url_host(F.col(url_col)), max_labels)).alias("__sfx"),
+    )
+    hit = (
+        suffixes.join(F.broadcast(bl), suffixes["__sfx"] == bl["__blocked"], "inner")
+        .select(F.col("__u").alias("__hit_u"))
+        .distinct()
+    )
+    return docs.join(hit, docs[url_col] == hit["__hit_u"], "left_anti")

@@ -116,6 +116,54 @@ def dedup_exact(df: DataFrame, text_col: str = "text", order_col: str = "doc_id"
     )
 
 
+
+def keep_latest_revision(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Crawl-recency dedup: one row per canonical url — the LATEST revision
+    (max ``ts_col``; among equal timestamps the lexicographically smallest
+    raw url wins, so re-crawled variants of one page collapse
+    deterministically). The step between "many crawls of the web" and "one
+    snapshot of the web" that runs before content-level dedup.
+
+    Same single hash-agg shape as dedup_exact — max_by over a struct keyed
+    (ts, reversed-url) avoids a window sort entirely; one shuffle on the
+    canonical url."""
+    from pdf_extractor_spark.functions.urls import canonical_url
+
+    key = canonical_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    return (
+        pages.withColumn("__k", key)
+        .withColumn("__inv", _invert_order(F.col(url_col)))
+        .groupBy("__k")
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in pages.columns]),
+                F.struct(F.col(ts_col), F.col("__inv")),
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
+def _invert_order(col):
+    """Order-reversing string transform: hex-encode, complement each hex
+    digit, and append a terminator that outsorts every hex char — max_by
+    over it picks the lexicographically SMALLEST original, letting one
+    aggregate express (max ts, then min url) without a second shuffle or a
+    window sort. The terminator handles prefix pairs ("a" vs "ab": the
+    shorter must win the inverted comparison). Pure codegen exprs."""
+    inv = F.translate(
+        F.lower(F.hex(col.cast("binary"))),
+        "0123456789abcdef",
+        "fedcba9876543210",
+    )
+    return F.concat(inv, F.lit("g"))
+
+
 # --- per-document signature core (pure Python, runs in Arrow workers) ------
 #
 # Signatures are per-document CPU work, so per BASELINE.json input_hint they

@@ -1,0 +1,78 @@
+"""Host blocklists, crawl-recency dedup, token-budget mix sampling."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.sampling import budget_sample
+from pdf_extractor_spark.functions.urls import domain_suffixes, url_host
+from pdf_extractor_spark.operators.curate import apply_host_blocklist
+from pdf_extractor_spark.operators.dedup import keep_latest_revision
+
+
+def test_url_host_and_suffixes(spark):
+    df = spark.createDataFrame(
+        [("https://User:pw@CDN.A.Example.COM:8443/x?q=1#f",)], ["url"]
+    ).select(
+        url_host(F.col("url")).alias("host"),
+        domain_suffixes(url_host(F.col("url"))).alias("sfx"),
+    )
+    row = df.collect()[0]
+    assert row["host"] == "cdn.a.example.com"
+    assert row["sfx"] == [
+        "cdn.a.example.com", "a.example.com", "example.com", "com",
+    ]
+
+
+def test_host_blocklist_drops_subdomains(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "https://cdn.spam.example.com/b"),      # subdomain of blocked
+            (3, "https://example.com/c"),               # parent NOT blocked
+            (4, "https://notspam.example.com/d"),       # sibling, not blocked
+            (5, "https://ok.org/e"),
+            (6, "http://BLOCKED.org/f"),                # case-insensitive
+        ],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("spam.example.com",), ("Blocked.ORG",)], ["domain"])
+    kept = sorted(r["doc_id"] for r in apply_host_blocklist(docs, bl).collect())
+    assert kept == [3, 4, 5]
+
+
+def test_keep_latest_revision_picks_max_ts_and_min_url_tie(spark):
+    t = datetime.datetime
+    rows = [
+        # one page, three crawls + a tracking-param variant: latest ts wins
+        ("http://a.com/p?utm_source=x", t(2024, 1, 1), "old"),
+        ("http://a.com/p", t(2024, 3, 1), "new"),
+        ("http://A.COM/p", t(2024, 2, 1), "mid"),
+        # tie on ts: lexicographically smallest RAW url wins ("http://b.com/q" < "http://b.com/q?a=1"... both canonicalize together)
+        ("http://b.com/q?a=1", t(2024, 1, 1), "tie-long"),
+        ("http://b.com/q?a=1&utm_x=1", t(2024, 1, 1), "tie-longer"),
+        ("http://c.com/solo", t(2024, 1, 1), "solo"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    out = {r["text"] for r in keep_latest_revision(pages).collect()}
+    assert out == {"new", "tie-long", "solo"}
+
+
+def test_budget_sample_fills_per_stratum_budgets(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum", "n_tokens"])
+    out = budget_sample(df, {"en": 55, "fr": 30}).collect()
+    en = [r for r in out if r["stratum"] == "en"]
+    fr = [r for r in out if r["stratum"] == "fr"]
+    # 10-token docs: floor(55/10)=5 en docs, 3 fr docs; never overshoot
+    assert len(en) == 5 and len(fr) == 3
+    # deterministic: same call returns the same ids regardless of input order
+    out2 = budget_sample(
+        df.orderBy(F.col("doc_id").desc()), {"en": 55, "fr": 30}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_budget_sample_unlisted_stratum_dropped(spark):
+    df = spark.createDataFrame([(1, "de", 5)], ["doc_id", "stratum", "n_tokens"])
+    assert budget_sample(df, {"en": 100}).count() == 0
