@@ -436,8 +436,10 @@ def winnow_similar_pairs(
     ``max_bucket`` drops fingerprints shared by more than that many docs
     before the pair join (same guard as minhash_candidates): one boilerplate
     fingerprint shared by 10^6 docs would otherwise make the candidate join
-    quadratic. True duplicates dropped here still pair through their other,
-    rarer fingerprints (or through dedup_exact at linear cost).
+    quadratic. True duplicates dropped here typically still pair through
+    their other, rarer fingerprints (recall < 1 only when a pair shares
+    NOTHING but capped fingerprints; exact copies always fall to
+    dedup_exact at linear cost).
     """
     fps = winnow_fingerprints(df, text_col, id_col).persist()
     inv = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
