@@ -540,30 +540,38 @@ def hamming64(hi_a, lo_a, hi_b, lo_b):
 
 def _simhash_block_exprs(max_hamming: int):
     """(blk, blk_val) structs: the 64-bit signature split into
-    (max_hamming+1) equal blocks — any pair within distance d shares at
-    least one exact block (pigeonhole). Blocks are carved from the halves so
-    every value stays in int32 range."""
+    (max_hamming+1) contiguous blocks — any pair within distance d shares at
+    least one exact block (pigeonhole). Widths may be uneven (the first
+    64 % (d+1) blocks get one extra bit); a block spanning the lo/hi int32
+    half boundary combines bits from both halves, so every max_hamming in
+    [0, 63] works. For the even widths (d in {1, 3, 7, 15, 31}) the emitted
+    expressions — and therefore the SQL oracle twins — are unchanged."""
     nblocks = max_hamming + 1
-    width = SIMHASH_BITS // nblocks
-    # explicit raise, not assert: under `python -O` a stripped assert would
-    # silently emit duplicate/incomplete blocks and miss near-dup pairs
-    if not (width <= _HALF_BITS and _HALF_BITS % width == 0 and SIMHASH_BITS % nblocks == 0):
+    if not 1 <= nblocks <= SIMHASH_BITS:
         raise ValueError(
-            f"max_hamming={max_hamming} unsupported: {SIMHASH_BITS}/(d+1) must "
-            f"divide {_HALF_BITS} so blocks carve evenly from the int32 halves "
-            "(supported: 1, 3, 7, 15, 31)"
+            f"max_hamming={max_hamming} unsupported: need 0 <= max_hamming < {SIMHASH_BITS}"
         )
-    per_half = _HALF_BITS // width
+    base, rem = divmod(SIMHASH_BITS, nblocks)
+    lo, hi = F.col("simhash_lo"), F.col("simhash_hi")
     out = []
+    start = 0
     for i in range(nblocks):
-        half = F.col("simhash_lo") if i < per_half else F.col("simhash_hi")
-        shift = (i % per_half) * width
-        out.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(half, shift).bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
-            )
-        )
+        w = base + (1 if i < rem else 0)
+        end = start + w
+        if end <= _HALF_BITS:
+            val = F.shiftright(lo, start).bitwiseAND(F.lit((1 << w) - 1))
+        elif start >= _HALF_BITS:
+            val = F.shiftright(hi, start - _HALF_BITS).bitwiseAND(F.lit((1 << w) - 1))
+        else:
+            # spans the halves: low bits from lo, the rest from hi shifted up
+            # (sign-extension is masked off both parts; w <= 22 here, so the
+            # combined value stays far inside int32)
+            lo_len = _HALF_BITS - start
+            lo_part = F.shiftright(lo, start).bitwiseAND(F.lit((1 << lo_len) - 1))
+            hi_part = hi.bitwiseAND(F.lit((1 << (end - _HALF_BITS)) - 1))
+            val = lo_part.bitwiseOR(F.shiftleft(hi_part, lo_len))
+        out.append(F.struct(F.lit(i).alias("blk"), val.alias("blk_val")))
+        start = end
     return out
 
 

@@ -269,11 +269,57 @@ def test_near_dup_clusters_warns_on_max_iter(spark):
     DD.release_caches(out)
 
 
-def test_simhash_unsupported_max_hamming_raises(near_dup_df):
-    """Block widths that don't carve evenly must fail loudly (was a bare
-    assert — stripped under python -O, silently losing near-dup pairs)."""
-    with pytest.raises(ValueError, match="max_hamming=2"):
-        DD.simhash_near_duplicates(near_dup_df, max_hamming=2)
+def test_simhash_out_of_range_max_hamming_raises(near_dup_df):
+    """Out-of-range distances must fail loudly, not emit broken blocks."""
+    with pytest.raises(ValueError, match="max_hamming=64"):
+        DD.simhash_near_duplicates(near_dup_df, max_hamming=64)
+
+
+def test_simhash_uneven_blocks_cover_all_64_bits(spark):
+    """max_hamming values whose block widths don't carve evenly (e.g. 2 ->
+    22/21/21 bits, middle block spanning the int32 halves) must still
+    partition ALL 64 bits: two signatures differing in <= max_hamming bits
+    share at least one exact block (pigeonhole), and any single-bit flip
+    changes exactly one block's value."""
+    import pyspark.sql.functions as F
+
+    def halves(sig):
+        lo = sig & 0xFFFFFFFF
+        hi = (sig >> 32) & 0xFFFFFFFF
+        # stored as signed int32 halves (simhash_df contract)
+        return (lo - (1 << 32) if lo >= 1 << 31 else lo,
+                hi - (1 << 32) if hi >= 1 << 31 else hi)
+
+    def signed64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    base_sig = 0xDEADBEEFCAFEF00D
+    rows, ids = [], []
+    for flip_a in range(0, 64, 7):
+        for flip_b in range(0, 64, 11):
+            sig = base_sig ^ (1 << flip_a) ^ (1 << flip_b)
+            rows.append(halves(sig))
+            ids.append(signed64(sig))
+    df = spark.createDataFrame(
+        [(i,) + r for i, r in zip(ids, rows)],
+        "sig long, simhash_lo int, simhash_hi int",
+    )
+    for d in (2, 4, 5):
+        blocks = df.select(
+            "sig", F.explode(F.array(*DD._simhash_block_exprs(d))).alias("b")
+        ).collect()
+        by_sig = {}
+        for r in blocks:
+            by_sig.setdefault(r["sig"], []).append((r["b"]["blk"], r["b"]["blk_val"]))
+        base = dict(by_sig[signed64(base_sig)])  # flip 0 twice = base row
+        for sig, blks in by_sig.items():
+            ham = bin((sig & 0xFFFFFFFFFFFFFFFF) ^ base_sig).count("1")
+            shared = sum(1 for blk, v in blks if base.get(blk) == v)
+            differing = (d + 1) - shared
+            # each flipped bit lands in exactly one block
+            assert differing <= ham, (sig, ham, differing)
+            if ham <= d:
+                assert shared >= 1, f"pigeonhole violated at d={d}, ham={ham}"
 
 
 def test_paragraph_dedup_drops_corpus_boilerplate(spark):
