@@ -1293,6 +1293,73 @@ def q_mix_budget(spark, sf_dir):
     return out.select("doc_id", F.col("stratum").alias("lang"), "n_tokens")
 
 
+def q_meta_robots(spark, sf_dir):
+    """In-page crawl directives (functions/htmlmeta.py): robots-meta
+    noindex/nofollow flags and rel=canonical href, both attribute orders and
+    all three HTML value quoting forms — pure regexp Column exprs on the
+    scan. The gate a crawl corpus applies before content ever reaches
+    curation."""
+    from pdf_extractor_spark.functions.htmlmeta import (
+        canonical_link, robots_content, robots_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 4 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 4 == 1, F.lit("<meta content=nofollow name=robots>"))
+        .when(d % 4 == 2, F.lit("<meta content='none' name='robots'>"))
+        .otherwise(F.lit('<meta name="viewport" content="width=device-width">')),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://canon.ex/p/'),
+                     (d % 50).cast("string"), F.lit('">')),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("<link href=https://canon.ex/q/"),
+                     (d % 50).cast("string"), F.lit(" rel=canonical>")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    withhtml = docs.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    return withhtml.select(
+        "doc_id",
+        robots_content(h).alias("robots"),
+        *robots_flags(h),
+        canonical_link(h).alias("canonical"),
+    )
+
+
+def q_gopher_filters(spark, sf_dir):
+    """Gopher-rule quality gates (functions/text.py): duplicate-line
+    fraction, alphabetic/symbol word fractions, and the composed keep
+    decision — all codegen Column exprs, one scan."""
+    from pdf_extractor_spark.functions.text import (
+        alpha_word_fraction, dup_line_fraction, gopher_keep,
+        symbol_word_fraction,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    spam_line = "repeated spam line for the duplicate gate"
+    t = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit(("\n" + spam_line) * 5)).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" ### ### ### ### ### ### ### ###")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(dup_line_fraction(t), 4).alias("dup_line_frac"),
+        F.round(alpha_word_fraction(t), 4).alias("alpha_frac"),
+        F.round(symbol_word_fraction(t), 4).alias("symbol_frac"),
+        gopher_keep(t).alias("keep"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1364,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "latest_revision": q_latest_revision,
         "mix_budget": q_mix_budget,
+        "meta_robots": q_meta_robots,
+        "gopher_filters": q_gopher_filters,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -1902,6 +1971,80 @@ def _sql_pagerank(iterations: int = 5) -> str:
     )
 
 
+def _sql_meta_robots() -> str:
+    """Oracle twin of q_meta_robots: the SAME 12 patterns (generated from
+    functions/htmlmeta.py so they cannot drift), coalesced in the same
+    priority order; directive flags are token matches in the list."""
+    from pdf_extractor_spark.functions.htmlmeta import _attr_pair_patterns
+
+    def first_match(patterns):
+        parts = [
+            "nullif(regexp_extract(html, '%s', 1), '')" % p.replace("'", "''")
+            for p in patterns
+        ]
+        return "coalesce(" + ", ".join(parts) + ", '')"
+
+    robots = first_match(_attr_pair_patterns("meta", "name", "robots", "content"))
+    canon = first_match(_attr_pair_patterns("link", "rel", "canonical", "href"))
+    tok = lambda d: r"regexp_matches(robots, '(^|,)\s*" + d + r"\s*(,|$)')"  # noqa: E731
+    return f"""
+WITH d AS (SELECT doc_id,
+  '<html><head>'
+  || (CASE doc_id % 4
+      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+      WHEN 1 THEN '<meta content=nofollow name=robots>'
+      WHEN 2 THEN '<meta content=''none'' name=''robots''>'
+      ELSE '<meta name="viewport" content="width=device-width">' END)
+  || (CASE doc_id % 3
+      WHEN 0 THEN '<link rel="canonical" href="https://canon.ex/p/' || (doc_id % 50)::VARCHAR || '">'
+      WHEN 1 THEN '<link href=https://canon.ex/q/' || (doc_id % 50)::VARCHAR || ' rel=canonical>'
+      ELSE '' END)
+  || '</head><body>x</body></html>' AS html
+ FROM documents),
+r AS (SELECT doc_id, html, lower({robots}) AS robots, {canon} AS canonical FROM d)
+SELECT doc_id, robots,
+       ({tok("noindex")} OR {tok("none")}) AS noindex,
+       ({tok("nofollow")} OR {tok("none")}) AS nofollow,
+       canonical
+FROM r"""
+
+
+def _sql_gopher_filters() -> str:
+    """Oracle twin of q_gopher_filters: same fixture, same rule arithmetic
+    (dup lines over non-empty split lines; alpha/symbol token fractions;
+    the composed keep over all six gates incl. the line-shape ratios)."""
+    spam = "repeated spam line for the duplicate gate"
+    return rf"""
+WITH u AS (SELECT doc_id, text
+  || (CASE WHEN doc_id % 4 = 0 THEN repeat(chr(10) || '{spam}', 5) ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN ' ### ### ### ### ### ### ### ###' ELSE '' END)
+  AS text FROM documents),
+l AS (SELECT doc_id, text,
+  list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+  (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks,
+  len(regexp_split_to_array(text, chr(10))) AS n_all_lines
+ FROM u),
+s AS (SELECT doc_id, text, n_all_lines,
+  CASE WHEN len(lines) = 0 THEN 0.0
+       ELSE (len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE END AS dupf,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks)::DOUBLE END AS alphaf,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, x -> regexp_matches(x, '^(#+|\.{{3,}})$'))) / len(toks)::DOUBLE END AS symf,
+  len(toks) AS n_toks,
+  CASE WHEN n_all_lines = 0 THEN 0.0
+       ELSE len(regexp_extract_all(text, '(?m)^\s*[-*•]')) / n_all_lines::DOUBLE END AS bulletf,
+  CASE WHEN n_all_lines = 0 THEN 0.0
+       ELSE len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) / n_all_lines::DOUBLE END AS ellipf
+ FROM l)
+SELECT doc_id, round(dupf, 4) AS dup_line_frac, round(alphaf, 4) AS alpha_frac,
+       round(symf, 4) AS symbol_frac,
+       (n_toks >= 50 AND n_toks <= 100000 AND dupf <= 0.30 AND alphaf >= 0.80
+        AND symf <= 0.10 AND bulletf <= 0.90 AND ellipf <= 0.30) AS keep
+FROM s"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": (
@@ -2330,6 +2473,8 @@ c AS (SELECT doc_id, lang, n_tokens,
   sum(n_tokens) OVER (PARTITION BY lang ORDER BY uval, doc_id) AS cum FROM t)
 SELECT doc_id, lang, n_tokens FROM c
 WHERE cum <= (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 0 END)""",
+        "meta_robots": _sql_meta_robots(),
+        "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle
         # reconstructs the 8 anchors per doc row-wise (no HTML parse)
         "extract_links": f"""

@@ -1,0 +1,78 @@
+"""Crawl-directive metadata from raw HTML — pure Column exprs (codegen).
+
+A Common-Crawl curation pipeline must respect in-page indexing directives
+before a document ever reaches training: ``<meta name="robots"
+content="noindex">`` pages were published with an explicit "do not index"
+(the corpus-side analog of robots.txt, which lives off-page), and ``<link
+rel="canonical">`` declares which url the content belongs to — the
+publisher-asserted complement of functions/urls.py's syntactic
+canonicalization. The reference ingests only user uploads and has no notion
+of directives; at 10^12 crawled pages they gate real volume.
+
+Value spec: both attribute orders are accepted (name before content and
+the reverse); values may be double-quoted, single-quoted, or an unquoted
+token (the three forms HTML allows — an unquoted value cannot contain
+whitespace or quotes, so each form is one clean single-group regex). With
+MULTIPLE directive tags in one page the first match of the
+highest-priority form wins (name-first dquoted > squoted > unquoted >
+the content-first forms) — deterministic, and identical in the oracle. Patterns are restricted to the Java-regex ∩ RE2
+subset so the DuckDB oracle twins compile identically (same discipline as
+functions/pii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _attr_pair_patterns(tag: str, key_attr: str, key_val: str, want: str) -> list[str]:
+    """Single-group patterns extracting ``want``'s value from a ``tag`` that
+    also carries ``key_attr=key_val`` — both attribute orders x the three
+    HTML value forms (dquoted / squoted / unquoted token)."""
+    key = key_attr + r"\s*=\s*[\"']?" + key_val + r"\b[\"']?"
+    vals = [
+        want + r"\s*=\s*\"([^\"]*)\"",
+        want + r"\s*=\s*'([^']*)'",
+        want + r"\s*=\s*([^\s\"'>]+)",
+    ]
+    head = r"(?i)<" + tag + r"\b[^>]*"
+    mid = r"[^>]*"
+    return [head + key + mid + v for v in vals] + [head + v + mid + key for v in vals]
+
+
+def _first_match(html: Column, patterns: list[str]) -> Column:
+    out = F.lit("")
+    for p in reversed(patterns):
+        hit = F.regexp_extract(html, p, 1)
+        out = F.when(hit != "", hit).otherwise(out)
+    return out
+
+
+_ROBOTS = _attr_pair_patterns("meta", "name", "robots", "content")
+_CANON = _attr_pair_patterns("link", "rel", "canonical", "href")
+
+
+def robots_content(html: Column) -> Column:
+    """Lowercased content of the first robots meta tag ('' when absent)."""
+    return F.lower(_first_match(html, _ROBOTS))
+
+
+def _has_directive(content: Column, directive: str) -> Column:
+    # token match inside the comma-separated list, whitespace-tolerant
+    return content.rlike(r"(^|,)\s*" + directive + r"\s*(,|$)")
+
+
+def robots_flags(html: Column) -> list[Column]:
+    """[noindex, nofollow] boolean columns ('none' implies both, per spec)."""
+    c = robots_content(html)
+    none = _has_directive(c, "none")
+    return [
+        (_has_directive(c, "noindex") | none).alias("noindex"),
+        (_has_directive(c, "nofollow") | none).alias("nofollow"),
+    ]
+
+
+def canonical_link(html: Column) -> Column:
+    """href of the first rel=canonical link ('' when absent)."""
+    return _first_match(html, _CANON)

@@ -264,3 +264,59 @@ def c4_page_keep(
     for w in bad_words:
         keep = keep & ~low.contains(w)
     return keep & (sentence_count(clean) >= min_sentences)
+
+
+# --- Gopher repetition/shape rules (Rae et al. 2021, public) ----------------
+#
+# The remaining Gopher signals not already covered above (repetition_ratio =
+# repeated 3-grams; bullet/ellipsis line ratios; mean_line_len): duplicate
+# whole lines inside one document, words that are pure symbols, and words
+# with no alphabetic character. All pure Column exprs — codegen, scan-only.
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line verbatim."""
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    )
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of whitespace tokens containing >= 1 ASCII letter (Gopher
+    keeps docs with >= 0.8)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n.cast("double"))
+
+
+def symbol_word_fraction(text: Column) -> Column:
+    """Fraction of tokens that are hash/ellipsis symbol runs (Gopher drops
+    docs above 0.1)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    sym = F.size(F.filter(toks, lambda t: t.rlike(r"^(#+|\.{3,})$")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(sym / n.cast("double"))
+
+
+def gopher_keep(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_dup_line: float = 0.30,
+    min_alpha: float = 0.80,
+    max_symbol: float = 0.10,
+    max_bullet: float = 0.90,
+    max_ellipsis: float = 0.30,
+) -> Column:
+    """The composed Gopher keep-decision over this module's signals."""
+    n = token_count(text)
+    return (
+        (n >= min_tokens) & (n <= max_tokens)
+        & (dup_line_fraction(text) <= max_dup_line)
+        & (alpha_word_fraction(text) >= min_alpha)
+        & (symbol_word_fraction(text) <= max_symbol)
+        & (bullet_line_ratio(text) <= max_bullet)
+        & (ellipsis_line_ratio(text) <= max_ellipsis)
+    )

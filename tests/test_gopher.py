@@ -1,0 +1,44 @@
+"""Gopher repetition/shape rules (functions/text.py additions)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import (
+    alpha_word_fraction,
+    dup_line_fraction,
+    gopher_keep,
+    symbol_word_fraction,
+)
+
+
+def _vals(spark, text):
+    return spark.createDataFrame([(text,)], ["text"]).select(
+        F.round(dup_line_fraction(F.col("text")), 4).alias("dup"),
+        F.round(alpha_word_fraction(F.col("text")), 4).alias("alpha"),
+        F.round(symbol_word_fraction(F.col("text")), 4).alias("sym"),
+        gopher_keep(F.col("text"), min_tokens=3).alias("keep"),
+    ).collect()[0]
+
+
+def test_dup_line_fraction_counts_repeats_not_blanks(spark):
+    r = _vals(spark, "same line here\n\nsame line here\nother line text\n\n")
+    # 3 non-empty lines, 1 repeat
+    assert r["dup"] == round(1 / 3, 4)
+
+
+def test_alpha_and_symbol_fractions(spark):
+    r = _vals(spark, "good words ### ... 123 #")
+    # tokens: good, words, ###, ..., 123, '#' -> alpha 2/6; symbols: ###, # = 2/6
+    # ('...' is only a symbol-run at >= 3 dots: it is -> 3/6)
+    assert r["alpha"] == round(2 / 6, 4)
+    assert r["sym"] == round(3 / 6, 4)
+
+
+def test_gopher_keep_composes(spark):
+    good = "This is a perfectly reasonable paragraph of english text with words."
+    assert _vals(spark, good)["keep"] is True
+    # symbol-heavy page fails the symbol gate
+    bad = "words # # # # # # # # # # # # # # # # # # # #"
+    assert _vals(spark, bad)["keep"] is False
+    # duplicate-line spam fails the dup-line gate
+    spam = "\n".join(["buy this thing now today"] * 10 + ["one other line here"])
+    assert _vals(spark, spam)["keep"] is False

@@ -1,0 +1,46 @@
+"""robots-meta and canonical-link extraction (functions/htmlmeta.py)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.htmlmeta import (
+    canonical_link,
+    robots_content,
+    robots_flags,
+)
+
+
+def _one(spark, html):
+    df = spark.createDataFrame([(html,)], ["html"]).select(
+        robots_content(F.col("html")).alias("robots"),
+        *robots_flags(F.col("html")),
+        canonical_link(F.col("html")).alias("canonical"),
+    )
+    return df.collect()[0]
+
+
+def test_robots_both_orders_and_quote_forms(spark):
+    r = _one(spark, '<meta name="robots" content="NOINDEX, nofollow">')
+    assert r["robots"] == "noindex, nofollow" and r["noindex"] and r["nofollow"]
+    r = _one(spark, "<meta content=nofollow name=robots>")
+    assert r["robots"] == "nofollow" and not r["noindex"] and r["nofollow"]
+    r = _one(spark, "<meta content='none' name='robots'>")
+    assert r["noindex"] and r["nofollow"]
+    r = _one(spark, "<META NAME=ROBOTS CONTENT=NOINDEX>")
+    assert r["robots"] == "noindex" and r["noindex"] and not r["nofollow"]
+
+
+def test_robots_absent_or_other_meta(spark):
+    r = _one(spark, '<meta name="viewport" content="width=device-width">')
+    assert r["robots"] == "" and not r["noindex"] and not r["nofollow"]
+    # 'noindexing' must not token-match 'noindex'
+    r = _one(spark, '<meta name="robots" content="noindexing">')
+    assert not r["noindex"]
+
+
+def test_canonical_link_forms(spark):
+    r = _one(spark, '<link rel="canonical" href="https://ex.com/a">')
+    assert r["canonical"] == "https://ex.com/a"
+    r = _one(spark, "<link href=https://ex.com/b rel=canonical><p>x</p>")
+    assert r["canonical"] == "https://ex.com/b"
+    r = _one(spark, '<link rel="stylesheet" href="https://ex.com/c.css">')
+    assert r["canonical"] == ""
