@@ -1360,6 +1360,16 @@ def q_gopher_filters(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/bm25.py): inverted-index relations
+    built in one corpus scan, query terms broadcast-join the postings,
+    Okapi scoring (k1=1.2, b=0.75), top-k by (score desc, doc_id)."""
+    from pdf_extractor_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, "vector join merge", k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1433,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_budget": q_mix_budget,
         "meta_robots": q_meta_robots,
         "gopher_filters": q_gopher_filters,
+        "bm25_topk": q_bm25_topk,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -2473,6 +2484,23 @@ c AS (SELECT doc_id, lang, n_tokens,
   sum(n_tokens) OVER (PARTITION BY lang ORDER BY uval, doc_id) AS cum FROM t)
 SELECT doc_id, lang, n_tokens FROM c
 WHERE cum <= (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 0 END)""",
+        # BM25: same index relations and Okapi arithmetic; N = docs with
+        # >= 1 token; ties at the cut broken by doc_id ascending
+        "bm25_topk": r"""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT unnest(['join', 'merge', 'vector']) AS term),
+hit AS (SELECT tf.doc_id, tf.tf, dfx.df FROM tf JOIN dfx USING (term) JOIN q USING (term)),
+sc AS (SELECT h.doc_id,
+        ln(1 + (st.n - h.df + 0.5) / (h.df + 0.5))
+        * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS part
+       FROM hit h JOIN dl ON h.doc_id = dl.doc_id, st)
+SELECT doc_id, round(sum(part), 4) AS score FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 5""",
         "meta_robots": _sql_meta_robots(),
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle

@@ -1,0 +1,96 @@
+"""BM25 lexical retrieval — the keyword-search complement to the vector side.
+
+The reference's retrieval surface is embedding-only (Qdrant cosine top-k,
+reference: app/vector_db/vector_service.py:137-175). Production retrieval
+over a crawl corpus is hybrid: a lexical BM25 ranker over an inverted-index
+shape plus the dense ANN path (operators/search.py). This module supplies
+the lexical half as plain relational algebra:
+
+    index:  docs → (doc, term, tf) hash-agg        (shuffle on doc+term)
+            + per-term df hash-agg                 (shuffle on term)
+            + per-doc length and corpus avgdl      (reuses the tf agg)
+    query:  query terms (a handful) broadcast-join the postings; one
+            per-doc sum-agg ranks; TakeOrderedAndProject emits top-k.
+
+Scale notes (10^12 docs): the postings table is the standard warehouse
+inverted index — written once, partitioned BY TERM so a query's broadcast
+join prunes to the partitions of its few query terms (partition pruning
+does the index lookup; no specialized storage engine needed). The df/avgdl
+statistics are vocabulary/corpus-scalar sized. Scoring touches only rows
+whose term is in the query — the classic posting-list traversal expressed
+as an equi-join.
+
+Spec shared bit-for-bit with the DuckDB oracle (__spark_entry__.py):
+Okapi BM25, k1 = 1.2, b = 0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+tf normalized by doc length over the corpus mean; score = round(sum, 4),
+ties broken by doc id ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.keywords import doc_term_freq
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, term_df, doc_len): the three relations of the inverted
+    index. ``postings`` = (id, term, tf); ``term_df`` = (term, df);
+    ``doc_len`` = (id, dl). The caller persists/writes them — at warehouse
+    scale these are tables partitioned by term (postings/df) and id (dl)."""
+    postings = doc_term_freq(docs, text_col, id_col)
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doc_len = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return postings, term_df, doc_len
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a whitespace-tokenized query string by BM25.
+
+    One corpus scan builds the index relations (persisted, released via
+    dedup.release_caches); the query-term filter is a broadcast semi-join
+    (a literal isin for the handful of terms), so scoring work is
+    proportional to the matched postings, not the corpus."""
+    from pdf_extractor_spark.operators.dedup import _attach_caches
+
+    terms = sorted({t for t in query.lower().split() if t})
+    postings, term_df, doc_len = bm25_index(docs, text_col, id_col)
+    postings = postings.persist()
+    n_docs = doc_len.count()  # also materializes postings' shuffle
+    avgdl = doc_len.agg(F.avg("dl")).collect()[0][0] or 1.0
+
+    # both sides pre-filtered to the query's few terms, so the broadcast is
+    # |query| rows, never the vocabulary
+    hits = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(term_df.filter(F.col("term").isin(terms))), "term"
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = hits.join(doc_len, id_col).select(
+        F.col(id_col),
+        (
+            idf
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl))))
+        ).alias("part"),
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return _attach_caches(out, postings)

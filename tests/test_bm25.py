@@ -1,0 +1,42 @@
+"""BM25 lexical retrieval (operators/bm25.py)."""
+
+import math
+
+from pdf_extractor_spark.operators import bm25 as BM
+from pdf_extractor_spark.operators.dedup import release_caches
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple banana"),
+            (3, "cherry cherry cherry"),
+            (4, "dog cat mouse"),
+            (5, "apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = BM.bm25_topk(docs, "apple banana", k=3)
+    rows = out.collect()
+    release_caches(out)
+    ids = [r["doc_id"] for r in rows]
+    # docs with both query terms outrank single-term; non-matching absent
+    assert set(ids) <= {1, 2, 5} and len(ids) == 3
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+    assert 4 not in ids and 3 not in ids
+
+
+def test_bm25_score_matches_reference_formula(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x x x x"), (3, "z z z z z z")], ["doc_id", "text"]
+    )
+    out = BM.bm25_topk(docs, "x", k=1)
+    row = out.collect()[0]
+    release_caches(out)
+    # hand-computed Okapi: N=3, df(x)=2, dl(2)=4, avgdl=4 -> doc 2 wins
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    tf = 4
+    expect = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * 4 / 4))
+    assert row["doc_id"] == 2
+    assert abs(row["score"] - round(expect, 4)) < 1e-9
