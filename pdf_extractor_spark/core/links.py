@@ -162,3 +162,35 @@ def harvest_links(url: str, html: bytes | None) -> list[LinkRow]:
             )
         )
     return rows
+
+
+def harvest_pdf_links(url: str, data: bytes | None) -> list[LinkRow]:
+    """Outlinks of one PDF: /Subtype /Link annotations with /URI actions
+    (core/pdf_extract.py pdf_link_uris), resolved and scheme-filtered like
+    HTML hrefs. PDFs carry no anchor text, rel or chrome context, so those
+    fields take their neutral values."""
+    from pdf_extractor_spark.core.pdf_extract import pdf_link_uris
+
+    rows: list[LinkRow] = []
+    for _page, uri in pdf_link_uris(data):
+        dst = resolve_href(url, uri)
+        if dst is None:
+            continue
+        rows.append(
+            LinkRow(
+                link_index=len(rows), dst_url=dst, anchor="",
+                nofollow=False, in_chrome=False,
+            )
+        )
+    return rows
+
+
+def harvest_any(url: str, payload: bytes | None) -> list[LinkRow]:
+    """Format dispatch for link harvesting — magic-byte sniff like
+    core/pdf_extract.extract_any: PDFs via their /Link annotations,
+    everything else through the HTML anchor parser."""
+    from pdf_extractor_spark.core.pdf_extract import is_pdf
+
+    if is_pdf(payload):
+        return harvest_pdf_links(url, payload)
+    return harvest_links(url, payload)

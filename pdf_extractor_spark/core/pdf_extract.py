@@ -1024,6 +1024,58 @@ def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int
     return out
 
 
+# --- link annotations (the PDF side of the web graph) -----------------------
+
+_ANNOTS_ARR_RE = re.compile(rb"/Annots\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_ANNOTS_REF_RE = re.compile(rb"/Annots\s+(\d+)\s+\d+\s+R")
+_LINK_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Link\b")
+_URI_KEY_RE = re.compile(rb"/URI\s*")
+
+
+def pdf_link_uris(data: bytes | None) -> list[tuple[int, str]]:
+    """(page, uri) for every /Subtype /Link annotation with a /URI action,
+    in page order then /Annots order — the PDF analog of <a href> (PDF spec
+    12.5.6.5/12.6.4.7; the reference's pdfminer stack exposes the same
+    annots). The /Annots array may be inline in the page dict or an
+    indirect reference; URI strings may be literal or hex. Anchors, rel
+    and chrome have no PDF analog. Encrypted or unparseable files → []."""
+    if not is_pdf(data) or _is_encrypted(data):
+        return []
+    out: list[tuple[int, str]] = []
+    try:
+        objs = _load_objects(data)
+        for page_no, kid in enumerate(_page_leaves(objs), 1):
+            body = objs.get(kid, b"")
+            am = _ANNOTS_ARR_RE.search(body)
+            if not am:
+                rm = _ANNOTS_REF_RE.search(body)
+                if not rm:
+                    continue
+                am = _ANNOTS_ARR_RE.search(b"/Annots " + objs.get(int(rm.group(1)), b""))
+                if not am:
+                    continue
+            for r in _REF_RE.finditer(am.group(1)):
+                annot = objs.get(int(r.group(1)), b"")
+                if not _LINK_SUBTYPE_RE.search(annot):
+                    continue
+                km = _URI_KEY_RE.search(annot)
+                if not km:
+                    continue
+                for kind, payload, _pos in _iter_strings(annot[km.end():]):
+                    if kind == "lit":
+                        raw = _unescape(payload)
+                    else:
+                        hx = b"".join(payload.split())
+                        if len(hx) % 2:
+                            hx += b"0"
+                        raw = bytes.fromhex(hx.decode("ascii"))
+                    out.append((page_no, raw.decode("utf-8", errors="replace")))
+                    break
+    except Exception:
+        return []
+    return out
+
+
 def extract_any(url: str, payload: bytes | None) -> ExtractResult:
     """Format dispatch — the batch form of the reference's content-type gate
     (S2, app/api/endpoints.py:53-54): sniff magic bytes, route to the PDF or
@@ -1116,6 +1168,7 @@ def render_pdf(
     cid_font: bool = False,
     xref_predictor: bool = False,
     jpeg_images: bool = False,
+    links_per_page: list[list[str]] | None = None,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1156,6 +1209,20 @@ def render_pdf(
     img_counts = [_images_for(images_per_page, i) for i in range(n_pages)]
     xobj_base = font_num + (2 if cid_font else 0)
     img_offsets = [sum(img_counts[:i]) for i in range(n_pages)]
+    link_lists = [
+        (links_per_page[i] if links_per_page and i < len(links_per_page) else [])
+        for i in range(n_pages)
+    ]
+    annot_base = xobj_base + sum(img_counts)
+    annot_offsets = [sum(len(l) for l in link_lists[:i]) for i in range(n_pages)]
+
+    def page_annots(i: int) -> str:
+        if not link_lists[i]:
+            return ""
+        refs = " ".join(
+            f"{annot_base + annot_offsets[i] + j} 0 R" for j in range(len(link_lists[i]))
+        )
+        return f" /Annots [ {refs} ]"
 
     def page_resources(i: int) -> str:
         parts = []
@@ -1170,7 +1237,10 @@ def render_pdf(
 
     for i, paragraphs in enumerate(pages):
         content_num = 3 + 2 * i + 1
-        add(f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R{page_resources(i)} >>")
+        add(
+            f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R"
+            f"{page_resources(i)}{page_annots(i)} >>"
+        )
         stream = _page_content_stream(
             paragraphs, img_counts[i], encode_line
         )
@@ -1215,6 +1285,14 @@ def render_pdf(
                     f"/Length {len(px)} >>\nstream\n".encode("latin-1")
                     + px + b"\nendstream"
                 )
+
+    # link annotations (PDF web-graph edges): one /Subtype /Link per uri
+    for i in range(n_pages):
+        for uri in link_lists[i]:
+            add(
+                f"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
+                f"/A << /S /URI /URI ({_esc_pdf_str(uri)}) >> >>"
+            )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -32,7 +32,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.core.links import harvest_links
+from pdf_extractor_spark.core.links import harvest_any
 from pdf_extractor_spark.operators.dedup import _attach_caches, _truncate_plan
 
 LINKS_ARROW = pa.schema(
@@ -56,7 +56,9 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
     Same fused scan→mapInArrow shape as ``extract_docs``; a page yields zero
     rows when it has no followable links or fails to parse (parse status is
-    the document row's concern, not the edge list's).
+    the document row's concern, not the edge list's). Mixed corpora work:
+    payloads magic-byte dispatch to the HTML anchor parser or the PDF
+    /Link-annotation harvest (core/links.py harvest_any).
     """
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -65,7 +67,7 @@ def extract_links(pages: DataFrame) -> DataFrame:
             htmls = batch.column("html").to_pylist()
             cols: dict[str, list] = {f.name: [] for f in LINKS_ARROW}
             for url, html in zip(urls, htmls):
-                for lk in harvest_links(url, html):
+                for lk in harvest_any(url, html):
                     cols["src_url"].append(url)
                     cols["link_index"].append(lk.link_index)
                     cols["dst_url"].append(lk.dst_url)

@@ -172,3 +172,32 @@ def test_pagerank_drops_nofollow_and_checkpoints(spark):
     want = _pr_reference([("a", "b"), ("b", "a")], iterations=7)
     for n in want:
         assert got[n] == pytest.approx(want[n], rel=1e-12)
+
+
+def test_pdf_link_annotations_harvest(spark):
+    """PDF /Subtype /Link + /A /URI annotations are web-graph edges; the
+    Arrow operator dispatches on magic bytes so mixed corpora work."""
+    from pdf_extractor_spark.core.links import harvest_any
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+
+    pdf = render_pdf(
+        [["first page text here"], ["second page text here"]],
+        links_per_page=[["https://ex.com/a", "mailto:x@y.z"], ["/relative/p"]],
+    )
+    rows = harvest_any("https://host.com/doc.pdf", pdf)
+    assert [r.dst_url for r in rows] == [
+        "https://ex.com/a",          # absolute kept
+        "https://host.com/relative/p",  # resolved against the doc url
+    ]                                 # mailto dropped
+    assert all(r.anchor == "" and not r.nofollow and not r.in_chrome for r in rows)
+    assert [r.link_index for r in rows] == [0, 1]
+
+    df = spark.createDataFrame(
+        [("https://host.com/doc.pdf", bytearray(pdf))], "url string, html binary"
+    )
+    from pdf_extractor_spark.operators.linkgraph import extract_links
+
+    out = extract_links(df).collect()
+    assert [r["dst_url"] for r in out] == [
+        "https://ex.com/a", "https://host.com/relative/p",
+    ]
