@@ -1370,6 +1370,34 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, "vector join merge", k=5)
 
 
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical candidates over documents fused with
+    dense cosine candidates over the aligned embeddings table via
+    reciprocal-rank fusion (operators/search.py rrf_fuse, c=60) — the
+    standard lexical+dense combiner. Both retrievers do the heavy lifting;
+    fusion touches only the two top-k prefixes."""
+    from pdf_extractor_spark.operators.bm25 import bm25_topk
+    from pdf_extractor_spark.operators.dedup import _attach_caches
+    from pdf_extractor_spark.operators.search import cosine_expr, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    lex = bm25_topk(docs, "vector join merge", k=10)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr(F.col("embedding"), F.col("qv")), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+    fused = rrf_fuse(lex, dense, id_col="doc_id", k=5)
+    return _attach_caches(fused, *getattr(lex, "_cached_intermediates", ()))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1444,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
+        "hybrid_topk": q_hybrid_topk,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -2501,6 +2530,33 @@ sc AS (SELECT h.doc_id,
        FROM hit h JOIN dl ON h.doc_id = dl.doc_id, st)
 SELECT doc_id, round(sum(part), 4) AS score FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 5""",
+        # hybrid RRF: replay both retrievers' top-10 prefixes, rank with
+        # the same (score desc, id asc) order, sum 1/(60+rank)
+        "hybrid_topk": r"""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT unnest(['join', 'merge', 'vector']) AS term),
+hit AS (SELECT tf.doc_id, tf.tf, dfx.df FROM tf JOIN dfx USING (term) JOIN q USING (term)),
+sc AS (SELECT h.doc_id,
+        ln(1 + (st.n - h.df + 0.5) / (h.df + 0.5))
+        * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS part
+       FROM hit h JOIN dl ON h.doc_id = dl.doc_id, st),
+lex AS (SELECT doc_id, round(sum(part), 4) AS score FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+dense AS (SELECT vec_id AS doc_id,
+            round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 4) AS score
+          FROM embeddings, qv WHERE vec_id <> 0
+          ORDER BY score DESC, doc_id LIMIT 10),
+ra AS (SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr FROM lex),
+rb AS (SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr FROM dense),
+u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+SELECT doc_id, round(sum(rr), 6) AS rrf_score FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 5""",
         "meta_robots": _sql_meta_robots(),
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_K = 5   # reference SearchRequest default (app/models/schemas.py:60)
@@ -270,3 +270,40 @@ def ann_topk_lsh(
     cand = bucketed.filter(F.col("bucket_id").isin(sorted(probe)))
     scored = cand.withColumn("score", np_cosine_scores(F.col(vec_col), query_vec))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists — the standard
+    hybrid-retrieval combiner (Cormack et al. 2009, public): lexical BM25
+    (operators/bm25.py) and dense cosine (cosine_topk) each nominate
+    candidates; fused score = Σ 1/(c + rank), rank 1-based within each list,
+    a doc absent from one list simply contributes nothing.
+
+    Inputs must carry (id_col, score); ranks are derived here with a
+    deterministic (score desc, id asc) window so fusion is reproducible
+    regardless of the inputs' row order. Both lists are top-k prefixes (a
+    handful of rows — driver-bound already), so the windows and the outer
+    join are trivially small; the heavy lifting happened inside the two
+    retrievers. Ties in the fused score break by id ascending.
+    """
+    wa = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+
+    def ranked(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            (1.0 / (c + F.row_number().over(wa))).alias("rr"),
+        )
+
+    fused = (
+        ranked(ranked_a)
+        .unionAll(ranked(ranked_b))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("rr"), 6).alias("rrf_score"))
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)

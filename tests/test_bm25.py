@@ -40,3 +40,19 @@ def test_bm25_score_matches_reference_formula(spark):
     expect = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * 4 / 4))
     assert row["doc_id"] == 2
     assert abs(row["score"] - round(expect, 4)) < 1e-9
+
+
+def test_rrf_fuse_combines_and_breaks_ties_by_id(spark):
+    from pdf_extractor_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "score"])
+    b = spark.createDataFrame([(2, 0.9), (4, 0.8)], ["doc_id", "score"])
+    rows = rrf_fuse(a, b, k=4).collect()
+    by_id = {r["doc_id"]: r["rrf_score"] for r in rows}
+    # doc 2: rank 2 in a, rank 1 in b -> 1/62 + 1/61 dominates
+    assert rows[0]["doc_id"] == 2
+    assert abs(by_id[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # docs 1 and 4: 1/61 (rank1 in a) vs 1/62 (rank2 in b) -> 1 beats 4
+    assert abs(by_id[1] - round(1 / 61, 6)) < 1e-9
+    ids = [r["doc_id"] for r in rows]
+    assert ids.index(1) < ids.index(4)
