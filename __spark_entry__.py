@@ -1398,6 +1398,34 @@ def q_hybrid_topk(spark, sf_dir):
     return _attach_caches(fused, *getattr(lex, "_cached_intermediates", ()))
 
 
+_CYR_SUFFIX = " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+_CJK_SUFFIX = " \u4e2d\u6587\u7f51\u9875\u5185\u5bb9"
+
+
+def q_text_signals(spark, sf_dir):
+    """Gopher top-bigram coverage + Unicode-script char ratios
+    (functions/text.py): repetition coverage by the most frequent bigram,
+    and latin/cyrillic/cjk fractions for code-mixed pages the marker-word
+    lang_id can't separate. Scan-only Column exprs."""
+    from pdf_extractor_spark.functions.text import script_ratio, top_ngram_char_fraction
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(_CYR_SUFFIX))
+        .when(d % 3 == 1, F.lit(_CJK_SUFFIX))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(top_ngram_char_fraction(t, 2), 4).alias("top_bigram_frac"),
+        F.round(script_ratio(t, "latin"), 4).alias("latin_frac"),
+        F.round(script_ratio(t, "cyrillic"), 4).alias("cyrillic_frac"),
+        F.round(script_ratio(t, "cjk"), 4).alias("cjk_frac"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1473,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
+        "text_signals": q_text_signals,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -2557,6 +2586,36 @@ rb AS (SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id
 u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
 SELECT doc_id, round(sum(rr), 6) AS rrf_score FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 5""",
+        # text signals: same fixture (unicode escapes resolve to the same
+        # code points), same gram arithmetic and removal-count script classes
+        "text_signals": r"""
+WITH u AS (SELECT doc_id, text ||
+  (CASE WHEN doc_id % 3 = 0 THEN '__CYR__'
+        WHEN doc_id % 3 = 1 THEN '__CJK__'
+        ELSE '' END) AS text
+ FROM documents),
+t AS (SELECT doc_id, text,
+  (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS toks FROM u),
+g AS (SELECT doc_id, text, toks,
+  list_transform(generate_series(1, greatest(1, len(toks) - 1)),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams FROM t),
+m AS (SELECT doc_id, text, toks,
+  list_max(list_transform(list_distinct(grams),
+           d -> len(list_filter(grams, x -> x = d)) * length(d))) AS covered FROM g),
+s AS (SELECT doc_id, text,
+  CASE WHEN len(toks) < 2 OR length(text) = 0 THEN 0.0
+       ELSE covered / length(text)::DOUBLE END AS topf,
+  length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+  length(text) - length(regexp_replace(text, '[A-Za-z\x{00c0}-\x{024f}]', '', 'g')) AS lat,
+  length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS cyr,
+  length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) AS cjk
+ FROM m)
+SELECT doc_id, round(topf, 4) AS top_bigram_frac,
+  round(CASE WHEN nonspace = 0 THEN 0.0 ELSE lat / nonspace::DOUBLE END, 4) AS latin_frac,
+  round(CASE WHEN nonspace = 0 THEN 0.0 ELSE cyr / nonspace::DOUBLE END, 4) AS cyrillic_frac,
+  round(CASE WHEN nonspace = 0 THEN 0.0 ELSE cjk / nonspace::DOUBLE END, 4) AS cjk_frac
+FROM s""".replace("__CYR__", _CYR_SUFFIX).replace("__CJK__", _CJK_SUFFIX),
         "meta_robots": _sql_meta_robots(),
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle

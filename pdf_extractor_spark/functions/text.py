@@ -320,3 +320,55 @@ def gopher_keep(
         & (bullet_line_ratio(text) <= max_bullet)
         & (ellipsis_line_ratio(text) <= max_ellipsis)
     )
+
+
+def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's characters covered by its single most
+    frequent word n-gram (count x n-gram length / doc length) — the last
+    Gopher repetition rule (their top-2/3/4-gram gates). A page whose most
+    common bigram covers 20% of its characters is template spam.
+
+    Pure Column exprs: the n-gram list and the per-distinct-gram counts run
+    as array HOFs — O(g x distinct) comparisons per doc, bounded by document
+    length, still scan-local (no shuffle, no Python)."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    covered = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)) * F.length(g),
+        )
+    )
+    return F.when(
+        (F.size(toks) < n) | (F.length(text) == 0), F.lit(0.0)
+    ).otherwise(covered / F.length(text).cast("double"))
+
+
+# --- Unicode script ratios ---------------------------------------------------
+#
+# Character-class language signals that work when the marker-word heuristic
+# can't (code-mixed pages, short texts): fraction of non-whitespace chars in
+# each major script. Ranges use \x{....} escapes — the hex form shared by
+# Java regex and RE2, so the DuckDB twins compile the identical class
+# (\uXXXX is Java-only; \p{Han} is RE2-only).
+
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00c0}-\x{024f}]",
+    "cyrillic": r"[\x{0400}-\x{04ff}]",
+    "arabic": r"[\x{0600}-\x{06ff}]",
+    "cjk": r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]",
+}
+
+
+def script_ratio(text: Column, script: str) -> Column:
+    """Fraction of non-whitespace characters in ``script``'s class.
+
+    Hits are counted by REMOVAL (len(text) - len(text minus class)) — RE2
+    has no lookahead, and both engines count BMP chars as 1."""
+    cls = SCRIPT_CLASSES[script]
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    hits = F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+    return F.when(nonspace == 0, F.lit(0.0)).otherwise(
+        hits / nonspace.cast("double")
+    )

@@ -42,3 +42,34 @@ def test_gopher_keep_composes(spark):
     # duplicate-line spam fails the dup-line gate
     spam = "\n".join(["buy this thing now today"] * 10 + ["one other line here"])
     assert _vals(spark, spam)["keep"] is False
+
+
+def test_top_ngram_char_fraction(spark):
+    from pdf_extractor_spark.functions.text import top_ngram_char_fraction
+
+    # "spam gram" appears 3x as a bigram; text length known exactly
+    text = "spam gram spam gram spam gram other words"
+    row = spark.createDataFrame([(text,)], ["text"]).select(
+        F.round(top_ngram_char_fraction(F.col("text"), 2), 4).alias("f"),
+        F.round(top_ngram_char_fraction(F.lit("one"), 2), 4).alias("short"),
+    ).collect()[0]
+    # grams: 'spam gram' x3 (others < 3); covered = 3*9 = 27 of 41 chars
+    assert row["f"] == round(27 / len(text), 4)
+    assert row["short"] == 0.0
+
+
+def test_script_ratios(spark):
+    from pdf_extractor_spark.functions.text import script_ratio
+
+    text = "abc где 中文字 xy"
+    row = spark.createDataFrame([(text,)], ["text"]).select(
+        F.round(script_ratio(F.col("text"), "latin"), 4).alias("lat"),
+        F.round(script_ratio(F.col("text"), "cyrillic"), 4).alias("cyr"),
+        F.round(script_ratio(F.col("text"), "cjk"), 4).alias("cjk"),
+        F.round(script_ratio(F.lit("   "), "latin"), 4).alias("blank"),
+    ).collect()[0]
+    # non-space chars: abc(3) + где(3) + 中文字(3) + xy(2) = 11
+    assert row["lat"] == round(5 / 11, 4)
+    assert row["cyr"] == round(3 / 11, 4)
+    assert row["cjk"] == round(3 / 11, 4)
+    assert row["blank"] == 0.0
