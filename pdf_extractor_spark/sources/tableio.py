@@ -178,6 +178,80 @@ class SnapshotTable:
         self._write_manifest(m)
         return len(owning)
 
+    def upsert(self, spark: SparkSession, df: DataFrame,
+               key_cols: tuple[str, ...] = ("doc_hash",),
+               lineage: dict | None = None, run_id: str | None = None) -> str:
+        """MERGE INTO: incoming rows REPLACE committed rows sharing their key,
+        in one atomic snapshot — Iceberg's copy-on-write MERGE shape
+        (matched → delete, all incoming → insert), the operation a
+        keep-latest re-crawl pipeline commits per batch.
+
+        Mechanics: the incoming run is staged first (staged data is
+        invisible until the manifest swap); ownership discovery and the
+        per-owning-run anti-join reuse delete_matching's shape, but the
+        deletes and the append land in a SINGLE manifest write, so readers
+        see either the pre-merge or the post-merge table — never the
+        deleted-but-not-yet-inserted middle state a delete_matching +
+        append sequence would expose. Multi-column keys join on all
+        columns. Returns the new run_id.
+        """
+        import re as _re
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.path, "data", run_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        keys = df.select(*key_cols).distinct()
+        m = self.manifest()
+        new_runs = []
+        if m["runs"]:
+            data_prefix = os.path.abspath(self.path) + "/data/"
+            run_of = F.regexp_extract(
+                F.input_file_name(), _re.escape(data_prefix) + "([^/]+)/", 1
+            )
+            owning = {
+                r["run_id"]
+                for r in spark.read.parquet(*[r["path"] for r in m["runs"]])
+                .select(run_of.alias("run_id"), *key_cols)
+                .join(keys, list(key_cols), "left_semi")
+                .select("run_id")
+                .distinct()
+                .collect()
+            }
+            for r in m["runs"]:
+                if r["run_id"] not in owning:
+                    new_runs.append(r)
+                    continue
+                survivors = spark.read.parquet(r["path"]).join(
+                    keys, list(key_cols), "left_anti"
+                )
+                if survivors.count() == 0:
+                    continue  # fully superseded; files orphan until expire
+                cow_id = f"{r['run_id']}-cow{uuid.uuid4().hex[:6]}"
+                cow_dir = os.path.join(self.path, "data", cow_id)
+                survivors.write.mode("overwrite").parquet(cow_dir)
+                new_runs.append(
+                    {
+                        "run_id": cow_id,
+                        "path": cow_dir,
+                        "committed_at": time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                        "lineage": {**r.get("lineage", {}), "rewritten_from": r["run_id"]},
+                    }
+                )
+        new_runs.append(
+            {
+                "run_id": run_id,
+                "path": data_dir,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "lineage": {**(lineage or {}), "merge_keys": list(key_cols)},
+            }
+        )
+        m["snapshot_id"] += 1
+        m["runs"] = new_runs
+        self._write_manifest(m)
+        return run_id
+
     # -- maintenance (the Iceberg triad: time travel, compact, expire) -----
     def rollback(self, snapshot_id: int) -> None:
         """Restore an earlier snapshot as the NEW head (Iceberg

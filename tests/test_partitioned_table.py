@@ -115,3 +115,37 @@ def test_incremental_read_changes(spark, tmp_path):
     delta = table.read_changes(spark, sid1)
     assert {r["doc_hash"] for r in delta.collect()} == {"b", "c"}
     assert table.read_changes(spark, table.manifest()["snapshot_id"]) is None
+
+
+def test_upsert_merges_atomically(spark, tmp_path):
+    """MERGE INTO semantics: incoming rows replace committed rows sharing
+    their key in ONE snapshot; the pre-merge snapshot stays time-travelable."""
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame(
+        [(1, "old-a"), (2, "old-b"), (3, "keep-c")], ["key", "val"]))
+    t.append(spark.createDataFrame([(4, "keep-d")], ["key", "val"]))
+    pre = t.manifest()["snapshot_id"]
+
+    t.upsert(spark, spark.createDataFrame(
+        [(1, "new-a"), (2, "new-b"), (5, "new-e")], ["key", "val"]),
+        key_cols=("key",))
+    m = t.manifest()
+    # delete + insert landed as ONE snapshot
+    assert m["snapshot_id"] == pre + 1
+    rows = {r["key"]: r["val"] for r in t.read(spark).collect()}
+    assert rows == {1: "new-a", 2: "new-b", 3: "keep-c", 4: "keep-d", 5: "new-e"}
+    # untouched run (key 4) was not rewritten
+    assert any(r["run_id"] for r in m["runs"] if "cow" not in r["run_id"])
+    # time travel to the pre-merge snapshot still shows the old rows
+    old = {r["key"]: r["val"] for r in t.read(spark, at_snapshot=pre).collect()}
+    assert old == {1: "old-a", 2: "old-b", 3: "keep-c", 4: "keep-d"}
+
+
+def test_upsert_into_empty_table(spark, tmp_path):
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl2"))
+    t.upsert(spark, spark.createDataFrame([(1, "a")], ["key", "val"]), key_cols=("key",))
+    assert [r["val"] for r in t.read(spark).collect()] == ["a"]
