@@ -188,3 +188,54 @@ def stream_extract_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upsert_latest(
+    spark: SparkSession,
+    input_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming re-crawl with keep-latest MERGE semantics: each micro-batch
+    extracts its pages, collapses within-batch re-crawls to the newest
+    revision per canonical url (dedup.keep_latest_revision), and MERGEs
+    into the snapshot table — a page re-crawled in a later batch REPLACES
+    its committed row (SnapshotTable.upsert, one atomic manifest swap per
+    batch) instead of duplicating it. The table therefore always holds
+    exactly one row per canonical url: the newest crawl wins, across
+    batches and across restarts.
+
+    Idempotent under checkpoint replay: the epoch-derived run_id is probed
+    before merging, the same exactly-once discipline as stream_extract.
+    """
+    from pdf_extractor_spark.functions.urls import canonical_url
+    from pdf_extractor_spark.operators.dedup import keep_latest_revision
+    from pdf_extractor_spark.operators.extract import extract_docs
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"epoch-{epoch_id:06d}"
+        if any(r["run_id"] == run_id for r in table.manifest()["runs"]):
+            return  # checkpoint replay of a committed epoch → no-op
+        docs = extract_docs(batch_df).join(
+            batch_df.select("url", "warc_ts"), "url"
+        )
+        latest = keep_latest_revision(docs).withColumn(
+            "canonical_url", canonical_url(F.col("url"))
+        )
+        table.upsert(
+            spark, latest, key_cols=("canonical_url",),
+            lineage={"stage": "docs-latest", "epoch": epoch_id},
+            run_id=run_id,
+        )
+
+    writer = pages.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -139,3 +139,66 @@ def test_stream_extract_dedup_drops_corpus_near_dups(spark, tmp_path):
     urls = {r["url"] for r in table.read_chunks(spark).select("url").distinct().collect()}
     assert urls == {"s://new"}
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_stream_upsert_latest_keeps_newest_across_runs(spark, tmp_path):
+    """Keep-latest re-crawl: a url re-crawled in a later stream run REPLACES
+    its committed row via MERGE (one row per canonical url, newest wins)."""
+    import datetime
+
+    from pdf_extractor_spark.streaming.pipeline import stream_upsert_latest
+
+    inp = tmp_path / "pages_in"
+    inp.mkdir()
+    chkpt, tbl_path = str(tmp_path / "chk"), str(tmp_path / "tbl")
+    t = datetime.datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    def page(url, ts, body):
+        html = f"<html><body><article><p>{body} enough words here to keep the extractor busy today</p></article></body></html>"
+        return (url, ts, html.encode(), None, "en")
+
+    def write_wave(path, rows):
+        cols = list(zip(*rows))
+        paq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+                    "html": pa.array(cols[2], pa.binary()),
+                    "text": pa.array(cols[3], pa.string()),
+                    "lang": pa.array(cols[4], pa.string()),
+                }
+            ),
+            path,
+        )
+
+    write_wave(
+        str(inp / "wave-0.parquet"),
+        [
+            page("http://a.com/p", t(2024, 1, 1), "first crawl of a"),
+            page("http://a.com/p?utm_source=x", t(2024, 2, 1), "second crawl of a"),
+            page("http://b.com/q", t(2024, 1, 1), "only crawl of b"),
+        ],
+    )
+
+    table = SnapshotTable(tbl_path)
+    q = stream_upsert_latest(spark, str(inp), table, chkpt)
+    q.awaitTermination(120)
+    rows = {r["canonical_url"]: r for r in table.read(spark).collect()}
+    assert len(rows) == 2
+    assert "second crawl of a" in rows["http://a.com/p"]["text"]
+
+    # a NEWER re-crawl of a.com arrives in a later run -> replaces the row
+    write_wave(
+        str(inp / "wave-1.parquet"),
+        [page("http://A.COM/p", t(2024, 3, 1), "third crawl of a")],
+    )
+    q2 = stream_upsert_latest(spark, str(inp), table, chkpt)
+    q2.awaitTermination(120)
+    rows = {r["canonical_url"]: r for r in table.read(spark).collect()}
+    assert len(rows) == 2
+    assert "third crawl of a" in rows["http://a.com/p"]["text"]
+    assert "only crawl of b" in rows["http://b.com/q"]["text"]
