@@ -1426,6 +1426,40 @@ def q_text_signals(spark, sf_dir):
     )
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt URL gate (operators/robots.py): longest-prefix-wins
+    Allow/Disallow decision per host, failure-open for rule-less hosts —
+    rules broadcast-join the urls, winner picked by one max_by aggregate.
+    (Parsing robots.txt bodies into these rules is the Arrow op
+    robots_rules, pytest-covered; the oracle validates the decision.)"""
+    from pdf_extractor_spark.operators.robots import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.lit("/open/"))
+        .when(d % 4 == 1, F.lit("/private/"))
+        .when(d % 4 == 2, F.lit("/private/pub/"))
+        .otherwise(F.lit("/tmp/"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 3).cast("string"), F.lit(".example.com"),
+            path, d.cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h0.example.com", False, "/private"),
+            ("h0.example.com", True, "/private/pub"),
+            ("h1.example.com", False, "/tmp"),
+        ],
+        ["host", "allow", "prefix"],
+    )
+    return robots_filter(urls, rules).select("doc_id", "url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1502,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
         "text_signals": q_text_signals,
+        "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -2616,6 +2651,29 @@ SELECT doc_id, round(topf, 4) AS top_bigram_frac,
   round(CASE WHEN nonspace = 0 THEN 0.0 ELSE cyr / nonspace::DOUBLE END, 4) AS cyrillic_frac,
   round(CASE WHEN nonspace = 0 THEN 0.0 ELSE cjk / nonspace::DOUBLE END, 4) AS cjk_frac
 FROM s""".replace("__CYR__", _CYR_SUFFIX).replace("__CJK__", _CJK_SUFFIX),
+        # robots gate: same fixture urls + the parsed-rule table stated
+        # directly; decision = longest prefix, tie -> Allow, no match -> keep
+        "robots_gate": """
+WITH d AS (SELECT doc_id,
+  'https://h' || (doc_id % 3)::VARCHAR || '.example.com'
+  || (CASE doc_id % 4 WHEN 0 THEN '/open/' WHEN 1 THEN '/private/'
+           WHEN 2 THEN '/private/pub/' ELSE '/tmp/' END)
+  || doc_id::VARCHAR AS url,
+  'h' || (doc_id % 3)::VARCHAR || '.example.com' AS host,
+  (CASE doc_id % 4 WHEN 0 THEN '/open/' WHEN 1 THEN '/private/'
+        WHEN 2 THEN '/private/pub/' ELSE '/tmp/' END) || doc_id::VARCHAR AS path
+ FROM documents),
+r AS (SELECT * FROM (VALUES ('h0.example.com', false, '/private'),
+                            ('h0.example.com', true, '/private/pub'),
+                            ('h1.example.com', false, '/tmp')) AS t(host, allow, prefix)),
+v AS (SELECT doc_id, allow FROM (
+        SELECT d.doc_id, r.allow,
+               row_number() OVER (PARTITION BY d.doc_id
+                                  ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+        FROM d JOIN r USING (host) WHERE starts_with(d.path, r.prefix))
+      WHERE rn = 1)
+SELECT d.doc_id, d.url FROM d LEFT JOIN v ON d.doc_id = v.doc_id
+WHERE coalesce(v.allow, true)""",
         "meta_robots": _sql_meta_robots(),
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle

@@ -1,0 +1,63 @@
+"""robots.txt parsing — the off-page crawl directive (pure per-document core).
+
+functions/htmlmeta.py reads the IN-page directives (robots meta); this module
+reads the per-host robots.txt that governs whether a crawler may fetch a url
+at all — the other gate a Common-Crawl curation pipeline must respect before
+content enters training. Spark-free pure function (same pattern as
+core/links.py) shared by pytest and the Arrow operator.
+
+Scope (documented subset of the Google/RFC 9309 spec, deterministic):
+
+* only ``User-agent: *`` groups apply (named agents are out of scope here —
+  corpus curation models the generic crawler); consecutive user-agent lines
+  form one group header,
+* ``Allow`` / ``Disallow`` rules collect their path-prefix values; an empty
+  value is a no-op rule (``Disallow:`` alone means allow-everything),
+* comments (``#`` to end of line) and unknown directives are ignored,
+* NO wildcard (``*``/``$``) support — rules containing them are dropped
+  rather than misinterpreted,
+* decision (operators/robots.py): longest-prefix match wins, tie → Allow,
+  no matching rule → allowed.
+"""
+
+from __future__ import annotations
+
+
+def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
+    """(allow, prefix) rules of the ``User-agent: *`` groups.
+
+    Returns [] for empty/undecodable input (no rules → everything allowed,
+    the spec's failure-open behavior for missing robots.txt)."""
+    if payload is None:
+        return []
+    if isinstance(payload, bytes):
+        try:
+            text = payload.decode("utf-8", errors="replace")
+        except Exception:
+            return []
+    else:
+        text = payload
+    rules: list[tuple[bool, str]] = []
+    in_star_group = False
+    seen_rule_in_group = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule_in_group:
+                # a new group header after rules closes the previous group
+                in_star_group = val == "*"
+                seen_rule_in_group = False
+            else:
+                in_star_group = in_star_group or val == "*"
+            continue
+        if key in ("allow", "disallow"):
+            seen_rule_in_group = True
+            if not in_star_group or not val or "*" in val or "$" in val:
+                continue
+            rules.append((key == "allow", val))
+    return rules

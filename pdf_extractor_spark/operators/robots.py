@@ -1,0 +1,96 @@
+"""robots.txt rule extraction + URL filtering — crawl politeness at scale.
+
+Pairs with functions/htmlmeta.py (in-page directives): ``robots_rules``
+parses each host's robots.txt body into (host, allow, prefix) rows via one
+Arrow pass (10^8 hosts → embarrassingly parallel, no shuffle), and
+``robots_filter`` applies them to a url table with the RFC 9309 decision
+rule — longest matching prefix wins, tie goes to Allow, no match → allowed.
+
+Plan shape: rules join urls on host (equi-join; the rules table is hosts-
+sized — orders smaller than urls — so AQE broadcasts it), the prefix test
+is a startswith filter, and the winner per url is ONE max_by aggregate over
+(prefix length, allow) — no window sort. Urls on hosts with no rules pass
+through the left join unharmed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.core.robotstxt import parse_robots
+from pdf_extractor_spark.functions.urls import url_host
+
+RULES_ARROW = pa.schema(
+    [
+        pa.field("host", pa.string()),
+        pa.field("allow", pa.bool_()),
+        pa.field("prefix", pa.string()),
+    ]
+)
+RULES_SCHEMA = "host string, allow boolean, prefix string"
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
+    """(host, allow, prefix) rows from a table of robots.txt payloads."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            hosts = batch.column(host_col).to_pylist()
+            bodies = batch.column(body_col).to_pylist()
+            out: dict[str, list] = {"host": [], "allow": [], "prefix": []}
+            for host, body in zip(hosts, bodies):
+                for allow, prefix in parse_robots(body):
+                    out["host"].append(host)
+                    out["allow"].append(allow)
+                    out["prefix"].append(prefix)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[f.name], type=f.type) for f in RULES_ARROW],
+                schema=RULES_ARROW,
+            )
+
+    return robots.select(host_col, body_col).mapInArrow(run, RULES_SCHEMA)
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
+    """Rows of ``urls`` a generic crawler may fetch per ``rules``.
+
+    Decision per RFC 9309: among rules of the url's host whose prefix
+    matches the url PATH (query included, fragment-free per canonical
+    crawling), the longest prefix wins; at equal length Allow wins; a url
+    with no matching rule — or on a host with no rules — is allowed.
+    """
+    u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__path",
+        F.concat(
+            F.lit("/"),
+            F.regexp_replace(
+                F.regexp_replace(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*/?", ""),
+                "#.*$", "",
+            ),
+        ),
+    )
+    r = rules.select(
+        F.col("host").alias("__host"), F.col("allow").alias("__allow"),
+        F.col("prefix").alias("__prefix"),
+    )
+    verdict = (
+        u.select(url_col, "__host", "__path")
+        .join(r, "__host")
+        .filter(F.col("__path").startswith(F.col("__prefix")))
+        .groupBy(url_col)
+        .agg(
+            F.max_by(
+                F.col("__allow"),
+                F.struct(F.length("__prefix").alias("l"), F.col("__allow").alias("a")),
+            ).alias("__verdict")
+        )
+    )
+    return (
+        u.join(verdict, url_col, "left")
+        .filter(F.coalesce(F.col("__verdict"), F.lit(True)))
+        .drop("__host", "__path", "__verdict")
+    )

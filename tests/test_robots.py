@@ -1,0 +1,53 @@
+"""robots.txt parsing + URL filtering (core/robotstxt.py, operators/robots.py)."""
+
+from pdf_extractor_spark.core.robotstxt import parse_robots
+from pdf_extractor_spark.operators.robots import robots_filter, robots_rules
+
+ROBOTS = b"""# crawl policy
+User-agent: Googlebot
+Disallow: /googlebot-only
+
+User-agent: *
+Disallow: /private
+Allow: /private/pub
+Disallow: /tmp/*
+Disallow:
+
+User-agent: another
+Disallow: /x
+"""
+
+
+def test_parse_robots_star_group_only():
+    assert parse_robots(ROBOTS) == [(False, "/private"), (True, "/private/pub")]
+    assert parse_robots(None) == [] and parse_robots(b"") == []
+    # consecutive UA lines form one group header
+    assert parse_robots(b"User-agent: a\nUser-agent: *\nDisallow: /d") == [(False, "/d")]
+
+
+def test_robots_filter_longest_match_and_failure_open(spark):
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS.decode()), ("empty.com", "")], ["host", "body"]
+    )
+    rules = robots_rules(robots)
+    assert sorted(rules.collect(), key=lambda r: r["prefix"]) == [
+        ("a.com", False, "/private"), ("a.com", True, "/private/pub"),
+    ]
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/open/page",),          # no matching rule -> allowed
+            ("https://a.com/private/secret",),     # disallowed
+            ("https://a.com/private/pub/ok",),     # longer Allow overrides
+            ("https://A.COM:443/private/x",),      # host case/port normalized
+            ("https://empty.com/anything",),       # host with zero rules
+            ("https://norules.com/anything",),     # host absent entirely
+        ],
+        ["url"],
+    )
+    kept = {r["url"] for r in robots_filter(urls, rules).collect()}
+    assert kept == {
+        "https://a.com/open/page",
+        "https://a.com/private/pub/ok",
+        "https://empty.com/anything",
+        "https://norules.com/anything",
+    }
