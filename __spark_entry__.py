@@ -1460,6 +1460,50 @@ def q_robots_gate(spark, sf_dir):
     return robots_filter(urls, rules).select("doc_id", "url")
 
 
+def q_curate_web(spark, sf_dir):
+    """The composed web-curation pass a crawl corpus runs end-to-end, as ONE
+    declarative plan: robots.txt gate -> host blocklist -> Gopher quality
+    gates -> exact dedup. The gates are Column exprs and tiny broadcast
+    joins that Catalyst pushes beneath the single dedup shuffle — rejected
+    docs never shuffle at all (same claim as curate_corpus, now with the
+    crawl-politeness and repetition layers in front)."""
+    from pdf_extractor_spark.functions.text import gopher_keep, token_count
+    from pdf_extractor_spark.operators.curate import apply_host_blocklist
+    from pdf_extractor_spark.operators.dedup import dedup_exact
+    from pdf_extractor_spark.operators.robots import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.lit("/open/"))
+        .when(d % 4 == 1, F.lit("/private/"))
+        .when(d % 4 == 2, F.lit("/private/pub/"))
+        .otherwise(F.lit("/tmp/"))
+    )
+    withurl = docs.select(
+        "doc_id", "text", "lang",
+        F.concat(
+            F.lit("https://h"), (d % 3).cast("string"), F.lit(".example.com"),
+            path, d.cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h0.example.com", False, "/private"),
+            ("h0.example.com", True, "/private/pub"),
+            ("h1.example.com", False, "/tmp"),
+        ],
+        ["host", "allow", "prefix"],
+    )
+    bl = spark.createDataFrame([("h2.example.com",)], ["domain"])
+    kept = apply_host_blocklist(robots_filter(withurl, rules), bl)
+    kept = kept.filter(gopher_keep(F.col("text")))
+    kept = dedup_exact(kept, text_col="text", order_col="doc_id")
+    return kept.select(
+        "doc_id", "url", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip + boundary-aware chunking, fused in one
     mapInArrow pass over sf0.001 pages (SURVEY.md §3.2 lifecycle)."""
@@ -1537,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,
         "text_signals": q_text_signals,
         "robots_gate": q_robots_gate,
+        "curate_web": q_curate_web,
         "extract_links": q_extract_links,
         "link_hosts": q_link_hosts,
         "anchor_topk": q_anchor_topk,
@@ -2674,6 +2719,54 @@ v AS (SELECT doc_id, allow FROM (
       WHERE rn = 1)
 SELECT d.doc_id, d.url FROM d LEFT JOIN v ON d.doc_id = v.doc_id
 WHERE coalesce(v.allow, true)""",
+        # composed web curation: robots decision + blocklist + the six
+        # Gopher gates + min-id exact dedup, replayed in one SQL chain
+        "curate_web": r"""
+WITH d AS (SELECT doc_id, text, lang,
+  'https://h' || (doc_id % 3)::VARCHAR || '.example.com'
+  || (CASE doc_id % 4 WHEN 0 THEN '/open/' WHEN 1 THEN '/private/'
+           WHEN 2 THEN '/private/pub/' ELSE '/tmp/' END)
+  || doc_id::VARCHAR AS url,
+  'h' || (doc_id % 3)::VARCHAR || '.example.com' AS host,
+  (CASE doc_id % 4 WHEN 0 THEN '/open/' WHEN 1 THEN '/private/'
+        WHEN 2 THEN '/private/pub/' ELSE '/tmp/' END) || doc_id::VARCHAR AS path
+ FROM documents),
+r AS (SELECT * FROM (VALUES ('h0.example.com', false, '/private'),
+                            ('h0.example.com', true, '/private/pub'),
+                            ('h1.example.com', false, '/tmp')) AS t(host, allow, prefix)),
+v AS (SELECT doc_id, allow FROM (
+        SELECT d.doc_id, r.allow,
+               row_number() OVER (PARTITION BY d.doc_id
+                                  ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+        FROM d JOIN r USING (host) WHERE starts_with(d.path, r.prefix))
+      WHERE rn = 1),
+rb AS (SELECT d.* FROM d LEFT JOIN v ON d.doc_id = v.doc_id
+       WHERE coalesce(v.allow, true)
+         AND NOT (host = 'h2.example.com' OR host LIKE '%.h2.example.com')),
+l AS (SELECT *,
+  list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+  (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks,
+  len(regexp_split_to_array(text, chr(10))) AS n_all_lines
+ FROM rb),
+g AS (SELECT doc_id, text, lang, url,
+  len(toks) AS n_toks,
+  CASE WHEN len(lines) = 0 THEN 0.0
+       ELSE (len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE END AS dupf,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks)::DOUBLE END AS alphaf,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, x -> regexp_matches(x, '^(#+|\.{3,})$'))) / len(toks)::DOUBLE END AS symf,
+  CASE WHEN n_all_lines = 0 THEN 0.0
+       ELSE len(regexp_extract_all(text, '(?m)^\s*[-*•]')) / n_all_lines::DOUBLE END AS bulletf,
+  CASE WHEN n_all_lines = 0 THEN 0.0
+       ELSE len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) / n_all_lines::DOUBLE END AS ellipf
+ FROM l),
+k AS (SELECT doc_id, text, lang, url, n_toks FROM g
+      WHERE n_toks >= 50 AND n_toks <= 100000 AND dupf <= 0.30 AND alphaf >= 0.80
+        AND symf <= 0.10 AND bulletf <= 0.90 AND ellipf <= 0.30)
+SELECT doc_id, url, lang, n_toks::BIGINT AS n_tokens FROM k
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
         "meta_robots": _sql_meta_robots(),
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle
