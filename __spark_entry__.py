@@ -1048,6 +1048,20 @@ def q_unigram_logprob(spark, sf_dir):
     return scored.select("doc_id", "n_tokens", F.round("avg_logprob", 4).alias("avg_logprob"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): hashed unigram+bigram
+    bucket distributions for a trusted target sample vs the raw corpus; each
+    doc scores the mean log probability ratio. Bucket tables are ≤ B rows —
+    broadcast joins at any corpus size (Xie et al. 2023 scaling property).
+    Target fixture = every 7th doc."""
+    from pdf_extractor_spark.operators.dsir import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    w = dsir_weights(docs, target, n_buckets=4096)
+    return w.select("doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight"))
+
+
 def q_dedup_bloom(spark, sf_dir):
     """Bloom-routed incremental exact dedup (operators/bloom.py): new-batch
     rows screen against a broadcast bloom of committed corpus hashes; only
@@ -1334,6 +1348,45 @@ def q_meta_robots(spark, sf_dir):
     )
 
 
+def q_page_metadata(spark, sf_dir):
+    """Page-descriptive metadata (functions/htmlmeta.py): <title>, meta
+    description, OpenGraph og:title/og:description, and JSON-LD presence —
+    pure regexp Column exprs on the scan (no DOM build needed for head
+    metadata). The page's self-description is the crawl-corpus analog of the
+    reference's filename metadata (app/models/schemas.py DocumentMetadata)."""
+    from pdf_extractor_spark.functions.htmlmeta import (
+        has_jsonld, meta_description, og_description, og_title, page_title,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = (d % 50).cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 3 == 0, F.concat(F.lit("<title> Page "), k, F.lit(" </title>")))
+        .when(d % 3 == 2, F.concat(F.lit('<title lang="en">T&amp;'), k, F.lit("</title>")))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit('<meta name="description" content="Desc '), k, F.lit('">')))
+        .otherwise(F.lit("<meta content=short-desc name=description>")),
+        F.when(d % 4 == 0, F.concat(F.lit('<meta property="og:title" content="OG '), k, F.lit('">')))
+        .when(d % 4 == 1, F.lit("<meta content='OGD text' property='og:description'>"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit('<script type="application/ld+json">{"@type":"Article"}</script>'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    withhtml = docs.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    return withhtml.select(
+        "doc_id",
+        page_title(h).alias("title"),
+        meta_description(h).alias("description"),
+        og_title(h).alias("og_title"),
+        og_description(h).alias("og_description"),
+        has_jsonld(h).alias("jsonld"),
+    )
+
+
 def q_gopher_filters(spark, sf_dir):
     """Gopher-rule quality gates (functions/text.py): duplicate-line
     fraction, alphabetic/symbol word fractions, and the composed keep
@@ -1576,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_revision": q_latest_revision,
         "mix_budget": q_mix_budget,
         "meta_robots": q_meta_robots,
+        "page_metadata": q_page_metadata,
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
@@ -1589,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "dup_spans": q_dup_spans,
         "dedup_bloom": q_dedup_bloom,
+        "dsir_weights": q_dsir_weights,
         "unigram_logprob": q_unigram_logprob,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
@@ -2156,6 +2211,48 @@ SELECT doc_id, robots,
        ({tok("nofollow")} OR {tok("none")}) AS nofollow,
        canonical
 FROM r"""
+
+
+def _sql_page_metadata() -> str:
+    """Oracle twin of q_page_metadata: patterns GENERATED from
+    functions/htmlmeta.py (title + the three _attr_pair_patterns families +
+    the JSON-LD literal), coalesced in the same priority order."""
+    from pdf_extractor_spark.functions import htmlmeta as HM
+
+    def first_match(patterns):
+        parts = [
+            "nullif(regexp_extract(html, '%s', 1), '')" % p.replace("'", "''")
+            for p in patterns
+        ]
+        return "coalesce(" + ", ".join(parts) + ", '')"
+
+    title = first_match(HM._TITLE)
+    desc = first_match(HM._DESC)
+    ogt = first_match(HM._OG_TITLE)
+    ogd = first_match(HM._OG_DESC)
+    jsonld = "regexp_matches(html, '%s')" % HM._JSONLD_RE.replace("'", "''")
+    return f"""
+WITH d AS (SELECT doc_id,
+  '<html><head>'
+  || (CASE doc_id % 3
+      WHEN 0 THEN '<title> Page ' || (doc_id % 50)::VARCHAR || ' </title>'
+      WHEN 2 THEN '<title lang="en">T&amp;' || (doc_id % 50)::VARCHAR || '</title>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0
+      THEN '<meta name="description" content="Desc ' || (doc_id % 50)::VARCHAR || '">'
+      ELSE '<meta content=short-desc name=description>' END)
+  || (CASE doc_id % 4
+      WHEN 0 THEN '<meta property="og:title" content="OG ' || (doc_id % 50)::VARCHAR || '">'
+      WHEN 1 THEN '<meta content=''OGD text'' property=''og:description''>'
+      ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0
+      THEN '<script type="application/ld+json">{{"@type":"Article"}}</script>'
+      ELSE '' END)
+  || '</head><body>x</body></html>' AS html
+ FROM documents)
+SELECT doc_id, {title} AS title, {desc} AS description,
+       {ogt} AS og_title, {ogd} AS og_description, {jsonld} AS jsonld
+FROM d"""
 
 
 def _sql_gopher_filters() -> str:
@@ -2768,6 +2865,7 @@ k AS (SELECT doc_id, text, lang, url, n_toks FROM g
 SELECT doc_id, url, lang, n_toks::BIGINT AS n_tokens FROM k
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
         "meta_robots": _sql_meta_robots(),
+        "page_metadata": _sql_page_metadata(),
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle
         # reconstructs the 8 anchors per doc row-wise (no HTML parse)
@@ -2821,6 +2919,35 @@ FROM tk2 JOIN lp USING (tok) GROUP BY doc_id""",
         "dedup_bloom": """
 SELECT doc_id, sha256(text) AS doc_hash FROM documents
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0)""",
+        # DSIR importance weights: same feature spec (lowercased ws tokens +
+        # adjacent bigrams, md5-prefix buckets mod 4096), same add-one
+        # smoothing arithmetic, target = every 7th doc
+        "dsir_weights": r"""
+WITH tk AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x <> '') AS toks
+      FROM documents),
+ft AS (SELECT doc_id,
+        toks || (CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+          ELSE []::VARCHAR[] END) AS feats
+       FROM tk WHERE len(toks) > 0),
+f AS (SELECT doc_id,
+        (('0x' || substr(md5(unnest(feats)), 1, 8))::UBIGINT % 4096)::BIGINT AS bucket
+      FROM ft),
+pq AS (SELECT bucket, count(*) AS cnt FROM f WHERE doc_id % 7 = 0 GROUP BY bucket),
+pt AS (SELECT sum(cnt)::DOUBLE AS total FROM pq),
+p AS (SELECT bucket, ln((cnt + 1) / (total + 4096)) AS lp FROM pq, pt),
+qq AS (SELECT bucket, count(*) AS cnt FROM f GROUP BY bucket),
+qt AS (SELECT sum(cnt)::DOUBLE AS total FROM qq),
+q AS (SELECT bucket, ln((cnt + 1) / (total + 4096)) AS lq FROM qq, qt),
+pf AS (SELECT ln(1 / (total + 4096)) AS pfloor FROM pt),
+qf AS (SELECT ln(1 / (total + 4096)) AS qfloor FROM qt)
+SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+       round(avg(coalesce(p.lp, pf.pfloor) - coalesce(q.lq, qf.qfloor)), 6) AS log_weight
+FROM f LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket), pf, qf
+GROUP BY f.doc_id""",
         # duplicated-token-spans: same fixture; the oracle replays the
         # 20-gram md5 windows, df≥2 screen, and gaps-and-islands merge
         "dup_spans": f"""

@@ -76,3 +76,47 @@ def robots_flags(html: Column) -> list[Column]:
 def canonical_link(html: Column) -> Column:
     """href of the first rel=canonical link ('' when absent)."""
     return _first_match(html, _CANON)
+
+
+# -- Page-descriptive metadata -------------------------------------------
+#
+# Beyond crawl directives, a web corpus keeps the page's self-description:
+# <title>, <meta name="description">, and the OpenGraph og:title /
+# og:description properties (the de-facto social-preview standard). These
+# feed retrieval display, doc-level dedup keys (title+host), and quality
+# screens (empty/placeholder titles mark thin pages). The reference stores
+# only a filename (`app/models/schemas.py` DocumentMetadata); on crawled
+# pages the in-page metadata IS the document's name. Same regex discipline
+# as the directives above (Java∩RE2 twins, generated oracle patterns).
+
+_TITLE = [r"(?i)<title\b[^>]*>\s*([^<]*?)\s*</title"]
+_DESC = _attr_pair_patterns("meta", "name", "description", "content")
+_OG_TITLE = _attr_pair_patterns("meta", "property", "og:title", "content")
+_OG_DESC = _attr_pair_patterns("meta", "property", "og:description", "content")
+# RE2-safe literal: '+' escaped; detects embedded schema.org JSON-LD blocks
+_JSONLD_RE = r"(?i)<script\b[^>]*type\s*=\s*[\"']?application/ld\+json"
+
+
+def page_title(html: Column) -> Column:
+    """Text of the first <title> element, trimmed ('' when absent)."""
+    return _first_match(html, _TITLE)
+
+
+def meta_description(html: Column) -> Column:
+    """content of the first <meta name="description"> ('' when absent)."""
+    return _first_match(html, _DESC)
+
+
+def og_title(html: Column) -> Column:
+    """content of the first <meta property="og:title"> ('' when absent)."""
+    return _first_match(html, _OG_TITLE)
+
+
+def og_description(html: Column) -> Column:
+    """content of the first og:description meta ('' when absent)."""
+    return _first_match(html, _OG_DESC)
+
+
+def has_jsonld(html: Column) -> Column:
+    """True when the page embeds a schema.org JSON-LD script block."""
+    return html.rlike(_JSONLD_RE)

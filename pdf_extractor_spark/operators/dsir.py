@@ -1,0 +1,123 @@
+"""DSIR-style importance weights — hashed-n-gram distribution ratio scoring.
+
+Data Selection with Importance Resampling (Xie et al. 2023, public) scores
+each raw document by how much more likely its features are under a TARGET
+distribution (a trusted high-quality sample) than under the RAW crawl
+distribution; resampling by these weights shifts the corpus toward the
+target domain without training a classifier. The feature space is hashed
+n-grams: every unigram and bigram hashes into one of ``n_buckets`` counts,
+so both "models" are fixed-size multinomials no matter how large the corpus
+is — the property that makes this tractable at 10^12 documents.
+
+    feats(doc)   = unigrams ∪ bigrams, hashed to b ∈ [0, B)
+    logp_d(b)    = ln((count_d(b) + 1) / (total_d + B))   (add-one smoothing)
+    weight(doc)  = mean over feats of [logp_target(b) − logp_raw(b)]
+
+Plan shape: two hash-aggs train the target/raw bucket tables (≤ B rows each
+— BROADCAST by construction, independent of corpus size), scoring is one
+feature explode + two broadcast joins + one per-doc re-agg (one shuffle).
+The bigram construction is JVM array arithmetic (``transform`` over the
+token array), not a self-join — zero extra shuffles. The smoothing floors
+ride 1-row broadcast cross-joins, same discipline as operators/langmodel.py
+(no driver-collected scalars; the whole thing composes lazily).
+
+The reference has no data-selection stage (it ingests user uploads,
+app/api/routes.py upload path); this operator is part of the
+training-data-curation surface the graft adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import WS_RE
+
+
+def _bucket(feat: Column, n_buckets: int) -> Column:
+    # md5-prefix bucket: deterministic, partitioning-independent, and
+    # byte-reproducible in the DuckDB oracle (same spec as
+    # functions/sampling.py sample_uniform)
+    return (F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets))
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(__doc, bucket) — one row per unigram/bigram occurrence, hashed.
+
+    Bigrams are built inside the token ARRAY (slice + transform — pure JVM
+    expression work on the scan), so feature construction adds no shuffle.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
+    feats = F.filter(toks, lambda t: t != "")
+    if bigrams:
+        grams = F.transform(
+            F.slice(feats, 1, F.greatest(F.size(feats) - 1, F.lit(0))),
+            lambda w, i: F.concat(w, F.lit(" "), F.element_at(feats, i + 2)),
+        )
+        feats = F.concat(feats, grams)
+    return (
+        df.select(F.col(id_col).alias("__doc"), feats.alias("__f"))
+        .filter(F.size("__f") > 0)
+        .select("__doc", F.explode("__f").alias("feat"))
+        .select("__doc", _bucket(F.col("feat"), n_buckets).alias("bucket"))
+    )
+
+
+def train_bucket_logp(feats: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, logp, __floor): add-one-smoothed bucket log-probabilities.
+
+    ≤ n_buckets rows by construction — the table is broadcastable at ANY
+    corpus size (DSIR's core scaling property). The smoothed floor for
+    never-seen buckets rides on every row so scoring needs no extra scalar
+    plumbing."""
+    counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log((F.col("cnt") + 1) / (F.col("__total") + n_buckets)).alias("logp"),
+        F.log(1 / (F.col("__total") + n_buckets)).alias("__floor"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id_col, n_feats, log_weight) — mean per-feature log importance
+    ratio ln(p_target/p_raw) for every raw document. Positive = looks more
+    like the target sample than like the crawl at large; resample/threshold
+    on this column to shift the mix. Both bucket tables join broadcast."""
+    kw = dict(n_buckets=n_buckets, id_col=id_col, text_col=text_col, bigrams=bigrams)
+    p = train_bucket_logp(hashed_ngram_buckets(target, **kw), n_buckets)
+    q = train_bucket_logp(hashed_ngram_buckets(raw, **kw), n_buckets)
+    doc_feats = hashed_ngram_buckets(raw, **kw)
+    # floors as 1-row broadcasts (min == the constant carried on each row)
+    p_floor = p.agg(F.min("__floor").alias("__pf"))
+    q_floor = q.agg(F.min("__floor").alias("__qf"))
+    scored = (
+        doc_feats
+        .join(F.broadcast(p.select("bucket", F.col("logp").alias("__lp"))), "bucket", "left")
+        .join(F.broadcast(q.select("bucket", F.col("logp").alias("__lq"))), "bucket", "left")
+        .crossJoin(F.broadcast(p_floor))
+        .crossJoin(F.broadcast(q_floor))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.avg(
+                F.coalesce(F.col("__lp"), F.col("__pf"))
+                - F.coalesce(F.col("__lq"), F.col("__qf"))
+            ).alias("log_weight"),
+        )
+    )
+    return scored.select(F.col("__doc").alias(id_col), "n_feats", "log_weight")

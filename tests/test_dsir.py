@@ -1,0 +1,64 @@
+"""DSIR importance weights (operators/dsir.py)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.dsir import (
+    dsir_weights,
+    hashed_ngram_buckets,
+    train_bucket_logp,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_feature_count_is_unigrams_plus_bigrams(spark):
+    df = _df(spark, [(1, "a b c d"), (2, "solo"), (3, "  "), (4, "x  y")])
+    n = (
+        hashed_ngram_buckets(df, n_buckets=64)
+        .groupBy("__doc")
+        .count()
+        .collect()
+    )
+    got = {r["__doc"]: r["count"] for r in n}
+    # k tokens -> k unigrams + (k-1) bigrams; blank doc emits nothing
+    assert got == {1: 7, 2: 1, 4: 3}
+
+
+def test_target_lookalike_scores_above_junk(spark):
+    target_text = "the quick brown fox jumps over the lazy dog"
+    raw = _df(
+        spark,
+        [(i, target_text) for i in range(8)]
+        + [(100 + i, f"zzz{i} qqq{i} glorp{i} blik{i} wub{i}") for i in range(8)],
+    )
+    target = raw.filter(F.col("doc_id") < 8)
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_weights(raw, target, n_buckets=512).collect()}
+    assert all(w[i] > w[100 + j] for i in range(8) for j in range(8))
+
+
+def test_bucket_tables_bounded_and_floor_constant(spark):
+    df = _df(spark, [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(30)])
+    feats = hashed_ngram_buckets(df, n_buckets=16)
+    lm = train_bucket_logp(feats, 16).collect()
+    assert len(lm) <= 16
+    floors = {r["__floor"] for r in lm}
+    assert len(floors) == 1  # one smoothed floor carried on every row
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [(i, f"alpha beta gamma{i % 5} delta") for i in range(40)]
+    a = dsir_weights(
+        _df(spark, rows).repartition(1),
+        _df(spark, rows[:10]).repartition(1),
+        n_buckets=256,
+    )
+    b = dsir_weights(
+        _df(spark, rows).repartition(13),
+        _df(spark, rows[:10]).repartition(7),
+        n_buckets=256,
+    )
+    ra = {(r["doc_id"], r["n_feats"], round(r["log_weight"], 9)) for r in a.collect()}
+    rb = {(r["doc_id"], r["n_feats"], round(r["log_weight"], 9)) for r in b.collect()}
+    assert ra == rb

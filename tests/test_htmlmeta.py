@@ -44,3 +44,49 @@ def test_canonical_link_forms(spark):
     assert r["canonical"] == "https://ex.com/b"
     r = _one(spark, '<link rel="stylesheet" href="https://ex.com/c.css">')
     assert r["canonical"] == ""
+
+
+def _meta(spark, html):
+    from pdf_extractor_spark.functions.htmlmeta import (
+        has_jsonld, meta_description, og_description, og_title, page_title,
+    )
+
+    df = spark.createDataFrame([(html,)], ["html"]).select(
+        page_title(F.col("html")).alias("title"),
+        meta_description(F.col("html")).alias("description"),
+        og_title(F.col("html")).alias("og_title"),
+        og_description(F.col("html")).alias("og_description"),
+        has_jsonld(F.col("html")).alias("jsonld"),
+    )
+    return df.collect()[0]
+
+
+def test_page_title_trims_and_takes_first(spark):
+    r = _meta(spark, "<title>  My Page  </title><title>second</title>")
+    assert r["title"] == "My Page"
+    r = _meta(spark, '<TITLE lang="en">Upper</TITLE>')
+    assert r["title"] == "Upper"
+    r = _meta(spark, "<body>no title</body>")
+    assert r["title"] == ""
+
+
+def test_description_and_og_forms(spark):
+    r = _meta(spark, '<meta name="description" content="A nice page.">')
+    assert r["description"] == "A nice page."
+    r = _meta(spark, "<meta content=tok name=description>")
+    assert r["description"] == "tok"
+    r = _meta(spark, "<meta property='og:title' content='OG T'>"
+                     '<meta content="OG D" property="og:description">')
+    assert r["og_title"] == "OG T" and r["og_description"] == "OG D"
+    # og:title must not match og:description's property (token boundary)
+    r = _meta(spark, '<meta property="og:description" content="only d">')
+    assert r["og_title"] == "" and r["og_description"] == "only d"
+
+
+def test_jsonld_detection(spark):
+    r = _meta(spark, '<script type="application/ld+json">{"@type":"Org"}</script>')
+    assert r["jsonld"]
+    r = _meta(spark, "<script type=application/ld+json>{}</script>")
+    assert r["jsonld"]
+    r = _meta(spark, '<script type="text/javascript">var a;</script>')
+    assert not r["jsonld"]
