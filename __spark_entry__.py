@@ -1048,6 +1048,24 @@ def q_unigram_logprob(spark, sf_dir):
     return scored.select("doc_id", "n_tokens", F.round("avg_logprob", 4).alias("avg_logprob"))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Stupid-backoff bigram LM (operators/langmodel.py): per-doc mean
+    ln S(w2|w1) with S = c12/c1 when the bigram is known, else 0.4 x the
+    smoothed unigram — Brants et al. 2007's no-normalization web-scale
+    scheme; train = two hash-aggs, score = one explode + two joins."""
+    from pdf_extractor_spark.operators.langmodel import (
+        score_bigram_backoff, train_bigram_lm, train_unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uni = train_unigram_lm(docs)
+    big = train_bigram_lm(docs)
+    scored = score_bigram_backoff(docs, big, uni)
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("avg_logscore", 4).alias("avg_logscore")
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py): hashed unigram+bigram
     bucket distributions for a trusted target sample vs the raw corpus; each
@@ -1644,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dedup_bloom": q_dedup_bloom,
         "dsir_weights": q_dsir_weights,
+        "bigram_logprob": q_bigram_logprob,
         "unigram_logprob": q_unigram_logprob,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
@@ -2919,6 +2938,31 @@ FROM tk2 JOIN lp USING (tok) GROUP BY doc_id""",
         "dedup_bloom": """
 SELECT doc_id, sha256(text) AS doc_hash FROM documents
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0)""",
+        # stupid-backoff bigram LM: same tokenization as unigram_logprob,
+        # zipped slice unnest builds the adjacent pairs, same 0.4 backoff
+        # through the add-one-smoothed unigram
+        "bigram_logprob": r"""
+WITH t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+cnt AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY tok),
+tot AS (SELECT sum(c1)::DOUBLE AS total, count(*)::DOUBLE AS v FROM cnt),
+uni AS (SELECT tok, ln((c1 + 1) / (total + v)) AS lu FROM cnt, tot),
+oov AS (SELECT ln(1 / (total + v)) AS floor FROM tot),
+bg AS (SELECT doc_id,
+        unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        unnest(list_slice(toks, 2, len(toks))) AS w2
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+blm AS (SELECT w1, w2, ln(c12 / c1::DOUBLE) AS lp2
+        FROM bc JOIN cnt ON bc.w1 = cnt.tok),
+sc AS (SELECT doc_id,
+        coalesce(b.lp2, ln(0.4) + coalesce(u.lu, o.floor)) AS s
+       FROM bg LEFT JOIN blm b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+               LEFT JOIN uni u ON bg.w2 = u.tok, oov o)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(s), 4) AS avg_logscore
+FROM sc GROUP BY doc_id""",
         # DSIR importance weights: same feature spec (lowercased ws tokens +
         # adjacent bigrams, md5-prefix buckets mod 4096), same add-one
         # smoothing arithmetic, target = every 7th doc

@@ -25,6 +25,8 @@ arithmetic (ln/avg) — codegen, no Python.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +95,88 @@ def score_unigram_logprob(
         )
     )
     return scored.select(F.col("__doc").alias(id_col), "n_tokens", "avg_logprob")
+
+
+# -- Bigram extension: stupid backoff ------------------------------------
+#
+# One order up from the unigram proxy: score each token by its bigram
+# conditional, backing off to the smoothed unigram when the bigram was
+# never seen ("stupid backoff", Brants et al. 2007 — the web-scale scheme
+# chosen PRECISELY because it needs no normalization pass, just raw counts,
+# so it trains as two hash-aggs at any corpus size):
+#
+#   S(w2 | w1) = count(w1 w2) / count(w1)        when the bigram is known
+#              = 0.4 * p_unigram(w2)             otherwise
+#
+# Bigrams are assembled inside the token array (transform/slice — pure JVM
+# expression work, no positional self-join), so train = two shuffles (the
+# unigram and bigram hash-aggs) + one vocab-keyed join attaching count(w1);
+# scoring = one explode + two left joins + one per-doc re-agg. At web scale
+# the bigram table is the big one; the join stays key-partitioned and AQE
+# skew-split handles stopword-headed hot keys ("of the", "in the").
+
+BACKOFF_ALPHA = 0.4
+_LOG_ALPHA = math.log(BACKOFF_ALPHA)
+
+
+def _doc_bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__doc, w1, w2) — one row per adjacent token pair, built in-array."""
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    toks = F.filter(toks, lambda t: t != "")
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda w, i: F.struct(w.alias("w1"), F.element_at(toks, i + 2).alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col).alias("__doc"), pairs.alias("__p"))
+        .filter(F.size("__p") > 0)
+        .select("__doc", F.explode("__p").alias("p"))
+        .select("__doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(w1, w2, logp2) with logp2 = ln(count(w1 w2) / count(w1)).
+
+    Raw conditional — no smoothing on the bigram path, per stupid backoff;
+    the unigram side (train_unigram_lm) carries the smoothing."""
+    uni_cnt = (
+        _doc_tokens(df, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big_cnt = (
+        _doc_bigram_pairs(df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return big_cnt.join(uni_cnt.withColumnRenamed("tok", "w1"), "w1").select(
+        "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("logp2")
+    )
+
+
+def score_bigram_backoff(
+    df: DataFrame,
+    bigram_lm: DataFrame,
+    unigram_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_bigrams, avg_logscore): mean ln S over a doc's adjacent
+    pairs. Docs with fewer than two tokens have no pairs and are absent.
+    ``unigram_lm`` is train_unigram_lm's output (logp + the __oov floor)."""
+    pairs = _doc_bigram_pairs(df, id_col, text_col)
+    oov = unigram_lm.agg(F.min("__oov").alias("__oov"))
+    uni = unigram_lm.select(F.col("tok").alias("w2"), F.col("logp").alias("__lu"))
+    backoff = F.lit(_LOG_ALPHA) + F.coalesce(F.col("__lu"), F.col("__oov"))
+    scored = (
+        pairs.join(bigram_lm, ["w1", "w2"], "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.avg(F.coalesce(F.col("logp2"), backoff)).alias("avg_logscore"),
+        )
+    )
+    return scored.select(F.col("__doc").alias(id_col), "n_bigrams", "avg_logscore")

@@ -44,3 +44,54 @@ def test_surprising_docs_score_lower(spark):
     lm = train_unigram_lm(df)
     s = {r.doc_id: r.avg_logprob for r in score_unigram_logprob(df, lm).collect()}
     assert s[99] < s[0]
+
+
+def test_bigram_backoff_known_pair_beats_backoff(spark):
+    from pdf_extractor_spark.operators.langmodel import (
+        score_bigram_backoff, train_bigram_lm, train_unigram_lm,
+    )
+
+    rows = [(i, "alpha beta " * 5) for i in range(6)] + [(100, "beta alpha")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = train_unigram_lm(df)
+    big = train_bigram_lm(df)
+    got = {r["doc_id"]: r for r in score_bigram_backoff(df, big, uni).collect()}
+    # "alpha beta" dominates the corpus: its docs score far above the one
+    # doc whose pairs are rare/backed-off
+    assert all(got[i]["avg_logscore"] > got[100]["avg_logscore"] for i in range(6))
+    # 10 tokens -> 9 pairs
+    assert got[0]["n_bigrams"] == 9 and got[100]["n_bigrams"] == 1
+
+
+def test_bigram_backoff_exact_values(spark):
+    import math
+
+    from pdf_extractor_spark.operators.langmodel import (
+        score_bigram_backoff, train_bigram_lm, train_unigram_lm,
+    )
+
+    # corpus: "a b", "a c" -> c(a)=2, c(b)=c(c)=1, total=4, V=3
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], ["doc_id", "text"])
+    uni = train_unigram_lm(df)
+    big = train_bigram_lm(df)
+    # score "a b": known bigram -> ln(c(a b)/c(a)) = ln(1/2)
+    # score "b z": unseen -> ln(0.4) + OOV floor ln(1/(4+3)) for z
+    probe = spark.createDataFrame([(10, "a b"), (11, "b z")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_logscore"] for r in
+           score_bigram_backoff(probe, big, uni).collect()}
+    assert abs(got[10] - math.log(0.5)) < 1e-9
+    assert abs(got[11] - (math.log(0.4) + math.log(1 / 7))) < 1e-9
+
+
+def test_bigram_single_token_docs_absent(spark):
+    from pdf_extractor_spark.operators.langmodel import (
+        score_bigram_backoff, train_bigram_lm, train_unigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "solo"), (3, "   ")], ["doc_id", "text"]
+    )
+    uni = train_unigram_lm(df)
+    big = train_bigram_lm(df)
+    ids = {r["doc_id"] for r in score_bigram_backoff(df, big, uni).collect()}
+    assert ids == {1}
