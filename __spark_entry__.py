@@ -651,6 +651,22 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py semdedup): coarse clusters localize the
+    cosine near-dup search; within a cluster, a vector with a smaller-id
+    neighbor at cosine >= threshold is dropped. Centroids are deterministic
+    seed rows (vec_id < 6), same device as q_ivf_topk, so the full
+    cluster-assign + pair-screen semantics are SQL-expressible."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.dedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    cents_rows = emb.filter(F.col("vec_id") < 6).orderBy("vec_id").select("embedding").collect()
+    cents = np.array([list(r["embedding"]) for r in cents_rows], dtype=np.float64)
+    return semdedup(emb, cents, threshold=0.35, max_cluster=400)
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 3
 
@@ -1663,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "dsir_weights": q_dsir_weights,
         "bigram_logprob": q_bigram_logprob,
+        "semdedup": q_semdedup,
         "unigram_logprob": q_unigram_logprob,
         "repetition_scores": q_repetition_scores,
         "dedup_clusters": q_dedup_clusters,
@@ -2938,6 +2955,25 @@ FROM tk2 JOIN lp USING (tok) GROUP BY doc_id""",
         "dedup_bloom": """
 SELECT doc_id, sha256(text) AS doc_hash FROM documents
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0)""",
+        # SemDeDup: same seed-row centroids device as ivf_topk (argmin dist
+        # with index tie-break), same round-4 cosine screen, same
+        # max_cluster=400 pairing cap, drop-the-larger-id rule
+        "semdedup": """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 6),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS dist
+      FROM e CROSS JOIN c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1),
+sz AS (SELECT cid, count(*) AS n FROM a GROUP BY cid),
+pairable AS (SELECT a.* FROM a JOIN sz USING (cid) WHERE sz.n <= 400),
+dups AS (SELECT DISTINCT y.vec_id
+         FROM pairable x JOIN pairable y
+           ON x.cid = y.cid AND x.vec_id < y.vec_id
+         WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35)
+SELECT a.vec_id, a.cid AS list_id,
+       (a.vec_id NOT IN (SELECT vec_id FROM dups)) AS keep
+FROM a""",
         # stupid-backoff bigram LM: same tokenization as unigram_logprob,
         # zipped slice unnest builds the adjacent pairs, same 0.4 backoff
         # through the add-one-smoothed unigram

@@ -1090,3 +1090,71 @@ def duplicated_token_spans(
             (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- SemDeDup: semantic dedup through coarse clusters -------------------------
+
+def semdedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster embeddings with a coarse
+    quantizer, then search for semantic duplicates ONLY within each cluster —
+    the step that turns all-pairs cosine dedup O(n^2) into
+    O(sum of cluster^2) with cluster sizes controlled by k. A vector is
+    dropped (keep=false) when a SAME-CLUSTER neighbor with cosine >=
+    ``threshold`` and a smaller id exists — the deterministic analog of the
+    paper's keep-one-representative-per-epsilon-ball rule.
+
+    ``centroids`` is a (k, dim) numpy array — in production from ivf_fit's
+    distributed k-means (MLlib kmeans||); in oracle-checked queries from
+    deterministic seed rows, exactly like ivf_topk. The centroid matrix is a
+    few KB at any corpus size, so assignment (operators/search.py
+    ivf_assign, one vectorized numpy pass) never shuffles; the pair search
+    is an equi-join on list_id — never a theta/cross product.
+
+    ``max_cluster`` excludes clusters larger than the cap from PAIRING
+    (their members stay in the output, all keep=true) — the same
+    boundedness-over-recall guard as minhash/simhash hot buckets: one
+    boilerplate mega-cluster would otherwise re-introduce the quadratic
+    blowup that clustering exists to prevent. At scale, pick k so n/k stays
+    well under the cap; the recall loss is machine-visible (cluster sizes
+    are one groupBy away).
+
+    Returns (id_col, list_id, keep) for EVERY input row.
+    """
+    from pdf_extractor_spark.operators.search import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
+        id_col, vec_col, "list_id"
+    ).persist()
+    big = (
+        assigned.groupBy("list_id").count()
+        .filter(F.col("count") > max_cluster).select("list_id")
+    )
+    pairable = assigned.join(big, "list_id", "left_anti")
+    a = pairable.select(
+        F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = pairable.select(
+        F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    dups = (
+        a.join(b, ["list_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_expr(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    out = (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "list_id",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+    return _attach_caches(out, assigned)

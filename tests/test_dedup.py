@@ -396,3 +396,45 @@ def test_duplicated_token_spans_merges_adjacent_islands(spark):
     assert got[1] == (0, 44, 45)
     assert got[2] == (0, 44, 45)
     assert got[3] == (2, 46, 45)
+
+
+def test_semdedup_drops_higher_id_within_cluster(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators.dedup import semdedup
+
+    # two well-separated centroids; near-identical vectors land together
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~dup of 1 (same cluster)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # ~dup of 3 (other cluster)
+        (5, [0.7, 0.7, 0.1]),      # near 45°: assigned somewhere, not a dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = {r.vec_id: (r.list_id, r.keep) for r in semdedup(emb, cents, threshold=0.99).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}          # every row present
+    assert got[1][1] and not got[2][1]          # smaller id kept
+    assert got[3][1] and not got[4][1]
+    assert got[5][1]
+    assert got[1][0] == got[2][0] == 0 and got[3][0] == got[4][0] == 1
+
+
+def test_semdedup_capped_cluster_is_not_paired(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators.dedup import semdedup
+
+    # 5 identical vectors in one cluster; cap=3 excludes it from pairing,
+    # so everything stays keep=true (boundedness over recall, documented)
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(10, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    got = {r.vec_id: r.keep for r in
+           semdedup(emb, cents, threshold=0.9, max_cluster=3).collect()}
+    assert all(got.values())
+    # raise the cap: only the smallest id of the 5 survives
+    got2 = {r.vec_id: r.keep for r in
+            semdedup(emb, cents, threshold=0.9, max_cluster=100).collect()}
+    assert got2[0] and not any(got2[i] for i in range(1, 5)) and got2[10]
