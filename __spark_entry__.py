@@ -1382,6 +1382,31 @@ def q_meta_robots(spark, sf_dir):
     )
 
 
+def q_markdown_render(spark, sf_dir):
+    """Markdown rendering (functions/markdown.py): extract_docs' typed block
+    spans render as Markdown with pure Column exprs — heading/list/pre
+    prefixes, pipe tables rebuilt from the canonical one-table-one-block
+    html. Zero Python past the extraction pass; expected output is
+    constructible because the page structure is known."""
+    from pdf_extractor_spark.functions.markdown import markdown_expr
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit(_PRE + "<h1>"), F.col("source"), F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><ul><li>item one for "), F.col("lang"),
+            F.lit("</li><li>item two for "), F.col("lang"),
+            F.lit("</li></ul><table><tr><th>source</th><th>lang</th></tr><tr><td>"),
+            F.col("source"), F.lit("</td><td>"), F.col("lang"),
+            F.lit("</td></tr></table>" + _POST),
+        ).cast("binary").alias("html"),
+    )
+    res = extract_docs(pages)
+    return res.select("url", markdown_expr(F.col("text"), F.col("blocks")).alias("markdown"))
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-descriptive metadata (functions/htmlmeta.py): <title>, meta
     description, OpenGraph og:title/og:description, and JSON-LD presence —
@@ -1664,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_budget": q_mix_budget,
         "meta_robots": q_meta_robots,
         "page_metadata": q_page_metadata,
+        "markdown_render": q_markdown_render,
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
@@ -2902,6 +2928,19 @@ SELECT doc_id, url, lang, n_toks::BIGINT AS n_tokens FROM k
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
         "meta_robots": _sql_meta_robots(),
         "page_metadata": _sql_page_metadata(),
+        # markdown rendering: page structure is known, so the expected
+        # Markdown is a string-concat twin (same block order the extractor
+        # keeps: h1, p, two <li>, the canonicalized table)
+        "markdown_render": """
+SELECT 'doc://' || doc_id AS url,
+       '# ' || source || chr(10) || chr(10)
+       || text || chr(10) || chr(10)
+       || '- item one for ' || lang || chr(10) || chr(10)
+       || '- item two for ' || lang || chr(10) || chr(10)
+       || '| source | lang |' || chr(10)
+       || '| --- | --- |' || chr(10)
+       || '| ' || source || ' | ' || lang || ' |' AS markdown
+FROM documents""",
         "gopher_filters": _sql_gopher_filters(),
         # link-graph family: same page fixture as _linked_pages; the oracle
         # reconstructs the 8 anchors per doc row-wise (no HTML parse)

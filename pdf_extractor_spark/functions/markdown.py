@@ -1,0 +1,87 @@
+"""Markdown rendering over extracted block structure — pure Column exprs.
+
+LLM training corpora increasingly keep lightweight structure instead of flat
+text (headings, lists, tables survive into the training mix as Markdown —
+the convention popularized by the public fineweb/trafilatura tooling). The
+extraction pass (operators/extract.py) already yields typed reading-order
+blocks with char spans and, for tables, the canonical rebuilt markup
+(core/html_extract.py Block.html) — so Markdown is a RENDERING of columns
+we already have, not another parse: every rule below is JVM expression work
+(`transform` over the blocks array + regexp/replace on the canonical table
+html), adding zero Python cost and no shuffle on top of extract_docs.
+
+Rules (best-effort, unescaped — the text is corpus content, not user UI):
+  heading  ->  "# " + text         (source level is not tracked; one level)
+  list     ->  "- " + text         (one extracted block per <li>/<dt>/<dd>)
+  pre      ->  fenced code block
+  table    ->  pipe table rebuilt from the canonical one-table-one-block
+               html (`<table><tr><td>..` — canonicalized by the extractor,
+               so a FIXED replace chain is a correct renderer)
+  text     ->  as-is
+Blocks join with a blank line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _table_markdown(html: Column) -> Column:
+    """Canonical `<table><tr><td>a</td><td>b</td></tr>...` → pipe table
+    with a `---` separator row after the (first) header row."""
+    body = F.regexp_replace(html, r"^<table><tr><td>", "")
+    body = F.regexp_replace(body, r"</td></tr></table>$", "")
+    rows = F.split(body, r"</td></tr><tr><td>")
+    row_md = F.transform(
+        rows,
+        lambda r: F.concat(
+            F.lit("| "), F.replace(r, F.lit("</td><td>"), F.lit(" | ")), F.lit(" |")
+        ),
+    )
+    # separator width = first row's cell count (one ' --- |' per cell)
+    sep = F.concat(
+        F.lit("|"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.split(F.element_at(rows, 1), r"</td><td>"), lambda _: F.lit(" --- |")
+            ),
+        ),
+    )
+    tail = F.slice(rows, 2, F.greatest(F.size(rows) - 1, F.lit(0)))
+    return F.concat_ws(
+        "\n",
+        F.concat(
+            F.array(F.element_at(row_md, 1), sep),
+            F.transform(
+                tail,
+                lambda r: F.concat(
+                    F.lit("| "), F.replace(r, F.lit("</td><td>"), F.lit(" | ")), F.lit(" |")
+                ),
+            ),
+        ),
+    )
+
+
+def markdown_expr(text: Column, blocks: Column) -> Column:
+    """Render extract_docs output (text + typed block spans) as Markdown.
+
+    ``text`` is the extracted document text; ``blocks`` the array of
+    (kind, span_start, span_end, html) structs whose spans index into it.
+    """
+
+    def _bmd(b: Column) -> Column:
+        btxt = F.substring(text, b["span_start"] + 1, b["span_end"] - b["span_start"])
+        return (
+            F.when(b["kind"] == "heading", F.concat(F.lit("# "), btxt))
+            .when(b["kind"] == "list", F.concat(F.lit("- "), btxt))
+            .when(b["kind"] == "pre", F.concat(F.lit("```\n"), btxt, F.lit("\n```")))
+            .when(
+                (b["kind"] == "table") & b["html"].isNotNull() & (b["html"] != ""),
+                _table_markdown(b["html"]),
+            )
+            .otherwise(btxt)
+        )
+
+    return F.concat_ws("\n\n", F.transform(blocks, _bmd))

@@ -1,0 +1,46 @@
+"""Markdown rendering over extracted blocks (functions/markdown.py)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.markdown import markdown_expr
+from pdf_extractor_spark.operators.extract import extract_docs
+
+
+def _md(spark, html: bytes) -> str:
+    pages = spark.createDataFrame([("u", html)], "url string, html binary")
+    return (
+        extract_docs(pages)
+        .select(markdown_expr(F.col("text"), F.col("blocks")).alias("md"))
+        .collect()[0]["md"]
+    )
+
+
+def test_markdown_all_block_kinds(spark):
+    html = (
+        b"<html><body><h2>Head</h2><p>Para one is long enough to keep for sure.</p>"
+        b"<ul><li>item alpha here</li><li>item beta here</li></ul>"
+        b"<table><tr><th>a</th><th>b</th></tr><tr><td>c1</td><td>d1</td></tr></table>"
+        b"<pre>x = 1</pre></body></html>"
+    )
+    assert _md(spark, html) == (
+        "# Head\n\n"
+        "Para one is long enough to keep for sure.\n\n"
+        "- item alpha here\n\n"
+        "- item beta here\n\n"
+        "| a | b |\n| --- | --- |\n| c1 | d1 |\n\n"
+        "```\nx = 1\n```"
+    )
+
+
+def test_markdown_single_row_table_gets_separator(spark):
+    html = b"<html><body><table><tr><td>only</td><td>row</td></tr></table></body></html>"
+    assert _md(spark, html) == "| only | row |\n| --- | --- |"
+
+
+def test_markdown_plain_text_passthrough(spark):
+    html = b"<html><body><p>Just a plain paragraph with enough words.</p></body></html>"
+    assert _md(spark, html) == "Just a plain paragraph with enough words."
+
+
+def test_markdown_empty_doc_is_empty_string(spark):
+    assert _md(spark, b"") == ""
