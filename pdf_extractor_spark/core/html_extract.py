@@ -22,9 +22,11 @@ the emitted text, no randomness, no environment lookups.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from html import unescape
+from html.parser import HTMLParser, attrfind_tolerant
 
 # Content inside these tags is never part of the main text.  Mirrors the
 # boilerplate families the reference's partitioner classifies away
@@ -355,6 +357,120 @@ def _keep_block(b: _RawBlock, text: str) -> bool:
     return True
 
 
+# --- fast tokenizer -----------------------------------------------------
+#
+# Profiling shows ~90% of per-document extraction CPU inside stdlib
+# html.parser's goahead/parse_starttag (attribute regex + position
+# bookkeeping we never use). This tokenizer drives the SAME
+# _MainContentParser handler methods — block logic, skip counters, table
+# capture are untouched — with one compiled regex per markup construct and
+# C-level str.find for text runs. Attributes are parsed ONLY for <img>
+# (the single tag whose attrs the handlers read), with the stdlib's own
+# attrfind_tolerant so name/value semantics match. Entity conversion
+# mirrors convert_charrefs=True: each text run between tags is
+# html.unescape'd (guarded by an '&' scan); script/style content is raw,
+# exactly like the stdlib's CDATA mode. Set SPARK_GRAFT_STDLIB_PARSER=1 to
+# fall back to html.parser.HTMLParser.feed (byte-identical on the test
+# corpus — pytest A/B-verifies the two paths).
+
+_FAST_USE_STDLIB = os.environ.get("SPARK_GRAFT_STDLIB_PARSER", "") == "1"
+
+_FAST_TOKEN = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|\Z)"  # comment (unterminated swallows to EOF, like stdlib)
+    r"|!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|![^>]*>?"  # doctype / bogus comment
+    r"|\?[^>]*>?"  # processing instruction
+    r"|/\s*(?P<end>[a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"
+    r"|(?P<start>[a-zA-Z][^\t\n\r\f />]*)"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    r")",
+    re.S,
+)
+
+# stdlib CDATA_CONTENT_ELEMENTS: inside these, '<' is not markup until the
+# element's own end tag (word-boundary so '</scriptx' stays content)
+_CDATA_END = {
+    "script": re.compile(r"</\s*script\b", re.I),
+    "style": re.compile(r"</\s*style\b", re.I),
+}
+
+
+def _parse_attrs(attrstr: str) -> list[tuple[str, str | None]]:
+    """stdlib-compatible attribute list from a start tag's attr substring
+    (same attrfind_tolerant regex, same lowercase/unquote/unescape)."""
+    attrs: list[tuple[str, str | None]] = []
+    k, end = 0, len(attrstr)
+    # skip the name/attr separator so attrfind_tolerant's lookbehind
+    # (which the stdlib satisfies via tagfind_tolerant's trailing eat) holds
+    while k < end and attrstr[k] in " \t\n\r\f/":
+        k += 1
+    while k < end:
+        m = attrfind_tolerant.match(attrstr, k)
+        if not m:
+            break
+        name, rest, value = m.group(1), m.group(2), m.group(3)
+        if not rest:
+            value = None
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value and "&" in value:
+            value = unescape(value)
+        attrs.append((name.lower(), value))
+        k = m.end()
+    return attrs
+
+
+def _fast_feed(parser: _MainContentParser, doc: str) -> None:
+    """Tokenize ``doc`` and dispatch to the parser's handler methods."""
+    pos, n = 0, len(doc)
+    find = doc.find
+    match = _FAST_TOKEN.match
+    data = parser.handle_data
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            text = doc[pos:]
+            data(unescape(text) if "&" in text else text)
+            break
+        if lt > pos:
+            text = doc[pos:lt]
+            data(unescape(text) if "&" in text else text)
+        m = match(doc, lt)
+        if m is None:
+            # stray '<' that opens no construct — a lone data call, exactly
+            # like the stdlib (the following run is a separate text chunk,
+            # which matters for whitespace-only joins in table cells)
+            data("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        end_tag, tag, attrstr = m.group("end", "start", "attrs")
+        if end_tag is not None:
+            parser.handle_endtag(end_tag.lower())
+            continue
+        if tag is None:
+            continue  # comment / decl / PI: no handler side effects
+        tag_l = tag.lower()
+        attrstr = attrstr or ""
+        attrs = _parse_attrs(attrstr) if tag_l == "img" else []
+        if attrstr.rstrip().endswith("/"):
+            parser.handle_startendtag(tag_l, attrs)
+            continue
+        parser.handle_starttag(tag_l, attrs)
+        if tag_l in _CDATA_END:
+            close = _CDATA_END[tag_l].search(doc, pos)
+            if close is None:
+                data(doc[pos:])  # raw, no entity conversion (CDATA mode)
+                pos = n
+                continue
+            if close.start() > pos:
+                data(doc[pos : close.start()])
+            gt = find(">", close.end())
+            parser.handle_endtag(tag_l)
+            pos = n if gt < 0 else gt + 1
+
+
 def extract_html(url: str, html: bytes | None) -> ExtractResult:
     """Parse one HTML document into reading-order main-content blocks.
 
@@ -367,8 +483,11 @@ def extract_html(url: str, html: bytes | None) -> ExtractResult:
     try:
         decoded, lossy = _decode(html)
         parser = _MainContentParser()
-        parser.feed(decoded)
-        parser.close()
+        if _FAST_USE_STDLIB:
+            parser.feed(decoded)
+            parser.close()
+        else:
+            _fast_feed(parser, decoded)
         kept: list[tuple[str, str, str | None]] = []
         for rb in parser.blocks:
             text = _norm_ws("".join(rb.parts))

@@ -1,0 +1,84 @@
+"""Fast tokenizer vs stdlib html.parser — A/B equivalence (core/html_extract.py).
+
+The fast path (_fast_feed) must produce byte-identical ExtractResults to the
+stdlib HTMLParser path (SPARK_GRAFT_STDLIB_PARSER=1) — same text, same block
+kinds/spans/table html, same image descriptors — across handcrafted edges
+and a seeded random markup soup. The north-rule byte-identity invariant
+rides on this equivalence.
+"""
+
+import random
+
+import pdf_extractor_spark.core.html_extract as HE
+from pdf_extractor_spark.core.html_extract import extract_html
+
+
+def _both(html: bytes):
+    prev = HE._FAST_USE_STDLIB
+    try:
+        HE._FAST_USE_STDLIB = True
+        a = extract_html("u", html)
+        HE._FAST_USE_STDLIB = False
+        b = extract_html("u", html)
+    finally:
+        HE._FAST_USE_STDLIB = prev
+    key = lambda r: (  # noqa: E731
+        r.status, r.text,
+        [(x.kind, x.text, x.span_start, x.span_end, x.html) for x in r.blocks],
+        r.images,
+    )
+    return key(a), key(b)
+
+
+EDGES = [
+    b"<p>A &amp; B &lt;tag&gt; &#65; &copy; &notareal;</p>",
+    b'<img src="x.png" alt="Nice &quot;pic&quot;"><img src=y.png><img alt=plain />',
+    b"<img\talt='tabbed alt'><img/  ><img alt>",
+    b"<script>if(a<b){document.write('<p>x</p>')}</script><p>after script ok here</p>",
+    b"<style>p>a{color:red}</style><p>after style block ok here</p>",
+    b"<!-- <p>never</p> --><p>after comment stays here fine</p>",
+    b"<?php echo '<p>no</p>'; ?><p>after pi stays here just fine</p>",
+    b"<p>unterminated <",
+    b"<p>lone < bracket and a<b compare</p>",
+    b"<P UPPER='x'>Mixed CASE tags here with words</P>",
+    b"<nav>never closed swallows <p>rest of doc</p>",
+    b"<table><tr><td>x</td></tr><table><tr><td>in</td></tr></table></table><p>post table words</p>",
+    b"<td>< < stray brackets in cell</td>",
+    b"<script>never closed script",
+    b"</scriptx><script>x</scriptx></script><p>cdata end needs word boundary</p>",
+    b"<p>text</p><![CDATA[ <p>x</p> ]]><p>more words follow here</p>",
+    "<p>unicode café 中文 words</p>".encode(),
+    b"</p></div></unopened><p>close without open then words</p>",
+    b"<p a=1 b = '2' c=\"3\" d>attrs galore on paragraph words</p>",
+    b"<p/>self closed para</p><p>another paragraph of words here</p>",
+    b"<blockquote cite='a>b'>quoted attr with gt sign words</blockquote>",
+    b"<p>b&#x41;d &#1114112; &#xD800; entities</p>",
+    b"",
+]
+
+
+def test_fast_tokenizer_matches_stdlib_on_edges():
+    for html in EDGES:
+        a, b = _both(html)
+        assert a == b, html
+
+
+def test_fast_tokenizer_matches_stdlib_on_markup_soup():
+    random.seed(1234)
+    frag = [
+        "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>", "word ",
+        "&amp; ", "<img alt='z'>", "<script>", "</script>", "<br>", "<table>",
+        "<tr>", "<td>", "</td>", "</tr>", "</table>", "<li>", "</li>",
+        "<!-- c -->", "< ", "> ", "&#65;", "<h1>", "</h1>", "text & more ",
+        "<pre>", "</pre>", "\n", "  ", "<nav>", "</nav>", "<style>",
+        "</style>", "<em>", "</em>", "<ul>", "</ul>", "<th>", "</th>",
+        "<caption>", "</caption>", "<hr/>", "<p/>", "&#x42;",
+        "<!DOCTYPE html>", "<?pi?>", "<![CDATA[x]]>", "</scriptx>", "<b",
+        "mixed<case",
+    ]
+    for _ in range(400):
+        doc = "".join(
+            random.choice(frag) for _ in range(random.randint(1, 80))
+        ).encode()
+        a, b = _both(doc)
+        assert a == b, doc
