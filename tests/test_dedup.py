@@ -438,3 +438,24 @@ def test_semdedup_capped_cluster_is_not_paired(spark):
     got2 = {r.vec_id: r.keep for r in
             semdedup(emb, cents, threshold=0.9, max_cluster=100).collect()}
     assert got2[0] and not any(got2[i] for i in range(1, 5)) and got2[10]
+
+
+def test_numpy_signature_fast_paths_match_pure_python_spec():
+    """_py_minhash/_py_simhash2 are numpy-vectorized; the pure-Python
+    *_ref twins ARE the spec (shared verbatim with the DuckDB oracles).
+    Seeded markup-soup corpus + adversarial edges: bit-identical results."""
+    import random
+
+    rng = random.Random(1234)
+    words = ["the", "web", "page", "données", "δ", "x" * 40, "a", "b,c."]
+    corpus = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 120)))
+        for _ in range(150)
+    ]
+    corpus += ["", "one", "a a a a a", "tab\tand\nnewline  mix", "ζζ ζζ ζζ"]
+    for text in corpus:
+        toks = DD._py_tokens(text)
+        sh = DD._py_shingles(toks)
+        assert DD._py_minhash(sh) == DD._py_minhash_ref(sh)
+        if toks:
+            assert DD._py_simhash2(toks) == DD._py_simhash2_ref(toks)
