@@ -1236,14 +1236,19 @@ def q_related_images(spark, sf_dir):
 
 def q_pdf_flags(spark, sf_dir):
     """PDF-flavor gates (E2/needs_ocr) through the oracle: per doc_id the
-    corpus renders an ENCRYPTED pdf (doc_id%7==0 → parse_status 'failed' —
-    ciphertext never parses as text), an image-only scanned pdf (else
-    doc_id%5==0 → needs_ocr) or a normal text pdf; extraction is the real
-    byte-level PDF parse (core/pdf_extract.py) while the oracle derives the
-    expected flags from the same deterministic construction rule."""
+    corpus renders a BROKEN-encrypted pdf (doc_id%7==0 → parse_status
+    'failed' — a dangling /Encrypt ref never verifies, ciphertext never
+    parses as text), a PROPERLY RC4-128-encrypted pdf openable with the
+    empty user password (elif doc_id%7==3 → 'ok': the standard-security
+    decrypt path, core/pdfcrypt.py, recovers the plaintext), an image-only
+    scanned pdf (elif doc_id%5==0 → needs_ocr) or a normal text pdf;
+    extraction is the real byte-level PDF parse (core/pdf_extract.py) while
+    the oracle derives the expected flags from the same deterministic
+    construction rule."""
     import pyarrow as pa
 
     from pdf_extractor_spark.core.pdf_extract import render_pdf
+    from pdf_extractor_spark.core.pdfcrypt import encrypt_pdf_bytes
 
     def mk_pages(batches):
         for batch in batches:
@@ -1257,6 +1262,8 @@ def q_pdf_flags(spark, sf_dir):
                     html = base.replace(
                         b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
                     )
+                elif int(d) % 7 == 3:
+                    html = encrypt_pdf_bytes(render_pdf([[body]]), r=3, length_bits=128)
                 elif int(d) % 5 == 0:
                     html = render_pdf([[]], images_per_page=1)  # scanned page
                 else:
@@ -2370,7 +2377,7 @@ FROM documents""",
         "pdf_flags": """
 SELECT 'doc://' || doc_id AS url,
        CASE WHEN doc_id % 7 = 0 THEN 'failed' ELSE 'ok' END AS parse_status,
-       (doc_id % 7 <> 0 AND doc_id % 5 = 0) AS needs_ocr
+       (doc_id % 7 <> 0 AND doc_id % 7 <> 3 AND doc_id % 5 = 0) AS needs_ocr
 FROM documents""",
         "extract_tables": """
 SELECT 'doc://' || doc_id AS url, 1 AS block_index,

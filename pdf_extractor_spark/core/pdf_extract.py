@@ -746,11 +746,10 @@ _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
 
 def _is_encrypted(data: bytes) -> bool:
     """True when the file declares a security handler (/Encrypt in a trailer
-    dict, or in the /Type /XRef stream dict for 1.5+ layouts). Encrypted
-    strings/streams are ciphertext — parsing them would emit garbage text,
-    so the caller lands the document in ``parse_status='failed'`` instead
-    (the reference inherits RC4/AES handling from pdfminer; decryption is a
-    crypto concern out of this core's scope)."""
+    dict, or in the /Type /XRef stream dict for 1.5+ layouts). Callers then
+    attempt ``_decrypted`` (RC4 standard handler, empty user password); a
+    file that doesn't verify stays ciphertext — parsing it would emit
+    garbage text — and lands in ``parse_status='failed'``."""
     for tm in _TRAILER_RE.finditer(data):
         if _ENCRYPT_REF_RE.search(tm.group(1)):
             return True
@@ -765,6 +764,22 @@ def _is_encrypted(data: bytes) -> bool:
             if _ENCRYPT_REF_RE.search(head):
                 return True
     return False
+
+
+def _decrypted(data: bytes) -> bytes | None:
+    """Decrypted copy of an encrypted PDF when the RC4 standard security
+    handler opens with the EMPTY user password (core/pdfcrypt.py — the
+    reference inherits the same default-password behavior from pdfminer,
+    pdf_processor.py:86-101), else None. Stream payloads decrypt in place
+    (RC4 preserves length, so xref offsets and /Length stay exact); strings
+    OUTSIDE content streams (e.g. /URI actions) stay ciphertext, which is
+    why pdf_link_uris keeps returning [] for encrypted files."""
+    try:
+        from pdf_extractor_spark.core.pdfcrypt import decrypt_pdf_bytes
+
+        return decrypt_pdf_bytes(data)
+    except Exception:
+        return None
 
 
 # --- text positioning (reading order inside a page) --------------------------
@@ -861,8 +876,13 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     if data is None or len(data) == 0:
         return ExtractResult(url=url, status="ok", text="", blocks=[])
     if _is_encrypted(data):
-        # ciphertext strings would parse as garbage — fail loudly instead
-        return ExtractResult(url=url, status="failed", text="", blocks=[])
+        # RC4 standard security handler, empty user password (the common
+        # owner-locked/world-readable case; the reference gets this from
+        # pdfminer's default password "", pdf_processor.py:86-101) — any
+        # file that doesn't verify stays ciphertext and fails loudly
+        data = _decrypted(data)
+        if data is None:
+            return ExtractResult(url=url, status="failed", text="", blocks=[])
     try:
         objs = _load_objects(data)
         kids = _page_leaves(objs)
@@ -977,8 +997,12 @@ def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int
     inherited via /Parent). A single undecodable image is skipped; any
     structural surprise → [].
     """
-    if not is_pdf(data) or _is_encrypted(data):
+    if not is_pdf(data):
         return []
+    if _is_encrypted(data):
+        data = _decrypted(data)
+        if data is None:
+            return []
     from pdf_extractor_spark.core.imagemeta import sniff_image
 
     out: list[tuple[int, str, int, int, bytes, str]] = []

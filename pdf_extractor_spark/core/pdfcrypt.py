@@ -1,0 +1,365 @@
+"""PDF standard security handler (RC4) — empty-user-password decryption.
+
+Implements the public PDF 32000-1 §7.6.3 "Standard Security Handler"
+algorithms for the legacy RC4 revisions:
+
+* V 1 / R 2 (RC4-40) and V 2 / R 3 (RC4 with /Length up to 128 bits),
+* Algorithm 2 (file encryption key from the padded password, /O, /P, /ID),
+* Algorithm 4/5 (user-password verification against /U),
+* Algorithm 1 (per-object key: md5(file_key + obj_le24 + gen_le16)).
+
+Only the *empty user password* is attempted — the overwhelmingly common
+"owner-locked but world-readable" case (the reference inherits exactly this
+behavior from pdfminer's PDFDocument default password "",
+reference: app/processing/pdf_processor.py:86-101). A file that does not
+verify stays ciphertext and the caller lands it in ``parse_status='failed'``.
+
+AESV2/V3 (V 4/5) are NOT implemented: they need a real AES primitive, and
+this core is deliberately stdlib-only. Such files fail verification cleanly.
+
+Everything here is pure byte arithmetic — deterministic, no I/O, reusable
+inside Arrow workers with zero per-row Python beyond the call itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# §7.6.3.3 padding string (Algorithm 2 step a)
+PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pwd: bytes) -> bytes:
+    return (pwd + PAD)[:32]
+
+
+def file_key(
+    o_entry: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    length_bits: int = 40,
+    user_pwd: bytes = b"",
+) -> bytes:
+    """Algorithm 2: the file encryption key for (R 2, R 3)."""
+    n = max(5, min(16, length_bits // 8)) if r >= 3 else 5
+    h = hashlib.md5()
+    h.update(_pad_password(user_pwd))
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def user_check_bytes(key: bytes, id0: bytes, r: int) -> bytes:
+    """The /U value a conforming writer stores for this key (Algorithm 4/5).
+
+    R 2: RC4(key, PAD). R 3: 20-round iterated RC4 over md5(PAD + ID[0]);
+    only the first 16 bytes are significant (the tail is arbitrary padding —
+    we return exactly 16 and the verifier compares prefixes)."""
+    if r == 2:
+        return rc4(key, PAD)
+    x = hashlib.md5(PAD + id0).digest()
+    x = rc4(key, x)
+    for i in range(1, 20):
+        x = rc4(bytes(b ^ i for b in key), x)
+    return x
+
+
+def verify_empty_user_password(
+    o_entry: bytes, u_entry: bytes, p: int, id0: bytes, r: int, length_bits: int
+) -> bytes | None:
+    """File key if the empty user password opens this file, else None."""
+    key = file_key(o_entry, p, id0, r, length_bits)
+    expect = user_check_bytes(key, id0, r)
+    got = u_entry[:32]
+    ok = got[:16] == expect[:16] if r >= 3 else got == expect[:32]
+    return key if ok else None
+
+
+def object_key(fkey: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the RC4 key for strings/streams of object (num, gen)."""
+    h = hashlib.md5(
+        fkey + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(fkey) + 5, 16)]
+
+
+# --- encrypt-dict parsing (layout-tolerant, value-only regexes) --------------
+
+_NAME_INT_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(-?\d+)") for k in (b"V", b"R", b"P", b"Length")
+}
+_FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard\b")
+
+
+def _string_after(dict_body: bytes, name: bytes) -> bytes | None:
+    """The string value following /name — literal ``(...)`` (escape-aware)
+    or hex ``<...>``."""
+    m = re.search(rb"/" + name + rb"\s*", dict_body)
+    if not m:
+        return None
+    i = m.end()
+    if dict_body[i : i + 1] == b"(":
+        out = bytearray()
+        depth, j = 1, i + 1
+        while j < len(dict_body):
+            b = dict_body[j]
+            if b == 0x5C and j + 1 < len(dict_body):
+                nxt = dict_body[j + 1]
+                if 0x30 <= nxt <= 0x37:  # octal escape \ooo
+                    k = j + 1
+                    oct_digits = b""
+                    while k < len(dict_body) and len(oct_digits) < 3 and 0x30 <= dict_body[k] <= 0x37:
+                        oct_digits += dict_body[k : k + 1]
+                        k += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                    j = k
+                    continue
+                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                out.append(esc.get(nxt, nxt))
+                j += 2
+                continue
+            if b == 0x28:
+                depth += 1
+            elif b == 0x29:
+                depth -= 1
+                if depth == 0:
+                    break
+            out.append(b)
+            j += 1
+        return bytes(out)
+    if dict_body[i : i + 1] == b"<" and dict_body[i : i + 2] != b"<<":
+        j = dict_body.find(b">", i + 1)
+        if j == -1:
+            return None
+        hx = re.sub(rb"\s+", b"", dict_body[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii", "replace"))
+    return None
+
+
+def parse_standard_encrypt_dict(dict_body: bytes) -> dict | None:
+    """{'v','r','p','length','o','u'} from a /Filter /Standard dict, or None
+    when the handler / revision is outside the supported RC4 range."""
+    if not _FILTER_STD_RE.search(dict_body):
+        return None
+    ints = {}
+    for k, rx in _NAME_INT_RE.items():
+        m = rx.search(dict_body)
+        if m:
+            ints[k.decode()] = int(m.group(1))
+    v = ints.get("V", 0)
+    r = ints.get("R", 2)
+    if v not in (1, 2) or r not in (2, 3):
+        return None  # AESV2/V3 or crypt filters: unsupported, caller fails cleanly
+    o = _string_after(dict_body, b"O")
+    u = _string_after(dict_body, b"U")
+    if o is None or u is None or "P" not in ints:
+        return None
+    return {
+        "v": v,
+        "r": r,
+        "p": ints["P"],
+        "length": ints.get("Length", 40),
+        "o": o,
+        "u": u,
+    }
+
+
+# --- whole-file stream transform ----------------------------------------------
+#
+# RC4 is length-preserving, so decrypting every object's stream payload IN
+# PLACE yields a byte-identical layout: xref offsets, /Length entries, and
+# ObjStm member offsets all stay valid, and the normal parser runs unchanged
+# on the result. Strings OUTSIDE streams (bookmark titles, /URI actions) are
+# NOT decrypted — re-escaping them is not length-safe — and nothing in the
+# text/image path reads them; content-stream text decrypts at stream level.
+
+_OBJ_GEN_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"\bstream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_ENDSTREAM_RE = re.compile(rb"(.*?)\s*endstream", re.DOTALL)
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_TRAILER_BODY_RE = re.compile(rb"trailer\b(.*?)(?:startxref|\Z)", re.DOTALL)
+_ENCRYPT_NUM_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+
+
+def _stream_span(body: bytes) -> tuple[int, int] | None:
+    """(start, end) byte span of the raw stream payload inside ``body``."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None
+    lm = _LENGTH_RE.search(body[: sm.start()])
+    if lm:
+        return sm.end(), min(sm.end() + int(lm.group(1)), len(body))
+    em = _ENDSTREAM_RE.match(body, sm.end())
+    return (sm.end(), sm.end() + len(em.group(1))) if em else None
+
+
+def _transform_streams(data: bytes, fkey: bytes, skip_nums: frozenset[int]) -> bytes:
+    """RC4 every object's stream payload with its per-object key (symmetric —
+    used for both the decrypt path and the fixture encryptor). Skips the
+    objects in ``skip_nums`` and /Type /XRef streams (never encrypted)."""
+    ba = bytearray(data)
+    for m in _OBJ_GEN_RE.finditer(data):
+        num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        if num in skip_nums:
+            continue
+        span = _stream_span(body)
+        if span is None:
+            continue
+        if _XREF_TYPE_RE.search(body[: span[0]]):
+            continue
+        raw = body[span[0] : span[1]]
+        abs_start = m.start(3) + span[0]
+        ba[abs_start : abs_start + len(raw)] = rc4(object_key(fkey, num, gen), raw)
+    return bytes(ba)
+
+
+def _parse_file_id(dict_body: bytes) -> bytes:
+    """First element of the trailer's /ID array (hex or literal), or b''."""
+    m = re.search(rb"/ID\s*\[\s*", dict_body)
+    if not m:
+        return b""
+    return _string_after(b"/X " + dict_body[m.end() :], b"X") or b""
+
+
+def find_encrypt(data: bytes) -> tuple[int, bytes, bytes] | None:
+    """(encrypt obj num, encrypt dict body, file id) from the newest trailer
+    (or a /Type /XRef stream dict for 1.5+ layouts), else None."""
+    ref = None
+    for tm in _TRAILER_BODY_RE.finditer(data):
+        em = _ENCRYPT_NUM_RE.search(tm.group(1))
+        if em:
+            ref = (int(em.group(1)), _parse_file_id(tm.group(1)))
+    if ref is None:
+        for m in _OBJ_GEN_RE.finditer(data):
+            head = m.group(3)
+            span = _stream_span(head)
+            head = head[: span[0]] if span else head
+            if _XREF_TYPE_RE.search(head):
+                em = _ENCRYPT_NUM_RE.search(head)
+                if em:
+                    ref = (int(em.group(1)), _parse_file_id(head))
+    if ref is None:
+        return None
+    num, id0 = ref
+    for m in _OBJ_GEN_RE.finditer(data):
+        if int(m.group(1)) == num:
+            return num, m.group(3), id0
+    return None
+
+
+def decrypt_pdf_bytes(data: bytes) -> bytes | None:
+    """Decrypted copy of an RC4 standard-security PDF openable with the empty
+    user password, else None (wrong password, AES, or damaged /Encrypt)."""
+    found = find_encrypt(data)
+    if found is None:
+        return None
+    num, enc_body, id0 = found
+    params = parse_standard_encrypt_dict(enc_body)
+    if params is None:
+        return None
+    fkey = verify_empty_user_password(
+        params["o"], params["u"], params["p"], id0, params["r"], params["length"]
+    )
+    if fkey is None:
+        return None
+    return _transform_streams(data, fkey, frozenset([num]))
+
+
+# --- writer side (test fixtures) ---------------------------------------------
+
+
+def make_encrypt_entries(
+    p: int, id0: bytes, r: int = 2, length_bits: int = 40, owner_pwd: bytes = b""
+) -> tuple[bytes, bytes, bytes]:
+    """(O, U, file_key) for an empty USER password — the fixture writer's
+    half of the handshake (Algorithm 3 for /O, then 2 and 4/5)."""
+    # Algorithm 3: O = RC4 chain keyed from the padded owner password
+    okey = hashlib.md5(_pad_password(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    n = max(5, min(16, length_bits // 8)) if r >= 3 else 5
+    o = rc4(okey[:n], _pad_password(b""))  # user password is empty
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey[:n]), o)
+    fkey = file_key(o, p, id0, r, length_bits)
+    u = user_check_bytes(fkey, id0, r)
+    if r >= 3:
+        u = u + b"\x00" * 16  # arbitrary 16-byte pad per Algorithm 5 step f
+    return o, u, fkey
+
+
+def encrypt_pdf_bytes(
+    data: bytes, r: int = 2, length_bits: int = 40, p: int = -1
+) -> bytes:
+    """Encrypt a classic-layout (``trailer`` present) PDF with the standard
+    security handler, empty user password — the test-fixture writer that
+    exercises ``decrypt_pdf_bytes``. Streams are RC4'd in place (length
+    preserved, so the existing xref stays exact); the /Encrypt dict is
+    appended after %%EOF (the reader resolves it by flat object scan) and
+    /Encrypt + /ID are spliced into the trailer dict."""
+    if not _TRAILER_BODY_RE.search(data):
+        raise ValueError("encrypt_pdf_bytes needs a classic trailer layout")
+    id0 = hashlib.md5(data[:1024]).digest()
+    o, u, fkey = make_encrypt_entries(p, id0, r=r, length_bits=length_bits)
+    enc_num = max(
+        (int(m.group(1)) for m in _OBJ_GEN_RE.finditer(data)), default=0
+    ) + 1
+    ct = _transform_streams(data, fkey, frozenset())
+    splice = (
+        b"/Encrypt " + str(enc_num).encode() + b" 0 R /ID [<"
+        + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] "
+    )
+    # splice into every trailer dict (incremental updates share the handler);
+    # dict-open offsets come from the PLAINTEXT scan (RC4 keeps lengths, so
+    # they are identical in ct, and ciphertext bytes can't fake a trailer)
+    opens = [
+        m.end() for m in re.finditer(rb"trailer\s*<<", data)
+    ]
+    ba = bytearray(ct)
+    for off in reversed(opens):
+        ba[off:off] = b" " + splice
+    result = bytes(ba)
+    return result + (
+        b"\n" + str(enc_num).encode() + b" 0 obj\n<< /Filter /Standard /V "
+        + str(1 if r == 2 else 2).encode() + b" /R " + str(r).encode()
+        + b" /Length " + str(length_bits).encode() + b" /P " + str(p).encode()
+        + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+        + b"> >>\nendobj\n"
+    )

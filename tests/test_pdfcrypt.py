@@ -1,0 +1,82 @@
+"""RC4 standard-security-handler decryption (core/pdfcrypt.py).
+
+The reference opens owner-locked/world-readable PDFs through pdfminer's
+default empty password (reference: app/processing/pdf_processor.py:86-101);
+this suite pins the same capability: fixture files encrypted per PDF 32000-1
+§7.6.3 (R 2 / 40-bit and R 3 / 128-bit) must extract byte-identical text to
+their plaintext originals, and anything that doesn't verify stays 'failed'.
+"""
+
+import re
+
+import pytest
+
+from pdf_extractor_spark.core import pdfcrypt as pc
+from pdf_extractor_spark.core.pdf_extract import (
+    extract_any,
+    extract_pdf,
+    extract_pdf_images,
+    render_pdf,
+)
+
+PAGES = [["alpha beta gamma", "second paragraph here"], ["page two text"]]
+
+
+def test_rc4_known_answer_vectors():
+    assert pc.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert pc.rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+
+
+@pytest.mark.parametrize("r,bits", [(2, 40), (3, 128)])
+def test_writer_entries_verify_with_empty_user_password(r, bits):
+    id0 = bytes(range(16))
+    o, u, fkey = pc.make_encrypt_entries(p=-1, id0=id0, r=r, length_bits=bits)
+    assert pc.verify_empty_user_password(o, u, -1, id0, r, bits) == fkey
+    assert pc.verify_empty_user_password(o, b"x" * 32, -1, id0, r, bits) is None
+
+
+@pytest.mark.parametrize("r,bits", [(2, 40), (3, 128)])
+def test_encrypted_pdf_decrypts_to_identical_text(r, bits):
+    plain = render_pdf(PAGES)
+    base = extract_pdf("u", plain)
+    enc = pc.encrypt_pdf_bytes(plain, r=r, length_bits=bits)
+    got = extract_pdf("u", enc)
+    assert got.status == "ok"
+    assert got.text == base.text
+    assert [b.text for b in got.blocks] == [b.text for b in base.blocks]
+    # content-type dispatch path too
+    assert extract_any("u", enc).text == base.text
+
+
+def test_encrypted_pdf_images_materialize():
+    plain = render_pdf(PAGES, images_per_page=1, jpeg_images=True)
+    base = extract_pdf_images("u", plain)
+    enc = pc.encrypt_pdf_bytes(plain, r=3, length_bits=128)
+    got = extract_pdf_images("u", enc)
+    assert [(p, n, w, h, payload) for p, n, w, h, payload, _ in got] == [
+        (p, n, w, h, payload) for p, n, w, h, payload, _ in base
+    ]
+    assert len(got) >= 1
+
+
+def test_wrong_password_file_still_fails_cleanly():
+    plain = render_pdf(PAGES)
+    enc = pc.encrypt_pdf_bytes(plain, r=3, length_bits=128)
+    bad = re.sub(rb"/U <[0-9a-f]+>", b"/U <" + b"00" * 32 + b">", enc)
+    assert pc.decrypt_pdf_bytes(bad) is None
+    got = extract_pdf("u", bad)
+    assert got.status == "failed" and got.text == "" and got.blocks == []
+
+
+def test_aes_handler_fails_cleanly():
+    plain = render_pdf(PAGES)
+    enc = pc.encrypt_pdf_bytes(plain, r=3, length_bits=128)
+    aes = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")  # AESV2: unsupported
+    assert pc.decrypt_pdf_bytes(aes) is None
+    assert extract_pdf("u", aes).status == "failed"
+
+
+def test_object_key_truncates_to_16_bytes():
+    # 128-bit file key + 5 > 16: spec caps the md5 slice at 16
+    assert len(pc.object_key(b"k" * 16, 1, 0)) == 16
+    assert len(pc.object_key(b"k" * 5, 1, 0)) == 10
