@@ -59,3 +59,128 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
             i += 2 + seg_len
         return None
     return None
+
+
+# --- PNG pixel codec (pure stdlib zlib + numpy) ------------------------------
+#
+# The sandbox has no PIL/ffmpeg, but baseline PNG is fully decodable with
+# zlib + the five spec scanline filters — so the media decode seam's "real
+# path" (operators/multimodal.py) produces ACTUAL pixels for PNG payloads,
+# not a stub. Supported: bit depth 8, gray / RGB / gray+alpha / RGBA,
+# non-interlaced (the shapes our own encoders emit and the dominant web
+# form). Everything else returns None and the caller degrades to
+# header-sniff-only, never an exception. Reference capability:
+# app/processing/pdf_processor.py:86-101 (pdfminer/PIL image handling).
+
+import struct as _struct
+import zlib as _zlib
+
+import numpy as _np
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def png_decode(payload: bytes | None):
+    """(h, w, channels) uint8 ndarray from a baseline PNG, else None."""
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(payload)
+    w = h = colortype = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w, h, depth, colortype, comp, filt, interlace = _struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8 or colortype not in _PNG_CHANNELS or comp or filt or interlace:
+                return None
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        return None
+    try:
+        raw = _zlib.decompress(b"".join(idat))
+    except _zlib.error:
+        return None
+    ch = _PNG_CHANNELS[colortype]
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = _np.empty((h, stride), dtype=_np.uint8)
+    prior = _np.zeros(stride, dtype=_np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        rec = _np.frombuffer(raw, _np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:  # Up (uint8 + wraps mod 256 — exactly the spec)
+            rec += prior
+        elif f == 1:  # Sub == per-channel cumulative sum along the row
+            for c in range(ch):
+                _np.cumsum(rec[c::ch], dtype=_np.uint8, out=rec[c::ch])
+        elif f == 3:  # Average: left-sequential, scalar per byte
+            for i in range(stride):
+                left = int(rec[i - ch]) if i >= ch else 0
+                rec[i] = (int(rec[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: left-sequential, scalar per byte
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                c = int(prior[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(rec[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(data))
+        + ctype
+        + data
+        + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr) -> bytes:
+    """uint8 (h, w) or (h, w, ch) ndarray → baseline PNG (filter-0 rows)."""
+    a = _np.asarray(arr, dtype=_np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    rows = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(rows, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr, new_w: int, new_h: int):
+    """Nearest-neighbor resample of an (h, w, ch) uint8 array — index
+    gathers only, deterministic on every platform."""
+    a = _np.asarray(arr)
+    h, w = a.shape[0], a.shape[1]
+    ys = (_np.arange(new_h) * h) // new_h
+    xs = (_np.arange(new_w) * w) // new_w
+    return a[ys][:, xs]

@@ -7,12 +7,13 @@ pipeline: media travel as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-Decode honesty: ``decode_media``'s byte stats, payload sha, and codec/
-dimension sniffing (JPEG/PNG/GIF headers, core/imagemeta.py) are REAL and
-run in pure stdlib; only pixel-level features / resampling need PIL/ffmpeg
-(absent in this container) — the feature vector is null in the real path or
-a deterministic fake with ``fake=True``; ``resize_media``/``sample_frames``
-raise unless ``fake=True``. The Spark-side plumbing — schema, batch shape,
+Decode honesty: ``decode_media``'s byte stats, payload sha, codec/dimension
+sniffing (JPEG/PNG/GIF headers), and — for baseline PNG — actual pixel
+decode, thumbnail features, and ``resize_media`` resampling are REAL, via
+the pure zlib+numpy codec in core/imagemeta.py. Only JPEG pixel work and
+video frame decode still need PIL/ffmpeg (absent in this container): those
+rows carry a null feature / pass through unresized, and ``sample_frames``
+raises unless ``fake=True``. The Spark-side plumbing — schema, batch shape,
 partition independence — is fully real and tested either way.
 
 Scale notes: media bytes dominate row size, so the arrow batch cap
@@ -62,9 +63,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("codec", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
-        # pixel-level feature vector: real decode needs PIL/ffmpeg (absent
-        # in this container) — null in the real path, deterministic fake
-        # with fake=True
+        # pixel-level feature vector: REAL 4x4 grayscale thumbnail for
+        # baseline-PNG payloads (zlib+numpy codec, core/imagemeta.py);
+        # null for codecs that need PIL/ffmpeg (absent in this container);
+        # sha-derived deterministic stand-in with fake=True
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -80,14 +82,30 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [b / 255.0 for b in d[:FEATURE_DIM]]
 
 
+def _png_feature(payload: bytes) -> list[float] | None:
+    """REAL pixel feature for baseline-PNG payloads: 4x4 nearest-resampled
+    grayscale thumbnail, 16 floats in [0, 1] (core/imagemeta.py png_decode —
+    pure zlib+numpy, no PIL). None when the payload isn't a decodable PNG."""
+    from pdf_extractor_spark.core.imagemeta import png_decode, resize_nearest
+
+    arr = png_decode(payload)
+    if arr is None:
+        return None
+    gray = arr.astype("float32").mean(axis=2)
+    thumb = resize_nearest(gray, 4, 4)
+    return [float(v) / 255.0 for v in thumb.reshape(-1)]
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """media rows → per-media feature rows (decode + feature-extract stage).
 
-    The REAL part runs either way: byte stats, payload sha, and codec +
-    pixel dimensions sniffed from JPEG/PNG/GIF headers in pure stdlib
-    (core/imagemeta.py) — no decode library needed. Only the pixel-level
-    ``feature`` vector requires PIL/ffmpeg (absent in this container): it
-    is null in the real path, or a deterministic stand-in with ``fake=True``.
+    The REAL path: byte stats, payload sha, codec + pixel dimensions sniffed
+    from JPEG/PNG/GIF headers, and — for baseline-PNG payloads — an ACTUAL
+    pixel feature (4x4 grayscale thumbnail via the pure zlib+numpy decoder,
+    core/imagemeta.py png_decode). JPEG/video pixel work still needs
+    PIL/ffmpeg (absent in this container): those rows carry a null feature.
+    ``fake=True`` swaps in the sha-derived deterministic stand-in for every
+    row (fixture corpora whose payloads aren't images at all).
     """
     from pdf_extractor_spark.core.imagemeta import sniff_image
 
@@ -106,7 +124,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     "codec": sniffed.map(lambda s: s[0] if s else None),
                     "width": sniffed.map(lambda s: s[1] if s else None),
                     "height": sniffed.map(lambda s: s[2] if s else None),
-                    "feature": payloads.map(_fake_feature) if fake else None,
+                    "feature": payloads.map(_fake_feature if fake else _png_feature),
                 }
             )
 
@@ -149,24 +167,52 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     return vids.mapInPandas(run, out_schema)
 
 
-def resize_media(media: DataFrame, max_bytes: int = 64, fake: bool = False) -> DataFrame:
+def resize_media(
+    media: DataFrame, max_bytes: int = 64, fake: bool = False, max_side: int = 32
+) -> DataFrame:
     """image rows → resized payload rows (downscale stage).
 
-    Real resize needs PIL (stubbed like decode_media); the deterministic
-    fake truncates the payload to ``max_bytes`` and rewrites the metadata —
-    exercising the real concern: the output schema equals the input schema
-    so resize stages compose (resize → decode → features).
+    REAL path: baseline-PNG payloads decode (core/imagemeta.py, pure
+    zlib+numpy), nearest-neighbor downscale so the longest side is
+    ``max_side`` (aspect preserved, never upscaled), and re-encode as PNG
+    with the metadata rewritten; payloads that aren't decodable PNGs pass
+    through UNCHANGED (a resize stage must not destroy rows it can't
+    process — JPEG needs PIL, absent here). The deterministic ``fake``
+    truncates every payload to ``max_bytes`` instead (fixture corpora whose
+    payloads aren't images). Either way the output schema equals the input
+    schema so resize stages compose (resize → decode → features).
     """
-    if not fake:
-        raise NotImplementedError("real image resize needs PIL; pass fake=True")
+
+    def _resize_real(b: bytes | None):
+        from pdf_extractor_spark.core.imagemeta import png_decode, png_encode, resize_nearest
+
+        arr = png_decode(b)
+        if arr is None:
+            return b, None
+        h, w = arr.shape[0], arr.shape[1]
+        scale = max(h, w) / max_side
+        if scale <= 1.0:
+            return b, (w, h)
+        nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+        return png_encode(resize_nearest(arr, nw, nh)), (nw, nh)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = out["payload"].map(lambda b: (b or b"")[:max_bytes])
-            out["meta"] = out["meta"].map(
-                lambda m: {**(m or {}), "width": max_bytes, "height": max_bytes}
-            )
+            if fake:
+                out["payload"] = out["payload"].map(lambda b: (b or b"")[:max_bytes])
+                out["meta"] = out["meta"].map(
+                    lambda m: {**(m or {}), "width": max_bytes, "height": max_bytes}
+                )
+            else:
+                resized = out["payload"].map(_resize_real)
+                out["payload"] = resized.map(lambda t: t[0])
+                out["meta"] = [
+                    {**(m or {}), "mime": "image/png", "width": wh[0], "height": wh[1]}
+                    if wh
+                    else m
+                    for m, (_, wh) in zip(out["meta"], resized)
+                ]
             yield out
 
     imgs = media.filter(F.col("kind") == "image")

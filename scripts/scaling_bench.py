@@ -67,8 +67,9 @@ def main() -> None:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    lo = run_bench(n_low, sf_dir)
-    hi = run_bench(n_high, sf_dir)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "5"))
+    lo = run_bench(n_low, sf_dir, repeats=repeats)
+    hi = run_bench(n_high, sf_dir, repeats=repeats)
     ratio = n_high / n_low
     # efficiency on the flagship extraction stage (docs/sec), the headline metric
     eff_extract = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
@@ -96,9 +97,10 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=1)
 
+    amplify = os.environ.get("SPARK_GRAFT_AMPLIFY", "16")
     md = f"""# BENCH/BASELINE.md — measured numbers
 
-Input: `{sf_dir}` documents amplified x16 → {lo.get('bench_pages')} boilerplate
+Input: `{sf_dir}` documents amplified x{amplify} → {lo.get('bench_pages')} boilerplate
 HTML pages, {lo.get('input_mb')} MB.
 Same input at both parallelism levels (`local[{n_low}]` vs `local[{n_high}]`
 — sandbox stand-in for N vs 4N executors, per BASELINE.md).
