@@ -615,6 +615,66 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def q_png_features(spark, sf_dir):
+    """REAL pixel path end-to-end through the driver gate: per doc_id a
+    constant-color 8x8 RGB PNG is encoded (core/imagemeta.py png_encode),
+    resize_media(fake=False) downscales the actual raster to 4x4 and
+    re-encodes, decode_media(fake=False) decodes THOSE pixels and emits the
+    4x4 grayscale-thumbnail feature. A constant image makes the feature a
+    closed form of doc_id — gray = mean(r,g,b)/255 with (r,g,b) =
+    (d%256, 7d%256, 13d%256) — so DuckDB reproduces it exactly (rounded to
+    4 decimals: the float32 mean wobble is ~1e-8 and no corpus value lands
+    near a rounding boundary)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import decode_media, resize_media
+
+    def mk_media(batches):
+        import numpy as np
+
+        from pdf_extractor_spark.core.imagemeta import png_encode
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                arr = np.empty((8, 8, 3), dtype=np.uint8)
+                arr[:, :, 0] = d % 256
+                arr[:, :, 1] = (d * 7) % 256
+                arr[:, :, 2] = (d * 13) % 256
+                ids.append(f"doc://{d}")
+                payloads.append(png_encode(arr))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    small = resize_media(media, fake=False, max_side=4)
+    feats = decode_media(small, fake=False)
+    return feats.select(
+        "media_id",
+        "codec",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("gray"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Multimodal: per-frame row expansion from duration metadata."""
     media = media_from_documents(_docs(spark, sf_dir))
@@ -1684,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_docs": q_embed_docs,
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
+        "png_features": q_png_features,
         "frame_sample": q_frame_sample,
         "extract_images": q_extract_images,
         "related_images": q_related_images,
@@ -3154,6 +3215,13 @@ SELECT doc_id::VARCHAR AS media_id,
        least(octet_length(encode(text)), 64)::BIGINT AS n_bytes,
        64::BIGINT AS width
 FROM documents WHERE doc_id % 3 = 0""",
+        "png_features": """
+SELECT 'doc://' || doc_id AS media_id,
+       'png' AS codec,
+       4::BIGINT AS width,
+       4::BIGINT AS height,
+       ROUND((((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) / 3.0) / 255.0, 4) AS gray
+FROM documents""",
         "extract_images": (
             "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "
             "FROM documents"
