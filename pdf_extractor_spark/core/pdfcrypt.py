@@ -1,12 +1,15 @@
 """PDF standard security handler (RC4) — empty-user-password decryption.
 
 Implements the public PDF 32000-1 §7.6.3 "Standard Security Handler"
-algorithms for the legacy RC4 revisions:
+algorithms:
 
-* V 1 / R 2 (RC4-40) and V 2 / R 3 (RC4 with /Length up to 128 bits),
-* Algorithm 2 (file encryption key from the padded password, /O, /P, /ID),
-* Algorithm 4/5 (user-password verification against /U),
-* Algorithm 1 (per-object key: md5(file_key + obj_le24 + gen_le16)).
+* V 1 / R 2 (RC4-40), V 2 / R 3 (RC4 up to 128 bits), and V 4 / R 4 with
+  an /AESV2 (AES-128-CBC, core/aes.py) or /V2 (RC4) crypt filter,
+* Algorithm 2 (file encryption key from the padded password, /O, /P, /ID,
+  and R 4's /EncryptMetadata term),
+* Algorithm 4/5 (user-password verification against /U; R 4 checks like R 3),
+* Algorithm 1 (per-object key: md5(file_key + obj_le24 + gen_le16), plus
+  the 'sAlT' constant for AESV2).
 
 Only the *empty user password* is attempted — the overwhelmingly common
 "owner-locked but world-readable" case (the reference inherits exactly this
@@ -14,8 +17,8 @@ behavior from pdfminer's PDFDocument default password "",
 reference: app/processing/pdf_processor.py:86-101). A file that does not
 verify stays ciphertext and the caller lands it in ``parse_status='failed'``.
 
-AESV2/V3 (V 4/5) are NOT implemented: they need a real AES primitive, and
-this core is deliberately stdlib-only. Such files fail verification cleanly.
+AESV3 (V 5 / R 5-6, AES-256 + SHA-2 key derivation) is not implemented;
+such files fail verification cleanly.
 
 Everything here is pure byte arithmetic — deterministic, no I/O, reusable
 inside Arrow workers with zero per-row Python beyond the call itself.
@@ -66,14 +69,17 @@ def file_key(
     r: int,
     length_bits: int = 40,
     user_pwd: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key for (R 2, R 3)."""
+    """Algorithm 2: the file encryption key for R 2-4."""
     n = max(5, min(16, length_bits // 8)) if r >= 3 else 5
     h = hashlib.md5()
     h.update(_pad_password(user_pwd))
     h.update(o_entry[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -97,20 +103,30 @@ def user_check_bytes(key: bytes, id0: bytes, r: int) -> bytes:
 
 
 def verify_empty_user_password(
-    o_entry: bytes, u_entry: bytes, p: int, id0: bytes, r: int, length_bits: int
+    o_entry: bytes,
+    u_entry: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    length_bits: int,
+    encrypt_metadata: bool = True,
 ) -> bytes | None:
     """File key if the empty user password opens this file, else None."""
-    key = file_key(o_entry, p, id0, r, length_bits)
-    expect = user_check_bytes(key, id0, r)
+    key = file_key(o_entry, p, id0, r, length_bits, encrypt_metadata=encrypt_metadata)
+    expect = user_check_bytes(key, id0, min(r, 3))  # R 4 verifies like R 3
     got = u_entry[:32]
     ok = got[:16] == expect[:16] if r >= 3 else got == expect[:32]
     return key if ok else None
 
 
-def object_key(fkey: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the RC4 key for strings/streams of object (num, gen)."""
+def object_key(fkey: bytes, num: int, gen: int, cfm: str = "rc4") -> bytes:
+    """Algorithm 1: the per-object key for strings/streams of (num, gen).
+    AESV2 appends the spec's 'sAlT' constant to the md5 input."""
     h = hashlib.md5(
-        fkey + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+        fkey
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if cfm == "aesv2" else b"")
     ).digest()
     return h[: min(len(fkey) + 5, 16)]
 
@@ -170,20 +186,52 @@ def _string_after(dict_body: bytes, name: bytes) -> bytes | None:
     return None
 
 
+_CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
+_ENCRYPT_META_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
+
+
 def parse_standard_encrypt_dict(dict_body: bytes) -> dict | None:
-    """{'v','r','p','length','o','u'} from a /Filter /Standard dict, or None
-    when the handler / revision is outside the supported RC4 range."""
+    """{'v','r','p','length','o','u','cfm','encrypt_metadata'} from a
+    /Filter /Standard dict, or None when the handler / revision is outside
+    the supported range (RC4 V 1/2 R 2/3, and V 4 R 4 with an /AESV2 or
+    /V2 crypt filter; AESV3/R 5-6 need SHA-256+AES-256 — unsupported,
+    caller fails cleanly)."""
     if not _FILTER_STD_RE.search(dict_body):
         return None
+    # the /CF crypt-filter sub-dict carries its own /Length (key BYTES, not
+    # bits) — mask it out so the int scan reads only top-level entries
+    scan_body = dict_body
+    cfm_m = re.search(rb"/CF\s*<<", dict_body)
+    if cfm_m:
+        depth, j = 1, cfm_m.end()
+        while j < len(dict_body) - 1 and depth:
+            pair = dict_body[j : j + 2]
+            if pair == b"<<":
+                depth += 1
+                j += 2
+            elif pair == b">>":
+                depth -= 1
+                j += 2
+            else:
+                j += 1
+        scan_body = dict_body[: cfm_m.start()] + b" " * (j - cfm_m.start()) + dict_body[j:]
     ints = {}
     for k, rx in _NAME_INT_RE.items():
-        m = rx.search(dict_body)
+        m = rx.search(scan_body)
         if m:
             ints[k.decode()] = int(m.group(1))
     v = ints.get("V", 0)
     r = ints.get("R", 2)
-    if v not in (1, 2) or r not in (2, 3):
-        return None  # AESV2/V3 or crypt filters: unsupported, caller fails cleanly
+    cfm = "rc4"
+    if v == 4 and r == 4:
+        m = _CFM_RE.search(dict_body)
+        name = m.group(1) if m else b""
+        if name == b"AESV2":
+            cfm = "aesv2"
+        elif name != b"V2":  # V2 = RC4 under the crypt-filter framing
+            return None
+    elif v not in (1, 2) or r not in (2, 3):
+        return None
     o = _string_after(dict_body, b"O")
     u = _string_after(dict_body, b"U")
     if o is None or u is None or "P" not in ints:
@@ -195,6 +243,8 @@ def parse_standard_encrypt_dict(dict_body: bytes) -> dict | None:
         "length": ints.get("Length", 40),
         "o": o,
         "u": u,
+        "cfm": cfm,
+        "encrypt_metadata": not _ENCRYPT_META_FALSE_RE.search(dict_body),
     }
 
 
@@ -248,6 +298,36 @@ def _transform_streams(data: bytes, fkey: bytes, skip_nums: frozenset[int]) -> b
     return bytes(ba)
 
 
+_LENGTH_PATCH_RE = re.compile(rb"/Length\s+\d+(?![0-9])(?!\s+\d+\s+R)")
+
+
+def _rebuild_streams(data: bytes, fn) -> bytes:
+    """Rebuild the file with each object's stream payload replaced by
+    ``fn(num, gen, raw) -> bytes | None`` (None keeps the original). Unlike
+    the in-place RC4 transform, AES changes stream LENGTHS (IV + padding),
+    so /Length is patched per object and every byte offset after the first
+    change shifts — the caller must treat the result's xref as stale
+    (``decrypt_pdf_bytes`` neuters ``startxref`` so the parser's flat-scan
+    fallback, which also expands visible /ObjStm members, takes over)."""
+    out = bytearray()
+    pos = 0
+    for m in _OBJ_GEN_RE.finditer(data):
+        num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        span = _stream_span(body)
+        if span is None or _XREF_TYPE_RE.search(body[: span[0]]):
+            continue
+        new_raw = fn(num, gen, body[span[0] : span[1]])
+        if new_raw is None:
+            continue
+        head = _LENGTH_PATCH_RE.sub(
+            b"/Length " + str(len(new_raw)).encode(), body[: span[0]], count=1
+        )
+        out += data[pos : m.start(3)] + head + new_raw + body[span[1] :]
+        pos = m.end(3)
+    out += data[pos:]
+    return bytes(out)
+
+
 def _parse_file_id(dict_body: bytes) -> bytes:
     """First element of the trailer's /ID array (hex or literal), or b''."""
     m = re.search(rb"/ID\s*\[\s*", dict_body)
@@ -283,8 +363,15 @@ def find_encrypt(data: bytes) -> tuple[int, bytes, bytes] | None:
 
 
 def decrypt_pdf_bytes(data: bytes) -> bytes | None:
-    """Decrypted copy of an RC4 standard-security PDF openable with the empty
-    user password, else None (wrong password, AES, or damaged /Encrypt)."""
+    """Decrypted copy of a standard-security PDF openable with the empty
+    user password — RC4 (V 1/2, R 2/3, and V 4 /V2 crypt filter) or AESV2
+    (V 4 R 4) — else None (wrong password, AESV3+, damaged /Encrypt).
+
+    RC4 decrypts streams IN PLACE (length-preserving: xref stays exact).
+    AESV2 strips each stream's IV + padding, so lengths change: the file is
+    REBUILT with patched /Length entries and its ``startxref`` neutered —
+    the parser's flat-scan fallback (which also expands visible /ObjStm
+    members) then parses the plaintext objects."""
     found = find_encrypt(data)
     if found is None:
         return None
@@ -293,11 +380,22 @@ def decrypt_pdf_bytes(data: bytes) -> bytes | None:
     if params is None:
         return None
     fkey = verify_empty_user_password(
-        params["o"], params["u"], params["p"], id0, params["r"], params["length"]
+        params["o"], params["u"], params["p"], id0, params["r"],
+        params["length"], params["encrypt_metadata"],
     )
     if fkey is None:
         return None
-    return _transform_streams(data, fkey, frozenset([num]))
+    if params["cfm"] == "rc4":
+        return _transform_streams(data, fkey, frozenset([num]))
+
+    from pdf_extractor_spark.core.aes import cbc_decrypt
+
+    def dec(onum: int, ogen: int, raw: bytes) -> bytes | None:
+        if onum == num:
+            return None
+        return cbc_decrypt(object_key(fkey, onum, ogen, "aesv2"), raw)
+
+    return _rebuild_streams(data, dec).replace(b"startxref", b"%stxref%")
 
 
 # --- writer side (test fixtures) ---------------------------------------------
@@ -326,39 +424,57 @@ def make_encrypt_entries(
 
 
 def encrypt_pdf_bytes(
-    data: bytes, r: int = 2, length_bits: int = 40, p: int = -1
+    data: bytes, r: int = 2, length_bits: int = 40, p: int = -1, cfm: str = "rc4"
 ) -> bytes:
     """Encrypt a classic-layout (``trailer`` present) PDF with the standard
     security handler, empty user password — the test-fixture writer that
-    exercises ``decrypt_pdf_bytes``. Streams are RC4'd in place (length
-    preserved, so the existing xref stays exact); the /Encrypt dict is
-    appended after %%EOF (the reader resolves it by flat object scan) and
-    /Encrypt + /ID are spliced into the trailer dict."""
+    exercises ``decrypt_pdf_bytes``. RC4 streams encrypt in place (length
+    preserved, xref stays exact); AESV2 (``cfm='aesv2'``, forces V 4 R 4)
+    rebuilds with IV+padded CBC payloads and patched /Length — the reader's
+    decrypt path never trusts the fixture's now-stale xref (flat scan). The
+    /Encrypt dict is appended after %%EOF (the reader resolves it by flat
+    object scan) and /Encrypt + /ID are spliced into the trailer dict."""
     if not _TRAILER_BODY_RE.search(data):
         raise ValueError("encrypt_pdf_bytes needs a classic trailer layout")
+    if cfm == "aesv2":
+        r, length_bits = 4, 128
     id0 = hashlib.md5(data[:1024]).digest()
     o, u, fkey = make_encrypt_entries(p, id0, r=r, length_bits=length_bits)
     enc_num = max(
         (int(m.group(1)) for m in _OBJ_GEN_RE.finditer(data)), default=0
     ) + 1
-    ct = _transform_streams(data, fkey, frozenset())
     splice = (
         b"/Encrypt " + str(enc_num).encode() + b" 0 R /ID [<"
         + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] "
     )
-    # splice into every trailer dict (incremental updates share the handler);
-    # dict-open offsets come from the PLAINTEXT scan (RC4 keeps lengths, so
-    # they are identical in ct, and ciphertext bytes can't fake a trailer)
-    opens = [
-        m.end() for m in re.finditer(rb"trailer\s*<<", data)
-    ]
-    ba = bytearray(ct)
+    # splice into every trailer dict FIRST, while every offset is still the
+    # exact plaintext scan (the AES rebuild changes lengths, so splicing
+    # after it would land mid-stream); the stream walkers below key on
+    # object regexes, not offsets, so the splice doesn't disturb them
+    opens = [m.end() for m in re.finditer(rb"trailer\s*<<", data)]
+    ba = bytearray(data)
     for off in reversed(opens):
         ba[off:off] = b" " + splice
-    result = bytes(ba)
+    spliced = bytes(ba)
+    if cfm == "aesv2":
+        from pdf_extractor_spark.core.aes import cbc_encrypt
+
+        def enc(onum: int, ogen: int, raw: bytes) -> bytes:
+            iv = hashlib.md5(b"iv:%d:%d" % (onum, ogen)).digest()  # deterministic fixture IV
+            return cbc_encrypt(object_key(fkey, onum, ogen, "aesv2"), iv, raw)
+
+        result = _rebuild_streams(spliced, enc)
+        cf = (
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        )
+    else:
+        result = _transform_streams(spliced, fkey, frozenset())
+        cf = b""
     return result + (
         b"\n" + str(enc_num).encode() + b" 0 obj\n<< /Filter /Standard /V "
-        + str(1 if r == 2 else 2).encode() + b" /R " + str(r).encode()
+        + str(4 if r == 4 else (1 if r == 2 else 2)).encode() + b" /R " + str(r).encode()
+        + cf
         + b" /Length " + str(length_bits).encode() + b" /P " + str(p).encode()
         + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
         + b"> >>\nendobj\n"

@@ -80,3 +80,71 @@ def test_object_key_truncates_to_16_bytes():
     # 128-bit file key + 5 > 16: spec caps the md5 slice at 16
     assert len(pc.object_key(b"k" * 16, 1, 0)) == 16
     assert len(pc.object_key(b"k" * 5, 1, 0)) == 10
+
+
+# --- AESV2 (V 4 / R 4 crypt filter) -------------------------------------------
+
+
+def test_aes_fips197_known_answer_vectors():
+    from pdf_extractor_spark.core import aes
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = [
+        ("000102030405060708090a0b0c0d0e0f", "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for key_hex, ct_hex in cases:
+        key = bytes.fromhex(key_hex)
+        assert aes.encrypt_block(key, pt).hex() == ct_hex
+        assert aes.decrypt_block(key, bytes.fromhex(ct_hex)) == pt
+
+
+def test_aes_cbc_roundtrip_and_malformed():
+    import hashlib as h
+
+    from pdf_extractor_spark.core import aes
+
+    key = h.md5(b"k").digest()
+    for n in (0, 1, 15, 16, 17, 100):
+        msg = bytes(range(n % 256 or 1)) * (1 + n // 256)
+        msg = msg[:n]
+        assert aes.cbc_decrypt(key, aes.cbc_encrypt(key, b"\x01" * 16, msg)) == msg
+    assert aes.cbc_decrypt(key, b"short") is None
+    assert aes.cbc_decrypt(key, b"\x00" * 33) is None  # not a block multiple
+
+
+def test_aesv2_encrypted_pdf_decrypts_to_identical_text():
+    plain = render_pdf(PAGES, images_per_page=1, jpeg_images=True)
+    base = extract_pdf("u", plain)
+    imgs_base = extract_pdf_images("u", plain)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv2")
+    got = extract_pdf("u", enc)
+    assert got.status == "ok"
+    assert got.text == base.text
+    assert [b.text for b in got.blocks] == [b.text for b in base.blocks]
+    got_imgs = extract_pdf_images("u", enc)
+    assert [(p, n, w, h, pl) for p, n, w, h, pl, _ in got_imgs] == [
+        (p, n, w, h, pl) for p, n, w, h, pl, _ in imgs_base
+    ]
+
+
+def test_aesv2_parse_masks_cf_sub_dict_length():
+    """/CF's inner /Length is key BYTES (16); the top-level /Length is BITS
+    (128) — the parser must read the top-level one even when /CF precedes it."""
+    plain = render_pdf(PAGES)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv2")
+    found = pc.find_encrypt(enc)
+    assert found is not None
+    params = pc.parse_standard_encrypt_dict(found[1])
+    assert params and params["cfm"] == "aesv2" and params["length"] == 128
+
+
+def test_aesv3_declared_fails_cleanly():
+    plain = render_pdf(PAGES)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv2")
+    bad = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    assert pc.decrypt_pdf_bytes(bad) is None
+    assert extract_pdf("u", bad).status == "failed"
