@@ -16,10 +16,11 @@ pages rows → operators/extract.py.
 Scale notes: ``binaryFile`` materializes one whole file per row, so
 partition sizing = WARC file sizing (Common Crawl's ~1 GB segments want
 ``spark.sql.files.maxPartitionBytes`` >= file size and a few files per
-task at most). For selective reads, Common Crawl's CDX index gives
-(file, offset, length) per url — at that point ingestion becomes a ranged
-object-store read per record, which is a different source (not needed for
-full-corpus extraction, which reads every record anyway).
+task at most). For SELECTIVE reads, Common Crawl's CDX index gives
+(file, offset, length) per url — implemented below (`read_cdx_index` +
+`read_warc_pages_ranged`): one seek+read per wanted record, repartitioned
+by filename and offset-sorted so tasks touch few files near-sequentially;
+cost follows the selection size, not the corpus size.
 """
 
 from __future__ import annotations
@@ -187,3 +188,161 @@ def render_warc(
         else:
             out += rec
     return bytes(out)
+
+
+# --- CDX-indexed ranged reads -------------------------------------------------
+#
+# Common Crawl ships a CDXJ index next to its WARCs: one line per capture,
+# ``urlkey timestamp {json}`` where the JSON carries (url, filename, offset,
+# length, ...) of the record's own gzip member. Selective ingestion (a url
+# sample, one host, a recrawl diff) should NOT read whole 1 GB segments —
+# with the index, each wanted record is ONE ranged read of `length` bytes at
+# `offset`. Shape at scale: repartition the index by filename (task = file
+# locality, object-store connection reuse) and sort by offset within the
+# partition (ranged GETs coalesce toward sequential I/O); a local filesystem
+# stands in for the object store here via seek+read, which is the same
+# access pattern.
+
+import json as _json
+import os as _os
+
+
+def parse_cdxj(text: str) -> Iterator[tuple[str, str, str, int, int]]:
+    """(url, compact_ts, filename, offset, length) per well-formed CDXJ
+    line; malformed lines are skipped (the index is advisory — the WARC
+    record itself stays authoritative for url/ts)."""
+    for line in text.splitlines():
+        parts = line.strip().split(" ", 2)
+        if len(parts) != 3:
+            continue
+        try:
+            meta = _json.loads(parts[2])
+            yield (
+                str(meta["url"]),
+                parts[1],
+                str(meta["filename"]),
+                int(meta["offset"]),
+                int(meta["length"]),
+            )
+        except (ValueError, KeyError, TypeError):
+            continue
+
+
+def read_cdx_index(spark: SparkSession, path: str, glob: str = "*.cdx*") -> DataFrame:
+    """CDXJ files → (url, filename, offset, length) DataFrame."""
+    import pyarrow as pa
+
+    lines = (
+        spark.read.format("text")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, files_, offs, lens = [], [], [], []
+            for line in batch.column("value").to_pylist():
+                for url, _ts, fname, off, ln in parse_cdxj(line or ""):
+                    urls.append(url)
+                    files_.append(fname)
+                    offs.append(off)
+                    lens.append(ln)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(files_, type=pa.string()),
+                    pa.array(offs, type=pa.int64()),
+                    pa.array(lens, type=pa.int64()),
+                ],
+                names=["url", "filename", "offset", "length"],
+            )
+
+    return lines.mapInArrow(run, "url string, filename string, offset long, length long")
+
+
+def read_warc_pages_ranged(
+    cdx: DataFrame, warc_dir: str, n_partitions: int | None = None
+) -> DataFrame:
+    """CDX rows → pages (url, warc_ts, html) via RANGED reads: each wanted
+    record is one seek+read of its own gzip member — whole-segment scans
+    never happen, so cost follows the SELECTION size, not the corpus size.
+
+    The index is repartitioned by ``filename`` and offset-sorted within
+    partitions: every task touches few files, sequentially. url/warc_ts come
+    from the fetched WARC record itself (authoritative), not the index; a
+    missing file, bad offset, or non-response record drops that row only.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    plan = cdx.select("url", "filename", "offset", "length")
+    if n_partitions:
+        plan = plan.repartition(n_partitions, F.col("filename"))
+    else:
+        plan = plan.repartition(F.col("filename"))
+    plan = plan.sortWithinPartitions("filename", "offset")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        handles: dict[str, object] = {}
+
+        def handle(fname: str):
+            if fname not in handles:
+                if len(handles) >= 8:  # bound open fds per task: evict oldest
+                    oldest = next(iter(handles))
+                    handles.pop(oldest).close()
+                handles[fname] = open(_os.path.join(warc_dir, fname), "rb")
+            return handles[fname]
+
+        try:
+            for batch in batches:
+                urls, tss, htmls = [], [], []
+                for fname, off, ln in zip(
+                    batch.column("filename").to_pylist(),
+                    batch.column("offset").to_pylist(),
+                    batch.column("length").to_pylist(),
+                ):
+                    try:
+                        fh = handle(fname)
+                        fh.seek(off)
+                        member = fh.read(ln)
+                    except OSError:
+                        continue
+                    for url, ts, html in warc_pages_from_bytes(member):
+                        urls.append(url)
+                        tss.append(ts)
+                        htmls.append(html)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(urls, type=pa.string()),
+                        pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+                        pa.array(htmls, type=pa.binary()),
+                    ],
+                    names=["url", "warc_ts", "html"],
+                )
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return plan.mapInArrow(run, "url string, warc_ts timestamp, html binary")
+
+
+def render_warc_with_cdx(
+    pages: list[tuple[str, str, bytes]], filename: str
+) -> tuple[bytes, str]:
+    """(warc_gz_bytes, cdxj_text): the per-record-gzip WARC plus its CDXJ
+    index with real member offsets/lengths — the fixture pair for ranged-
+    read tests (deterministic: gzip mtime pinned to 0)."""
+    out = bytearray()
+    cdx_lines = []
+    for url, iso_ts, html in pages:
+        member = render_warc([(url, iso_ts, html)], per_record_gzip=True)
+        compact = iso_ts.replace("-", "").replace(":", "").replace("T", "").replace("Z", "")
+        cdx_lines.append(
+            f"{url.lower()} {compact} "
+            + _json.dumps(
+                {"url": url, "filename": filename,
+                 "offset": str(len(out)), "length": str(len(member))}
+            )
+        )
+        out += member
+    return bytes(out), "\n".join(cdx_lines) + "\n"

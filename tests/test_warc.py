@@ -102,3 +102,72 @@ def test_gzip_member_splitting_edges():
     data = member(b"first") + member(b"") + member(b"third WARC/1.0 marker")
     assert list(_split_gzip_members(data)) == [b"first", b"", b"third WARC/1.0 marker"]
     assert list(_split_gzip_members(b"plain bytes")) == [b"plain bytes"]
+
+
+def test_cdx_ranged_reads_match_full_scan(spark, tmp_path):
+    """CDX-indexed ranged reads (one seek+read per wanted record) produce
+    exactly the full-scan rows for the selected urls — and only those —
+    across multiple WARC files. Cost follows the SELECTION, not the corpus:
+    the plan never lists, opens, or inflates unselected segments."""
+    from pdf_extractor_spark.sources.warc import (
+        read_cdx_index,
+        read_warc_pages_ranged,
+        render_warc_with_cdx,
+    )
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    all_pages = []
+    cdx_all = []
+    for f in range(3):
+        pages = [
+            (f"http://host{f}/p{i}", f"2024-0{f+1}-01T00:00:0{i}Z", f"<p>doc {f}.{i}</p>".encode())
+            for i in range(4)
+        ]
+        fname = f"seg{f}.warc.gz"
+        warc, cdx = render_warc_with_cdx(pages, fname)
+        (warc_dir / fname).write_bytes(warc)
+        cdx_all.append(cdx)
+        all_pages += pages
+    (warc_dir / "index.cdxj").write_text("".join(cdx_all))
+
+    idx = read_cdx_index(spark, str(warc_dir), glob="*.cdxj")
+    assert idx.count() == 12
+
+    # select a url subset spanning two files
+    want = {"http://host0/p1", "http://host2/p3", "http://host2/p0"}
+    sel = idx.filter(F.col("url").isin(*want))
+    got = read_warc_pages_ranged(sel, str(warc_dir)).collect()
+    assert {r["url"] for r in got} == want
+    by_url = {r["url"]: r for r in got}
+    assert bytes(by_url["http://host2/p3"]["html"]) == b"<p>doc 2.3</p>"
+    assert by_url["http://host0/p1"]["warc_ts"].second == 1
+
+    # full selection == full scan rows
+    everything = read_warc_pages_ranged(idx, str(warc_dir), n_partitions=2).collect()
+    assert {(r["url"], bytes(r["html"])) for r in everything} == {
+        (u, h) for u, _t, h in all_pages
+    }
+
+
+def test_cdx_ranged_reads_skip_missing_files_and_bad_lines(spark, tmp_path):
+    from pdf_extractor_spark.sources.warc import (
+        parse_cdxj,
+        read_cdx_index,
+        read_warc_pages_ranged,
+        render_warc_with_cdx,
+    )
+
+    warc, cdx = render_warc_with_cdx(
+        [("http://a/x", "2024-01-01T00:00:00Z", b"<p>x</p>")], "real.warc.gz"
+    )
+    (tmp_path / "real.warc.gz").write_bytes(warc)
+    bad = 'http://b/y 20240101000000 {"url": "http://b/y", "filename": "missing.warc.gz", "offset": "0", "length": "99"}\n'
+    junk = "not a cdx line\nurl ts {broken json\n"
+    (tmp_path / "index.cdxj").write_text(cdx + bad + junk)
+
+    assert len(list(parse_cdxj(junk))) == 0
+    idx = read_cdx_index(spark, str(tmp_path), glob="*.cdxj")
+    assert idx.count() == 2  # junk lines dropped at parse
+    got = read_warc_pages_ranged(idx, str(tmp_path)).collect()
+    assert [r["url"] for r in got] == ["http://a/x"]  # missing file row dropped
