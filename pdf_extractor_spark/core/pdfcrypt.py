@@ -436,7 +436,7 @@ def encrypt_pdf_bytes(
     object scan) and /Encrypt + /ID are spliced into the trailer dict."""
     if not _TRAILER_BODY_RE.search(data):
         raise ValueError("encrypt_pdf_bytes needs a classic trailer layout")
-    if cfm == "aesv2":
+    if cfm in ("aesv2", "v2"):  # crypt-filter framing forces V 4 / R 4
         r, length_bits = 4, 128
     id0 = hashlib.md5(data[:1024]).digest()
     o, u, fkey = make_encrypt_entries(p, id0, r=r, length_bits=length_bits)
@@ -470,7 +470,10 @@ def encrypt_pdf_bytes(
         )
     else:
         result = _transform_streams(spliced, fkey, frozenset())
-        cf = b""
+        cf = (
+            b" /CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        ) if cfm == "v2" else b""
     return result + (
         b"\n" + str(enc_num).encode() + b" 0 obj\n<< /Filter /Standard /V "
         + str(4 if r == 4 else (1 if r == 2 else 2)).encode() + b" /R " + str(r).encode()

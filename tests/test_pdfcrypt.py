@@ -148,3 +148,15 @@ def test_aesv3_declared_fails_cleanly():
     bad = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(b"/CFM /AESV2", b"/CFM /AESV3")
     assert pc.decrypt_pdf_bytes(bad) is None
     assert extract_pdf("u", bad).status == "failed"
+
+
+def test_v4_rc4_crypt_filter_roundtrip():
+    """V 4 / R 4 with /CFM /V2 = RC4 under the crypt-filter framing: the
+    key derivation is R4's (incl. /EncryptMetadata term) but streams stay
+    length-preserving RC4 — decrypts in place like the legacy revisions."""
+    plain = render_pdf(PAGES)
+    base = extract_pdf("u", plain)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="v2")
+    assert b"/CFM /V2" in enc and b"/V 4 /R 4" in enc
+    got = extract_pdf("u", enc)
+    assert got.status == "ok" and got.text == base.text
