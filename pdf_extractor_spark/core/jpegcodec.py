@@ -1,0 +1,482 @@
+"""Baseline JPEG (ITU-T T.81) decode + encode, pure stdlib + numpy.
+
+Completes the media decode seam for the dominant web/PDF image codec the
+same way core/imagemeta.py does for PNG: `extract_pdf_images`' DCTDecode
+passthrough payloads (the stream IS the JPEG) become real pixels without
+PIL. Scope — baseline sequential DCT, 8-bit, grayscale or YCbCr with
+4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers honored; progressive,
+arithmetic-coded, 12-bit, and CMYK files return None (callers degrade to
+header-sniff-only, core/imagemeta.py sniff_image).
+
+Correctness grounding (tests/test_jpegcodec.py): the IDCT is checked
+against a direct O(n^4) DCT-III evaluation of the spec formula; Huffman +
+marker parsing against HAND-BUILT single-block streams whose spatial
+answer follows from the math (DC-only block -> flat d/8 + 128); the
+encoder (fixture writer) roundtrips random images within the quantization
+error bound. The reference gets all of this from PIL via pdfminer
+(reference: app/processing/pdf_processor.py:86-101).
+
+IDCT convention: the spec's formula evaluated in float64 then rounded
+half-away-from-zero; real decoders differ by +/-1 LSB among themselves, so
+tests assert exactness only against this module's own convention and the
+spec formula, never against another library's output.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# separable IDCT basis: B[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+_C = np.ones(8)
+_C[0] = 1.0 / np.sqrt(2.0)
+_BASIS = np.array(
+    [[_C[u] / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)] for u in range(8)]
+)
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    """8x8 inverse DCT (spec A.3.3), float64: coefficients → spatial."""
+    return _BASIS.T @ block @ _BASIS
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    """Forward 8x8 DCT (encoder side)."""
+    return _BASIS @ block @ _BASIS.T
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:  # stuffed 0xFF data byte
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST handled by caller via sync()
+                return False
+            else:  # real marker: end of scan data
+                return False
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+    def sync_rst(self) -> bool:
+        """Consume an RSTn marker at the current byte position (discarding
+        partial bits), True on success."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """{(length, code): symbol} per spec C.2 canonical code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        bit = br.read(1)
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        if (length, code) in table:
+            return table[(length, code)]
+    return None
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC difference magnitude decode (spec F.12)."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
+    """(h, w, channels) uint8 from a baseline JPEG, else None.
+
+    channels: 1 (grayscale) or 3 (RGB from YCbCr, BT.601 full-range)."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        return None
+    d = payload
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hsamp, vsamp, tq)])
+    restart_interval = 0
+    try:
+        while pos + 4 <= len(d):
+            if d[pos] != 0xFF:
+                return None
+            marker = d[pos + 1]
+            if marker == 0xD9:  # EOI
+                return None  # EOI before SOS: no image
+            seg_len = struct.unpack(">H", d[pos + 2 : pos + 4])[0]
+            seg = d[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+                if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                    comps.append((cid, samp >> 4, samp & 0xF, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # extended/progressive/lossless/arithmetic: unsupported
+            elif marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: unsupported
+                    qt[tq] = np.frombuffer(seg[p + 1 : p + 65], np.uint8).astype(np.int32)
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    counts = list(seg[p + 1 : p + 17])
+                    n = sum(counts)
+                    table = _build_huffman(counts, seg[p + 17 : p + 17 + n])
+                    (huff_dc if tc == 0 else huff_ac)[th] = table
+                    p += 17 + n
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []  # (comp_index, dc_table, ac_table)
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    ci = next(
+                        (k for k, c in enumerate(frame[2]) if c[0] == cs), None
+                    )
+                    if ci is None:
+                        return None
+                    scan.append((ci, tt >> 4, tt & 0xF))
+                if len(scan) != len(frame[2]):
+                    return None  # multi-scan files: unsupported
+                return _decode_scan(
+                    d, pos + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                )
+            pos += 2 + seg_len
+    except (IndexError, struct.error, KeyError):
+        return None
+    return None
+
+
+def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64))
+    br = _BitReader(d, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                if not br.sync_rst():
+                    return None
+                pred = [0] * len(comps)
+                mcu_count = 0
+            for ci, tdc, tac in scan:
+                _cid, hs, vs, tq = comps[ci]
+                quant = qt.get(tq)
+                if quant is None:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        coefs = np.zeros(64, np.int32)
+                        t = _decode_symbol(br, huff_dc.get(tdc, {}))
+                        if t is None:
+                            return None
+                        if t:
+                            v = br.read(t)
+                            if v is None:
+                                return None
+                            pred[ci] += _extend(v, t)
+                        coefs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, huff_ac.get(tac, {}))
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            v = br.read(s)
+                            if v is None:
+                                return None
+                            coefs[k] = _extend(v, s)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[_ZIGZAG] = coefs * quant
+                        spatial = idct2(block.reshape(8, 8)) + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        # upsample to full MCU-grid resolution then crop to (h, w)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder (fixture writer) ---------------------------------------------------
+#
+# Baseline, all-ones quantization (max fidelity: roundtrip error comes only
+# from DCT float rounding and chroma subsampling, bounded in tests), fixed
+# spec Annex K Huffman tables for luma DC/AC reused for chroma, 4:4:4.
+
+_STD_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_SYMBOLS = bytes(range(12))
+_STD_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_SYMBOLS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:  # pad the final byte with 1-bits (spec F.1.2.3)
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw marker (RSTn — never stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, m])
+
+
+def _encode_codes(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    inv: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            inv[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return inv
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a coefficient value (spec F.1.2)."""
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _emit_block(bw, block, pred, ci, dc_codes, ac_codes):
+    # natural-order flat → zigzag order (the decoder's inverse)
+    coefs = np.rint(dct2(block - 128.0)).astype(np.int32).reshape(-1)[_ZIGZAG]
+    diff = int(coefs[0]) - pred[ci]
+    pred[ci] = int(coefs[0])
+    t, bits = _mag_bits(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t, bits = _mag_bits(v)
+        code, ln = ac_codes[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(bits, t)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+
+def jpeg_encode(
+    arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """uint8 (h, w), (h, w, 1) or (h, w, 3) → baseline JPEG with all-ones
+    quantization (fixture writer for the decoder tests). ``subsampling``:
+    '444' or '420' (2x2 box-mean chroma, the dominant real-world layout);
+    ``restart_interval`` emits DRI + RSTn every n MCUs."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 3:  # RGB → YCbCr (BT.601 full range)
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_planes = []
+    for ci, (hs, vs) in enumerate(samp):
+        p = planes[ci]
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:  # box-mean downsample (pad to factor first)
+            ph, pw = -(-p.shape[0] // fy) * fy, -(-p.shape[1] // fx) * fx
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        comp_planes.append(p)
+    dc_codes = _encode_codes(_STD_DC_COUNTS, _STD_DC_SYMBOLS)
+    ac_codes = _encode_codes(_STD_AC_COUNTS, _STD_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and count == restart_interval:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+                count = 0
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        _emit_block(
+                            bw, comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            pred, ci, dc_codes, ac_codes,
+                        )
+            count += 1
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    comps_sof = b"".join(
+        bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(len(planes))
+    )
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + bytes([len(planes)]) + comps_sof)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_STD_DC_COUNTS) + _STD_DC_SYMBOLS
+        + b"\x10" + bytes(_STD_AC_COUNTS) + _STD_AC_SYMBOLS,
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    comps_sos = b"".join(bytes([i + 1, 0x00]) for i in range(len(planes)))
+    sos = seg(0xDA, bytes([len(planes)]) + comps_sos + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"

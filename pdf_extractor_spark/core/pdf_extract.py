@@ -1172,16 +1172,19 @@ def _manual_stream_pdf(content: str) -> bytes:
 
 
 def _fake_jpeg(width: int, height: int, seed: int) -> bytes:
-    """Minimal structurally-valid JPEG: SOI + SOF0 frame header (real
-    dimensions) + a seed-derived entropy stub + EOI. Header-sniffable
-    (core/imagemeta.py) and deterministic; not pixel-decodable (no sandbox
-    decoder to feed anyway)."""
-    sof = (
-        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
-        + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01\x11\x00"
-    )
-    entropy = bytes((seed * 37 + i * 11) % 255 for i in range(8))  # never 0xFF
-    return b"\xff\xd8" + sof + entropy + b"\xff\xd9"
+    """REAL baseline grayscale JPEG with deterministic seed-derived pixels
+    (core/jpegcodec.py — all-ones quantization). Header-sniffable AND
+    pixel-decodable, so DCTDecode passthrough payloads exercise the full
+    decode seam end-to-end (pdf → media row → jpeg_decode → feature)."""
+    from pdf_extractor_spark.core.jpegcodec import jpeg_encode
+
+    import numpy as _np
+
+    px = (
+        (seed * 37 + _np.arange(height)[:, None] * 11 + _np.arange(width)[None, :] * 7)
+        % 251
+    ).astype(_np.uint8)
+    return jpeg_encode(px)
 
 
 def render_pdf(

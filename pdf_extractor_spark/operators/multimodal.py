@@ -82,13 +82,27 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [b / 255.0 for b in d[:FEATURE_DIM]]
 
 
-def _png_feature(payload: bytes) -> list[float] | None:
-    """REAL pixel feature for baseline-PNG payloads: 4x4 nearest-resampled
-    grayscale thumbnail, 16 floats in [0, 1] (core/imagemeta.py png_decode —
-    pure zlib+numpy, no PIL). None when the payload isn't a decodable PNG."""
-    from pdf_extractor_spark.core.imagemeta import png_decode, resize_nearest
+def _decode_pixels(payload: bytes):
+    """(h, w, ch) uint8 from a baseline PNG or baseline JPEG payload, else
+    None — the two pure-stdlib(+numpy) codecs (core/imagemeta.py png_decode,
+    core/jpegcodec.py jpeg_decode). No PIL anywhere."""
+    from pdf_extractor_spark.core.imagemeta import png_decode
 
     arr = png_decode(payload)
+    if arr is None:
+        from pdf_extractor_spark.core.jpegcodec import jpeg_decode
+
+        arr = jpeg_decode(payload)
+    return arr
+
+
+def _png_feature(payload: bytes) -> list[float] | None:
+    """REAL pixel feature for baseline PNG *and* baseline JPEG payloads:
+    4x4 nearest-resampled grayscale thumbnail, 16 floats in [0, 1]. None
+    when the payload isn't decodable (progressive JPEG, exotic PNG, ...)."""
+    from pdf_extractor_spark.core.imagemeta import resize_nearest
+
+    arr = _decode_pixels(payload)
     if arr is None:
         return None
     gray = arr.astype("float32").mean(axis=2)
@@ -184,9 +198,9 @@ def resize_media(
     """
 
     def _resize_real(b: bytes | None):
-        from pdf_extractor_spark.core.imagemeta import png_decode, png_encode, resize_nearest
+        from pdf_extractor_spark.core.imagemeta import png_encode, resize_nearest
 
-        arr = png_decode(b)
+        arr = _decode_pixels(b)
         if arr is None:
             return b, None
         h, w = arr.shape[0], arr.shape[1]
@@ -194,6 +208,8 @@ def resize_media(
         if scale <= 1.0:
             return b, (w, h)
         nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+        # always re-encode as PNG: lossless, so the resize stage never
+        # stacks generation loss (JPEG inputs included)
         return png_encode(resize_nearest(arr, nw, nh)), (nw, nh)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,148 @@
+"""Baseline JPEG codec (core/jpegcodec.py) — spec-grounded validation.
+
+No PIL exists in this sandbox to diff against, so correctness is pinned the
+way the spec allows: the IDCT against a direct O(n^4) evaluation of the
+T.81 formula, Huffman + marker parsing against HAND-BUILT single-block
+streams whose spatial answer is closed-form, and the encoder/decoder pair
+within the quantization error bound. Real decoders differ by ±1 LSB among
+themselves (IDCT rounding conventions), so cross-library byte-equality is
+not a meaningful target.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.jpegcodec import dct2, idct2, jpeg_decode, jpeg_encode
+
+
+def test_idct_matches_direct_spec_formula():
+    rng = np.random.default_rng(3)
+    S = rng.normal(0, 50, (8, 8))
+
+    def idct_direct(F_):
+        out = np.zeros((8, 8))
+        C = lambda u: (1 / np.sqrt(2) if u == 0 else 1.0)  # noqa: E731
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            C(u) * C(v) / 4 * F_[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s
+        return out
+
+    assert np.allclose(idct2(S), idct_direct(S), atol=1e-9)
+    assert np.allclose(dct2(idct2(S)), S, atol=1e-9)
+
+
+def _handmade_dc_only(cat: int, dc_bits: str, w: int = 8, h: int = 8) -> bytes:
+    """Single 8x8 grayscale block, all-ones quant, DC-only: one custom
+    Huffman table with a single 1-bit DC code and a 1-bit AC EOB code."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + (1 + 16 + 1) * 2)
+        + b"\x00" + bytes([1] + [0] * 15) + bytes([cat])
+        + b"\x10" + bytes([1] + [0] * 15) + b"\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    bits = "0" + dc_bits + "0"  # DC code, magnitude bits, AC EOB code
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    stuffed = bytearray()
+    for b in data:
+        stuffed.append(b)
+        if b == 0xFF:
+            stuffed.append(0)
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(stuffed) + b"\xff\xd9"
+
+
+def test_handbuilt_dc_only_blocks_decode_to_closed_form():
+    # DC coefficient d with quant 1 → flat pixel round(d/8) + 128 (spec A.3.3)
+    img = jpeg_decode(_handmade_dc_only(6, format(40, "06b")))
+    assert img is not None and img.shape == (8, 8, 1) and (img == 133).all()
+    # negative diff: appended bits = v + 2^t - 1
+    img = jpeg_decode(_handmade_dc_only(6, format(-40 + 63, "06b")))
+    assert (img == 123).all()
+    # zero diff (category 0, no appended bits)
+    img = jpeg_decode(_handmade_dc_only(0, ""))
+    assert (img == 128).all()
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8), (16, 24), (17, 9), (24, 24, 3), (33, 31, 3)]
+)
+def test_roundtrip_within_quant_bound(shape):
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(a))
+    want = a if a.ndim == 3 else a[:, :, None]
+    assert dec is not None and dec.shape == want.shape
+    # all-ones quant: error = DCT rounding (+ colorspace for RGB) only
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 4
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    d0 = jpeg_decode(jpeg_encode(a))
+    for ri in (1, 3):
+        assert (jpeg_decode(jpeg_encode(a, restart_interval=ri)) == d0).all()
+    g = rng.integers(0, 256, (40, 24), dtype=np.uint8)
+    assert (
+        jpeg_decode(jpeg_encode(g, restart_interval=2)) == jpeg_decode(jpeg_encode(g))
+    ).all()
+
+
+def test_420_subsampling_constant_chroma():
+    yy, xx = np.mgrid[0:33, 0:47]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.float64)
+    img = np.stack(
+        [np.clip(gray + 20, 0, 255), gray, np.clip(gray - 20, 0, 255)], axis=2
+    ).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, subsampling="420"))
+    assert dec is not None and dec.shape == img.shape
+    # constant chroma: box-mean downsample + nearest upsample is ~exact
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+    dec_rst = jpeg_decode(jpeg_encode(img, subsampling="420", restart_interval=2))
+    assert (dec_rst == dec).all()
+
+
+def test_unsupported_variants_fail_cleanly():
+    rng = np.random.default_rng(1)
+    ok = jpeg_encode(rng.integers(0, 256, (8, 8), dtype=np.uint8))
+    assert jpeg_decode(ok.replace(b"\xff\xc0", b"\xff\xc2")) is None  # progressive
+    assert jpeg_decode(b"\xff\xd8junk") is None
+    assert jpeg_decode(b"") is None
+    assert jpeg_decode(None) is None
+    assert jpeg_decode(ok[:30]) is None  # truncated
+
+
+def test_decode_seam_jpeg_feature_and_pdf_passthrough(spark):
+    """End-to-end: a PDF's DCTDecode image XObject (now a REAL baseline
+    JPEG, pdf_extract._fake_jpeg) surfaces as a media row whose payload
+    jpeg_decode's into actual pixels → non-null thumbnail feature in
+    decode_media's real path."""
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+    from pdf_extractor_spark.operators.multimodal import decode_media, pdf_media_rows
+
+    pdf = render_pdf([["text with a jpeg"]], images_per_page=1, jpeg_images=True)
+    media = pdf_media_rows(
+        spark.createDataFrame([("pdf://j", pdf)], "url string, html binary")
+    )
+    feat = decode_media(media, fake=False).collect()[0]
+    assert feat["codec"] == "jpeg"
+    assert feat["feature"] is not None and len(feat["feature"]) == 16
+    # the feature is the actual seed-derived pixel ramp, not a hash fake
+    arr = jpeg_decode(bytes(media.collect()[0]["payload"]))
+    want = float(arr.astype("float32").mean(axis=2)[0, 0]) / 255.0
+    assert abs(feat["feature"][0] - want) < 1e-6
