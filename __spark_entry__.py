@@ -675,6 +675,47 @@ def q_png_features(spark, sf_dir):
     )
 
 
+def q_jpeg_features(spark, sf_dir):
+    """jpeg_decode through the driver gate: per doc_id a CONSTANT-gray 8x8
+    baseline JPEG (core/jpegcodec.py, all-ones quantization — a flat block
+    is DC-only, so decode returns the exact input value v = doc_id%256) runs
+    decode_media(fake=False); feature gray = v/255 exactly, closed-form for
+    the DuckDB oracle (4-decimal rounding on both sides)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import decode_media
+
+    def mk_media(batches):
+        import numpy as np
+
+        from pdf_extractor_spark.core.jpegcodec import jpeg_encode
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                ids.append(f"doc://{d}")
+                payloads.append(jpeg_encode(np.full((8, 8), d % 256, dtype=np.uint8)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select("media_id", F.lit("image").alias("kind"), "payload")
+    )
+    feats = decode_media(media, fake=False)
+    return feats.select(
+        "media_id",
+        "codec",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("gray"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Multimodal: per-frame row expansion from duration metadata."""
     media = media_from_documents(_docs(spark, sf_dir))
@@ -1749,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
         "png_features": q_png_features,
+        "jpeg_features": q_jpeg_features,
         "frame_sample": q_frame_sample,
         "extract_images": q_extract_images,
         "related_images": q_related_images,
@@ -3225,6 +3267,13 @@ SELECT 'doc://' || doc_id AS media_id,
        4::BIGINT AS width,
        4::BIGINT AS height,
        ROUND((((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) / 3.0) / 255.0, 4) AS gray
+FROM documents""",
+        "jpeg_features": """
+SELECT 'doc://' || doc_id AS media_id,
+       'jpeg' AS codec,
+       8::BIGINT AS width,
+       8::BIGINT AS height,
+       ROUND((doc_id % 256) / 255.0, 4) AS gray
 FROM documents""",
         "extract_images": (
             "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "
