@@ -165,7 +165,10 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                 comps = []
                 for i in range(nc):
                     cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                    comps.append((cid, samp >> 4, samp & 0xF, tq))
+                    hs, vs = samp >> 4, samp & 0xF
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):  # spec B.2.2
+                        return None
+                    comps.append((cid, hs, vs, tq))
                 frame = (h, w, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # extended/progressive/lossless/arithmetic: unsupported
@@ -207,7 +210,7 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                     d, pos + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
                 )
             pos += 2 + seg_len
-    except (IndexError, struct.error, KeyError):
+    except (IndexError, struct.error, KeyError, ValueError, OverflowError):
         return None
     return None
 
@@ -238,9 +241,9 @@ def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                     return None
                 for by in range(vs):
                     for bx in range(hs):
-                        coefs = np.zeros(64, np.int32)
+                        coefs = np.zeros(64, np.int64)
                         t = _decode_symbol(br, huff_dc.get(tdc, {}))
-                        if t is None:
+                        if t is None or t > 11:  # DC size category ∈ [0, 11] (spec F.1.2.1)
                             return None
                         if t:
                             v = br.read(t)
@@ -254,6 +257,8 @@ def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                             if rs is None:
                                 return None
                             r, s = rs >> 4, rs & 0xF
+                            if s > 10:  # AC size category ∈ [1, 10] (spec F.1.2.2)
+                                return None
                             if s == 0:
                                 if r == 15:  # ZRL
                                     k += 16

@@ -146,3 +146,28 @@ def test_decode_seam_jpeg_feature_and_pdf_passthrough(spark):
     arr = jpeg_decode(bytes(media.collect()[0]["payload"]))
     want = float(arr.astype("float32").mean(axis=2)[0, 0]) / 255.0
     assert abs(feat["feature"][0] - want) < 1e-6
+
+
+def test_fuzz_corrupt_streams_never_raise():
+    """Decoders must return None on malformed input, never raise — pinned
+    after fuzzing found int-overflow (oversized DC/AC size categories) and
+    div-by-zero (sampling factor 0) paths."""
+    import random
+
+    rng = random.Random(99)
+    npr = np.random.default_rng(7)
+    bases = [
+        jpeg_encode(npr.integers(0, 256, (16, 16, 3), dtype=np.uint8)),
+        jpeg_encode(
+            npr.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+            subsampling="420", restart_interval=1,
+        ),
+        jpeg_encode(npr.integers(0, 256, (16, 16), dtype=np.uint8)),
+    ]
+    for trial in range(1500):
+        b = bytearray(bases[trial % 3])
+        for _ in range(rng.randrange(1, 10)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        data = bytes(b[: rng.randrange(20, len(b) + 1)]) if trial % 5 == 0 else bytes(b)
+        out = jpeg_decode(data)  # None or ndarray, never an exception
+        assert out is None or out.dtype == np.uint8
