@@ -1,0 +1,260 @@
+"""GIF decode (87a/89a, first frame) + encode, pure stdlib + numpy.
+
+Completes the pixel-decode seam's codec trio (PNG: core/imagemeta.py,
+JPEG: core/jpegcodec.py): GIF's variable-width LSB-first LZW, global/local
+palettes, and 4-pass interlacing decode to an (h, w, 3) RGB array. The
+first frame only — animation is out of scope for a feature/resize seam;
+a GCE transparent index renders as the palette color (documented, callers
+that need alpha can extend). Malformed input returns None, never raises.
+
+The encoder (fixture writer) is a real dictionary-building LZW compressor,
+so decoder tests exercise code-width growth; a clear-code-per-pixel
+degenerate encoding cross-checks the reset path against the same pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class _LSBReader:
+    """LSB-first bit reader over concatenated data sub-blocks."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, width: int) -> int | None:
+        while self.n < width:
+            if self.pos >= len(self.data):
+                return None
+            self.acc |= self.data[self.pos] << self.n
+            self.n += 8
+            self.pos += 1
+        out = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.n -= width
+        return out
+
+
+def _lzw_decode_gif(data: bytes, min_code: int, n_pixels: int) -> bytes | None:
+    """GIF LZW: LSB-first variable-width codes, clear/EOI, dict to 4096."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    br = _LSBReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        code = br.read(width)
+        if code is None:
+            break  # truncated: return what we have (caller length-checks)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # spec violation
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(payload: bytes | None) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB from the FIRST frame of a GIF, else None."""
+    if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    d = payload
+    try:
+        gw = int.from_bytes(d[6:8], "little")
+        gh = int.from_bytes(d[8:10], "little")
+        packed = d[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(d[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            if gct.shape[0] != n:
+                return None
+            pos += 3 * n
+        while pos < len(d):
+            b = d[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(d) and d[pos]:
+                    pos += 1 + d[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                left = int.from_bytes(d[pos + 1 : pos + 3], "little")
+                top = int.from_bytes(d[pos + 3 : pos + 5], "little")
+                iw = int.from_bytes(d[pos + 5 : pos + 7], "little")
+                ih = int.from_bytes(d[pos + 7 : pos + 9], "little")
+                ip = d[pos + 9]
+                pos += 10
+                pal = gct
+                if ip & 0x80:
+                    n = 2 << (ip & 0x07)
+                    pal = np.frombuffer(d[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                    pos += 3 * n
+                if pal is None or iw == 0 or ih == 0:
+                    return None
+                min_code = d[pos]
+                pos += 1
+                lzw = bytearray()
+                while pos < len(d) and d[pos]:
+                    ln = d[pos]
+                    lzw += d[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                idx = _lzw_decode_gif(bytes(lzw), min_code, iw * ih)
+                if idx is None:
+                    return None
+                arr = np.frombuffer(idx, np.uint8)
+                if arr.max(initial=0) >= pal.shape[0]:
+                    return None
+                grid = arr.reshape(ih, iw)
+                if ip & 0x40:  # 4-pass interlace: rows arrive pass-ordered
+                    de = np.empty_like(grid)
+                    src = 0
+                    for start, step in _INTERLACE_PASSES:
+                        rows = range(start, ih, step)
+                        for r in rows:
+                            de[r] = grid[src]
+                            src += 1
+                    grid = de
+                # composite the frame onto the logical screen (bg = pal[0])
+                out = np.zeros((gh, gw), np.uint8)
+                out[top : top + ih, left : left + iw] = grid[: gh - top, : gw - left]
+                return pal[out]
+            elif b == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+# --- encoder (fixture writer) ---------------------------------------------------
+
+
+class _LSBWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _lzw_encode_gif(indices: bytes, min_code: int, clear_every_pixel: bool = False) -> bytes:
+    clear = 1 << min_code
+    eoi = clear + 1
+    w = _LSBWriter()
+    width = min_code + 1
+    w.write(clear, width)
+    if clear_every_pixel:  # degenerate but spec-valid: exercises reset path
+        for px in indices:
+            w.write(px, width)
+            w.write(clear, width)
+        w.write(eoi, width)
+        return w.flush()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    cur = b""
+    emitted = 0
+
+    def emit(code: int) -> None:
+        # width must track the DECODER's table, which lags the encoder's by
+        # one add (it appends only from the 2nd code after a reset): after
+        # the i-th emitted code the decoder holds clear+1+i entries
+        nonlocal emitted, width
+        w.write(code, width)
+        emitted += 1
+        if clear + 1 + emitted == (1 << width) and width < 12:
+            width += 1
+
+    for px in indices:
+        cand = cur + bytes([px])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        cur = bytes([px])
+    if cur:
+        emit(table[cur])
+    w.write(eoi, width)
+    return w.flush()
+
+
+def gif_encode(arr: np.ndarray, clear_every_pixel: bool = False) -> bytes:
+    """uint8 (h, w, 3) RGB (≤256 distinct colors) or (h, w) palette-index
+    grayscale → single-frame GIF89a (fixture writer)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:  # gray: identity 256-palette
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        idx = a
+    else:
+        colors, inverse = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise ValueError("gif_encode fixture writer needs <=256 distinct colors")
+        pal = colors
+        idx = inverse.astype(np.uint8).reshape(a.shape[0], a.shape[1])
+    h, w = idx.shape
+    n = max(2, int(np.ceil(np.log2(max(2, pal.shape[0])))))
+    pal_full = np.zeros((1 << n, 3), np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    min_code = max(2, n)
+    lzw = _lzw_encode_gif(idx.tobytes(), min_code, clear_every_pixel)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (n - 1), 0, 0])  # GCT flag + size, bg=0, aspect=0
+    out += pal_full.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

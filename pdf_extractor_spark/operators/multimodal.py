@@ -83,9 +83,9 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 
 def _decode_pixels(payload: bytes):
-    """(h, w, ch) uint8 from a baseline PNG or baseline JPEG payload, else
-    None — the two pure-stdlib(+numpy) codecs (core/imagemeta.py png_decode,
-    core/jpegcodec.py jpeg_decode). No PIL anywhere."""
+    """(h, w, ch) uint8 from a baseline PNG, baseline JPEG, or GIF payload,
+    else None — the three pure-stdlib(+numpy) codecs (core/imagemeta.py
+    png_decode, core/jpegcodec.py, core/gifcodec.py). No PIL anywhere."""
     from pdf_extractor_spark.core.imagemeta import png_decode
 
     arr = png_decode(payload)
@@ -93,6 +93,10 @@ def _decode_pixels(payload: bytes):
         from pdf_extractor_spark.core.jpegcodec import jpeg_decode
 
         arr = jpeg_decode(payload)
+    if arr is None:
+        from pdf_extractor_spark.core.gifcodec import gif_decode
+
+        arr = gif_decode(payload)
     return arr
 
 

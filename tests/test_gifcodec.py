@@ -1,0 +1,118 @@
+"""GIF codec (core/gifcodec.py) — LZW, palettes, interlace, first frame.
+
+Validation mirrors the other codecs: a HAND-BUILT bitstream with a
+closed-form answer pins the wire format independent of the encoder; the
+real dictionary-building LZW encoder exercises code-width growth across
+the full 3→12-bit range; the degenerate clear-every-pixel encoding checks
+the reset path against identical pixels; interlace de-scrambling is
+verified against a pass-order permutation; corrupt streams must return
+None, never raise.
+"""
+
+import random
+
+import numpy as np
+
+from pdf_extractor_spark.core.gifcodec import (
+    _lzw_decode_gif,
+    _lzw_encode_gif,
+    gif_decode,
+    gif_encode,
+)
+
+
+def test_lzw_roundtrips_full_width_range():
+    rng = np.random.default_rng(11)
+    cases = [
+        (bytes([1, 2, 1, 2, 1, 2, 1, 2, 3]), 2),  # KwKwK-adjacent small case
+        (bytes(rng.integers(0, 4, 5000, dtype=np.uint8)), 2),
+        (b"\x00" * 10000, 8),  # maximal run: fastest dict growth
+        (bytes(rng.integers(0, 256, 20000, dtype=np.uint8)), 8),  # hits 12-bit codes
+    ]
+    for data, mc in cases:
+        assert _lzw_decode_gif(_lzw_encode_gif(data, mc), mc, len(data)) == data
+
+
+def test_handbuilt_two_pixel_gif_decodes_to_closed_form():
+    # palette (black, white); codes: clear(4), 1, 0, eoi(5) at width 3
+    bits = [(4, 3), (1, 3), (0, 3), (5, 3)]
+    acc = n = 0
+    data = bytearray()
+    for code, wd in bits:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80, 0, 0]) + bytes([0, 0, 0, 255, 255, 255])
+        + b"\x2c\x00\x00\x00\x00" + (2).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + b"\x00"
+        + bytes([2]) + bytes([len(data)]) + bytes(data) + b"\x00\x3b"
+    )
+    dec = gif_decode(gif)
+    assert dec is not None and dec.shape == (1, 2, 3)
+    assert (dec[0, 0] == [255, 255, 255]).all() and (dec[0, 1] == [0, 0, 0]).all()
+
+
+def test_roundtrips_gray_color_and_clear_reset_path():
+    rng = np.random.default_rng(11)
+    for shape in [(40, 60), (8, 8), (1, 1), (33, 7), (80, 80)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = np.stack([a] * 3, axis=2)
+        assert (gif_decode(gif_encode(a)) == want).all()
+        assert (gif_decode(gif_encode(a, clear_every_pixel=True)) == want).all()
+    colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    img = colors[rng.integers(0, 4, (17, 23))]
+    assert (gif_decode(gif_encode(img)) == img).all()
+
+
+def test_interlaced_rows_descramble():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 250, (16, 5), dtype=np.uint8)
+    order = [
+        r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, 16, step)
+    ]
+    enc = gif_encode(a[order])  # pixel rows written in pass order
+    i = 13 + 3 * 256  # header+LSD + 256-entry GCT → image descriptor
+    assert enc[i] == 0x2C
+    enc = enc[: i + 9] + bytes([enc[i + 9] | 0x40]) + enc[i + 10 :]
+    assert (gif_decode(enc) == np.stack([a] * 3, axis=2)).all()
+
+
+def test_malformed_and_fuzz_never_raise():
+    rng = np.random.default_rng(11)
+    base = gif_encode(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+    assert gif_decode(base[:20]) is None
+    assert gif_decode(b"GIF89ajunk") is None
+    assert gif_decode(b"") is None
+    assert gif_decode(None) is None
+    r = random.Random(3)
+    for t in range(1200):
+        b = bytearray(base)
+        for _ in range(r.randrange(1, 10)):
+            b[r.randrange(len(b))] = r.randrange(256)
+        data = bytes(b[: r.randrange(10, len(b) + 1)]) if t % 4 == 0 else bytes(b)
+        out = gif_decode(data)
+        assert out is None or out.dtype == np.uint8
+
+
+def test_decode_seam_gif_feature(spark):
+    """GIF payloads produce real pixel features in decode_media's real path
+    (codec/dims from the header sniff, pixels from gif_decode)."""
+    from pdf_extractor_spark.operators.multimodal import decode_media
+
+    val = 200
+    gif = gif_encode(np.full((8, 8), val, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [("g", "image", bytearray(gif))], "media_id string, kind string, payload binary"
+    )
+    feat = decode_media(media, fake=False).collect()[0]
+    assert (feat["codec"], feat["width"], feat["height"]) == ("gif", 8, 8)
+    assert feat["feature"] is not None and all(
+        abs(x - val / 255.0) < 1e-6 for x in feat["feature"]
+    )
