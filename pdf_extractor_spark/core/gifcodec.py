@@ -85,8 +85,14 @@ def _lzw_decode_gif(data: bytes, min_code: int, n_pixels: int) -> bytes | None:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_decode(payload: bytes | None) -> np.ndarray | None:
-    """(h, w, 3) uint8 RGB from the FIRST frame of a GIF, else None."""
+def gif_frames(
+    payload: bytes | None, max_frames: int = 10_000
+) -> list[tuple[int, np.ndarray]] | None:
+    """[(delay_ms, (h, w, 3) uint8 RGB), ...] for every frame of a GIF,
+    composited per the Graphic Control Extension: transparent-index pixels
+    leave the canvas unchanged, disposal 0/1 leave the frame, 2 restores
+    the frame rect to the background color, 3 restores the prior canvas.
+    None for non-GIF / malformed input (never raises)."""
     if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     d = payload
@@ -94,6 +100,7 @@ def gif_decode(payload: bytes | None) -> np.ndarray | None:
         gw = int.from_bytes(d[6:8], "little")
         gh = int.from_bytes(d[8:10], "little")
         packed = d[10]
+        bg_idx = d[11]
         pos = 13
         gct = None
         if packed & 0x80:
@@ -102,9 +109,23 @@ def gif_decode(payload: bytes | None) -> np.ndarray | None:
             if gct.shape[0] != n:
                 return None
             pos += 3 * n
+        if gw == 0 or gh == 0:
+            return None
+        bg_rgb = gct[bg_idx] if gct is not None and bg_idx < gct.shape[0] else np.zeros(3, np.uint8)
+        canvas = np.tile(bg_rgb, (gh, gw, 1)).astype(np.uint8)
+        frames: list[tuple[int, np.ndarray]] = []
+        delay_ms = 0
+        transparent = -1
+        disposal = 0
         while pos < len(d):
             b = d[pos]
-            if b == 0x21:  # extension: label + sub-blocks
+            if b == 0x21:  # extension
+                label = d[pos + 1]
+                if label == 0xF9 and d[pos + 2] >= 4:  # Graphic Control Extension
+                    gce = d[pos + 3 : pos + 3 + d[pos + 2]]
+                    disposal = (gce[0] >> 2) & 0x07
+                    delay_ms = int.from_bytes(gce[1:3], "little") * 10
+                    transparent = gce[3] if gce[0] & 0x01 else -1
                 pos += 2
                 while pos < len(d) and d[pos]:
                     pos += 1 + d[pos]
@@ -142,22 +163,46 @@ def gif_decode(payload: bytes | None) -> np.ndarray | None:
                     de = np.empty_like(grid)
                     src = 0
                     for start, step in _INTERLACE_PASSES:
-                        rows = range(start, ih, step)
-                        for r in rows:
+                        for r in range(start, ih, step):
                             de[r] = grid[src]
                             src += 1
                     grid = de
-                # composite the frame onto the logical screen (bg = pal[0])
-                out = np.zeros((gh, gw), np.uint8)
-                out[top : top + ih, left : left + iw] = grid[: gh - top, : gw - left]
-                return pal[out]
+                # composite onto the logical screen
+                vh = min(ih, gh - top)
+                vw = min(iw, gw - left)
+                if vh <= 0 or vw <= 0:
+                    return None
+                saved = canvas.copy() if disposal == 3 else None
+                rect = canvas[top : top + vh, left : left + vw]
+                vis = grid[:vh, :vw]
+                if transparent >= 0:
+                    mask = vis != transparent
+                    rect[mask] = pal[vis[mask]]
+                else:
+                    rect[:, :] = pal[vis]
+                frames.append((delay_ms, canvas.copy()))
+                if len(frames) >= max_frames:
+                    return frames
+                if disposal == 2:
+                    canvas[top : top + vh, left : left + vw] = bg_rgb
+                elif disposal == 3 and saved is not None:
+                    canvas = saved
+                delay_ms = 0
+                transparent = -1
+                disposal = 0
             elif b == 0x3B:  # trailer
-                return None
+                break
             else:
                 return None
-        return None
+        return frames or None
     except (IndexError, ValueError):
         return None
+
+
+def gif_decode(payload: bytes | None) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB of the FIRST frame of a GIF, else None."""
+    frames = gif_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
 
 
 # --- encoder (fixture writer) ---------------------------------------------------
@@ -226,6 +271,47 @@ def _lzw_encode_gif(indices: bytes, min_code: int, clear_every_pixel: bool = Fal
         emit(table[cur])
     w.write(eoi, width)
     return w.flush()
+
+
+def gif_encode_animation(
+    frames: list[tuple[int, np.ndarray]],
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent_idx: int = -1,
+) -> bytes:
+    """Animated GIF89a from [(delay_ms, (h, w) palette-index array), ...]
+    over the identity 256-gray palette; the first frame sizes the logical
+    screen. Optional per-frame (left, top) offsets and disposal methods,
+    and a transparency index applied to every frame's GCE — the fixture
+    writer for gif_frames' compositing tests."""
+    gh, gw = frames[0][1].shape
+    out = bytearray(b"GIF89a")
+    out += gw.to_bytes(2, "little") + gh.to_bytes(2, "little")
+    out += bytes([0x80 | 7, 0, 0])  # 256-entry GCT, bg=0
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    out += pal.tobytes()
+    for i, (delay_ms, idx) in enumerate(frames):
+        idx = np.asarray(idx, dtype=np.uint8)
+        left, top = (offsets[i] if offsets else (0, 0))
+        disposal = disposals[i] if disposals else 0
+        gce_packed = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent_idx >= 0:
+            gce_packed |= 0x01
+            tidx = transparent_idx
+        out += bytes([0x21, 0xF9, 4, gce_packed])
+        out += (delay_ms // 10).to_bytes(2, "little") + bytes([tidx, 0])
+        h, w = idx.shape
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        lzw = _lzw_encode_gif(idx.tobytes(), 8)
+        out += bytes([8])
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def gif_encode(arr: np.ndarray, clear_every_pixel: bool = False) -> bytes:

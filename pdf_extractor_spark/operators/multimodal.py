@@ -7,14 +7,16 @@ pipeline: media travel as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-Decode honesty: ``decode_media``'s byte stats, payload sha, codec/dimension
-sniffing (JPEG/PNG/GIF headers), and — for baseline PNG — actual pixel
-decode, thumbnail features, and ``resize_media`` resampling are REAL, via
-the pure zlib+numpy codec in core/imagemeta.py. Only JPEG pixel work and
-video frame decode still need PIL/ffmpeg (absent in this container): those
-rows carry a null feature / pass through unresized, and ``sample_frames``
-raises unless ``fake=True``. The Spark-side plumbing — schema, batch shape,
-partition independence — is fully real and tested either way.
+Decode honesty: pixel work is REAL for every codec the header sniffer
+knows — baseline PNG (core/imagemeta.py, zlib + scanline filters),
+baseline JPEG (core/jpegcodec.py, T.81 Huffman + IDCT), and GIF
+(core/gifcodec.py, LZW + palettes + interlace), including animated-GIF
+frame sampling with GCE delays/disposal/transparency. ``decode_media``
+features, ``resize_media`` resampling, and ``sample_frames`` all run these
+codecs in their non-fake paths; only true video containers still need
+ffmpeg (absent here) and those rows degrade — null feature, unresized
+pass-through, zero frame rows — never a crash. The deterministic ``fake``
+variants remain for fixture corpora whose payloads aren't media at all.
 
 Scale notes: media bytes dominate row size, so the arrow batch cap
 (session.ARROW_BATCH_RECORDS) bounds per-task memory; feature rows are tiny
@@ -152,11 +154,15 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """video rows → one row per sampled frame timestamp (flat-map shape).
 
-    Frame *decode* is stubbed like decode_media; the row-expansion plumbing
-    (duration metadata → frame_ts rows, bounded batches) is real.
+    REAL path: animated-GIF payloads actually decode (core/gifcodec.py
+    gif_frames — GCE delays, disposal, transparency); the frame active at
+    each multiple of ``every_ms`` within the animation's total duration is
+    sampled and ``frame_sha`` is the sha256 of its RGB pixel bytes.
+    Payloads no other stdlib codec can open (real video needs ffmpeg,
+    absent here) produce no rows — degrade-don't-crash, like decode_media.
+    ``fake=True`` keeps the deterministic duration-metadata expansion for
+    fixture corpora whose payloads aren't media at all.
     """
-    if not fake:
-        raise NotImplementedError("frame decode needs ffmpeg; pass fake=True")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -166,17 +172,38 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_extractor_spark.core.gifcodec import gif_frames
+
         for pdf in batches:
             ids, ts, shas = [], [], []
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                for t in range(0, int(dur or 0), every_ms):
+                if fake:
+                    for t in range(0, int(dur or 0), every_ms):
+                        ids.append(mid)
+                        ts.append(t)
+                        shas.append(
+                            hashlib.sha256(
+                                (payload or b"") + t.to_bytes(4, "big")
+                            ).hexdigest()
+                        )
+                    continue
+                frames = gif_frames(bytes(payload) if payload is not None else None)
+                if not frames:
+                    continue  # non-GIF video: no decoder in this container
+                # frame i is displayed over [start_i, start_i + delay_i)
+                starts, total = [], 0
+                for delay_ms, _arr in frames:
+                    starts.append(total)
+                    total += max(delay_ms, 1)  # zero-delay frames still exist
+                fi = 0
+                for t in range(0, total, every_ms):
+                    while fi + 1 < len(frames) and starts[fi + 1] <= t:
+                        fi += 1
                     ids.append(mid)
                     ts.append(t)
-                    shas.append(
-                        hashlib.sha256((payload or b"") + t.to_bytes(4, "big")).hexdigest()
-                    )
+                    shas.append(hashlib.sha256(frames[fi][1].tobytes()).hexdigest())
             yield pd.DataFrame({"media_id": ids, "frame_ts_ms": ts, "frame_sha": shas})
 
     vids = media.filter(F.col("kind") == "video").select(

@@ -116,3 +116,71 @@ def test_decode_seam_gif_feature(spark):
     assert feat["feature"] is not None and all(
         abs(x - val / 255.0) < 1e-6 for x in feat["feature"]
     )
+
+
+def test_animation_frames_compositing_and_disposal():
+    from pdf_extractor_spark.core.gifcodec import gif_encode_animation, gif_frames
+
+    base = np.full((10, 10), 50, dtype=np.uint8)
+    patch = np.full((4, 4), 200, dtype=np.uint8)
+    # frame 1 full, frame 2 a sub-rect at (3,2) with disposal 2 (restore bg),
+    # frame 3 another sub-rect — after disposal 2 the patch area is bg again
+    gif = gif_encode_animation(
+        [(100, base), (50, patch), (70, np.full((2, 2), 99, dtype=np.uint8))],
+        offsets=[(0, 0), (3, 2), (0, 0)],
+        disposals=[0, 2, 0],
+    )
+    frames = gif_frames(gif)
+    assert frames is not None and [d for d, _ in frames] == [100, 50, 70]
+    f1, f2, f3 = [a for _, a in frames]
+    assert (f1 == 50).all()
+    assert (f2[2:6, 3:7] == 200).all() and f2[0, 0, 0] == 50
+    # disposal 2 restored the patch rect to bg (palette[0] == 0) before f3
+    assert (f3[2:6, 3:7] == 0).all() and (f3[0:2, 0:2] == 99).all()
+    assert f3[8, 8, 0] == 50  # untouched area still frame-1 content
+
+
+def test_animation_transparency_leaves_canvas():
+    from pdf_extractor_spark.core.gifcodec import gif_encode_animation, gif_frames
+
+    base = np.full((6, 6), 80, dtype=np.uint8)
+    overlay = np.full((6, 6), 7, dtype=np.uint8)  # 7 = transparent index
+    overlay[2, 2] = 150
+    gif = gif_encode_animation([(10, base), (10, overlay)], transparent_idx=7)
+    frames = gif_frames(gif)
+    # frame 1: transparent pixels (none at 80) drawn; frame 2: only (2,2) changes
+    f2 = frames[1][1]
+    assert f2[2, 2, 0] == 150
+    assert f2[0, 0, 0] == 80 and f2[5, 5, 0] == 80
+
+
+def test_sample_frames_real_gif_path(spark):
+    """sample_frames(fake=False) decodes an animated GIF and samples the
+    frame active at each every_ms tick; frame_sha is the sha of the REAL
+    composited RGB bytes."""
+    import hashlib
+
+    from pdf_extractor_spark.core.gifcodec import gif_encode_animation, gif_frames
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    f0 = np.full((5, 5), 10, dtype=np.uint8)
+    f1 = np.full((5, 5), 20, dtype=np.uint8)
+    f2 = np.full((5, 5), 30, dtype=np.uint8)
+    gif = gif_encode_animation([(100, f0), (100, f1), (100, f2)])
+    media = spark.createDataFrame(
+        [("v", "video", bytearray(gif),
+          {"mime": "image/gif", "width": 5, "height": 5, "duration_ms": 300})],
+        "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows = sorted(
+        sample_frames(media, every_ms=100, fake=False).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [r["frame_ts_ms"] for r in rows] == [0, 100, 200]
+    decoded = gif_frames(bytes(gif))
+    want = [hashlib.sha256(a.tobytes()).hexdigest() for _, a in decoded]
+    assert [r["frame_sha"] for r in rows] == want
+    # sparser sampling: one frame per 250ms window -> ticks 0, 250
+    rows = sample_frames(media, every_ms=250, fake=False).collect()
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 250]
