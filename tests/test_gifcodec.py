@@ -184,3 +184,35 @@ def test_sample_frames_real_gif_path(spark):
     # sparser sampling: one frame per 250ms window -> ticks 0, 250
     rows = sample_frames(media, every_ms=250, fake=False).collect()
     assert sorted(r["frame_ts_ms"] for r in rows) == [0, 250]
+
+
+def test_property_lzw_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=400),
+        min_code=st.integers(min_value=8, max_value=8),
+    )
+    def check(data, min_code):
+        assert _lzw_decode_gif(_lzw_encode_gif(data, min_code), min_code, len(data)) == data
+
+    check()
+
+
+def test_property_gif_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(h, w, seed):
+        a = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+        assert (gif_decode(gif_encode(a)) == np.stack([a] * 3, axis=2)).all()
+
+    check()

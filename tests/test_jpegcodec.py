@@ -171,3 +171,25 @@ def test_fuzz_corrupt_streams_never_raise():
         data = bytes(b[: rng.randrange(20, len(b) + 1)]) if trial % 5 == 0 else bytes(b)
         out = jpeg_decode(data)  # None or ndarray, never an exception
         assert out is None or out.dtype == np.uint8
+
+
+def test_property_jpeg_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=20),
+        w=st.integers(min_value=1, max_value=20),
+        color=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(h, w, color, seed):
+        shape = (h, w, 3) if color else (h, w)
+        a = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(a))
+        want = a if a.ndim == 3 else a[:, :, None]
+        assert dec is not None and dec.shape == want.shape
+        assert np.abs(dec.astype(int) - want.astype(int)).max() <= 4
+
+    check()

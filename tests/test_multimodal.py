@@ -277,3 +277,26 @@ def test_png_codec_roundtrip_and_filters():
                       + chunk(b"IEND", b"")) is None
     assert png_decode(png[:40]) is None
     assert png_decode(b"junk") is None
+
+
+def test_property_png_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import png_decode, png_encode
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(h, w, ch, seed):
+        a = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+        dec = png_decode(png_encode(a))
+        assert dec is not None and (dec == a).all()
+
+    check()
