@@ -675,6 +675,44 @@ def q_png_features(spark, sf_dir):
     )
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Crawl-frontier sitemap parsing through the oracle: per doc a
+    deterministic <urlset> XML with two <loc> entries — one entity-escaped
+    (&amp; must decode to &), one CDATA-wrapped — is built and pushed
+    through the REAL parser (core/links.py sitemap_urls via the
+    extract_sitemap_urls Arrow pass); the oracle reconstructs the expected
+    URLs directly from the construction rule."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.linkgraph import extract_sitemap_urls
+
+    def mk(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d, src in zip(
+                batch.column("doc_id").to_pylist(), batch.column("source").to_pylist()
+            ):
+                xml = (
+                    '<?xml version="1.0"?><urlset>'
+                    f"<url><loc> https://{src}.example/p/{d}?a={d}&amp;b=1 </loc></url>"
+                    f"<url><loc><![CDATA[https://{src}.example/cdata/{d}]]></loc></url>"
+                    "</urlset>"
+                ).encode()
+                urls.append(f"sitemap://{d}")
+                htmls.append(xml)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id", "source").mapInArrow(
+        mk, "url string, html binary"
+    )
+    return extract_sitemap_urls(pages).select(
+        "url", F.col("loc_index").cast("long").alias("loc_index"), "loc"
+    )
+
+
 def q_jpeg_features(spark, sf_dir):
     """jpeg_decode through the driver gate: per doc_id a CONSTANT-gray 8x8
     baseline JPEG (core/jpegcodec.py, all-ones quantization — a flat block
@@ -1791,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
+        "sitemap_urls": q_sitemap_urls,
         "frame_sample": q_frame_sample,
         "extract_images": q_extract_images,
         "related_images": q_related_images,
@@ -3275,6 +3314,16 @@ SELECT 'doc://' || doc_id AS media_id,
        8::BIGINT AS height,
        ROUND((doc_id % 256) / 255.0, 4) AS gray
 FROM documents""",
+        "sitemap_urls": """
+SELECT url, loc_index, loc FROM (
+  SELECT 'sitemap://' || doc_id AS url, 0::BIGINT AS loc_index,
+         'https://' || source || '.example/p/' || doc_id || '?a=' || doc_id || '&b=1' AS loc
+  FROM documents
+  UNION ALL
+  SELECT 'sitemap://' || doc_id, 1::BIGINT,
+         'https://' || source || '.example/cdata/' || doc_id
+  FROM documents
+)""",
         "extract_images": (
             "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "
             "FROM documents"

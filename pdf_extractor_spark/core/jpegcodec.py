@@ -153,6 +153,8 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
         while pos + 4 <= len(d):
             if d[pos] != 0xFF:
                 return None
+            while pos + 4 <= len(d) and d[pos + 1] == 0xFF:
+                pos += 1  # spec B.1.1.2: fill bytes (0xFF) may pad markers
             marker = d[pos + 1]
             if marker == 0xD9:  # EOI
                 return None  # EOI before SOS: no image

@@ -26,6 +26,8 @@ Determinism: list-only state, no environment lookups, no floats.
 
 from __future__ import annotations
 
+import html as _html_mod
+import re as _re
 from dataclasses import dataclass
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlsplit
@@ -194,3 +196,29 @@ def harvest_any(url: str, payload: bytes | None) -> list[LinkRow]:
     if is_pdf(payload):
         return harvest_pdf_links(url, payload)
     return harvest_links(url, payload)
+
+
+_LOC_RE = _re.compile(r"<loc\s*>\s*(.*?)\s*</loc\s*>", _re.IGNORECASE | _re.DOTALL)
+_CDATA_RE = _re.compile(r"<!\[CDATA\[(.*?)\]\]>", _re.DOTALL)
+
+
+def sitemap_urls(xml: bytes | str | None) -> list[str]:
+    """Every ``<loc>`` URL of a sitemap / sitemap-index document, in file
+    order: CDATA unwrapped, XML entities decoded (a sitemap's URLs are
+    entity-escaped per the protocol — ``&amp;`` is the common one),
+    whitespace trimmed. Works for both ``<urlset>`` page sitemaps and
+    ``<sitemapindex>`` files (whose <loc>s are child sitemap URLs — the
+    crawl frontier expands them the same way). Non-XML input yields []."""
+    if not xml:
+        return []
+    text = xml.decode("utf-8", errors="replace") if isinstance(xml, bytes) else xml
+    out = []
+    for m in _LOC_RE.finditer(text):
+        loc = m.group(1)
+        cm = _CDATA_RE.search(loc)
+        if cm:
+            loc = cm.group(1)
+        loc = _html_mod.unescape(loc).strip()
+        if loc:
+            out.append(loc)
+    return out

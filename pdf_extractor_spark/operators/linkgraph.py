@@ -232,3 +232,35 @@ def pagerank(
     if ckpt is not None:
         ckpt.unpersist()
     return _attach_caches(out, final_ckpt)
+
+
+def extract_sitemap_urls(pages: DataFrame) -> DataFrame:
+    """sitemap pages(url, html) → (url, loc_index, loc): one row per <loc>
+    entry, order-preserving. The crawl-frontier half of the robots.txt gate
+    (operators/robots.py): sitemap-index files expand the same way — their
+    <loc>s are child sitemaps to fetch. Same fused one-Arrow-pass shape as
+    extract_links; malformed XML yields zero rows for that page."""
+    from pdf_extractor_spark.core.links import sitemap_urls
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, idxs, locs = [], [], []
+            for url, html in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
+                for i, loc in enumerate(sitemap_urls(html)):
+                    urls.append(url)
+                    idxs.append(i)
+                    locs.append(loc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(idxs, type=pa.int32()),
+                    pa.array(locs, type=pa.string()),
+                ],
+                names=["url", "loc_index", "loc"],
+            )
+
+    return pages.select("url", "html").mapInArrow(
+        run, "url string, loc_index int, loc string"
+    )

@@ -201,3 +201,44 @@ def test_pdf_link_annotations_harvest(spark):
     assert [r["dst_url"] for r in out] == [
         "https://ex.com/a", "https://host.com/relative/p",
     ]
+
+
+def test_sitemap_urls_pure_fn_edges():
+    from pdf_extractor_spark.core.links import sitemap_urls
+
+    xml = (
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><loc> https://a.example/p?x=1&amp;y=2 </loc><lastmod>x</lastmod></url>"
+        b"<url><loc><![CDATA[https://a.example/cdata]]></loc></url>"
+        b"<url><LOC>https://a.example/upper</LOC></url></urlset>"
+    )
+    assert sitemap_urls(xml) == [
+        "https://a.example/p?x=1&y=2",
+        "https://a.example/cdata",
+        "https://a.example/upper",
+    ]
+    # sitemap-index files expand the same way
+    assert sitemap_urls(
+        b"<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc></sitemap></sitemapindex>"
+    ) == ["https://a.example/s1.xml"]
+    assert sitemap_urls(b"not xml") == []
+    assert sitemap_urls(None) == []
+
+
+def test_extract_sitemap_urls_operator(spark):
+    from pdf_extractor_spark.operators.linkgraph import extract_sitemap_urls
+
+    pages = spark.createDataFrame(
+        [
+            ("s1", b"<urlset><url><loc>https://h/a</loc></url>"
+                   b"<url><loc>https://h/b</loc></url></urlset>"),
+            ("s2", b"malformed"),
+        ],
+        "url string, html binary",
+    )
+    rows = sorted(
+        extract_sitemap_urls(pages).collect(), key=lambda r: (r["url"], r["loc_index"])
+    )
+    assert [(r["url"], r["loc_index"], r["loc"]) for r in rows] == [
+        ("s1", 0, "https://h/a"), ("s1", 1, "https://h/b")
+    ]
