@@ -1278,6 +1278,26 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_token_spans(staged.unionAll(extra), n=20)
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring REMOVAL (Lee et al.'s rewrite half): the dup_spans
+    fixture corpus is rewritten with every cross-document repeated span cut
+    out — pure Column exprs past the span mining (zip_with/filter/exists).
+    Oracle = the dup_spans CTE chain + an anti-range token filter +
+    ordered string_agg."""
+    from pdf_extractor_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.when(d % 5 == 0, F.lit(_SPAN_BOILER)).otherwise(F.lit(""))
+        ).alias("text"),
+    )
+    extra = staged.filter(d % 50 == 0).select((d + 10000).alias("doc_id"), "text")
+    return remove_duplicated_spans(staged.unionAll(extra), n=20)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4-style line+page cleaning (functions/text.py): prose-line filter
     (terminal punctuation, ≥3 words, no javascript) then page screen (≥5
@@ -1855,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "c4_filters": q_c4_filters,
         "dup_spans": q_dup_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "dedup_bloom": q_dedup_bloom,
         "dsir_weights": q_dsir_weights,
         "bigram_logprob": q_bigram_logprob,
@@ -3246,6 +3267,40 @@ grp AS (SELECT doc_id, pos,
 SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 19)::BIGINT AS span_end,
        (max(pos) + 19 - min(pos) + 1)::BIGINT AS n_tokens
 FROM grp GROUP BY doc_id, grpid""",
+        "remove_dup_spans": f"""
+WITH s AS (SELECT doc_id,
+           text || (CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BOILER}' ELSE '' END) AS text
+           FROM documents),
+u AS (SELECT doc_id, text FROM s
+      UNION ALL SELECT doc_id + 10000, text FROM s WHERE doc_id % 50 = 0),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM u),
+g0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 19)) AS i
+       FROM t WHERE len(toks) >= 20),
+g AS (SELECT doc_id, i - 1 AS pos,
+      md5(array_to_string(list_slice(toks, i, i + 19), ' ')) AS h FROM g0),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+m AS (SELECT doc_id, pos,
+      max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits),
+f AS (SELECT doc_id, pos,
+      CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk FROM m),
+grp AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grpid FROM f),
+spansf AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end
+           FROM grp GROUP BY doc_id, grpid),
+idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+kept AS (SELECT idx.doc_id, idx.i, idx.toks[idx.i] AS tk FROM idx
+         WHERE NOT EXISTS (SELECT 1 FROM spansf sp
+                           WHERE sp.doc_id = idx.doc_id
+                             AND idx.i - 1 BETWEEN sp.span_start AND sp.span_end))
+SELECT t.doc_id,
+       coalesce((SELECT string_agg(k.tk, ' ' ORDER BY k.i)
+                 FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text,
+       (len(t.toks) - coalesce((SELECT count(*) FROM kept k
+                                WHERE k.doc_id = t.doc_id), 0))::BIGINT AS n_removed
+FROM t""",
         # C4 line+page filter: same suffix fixture, same rule spec
         # (functions/text.py c4_* — terminal punct, ≥3 words, no javascript;
         # page: no brace/lorem-ipsum/spam, ≥5 sentences in the kept text)

@@ -1156,6 +1156,57 @@ def duplicated_token_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite texts with every cross-document repeated span REMOVED — the
+    second half of Lee et al. 2022's exact-substring dedup (their pass cuts
+    the repeated substring out of the training text; this removes ALL
+    copies, the conservative variant — electing one global keeper per fuzzy
+    merged span would need an owner election that buys little for training
+    data). Returns ``(id_col, clean_text, n_removed)``.
+
+    Plan: ``duplicated_token_spans`` (bounded shuffles, see its doc) →
+    per-doc span list via one hash-agg → LEFT broadcast-friendly join back
+    to the docs → the rewrite itself is PURE Column exprs (zip_with /
+    filter / exists / array_join): tokens whose index falls inside any span
+    drop, survivors re-join with single spaces. Zero Python past the span
+    mining; per-token cost is O(spans) with spans per doc ~ a handful."""
+    spans = duplicated_token_spans(df, n=n, min_df=min_df, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # --- SemDeDup: semantic dedup through coarse clusters -------------------------
 
 def semdedup(

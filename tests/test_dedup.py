@@ -459,3 +459,21 @@ def test_numpy_signature_fast_paths_match_pure_python_spec():
         assert DD._py_minhash(sh) == DD._py_minhash_ref(sh)
         if toks:
             assert DD._py_simhash2(toks) == DD._py_simhash2_ref(toks)
+
+
+def test_remove_duplicated_spans_cuts_shared_boilerplate(spark):
+    """Lee-et-al rewrite: tokens inside cross-document repeated spans drop
+    from every copy; unique content and sub-n-gram docs pass untouched."""
+    boiler = " ".join(f"b{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, "unique one two three " + boiler),
+            (2, "different words entirely here " + boiler),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in DD.remove_duplicated_spans(df).collect()}
+    assert got[1]["clean_text"] == "unique one two three" and got[1]["n_removed"] == 25
+    assert got[2]["clean_text"] == "different words entirely here" and got[2]["n_removed"] == 25
+    assert got[3]["clean_text"] == "short doc" and got[3]["n_removed"] == 0
