@@ -61,3 +61,23 @@ def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
                 continue
             rules.append((key == "allow", val))
     return rules
+
+
+def robots_sitemaps(payload: bytes | str | None) -> list[str]:
+    """``Sitemap:`` directive URLs of a robots.txt, in file order — the
+    discovery half of the sitemap frontier (core/links.py sitemap_urls
+    parses the documents these point at). Per RFC 9309 the directive is
+    group-independent (it applies regardless of user-agent), so every line
+    counts; comments strip, blanks drop, [] for undecodable input."""
+    if payload is None:
+        return []
+    text = (
+        payload.decode("utf-8", errors="replace") if isinstance(payload, bytes) else payload
+    )
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")  # first colon only: the URL's "://" stays in val
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out

@@ -51,3 +51,26 @@ def test_robots_filter_longest_match_and_failure_open(spark):
         "https://empty.com/anything",
         "https://norules.com/anything",
     }
+
+
+def test_robots_sitemaps_directive():
+    """Sitemap: lines are group-independent (RFC 9309) — collected from
+    anywhere in the file, case-insensitive key, comments stripped, the
+    URL's own colon untouched."""
+    from pdf_extractor_spark.core.robotstxt import robots_sitemaps
+
+    txt = (
+        b"User-agent: *\nDisallow: /private\n"
+        b"Sitemap: https://a.example/sitemap.xml\n"
+        b"# comment line\n"
+        b"sitemap:https://a.example/s2.xml   \n"
+        b"Sitemap:\n"  # empty value: dropped
+        b"User-agent: bot\nSitemap: https://a.example/s3.xml\n"
+    )
+    assert robots_sitemaps(txt) == [
+        "https://a.example/sitemap.xml",
+        "https://a.example/s2.xml",
+        "https://a.example/s3.xml",
+    ]
+    assert robots_sitemaps(None) == []
+    assert robots_sitemaps(b"") == []
