@@ -346,3 +346,85 @@ def render_warc_with_cdx(
         )
         out += member
     return bytes(out), "\n".join(cdx_lines) + "\n"
+
+
+def wet_texts_from_bytes(data: bytes) -> Iterator[tuple[str, datetime | None, str]]:
+    """(url, warc_ts, text) for every ``conversion`` record of a WET file.
+
+    WET is Common Crawl's extracted-text sibling of WARC: the same record
+    framing, but the payload is the page's plain text (no HTTP envelope) and
+    the record type is ``conversion``. Feeding WET skips the extraction
+    stage entirely — rows land directly in the documents/text shape."""
+    for headers, payload in iter_warc_records(data):
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        uri = headers.get(b"warc-target-uri")
+        if not uri:
+            continue
+        yield (
+            uri.decode("utf-8", errors="replace"),
+            _parse_warc_date(headers.get(b"warc-date", b"")),
+            payload.decode("utf-8", errors="replace"),
+        )
+
+
+def read_wet_texts(
+    spark: SparkSession, path: str, glob: str = "*.wet*", max_bytes: int | None = None
+) -> DataFrame:
+    """Directory of .wet / .wet.gz files → (url, warc_ts, text) DataFrame —
+    pre-extracted text straight into the curation/dedup operators. Same
+    binaryFile + one-Arrow-pass shape as read_warc_pages."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    files = reader.load(path)
+    if max_bytes is not None:
+        files = files.filter(F.col("length") <= max_bytes)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, tss, texts = [], [], []
+            for content in batch.column("content").to_pylist():
+                for url, ts, text in wet_texts_from_bytes(content or b""):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(text)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+                    pa.array(texts, type=pa.string()),
+                ],
+                names=["url", "warc_ts", "text"],
+            )
+
+    return files.select("content").mapInArrow(
+        run, "url string, warc_ts timestamp, text string"
+    )
+
+
+def render_wet(pages: list[tuple[str, str, str]], per_record_gzip: bool = False) -> bytes:
+    """WET fixture writer: one ``conversion`` record per (url, iso_ts, text)."""
+    out = bytearray()
+    for url, iso_ts, text in pages:
+        body = text.encode()
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {iso_ts}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}".encode()
+            + _CRLF2
+            + body
+            + b"\r\n\r\n"
+        )
+        if per_record_gzip:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)

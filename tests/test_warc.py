@@ -171,3 +171,37 @@ def test_cdx_ranged_reads_skip_missing_files_and_bad_lines(spark, tmp_path):
     assert idx.count() == 2  # junk lines dropped at parse
     got = read_warc_pages_ranged(idx, str(tmp_path)).collect()
     assert [r["url"] for r in got] == ["http://a/x"]  # missing file row dropped
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET files (conversion records, plain-text payloads) land directly in
+    the documents/text shape — extraction skipped; response-type records in
+    the same file are NOT conversion rows and vice versa."""
+    from pdf_extractor_spark.sources.warc import (
+        read_wet_texts,
+        render_warc,
+        render_wet,
+        wet_texts_from_bytes,
+    )
+
+    wet = render_wet(
+        [
+            ("http://a/1", "2024-01-01T00:00:05Z", "extracted text one"),
+            ("http://b/2", "2024-02-01T00:00:00Z", "unicode — déjà vu"),
+        ],
+        per_record_gzip=True,
+    )
+    rows = list(wet_texts_from_bytes(wet))
+    assert [(u, t) for u, _ts, t in rows] == [
+        ("http://a/1", "extracted text one"), ("http://b/2", "unicode — déjà vu")
+    ]
+    assert rows[0][1].second == 5
+    # response records don't leak into the WET view
+    warc = render_warc([("http://c/3", "2024-01-01T00:00:00Z", b"<p>html</p>")])
+    assert list(wet_texts_from_bytes(warc)) == []
+
+    (tmp_path / "seg.wet.gz").write_bytes(wet)
+    (tmp_path / "seg.warc.gz").write_bytes(warc)  # glob must exclude it
+    df = read_wet_texts(spark, str(tmp_path))
+    got = {r["url"]: r["text"] for r in df.collect()}
+    assert got == {"http://a/1": "extracted text one", "http://b/2": "unicode — déjà vu"}
