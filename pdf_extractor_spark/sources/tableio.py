@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def _stat_key(v):
+    """JSON-serializable, order-preserving form of a stats value: datetimes
+    become ISO strings (lexicographic == chronological in that format),
+    numbers and strings pass through."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
@@ -79,12 +90,20 @@ class SnapshotTable:
 
     # -- write path --------------------------------------------------------
     def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None,
-               partition_cols: tuple[str, ...] | None = None) -> str:
+               partition_cols: tuple[str, ...] | None = None,
+               stats_cols: tuple[str, ...] = ()) -> str:
         """Stage df as parquet then commit a new snapshot. Returns run_id.
 
         ``partition_cols`` writes hive-style partition directories — the
         local analog of the Iceberg layout (iceberg.CHUNKS_DDL buckets by
         doc_hash) so hash-scoped reads prune files instead of scanning.
+
+        ``stats_cols`` records per-run min/max for those columns in the
+        manifest (Iceberg's manifest file stats): ``read_pruned`` then skips
+        whole runs whose range cannot match a predicate — data-skipping at
+        the metadata level, no file is ever opened. The stats scan reads the
+        just-written parquet (footer min/max make it cheap) so a recomputed
+        input plan is never re-executed.
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", run_id)
@@ -92,16 +111,28 @@ class SnapshotTable:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(data_dir)
+        entry = {
+            "run_id": run_id,
+            "path": data_dir,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "lineage": lineage or {},
+        }
+        if stats_cols:
+            row = (
+                df.sparkSession.read.parquet(data_dir)
+                .agg(
+                    *[F.min(c).alias(f"__mn_{c}") for c in stats_cols],
+                    *[F.max(c).alias(f"__mx_{c}") for c in stats_cols],
+                )
+                .collect()[0]
+            )
+            entry["stats"] = {
+                c: [_stat_key(row[f"__mn_{c}"]), _stat_key(row[f"__mx_{c}"])]
+                for c in stats_cols
+            }
         m = self.manifest()
         m["snapshot_id"] += 1
-        m["runs"].append(
-            {
-                "run_id": run_id,
-                "path": data_dir,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "lineage": lineage or {},
-            }
-        )
+        m["runs"].append(entry)
         self._write_manifest(m)
         return run_id
 
@@ -342,6 +373,35 @@ class SnapshotTable:
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo=None, hi=None
+    ) -> DataFrame | None:
+        """Data-skipping read: runs whose manifest ``stats`` range for
+        ``col`` cannot intersect [lo, hi] are never opened (Iceberg's
+        manifest-stats pruning — the metadata level ABOVE parquet row-group
+        skipping). Runs without stats are conservatively read; the residual
+        filter applies regardless, so pruning only changes IO, never
+        answers. None when every run prunes away (empty result)."""
+        klo, khi = _stat_key(lo), _stat_key(hi)
+        keep = []
+        for r in self.manifest()["runs"]:
+            st = (r.get("stats") or {}).get(col)
+            if st is not None and st[0] is not None and st[1] is not None:
+                mn, mx = st
+                if khi is not None and mn > khi:
+                    continue
+                if klo is not None and mx < klo:
+                    continue
+            keep.append(r["path"])
+        if not keep:
+            return None
+        df = spark.read.parquet(*keep)
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def read_chunks(self, spark: SparkSession) -> DataFrame | None:
         """Committed chunk rows only (per-doc marker rows filtered out)."""

@@ -149,3 +149,60 @@ def test_upsert_into_empty_table(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "tbl2"))
     t.upsert(spark, spark.createDataFrame([(1, "a")], ["key", "val"]), key_cols=("key",))
     assert [r["val"] for r in t.read(spark).collect()] == ["a"]
+
+
+def test_manifest_stats_prune_runs_without_opening_files(spark, tmp_path):
+    """Iceberg-style data skipping: per-run min/max in the manifest lets
+    read_pruned drop whole runs at the METADATA level — the plan's input
+    files prove the pruned run is never opened; answers are identical to a
+    full-scan filter (the residual predicate still applies)."""
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(10)], "k long, v string"),
+        stats_cols=("k",), run_id="low",
+    )
+    t.append(
+        spark.createDataFrame([(i, f"b{i}") for i in range(100, 110)], "k long, v string"),
+        stats_cols=("k",), run_id="high",
+    )
+    t.append(  # stats-less run: conservatively read
+        spark.createDataFrame([(55, "mid")], "k long, v string"), run_id="nostats",
+    )
+    st = {r["run_id"]: r.get("stats") for r in t.manifest()["runs"]}
+    assert st["low"] == {"k": [0, 9]} and st["high"] == {"k": [100, 109]}
+    assert st["nostats"] is None
+
+    pruned = t.read_pruned(spark, "k", lo=100, hi=200)
+    files = pruned.inputFiles()
+    assert all("/low/" not in f for f in files)  # metadata-pruned, never opened
+    assert any("/high/" in f for f in files)
+    assert any("/nostats/" in f for f in files)  # unknown range: must read
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(100, 110))
+
+    # full-range read equals the naive filter
+    full = t.read(spark).filter("k >= 0")
+    assert t.read_pruned(spark, "k", lo=0).count() == full.count()
+    # disjoint range prunes EVERY stats run and the residual filter kills
+    # the stats-less one
+    nothing = t.read_pruned(spark, "k", lo=500)
+    assert nothing is None or nothing.count() == 0
+
+
+def test_manifest_stats_timestamp_ordering(spark, tmp_path):
+    """ISO-string stats order chronologically — warc_ts recency pruning."""
+    from datetime import datetime, timezone
+
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ts"))
+    old = [(f"u{i}", datetime(2023, 1, i + 1, tzinfo=timezone.utc)) for i in range(3)]
+    new = [(f"v{i}", datetime(2024, 6, i + 1, tzinfo=timezone.utc)) for i in range(3)]
+    t.append(spark.createDataFrame(old, "url string, warc_ts timestamp"),
+             stats_cols=("warc_ts",), run_id="y2023")
+    t.append(spark.createDataFrame(new, "url string, warc_ts timestamp"),
+             stats_cols=("warc_ts",), run_id="y2024")
+    got = t.read_pruned(spark, "warc_ts", lo=datetime(2024, 1, 1, tzinfo=timezone.utc))
+    assert all("/y2023/" not in f for f in got.inputFiles())
+    assert sorted(r["url"] for r in got.collect()) == ["v0", "v1", "v2"]
