@@ -353,13 +353,26 @@ class SnapshotTable:
         return deleted
 
     # -- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession, at_snapshot: int | None = None) -> DataFrame | None:
-        """Committed rows; ``at_snapshot`` time-travels to that version."""
+    def read(
+        self,
+        spark: SparkSession,
+        at_snapshot: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame | None:
+        """Committed rows; ``at_snapshot`` time-travels to that version.
+
+        ``merge_schema`` unions the run schemas (Iceberg schema evolution's
+        add-column case): runs written before a column existed read it as
+        NULL. Off by default — schema drift should be a deliberate choice,
+        and the merged-footer read costs a schema pass per file."""
         m = self.manifest() if at_snapshot is None else self.manifest_at(at_snapshot)
         paths = [r["path"] for r in m["runs"]]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def read_changes(self, spark: SparkSession, since_snapshot_id: int) -> DataFrame | None:
         """Incremental read (Iceberg incremental consumption): rows of runs

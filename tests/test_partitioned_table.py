@@ -206,3 +206,20 @@ def test_manifest_stats_timestamp_ordering(spark, tmp_path):
     got = t.read_pruned(spark, "warc_ts", lo=datetime(2024, 1, 1, tzinfo=timezone.utc))
     assert all("/y2023/" not in f for f in got.inputFiles())
     assert sorted(r["url"] for r in got.collect()) == ["v0", "v1", "v2"]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column evolution: runs written before the column existed
+    read it as NULL under merge_schema; the default read stays strict."""
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "evo"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"), run_id="r1")
+    t.append(
+        spark.createDataFrame([(2, "b", "en")], "k long, v string, lang string"),
+        run_id="r2",
+    )
+    got = t.read(spark, merge_schema=True)
+    assert set(got.columns) == {"k", "v", "lang"}
+    rows = {r["k"]: r["lang"] for r in got.collect()}
+    assert rows == {1: None, 2: "en"}
