@@ -675,6 +675,33 @@ def q_png_features(spark, sf_dir):
     )
 
 
+def q_sitemap_discovery(spark, sf_dir):
+    """Frontier discovery step: per doc a deterministic robots.txt body with
+    rule groups, comments, and two group-independent ``Sitemap:`` lines runs
+    through the REAL parser (operators/robots.py extract_robots_sitemaps →
+    core/robotstxt.py robots_sitemaps); the oracle reconstructs the expected
+    directive URLs from the construction rule."""
+    from pdf_extractor_spark.operators.robots import extract_robots_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private # comment\n"),
+        F.lit("Sitemap: https://"), F.col("source"), F.lit(".example/s"),
+        d.cast("string"), F.lit(".xml\n"),
+        F.lit("User-agent: bot\n"),
+        F.lit("sitemap:https://"), F.col("source"), F.lit(".example/extra.xml\n"),
+        F.lit("Sitemap:\n"),  # empty value: dropped
+    )
+    robots = docs.select(
+        F.concat(F.lit("h"), d.cast("string"), F.lit(".example")).alias("host"),
+        body.cast("binary").alias("body"),
+    )
+    return extract_robots_sitemaps(robots).select(
+        "host", F.col("sm_index").cast("long").alias("sm_index"), "sitemap_url"
+    )
+
+
 def q_sitemap_urls(spark, sf_dir):
     """Crawl-frontier sitemap parsing through the oracle: per doc a
     deterministic <urlset> XML with two <loc> entries — one entity-escaped
@@ -1850,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
         "sitemap_urls": q_sitemap_urls,
+        "sitemap_discovery": q_sitemap_discovery,
         "frame_sample": q_frame_sample,
         "extract_images": q_extract_images,
         "related_images": q_related_images,
@@ -3369,6 +3397,16 @@ SELECT 'doc://' || doc_id AS media_id,
        8::BIGINT AS height,
        ROUND((doc_id % 256) / 255.0, 4) AS gray
 FROM documents""",
+        "sitemap_discovery": """
+SELECT host, sm_index, sitemap_url FROM (
+  SELECT 'h' || doc_id || '.example' AS host, 0::BIGINT AS sm_index,
+         'https://' || source || '.example/s' || doc_id || '.xml' AS sitemap_url
+  FROM documents
+  UNION ALL
+  SELECT 'h' || doc_id || '.example', 1::BIGINT,
+         'https://' || source || '.example/extra.xml'
+  FROM documents
+)""",
         "sitemap_urls": """
 SELECT url, loc_index, loc FROM (
   SELECT 'sitemap://' || doc_id AS url, 0::BIGINT AS loc_index,

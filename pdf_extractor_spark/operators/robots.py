@@ -94,3 +94,35 @@ def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Da
         .filter(F.coalesce(F.col("__verdict"), F.lit(True)))
         .drop("__host", "__path", "__verdict")
     )
+
+
+def extract_robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                            body_col: str = "body") -> DataFrame:
+    """robots.txt rows → (host, sm_index, sitemap_url): the group-independent
+    ``Sitemap:`` directives (core/robotstxt.py robots_sitemaps), order-
+    preserving — the discovery step ahead of linkgraph.extract_sitemap_urls;
+    one Arrow pass, no shuffle."""
+    from pdf_extractor_spark.core.robotstxt import robots_sitemaps
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            hosts, idxs, sms = [], [], []
+            for host, body in zip(
+                batch.column(host_col).to_pylist(), batch.column(body_col).to_pylist()
+            ):
+                for i, sm in enumerate(robots_sitemaps(body)):
+                    hosts.append(host)
+                    idxs.append(i)
+                    sms.append(sm)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(hosts, type=pa.string()),
+                    pa.array(idxs, type=pa.int32()),
+                    pa.array(sms, type=pa.string()),
+                ],
+                names=["host", "sm_index", "sitemap_url"],
+            )
+
+    return robots.select(host_col, body_col).mapInArrow(
+        run, "host string, sm_index int, sitemap_url string"
+    )

@@ -74,3 +74,19 @@ def test_robots_sitemaps_directive():
     ]
     assert robots_sitemaps(None) == []
     assert robots_sitemaps(b"") == []
+
+
+def test_extract_robots_sitemaps_operator(spark):
+    from pdf_extractor_spark.operators.robots import extract_robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", b"User-agent: *\nSitemap: https://a.example/s.xml\n"),
+            ("b.example", b"Disallow: /x\n"),  # no directives: zero rows
+        ],
+        "host string, body binary",
+    )
+    rows = extract_robots_sitemaps(robots).collect()
+    assert [(r["host"], r["sm_index"], r["sitemap_url"]) for r in rows] == [
+        ("a.example", 0, "https://a.example/s.xml")
+    ]
