@@ -937,7 +937,16 @@ def q_corpus_report(spark, sf_dir):
     )
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("q"), 4).alias("avg_quality"),
+        # avg over EXACT integer sums (q is 4-decimal, so q*10000 is an
+        # integer): float-sum ORDER differs between engines and a mean that
+        # lands on a .00005 boundary then rounds differently by 1 ulp
+        # (observed at sf0.001, lang 'es'); integer sums + one identical
+        # double division round identically everywhere
+        F.round(
+            F.sum(F.round(F.col("q") * 10000).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(10000.0)),
+            4,
+        ).alias("avg_quality"),
         F.count_if(F.col("q") >= 0.5).cast("long").alias("n_high_quality"),
         F.round(F.avg("w"), 2).alias("avg_tokens"),
         F.count_if(F.col("pii") > 0).cast("long").alias("n_pii_docs"),
@@ -2333,7 +2342,7 @@ WITH t AS (SELECT lang, text,
 s AS (SELECT lang, text, w, pii,
              round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS q FROM t)
 SELECT lang, count(*)::BIGINT AS n_docs,
-       round(avg(q), 4) AS avg_quality,
+       round(sum(CAST(round(q * 10000) AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_quality,
        count_if(q >= 0.5)::BIGINT AS n_high_quality,
        round(avg(w), 2) AS avg_tokens,
        count_if(pii > 0)::BIGINT AS n_pii_docs,
