@@ -1528,7 +1528,7 @@ def q_latest_revision(spark, sf_dir):
         url.alias("url"),
         F.timestamp_seconds(F.lit(1704067200) + (d % 200)).alias("warc_ts"),
     )
-    return keep_latest_revision(pages).select("doc_id", "url", "warc_ts")
+    return keep_latest_revision(pages, id_col="doc_id").select("doc_id", "url", "warc_ts")
 
 
 def q_mix_budget(spark, sf_dir):
@@ -2979,7 +2979,7 @@ WITH d AS (SELECT doc_id,
   'https://site' || (doc_id % 10)::VARCHAR || '.com/page/' || (doc_id % 100)::VARCHAR AS canon
  FROM documents)
 SELECT doc_id, url, warc_ts FROM d
-QUALIFY row_number() OVER (PARTITION BY canon ORDER BY warc_ts DESC, url ASC) = 1""",
+QUALIFY row_number() OVER (PARTITION BY canon ORDER BY warc_ts DESC, url ASC, doc_id ASC) = 1""",
         # mix sampling: running token sum per language in (md5-uniform, id)
         # order, kept while within budget — same uniform spec as hash_sample
         "mix_budget": r"""

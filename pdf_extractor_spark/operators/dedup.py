@@ -122,6 +122,7 @@ def keep_latest_revision(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     canonicalize: bool = True,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Crawl-recency dedup: one row per canonical url — the LATEST revision
     (max ``ts_col``; among equal timestamps the lexicographically smallest
@@ -129,12 +130,28 @@ def keep_latest_revision(
     deterministically). The step between "many crawls of the web" and "one
     snapshot of the web" that runs before content-level dedup.
 
+    (ts, url) is not necessarily a TOTAL order — a crawl can hold two
+    distinct captures with identical url and timestamp — so when the table
+    carries a unique id, pass ``id_col`` and the smallest id breaks the
+    remaining tie (without it, equal-(ts, url) groups return an arbitrary
+    member, which two engines may pick differently).
+
     Same single hash-agg shape as dedup_exact — max_by over a struct keyed
-    (ts, reversed-url) avoids a window sort entirely; one shuffle on the
-    canonical url."""
+    (ts, reversed-url[, reversed-id]) avoids a window sort entirely; one
+    shuffle on the canonical url."""
+    from pyspark.sql.types import NumericType
+
     from pdf_extractor_spark.functions.urls import canonical_url
 
     key = canonical_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    order_keys = [F.col(ts_col), F.col("__inv")]
+    if id_col is not None:
+        dt = pages.schema[id_col].dataType
+        order_keys.append(
+            -F.col(id_col)
+            if isinstance(dt, NumericType)
+            else _invert_order(F.col(id_col).cast("string"))
+        )
     return (
         pages.withColumn("__k", key)
         .withColumn("__inv", _invert_order(F.col(url_col)))
@@ -142,7 +159,7 @@ def keep_latest_revision(
         .agg(
             F.max_by(
                 F.struct(*[c for c in pages.columns]),
-                F.struct(F.col(ts_col), F.col("__inv")),
+                F.struct(*order_keys),
             ).alias("r")
         )
         .select("r.*")

@@ -477,3 +477,17 @@ def test_remove_duplicated_spans_cuts_shared_boilerplate(spark):
     assert got[1]["clean_text"] == "unique one two three" and got[1]["n_removed"] == 25
     assert got[2]["clean_text"] == "different words entirely here" and got[2]["n_removed"] == 25
     assert got[3]["clean_text"] == "short doc" and got[3]["n_removed"] == 0
+
+
+def test_keep_latest_revision_id_tiebreak_total_order(spark):
+    """Two captures with IDENTICAL url and timestamp: id_col makes the
+    winner deterministic (smallest id) instead of engine-arbitrary."""
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [(7, "https://h/p", ts), (3, "https://h/p", ts), (9, "https://h/p#f", ts)],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    got = DD.keep_latest_revision(df, id_col="doc_id").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 3
