@@ -226,7 +226,10 @@ def stream_upsert_latest(
         docs = extract_docs(batch_df).join(
             batch_df.select("url", "warc_ts"), "url"
         )
-        latest = keep_latest_revision(docs).withColumn(
+        # doc_hash as the final tie-break: two same-url same-ts captures in
+        # one batch pick the SAME winner on every (re)execution, so a
+        # replayed uncommitted epoch commits bit-identical rows
+        latest = keep_latest_revision(docs, id_col="doc_hash").withColumn(
             "canonical_url", canonical_url(F.col("url"))
         )
         table.upsert(
