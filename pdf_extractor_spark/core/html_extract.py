@@ -450,7 +450,31 @@ def _fast_feed(parser: _MainContentParser, doc: str) -> None:
             parser.handle_endtag(end_tag.lower())
             continue
         if tag is None:
-            continue  # comment / decl / PI: no handler side effects
+            # comment / CDATA / decl / PI: no handler side effects — UNLESS
+            # the construct hit EOF without its terminator. The stdlib's
+            # goahead(end=1) then emits rawdata[i:k] as entity-converted
+            # data where k = after the next '>', else the next '<', else
+            # i+1 — and RESUMES parsing at k (so a '</p>' after the flushed
+            # chunk is still an end tag). Mirror exactly.
+            if pos == n:
+                tok = m.group(0)
+                unterminated = (
+                    (tok.startswith("<!--") and not (len(tok) >= 7 and tok.endswith("-->")))
+                    or (tok.startswith("<![CDATA[") and not (len(tok) >= 12 and tok.endswith("]]>")))
+                    or (not tok.startswith(("<!--", "<![CDATA[")) and not tok.endswith(">"))
+                )
+                if unterminated:
+                    k = find(">", lt + 1)
+                    if k >= 0:
+                        k += 1
+                    else:
+                        k = find("<", lt + 1)
+                        if k < 0:
+                            k = lt + 1
+                    text = doc[lt:k]
+                    data(unescape(text) if "&" in text else text)
+                    pos = k
+            continue
         tag_l = tag.lower()
         attrstr = attrstr or ""
         attrs = _parse_attrs(attrstr) if tag_l == "img" else []

@@ -31,6 +31,16 @@ def _both(html: bytes):
 
 
 EDGES = [
+    # stdlib goahead(end=1) EOF flush: an unterminated construct emits
+    # entity-converted data through the next '>' (else next '<', else one
+    # char) and parsing RESUMES there — previously the fast path swallowed
+    # the tail
+    b"<!-- unterminated comment <p>gone?</p>",
+    b"<!-->", b"<!--->", b"<!---->",
+    b"<![CDATA[ unterminated <p>x</p>",
+    b"<!doctype html", b"<?php unterminated",
+    b"<p>ok</p><!--", b"<p>ok</p><![CDATA[",
+    b"<p>tail &amp; entity in flushed <!-- comment &lt;x",
     b"<p>A &amp; B &lt;tag&gt; &#65; &copy; &notareal;</p>",
     b'<img src="x.png" alt="Nice &quot;pic&quot;"><img src=y.png><img alt=plain />',
     b"<img\talt='tabbed alt'><img/  ><img alt>",
