@@ -382,6 +382,10 @@ _FAST_TOKEN = re.compile(
     r"|![^>]*>?"  # doctype / bogus comment
     r"|\?[^>]*>?"  # processing instruction
     r"|/\s*(?P<end>[a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"
+    # '</' + non-name: the stdlib's bogus comment consuming through '>'
+    # (a separate branch measures ~free; fusing via an optional name group
+    # costs ~4% — the engine pays for the group's backtrack point per tag)
+    r"|/[^>]*>"
     r"|(?P<start>[a-zA-Z][^\t\n\r\f />]*)"
     r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
     r")",
@@ -419,6 +423,27 @@ def _parse_attrs(attrstr: str) -> list[tuple[str, str | None]]:
         attrs.append((name.lower(), value))
         k = m.end()
     return attrs
+
+
+def _stdlib_selfclose(attrstr: str) -> bool:
+    """EXACT stdlib self-close decision for a start tag's attr substring:
+    parse_starttag's separator eat (``\\s`` or ``/`` not before ``>``) and
+    attrfind_tolerant loop, then startend iff the leftover is ``/``. A bare
+    attr value greedily absorbs a trailing slash (``<table a=1/>`` is a
+    plain START tag with a='1/'), which a naive endswith('/') gets wrong —
+    and that misread turns ``<style a=1/>`` into a self-closed style,
+    skipping CDATA mode entirely. The regex lookaheads reference the
+    terminating '>', so it is re-appended for fidelity."""
+    s = attrstr + ">"
+    k, end = 0, len(attrstr)
+    while k < end and (s[k] in " \t\n\r\f" or (s[k] == "/" and s[k + 1] != ">")):
+        k += 1
+    while k < end:
+        m = attrfind_tolerant.match(s, k)
+        if not m or m.end() == k:
+            break
+        k = m.end()
+    return s[k:end].strip() == "/"
 
 
 def _fast_feed(parser: _MainContentParser, doc: str) -> None:
@@ -478,7 +503,7 @@ def _fast_feed(parser: _MainContentParser, doc: str) -> None:
         tag_l = tag.lower()
         attrstr = attrstr or ""
         attrs = _parse_attrs(attrstr) if tag_l == "img" else []
-        if attrstr.rstrip().endswith("/"):
+        if attrstr.rstrip().endswith("/") and _stdlib_selfclose(attrstr):
             parser.handle_startendtag(tag_l, attrs)
             continue
         parser.handle_starttag(tag_l, attrs)

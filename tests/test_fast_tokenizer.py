@@ -31,6 +31,17 @@ def _both(html: bytes):
 
 
 EDGES = [
+    # stdlib self-close decision: bare attr values absorb a trailing slash
+    # (<table a=1/> is a plain START tag with a='1/'; <style a=1/> must
+    # still enter CDATA mode), while quoted values / standalone slashes
+    # leave '/>' as a real self-close; '</' + non-name is a bogus comment
+    # consuming through '>'
+    b"<p/>x", b"<p />x", b"<p/ >w", b"<p a=1 />v",
+    b"<img src=s/><p>t</p>", b"<img src='s'/><p>t</p>",
+    b"<table a=1/>y</table><p>z</p>", b'<p a="1/">u</p>',
+    b"<style a=1/>p{}</style><p>after style here</p>",
+    b"<script a=1/>if(a<b)</script><p>after script here</p>",
+    b"</>b", b"</ >b", b"</1>b", b"</<p>x", b"</d!v>x<p>after</p>",
     # stdlib goahead(end=1) EOF flush: an unterminated construct emits
     # entity-converted data through the next '>' (else next '<', else one
     # char) and parsing RESUMES there — previously the fast path swallowed
