@@ -96,6 +96,12 @@ def test_fast_tokenizer_matches_stdlib_on_markup_soup():
         "<caption>", "</caption>", "<hr/>", "<p/>", "&#x42;",
         "<!DOCTYPE html>", "<?pi?>", "<![CDATA[x]]>", "</scriptx>", "<b",
         "mixed<case",
+        # round-4 adversarial classes: bare-value trailing slash (NOT a
+        # self-close), crypt-class self-close forms, bogus end tags, and
+        # unterminated constructs that exercise the EOF flush + resume
+        "<table a=1/>", "<style a=1/>", "<p a=1 />", '<p a="1/">',
+        "</>", "</ >", "</1>", "</<p>", "<!--", "<![CDATA[", "<!d", "<?x",
+        "</", "<>",
     ]
     for _ in range(400):
         doc = "".join(
