@@ -402,10 +402,12 @@ def decrypt_pdf_bytes(data: bytes) -> bytes | None:
 
 
 def make_encrypt_entries(
-    p: int, id0: bytes, r: int = 2, length_bits: int = 40, owner_pwd: bytes = b""
+    p: int, id0: bytes, r: int = 2, length_bits: int = 40, owner_pwd: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> tuple[bytes, bytes, bytes]:
     """(O, U, file_key) for an empty USER password — the fixture writer's
-    half of the handshake (Algorithm 3 for /O, then 2 and 4/5)."""
+    half of the handshake (Algorithm 3 for /O, then 2 and 4/5, incl. R 4's
+    /EncryptMetadata key-derivation term)."""
     # Algorithm 3: O = RC4 chain keyed from the padded owner password
     okey = hashlib.md5(_pad_password(owner_pwd)).digest()
     if r >= 3:
@@ -416,15 +418,16 @@ def make_encrypt_entries(
     if r >= 3:
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in okey[:n]), o)
-    fkey = file_key(o, p, id0, r, length_bits)
-    u = user_check_bytes(fkey, id0, r)
+    fkey = file_key(o, p, id0, r, length_bits, encrypt_metadata=encrypt_metadata)
+    u = user_check_bytes(fkey, id0, min(r, 3))
     if r >= 3:
         u = u + b"\x00" * 16  # arbitrary 16-byte pad per Algorithm 5 step f
     return o, u, fkey
 
 
 def encrypt_pdf_bytes(
-    data: bytes, r: int = 2, length_bits: int = 40, p: int = -1, cfm: str = "rc4"
+    data: bytes, r: int = 2, length_bits: int = 40, p: int = -1, cfm: str = "rc4",
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Encrypt a classic-layout (``trailer`` present) PDF with the standard
     security handler, empty user password — the test-fixture writer that
@@ -439,7 +442,9 @@ def encrypt_pdf_bytes(
     if cfm in ("aesv2", "v2"):  # crypt-filter framing forces V 4 / R 4
         r, length_bits = 4, 128
     id0 = hashlib.md5(data[:1024]).digest()
-    o, u, fkey = make_encrypt_entries(p, id0, r=r, length_bits=length_bits)
+    o, u, fkey = make_encrypt_entries(
+        p, id0, r=r, length_bits=length_bits, encrypt_metadata=encrypt_metadata
+    )
     enc_num = max(
         (int(m.group(1)) for m in _OBJ_GEN_RE.finditer(data)), default=0
     ) + 1
@@ -478,6 +483,7 @@ def encrypt_pdf_bytes(
         b"\n" + str(enc_num).encode() + b" 0 obj\n<< /Filter /Standard /V "
         + str(4 if r == 4 else (1 if r == 2 else 2)).encode() + b" /R " + str(r).encode()
         + cf
+        + (b"" if encrypt_metadata else b" /EncryptMetadata false")
         + b" /Length " + str(length_bits).encode() + b" /P " + str(p).encode()
         + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
         + b"> >>\nendobj\n"

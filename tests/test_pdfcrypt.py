@@ -160,3 +160,18 @@ def test_v4_rc4_crypt_filter_roundtrip():
     assert b"/CFM /V2" in enc and b"/V 4 /R 4" in enc
     got = extract_pdf("u", enc)
     assert got.status == "ok" and got.text == base.text
+
+
+def test_encrypt_metadata_false_key_derivation():
+    """R 4's /EncryptMetadata false appends 0xFFFFFFFF to the Algorithm 2
+    md5 — a file written that way must verify AND decrypt; a reader that
+    ignored the flag would derive the wrong key and land in 'failed'."""
+    plain = render_pdf(PAGES)
+    base = extract_pdf("u", plain)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv2", encrypt_metadata=False)
+    assert b"/EncryptMetadata false" in enc
+    got = extract_pdf("u", enc)
+    assert got.status == "ok" and got.text == base.text
+    # flipping the flag without re-deriving keys must fail verification
+    flipped = enc.replace(b" /EncryptMetadata false", b"")
+    assert pc.decrypt_pdf_bytes(flipped) is None
