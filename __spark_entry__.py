@@ -1842,58 +1842,14 @@ def _with_pkg(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-query/round cap covers what matters most:
+    # the first 35 entries are the queries that had never been through a
+    # driver correctness snapshot as of round 4 (r4 VERDICT "Next round" #1);
+    # the next 15 are the extraction/multimodal queries whose code changed
+    # this round. Everything after position 50 has a green driver row banked
+    # in an earlier round's CORRECTNESS artifact.
     qs = {
-        "extract_roundtrip": q_extract_roundtrip,
-        "extract_blocks": q_extract_blocks,
-        "extract_tables": q_extract_tables,
-        "pdf_flags": q_pdf_flags,
-        "chunk_fixed": q_chunk_fixed,
-        "doc_hash": q_doc_hash,
-        "filter_project": q_filter_project,
-        "anti_join_resume": q_anti_join_resume,
-        "collect_sources": q_collect_sources,
-        "counters": q_counters,
-        "topk_cosine": q_topk_cosine,
-        "topk_label_scoped": q_topk_label_scoped,
-        "search_chunks": q_search_chunks,
-        "window_topn": q_window_topn,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "exact_dups": q_exact_dups,
-        "dedup_keep_first": q_dedup_keep_first,
-        "curate_corpus": q_curate_corpus,
-        "tfidf_topk": q_tfidf_topk,
-        "events_sessions": q_events_sessions,
-        "events_windowed": q_events_windowed,
-        "events_json": q_events_json,
-        "clean_text": q_clean_text,
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_near_dups": q_minhash_near_dups,
-        "dedup_incremental": q_dedup_incremental,
-        "decontaminate": q_decontaminate,
-        "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embed_docs": q_embed_docs,
-        "multimodal_features": q_multimodal_features,
-        "media_resize": q_media_resize,
-        "png_features": q_png_features,
-        "jpeg_features": q_jpeg_features,
-        "sitemap_urls": q_sitemap_urls,
-        "sitemap_discovery": q_sitemap_discovery,
-        "frame_sample": q_frame_sample,
-        "extract_images": q_extract_images,
-        "related_images": q_related_images,
-        "ivf_topk": q_ivf_topk,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_near_dups": q_winnow_near_dups,
-        "canonical_urls": q_canonical_urls,
+        # --- 35 never-driver-checked (rounds 1-4) ---
         "host_blocklist": q_host_blocklist,
         "latest_revision": q_latest_revision,
         "mix_budget": q_mix_budget,
@@ -1918,10 +1874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "semdedup": q_semdedup,
         "unigram_logprob": q_unigram_logprob,
-        "repetition_scores": q_repetition_scores,
-        "dedup_clusters": q_dedup_clusters,
-        "hash_sample": q_hash_sample,
-        "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
@@ -1933,6 +1885,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "domain_quota": q_domain_quota,
         "events_funnel": q_events_funnel,
+        # --- 15 touched by round-5 changes (extraction/codec/multimodal) ---
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_blocks": q_extract_blocks,
+        "extract_tables": q_extract_tables,
+        "pdf_flags": q_pdf_flags,
+        "chunk_fixed": q_chunk_fixed,
+        "multimodal_features": q_multimodal_features,
+        "media_resize": q_media_resize,
+        "png_features": q_png_features,
+        "jpeg_features": q_jpeg_features,
+        "frame_sample": q_frame_sample,
+        "clean_text": q_clean_text,
+        "doc_hash": q_doc_hash,
+        "curate_corpus": q_curate_corpus,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        # --- banked green in earlier rounds' driver artifacts ---
+        "filter_project": q_filter_project,
+        "anti_join_resume": q_anti_join_resume,
+        "collect_sources": q_collect_sources,
+        "counters": q_counters,
+        "topk_cosine": q_topk_cosine,
+        "topk_label_scoped": q_topk_label_scoped,
+        "search_chunks": q_search_chunks,
+        "window_topn": q_window_topn,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dups": q_exact_dups,
+        "dedup_keep_first": q_dedup_keep_first,
+        "tfidf_topk": q_tfidf_topk,
+        "events_sessions": q_events_sessions,
+        "events_windowed": q_events_windowed,
+        "events_json": q_events_json,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_incremental": q_dedup_incremental,
+        "decontaminate": q_decontaminate,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embed_docs": q_embed_docs,
+        "sitemap_urls": q_sitemap_urls,
+        "sitemap_discovery": q_sitemap_discovery,
+        "extract_images": q_extract_images,
+        "related_images": q_related_images,
+        "ivf_topk": q_ivf_topk,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
+        "canonical_urls": q_canonical_urls,
+        "repetition_scores": q_repetition_scores,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_sample": q_hash_sample,
+        "pii_scrub": q_pii_scrub,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -2991,7 +3000,7 @@ WITH t AS (SELECT doc_id, lang,
 c AS (SELECT doc_id, lang, n_tokens,
   sum(n_tokens) OVER (PARTITION BY lang ORDER BY uval, doc_id) AS cum FROM t)
 SELECT doc_id, lang, n_tokens FROM c
-WHERE cum <= (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 0 END)""",
+WHERE cum <= (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 END)""",
         # BM25: same index relations and Okapi arithmetic; N = docs with
         # >= 1 token; ties at the cut broken by doc_id ascending
         "bm25_topk": r"""

@@ -107,8 +107,15 @@ def budget_sample(
         .orderBy(sample_uniform(F.col(id_col), seed), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    budget = budget_map[F.col(stratum_col)]
     return (
-        df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
-        .filter(F.col("__cum") <= F.coalesce(budget_map[F.col(stratum_col)], F.lit(0)))
+        # NULL tokens count as 0 (deliberate: a missing token count must not
+        # make the running sum NULL and silently drop the rest of a stratum)
+        df.withColumn(
+            "__cum", F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).over(w)
+        )
+        # gate on budget EXISTENCE explicitly: strata absent from ``budgets``
+        # contribute nothing, including zero-token docs (0 <= 0 must not leak)
+        .filter(budget.isNotNull() & (F.col("__cum") <= budget))
         .drop("__cum")
     )

@@ -81,9 +81,23 @@ def domain_suffixes(host: Column, max_labels: int = 10) -> Column:
     blocked-domain or a subdomain of one" — a LIKE theta-join that would go
     quadratic on 10^12 rows — into a plain equi-join the planner can
     broadcast or shuffle-partition. Pure Column exprs (codegen)."""
-    labels = F.slice(F.split(host, r"\."), 1, max_labels)
+    parts = F.split(host, r"\.")
+    n_all = F.size(parts)
+    # Keep the TAIL labels: the registrable domain ("example.com", "com")
+    # must survive the cap, or a blocklisted domain reached through a deep
+    # (>max_labels) subdomain chain would bypass the gate.
+    labels = F.slice(
+        parts,
+        F.greatest(n_all - F.lit(max_labels) + F.lit(1), F.lit(1)),
+        max_labels,
+    )
     n = F.size(labels)
-    return F.transform(
+    suffixes = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    # When truncated, also emit the full host so exact-host blocklist entries
+    # still match.
+    return F.when(n_all > max_labels, F.concat(F.array(host), suffixes)).otherwise(
+        suffixes
     )

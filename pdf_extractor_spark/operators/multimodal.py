@@ -233,15 +233,17 @@ def resize_media(
 
         arr = _decode_pixels(b)
         if arr is None:
-            return b, None
+            return b, None, False
         h, w = arr.shape[0], arr.shape[1]
         scale = max(h, w) / max_side
         if scale <= 1.0:
-            return b, (w, h)
+            # pass-through: original bytes kept, so the mime must NOT be
+            # rewritten (a small JPEG stays image/jpeg); dims still reported
+            return b, (w, h), False
         nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
         # always re-encode as PNG: lossless, so the resize stage never
         # stacks generation loss (JPEG inputs included)
-        return png_encode(resize_nearest(arr, nw, nh)), (nw, nh)
+        return png_encode(resize_nearest(arr, nw, nh)), (nw, nh), True
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,10 +257,17 @@ def resize_media(
                 resized = out["payload"].map(_resize_real)
                 out["payload"] = resized.map(lambda t: t[0])
                 out["meta"] = [
-                    {**(m or {}), "mime": "image/png", "width": wh[0], "height": wh[1]}
-                    if wh
-                    else m
-                    for m, (_, wh) in zip(out["meta"], resized)
+                    (
+                        {
+                            **(m or {}),
+                            **({"mime": "image/png"} if reenc else {}),
+                            "width": wh[0],
+                            "height": wh[1],
+                        }
+                        if wh
+                        else m
+                    )
+                    for m, (_, wh, reenc) in zip(out["meta"], resized)
                 ]
             yield out
 

@@ -231,7 +231,10 @@ class SnapshotTable:
         run_id = run_id or uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", run_id)
         df.write.mode("overwrite").parquet(data_dir)
-        keys = df.select(*key_cols).distinct()
+        # read the keys back from the just-written files, NOT the lazy plan:
+        # a nondeterministic upstream plan re-executed here could delete keys
+        # that diverge from the rows actually staged, committing duplicates
+        keys = spark.read.parquet(data_dir).select(*key_cols).distinct()
         m = self.manifest()
         new_runs = []
         if m["runs"]:

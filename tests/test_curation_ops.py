@@ -76,3 +76,35 @@ def test_budget_sample_fills_per_stratum_budgets(spark):
 def test_budget_sample_unlisted_stratum_dropped(spark):
     df = spark.createDataFrame([(1, "de", 5)], ["doc_id", "stratum", "n_tokens"])
     assert budget_sample(df, {"en": 100}).count() == 0
+
+
+def test_domain_suffixes_deep_subdomain_keeps_registrable_tail(spark):
+    # r4 ADVICE: a >max_labels host must still emit its registrable domain
+    # (and the full host), or a blocklisted domain is trivially bypassed by
+    # a deep subdomain chain.
+    deep = ".".join(f"s{i}" for i in range(15)) + ".spam.example.com"
+    df = spark.createDataFrame([(deep,)], ["host"]).select(
+        domain_suffixes(F.col("host")).alias("sfx")
+    )
+    sfx = df.collect()[0]["sfx"]
+    assert deep in sfx            # exact-host entries still match
+    assert "example.com" in sfx   # registrable domain survives the cap
+    assert "com" in sfx
+    assert len(sfx) <= 11         # cap still bounds the explode fan-out
+
+    docs = spark.createDataFrame([(1, f"https://{deep}/a")], ["doc_id", "url"])
+    bl = spark.createDataFrame([("spam.example.com",)], ["domain"])
+    assert apply_host_blocklist(docs, bl).count() == 0
+
+
+def test_budget_sample_zero_token_docs_do_not_leak_absent_strata(spark):
+    # r4 ADVICE: 0 <= 0 must not keep zero-token (or NULL-token) docs in
+    # strata that have no budget at all.
+    df = spark.createDataFrame(
+        [(1, "de", 0), (2, "de", None), (3, "en", 0)],
+        "doc_id INT, stratum STRING, n_tokens BIGINT",
+    )
+    out = budget_sample(df, {"en": 100}).collect()
+    # absent stratum contributes nothing; zero-token doc in a budgeted
+    # stratum is kept (costs nothing against the budget)
+    assert [r["doc_id"] for r in out] == [3]

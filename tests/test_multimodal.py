@@ -300,3 +300,33 @@ def test_property_png_roundtrip_hypothesis():
         assert dec is not None and (dec == a).all()
 
     check()
+
+
+def test_resize_passthrough_keeps_original_mime(spark):
+    """r4 ADVICE: a decodable image already within max_side keeps its
+    ORIGINAL bytes — so its mime must stay what it was, not be rewritten to
+    image/png; dims are still filled in."""
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import png_encode
+    from pdf_extractor_spark.core.pdf_extract import _fake_jpeg
+    from pdf_extractor_spark.operators.multimodal import resize_media
+
+    jpg = _fake_jpeg(8, 6, seed=3)
+    png = png_encode(np.zeros((6, 8, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            ("j", "image", bytearray(jpg), {"mime": "image/jpeg", "width": None,
+                                            "height": None, "duration_ms": None}),
+            ("p", "image", bytearray(png), {"mime": "image/png", "width": None,
+                                            "height": None, "duration_ms": None}),
+        ],
+        "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in
+           resize_media(media, fake=False, max_side=64).collect()}
+    assert bytes(out["j"]["payload"]) == jpg          # untouched payload...
+    assert out["j"]["meta"]["mime"] == "image/jpeg"   # ...untouched mime
+    assert (out["j"]["meta"]["width"], out["j"]["meta"]["height"]) == (8, 6)
+    assert out["p"]["meta"]["mime"] == "image/png"
