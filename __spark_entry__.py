@@ -1480,6 +1480,51 @@ def q_pdf_flags(spark, sf_dir):
     return extract_docs(pages).select("url", "parse_status", "needs_ocr")
 
 
+def q_pdf_encodings(spark, sf_dir):
+    """Simple-font PDF text (core/pdfenc.py): per doc_id the corpus renders
+    a /WinAnsiEncoding Type1 PDF (doc_id%3==0), a /BaseEncoding+/Differences
+    one whose control codes map to glyph names the base lacks (doc_id%3==1:
+    dotlessi, lslash), or a /MacRomanEncoding one (doc_id%3==2); extraction
+    is the real byte-level parse — 1-byte codes through the Annex-D tables —
+    while the oracle derives the expected text from the same deterministic
+    construction rule. The non-CID text path most real Type1/TrueType PDFs
+    use (reference gets it from pdfminer, pdf_processor.py:86-101)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                if d % 3 == 0:
+                    pdf = render_pdf(
+                        [[f"café résumé – “page {d}”"]], encoding="winansi"
+                    )
+                elif d % 3 == 1:
+                    pdf = render_pdf(
+                        [[f"Tıtle ł – café page {d}"]],
+                        encoding="winansi",
+                        differences={1: "dotlessi", 2: "lslash"},
+                    )
+                else:
+                    pdf = render_pdf([[f"café • page {d}"]], encoding="macroman")
+                urls.append(f"doc://{d}")
+                htmls.append(pdf)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    return extract_docs(pages).select(
+        "url", F.col("text").alias("extracted_text"), "parse_status"
+    )
+
+
 def q_host_blocklist(spark, sf_dir):
     """UT1/RefinedWeb-style host blocklist: blocking a domain must also drop
     every SUBDOMAIN. The suffix test runs as domain-suffix explode + one
@@ -1890,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_blocks": q_extract_blocks,
         "extract_tables": q_extract_tables,
         "pdf_flags": q_pdf_flags,
+        "pdf_encodings": q_pdf_encodings,
         "chunk_fixed": q_chunk_fixed,
         "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
@@ -1900,8 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash": q_doc_hash,
         "curate_corpus": q_curate_corpus,
         "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
         # --- banked green in earlier rounds' driver artifacts ---
+        "simhash_near_dups": q_simhash_near_dups,
         "filter_project": q_filter_project,
         "anti_join_resume": q_anti_join_resume,
         "collect_sources": q_collect_sources,
@@ -2586,6 +2632,13 @@ FROM documents
 UNION ALL
 SELECT 'doc://' || doc_id, 1, 'text',
        (length(source) + 2)::BIGINT, (length(source) + 2 + length(text))::BIGINT, text
+FROM documents""",
+        "pdf_encodings": """
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'café résumé – “page ' || doc_id || '”'
+            WHEN doc_id % 3 = 1 THEN 'Tıtle ł – café page ' || doc_id
+            ELSE 'café • page ' || doc_id END AS extracted_text,
+       'ok' AS parse_status
 FROM documents""",
         "pdf_flags": """
 SELECT 'doc://' || doc_id AS url,

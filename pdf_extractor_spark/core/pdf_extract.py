@@ -135,14 +135,54 @@ class _CMap:
 
 
 _PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9-]+)")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.DOTALL)
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9-]+)")
+_DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
 
 
-def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _CMap]:
-    """{font resource name: CMap} for fonts visible to this page that carry
-    a /ToUnicode stream. /Resources may be inline, an indirect reference, or
-    INHERITED from an ancestor /Pages node (walked via /Parent, the spec's
-    inheritance rule)."""
-    fonts: dict[bytes, _CMap] = {}
+def _simple_font_decoder(objs: dict[int, bytes], font_body: bytes):
+    """Simple (non-CID) font decoder from /Encoding: a named base encoding
+    (/WinAnsiEncoding, /MacRomanEncoding, /StandardEncoding) and/or an
+    encoding dict with /BaseEncoding + /Differences (inline or indirect).
+    None when the font declares no decodable 1-byte encoding — the caller
+    then falls back to latin-1, the pre-round-5 behavior. Reference parity:
+    pdfminer's EncodingDB/glyphlist (pdf_processor.py:86-101)."""
+    from pdf_extractor_spark.core.pdfenc import SimpleFontDecoder, base_table, parse_differences
+
+    em = _ENC_DICT_RE.search(font_body)
+    enc_dict = em.group(1) if em else None
+    if enc_dict is None:
+        rm = _ENC_REF_RE.search(font_body)
+        if rm:
+            ind = objs.get(int(rm.group(1)), b"")
+            dm = re.search(rb"<<(.*?)>>", ind, re.DOTALL)
+            enc_dict = dm.group(1) if dm else ind
+    if enc_dict is not None:
+        bm = _BASEENC_RE.search(enc_dict)
+        base = bm.group(1).decode("latin-1") if bm else None
+        dm = _DIFFS_RE.search(enc_dict)
+        diffs = parse_differences(dm.group(1)) if dm else None
+        if base is not None or diffs:
+            return SimpleFontDecoder(base, diffs)
+        return None
+    nm = _ENC_NAME_RE.search(font_body)
+    if nm:
+        name = nm.group(1).decode("latin-1")
+        if base_table(name) is not None:
+            return SimpleFontDecoder(name)
+    return None
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, object]:
+    """{font resource name: decoder} for fonts visible to this page that can
+    map string codes to text: a /ToUnicode CMap (CID/subset fonts) or a
+    simple-font /Encoding (+/Differences). /Resources may be inline, an
+    indirect reference, or INHERITED from an ancestor /Pages node (walked
+    via /Parent, the spec's inheritance rule). Both decoder flavors expose
+    the same ``decode(bytes) -> str``."""
+    fonts: dict[bytes, object] = {}
     body = page_body
     for _ in range(16):  # /Parent chain depth guard
         res = body
@@ -154,11 +194,14 @@ def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _CMap]:
             for name, ref in _FONTREF_RE.findall(fm.group(1)):
                 font_body = objs.get(int(ref), b"")
                 tm = _TOUNI_RE.search(font_body)
-                if not tm:
+                if tm:  # ToUnicode wins: it's the authoritative text map
+                    data = _stream_bytes(objs.get(int(tm.group(1)), b""))
+                    if data is not None:
+                        fonts[name] = _CMap(data)
                     continue
-                data = _stream_bytes(objs.get(int(tm.group(1)), b""))
-                if data is not None:
-                    fonts[name] = _CMap(data)
+                dec = _simple_font_decoder(objs, font_body)
+                if dec is not None:
+                    fonts[name] = dec
             return fonts
         pm = _PARENT_RE.search(body)
         if not pm:
@@ -1196,6 +1239,8 @@ def render_pdf(
     xref_predictor: bool = False,
     jpeg_images: bool = False,
     links_per_page: list[list[str]] | None = None,
+    encoding: str | None = None,
+    differences: dict[int, str] | None = None,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1206,17 +1251,51 @@ def render_pdf(
     object stream and the classic xref table replaced by a /Type /XRef
     cross-reference stream — the dominant post-2005 layout. ``cid_font=True``
     renders text as 2-byte character CODES in hex strings under a Type0 font
-    with a /ToUnicode CMap — the subset-font form extraction must reverse."""
+    with a /ToUnicode CMap — the subset-font form extraction must reverse.
+    ``encoding`` ('winansi' | 'macroman' | 'standard') renders a SIMPLE
+    Type1 font whose 1-byte codes follow that named base encoding;
+    ``differences`` ({code: glyph-name}) patches it with a /Differences
+    array — together the dominant pre-Type0 real-PDF text form."""
     if objstm:
         return _render_pdf_objstm(pages, compress, images_per_page, xref_predictor)
 
     encode_line = None
+    simple_font = bool(encoding or differences)
+    pdf_enc_name = {
+        "winansi": "WinAnsiEncoding",
+        "macroman": "MacRomanEncoding",
+        "standard": "StandardEncoding",
+    }.get(encoding or "")
     if cid_font:
         chars = sorted({c for page in pages for p in page for c in p})
         code_of = {c: i + 1 for i, c in enumerate(chars)}
 
         def encode_line(ln: str) -> str:  # noqa: F811
             return "<" + "".join(f"{code_of[c]:04X}" for c in ln) + "> Tj"
+
+    elif simple_font:
+        from pdf_extractor_spark.core.pdfenc import SimpleFontDecoder
+
+        dec = SimpleFontDecoder(pdf_enc_name, differences)
+        # invert decode table (reverse scan -> lowest code wins; any choice
+        # round-trips since every mapped code decodes to the same char)
+        code_of_char: dict[str, int] = {}
+        for code in range(255, -1, -1):
+            ch = dec.table[code]
+            if len(ch) == 1:
+                code_of_char[ch] = code
+
+        def encode_line(ln: str) -> str:  # noqa: F811
+            out = []
+            for ch in ln:
+                b = code_of_char.get(ch, 0x3F)  # unencodable -> '?'
+                if b in (0x28, 0x29, 0x5C):
+                    out.append("\\" + chr(b))
+                elif 32 <= b <= 126:
+                    out.append(chr(b))
+                else:
+                    out.append(f"\\{b:03o}")
+            return "(" + "".join(out) + ") Tj"
 
     objs: list[bytes] = []
 
@@ -1232,9 +1311,9 @@ def render_pdf(
         + " ".join(f"{k} 0 R" for k in kids_nums)
         + f" ] /Count {n_pages} >>"
     )  # obj 2
-    font_num = 3 + 2 * n_pages  # only emitted when cid_font
+    font_num = 3 + 2 * n_pages  # only emitted when cid_font / simple_font
     img_counts = [_images_for(images_per_page, i) for i in range(n_pages)]
-    xobj_base = font_num + (2 if cid_font else 0)
+    xobj_base = font_num + (2 if cid_font else (1 if simple_font else 0))
     img_offsets = [sum(img_counts[:i]) for i in range(n_pages)]
     link_lists = [
         (links_per_page[i] if links_per_page and i < len(links_per_page) else [])
@@ -1253,7 +1332,7 @@ def render_pdf(
 
     def page_resources(i: int) -> str:
         parts = []
-        if cid_font:
+        if cid_font or simple_font:
             parts.append(f"/Font << /F1 {font_num} 0 R >>")
         if img_counts[i]:
             refs = " ".join(
@@ -1290,6 +1369,15 @@ def render_pdf(
         )
         add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth /ToUnicode {font_num + 1} 0 R >>")
         add(f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
+
+    if simple_font:
+        if differences:
+            base_part = f"/BaseEncoding /{pdf_enc_name} " if pdf_enc_name else ""
+            diff_items = " ".join(f"{c} /{n}" for c, n in sorted(differences.items()))
+            enc = f"<< {base_part}/Differences [ {diff_items} ] >>"
+        else:
+            enc = f"/{pdf_enc_name}"
+        add(f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding {enc} >>")
 
     # real embedded image XObjects (E7 crop source): deterministic 2x2 RGB
     # payloads per (page, index); ``jpeg_images=True`` emits them as

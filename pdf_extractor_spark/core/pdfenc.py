@@ -1,0 +1,229 @@
+"""Simple-font byte -> Unicode decoding for non-CID Type1/TrueType PDF text.
+
+Most real-world PDFs that don't embed a /ToUnicode CMap still declare how
+their 1-byte string codes map to glyphs: a named base encoding
+(``/Encoding /WinAnsiEncoding`` etc.) optionally patched by a
+``/Differences`` array of (code, glyph-name...) entries. The reference gets
+this for free from pdfminer's ``latin_enc``/``glyphlist`` inside
+``unstructured`` (/root/reference/app/processing/pdf_processor.py:86-101);
+here the tables are rebuilt from scratch from the public specs — PDF
+32000-1:2008 Annex D (encoding tables) and the Adobe Glyph List (glyph-name
+semantics) — using only the stdlib (``codecs`` supplies the WinAnsi/cp1252
+and MacRoman tables, ``unicodedata`` the accented-letter names).
+
+Everything here is driver/executor-pure Python operating on small per-font
+tables (256 entries); the hot path stays a dict/tuple lookup per byte inside
+the fused mapInArrow extraction kernel.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# --- glyph name -> unicode (Adobe Glyph List subset + algorithmic forms) ----
+
+# Punctuation / symbol / ligature names that can't be derived from
+# unicodedata's systematic LATIN ... WITH ... names.
+_GLYPHS: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # latin-1 punctuation / signs
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·", "cedilla": "¸",
+    "onesuperior": "¹", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷",
+    # letters unicodedata can't systematically name from glyph parts
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Eth": "Ð", "eth": "ð", "Thorn": "Þ", "thorn": "þ",
+    "germandbls": "ß", "dotlessi": "ı",
+    # typographic set (quotes, dashes, ligatures, signs)
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fraction": "⁄", "florin": "ƒ",
+    "fi": "ﬁ", "fl": "ﬂ", "Euro": "€", "euro": "€",
+    "trademark": "™", "minus": "−", "nbspace": " ",
+    # spacing accents (the StandardEncoding 0o30x block)
+    "circumflex": "ˆ", "tilde": "˜", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ",
+}
+
+# glyph-name accent suffix -> unicodedata "... WITH <X>" name fragment
+_ACCENTS = {
+    "grave": "GRAVE", "acute": "ACUTE", "circumflex": "CIRCUMFLEX",
+    "tilde": "TILDE", "dieresis": "DIAERESIS", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "caron": "CARON", "breve": "BREVE",
+    "macron": "MACRON", "hungarumlaut": "DOUBLE ACUTE", "ogonek": "OGONEK",
+    "slash": "STROKE", "dotaccent": "DOT ABOVE",
+}
+
+_ACCENT_RE = re.compile("^([A-Za-z])(" + "|".join(sorted(_ACCENTS)) + ")$")
+_UNI_RE = re.compile(r"^uni((?:[0-9A-Fa-f]{4})+)$")
+_U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def glyph_to_unicode(name: str) -> str:
+    """Adobe-Glyph-List name -> text, '' when unknown (the caller treats ''
+    as an unmapped code — same contract as the CMap decoder)."""
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if len(name) == 1 and " " <= name <= "~":
+        return name  # single-char names: a..z A..Z etc.
+    m = _UNI_RE.match(name)
+    if m:  # uniXXXX[XXXX...]: concatenated UTF-16BE code units
+        hx = m.group(1)
+        try:
+            return bytes.fromhex(hx).decode("utf-16-be")
+        except UnicodeDecodeError:
+            return ""
+    m = _U_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else ""
+    m = _ACCENT_RE.match(name)
+    if m:  # systematic LATIN <case> LETTER <X> WITH <accent> names
+        base, accent = m.group(1), m.group(2)
+        case = "CAPITAL" if base.isupper() else "SMALL"
+        try:
+            return unicodedata.lookup(
+                f"LATIN {case} LETTER {base.upper()} WITH {_ACCENTS[accent]}"
+            )
+        except KeyError:
+            return ""
+    return ""
+
+
+# --- base encoding tables (PDF 32000-1:2008 Annex D) -------------------------
+
+
+def _codec_table(codec: str) -> list[str]:
+    """256-entry byte->char table from a stdlib codec; control rows and
+    codec-undefined rows map to '' (PDF encodings leave them unassigned)."""
+    table = []
+    for b in range(256):
+        if b < 32 or b == 127:
+            table.append("")
+            continue
+        try:
+            table.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            table.append("")
+    return table
+
+
+# StandardEncoding's non-ASCII assignments, by octal code (Annex D.2).
+_STANDARD_HIGH = {
+    0o241: "exclamdown", 0o242: "cent", 0o243: "sterling", 0o244: "fraction",
+    0o245: "yen", 0o246: "florin", 0o247: "section", 0o250: "currency",
+    0o251: "quotesingle", 0o252: "quotedblleft", 0o253: "guillemotleft",
+    0o254: "guilsinglleft", 0o255: "guilsinglright", 0o256: "fi",
+    0o257: "fl", 0o261: "endash", 0o262: "dagger", 0o263: "daggerdbl",
+    0o264: "periodcentered", 0o266: "paragraph", 0o267: "bullet",
+    0o270: "quotesinglbase", 0o271: "quotedblbase", 0o272: "quotedblright",
+    0o273: "guillemotright", 0o274: "ellipsis", 0o275: "perthousand",
+    0o277: "questiondown", 0o301: "grave", 0o302: "acute",
+    0o303: "circumflex", 0o304: "tilde", 0o305: "macron", 0o306: "breve",
+    0o307: "dotaccent", 0o310: "dieresis", 0o312: "ring", 0o313: "cedilla",
+    0o315: "hungarumlaut", 0o316: "ogonek", 0o317: "caron", 0o320: "emdash",
+    0o341: "AE", 0o343: "ordfeminine", 0o350: "Lslash", 0o351: "Oslash",
+    0o352: "OE", 0o353: "ordmasculine", 0o361: "ae", 0o365: "dotlessi",
+    0o370: "lslash", 0o371: "oslash", 0o372: "oe", 0o373: "germandbls",
+}
+
+
+def _standard_table() -> list[str]:
+    table = ["" for _ in range(256)]
+    for b in range(32, 127):
+        table[b] = chr(b)
+    # StandardEncoding's two famous ASCII departures
+    table[0x27] = "’"  # quoteright
+    table[0x60] = "‘"  # quoteleft
+    for code, name in _STANDARD_HIGH.items():
+        table[code] = glyph_to_unicode(name)
+    return table
+
+
+_BASE_TABLES: dict[str, list[str]] = {}
+
+
+def base_table(name: str) -> list[str] | None:
+    """Base-encoding table by PDF name (``WinAnsiEncoding`` etc.); cached.
+    Returns None for names that aren't simple 1-byte encodings (Identity-H
+    and friends are CID territory — handled by the /ToUnicode path)."""
+    key = name.removesuffix("Encoding")
+    if key not in ("WinAnsi", "MacRoman", "Standard", "PDFDoc"):
+        return None
+    if key not in _BASE_TABLES:
+        if key == "WinAnsi":
+            _BASE_TABLES[key] = _codec_table("cp1252")
+        elif key == "MacRoman":
+            _BASE_TABLES[key] = _codec_table("mac_roman")
+        elif key == "PDFDoc":
+            # PDFDocEncoding's printable range coincides with cp1252 for
+            # every code a text string will realistically carry
+            _BASE_TABLES[key] = _codec_table("cp1252")
+        else:
+            _BASE_TABLES[key] = _standard_table()
+    return _BASE_TABLES[key]
+
+
+# --- /Differences parsing + decoder ------------------------------------------
+
+_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]<>()]+)|(\d+)")
+
+
+def parse_differences(body: bytes) -> dict[int, str]:
+    """``/Differences`` array body -> {code: glyph-name}. Integers set the
+    next code; each following name consumes one code (PDF 9.6.6.3)."""
+    out: dict[int, str] = {}
+    code = 0
+    for m in _DIFF_TOK_RE.finditer(body):
+        if m.group(2) is not None:
+            code = int(m.group(2))
+        else:
+            if 0 <= code <= 255:
+                out[code] = m.group(1).decode("latin-1")
+            code += 1
+    return out
+
+
+class SimpleFontDecoder:
+    """1-byte-code decoder for a simple font: base encoding table patched by
+    /Differences. Same ``decode`` contract as the /ToUnicode ``_CMap``
+    (unmapped codes vanish), so the extractor treats both uniformly."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, base: str | None, differences: dict[int, str] | None = None):
+        tbl = base_table(base) if base else None
+        table = list(tbl) if tbl is not None else _standard_table()
+        for code, name in (differences or {}).items():
+            if 0 <= code <= 255:
+                table[code] = glyph_to_unicode(name)
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        t = self.table
+        return "".join(t[b] for b in raw)

@@ -169,6 +169,26 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
                 "text": pdf_text,
             },
             {
+                # simple Type1 font with /WinAnsiEncoding 1-byte codes — the
+                # dominant pre-Type0 real-PDF text form (core/pdfenc.py)
+                "url": "https://edge.test/pdf-winansi",
+                "html": render_pdf(
+                    [["café résumé – “quoted” naïve Ž €"]], encoding="winansi"
+                ),
+                "text": "café résumé – “quoted” naïve Ž €",
+            },
+            {
+                # /Encoding dict with /BaseEncoding + /Differences: codes the
+                # base lacks (dotlessi, lslash) patched in by glyph name
+                "url": "https://edge.test/pdf-differences",
+                "html": render_pdf(
+                    [["Tıtle with ł glyphs – café"]],
+                    encoding="winansi",
+                    differences={1: "dotlessi", 2: "lslash"},
+                ),
+                "text": "Tıtle with ł glyphs – café",
+            },
+            {
                 "url": "https://edge.test/boilerplate-only",
                 "html": (
                     "<html><body><nav><a href='/a'>a</a><a href='/b'>b</a></nav>"

@@ -661,3 +661,132 @@ def test_lzw_content_stream_roundtrips_through_extract():
     out += f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     got = extract_pdf("u", bytes(out))
     assert got.status == "ok" and got.text == plain.text == "lzw compressed page text"
+
+
+# --- simple-font /Encoding + /Differences (core/pdfenc.py) -------------------
+
+
+def test_glyph_name_mapping_forms():
+    from pdf_extractor_spark.core.pdfenc import glyph_to_unicode
+
+    assert glyph_to_unicode("a") == "a" and glyph_to_unicode("Q") == "Q"
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("Zcaron") == "Ž"
+    assert glyph_to_unicode("Oslash") == "Ø"      # slash -> WITH STROKE
+    assert glyph_to_unicode("quotedblleft") == "“"
+    assert glyph_to_unicode("germandbls") == "ß"
+    assert glyph_to_unicode("uni0131") == "ı"     # algorithmic uniXXXX
+    assert glyph_to_unicode("uni00E90301") == "é́"  # multi code unit
+    assert glyph_to_unicode("u1F600") == "\U0001F600"    # uXXXXXX
+    assert glyph_to_unicode("g42") == ""          # subset-private: unmapped
+    assert glyph_to_unicode("notarealglyph") == ""
+
+
+def test_base_encoding_tables():
+    from pdf_extractor_spark.core.pdfenc import base_table
+
+    win = base_table("WinAnsiEncoding")
+    assert win[0xE9] == "é" and win[0x80] == "€" and win[0x93] == "“"
+    assert win[0x81] == ""  # cp1252 hole stays unmapped
+    mac = base_table("MacRomanEncoding")
+    assert mac[0x8E] == "é" and mac[0xA5] == "•"
+    std = base_table("StandardEncoding")
+    assert std[0x27] == "’" and std[0x60] == "‘"  # the two ASCII departures
+    assert std[0o252] == "“" and std[0o361] == "æ" and std[0o373] == "ß"
+    assert base_table("Identity-H") is None       # CID territory
+
+
+def test_parse_differences_token_stream():
+    from pdf_extractor_spark.core.pdfenc import parse_differences
+
+    d = parse_differences(rb" 1 /dotlessi /lslash 65 /eacute 66 /Zcaron ")
+    assert d == {1: "dotlessi", 2: "lslash", 65: "eacute", 66: "Zcaron"}
+
+
+def test_simple_font_winansi_roundtrip():
+    txt = "café résumé – “quoted” naïve Ž € ¿qué?"
+    r = extract_pdf("u", render_pdf([[txt]], encoding="winansi"))
+    assert r.status == "ok" and r.text == txt
+
+
+def test_simple_font_macroman_and_standard():
+    r = extract_pdf("u", render_pdf([["café ° and •"]], encoding="macroman"))
+    assert r.text == "café ° and •"
+    r = extract_pdf("u", render_pdf([["don’t ‘quote’ me"]], encoding="standard"))
+    assert r.text == "don’t ‘quote’ me"
+
+
+def test_simple_font_differences_override_and_extend():
+    # codes the base lacks (control range) resolved via /Differences names
+    txt = "Tıtle with ł and İ plus café"
+    pdf = render_pdf(
+        [[txt]], encoding="winansi",
+        differences={1: "dotlessi", 2: "lslash", 3: "uni0130"},
+    )
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok" and r.text == txt
+    # a /Differences entry OVERRIDES the base table at its code
+    from pdf_extractor_spark.core.pdfenc import SimpleFontDecoder
+
+    dec = SimpleFontDecoder("WinAnsiEncoding", {0x41: "eacute"})
+    assert dec.decode(b"\x41Bc") == "éBc"
+    # unknown glyph names vanish (same contract as unmapped CMap codes)
+    dec2 = SimpleFontDecoder("WinAnsiEncoding", {0x41: "g99"})
+    assert dec2.decode(b"\x41Bc") == "Bc"
+
+
+def test_simple_font_composes_with_compression_and_pages():
+    pages = [["première page – œuvre"], ["deuxième ‘page’"]]
+    pdf = render_pdf(pages, encoding="winansi", compress=True)
+    want = "\n\n".join(p for pg in pages for p in pg)
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok" and r.text == want
+    assert [b.page for b in r.blocks] == [1, 2]
+
+
+def test_simple_font_indirect_encoding_dict():
+    """/Encoding as an indirect reference to an encoding dict object."""
+    pdf = render_pdf([["naïve café"]], encoding="winansi")
+    # rewrite the inline name to an indirect ref appended as a new object
+    assert b"/Encoding /WinAnsiEncoding" in pdf
+    # build manually: font with /Encoding N 0 R
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf as _ep
+
+    content = "BT /F1 12 Tf 72 720 Td (na\\357ve caf\\351) Tj ET\n"
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/Resources << /Font << /F1 5 0 R >> >> >>",
+        f"<< /Length {len(content)} >>\nstream\n{content}\nendstream",
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding 6 0 R >>",
+        "<< /Type /Encoding /BaseEncoding /WinAnsiEncoding >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body.encode("latin-1") + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    r = _ep("u", bytes(out))
+    assert r.status == "ok" and r.text == "naïve café"
+
+
+def test_tounicode_still_wins_over_encoding():
+    """A font carrying BOTH /ToUnicode and /Encoding decodes via the CMap
+    (it's the authoritative text map) — the CID fixture keeps passing even
+    if an /Encoding name rides along."""
+    txt = "cid text stays cid"
+    pdf = render_pdf([[txt]], cid_font=True)
+    pdf = pdf.replace(
+        b"/BaseFont /Synth", b"/BaseFont /Synth /Encoding /WinAnsiEncoding"
+    )
+    # xref offsets shifted: loader tolerates via scan fallback
+    r = extract_pdf("u", pdf)
+    assert r.text == txt
