@@ -129,6 +129,22 @@ def _render_table_html(rows: list[list[str]]) -> str:
     return f"<table>{body}</table>"
 
 
+# hidden-content detection (attribute inspection only — no CSS engine):
+# the HTML `hidden` boolean attribute plus the two inline-style forms real
+# crawl pages use to cloak boilerplate/keyword-stuffed text
+_HIDDEN_STYLE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden", re.I)
+_HIDDEN_HINT_RE = re.compile(r"hidden|display|visibility", re.I)
+
+
+def _attrs_hidden(attrs) -> bool:
+    for k, v in attrs:
+        if k == "hidden":
+            return True
+        if k == "style" and v and _HIDDEN_STYLE_RE.search(v):
+            return True
+    return False
+
+
 class _MainContentParser(HTMLParser):
     """Streaming DOM walk: segments text into blocks, tracks skip/anchor depth."""
 
@@ -139,6 +155,12 @@ class _MainContentParser(HTMLParser):
         self._cur: _RawBlock | None = None
         self._skip_counts: dict[str, int] = {}
         self._skip_depth = 0
+        # hidden-content subtrees (hidden attr / display:none / visibility:
+        # hidden): element depth is tracked for ALL non-void tags so a
+        # hidden region closes exactly when its opening element's depth
+        # unwinds — no CSS engine, attribute inspection only
+        self._depth = 0
+        self._hidden_depths: list[int] = []
         self._anchor_depth = 0
         self._kind_stack: list[str] = []
         # table capture (E6/P9): a whole <table> coalesces into ONE block of
@@ -168,11 +190,19 @@ class _MainContentParser(HTMLParser):
         if tag in VOID_TAGS:
             if tag in ("br", "hr"):
                 self._break_block()
-            elif tag == "img" and self._skip_depth == 0:
+            elif (
+                tag == "img"
+                and self._skip_depth == 0
+                and not self._hidden_depths
+                and not (attrs and _attrs_hidden(attrs))
+            ):
                 alt = next((v for k, v in attrs if k == "alt" and v and v.strip()), None)
                 desc = _norm_ws(alt) if alt else f"img_{len(self.images)}"
                 self.images.append(desc)
             return
+        self._depth += 1
+        if attrs and _attrs_hidden(attrs):
+            self._hidden_depths.append(self._depth)
         if tag in BLOCKLIST_TAGS:
             self._skip_counts[tag] = self._skip_counts.get(tag, 0) + 1
             self._skip_depth += 1
@@ -218,6 +248,11 @@ class _MainContentParser(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
+        if self._hidden_depths and self._hidden_depths[-1] >= self._depth:
+            while self._hidden_depths and self._hidden_depths[-1] >= self._depth:
+                self._hidden_depths.pop()
+        if self._depth > 0:
+            self._depth -= 1
         if tag in BLOCKLIST_TAGS:
             # Tolerate unbalanced ends in malformed markup.
             if self._skip_counts.get(tag, 0) > 0:
@@ -269,7 +304,7 @@ class _MainContentParser(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_data(self, data):
-        if self._skip_depth > 0:
+        if self._skip_depth > 0 or self._hidden_depths:
             return
         norm_len = len(_norm_ws(data))
         if norm_len == 0:
@@ -293,6 +328,28 @@ class _MainContentParser(HTMLParser):
 
 
 _META_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
+
+# WHATWG encoding-label → stdlib codec, where the two registries disagree
+# (https://encoding.spec.whatwg.org — public spec). Browsers decode the whole
+# Shift_JIS label family with the windows-31j superset, the GB label family
+# with GBK, EUC-KR with the UHC superset, and the Latin-1/ASCII family with
+# windows-1252; pages declaring the narrow label but carrying superset bytes
+# are common in real crawls and must not fall through to mojibake.
+_CHARSET_ALIASES = {
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "windows-31j": "cp932", "ms_kanji": "cp932",
+    "gb2312": "gbk", "gb_2312": "gbk", "gb_2312-80": "gbk",
+    "csgb2312": "gbk", "x-gbk": "gbk", "chinese": "gbk", "csiso58gb231280": "gbk",
+    "euc-kr": "cp949", "euc_kr": "cp949", "ks_c_5601-1987": "cp949",
+    "ksc5601": "cp949", "korean": "cp949", "csksc56011987": "cp949",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin1": "cp1252",
+    "latin-1": "cp1252", "l1": "cp1252", "us-ascii": "cp1252",
+    "ascii": "cp1252", "iso-ir-100": "cp1252",
+    "iso-8859-9": "cp1254", "latin5": "cp1254",
+    "iso-8859-11": "cp874", "tis-620": "cp874",
+    "macintosh": "mac_roman", "x-mac-roman": "mac_roman",
+    "unicode": "utf-16", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+}
 _TAG_RE = re.compile(rb"<[^>]*>")
 _SCRIPTISH_RE = re.compile(
     rb"<(script|style|noscript|svg|template)\b.*?</\1\s*>",
@@ -318,11 +375,16 @@ def _decode(html: bytes) -> tuple[str, bool]:
     except UnicodeDecodeError:
         pass
     # non-UTF-8 page: honor a declared <meta charset=...> (searched in the
-    # head bytes, like browsers' pre-scan) before falling back
+    # head bytes, like browsers' pre-scan) before falling back; labels are
+    # normalized per the WHATWG encoding registry where it departs from the
+    # stdlib codec registry (the big ones: the Shift_JIS label family means
+    # the windows-31j superset, gb2312 means GBK, latin-1 means cp1252)
     m = _META_CHARSET_RE.search(html[:2048])
     if m:
+        label = m.group(1).decode("ascii").lower().strip()
+        codec = _CHARSET_ALIASES.get(label, label)
         try:
-            return html.decode(m.group(1).decode("ascii")), False
+            return html.decode(codec), False
         except (LookupError, UnicodeDecodeError):
             pass
     # undeclared legacy page: windows-1252, the browsers' de-facto fallback
@@ -502,7 +564,17 @@ def _fast_feed(parser: _MainContentParser, doc: str) -> None:
             continue
         tag_l = tag.lower()
         attrstr = attrstr or ""
-        attrs = _parse_attrs(attrstr) if tag_l == "img" else []
+        # attrs are parsed only when a handler can act on them: <img> (alt
+        # capture) or a possible hidden marker — the hint regex keeps the
+        # hot path attr-parse-free while staying handler-equivalent to the
+        # stdlib path (which always passes full attrs): a hidden-triggering
+        # attribute necessarily contains one of the hint substrings, and a
+        # false hint just parses attrs the handler then ignores
+        attrs = (
+            _parse_attrs(attrstr)
+            if (tag_l == "img" or (attrstr and _HIDDEN_HINT_RE.search(attrstr)))
+            else []
+        )
         if attrstr.rstrip().endswith("/") and _stdlib_selfclose(attrstr):
             parser.handle_startendtag(tag_l, attrs)
             continue
@@ -543,10 +615,11 @@ def extract_html(url: str, html: bytes | None) -> ExtractResult:
             if _keep_block(rb, text):
                 kept.append((rb.kind, text, rb.html))
         status = "fallback" if lossy else "ok"
-        if not kept and parser._skip_depth > 0:
+        if not kept and (parser._skip_depth > 0 or parser._hidden_depths):
             # malformed page: an unclosed blocklist tag (e.g. <nav> never
-            # closed) swallowed the whole document — degrade like the
-            # reference's hi_res→fast ladder instead of returning nothing
+            # closed) or an unclosed hidden element swallowed the whole
+            # document — degrade like the reference's hi_res→fast ladder
+            # instead of returning nothing
             text = _fallback_extract(html)
             kept = [("text", text, None)] if text else []
             status = "fallback"

@@ -211,6 +211,39 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
                         "</article></body></html>".encode("cp1252"),
                 "text": "café résumé – “quoted” naïve",
             },
+            {
+                # hidden-content cloaking: hidden attr + inline display:none/
+                # visibility:hidden subtrees must not reach extracted text
+                "url": "https://edge.test/hidden",
+                "html": (
+                    "<html><body><article><p>visible opening paragraph</p>"
+                    "<div hidden><p>cloaked keyword spam block</p></div>"
+                    "<p style='display:none'>more cloaked text</p>"
+                    "<span style=\"visibility: hidden\">inline cloak</span>"
+                    "<p>visible closing paragraph</p></article></body></html>"
+                ).encode(),
+                "text": "visible opening paragraph\n\nvisible closing paragraph",
+            },
+            {
+                # declared Shift_JIS family label: WHATWG maps it to the
+                # windows-31j superset (cp932) — extension chars included
+                "url": "https://edge.test/shiftjis",
+                "html": (
+                    '<html><head><meta charset="shift_jis"></head>'
+                    "<body><article><p>日本語①テキスト</p></article></body></html>"
+                ).encode("cp932"),
+                "text": "日本語①テキスト",
+            },
+            {
+                # gb2312 label carrying GBK-only bytes (the em-dash):
+                # WHATWG decodes the GB label family as GBK
+                "url": "https://edge.test/gb2312",
+                "html": (
+                    '<html><head><meta charset="gb2312"></head>'
+                    "<body><article><p>简体中文页面—破折号</p></article></body></html>"
+                ).encode("gbk"),
+                "text": "简体中文页面—破折号",
+            },
             {"url": "https://edge.test/dup-a", "html": dup_html.encode(), "text": par},
             {"url": "https://edge.test/dup-b", "html": dup_html.encode(), "text": par},
             {

@@ -208,3 +208,69 @@ def test_nested_table_stays_one_block():
     # canonical rebuild: one flattened table carrying rows from both levels
     assert t.html.count("<table>") == 1
     assert "inner" in t.html and "after" in t.html
+
+
+# --- hidden-content stripping (r5: hidden attr / inline display:none) --------
+
+
+def test_hidden_subtrees_are_dropped():
+    html = (
+        b"<body><article><p>visible one</p>"
+        b"<div hidden><p>cloaked keyword spam</p><ul><li>more spam</li></ul></div>"
+        b"<p style='visibility: hidden'>also cloaked</p>"
+        b"<span style=\"display:none\">inline cloak</span>"
+        b"<p>visible two</p></article></body>"
+    )
+    r = extract_html("u", html)
+    assert r.status == "ok"
+    assert r.text == "visible one\n\nvisible two"
+
+
+def test_hidden_does_not_overtrigger():
+    html = (
+        b"<body><article>"
+        b"<p style='display:block'>block stays</p>"
+        b"<p alt='hidden decoy words'>decoy attr stays</p>"
+        b"<p>text about display:none stays</p>"
+        b"</article></body>"
+    )
+    r = extract_html("u", html)
+    assert r.text == "block stays\n\ndecoy attr stays\n\ntext about display:none stays"
+
+
+def test_hidden_images_not_captured():
+    html = (
+        b"<body><p>x</p><img src=a alt='vis'>"
+        b"<div hidden><img src=b alt='inside-hidden'></div>"
+        b"<img hidden src=c alt='self-hidden'></body>"
+    )
+    assert extract_html("u", html).images == ["vis"]
+
+
+def test_unclosed_hidden_degrades_to_fallback():
+    r = extract_html("u", b"<body><div hidden><p>whole doc swallowed here</p>")
+    assert r.status == "fallback"
+    assert "whole doc swallowed here" in r.text
+
+
+# --- WHATWG charset-label aliases (r5) ----------------------------------------
+
+
+def test_declared_multibyte_charsets_decode_losslessly():
+    cases = [
+        ("shift_jis", "cp932", "日本語のテキスト処理"),
+        ("windows-31j", "cp932", "日本語①ページ"),   # cp932 extension char
+        ("gb2312", "gbk", "简体中文页面—破折号"),      # em-dash needs GBK
+        ("euc-kr", "cp949", "한국어 텍스트"),
+        ("koi8-r", "koi8-r", "русский текст"),
+        ("big5", "big5", "繁體中文頁面"),
+        ("iso-8859-1", "cp1252", "café – “smart” naïve"),  # 1252 superset
+    ]
+    for label, codec, txt in cases:
+        html = (
+            f'<html><head><meta charset="{label}"></head>'
+            f"<body><article><p>{txt}</p></article></body></html>"
+        ).encode(codec)
+        r = extract_html("u", html)
+        assert r.status == "ok", (label, r.status)
+        assert r.text == txt, (label, r.text)

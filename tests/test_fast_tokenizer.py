@@ -102,6 +102,17 @@ def test_fast_tokenizer_matches_stdlib_on_markup_soup():
         "<table a=1/>", "<style a=1/>", "<p a=1 />", '<p a="1/">',
         "</>", "</ >", "</1>", "</<p>", "<!--", "<![CDATA[", "<!d", "<?x",
         "</", "<>",
+        # round-5 hidden-content classes: the hint-regex fast path must
+        # parse attrs exactly when the stdlib path would act on them —
+        # hidden booleans, style forms (matching and non-matching), hidden
+        # markers on void/self-closed tags, and decoy attr values that
+        # trip the hint but not the detector
+        "<div hidden>", "<span HIDDEN>", "<p hidden=''>", "<div hidden=x>",
+        "<div style='display:none'>", "<p style=\"visibility: hidden\">",
+        "<td style='display :none'>", "<div style='color:red'>",
+        "<img hidden src=h>", "<img alt='display' src=d>",
+        "<p alt='hidden decoy'>", "<div style='display:block'>",
+        "<p style='a>b;display:none'>", "<div hidden/>", "<br hidden>",
     ]
     for _ in range(400):
         doc = "".join(
