@@ -742,10 +742,11 @@ def q_sitemap_urls(spark, sf_dir):
 
 def q_jpeg_features(spark, sf_dir):
     """jpeg_decode through the driver gate: per doc_id a CONSTANT-gray 8x8
-    baseline JPEG (core/jpegcodec.py, all-ones quantization — a flat block
-    is DC-only, so decode returns the exact input value v = doc_id%256) runs
-    decode_media(fake=False); feature gray = v/255 exactly, closed-form for
-    the DuckDB oracle (4-decimal rounding on both sides)."""
+    JPEG (core/jpegcodec.py, all-ones quantization — a flat block is
+    DC-only, so decode returns the exact input value v = doc_id%256),
+    BASELINE for even doc_ids and PROGRESSIVE (SOF2, full scan script) for
+    odd ones, runs decode_media(fake=False); feature gray = v/255 exactly,
+    closed-form for the DuckDB oracle (4-decimal rounding on both sides)."""
     import pyarrow as pa
 
     from pdf_extractor_spark.operators.multimodal import decode_media
@@ -759,7 +760,12 @@ def q_jpeg_features(spark, sf_dir):
             ids, payloads = [], []
             for d in batch.column("doc_id").to_pylist():
                 ids.append(f"doc://{d}")
-                payloads.append(jpeg_encode(np.full((8, 8), d % 256, dtype=np.uint8)))
+                payloads.append(
+                    jpeg_encode(
+                        np.full((8, 8), d % 256, dtype=np.uint8),
+                        progressive=bool(d % 2),
+                    )
+                )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
                 names=["media_id", "payload"],

@@ -1,12 +1,14 @@
-"""Baseline JPEG (ITU-T T.81) decode + encode, pure stdlib + numpy.
+"""Baseline + progressive JPEG (ITU-T T.81) decode + encode, stdlib + numpy.
 
 Completes the media decode seam for the dominant web/PDF image codec the
 same way core/imagemeta.py does for PNG: `extract_pdf_images`' DCTDecode
 passthrough payloads (the stream IS the JPEG) become real pixels without
-PIL. Scope — baseline sequential DCT, 8-bit, grayscale or YCbCr with
-4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers honored; progressive,
-arithmetic-coded, 12-bit, and CMYK files return None (callers degrade to
-header-sniff-only, core/imagemeta.py sniff_image).
+PIL. Scope — baseline sequential DCT (SOF0) and progressive DCT (SOF2:
+spectral selection + successive approximation, DC/AC first and refinement
+scans, EOBRUN), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+sampling, restart markers honored; arithmetic-coded, 12-bit, hierarchical,
+and CMYK files return None (callers degrade to header-sniff-only,
+core/imagemeta.py sniff_image).
 
 Correctness grounding (tests/test_jpegcodec.py): the IDCT is checked
 against a direct O(n^4) DCT-III evaluation of the spec formula; Huffman +
@@ -137,7 +139,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
-    """(h, w, channels) uint8 from a baseline JPEG, else None.
+    """(h, w, channels) uint8 from a baseline (SOF0) or progressive (SOF2)
+    JPEG, else None.
 
     channels: 1 (grayscale) or 3 (RGB from YCbCr, BT.601 full-range)."""
     if not payload or payload[:2] != b"\xff\xd8":
@@ -149,6 +152,8 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hsamp, vsamp, tq)])
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: per-comp (nby, nbx, 64) zigzag coefficients
     try:
         while pos + 4 <= len(d):
             if d[pos] != 0xFF:
@@ -157,10 +162,12 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                 pos += 1  # spec B.1.1.2: fill bytes (0xFF) may pad markers
             marker = d[pos + 1]
             if marker == 0xD9:  # EOI
-                return None  # EOI before SOS: no image
+                if progressive and coef is not None:
+                    return _reconstruct_progressive(frame, coef, qt)
+                return None  # EOI before any scan: no image
             seg_len = struct.unpack(">H", d[pos + 2 : pos + 4])[0]
             seg = d[pos + 4 : pos + 2 + seg_len]
-            if marker == 0xC0:  # SOF0 baseline
+            if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
                 if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                     return None
@@ -172,8 +179,9 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                         return None
                     comps.append((cid, hs, vs, tq))
                 frame = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/progressive/lossless/arithmetic: unsupported
+                progressive = marker == 0xC2
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # extended/lossless/arithmetic/hierarchical: unsupported
             elif marker == 0xDB:  # DQT
                 p = 0
                 while p < len(seg):
@@ -206,14 +214,31 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                     if ci is None:
                         return None
                     scan.append((ci, tt >> 4, tt & 0xF))
+                if progressive:
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ahal = seg[3 + 2 * ns]
+                    ah, al = ahal >> 4, ahal & 0xF
+                    if coef is None:
+                        coef = _alloc_coef(frame)
+                    end = _decode_prog_scan(
+                        d, pos + 2 + seg_len, frame, scan, huff_dc, huff_ac,
+                        restart_interval, coef, ss, se, ah, al,
+                    )
+                    if end is None:
+                        return None
+                    pos = end
+                    continue
                 if len(scan) != len(frame[2]):
-                    return None  # multi-scan files: unsupported
+                    return None  # sequential multi-scan files: unsupported
                 return _decode_scan(
                     d, pos + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
                 )
             pos += 2 + seg_len
     except (IndexError, struct.error, KeyError, ValueError, OverflowError):
         return None
+    if progressive and coef is not None:  # truncated file, EOI missing:
+        # render what the decoded scans produced (progressive's whole point)
+        return _reconstruct_progressive(frame, coef, qt)
     return None
 
 
@@ -281,6 +306,12 @@ def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
+
+
+def _finish_planes(planes, comps, hmax, vmax, h, w):
+    """Upsample each component plane to full resolution, crop to (h, w), and
+    color-convert (shared by the baseline and progressive paths)."""
     out_planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         p = planes[ci]
@@ -298,6 +329,261 @@ def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) scan machinery ----------------------------------------
+#
+# A progressive file carries MANY scans, each delivering a slice of the
+# coefficient spectrum (spectral selection Ss..Se) at a bit precision
+# (successive approximation Ah/Al); coefficients accumulate in ``coef``
+# (zigzag order, per-component block grids) and the image is reconstructed
+# once at EOI. Algorithms follow T.81 Annex G (G.1.2/G.2); the AC
+# refinement advance is the spec's correction-bit walk.
+
+
+def _alloc_coef(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), np.int32) for _, hs, vs, _ in comps
+    ]
+
+
+def _comp_blocks(frame, ci):
+    """Non-interleaved block-grid dims for one component: ceil of the
+    component's true (subsampled) pixel dims / 8 (spec A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hs, vs, _ = comps[ci]
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _scan_entropy_end(d, pos):
+    """First byte position at/after ``pos`` holding a real (non-stuffed,
+    non-RST) marker — where the next marker segment starts."""
+    n = len(d)
+    while pos + 1 < n:
+        if d[pos] == 0xFF and d[pos + 1] != 0x00 and not (0xD0 <= d[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _refine_nonzero(br, cb, k, se, p1):
+    """AC refinement: read one correction bit for every nonzero-history
+    coefficient in [k, se] (decoder side of G.1.2.3)."""
+    while k <= se:
+        if cb[k]:
+            bit = br.read(1)
+            if bit is None:
+                return False
+            if bit and not (cb[k] & p1):
+                cb[k] += p1 if cb[k] > 0 else -p1
+        k += 1
+    return True
+
+
+def _decode_prog_scan(d, pos, frame, scan, huff_dc, huff_ac, restart_interval,
+                      coef, ss, se, ah, al):
+    """Decode one progressive scan into ``coef``; returns the byte position
+    of the next marker, or None on a malformed stream."""
+    h, w, comps = frame
+    if ss == 0 and se != 0:
+        return None  # DC and AC never share a scan (G.1.1.1.1)
+    if ss > 0 and len(scan) != 1:
+        return None  # AC scans are single-component (G.1.1.1.1)
+    if se > 63 or ss > 63 or al > 13:
+        return None
+    br = _BitReader(d, pos)
+    p1 = 1 << al
+    eobrun = 0
+    pred = [0] * len(comps)
+    mcu_count = 0
+
+    def check_rst():
+        nonlocal pred, eobrun, mcu_count
+        if restart_interval and mcu_count == restart_interval:
+            if not br.sync_rst():
+                return False
+            pred = [0] * len(comps)
+            eobrun = 0
+            mcu_count = 0
+        return True
+
+    if ss == 0:
+        # DC scan: interleaved (MCU order) or single-component
+        if len(scan) == len(comps) and len(comps) > 1:
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            units = [
+                (ci, tdc, my, mx, by, bx)
+                for my in range(mcuy) for mx in range(mcux)
+                for ci, tdc, _ in scan
+                for by in range(comps[ci][2]) for bx in range(comps[ci][1])
+            ]
+            def grid(ci, my, mx, by, bx):
+                _, hs, vs, _ = comps[ci]
+                return my * vs + by, mx * hs + bx
+            per_mcu = sum(comps[ci][1] * comps[ci][2] for ci, _, _ in scan)
+        else:
+            ci0, tdc0, _ = scan[0]
+            nby, nbx = _comp_blocks(frame, ci0)
+            units = [
+                (ci0, tdc0, 0, 0, by, bx) for by in range(nby) for bx in range(nbx)
+            ]
+            def grid(ci, my, mx, by, bx):
+                return by, bx
+            per_mcu = 1
+        done_in_mcu = 0
+        for ci, tdc, my, mx, by, bx in units:
+            if done_in_mcu == 0 and not check_rst():
+                return None
+            gy, gx = grid(ci, my, mx, by, bx)
+            cb = coef[ci][gy, gx]
+            if ah == 0:  # DC first scan
+                t = _decode_symbol(br, huff_dc.get(tdc, {}))
+                if t is None or t > 11:
+                    return None
+                if t:
+                    v = br.read(t)
+                    if v is None:
+                        return None
+                    pred[ci] += _extend(v, t)
+                cb[0] = pred[ci] << al
+            else:  # DC refinement: one appended bit per block
+                bit = br.read(1)
+                if bit is None:
+                    return None
+                if bit:
+                    cb[0] |= p1
+            done_in_mcu += 1
+            if done_in_mcu == per_mcu:
+                done_in_mcu = 0
+                mcu_count += 1
+    else:
+        # AC scan: single component, blocks in raster order
+        ci, _, tac = scan[0]
+        table = huff_ac.get(tac, {})
+        nby, nbx = _comp_blocks(frame, ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                if not check_rst():
+                    return None
+                cb = coef[ci][by, bx]
+                if ah == 0:  # AC first scan (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _decode_symbol(br, table)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    ext = br.read(r)
+                                    if ext is None:
+                                        return None
+                                    eobrun += ext
+                                break
+                            if s > 10:
+                                return None
+                            k += r
+                            if k > se:
+                                return None
+                            v = br.read(s)
+                            if v is None:
+                                return None
+                            cb[k] = _extend(v, s) << al
+                            k += 1
+                else:  # AC refinement scan (G.1.2.3)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        if not _refine_nonzero(br, cb, ss, se, p1):
+                            return None
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _decode_symbol(br, table)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0xF
+                            newval = 0
+                            if s == 0:
+                                if r != 15:  # EOB: refine the rest, set run
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        ext = br.read(r)
+                                        if ext is None:
+                                            return None
+                                        eobrun += ext
+                                    if not _refine_nonzero(br, cb, k, se, p1):
+                                        return None
+                                    break
+                                # r == 15: pass over 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    return None
+                                bit = br.read(1)
+                                if bit is None:
+                                    return None
+                                newval = p1 if bit else -p1
+                            while k <= se:
+                                if cb[k]:
+                                    bit = br.read(1)
+                                    if bit is None:
+                                        return None
+                                    if bit and not (cb[k] & p1):
+                                        cb[k] += p1 if cb[k] > 0 else -p1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                cb[k] = newval
+                            k += 1
+                mcu_count += 1
+    return _scan_entropy_end(d, br.pos)
+
+
+def _reconstruct_progressive(frame, coef, qt):
+    """Dequantize + IDCT the accumulated coefficient grids (vectorized) and
+    assemble the final image."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        quant = qt.get(tq)
+        if quant is None:
+            return None
+        c = coef[ci].astype(np.float64) * quant.astype(np.float64)
+        nby, nbx = c.shape[0], c.shape[1]
+        nat = np.zeros((nby, nbx, 64), np.float64)
+        nat[..., _ZIGZAG] = c
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        # broadcasted matmul, NOT einsum: same pairwise reduction order as
+        # the baseline path's per-block idct2, so both paths round .5 ties
+        # identically and a progressive re-encode decodes byte-equal
+        spatial = (_BASIS.T @ blocks @ _BASIS) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+    return _finish_planes(planes, comps, hmax, vmax, h, w)
 
 
 # --- encoder (fixture writer) ---------------------------------------------------
@@ -410,12 +696,19 @@ def _emit_block(bw, block, pred, ci, dc_codes, ac_codes):
 
 
 def jpeg_encode(
-    arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+    arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w), (h, w, 1) or (h, w, 3) → baseline JPEG with all-ones
+    """uint8 (h, w), (h, w, 1) or (h, w, 3) → JPEG with all-ones
     quantization (fixture writer for the decoder tests). ``subsampling``:
     '444' or '420' (2x2 box-mean chroma, the dominant real-world layout);
-    ``restart_interval`` emits DRI + RSTn every n MCUs."""
+    ``restart_interval`` emits DRI + RSTn every n MCUs. ``progressive=True``
+    writes a SOF2 file with the standard web scan script shape — DC first
+    at Al=1, DC refinement, per-component AC first at Al=1, per-component
+    AC refinement — so every progressive decode path (spectral selection,
+    successive approximation, EOBRUN, correction bits) is exercised; the
+    entropy layer is lossless, so a progressive encode decodes to pixels
+    byte-identical to its baseline twin."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -447,6 +740,11 @@ def jpeg_encode(
         comp_planes.append(p)
     dc_codes = _encode_codes(_STD_DC_COUNTS, _STD_DC_SYMBOLS)
     ac_codes = _encode_codes(_STD_AC_COUNTS, _STD_AC_SYMBOLS)
+    if progressive:
+        return _encode_progressive(
+            comp_planes, samp, h, w, mcux, mcuy, restart_interval,
+            dc_codes, ac_codes,
+        )
     bw = _BitWriter()
     pred = [0] * len(planes)
     count = 0
@@ -487,3 +785,202 @@ def jpeg_encode(
     comps_sos = b"".join(bytes([i + 1, 0x00]) for i in range(len(planes)))
     sos = seg(0xDA, bytes([len(planes)]) + comps_sos + b"\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+# --- progressive encoder (fixture writer for the SOF2 decode paths) ------------
+
+
+def _block_coefs(comp_planes, samp):
+    """Per component: (nby, nbx, 64) int32 zigzag DCT coefficients of the
+    padded plane (same rounding convention as _emit_block)."""
+    out = []
+    for ci, (hs, vs) in enumerate(samp):
+        p = comp_planes[ci]
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        # broadcasted matmul = the same reduction order as _emit_block's
+        # per-block dct2, so baseline and progressive encodes quantize .5
+        # ties to the same integer coefficients
+        nat = _BASIS @ blocks @ _BASIS.T
+        flat = np.rint(nat).astype(np.int32).reshape(nby, nbx, 64)
+        out.append(flat[:, :, _ZIGZAG])
+    return out
+
+
+def _emit_ac_first(bw, vz, ac_codes, al):
+    """AC first scan for one block: point-transformed coefficients (|v|>>Al
+    with sign), baseline-style runs, plain EOB (EOBRUN length 1)."""
+    run = 0
+    for k in range(1, 64):
+        t = int(vz[k])
+        v1 = (abs(t) >> al) * (1 if t > 0 else -1)
+        if v1 == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _mag_bits(v1)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, vz, ac_codes, al):
+    """AC refinement scan for one block (encoder side of G.1.2.3): newly
+    nonzero coefficients (|v| >> Al == 1) as (run-of-zero-history, 1)
+    symbols + sign bit, correction bits for already-nonzero history
+    interleaved exactly where the decoder's advance walk reads them."""
+    hi = al + 1  # history = value known after the Al+1 first scan
+    se = 63
+
+    def newly(p):
+        return (abs(int(vz[p])) >> al) == 1
+
+    def history(p):
+        return (abs(int(vz[p])) >> hi) != 0
+
+    def corr_bit(p):
+        return (abs(int(vz[p])) >> al) & 1
+
+    k = 1
+    while k <= se:
+        j = next((p for p in range(k, se + 1) if newly(p)), None)
+        if j is None:
+            if k <= se:  # trailing zeros and/or corrections: EOB covers them
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+                for p in range(k, se + 1):
+                    if history(p):
+                        bw.write(corr_bit(p), 1)
+            break
+        r = sum(1 for p in range(k, j) if not history(p))
+        while r > 15:
+            cnt, q = 0, k
+            for p in range(k, j):
+                if not history(p):
+                    cnt += 1
+                    if cnt == 16:
+                        q = p
+                        break
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            for p in range(k, q + 1):
+                if history(p):
+                    bw.write(corr_bit(p), 1)
+            k = q + 1
+            r -= 16
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(vz[j]) > 0 else 0, 1)
+        for p in range(k, j):
+            if history(p):
+                bw.write(corr_bit(p), 1)
+        k = j + 1
+
+
+def _encode_progressive(comp_planes, samp, h, w, mcux, mcuy, restart_interval,
+                        dc_codes, ac_codes):
+    nc = len(samp)
+    coefs = _block_coefs(comp_planes, samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    scans: list[bytes] = []  # SOS segment + entropy bytes, in order
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al, body):
+        hdr = bytes([len(comp_ids)]) + b"".join(
+            bytes([cid + 1, 0x00]) for cid in comp_ids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + body
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                yield [
+                    (ci, my * vs + by, mx * hs + bx)
+                    for ci, (hs, vs) in enumerate(samp)
+                    for by in range(vs) for bx in range(hs)
+                ]
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0] * nc
+    count = rst = 0
+    for blocks in mcu_blocks():
+        if restart_interval and count == restart_interval:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = [0] * nc
+            count = 0
+        for ci, gy, gx in blocks:
+            dc = int(coefs[ci][gy, gx, 0]) >> 1  # arithmetic point transform
+            t, bits = _mag_bits(dc - pred[ci])
+            pred[ci] = dc
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(bits, t)
+        count += 1
+    bw.flush()
+    scans.append(sos(list(range(nc)), 0, 0, 0, 1, bytes(bw.out)))
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    bw = _BitWriter()
+    count = rst = 0
+    for blocks in mcu_blocks():
+        if restart_interval and count == restart_interval:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            count = 0
+        for ci, gy, gx in blocks:
+            bw.write(int(coefs[ci][gy, gx, 0]) & 1, 1)
+        count += 1
+    bw.flush()
+    scans.append(sos(list(range(nc)), 0, 0, 1, 0, bytes(bw.out)))
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1, Al=0),
+    # non-interleaved raster order over the component's true block grid
+    for ci, (hs, vs) in enumerate(samp):
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for refine in (False, True):
+            bw = _BitWriter()
+            count = rst = 0
+            for gy in range(nby):
+                for gx in range(nbx):
+                    if restart_interval and count == restart_interval:
+                        bw.marker(0xD0 + rst)
+                        rst = (rst + 1) % 8
+                        count = 0
+                    vz = coefs[ci][gy, gx]
+                    if refine:
+                        _emit_ac_refine(bw, vz, ac_codes, 0)
+                    else:
+                        _emit_ac_first(bw, vz, ac_codes, 1)
+                    count += 1
+            bw.flush()
+            scans.append(
+                sos([ci], 1, 63, 1 if refine else 0, 0 if refine else 1, bytes(bw.out))
+            )
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    comps_sof = b"".join(
+        bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(nc)
+    )
+    sof = seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + bytes([nc]) + comps_sof)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_STD_DC_COUNTS) + _STD_DC_SYMBOLS
+        + b"\x10" + bytes(_STD_AC_COUNTS) + _STD_AC_SYMBOLS,
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + b"".join(scans) + b"\xff\xd9"

@@ -103,9 +103,10 @@ def _decode_pixels(payload: bytes):
 
 
 def _png_feature(payload: bytes) -> list[float] | None:
-    """REAL pixel feature for baseline PNG *and* baseline JPEG payloads:
-    4x4 nearest-resampled grayscale thumbnail, 16 floats in [0, 1]. None
-    when the payload isn't decodable (progressive JPEG, exotic PNG, ...)."""
+    """REAL pixel feature for baseline PNG and baseline/progressive JPEG
+    payloads: 4x4 nearest-resampled grayscale thumbnail, 16 floats in
+    [0, 1]. None when the payload isn't decodable (arithmetic-coded JPEG,
+    exotic PNG, ...)."""
     from pdf_extractor_spark.core.imagemeta import resize_nearest
 
     arr = _decode_pixels(payload)

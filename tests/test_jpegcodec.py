@@ -120,7 +120,9 @@ def test_420_subsampling_constant_chroma():
 def test_unsupported_variants_fail_cleanly():
     rng = np.random.default_rng(1)
     ok = jpeg_encode(rng.integers(0, 256, (8, 8), dtype=np.uint8))
-    assert jpeg_decode(ok.replace(b"\xff\xc0", b"\xff\xc2")) is None  # progressive
+    # a baseline stream relabeled SOF2 is a MALFORMED progressive file (its
+    # scan claims the full spectrum interleaved, illegal per G.1.1.1.1)
+    assert jpeg_decode(ok.replace(b"\xff\xc0", b"\xff\xc2")) is None
     assert jpeg_decode(b"\xff\xd8junk") is None
     assert jpeg_decode(b"") is None
     assert jpeg_decode(None) is None
@@ -193,3 +195,91 @@ def test_property_jpeg_roundtrip_hypothesis():
         assert np.abs(dec.astype(int) - want.astype(int)).max() <= 4
 
     check()
+
+
+# --- progressive (SOF2) ---------------------------------------------------------
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """The entropy layer is lossless and quantization identical, so a
+    progressive encode must decode to pixels BYTE-IDENTICAL to its baseline
+    twin — across shapes, gray/color, subsampling, and restart markers."""
+    rng = np.random.default_rng(7)
+    for shape, sub, ri in [
+        ((8, 8), "444", 0), ((16, 24, 3), "444", 0), ((17, 23, 3), "420", 0),
+        ((32, 32, 3), "420", 0), ((9, 7), "444", 0), ((24, 24, 3), "444", 2),
+        ((19, 13), "444", 3),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode(img, subsampling=sub))
+        prog = jpeg_decode(
+            jpeg_encode(img, subsampling=sub, progressive=True, restart_interval=ri)
+        )
+        assert prog is not None, (shape, sub, ri)
+        assert np.array_equal(base, prog), (shape, sub, ri)
+
+
+def test_progressive_scan_script_shape():
+    """The fixture writer emits the real web scan script: SOF2, a DC first
+    scan at Al=1, a DC refinement, then per-component AC first + AC
+    refinement scans — so every G.1.2 decode path runs."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = jpeg_encode(img, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 2 + 2 * 3  # 2 DC scans + 2 per comp
+
+
+def test_progressive_truncated_renders_partial():
+    """Progressive's raison d'etre: a truncated file still renders from the
+    scans that arrived (here: cut after the DC scans -> flat blocks whose
+    means approximate the source), instead of failing."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = jpeg_encode(img, progressive=True)
+    # cut right before the third SOS (keep DC first + DC refinement)
+    third_sos = data.index(b"\xff\xda", data.index(b"\xff\xda", data.index(b"\xff\xda") + 2) + 2)
+    partial = jpeg_decode(data[:third_sos])
+    assert partial is not None and partial.shape == (16, 16, 1)
+    # each 8x8 block of the partial render is flat at ~the block mean
+    full = img.astype(float)
+    for by in range(2):
+        for bx in range(2):
+            blk = partial[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+            assert blk.max() == blk.min()  # DC-only -> flat
+            assert abs(float(blk[0, 0]) - full[by*8:by*8+8, bx*8:bx*8+8].mean()) <= 1.0
+
+
+def test_progressive_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        color=st.booleans(),
+        sub420=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(h, w, color, sub420, seed):
+        shape = (h, w, 3) if color else (h, w)
+        a = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+        sub = "420" if (color and sub420) else "444"
+        base = jpeg_decode(jpeg_encode(a, subsampling=sub))
+        prog = jpeg_decode(jpeg_encode(a, subsampling=sub, progressive=True))
+        assert prog is not None and np.array_equal(base, prog)
+
+    check()
+
+
+def test_progressive_feature_seam():
+    """The multimodal decode seam emits a REAL pixel feature for progressive
+    payloads now (r4 gap #2 closed)."""
+    from pdf_extractor_spark.operators.multimodal import _png_feature
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    feat = _png_feature(jpeg_encode(img, progressive=True))
+    assert feat is not None and len(feat) == 16
+    assert feat == _png_feature(jpeg_encode(img))  # identical to baseline
