@@ -1443,7 +1443,10 @@ def q_pdf_flags(spark, sf_dir):
     empty user password (elif doc_id%7==3 → 'ok': the standard-security
     decrypt path, core/pdfcrypt.py, recovers the plaintext), an AESV2
     (V4/R4, AES-128-CBC — core/aes.py) pdf likewise openable with the empty
-    password (elif doc_id%7==5 → 'ok'), an image-only
+    password (elif doc_id%7==5 → 'ok'), an AES-256/V5 pdf — the R6
+    hardened-hash class for doc_id%70==6, the R5 single-SHA-256 class for
+    other doc_id%7==6 (both → 'ok': hash_r6 + /UE unwrap + /Perms check,
+    core/pdfcrypt.py) — an image-only
     scanned pdf (elif doc_id%5==0 → needs_ocr) or a normal text pdf;
     extraction is the real byte-level PDF parse (core/pdf_extract.py) while
     the oracle derives the expected flags from the same deterministic
@@ -1469,6 +1472,12 @@ def q_pdf_flags(spark, sf_dir):
                     html = encrypt_pdf_bytes(render_pdf([[body]]), r=3, length_bits=128)
                 elif int(d) % 7 == 5:  # AES-128 crypt filter (V4/R4, core/aes.py)
                     html = encrypt_pdf_bytes(render_pdf([[body]]), cfm="aesv2")
+                elif int(d) % 7 == 6:  # AES-256 (V5): R6 kept rare — its
+                    # hardened hash costs ~0.3 s/call by design
+                    html = encrypt_pdf_bytes(
+                        render_pdf([[body]]), cfm="aesv3",
+                        r=6 if int(d) % 70 == 6 else 5,
+                    )
                 elif int(d) % 5 == 0:
                     html = render_pdf([[]], images_per_page=1)  # scanned page
                 else:
@@ -2649,7 +2658,7 @@ FROM documents""",
         "pdf_flags": """
 SELECT 'doc://' || doc_id AS url,
        CASE WHEN doc_id % 7 = 0 THEN 'failed' ELSE 'ok' END AS parse_status,
-       (doc_id % 7 NOT IN (0, 3, 5) AND doc_id % 5 = 0) AS needs_ocr
+       (doc_id % 7 NOT IN (0, 3, 5, 6) AND doc_id % 5 = 0) AS needs_ocr
 FROM documents""",
         "extract_tables": """
 SELECT 'doc://' || doc_id AS url, 1 AS block_index,

@@ -116,12 +116,7 @@ def cbc_decrypt(key: bytes, data: bytes, unpad: bool = True) -> bytes | None:
     if len(data) < 32 or len(data) % 16:
         return None
     iv, ct = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ct), 16):
-        blk = ct[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(decrypt_block(key, blk), prev))
-        prev = blk
+    out = cbc_decrypt_fast(key, iv, ct)  # T-table path; parity-tested
     if not unpad:
         return bytes(out)
     pad = out[-1]
@@ -166,10 +161,163 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     """IV || AES-CBC ciphertext with PKCS#7 padding (fixture writer)."""
     pad = 16 - (len(plaintext) % 16)
     pt = plaintext + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(pt), 16):
-        blk = bytes(a ^ b for a, b in zip(pt[i : i + 16], prev))
-        prev = encrypt_block(key, blk)
-        out += prev
+    return iv + cbc_encrypt_fast(key, iv, pt)
+
+
+# --- T-table fast path (FIPS-197 §5.1 optimization, the classic public
+# formulation used by every production AES) -------------------------------------
+#
+# One 32-bit word per state column; each encryption round is 16 table
+# lookups + xors. The R6 password hash (pdfcrypt.hash_r6) runs ~10k CBC
+# blocks per verification, which the didactic byte-wise path above does in
+# seconds — this path does it in tens of milliseconds. The byte-wise
+# implementations stay as the spec reference; tests pin T-table parity
+# against them and against the FIPS-197 vectors.
+
+from functools import lru_cache as _lru_cache
+
+_TE0 = [0] * 256
+_TE1 = [0] * 256
+_TE2 = [0] * 256
+_TE3 = [0] * 256
+_TD0 = [0] * 256
+_TD1 = [0] * 256
+_TD2 = [0] * 256
+_TD3 = [0] * 256
+for _x in range(256):
+    _s = _SBOX[_x]
+    _w = (_mul(_s, 2) << 24) | (_s << 16) | (_s << 8) | _mul(_s, 3)
+    _TE0[_x] = _w
+    _TE1[_x] = ((_w >> 8) | (_w << 24)) & 0xFFFFFFFF
+    _TE2[_x] = ((_w >> 16) | (_w << 16)) & 0xFFFFFFFF
+    _TE3[_x] = ((_w >> 24) | (_w << 8)) & 0xFFFFFFFF
+    _t = _INV_SBOX[_x]
+    _v = (_mul(_t, 14) << 24) | (_mul(_t, 9) << 16) | (_mul(_t, 13) << 8) | _mul(_t, 11)
+    _TD0[_x] = _v
+    _TD1[_x] = ((_v >> 8) | (_v << 24)) & 0xFFFFFFFF
+    _TD2[_x] = ((_v >> 16) | (_v << 16)) & 0xFFFFFFFF
+    _TD3[_x] = ((_v >> 24) | (_v << 8)) & 0xFFFFFFFF
+
+
+@_lru_cache(maxsize=256)
+def _enc_words(key: bytes) -> tuple:
+    rks = _expand_key(key)
+    return tuple(
+        tuple(int.from_bytes(bytes(rk[4 * j : 4 * j + 4]), "big") for j in range(4))
+        for rk in rks
+    )
+
+
+@_lru_cache(maxsize=256)
+def _dec_words(key: bytes) -> tuple:
+    """Equivalent-inverse-cipher round keys (InvMixColumns applied to the
+    middle round keys) so decryption runs the same T-table shape."""
+    rks = _expand_key(key)
+    out = []
+    for i, rk in enumerate(rks):
+        if 0 < i < len(rks) - 1:
+            rk = _inv_mix_columns(list(rk))
+        out.append(
+            tuple(int.from_bytes(bytes(rk[4 * j : 4 * j + 4]), "big") for j in range(4))
+        )
+    return tuple(reversed(out))
+
+
+def _encrypt_block_words(rw, w0, w1, w2, w3):
+    nr = len(rw) - 1
+    k = rw[0]
+    w0 ^= k[0]; w1 ^= k[1]; w2 ^= k[2]; w3 ^= k[3]
+    for r in range(1, nr):
+        k = rw[r]
+        t0 = _TE0[w0 >> 24] ^ _TE1[(w1 >> 16) & 0xFF] ^ _TE2[(w2 >> 8) & 0xFF] ^ _TE3[w3 & 0xFF] ^ k[0]
+        t1 = _TE0[w1 >> 24] ^ _TE1[(w2 >> 16) & 0xFF] ^ _TE2[(w3 >> 8) & 0xFF] ^ _TE3[w0 & 0xFF] ^ k[1]
+        t2 = _TE0[w2 >> 24] ^ _TE1[(w3 >> 16) & 0xFF] ^ _TE2[(w0 >> 8) & 0xFF] ^ _TE3[w1 & 0xFF] ^ k[2]
+        t3 = _TE0[w3 >> 24] ^ _TE1[(w0 >> 16) & 0xFF] ^ _TE2[(w1 >> 8) & 0xFF] ^ _TE3[w2 & 0xFF] ^ k[3]
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    k = rw[nr]
+    S = _SBOX
+    o0 = ((S[w0 >> 24] << 24) | (S[(w1 >> 16) & 0xFF] << 16) | (S[(w2 >> 8) & 0xFF] << 8) | S[w3 & 0xFF]) ^ k[0]
+    o1 = ((S[w1 >> 24] << 24) | (S[(w2 >> 16) & 0xFF] << 16) | (S[(w3 >> 8) & 0xFF] << 8) | S[w0 & 0xFF]) ^ k[1]
+    o2 = ((S[w2 >> 24] << 24) | (S[(w3 >> 16) & 0xFF] << 16) | (S[(w0 >> 8) & 0xFF] << 8) | S[w1 & 0xFF]) ^ k[2]
+    o3 = ((S[w3 >> 24] << 24) | (S[(w0 >> 16) & 0xFF] << 16) | (S[(w1 >> 8) & 0xFF] << 8) | S[w2 & 0xFF]) ^ k[3]
+    return o0, o1, o2, o3
+
+
+def _decrypt_block_words(rw, w0, w1, w2, w3):
+    nr = len(rw) - 1
+    k = rw[0]
+    w0 ^= k[0]; w1 ^= k[1]; w2 ^= k[2]; w3 ^= k[3]
+    for r in range(1, nr):
+        k = rw[r]
+        t0 = _TD0[w0 >> 24] ^ _TD1[(w3 >> 16) & 0xFF] ^ _TD2[(w2 >> 8) & 0xFF] ^ _TD3[w1 & 0xFF] ^ k[0]
+        t1 = _TD0[w1 >> 24] ^ _TD1[(w0 >> 16) & 0xFF] ^ _TD2[(w3 >> 8) & 0xFF] ^ _TD3[w2 & 0xFF] ^ k[1]
+        t2 = _TD0[w2 >> 24] ^ _TD1[(w1 >> 16) & 0xFF] ^ _TD2[(w0 >> 8) & 0xFF] ^ _TD3[w3 & 0xFF] ^ k[2]
+        t3 = _TD0[w3 >> 24] ^ _TD1[(w2 >> 16) & 0xFF] ^ _TD2[(w1 >> 8) & 0xFF] ^ _TD3[w0 & 0xFF] ^ k[3]
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    k = rw[nr]
+    S = _INV_SBOX
+    o0 = ((S[w0 >> 24] << 24) | (S[(w3 >> 16) & 0xFF] << 16) | (S[(w2 >> 8) & 0xFF] << 8) | S[w1 & 0xFF]) ^ k[0]
+    o1 = ((S[w1 >> 24] << 24) | (S[(w0 >> 16) & 0xFF] << 16) | (S[(w3 >> 8) & 0xFF] << 8) | S[w2 & 0xFF]) ^ k[1]
+    o2 = ((S[w2 >> 24] << 24) | (S[(w1 >> 16) & 0xFF] << 16) | (S[(w0 >> 8) & 0xFF] << 8) | S[w3 & 0xFF]) ^ k[2]
+    o3 = ((S[w3 >> 24] << 24) | (S[(w2 >> 16) & 0xFF] << 16) | (S[(w1 >> 8) & 0xFF] << 8) | S[w0 & 0xFF]) ^ k[3]
+    return o0, o1, o2, o3
+
+
+def encrypt_block_fast(key: bytes, block: bytes) -> bytes:
+    rw = _enc_words(key)
+    w = _encrypt_block_words(
+        rw,
+        int.from_bytes(block[0:4], "big"), int.from_bytes(block[4:8], "big"),
+        int.from_bytes(block[8:12], "big"), int.from_bytes(block[12:16], "big"),
+    )
+    return b"".join(x.to_bytes(4, "big") for x in w)
+
+
+def decrypt_block_fast(key: bytes, block: bytes) -> bytes:
+    rw = _dec_words(key)
+    w = _decrypt_block_words(
+        rw,
+        int.from_bytes(block[0:4], "big"), int.from_bytes(block[4:8], "big"),
+        int.from_bytes(block[8:12], "big"), int.from_bytes(block[12:16], "big"),
+    )
+    return b"".join(x.to_bytes(4, "big") for x in w)
+
+
+def cbc_encrypt_fast(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC over exact-multiple-of-16 data (no IV prefix, no padding) —
+    the hot loop of pdfcrypt.hash_r6."""
+    rw = _enc_words(key)
+    fb = int.from_bytes
+    p0, p1, p2, p3 = fb(iv[0:4], "big"), fb(iv[4:8], "big"), fb(iv[8:12], "big"), fb(iv[12:16], "big")
+    out = bytearray(len(data))
+    for i in range(0, len(data), 16):
+        p0, p1, p2, p3 = _encrypt_block_words(
+            rw,
+            p0 ^ fb(data[i : i + 4], "big"), p1 ^ fb(data[i + 4 : i + 8], "big"),
+            p2 ^ fb(data[i + 8 : i + 12], "big"), p3 ^ fb(data[i + 12 : i + 16], "big"),
+        )
+        out[i : i + 4] = p0.to_bytes(4, "big")
+        out[i + 4 : i + 8] = p1.to_bytes(4, "big")
+        out[i + 8 : i + 12] = p2.to_bytes(4, "big")
+        out[i + 12 : i + 16] = p3.to_bytes(4, "big")
+    return bytes(out)
+
+
+def cbc_decrypt_fast(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decrypt (no IV prefix, no unpad) via the T-table path."""
+    rw = _dec_words(key)
+    fb = int.from_bytes
+    v0, v1, v2, v3 = fb(iv[0:4], "big"), fb(iv[4:8], "big"), fb(iv[8:12], "big"), fb(iv[12:16], "big")
+    out = bytearray(len(data))
+    for i in range(0, len(data), 16):
+        c0, c1, c2, c3 = (
+            fb(data[i : i + 4], "big"), fb(data[i + 4 : i + 8], "big"),
+            fb(data[i + 8 : i + 12], "big"), fb(data[i + 12 : i + 16], "big"),
+        )
+        d0, d1, d2, d3 = _decrypt_block_words(rw, c0, c1, c2, c3)
+        out[i : i + 4] = (d0 ^ v0).to_bytes(4, "big")
+        out[i + 4 : i + 8] = (d1 ^ v1).to_bytes(4, "big")
+        out[i + 8 : i + 12] = (d2 ^ v2).to_bytes(4, "big")
+        out[i + 12 : i + 16] = (d3 ^ v3).to_bytes(4, "big")
+        v0, v1, v2, v3 = c0, c1, c2, c3
     return bytes(out)

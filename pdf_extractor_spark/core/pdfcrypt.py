@@ -17,8 +17,10 @@ behavior from pdfminer's PDFDocument default password "",
 reference: app/processing/pdf_processor.py:86-101). A file that does not
 verify stays ciphertext and the caller lands it in ``parse_status='failed'``.
 
-AESV3 (V 5 / R 5-6, AES-256 + SHA-2 key derivation) is not implemented;
-such files fail verification cleanly.
+AESV3 (V 5 / R 5-6) is fully supported: SHA-256 (R 5) or the hardened
+Algorithm 2.B hash (R 6) validates /U, /UE unwraps the AES-256 file key,
+/Perms is checked when present, and streams decrypt AES-256-CBC with the
+file key directly (the V5 handler has no per-object key).
 
 Everything here is pure byte arithmetic — deterministic, no I/O, reusable
 inside Arrow workers with zero per-row Python beyond the call itself.
@@ -142,7 +144,7 @@ _FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard\b")
 def _string_after(dict_body: bytes, name: bytes) -> bytes | None:
     """The string value following /name — literal ``(...)`` (escape-aware)
     or hex ``<...>``."""
-    m = re.search(rb"/" + name + rb"\s*", dict_body)
+    m = re.search(rb"/" + name + rb"(?![A-Za-z0-9])\s*", dict_body)
     if not m:
         return None
     i = m.end()
@@ -190,12 +192,79 @@ _CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
 _ENCRYPT_META_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
 
 
+# --- AES-256 handler (V 5, R 5 "AESV3" / R 6 PDF 2.0) --------------------------
+#
+# ISO 32000-2 7.6.4: /U and /O are 48 bytes (32 hash + 8 validation salt +
+# 8 key salt); /UE and /OE hold the AES-256-CBC-wrapped 32-byte file key.
+# R 5 hashes with one SHA-256; R 6 runs the hardened Algorithm 2.B loop
+# (SHA-256/384/512 selected by an AES-CBC feedback). Data uses the FILE key
+# directly (no per-object key), AES-256-CBC with per-stream IV + PKCS#7.
+
+
+def _cbc_raw(key: bytes, iv: bytes, data: bytes, enc: bool) -> bytes:
+    """Raw AES-CBC over exact-multiple-of-16 data: no IV prefix, no pad
+    (the /UE//OE key-wrap and Algorithm 2.B's feedback use this shape).
+    T-table fast path — Algorithm 2.B runs ~10k blocks per verification."""
+    from pdf_extractor_spark.core.aes import cbc_decrypt_fast, cbc_encrypt_fast
+
+    if enc:
+        return cbc_encrypt_fast(key, iv, data)
+    return cbc_decrypt_fast(key, iv, data)
+
+
+def hash_r6(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """Password hash for the V5 handler: single SHA-256 for R 5; the
+    Algorithm 2.B iterated SHA-256/384/512 + AES-CBC loop for R 6
+    (ISO 32000-2, 7.6.4.3.4)."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _cbc_raw(k[:16], k[16:32], k1, enc=True)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def verify_empty_user_password_v5(
+    u_entry: bytes, ue_entry: bytes, r: int
+) -> bytes | None:
+    """32-byte file key if the empty user password opens this V5 file
+    (Algorithm 11 check against /U, then the /UE unwrap), else None."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if hash_r6(b"", vsalt, b"", r) != u_entry[:32]:
+        return None
+    ikey = hash_r6(b"", ksalt, b"", r)
+    return _cbc_raw(ikey, b"\x00" * 16, ue_entry[:32], enc=False)
+
+
+def check_perms_v5(perms: bytes, fkey: bytes, p: int, encrypt_metadata: bool) -> bool:
+    """Algorithm 13: /Perms decrypts (AES-256-ECB) to the P value + 'adb'
+    marker; a mismatch means the wrong key or a tampered dict."""
+    from pdf_extractor_spark.core.aes import decrypt_block
+
+    if len(perms) < 16:
+        return False
+    blk = decrypt_block(fkey, perms[:16])
+    if blk[9:12] != b"adb":
+        return False
+    if int.from_bytes(blk[:4], "little", signed=True) != p:
+        return False
+    want_meta = b"T" if encrypt_metadata else b"F"
+    return blk[8:9] == want_meta
+
+
 def parse_standard_encrypt_dict(dict_body: bytes) -> dict | None:
-    """{'v','r','p','length','o','u','cfm','encrypt_metadata'} from a
-    /Filter /Standard dict, or None when the handler / revision is outside
-    the supported range (RC4 V 1/2 R 2/3, and V 4 R 4 with an /AESV2 or
-    /V2 crypt filter; AESV3/R 5-6 need SHA-256+AES-256 — unsupported,
-    caller fails cleanly)."""
+    """{'v','r','p','length','o','u','cfm','encrypt_metadata'(,'ue','oe',
+    'perms')} from a /Filter /Standard dict, or None when the handler /
+    revision is outside the supported range: RC4 V 1/2 R 2/3, V 4 R 4 with
+    an /AESV2 or /V2 crypt filter, and V 5 R 5/6 with /AESV3 (AES-256)."""
     if not _FILTER_STD_RE.search(dict_body):
         return None
     # the /CF crypt-filter sub-dict carries its own /Length (key BYTES, not
@@ -223,7 +292,21 @@ def parse_standard_encrypt_dict(dict_body: bytes) -> dict | None:
     v = ints.get("V", 0)
     r = ints.get("R", 2)
     cfm = "rc4"
-    if v == 4 and r == 4:
+    extra: dict = {}
+    if v == 5 and r in (5, 6):
+        m = _CFM_RE.search(dict_body)
+        if m and m.group(1) != b"AESV3":
+            return None
+        cfm = "aesv3"
+        ue = _string_after(dict_body, b"UE")
+        oe = _string_after(dict_body, b"OE")
+        if ue is None or oe is None:
+            return None
+        extra = {"ue": ue, "oe": oe}
+        perms = _string_after(dict_body, b"Perms")
+        if perms is not None:
+            extra["perms"] = perms
+    elif v == 4 and r == 4:
         m = _CFM_RE.search(dict_body)
         name = m.group(1) if m else b""
         if name == b"AESV2":
@@ -245,6 +328,7 @@ def parse_standard_encrypt_dict(dict_body: bytes) -> dict | None:
         "u": u,
         "cfm": cfm,
         "encrypt_metadata": not _ENCRYPT_META_FALSE_RE.search(dict_body),
+        **extra,
     }
 
 
@@ -364,14 +448,15 @@ def find_encrypt(data: bytes) -> tuple[int, bytes, bytes] | None:
 
 def decrypt_pdf_bytes(data: bytes) -> bytes | None:
     """Decrypted copy of a standard-security PDF openable with the empty
-    user password — RC4 (V 1/2, R 2/3, and V 4 /V2 crypt filter) or AESV2
-    (V 4 R 4) — else None (wrong password, AESV3+, damaged /Encrypt).
+    user password — RC4 (V 1/2, R 2/3, and V 4 /V2 crypt filter), AESV2
+    (V 4 R 4) or AESV3/AES-256 (V 5 R 5/6) — else None (wrong password,
+    damaged /Encrypt, unknown handler).
 
     RC4 decrypts streams IN PLACE (length-preserving: xref stays exact).
-    AESV2 strips each stream's IV + padding, so lengths change: the file is
-    REBUILT with patched /Length entries and its ``startxref`` neutered —
-    the parser's flat-scan fallback (which also expands visible /ObjStm
-    members) then parses the plaintext objects."""
+    AESV2/AESV3 strip each stream's IV + padding, so lengths change: the
+    file is REBUILT with patched /Length entries and its ``startxref``
+    neutered — the parser's flat-scan fallback (which also expands visible
+    /ObjStm members) then parses the plaintext objects."""
     found = find_encrypt(data)
     if found is None:
         return None
@@ -379,6 +464,26 @@ def decrypt_pdf_bytes(data: bytes) -> bytes | None:
     params = parse_standard_encrypt_dict(enc_body)
     if params is None:
         return None
+    from pdf_extractor_spark.core.aes import cbc_decrypt
+
+    if params["cfm"] == "aesv3":
+        fkey32 = verify_empty_user_password_v5(
+            params["u"], params["ue"], params["r"]
+        )
+        if fkey32 is None or len(fkey32) != 32:
+            return None
+        if "perms" in params and not check_perms_v5(
+            params["perms"], fkey32, params["p"], params["encrypt_metadata"]
+        ):
+            return None
+
+        def dec3(onum: int, ogen: int, raw: bytes) -> bytes | None:
+            if onum == num:
+                return None
+            return cbc_decrypt(fkey32, raw)  # V5: the FILE key, no per-object key
+
+        return _rebuild_streams(data, dec3).replace(b"startxref", b"%stxref%")
+
     fkey = verify_empty_user_password(
         params["o"], params["u"], params["p"], id0, params["r"],
         params["length"], params["encrypt_metadata"],
@@ -387,8 +492,6 @@ def decrypt_pdf_bytes(data: bytes) -> bytes | None:
         return None
     if params["cfm"] == "rc4":
         return _transform_streams(data, fkey, frozenset([num]))
-
-    from pdf_extractor_spark.core.aes import cbc_decrypt
 
     def dec(onum: int, ogen: int, raw: bytes) -> bytes | None:
         if onum == num:
@@ -425,9 +528,36 @@ def make_encrypt_entries(
     return o, u, fkey
 
 
+def make_encrypt_entries_v5(
+    p: int, id0: bytes, r: int = 6, owner_pwd: bytes = b"owner",
+    encrypt_metadata: bool = True, user_pwd: bytes = b"",
+) -> tuple[bytes, bytes, bytes, bytes, bytes, bytes]:
+    """(O, U, OE, UE, Perms, file_key) for the V5 handler (Algorithms
+    8/9/10 writer side), deterministic salts derived from id0 so fixtures
+    are reproducible. ``user_pwd`` lets tests write a file the empty
+    password must NOT open."""
+    fkey = hashlib.sha256(b"v5-filekey:" + id0).digest()
+    vsalt = hashlib.sha256(b"v5-vs:" + id0).digest()[:8]
+    ksalt = hashlib.sha256(b"v5-ks:" + id0).digest()[:8]
+    ovsalt = hashlib.sha256(b"v5-ovs:" + id0).digest()[:8]
+    oksalt = hashlib.sha256(b"v5-oks:" + id0).digest()[:8]
+    u = hash_r6(user_pwd, vsalt, b"", r) + vsalt + ksalt
+    ue = _cbc_raw(hash_r6(user_pwd, ksalt, b"", r), b"\x00" * 16, fkey, enc=True)
+    o = hash_r6(owner_pwd, ovsalt, u, r) + ovsalt + oksalt
+    oe = _cbc_raw(hash_r6(owner_pwd, oksalt, u, r), b"\x00" * 16, fkey, enc=True)
+    from pdf_extractor_spark.core.aes import encrypt_block
+
+    blk = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F") + b"adb" + b"fix!"
+    )
+    perms = encrypt_block(fkey, blk)
+    return o, u, oe, ue, perms, fkey
+
+
 def encrypt_pdf_bytes(
     data: bytes, r: int = 2, length_bits: int = 40, p: int = -1, cfm: str = "rc4",
-    encrypt_metadata: bool = True,
+    encrypt_metadata: bool = True, user_pwd: bytes = b"",
 ) -> bytes:
     """Encrypt a classic-layout (``trailer`` present) PDF with the standard
     security handler, empty user password — the test-fixture writer that
@@ -439,12 +569,22 @@ def encrypt_pdf_bytes(
     object scan) and /Encrypt + /ID are spliced into the trailer dict."""
     if not _TRAILER_BODY_RE.search(data):
         raise ValueError("encrypt_pdf_bytes needs a classic trailer layout")
-    if cfm in ("aesv2", "v2"):  # crypt-filter framing forces V 4 / R 4
+    if cfm == "aesv3":  # AES-256 forces V 5, R 5 or 6
+        if r not in (5, 6):
+            r = 6
+        length_bits = 256
+    elif cfm in ("aesv2", "v2"):  # crypt-filter framing forces V 4 / R 4
         r, length_bits = 4, 128
     id0 = hashlib.md5(data[:1024]).digest()
-    o, u, fkey = make_encrypt_entries(
-        p, id0, r=r, length_bits=length_bits, encrypt_metadata=encrypt_metadata
-    )
+    oe = ue = perms = None
+    if cfm == "aesv3":
+        o, u, oe, ue, perms, fkey = make_encrypt_entries_v5(
+            p, id0, r=r, encrypt_metadata=encrypt_metadata, user_pwd=user_pwd
+        )
+    else:
+        o, u, fkey = make_encrypt_entries(
+            p, id0, r=r, length_bits=length_bits, encrypt_metadata=encrypt_metadata
+        )
     enc_num = max(
         (int(m.group(1)) for m in _OBJ_GEN_RE.finditer(data)), default=0
     ) + 1
@@ -461,6 +601,28 @@ def encrypt_pdf_bytes(
     for off in reversed(opens):
         ba[off:off] = b" " + splice
     spliced = bytes(ba)
+    if cfm == "aesv3":
+        from pdf_extractor_spark.core.aes import cbc_encrypt
+
+        def enc3(onum: int, ogen: int, raw: bytes) -> bytes:
+            iv = hashlib.md5(b"iv:%d:%d" % (onum, ogen)).digest()  # deterministic fixture IV
+            return cbc_encrypt(fkey, iv, raw)  # V5: file key directly
+
+        result = _rebuild_streams(spliced, enc3)
+        cf = (
+            b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        )
+        return result + (
+            b"\n" + str(enc_num).encode() + b" 0 obj\n<< /Filter /Standard /V 5 /R "
+            + str(r).encode() + cf
+            + (b"" if encrypt_metadata else b" /EncryptMetadata false")
+            + b" /Length 256 /P " + str(p).encode()
+            + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> /OE <" + oe.hex().encode() + b"> /UE <" + ue.hex().encode()
+            + b"> /Perms <" + perms.hex().encode()
+            + b"> >>\nendobj\n"
+        )
     if cfm == "aesv2":
         from pdf_extractor_spark.core.aes import cbc_encrypt
 

@@ -142,12 +142,94 @@ def test_aesv2_parse_masks_cf_sub_dict_length():
     assert params and params["cfm"] == "aesv2" and params["length"] == 128
 
 
-def test_aesv3_declared_fails_cleanly():
+def test_aesv3_declared_without_v5_entries_fails_cleanly():
+    """A dict claiming V 5 / R 6 but missing /UE//OE (here: an AESV2 file
+    relabeled) is malformed — parse rejects, extraction fails clean."""
     plain = render_pdf(PAGES)
     enc = pc.encrypt_pdf_bytes(plain, cfm="aesv2")
     bad = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(b"/CFM /AESV2", b"/CFM /AESV3")
     assert pc.decrypt_pdf_bytes(bad) is None
     assert extract_pdf("u", bad).status == "failed"
+
+
+# --- AESV3 / AES-256 (V 5, R 5 and R 6) ----------------------------------------
+
+
+def test_aes_ttable_parity_and_fips_vectors():
+    """T-table fast path == byte-wise spec path == FIPS-197 Appendix C."""
+    import random
+
+    from pdf_extractor_spark.core import aes as A
+
+    key256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert A.encrypt_block_fast(key256, pt) == bytes.fromhex(
+        "8ea2b7ca516745bfeafc49904b496089"
+    )
+    rng = random.Random(11)
+    for _ in range(30):
+        k = bytes(rng.randrange(256) for _ in range(rng.choice([16, 24, 32])))
+        b = bytes(rng.randrange(256) for _ in range(16))
+        assert A.encrypt_block_fast(k, b) == A.encrypt_block(k, b)
+        assert A.decrypt_block_fast(k, b) == A.decrypt_block(k, b)
+    data = bytes(rng.randrange(256) for _ in range(160))
+    iv = bytes(range(16))
+    assert A.cbc_decrypt_fast(key256, iv, A.cbc_encrypt_fast(key256, iv, data)) == data
+
+
+def test_hash_r6_r5_is_single_sha256():
+    import hashlib
+
+    assert pc.hash_r6(b"", b"saltsalt", b"", 5) == hashlib.sha256(b"saltsalt").digest()
+    assert (
+        pc.hash_r6(b"pw", b"12345678", b"u" * 48, 5)
+        == hashlib.sha256(b"pw" + b"12345678" + b"u" * 48).digest()
+    )
+
+
+def test_hash_r6_algorithm_2b_properties():
+    """Algorithm 2.B: 32 bytes, deterministic, differs from the R5 hash and
+    between passwords/salts (the loop actually ran)."""
+    a = pc.hash_r6(b"", b"saltsalt", b"", 6)
+    assert len(a) == 32 and a == pc.hash_r6(b"", b"saltsalt", b"", 6)
+    assert a != pc.hash_r6(b"", b"saltsalt", b"", 5)
+    assert a != pc.hash_r6(b"", b"SALTSALT", b"", 6)
+    assert a != pc.hash_r6(b"x", b"saltsalt", b"", 6)
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aesv3_roundtrip_extracts(r):
+    plain = render_pdf(PAGES)
+    want = extract_pdf("u", plain)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv3", r=r)
+    assert b"/V 5" in enc and f"/R {r}".encode() in enc and b"/CFM /AESV3" in enc
+    assert extract_pdf("u", enc).text == want.text
+    # compressed content streams compose with AES-256
+    encc = pc.encrypt_pdf_bytes(render_pdf(PAGES, compress=True), cfm="aesv3", r=r)
+    assert extract_pdf("u", encc).text == want.text
+
+
+def test_aesv3_wrong_password_and_tampering_fail_clean():
+    import re
+
+    plain = render_pdf(PAGES)
+    locked = pc.encrypt_pdf_bytes(plain, cfm="aesv3", r=6, user_pwd=b"secret")
+    assert pc.decrypt_pdf_bytes(locked) is None
+    assert extract_pdf("u", locked).status == "failed"
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv3", r=6)
+    perms = re.search(rb"/Perms <([0-9a-f]+)>", enc).group(1)
+    assert extract_pdf("u", enc.replace(perms, b"00" * 16)).status == "failed"
+    u = re.search(rb"/U <([0-9a-f]+)>", enc).group(1)
+    assert extract_pdf("u", enc.replace(u, b"11" * 48)).status == "failed"
+
+
+def test_aesv3_encrypt_metadata_false():
+    plain = render_pdf(PAGES)
+    enc = pc.encrypt_pdf_bytes(plain, cfm="aesv3", r=6, encrypt_metadata=False)
+    assert b"/EncryptMetadata false" in enc
+    assert extract_pdf("u", enc).text == extract_pdf("u", plain).text
 
 
 def test_v4_rc4_crypt_filter_roundtrip():
