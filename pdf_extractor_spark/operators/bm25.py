@@ -94,3 +94,161 @@ def bm25_topk(
         .limit(k)
     )
     return _attach_caches(out, postings)
+
+
+# --- persisted index (warehouse path) -------------------------------------------
+#
+# bm25_topk rebuilds the index per call — fine for a test corpus, wrong at
+# warehouse scale. The persisted path writes the three index relations ONCE
+# through SnapshotTable (sources/tableio.py: snapshot isolation, lineage,
+# resume) and answers queries from them with NO corpus scan:
+#
+#   postings  partitioned by a term-HASH BUCKET (hive dirs): per-term hive
+#             partitions would explode to vocabulary size, so terms bucket
+#             by md5 — a query's few terms prune to their few buckets
+#             (partition pruning IS the index lookup)
+#   term_df   same bucketing (vocabulary-sized, usually broadcastable)
+#   doc_len   by document id
+#   stats     one row (N, avgdl) — frozen at build so query cost never
+#             includes a corpus-sized aggregate
+#
+# Incremental maintenance (bm25_append_docs): new docs' postings/lengths
+# APPEND; term_df rows for touched terms and the stats row MERGE (upsert).
+
+N_TERM_BUCKETS = 16
+
+
+def _term_bucket_col(term_col="term", n: int = N_TERM_BUCKETS):
+    # md5-prefix bucket: computable identically Spark-side and driver-side
+    # (query terms are a handful of python strings at plan time)
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(term_col)), 1, 8), 16, 10).cast("long"),
+        F.lit(n),
+    ).cast("int")
+
+
+def _term_bucket_py(term: str, n: int = N_TERM_BUCKETS) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n
+
+
+def bm25_write_index(
+    spark, docs: DataFrame, root: str, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build the inverted index from ``docs`` and persist it under ``root``
+    as four SnapshotTables. One corpus scan total (postings cached through
+    its three consumers)."""
+    import os
+
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    postings, term_df, doc_len = bm25_index(docs, text_col, id_col)
+    postings = postings.withColumn("bucket", _term_bucket_col()).persist()
+    lineage = {"op": "bm25_write_index"}
+    SnapshotTable(os.path.join(root, "postings")).append(
+        postings, lineage=lineage, partition_cols=("bucket",)
+    )
+    SnapshotTable(os.path.join(root, "term_df")).append(
+        term_df.withColumn("bucket", _term_bucket_col()),
+        lineage=lineage, partition_cols=("bucket",),
+    )
+    SnapshotTable(os.path.join(root, "doc_len")).append(doc_len, lineage=lineage)
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("stats_key", F.lit(1))
+    SnapshotTable(os.path.join(root, "stats")).append(stats, lineage=lineage)
+    postings.unpersist()
+
+
+def bm25_append_docs(
+    spark, new_docs: DataFrame, root: str, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental maintenance: append the new docs' postings and lengths,
+    MERGE the df counts of touched terms, and refresh the stats row — the
+    per-crawl-batch operation, touching only new data plus the (small)
+    term_df rows it collides with."""
+    import os
+
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    postings, new_df, doc_len = bm25_index(new_docs, text_col, id_col)
+    postings = postings.withColumn("bucket", _term_bucket_col()).persist()
+    lineage = {"op": "bm25_append_docs"}
+    SnapshotTable(os.path.join(root, "postings")).append(
+        postings, lineage=lineage, partition_cols=("bucket",)
+    )
+    t_len = SnapshotTable(os.path.join(root, "doc_len"))
+    t_len.append(doc_len, lineage=lineage)
+    # term_df merge: old + new counts for touched terms only
+    t_df = SnapshotTable(os.path.join(root, "term_df"))
+    old = t_df.read(spark).drop("bucket")
+    merged = (
+        new_df.withColumnRenamed("df", "df_new")
+        .join(old, "term", "left")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("df_new")).alias("df"),
+        )
+        .withColumn("bucket", _term_bucket_col())
+    )
+    t_df.upsert(spark, merged, key_cols=("term",), lineage=lineage)
+    stats = (
+        t_len.read(spark)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .withColumn("stats_key", F.lit(1))
+    )
+    SnapshotTable(os.path.join(root, "stats")).upsert(
+        spark, stats, key_cols=("stats_key",), lineage=lineage
+    )
+    postings.unpersist()
+
+
+def bm25_topk_indexed(
+    spark, root: str, query: str, k: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k by BM25 answered entirely from the persisted index — the plan
+    scans only index parquet (bucket partition pruning narrows postings and
+    term_df to the query terms' buckets); the corpus is never touched and
+    no corpus-sized aggregate runs (stats are frozen at build)."""
+    import os
+
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    terms = sorted({t for t in query.lower().split() if t})
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    srow = SnapshotTable(os.path.join(root, "stats")).read(spark).collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"] or 1.0)
+
+    postings = (
+        SnapshotTable(os.path.join(root, "postings"))
+        .read(spark)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    term_df = (
+        SnapshotTable(os.path.join(root, "term_df"))
+        .read(spark)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .drop("bucket")
+    )
+    doc_len = SnapshotTable(os.path.join(root, "doc_len")).read(spark)
+    hits = postings.join(F.broadcast(term_df), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = hits.join(doc_len, id_col).select(
+        F.col(id_col),
+        (
+            idf
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+        ).alias("part"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

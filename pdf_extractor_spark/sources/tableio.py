@@ -375,7 +375,19 @@ class SnapshotTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        try:
+            return reader.parquet(*paths)
+        except Exception:
+            # hive-partitioned runs (append(partition_cols=...)) can't share
+            # one multi-path read (CONFLICTING_DIRECTORY_STRUCTURES: each run
+            # dir is its own partition root) — union per-run reads instead;
+            # partition columns still materialize from each run's dir names
+            # and partition pruning still applies per scan
+            dfs = [reader.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=merge_schema)
+            return out
 
     def read_changes(self, spark: SparkSession, since_snapshot_id: int) -> DataFrame | None:
         """Incremental read (Iceberg incremental consumption): rows of runs

@@ -56,3 +56,63 @@ def test_rrf_fuse_combines_and_breaks_ties_by_id(spark):
     assert abs(by_id[1] - round(1 / 61, 6)) < 1e-9
     ids = [r["doc_id"] for r in rows]
     assert ids.index(1) < ids.index(4)
+
+
+# --- persisted index path -------------------------------------------------------
+
+
+def test_bm25_indexed_equals_from_scratch(spark, tmp_path):
+    from pdf_extractor_spark.operators.bm25 import (
+        bm25_topk, bm25_topk_indexed, bm25_write_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join merge shuffle join"),
+            (2, "vector search cosine topk"),
+            (3, "join vector merge table"),
+            (4, "plain text about nothing relevant"),
+            (5, "merge join vector vector vector"),
+        ],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "bm25")
+    bm25_write_index(spark, docs, root)
+    q = "join merge vector"
+    want = [(r["doc_id"], r["score"]) for r in bm25_topk(docs, q, k=4).collect()]
+    got_df = bm25_topk_indexed(spark, root, q, k=4)
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert got == want
+    # plan scans ONLY index parquet: no in-memory corpus scan, and the
+    # postings read is narrowed by the bucket partition filter
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "bm25" in plan  # parquet locations under the index root
+
+
+def test_bm25_incremental_append_matches_full_rebuild(spark, tmp_path):
+    from pdf_extractor_spark.operators.bm25 import (
+        bm25_append_docs, bm25_topk, bm25_topk_indexed, bm25_write_index,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha join beta"), (2, "gamma join join delta"), (3, "plain words")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(4, "join epsilon alpha alpha"), (5, "zeta join")],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "bm25inc")
+    bm25_write_index(spark, a, root)
+    bm25_append_docs(spark, b, root)
+    q = "alpha join"
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(a.unionByName(b), q, k=5).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_indexed(spark, root, q, k=5).collect()
+    ]
+    assert got == want
