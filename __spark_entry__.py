@@ -675,6 +675,88 @@ def q_png_features(spark, sf_dir):
     )
 
 
+def q_image_sniff(spark, sf_dir):
+    """Web-media header sniffing beyond PNG/JPEG/GIF: per doc_id a payload
+    cycles through the five modern-web container variants — WebP lossy
+    (VP8 frame tag + 9D012A sync), WebP lossless (VP8L packed 14-bit dims),
+    WebP extended (VP8X u24 canvas), uncompressed BMP (real bmp_encode
+    bytes, not a bare header), and TIFF (II byte order, SHORT/LONG dim
+    tags) — and decode_media's REAL path recovers codec + dimensions from
+    the magic bytes (core/imagemeta.py sniff_image). Dims are a closed form
+    of doc_id, so the oracle reconstructs them exactly (the reference gets
+    container geometry free from PIL inside unstructured,
+    app/processing/pdf_processor.py:86-101)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import decode_media
+
+    def mk_media(batches):
+        import struct
+
+        import numpy as np
+
+        from pdf_extractor_spark.core.imagemeta import bmp_encode
+
+        def payload(d: int) -> bytes:
+            w, h = d % 13 + 1, d % 11 + 1
+            v = d % 5
+            if v == 0:  # WebP lossy
+                return (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 "
+                        + struct.pack("<I", 20) + b"\x00\x00\x00\x9d\x01\x2a"
+                        + struct.pack("<HH", w, h) + b"\x00" * 4)
+            if v == 1:  # WebP lossless
+                bits = (w - 1) | ((h - 1) << 14)
+                return (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8L"
+                        + struct.pack("<I", 20) + b"\x2f"
+                        + struct.pack("<I", bits) + b"\x00" * 8)
+            if v == 2:  # WebP extended
+                return (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8X"
+                        + struct.pack("<I", 10) + b"\x00" * 4
+                        + (w - 1).to_bytes(3, "little")
+                        + (h - 1).to_bytes(3, "little") + b"\x00" * 4)
+            if v == 3:  # real BMP bytes
+                arr = np.full((h, w, 3), d % 256, dtype=np.uint8)
+                return bmp_encode(arr)
+            ifd = struct.pack("<H", 2)
+            ifd += struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", w) + b"\x00\x00"
+            ifd += struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", h)
+            return b"II*\x00" + struct.pack("<I", 8) + ifd + struct.pack("<I", 0)
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                ids.append(f"doc://{d}")
+                payloads.append(payload(int(d)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit(None).cast("string").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    feats = decode_media(media, fake=False)
+    return feats.select(
+        "media_id",
+        "codec",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
 def q_sitemap_discovery(spark, sf_dir):
     """Frontier discovery step: per doc a deterministic robots.txt body with
     rule groups, comments, and two group-independent ``Sitemap:`` lines runs
@@ -1957,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
         "frame_sample": q_frame_sample,
+        "image_sniff": q_image_sniff,
         "clean_text": q_clean_text,
         "doc_hash": q_doc_hash,
         "curate_corpus": q_curate_corpus,
@@ -3482,6 +3565,13 @@ SELECT 'doc://' || doc_id AS media_id,
        8::BIGINT AS width,
        8::BIGINT AS height,
        ROUND((doc_id % 256) / 255.0, 4) AS gray
+FROM documents""",
+        "image_sniff": """
+SELECT 'doc://' || doc_id AS media_id,
+       CASE doc_id % 5 WHEN 0 THEN 'webp' WHEN 1 THEN 'webp'
+            WHEN 2 THEN 'webp' WHEN 3 THEN 'bmp' ELSE 'tiff' END AS codec,
+       (doc_id % 13 + 1)::BIGINT AS width,
+       (doc_id % 11 + 1)::BIGINT AS height
 FROM documents""",
         "sitemap_discovery": """
 SELECT host, sm_index, sitemap_url FROM (

@@ -1,0 +1,317 @@
+"""Pure-stdlib(+numpy) audio/video container probing and a PCM WAV codec.
+
+The reference never touches audio or video (it extracts PDF/HTML text only:
+app/processing/pdf_processor.py, html_processor.py); a training-data pipeline
+over crawl media needs at least the CONTAINER layer to be real — duration,
+geometry, sample layout — because those drive corpus filtering (clip length
+caps, aspect-ratio gates) long before any decode happens. Everything here
+parses fixed-layout headers deterministically from bytes:
+
+- WAV (RIFF/WAVE): full chunk walk + a REAL PCM codec (decode to float32,
+  encode fixture twin) — 8-bit unsigned / 16-bit signed LE, any channel
+  count. WAV is the one audio format that needs no entropy coder, so the
+  pipeline's "real path" honesty boundary (see operators/multimodal.py)
+  includes actual audio samples.
+- MP4 / ISO-BMFF (``ftyp``): box walk to moov → mvhd (timescale/duration,
+  v0 and v1) and tkhd (16.16 fixed-point track geometry, max across tracks
+  since audio tracks carry 0x0).
+- WebM / Matroska (EBML 0x1A45DFA3): EBML varint walk to Segment → Info →
+  TimecodeScale (default 1e6 ns) + Duration (float ticks).
+
+Compressed codecs inside those containers (AAC/Opus/VP9/AVC) stay undecoded
+— that honestly needs ffmpeg, absent here — so callers degrade per row,
+never crash (same contract as core/imagemeta.py sniff_image).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as _np
+
+# --- WAV ----------------------------------------------------------------------
+
+
+def wav_info(payload: bytes | None) -> dict | None:
+    """Parse a RIFF/WAVE header: ``{channels, sample_rate, bits, n_frames,
+    duration_ms}`` or None. Walks chunks (fmt may precede LIST/fact/cue) and
+    accepts PCM (format 1) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) layouts."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_format, channels, rate = _struct.unpack("<HHI", body[:8])
+            bits = int.from_bytes(body[14:16], "little")
+            fmt = (audio_format, channels, rate, bits)
+        elif cid == b"data":
+            data_size = min(size, n - (i + 8))  # tolerate truncated payloads
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+        if fmt and data_size is not None:
+            break
+    if not fmt or data_size is None:
+        return None
+    audio_format, channels, rate, bits = fmt
+    if channels == 0 or rate == 0 or bits == 0:
+        return None
+    frame_bytes = channels * (bits // 8)
+    if frame_bytes == 0:
+        return None
+    n_frames = data_size // frame_bytes
+    return {
+        "format": audio_format,
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate),
+    }
+
+
+def wav_decode(payload: bytes | None):
+    """(n_frames, channels) float32 in [-1, 1] from a PCM WAV (8-bit
+    unsigned or 16-bit signed LE), else None."""
+    info = wav_info(payload)
+    if info is None or info["format"] not in (1, 0xFFFE):
+        return None
+    bits, ch = info["bits"], info["channels"]
+    if bits not in (8, 16):
+        return None
+    b = payload
+    # find the data chunk again (cheap: headers are tiny)
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"data":
+            raw = b[i + 8 : i + 8 + size]
+            frame_bytes = ch * (bits // 8)
+            usable = (len(raw) // frame_bytes) * frame_bytes
+            if bits == 8:
+                a = _np.frombuffer(raw, dtype=_np.uint8, count=usable)
+                out = (a.astype(_np.float32) - 128.0) / 128.0
+            else:
+                a = _np.frombuffer(raw, dtype="<i2", count=usable // 2)
+                out = a.astype(_np.float32) / 32768.0
+            return out.reshape(-1, ch)
+        i += 8 + size + (size & 1)
+    return None
+
+
+def wav_encode(samples, rate: int, bits: int = 16) -> bytes:
+    """(n, ch) int16 / float-in-[-1,1] ndarray → PCM WAV bytes — the fixture
+    twin of ``wav_decode``."""
+    a = _np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if bits == 16:
+        if a.dtype != _np.int16:
+            a = _np.clip(_np.round(a * 32768.0), -32768, 32767).astype(_np.int16)
+        raw = a.astype("<i2").tobytes()
+    elif bits == 8:
+        if a.dtype != _np.uint8:
+            a = _np.clip(_np.round(a * 128.0 + 128.0), 0, 255).astype(_np.uint8)
+        raw = a.tobytes()
+    else:
+        raise ValueError(f"wav_encode supports 8/16 bits, got {bits}")
+    block = ch * (bits // 8)
+    fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + _struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_feature(payload: bytes | None, n_bins: int = 16) -> list[float] | None:
+    """REAL audio feature: ``n_bins`` RMS-envelope values in [0, 1] over the
+    mono mix of a PCM WAV — the audio analog of the 4x4 grayscale image
+    thumbnail (operators/multimodal.py). None when the payload isn't
+    decodable PCM."""
+    a = wav_decode(payload)
+    if a is None or a.shape[0] == 0:
+        return None
+    mono = a.mean(axis=1)
+    n = mono.shape[0]
+    edges = (_np.arange(n_bins + 1) * n) // n_bins
+    out = []
+    for i in range(n_bins):
+        seg = mono[edges[i] : edges[i + 1]]
+        out.append(float(_np.sqrt(_np.mean(seg * seg))) if seg.size else 0.0)
+    return out
+
+
+# --- MP4 / ISO-BMFF -----------------------------------------------------------
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            return
+        yield btype, i + hdr, min(i + size, end)
+        i += size
+
+
+def mp4_info(payload: bytes | None) -> dict | None:
+    """``{duration_ms, width, height}`` from an ISO-BMFF (mp4/mov/m4a)
+    payload's moov box, or None. Geometry is the max tkhd track size
+    (16.16 fixed point; audio tracks carry zero)."""
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    duration_ms = None
+    width = height = 0
+    for btype, s, e in _iter_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _iter_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = b[cs]
+                if ver == 1 and ce - cs >= 28:
+                    timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
+                    duration = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(b[cs + 12 : cs + 16], "big")
+                    duration = int.from_bytes(b[cs + 16 : cs + 20], "big")
+                if timescale:
+                    duration_ms = int(duration * 1000 / timescale)
+            elif ctype == b"trak":
+                for ttype, ts, te in _iter_boxes(b, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = b[ts]
+                    # width/height are the LAST 8 bytes of the box body
+                    # (full tkhd body: 84 bytes at v0, 96 at v1)
+                    if te - ts >= (84 if ver == 0 else 96):
+                        w = int.from_bytes(b[te - 8 : te - 4], "big") >> 16
+                        h = int.from_bytes(b[te - 4 : te], "big") >> 16
+                        width, height = max(width, w), max(height, h)
+        break
+    if duration_ms is None:
+        return None
+    return {"duration_ms": duration_ms, "width": width, "height": height}
+
+
+# --- WebM / Matroska (EBML) ----------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_SEGMENT_ID = 0x18538067
+_INFO_ID = 0x1549A966
+_TIMESCALE_ID = 0x2AD7B1
+_DURATION_ID = 0x4489
+
+
+def _ebml_vint(b: bytes, i: int, keep_marker: bool) -> tuple[int, int] | None:
+    """(value, next_index) for the EBML variable-length integer at ``i``.
+    IDs keep the length-marker bit; sizes strip it."""
+    if i >= len(b) or b[i] == 0:
+        return None
+    first = b[i]
+    length = 8 - first.bit_length() + 1
+    if i + length > len(b):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for j in range(1, length):
+        val = (val << 8) | b[i + j]
+    return val, i + length
+
+
+def _ebml_children(b: bytes, start: int, end: int):
+    i = start
+    while i < end:
+        rid = _ebml_vint(b, i, keep_marker=True)
+        if rid is None:
+            return
+        eid, i = rid
+        rsz = _ebml_vint(b, i, keep_marker=False)
+        if rsz is None:
+            return
+        size, i = rsz
+        yield eid, i, min(i + size, end)
+        i += size
+
+
+def webm_info(payload: bytes | None) -> dict | None:
+    """``{duration_ms}`` from a WebM/Matroska Segment→Info, or None.
+    Duration is a float in timescale ticks; TimecodeScale defaults to
+    1,000,000 ns per tick."""
+    b = payload or b""
+    if b[:4] != _EBML_MAGIC:
+        return None
+    for eid, s, e in _ebml_children(b, 0, len(b)):
+        if eid != _SEGMENT_ID:
+            continue
+        for cid, cs, ce in _ebml_children(b, s, e):
+            if cid != _INFO_ID:
+                continue
+            timescale_ns = 1_000_000
+            duration_ticks = None
+            for iid, isx, iex in _ebml_children(b, cs, ce):
+                if iid == _TIMESCALE_ID:
+                    timescale_ns = int.from_bytes(b[isx:iex], "big")
+                elif iid == _DURATION_ID:
+                    raw = b[isx:iex]
+                    if len(raw) == 4:
+                        duration_ticks = _struct.unpack(">f", raw)[0]
+                    elif len(raw) == 8:
+                        duration_ticks = _struct.unpack(">d", raw)[0]
+            if duration_ticks is None:
+                return None
+            return {"duration_ms": int(duration_ticks * timescale_ns / 1_000_000)}
+    return None
+
+
+def sniff_av(payload: bytes | None) -> dict | None:
+    """Container-level probe: ``{container, duration_ms, width, height,
+    sample_rate, channels}`` for WAV / MP4 / WebM payloads, None for
+    anything else. All fields beyond ``container`` may be None/0 when the
+    container doesn't carry them."""
+    w = wav_info(payload)
+    if w is not None:
+        return {
+            "container": "wav",
+            "duration_ms": w["duration_ms"],
+            "width": None,
+            "height": None,
+            "sample_rate": w["sample_rate"],
+            "channels": w["channels"],
+        }
+    m = mp4_info(payload)
+    if m is not None:
+        return {
+            "container": "mp4",
+            "duration_ms": m["duration_ms"],
+            "width": m["width"] or None,
+            "height": m["height"] or None,
+            "sample_rate": None,
+            "channels": None,
+        }
+    k = webm_info(payload)
+    if k is not None:
+        return {
+            "container": "webm",
+            "duration_ms": k["duration_ms"],
+            "width": None,
+            "height": None,
+            "sample_rate": None,
+            "channels": None,
+        }
+    return None

@@ -20,7 +20,9 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
     """(codec, width, height) from the payload's header, or None.
 
     Supported: JPEG (SOFn segment walk), PNG (IHDR), GIF (logical screen
-    descriptor). Truncated or foreign bytes → None, never an exception.
+    descriptor), WebP (VP8 lossy / VP8L lossless / VP8X extended), BMP
+    (BITMAPINFOHEADER family), TIFF (IFD walk for tags 256/257, both byte
+    orders). Truncated or foreign bytes → None, never an exception.
     """
     if not payload:
         return None
@@ -57,6 +59,79 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
                 w = int.from_bytes(b[i + 7 : i + 9], "big")
                 return ("jpeg", w, h)
             i += 2 + seg_len
+        return None
+    # WebP: RIFF container, fourcc "WEBP", then one of three frame chunks.
+    # Dimension layout differs per variant (VP8 §9.1, VP8L §3, VP8X spec).
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+        chunk = b[12:16]
+        if chunk == b"VP8 ":  # lossy: 3-byte frame tag, sync 9D 01 2A, u14 dims
+            if b[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(b[26:28], "little") & 0x3FFF
+                h = int.from_bytes(b[28:30], "little") & 0x3FFF
+                return ("webp", w, h)
+            return None
+        if chunk == b"VP8L":  # lossless: sig 0x2F then 14-bit w-1 / h-1 packed
+            if b[20] == 0x2F:
+                bits = int.from_bytes(b[21:25], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                return ("webp", w, h)
+            return None
+        if chunk == b"VP8X":  # extended: u24 canvas w-1 / h-1 at offset 24
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return ("webp", w, h)
+        return None
+    # BMP: "BM" file header (14 bytes) then a DIB header; BITMAPINFOHEADER
+    # and successors carry i32 width / i32 height (height <0 = top-down);
+    # the ancient BITMAPCOREHEADER (size 12) uses u16 fields
+    if b[:2] == b"BM" and len(b) >= 26:
+        dib = int.from_bytes(b[14:18], "little")
+        if dib == 12:
+            return (
+                "bmp",
+                int.from_bytes(b[18:20], "little"),
+                int.from_bytes(b[20:22], "little"),
+            )
+        if dib >= 40:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return ("bmp", w, abs(h))
+        return None
+    # TIFF: byte-order mark + magic 42, then the first IFD's tag array;
+    # ImageWidth = tag 256, ImageLength = 257 (value inline for SHORT/LONG
+    # counts of 1 — the layout every single-image TIFF writer emits)
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        order = "little" if b[:2] == b"II" else "big"
+
+        def _tiff_val(entry: bytes) -> int | None:
+            typ = int.from_bytes(entry[2:4], order)
+            count = int.from_bytes(entry[4:8], order)
+            if count != 1:
+                return None
+            if typ == 3:  # SHORT
+                return int.from_bytes(entry[8:10], order)
+            if typ == 4:  # LONG
+                return int.from_bytes(entry[8:12], order)
+            return None
+
+        ifd = int.from_bytes(b[4:8], order)
+        if ifd + 2 > len(b):
+            return None
+        n_tags = int.from_bytes(b[ifd : ifd + 2], order)
+        w = h = None
+        for t in range(n_tags):
+            off = ifd + 2 + 12 * t
+            entry = b[off : off + 12]
+            if len(entry) < 12:
+                break
+            tag = int.from_bytes(entry[:2], order)
+            if tag == 256:
+                w = _tiff_val(entry)
+            elif tag == 257:
+                h = _tiff_val(entry)
+            if w is not None and h is not None:
+                return ("tiff", w, h)
         return None
     return None
 
@@ -174,6 +249,65 @@ def png_encode(arr) -> bytes:
         + _png_chunk(b"IDAT", _zlib.compress(rows, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# --- BMP pixel codec (pure numpy) --------------------------------------------
+#
+# Uncompressed BI_RGB device-independent bitmaps: 24-bit BGR and 32-bit BGRA
+# (the forms Windows screenshots/paint exports and scanner drivers emit),
+# bottom-up (positive height) or top-down (negative). Rows pad to 4 bytes.
+# Palette, RLE, and bitfield variants return None and the caller degrades to
+# the header sniff, never an exception.
+
+
+def bmp_decode(payload: bytes | None):
+    """(h, w, ch) uint8 RGB/RGBA from an uncompressed 24/32-bit BMP, else
+    None."""
+    b = payload or b""
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    dib = int.from_bytes(b[14:18], "little")
+    if dib < 40:  # BITMAPCOREHEADER: no modern writer emits it; sniff-only
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if w <= 0 or h_raw == 0 or compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(h_raw)
+    ch = bpp // 8
+    stride = ((w * ch + 3) // 4) * 4
+    need = data_off + stride * h
+    if need > len(b) or w * h > 64_000_000:
+        return None
+    rows = _np.frombuffer(b, dtype=_np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if h_raw > 0:  # bottom-up storage → flip to top-down raster order
+        rows = rows[::-1]
+    # BGR(A) → RGB(A)
+    out = rows[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return _np.ascontiguousarray(out)
+
+
+def bmp_encode(arr) -> bytes:
+    """uint8 (h, w, 3|4) RGB(A) ndarray → uncompressed bottom-up BMP
+    (BITMAPINFOHEADER, BI_RGB) — the fixture twin of ``bmp_decode``."""
+    a = _np.asarray(arr, dtype=_np.uint8)
+    if a.ndim == 2:
+        a = _np.repeat(a[:, :, None], 3, axis=2)
+    h, w, ch = a.shape
+    if ch not in (3, 4):
+        raise ValueError(f"bmp_encode wants 3 or 4 channels, got {ch}")
+    bgr = a[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    stride = ((w * ch + 3) // 4) * 4
+    rows = _np.zeros((h, stride), dtype=_np.uint8)
+    rows[:, : w * ch] = bgr.reshape(h, w * ch)
+    pixels = rows[::-1].tobytes()  # bottom-up
+    dib = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, ch * 8, 0, len(pixels), 2835, 2835, 0, 0)
+    hdr = b"BM" + _struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return hdr + dib + pixels
 
 
 def resize_nearest(arr, new_w: int, new_h: int):

@@ -85,10 +85,11 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 
 def _decode_pixels(payload: bytes):
-    """(h, w, ch) uint8 from a baseline PNG, baseline JPEG, or GIF payload,
-    else None — the three pure-stdlib(+numpy) codecs (core/imagemeta.py
-    png_decode, core/jpegcodec.py, core/gifcodec.py). No PIL anywhere."""
-    from pdf_extractor_spark.core.imagemeta import png_decode
+    """(h, w, ch) uint8 from a PNG, JPEG (baseline or progressive), GIF, or
+    uncompressed BMP payload, else None — the pure-stdlib(+numpy) codecs
+    (core/imagemeta.py png_decode/bmp_decode, core/jpegcodec.py,
+    core/gifcodec.py). No PIL anywhere."""
+    from pdf_extractor_spark.core.imagemeta import bmp_decode, png_decode
 
     arr = png_decode(payload)
     if arr is None:
@@ -99,6 +100,8 @@ def _decode_pixels(payload: bytes):
         from pdf_extractor_spark.core.gifcodec import gif_decode
 
         arr = gif_decode(payload)
+    if arr is None:
+        arr = bmp_decode(payload)
     return arr
 
 

@@ -81,6 +81,29 @@ def main() -> None:
         q: round((lo["queries"][q] / hi["queries"][q]) / ratio, 3)
         for q in lo["queries"]
     }
+    # fixed-cost-corrected efficiency (r4 VERDICT #7): subtract each level's
+    # measured no-op Arrow floor — the per-query fixed session/planning/
+    # launch cost that does not parallelize BY CONSTRUCTION (Amdahl's serial
+    # term), so sub-second queries aren't graded on overhead they cannot
+    # shed. The floor is MEASURED (bench.py's noop_arrow draw), not assumed;
+    # both raw and corrected numbers are reported.
+    floor_lo = lo.get("noop_arrow_sec", 0.0)
+    floor_hi = hi.get("noop_arrow_sec", 0.0)
+
+    def _corr(t: float, floor: float) -> float:
+        return max(t - floor, 1e-3)
+
+    eff_q_corr = {
+        q: round(
+            (_corr(lo["queries"][q], floor_lo) / _corr(hi["queries"][q], floor_hi))
+            / ratio,
+            3,
+        )
+        for q in lo["queries"]
+    }
+    total_lo_corr = sum(_corr(lo["queries"][q], floor_lo) for q in lo["queries"])
+    total_hi_corr = sum(_corr(hi["queries"][q], floor_hi) for q in hi["queries"])
+    eff_total_corr = (total_lo_corr / total_hi_corr) / ratio
     result = {
         "sf_dir": sf_dir,
         "n_low": n_low,
@@ -89,7 +112,11 @@ def main() -> None:
         "high": hi,
         "scaling_efficiency_extract": round(eff_extract, 3),
         "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_total_corrected": round(eff_total_corr, 3),
         "scaling_efficiency_per_query": eff_q,
+        "scaling_efficiency_per_query_corrected": eff_q_corr,
+        "noop_floor_low_sec": floor_lo,
+        "noop_floor_high_sec": floor_hi,
         "target": 0.8,
         "pass": eff_extract >= 0.8,
     }
@@ -115,6 +142,16 @@ Same input at both parallelism levels (`local[{n_low}]` vs `local[{n_high}]`
 **Scaling efficiency (N → {int(ratio)}N): extraction = {result['scaling_efficiency_extract']},
 whole-bench = {result['scaling_efficiency_total']} (target ≥ 0.8 → {'PASS' if result['pass'] else 'FAIL'}).**
 
+Fixed-cost-corrected whole-bench efficiency =
+**{result['scaling_efficiency_total_corrected']}** — each query's wall time
+minus the MEASURED no-op Arrow floor at its level ({floor_lo} s at
+local[{n_low}], {floor_hi} s at local[{n_high}]): the per-query fixed
+session/planning/launch cost is Amdahl's serial term, identical work at both
+levels by construction, so subtracting it grades what parallelism can
+actually touch. Raw and corrected are both reported; the headline gate stays
+on the extraction stage, where compute dominates and no correction is
+needed.
+
 Methodology notes: best-of-k runs per level (this sandbox VM shows heavy
 steal-time noise — a no-op Arrow passthrough varies 4-46 s at local[32] with
 identical config while pure-Python multiprocessing scales at 0.75-0.85
@@ -138,11 +175,11 @@ Per-query seconds and N→{int(ratio)}N efficiency (eff = (t_low/t_high)/{int(ra
 short queries are overhead-bound — fixed per-query planning/session cost, not
 shuffle pathology — which is why the headline gate is the extraction stage):
 
-| query | local[{n_low}] (steal%) | local[{n_high}] (steal%) | efficiency |
-|---|---|---|---|
+| query | local[{n_low}] (steal%) | local[{n_high}] (steal%) | efficiency | corrected |
+|---|---|---|---|---|
 """ + "\n".join(
         f"| {q} | {lo['queries'][q]} ({lo['steal_pct'].get(q)}) "
-        f"| {hi['queries'][q]} ({hi['steal_pct'].get(q)}) | {eff_q[q]} |"
+        f"| {hi['queries'][q]} ({hi['steal_pct'].get(q)}) | {eff_q[q]} | {eff_q_corr[q]} |"
         for q in lo["queries"]
     ) + "\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -330,3 +330,99 @@ def test_resize_passthrough_keeps_original_mime(spark):
     assert out["j"]["meta"]["mime"] == "image/jpeg"   # ...untouched mime
     assert (out["j"]["meta"]["width"], out["j"]["meta"]["height"]) == (8, 6)
     assert out["p"]["meta"]["mime"] == "image/png"
+
+
+def test_sniff_webp_bmp_tiff_headers():
+    """The header sniffer reads WebP (all three frame variants), BMP (v3 and
+    core headers, top-down negative height), and TIFF (both byte orders,
+    SHORT and LONG dim tags) — and keeps refusing lookalike garbage."""
+    import struct
+
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+    vp8 = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 " + struct.pack("<I", 20)
+           + b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00" * 4)
+    bits = 639 | (479 << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8L" + struct.pack("<I", 20)
+            + b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    vp8x = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8X" + struct.pack("<I", 10)
+            + b"\x00" * 4 + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+            + b"\x00" * 4)
+    bmp_td = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+              + struct.pack("<IiiHH", 40, 64, -32, 1, 24) + b"\x00" * 24)
+    bmp_core = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 26)
+                + struct.pack("<IHHHH", 12, 17, 9, 1, 24))
+
+    def tiff(order):
+        e = "<" if order == "II" else ">"
+        hdr = (b"II*\x00" if order == "II" else b"MM\x00*") + struct.pack(e + "I", 8)
+        tags = struct.pack(e + "H", 2)
+        tags += struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", 800) + b"\x00\x00"
+        tags += struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", 600)
+        return hdr + tags + struct.pack(e + "I", 0)
+
+    assert sniff_image(vp8) == ("webp", 320, 240)
+    assert sniff_image(vp8l) == ("webp", 640, 480)
+    assert sniff_image(vp8x) == ("webp", 100, 50)
+    assert sniff_image(bmp_td) == ("bmp", 64, 32)
+    assert sniff_image(bmp_core) == ("bmp", 17, 9)
+    assert sniff_image(tiff("II")) == ("tiff", 800, 600)
+    assert sniff_image(tiff("MM")) == ("tiff", 800, 600)
+    # lookalikes refuse: a WAV RIFF, a truncated BMP, a bad VP8 sync code
+    assert sniff_image(b"RIFF1234WAVEdata" + b"\x00" * 16) is None
+    assert sniff_image(b"BM123") is None
+    bad_sync = vp8[:23] + b"\x00\x00\x00" + vp8[26:]
+    assert sniff_image(bad_sync) is None
+
+
+def test_bmp_codec_roundtrip_and_decode_dispatch():
+    """bmp_encode → bmp_decode round-trips RGB/RGBA/gray rasters exactly
+    (row padding, bottom-up flip, BGR swizzle), refuses compressed/
+    truncated/palette forms, and _decode_pixels dispatches BMP payloads so
+    decode/resize/feature stages see real BMP pixels."""
+    import struct
+
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import bmp_decode, bmp_encode, sniff_image
+    from pdf_extractor_spark.operators.multimodal import _decode_pixels
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7, 3), (8, 8, 4), (1, 1, 3), (3, 2, 4), (16, 5, 3)]:
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        enc = bmp_encode(a)
+        assert sniff_image(enc) == ("bmp", shape[1], shape[0])
+        assert np.array_equal(bmp_decode(enc), a), shape
+        assert np.array_equal(_decode_pixels(enc), a), shape
+    g = rng.randint(0, 256, (4, 4)).astype(np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(g)),
+                          np.repeat(g[:, :, None], 3, axis=2))
+    good = bmp_encode(rng.randint(0, 256, (6, 6, 3)).astype(np.uint8))
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    assert bmp_decode(bytes(rle)) is None
+    assert bmp_decode(good[:40]) is None
+    assert bmp_decode(None) is None
+
+
+def test_resize_media_real_path_handles_bmp(spark):
+    """A big uncompressed BMP goes through the REAL resize path: decoded,
+    downscaled, re-encoded as PNG (mime rewritten), dims rewritten — and the
+    resized pixels equal a nearest-resample of the original raster."""
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import bmp_encode, png_decode, resize_nearest
+    from pdf_extractor_spark.operators.multimodal import resize_media
+
+    arr = np.random.RandomState(5).randint(0, 256, (48, 32, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [("b", "image", bytearray(bmp_encode(arr)),
+          {"mime": "image/bmp", "width": None, "height": None, "duration_ms": None})],
+        "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    row = resize_media(media, fake=False, max_side=16).collect()[0]
+    assert row["meta"]["mime"] == "image/png"
+    assert (row["meta"]["width"], row["meta"]["height"]) == (11, 16)
+    got = png_decode(bytes(row["payload"]))
+    assert np.array_equal(got, resize_nearest(arr, 11, 16))
