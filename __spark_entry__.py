@@ -757,6 +757,152 @@ def q_image_sniff(spark, sf_dir):
     )
 
 
+def _mk_wav_payload(d: int):
+    """Deterministic PCM WAV fixture for doc ``d`` — closed-form metadata so
+    DuckDB oracles can reconstruct every probed/decoded field exactly:
+    rate = 1000*(d%8+1) Hz, channels = d%2+1, n_frames = 16*(d%20+1)*(d%8+1)
+    (divisible by n_bins=16 AND by rate/1000, so duration_ms = 16*(d%20+1)
+    exactly and every RMS-envelope bin covers a constant segment), constant
+    sample s = (d%100+1)*300 on all channels (→ every envelope bin = s/32768)."""
+    import numpy as np
+
+    from pdf_extractor_spark.core.avmedia import wav_encode
+
+    rate = 1000 * (d % 8 + 1)
+    ch = d % 2 + 1
+    n = 16 * (d % 20 + 1) * (d % 8 + 1)
+    s = (d % 100 + 1) * 300
+    return wav_encode(np.full((n, ch), s, dtype=np.int16), rate)
+
+
+def q_media_probe(spark, sf_dir):
+    """Unified media-container probe across ALL four payload families a crawl
+    corpus carries: PCM WAV (RIFF chunk walk), MP4/ISO-BMFF (box walk to
+    mvhd duration + tkhd 16.16 geometry), WebM/Matroska (EBML vint walk to
+    Segment→Info TimecodeScale×Duration), and PNG (IHDR) — each built
+    deterministically from doc_id so the oracle reconstructs container,
+    geometry, duration, sample layout, AND total byte size in closed form.
+    Exercises operators/multimodal.py probe_media → core/avmedia.py sniff_av
+    + core/imagemeta.py sniff_image. The reference never probes media at all
+    (payloads travel as opaque base64: app/processing/pdf_processor.py:157-187)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import probe_media
+
+    def mk_media(batches):
+        import struct
+
+        def payload(d: int) -> bytes:
+            v = d % 4
+            if v == 0:
+                return _mk_wav_payload(d)
+            if v == 1:  # MP4: ftyp + moov(mvhd v0 ts=1000 + trak/tkhd v0)
+                w, hgt = d % 640 + 16, d % 480 + 16
+                dur = d % 9999 + 1
+                mvhd_body = b"\x00" * 12 + struct.pack(">II", 1000, dur) + b"\x00" * 4
+                mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+                tk = bytearray(84)  # v0 tkhd body; w/h are the last 8 bytes
+                tk[-8:-4] = struct.pack(">I", w << 16)
+                tk[-4:] = struct.pack(">I", hgt << 16)
+                tkhd = struct.pack(">I", 8 + len(tk)) + b"tkhd" + bytes(tk)
+                trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+                moov = (struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov"
+                        + mvhd + trak)
+                return struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x00\x00" + moov
+            if v == 2:  # WebM: EBML header + Segment→Info(TimecodeScale, Duration)
+                ts_el = b"\x2a\xd7\xb1\x83" + (1_000_000).to_bytes(3, "big")
+                du_el = b"\x44\x89\x88" + struct.pack(">d", float(d % 5000 + 2))
+                info = b"\x15\x49\xa9\x66" + bytes([0x80 | (len(ts_el) + len(du_el))]) + ts_el + du_el
+                seg = b"\x18\x53\x80\x67" + bytes([0x80 | len(info)]) + info
+                return b"\x1a\x45\xdf\xa3\x80" + seg
+            w, hgt = d % 13 + 1, d % 11 + 1  # PNG signature + IHDR
+            ihdr = (struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, hgt)
+                    + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+            return b"\x89PNG\r\n\x1a\n" + ihdr
+
+        kinds = ("audio", "video", "video", "image")
+        for batch in batches:
+            ids, ks, payloads = [], [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                ks.append(kinds[d % 4])
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(ks, type=pa.string()),
+                 pa.array(payloads, type=pa.binary())],
+                names=["media_id", "kind", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, kind string, payload binary")
+    )
+    probed = probe_media(media)
+    return probed.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "container",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode through the oracle: every doc becomes a PCM WAV
+    (constant amplitude s on all channels, see _mk_wav_payload), audio_features
+    decodes the actual samples (core/avmedia.py wav_decode, pure numpy) and
+    emits a 16-bin RMS envelope of the mono mix; each bin is exploded and
+    re-quantized to the int16 grid (round(rms*32768) == s exactly — the bins
+    are constant segments, so RMS == amplitude up to one float32 ulp, far
+    inside the 0.5 rounding margin). The oracle reconstructs every row in
+    closed form. Audio has no reference counterpart (text-only pipeline);
+    part of the training-data-curation surface the graft adds."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import audio_features
+
+    def mk_media(batches):
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(_mk_wav_payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select("media_id", F.lit("audio").alias("kind"), "payload")
+    )
+    feats = audio_features(media, n_bins=16)
+    ex = feats.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.posexplode("envelope").alias("bin", "amp"),
+    )
+    return ex.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+        F.col("bin").cast("long").alias("bin"),
+        F.round(F.col("amp") * 32768).cast("long").alias("amp_q"),
+    )
+
+
 def q_sitemap_discovery(spark, sf_dir):
     """Frontier discovery step: per doc a deterministic robots.txt body with
     rule groups, comments, and two group-independent ``Sitemap:`` lines runs
@@ -2040,11 +2186,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_features": q_jpeg_features,
         "frame_sample": q_frame_sample,
         "image_sniff": q_image_sniff,
+        "media_probe": q_media_probe,
+        "audio_features": q_audio_features,
         "clean_text": q_clean_text,
         "doc_hash": q_doc_hash,
+        # --- banked green in earlier rounds' driver artifacts ---
+        # (curate_corpus / minhash_near_dups: green r04 rows, code untouched
+        #  this round — displaced below the 50-query cap by the two new
+        #  never-checked media queries above)
         "curate_corpus": q_curate_corpus,
         "minhash_near_dups": q_minhash_near_dups,
-        # --- banked green in earlier rounds' driver artifacts ---
         "simhash_near_dups": q_simhash_near_dups,
         "filter_project": q_filter_project,
         "anti_join_resume": q_anti_join_resume,
@@ -3573,6 +3724,39 @@ SELECT 'doc://' || doc_id AS media_id,
        (doc_id % 13 + 1)::BIGINT AS width,
        (doc_id % 11 + 1)::BIGINT AS height
 FROM documents""",
+        # WAV: 44-byte header + 2 bytes/sample; n_frames = 16*(d%20+1)*(d%8+1)
+        "media_probe": """
+SELECT 'doc://' || doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'audio' WHEN 3 THEN 'image'
+            ELSE 'video' END AS kind,
+       CASE doc_id % 4
+            WHEN 0 THEN (44 + 2 * (16 * (doc_id % 20 + 1) * (doc_id % 8 + 1))
+                              * (doc_id % 2 + 1))::BIGINT
+            WHEN 1 THEN 156::BIGINT
+            WHEN 2 THEN 33::BIGINT
+            ELSE 33::BIGINT END AS n_bytes,
+       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+            WHEN 2 THEN 'webm' ELSE 'png' END AS container,
+       CASE doc_id % 4 WHEN 1 THEN (doc_id % 640 + 16)::BIGINT
+            WHEN 3 THEN (doc_id % 13 + 1)::BIGINT ELSE NULL END AS width,
+       CASE doc_id % 4 WHEN 1 THEN (doc_id % 480 + 16)::BIGINT
+            WHEN 3 THEN (doc_id % 11 + 1)::BIGINT ELSE NULL END AS height,
+       CASE doc_id % 4 WHEN 0 THEN (16 * (doc_id % 20 + 1))::BIGINT
+            WHEN 1 THEN (doc_id % 9999 + 1)::BIGINT
+            WHEN 2 THEN (doc_id % 5000 + 2)::BIGINT ELSE NULL END AS duration_ms,
+       CASE doc_id % 4 WHEN 0 THEN (1000 * (doc_id % 8 + 1))::BIGINT
+            ELSE NULL END AS sample_rate,
+       CASE doc_id % 4 WHEN 0 THEN (doc_id % 2 + 1)::BIGINT
+            ELSE NULL END AS channels
+FROM documents""",
+        "audio_features": """
+SELECT 'doc://' || doc_id AS media_id,
+       (1000 * (doc_id % 8 + 1))::BIGINT AS sample_rate,
+       (doc_id % 2 + 1)::BIGINT AS channels,
+       (16 * (doc_id % 20 + 1))::BIGINT AS duration_ms,
+       b.bin::BIGINT AS bin,
+       ((doc_id % 100 + 1) * 300)::BIGINT AS amp_q
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b""",
         "sitemap_discovery": """
 SELECT host, sm_index, sitemap_url FROM (
   SELECT 'h' || doc_id || '.example' AS host, 0::BIGINT AS sm_index,

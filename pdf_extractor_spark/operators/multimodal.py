@@ -279,6 +279,128 @@ def resize_media(
     return imgs.mapInPandas(run, MEDIA_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        # image codec ("png"/"jpeg"/"gif"/"webp"/"bmp"/"tiff") or AV
+        # container ("wav"/"mp4"/"webm"); null when no header matches
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Unified container probe across image AND audio/video payloads.
+
+    The corpus-filtering front door of a multimodal pipeline: clip-length
+    caps, aspect-ratio gates, and sample-rate filters all need container
+    metadata long before any decode. Image headers go through
+    core/imagemeta.py ``sniff_image`` (PNG/JPEG/GIF/WebP/BMP/TIFF); audio
+    and video containers through core/avmedia.py ``sniff_av`` (RIFF/WAVE
+    chunk walk, ISO-BMFF box walk to mvhd/tkhd, Matroska EBML walk to
+    Segment→Info). All pure fixed-layout header parsing — deterministic,
+    no entropy decode, so the probe is cheap even on multi-GB payloads
+    (only the header bytes are touched; Spark still ships the full payload,
+    which is why this stage should run right after the scan, before any
+    shuffle). Unprobeable payloads keep the row with null metadata —
+    degrade-don't-crash, same contract as decode_media.
+
+    The reference never probes media at all (images travel as opaque
+    base64: app/processing/pdf_processor.py:157-187); this is part of the
+    training-data-pipeline surface the graft adds.
+    """
+    from pdf_extractor_spark.core.avmedia import sniff_av
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+    def _probe(b):
+        img = sniff_image(b)
+        if img is not None:
+            return (img[0], img[1], img[2], None, None, None)
+        av = sniff_av(b)
+        if av is not None:
+            return (
+                av["container"],
+                av["width"],
+                av["height"],
+                av["duration_ms"],
+                av["sample_rate"],
+                av["channels"],
+            )
+        return (None, None, None, None, None, None)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            probed = payloads.map(_probe)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
+                    "container": probed.map(lambda p: p[0]),
+                    "width": probed.map(lambda p: p[1]),
+                    "height": probed.map(lambda p: p[2]),
+                    "duration_ms": probed.map(lambda p: p[3]),
+                    "sample_rate": probed.map(lambda p: p[4]),
+                    "channels": probed.map(lambda p: p[5]),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, PROBE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        # n_bins RMS-envelope values in [0, 1] over the mono mix — the audio
+        # analog of decode_media's 4x4 grayscale thumbnail; null when the
+        # payload isn't decodable PCM WAV (compressed codecs need ffmpeg)
+        T.StructField("envelope", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """audio rows → REAL waveform features (decode + feature-extract).
+
+    PCM WAV payloads (8-bit unsigned / 16-bit signed LE, any channel
+    count) decode for real through core/avmedia.py ``wav_decode`` (pure
+    numpy — WAV needs no entropy coder, so actual audio samples sit inside
+    the pipeline's real-path honesty boundary) and emit an ``n_bins``-value
+    RMS envelope of the mono mix. Compressed audio (AAC/Opus/MP3) would
+    need ffmpeg, absent here: those rows keep container metadata from the
+    header probe but carry a null envelope — degrade-don't-crash.
+    """
+    from pdf_extractor_spark.core.avmedia import audio_feature, wav_info
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else None)
+            infos = payloads.map(wav_info)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": infos.map(lambda i: i["sample_rate"] if i else None),
+                    "channels": infos.map(lambda i: i["channels"] if i else None),
+                    "duration_ms": infos.map(lambda i: i["duration_ms"] if i else None),
+                    "envelope": payloads.map(lambda b: audio_feature(b, n_bins)),
+                }
+            )
+
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic synthetic media table from the documents fixture
     (text bytes as payload) — test/bench scaffolding, no external data."""

@@ -1,0 +1,252 @@
+"""Audio/video container probing + the real PCM WAV codec (core/avmedia.py)
+and their operator seams (probe_media / audio_features).
+
+The reference never touches audio or video (app/processing/ handles PDF and
+HTML only); these are part of the training-data-pipeline surface the graft
+adds, so the spec here is the public container formats themselves: RIFF/WAVE
+(multimedia programming interface spec), ISO-BMFF boxes (ISO 14496-12), and
+Matroska EBML (RFC 8794).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.avmedia import (
+    audio_feature,
+    mp4_info,
+    sniff_av,
+    wav_decode,
+    wav_encode,
+    wav_info,
+    webm_info,
+)
+
+# --- WAV -----------------------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.default_rng(7)
+    samples = (rng.random((480, 2), dtype=np.float64) * 2 - 1).astype(np.float32)
+    payload = wav_encode(samples, rate=8000, bits=16)
+    info = wav_info(payload)
+    assert info == {
+        "format": 1,
+        "channels": 2,
+        "sample_rate": 8000,
+        "bits": 16,
+        "n_frames": 480,
+        "duration_ms": 60,
+    }
+    decoded = wav_decode(payload)
+    assert decoded.shape == (480, 2)
+    # 16-bit quantization bound: 1/32768 per sample
+    assert np.max(np.abs(decoded - samples)) <= 1.0 / 32768 + 1e-7
+
+
+def test_wav_roundtrip_8bit_mono_exact_int_path():
+    samples = np.arange(256, dtype=np.uint8)  # already quantized: exact roundtrip
+    payload = wav_encode(samples, rate=16000, bits=8)
+    info = wav_info(payload)
+    assert (info["bits"], info["channels"], info["n_frames"]) == (8, 1, 256)
+    decoded = wav_decode(payload)
+    assert decoded.shape == (256, 1)
+    np.testing.assert_allclose(decoded[:, 0], (samples.astype(np.float32) - 128) / 128)
+
+
+def test_wav_chunk_walk_skips_list_and_odd_padding():
+    """fmt may be preceded by LIST/JUNK chunks; odd-sized chunks pad to even."""
+    body = wav_encode(np.zeros(10, dtype=np.int16), rate=8000, bits=16)
+    fmt_and_data = body[12:]
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # 3 bytes + pad
+    payload = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(fmt_and_data)) + b"WAVE"
+    payload += junk + fmt_and_data
+    info = wav_info(payload)
+    assert info is not None and info["n_frames"] == 10
+    assert wav_decode(payload).shape == (10, 1)
+
+
+def test_wav_rejects_foreign_and_truncated():
+    assert wav_info(b"") is None
+    assert wav_info(b"RIFFxxxxAVI ") is None
+    assert wav_info(b"\x89PNG\r\n\x1a\n") is None
+    ok = wav_encode(np.zeros(100, dtype=np.int16), rate=8000)
+    assert wav_info(ok[:20]) is None  # cut before the data chunk
+
+
+def test_audio_feature_constant_signal_rms_is_amplitude():
+    const = np.full((800, 2), 0.25, dtype=np.float32)
+    payload = wav_encode(const, rate=8000, bits=16)
+    env = audio_feature(payload, n_bins=4)
+    assert len(env) == 4
+    q = round(0.25 * 32768) / 32768  # quantized amplitude
+    for v in env:
+        assert abs(v - q) < 1e-6
+    assert audio_feature(b"not audio") is None
+
+
+# --- MP4 / ISO-BMFF --------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, timescale, duration)
+    else:
+        body = bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, timescale, duration)
+    return _box(b"mvhd", body + b"\x00" * 80)
+
+
+def _tkhd(width: int, height: int, version: int = 0) -> bytes:
+    head = bytes([version, 0, 0, 0])
+    pad = 80 if version == 0 else 92  # body is 84 (v0) / 96 (v1) incl. geometry
+    body = head + b"\x00" * (pad - 8) + struct.pack(">II", width << 16, height << 16)
+    return _box(b"tkhd", body)
+
+
+def test_mp4_v0_and_v1_headers():
+    for ver in (0, 1):
+        moov = _box(
+            b"moov",
+            _mvhd(1000, 5500, version=ver) + _box(b"trak", _tkhd(640, 360, version=ver)),
+        )
+        payload = _box(b"ftyp", b"isom\x00\x00\x02\x00isommp41") + moov
+        info = mp4_info(payload)
+        assert info == {"duration_ms": 5500, "width": 640, "height": 360}, ver
+
+
+def test_mp4_geometry_is_max_across_tracks():
+    """Audio tracks carry 0x0 geometry; the probe reports the video track."""
+    moov = _box(
+        b"moov",
+        _mvhd(600, 1200)
+        + _box(b"trak", _tkhd(0, 0))
+        + _box(b"trak", _tkhd(1920, 1080)),
+    )
+    payload = _box(b"ftyp", b"mp42") + moov
+    info = mp4_info(payload)
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["duration_ms"] == 2000
+
+
+def test_mp4_rejects_foreign():
+    assert mp4_info(b"") is None
+    assert mp4_info(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert mp4_info(_box(b"ftyp", b"mp42")) is None  # no moov → no duration
+
+
+# --- WebM / Matroska -------------------------------------------------------------
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    assert len(body) < 127
+    return id_bytes + bytes([0x80 | len(body)]) + body
+
+
+def _webm(duration_ticks: float, timescale_ns: int | None = None) -> bytes:
+    info_body = b""
+    if timescale_ns is not None:
+        info_body += _ebml(0x2AD7B1, timescale_ns.to_bytes(3, "big"))
+    info_body += _ebml(0x4489, struct.pack(">d", duration_ticks))
+    segment = _ebml(0x1549A966, info_body)
+    header = _ebml(0x1A45DFA3, b"")
+    return header + _ebml(0x18538067, segment)
+
+
+def test_webm_duration_default_and_custom_timescale():
+    assert webm_info(_webm(1500.0)) == {"duration_ms": 1500}
+    # 500000 ns/tick → 1500 ticks = 750 ms
+    assert webm_info(_webm(1500.0, timescale_ns=500_000)) == {"duration_ms": 750}
+    assert webm_info(b"") is None
+    assert webm_info(b"\x1a\x45\xdf\xa3") is None  # header, no Segment
+
+
+# --- dispatch ---------------------------------------------------------------------
+
+
+def test_sniff_av_dispatch():
+    wav = wav_encode(np.zeros(160, dtype=np.int16), rate=16000)
+    got = sniff_av(wav)
+    assert (got["container"], got["sample_rate"], got["channels"]) == ("wav", 16000, 1)
+    mp4 = _box(b"ftyp", b"mp42") + _box(
+        b"moov", _mvhd(1000, 3000) + _box(b"trak", _tkhd(320, 240))
+    )
+    got = sniff_av(mp4)
+    assert (got["container"], got["width"], got["height"], got["duration_ms"]) == (
+        "mp4",
+        320,
+        240,
+        3000,
+    )
+    assert sniff_av(_webm(2000.0))["container"] == "webm"
+    assert sniff_av(b"plain text") is None
+    assert sniff_av(None) is None
+
+
+# --- operator seams ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def av_media_df(spark):
+    wav = wav_encode(np.full((160, 1), 0.5, dtype=np.float32), rate=8000)
+    mp4 = _box(b"ftyp", b"mp42") + _box(
+        b"moov", _mvhd(1000, 4000) + _box(b"trak", _tkhd(640, 480))
+    )
+    webm = _webm(2500.0)
+    from pdf_extractor_spark.core.imagemeta import png_encode
+
+    png = png_encode(np.zeros((3, 5, 3), dtype=np.uint8))
+    rows = [
+        ("a-wav", "audio", bytearray(wav)),
+        ("a-mp4", "video", bytearray(mp4)),
+        ("a-webm", "video", bytearray(webm)),
+        ("a-png", "image", bytearray(png)),
+        ("a-none", "audio", bytearray(b"opus-ish bytes no header")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def test_probe_media_unified(av_media_df):
+    from pdf_extractor_spark.operators.multimodal import probe_media
+
+    rows = {r["media_id"]: r for r in probe_media(av_media_df).collect()}
+    assert set(rows) == {"a-wav", "a-mp4", "a-webm", "a-png", "a-none"}
+    assert rows["a-wav"]["container"] == "wav"
+    assert rows["a-wav"]["sample_rate"] == 8000
+    assert rows["a-wav"]["duration_ms"] == 20  # 160 frames @ 8 kHz
+    assert (rows["a-mp4"]["container"], rows["a-mp4"]["width"]) == ("mp4", 640)
+    assert rows["a-webm"]["duration_ms"] == 2500
+    assert (rows["a-png"]["container"], rows["a-png"]["width"]) == ("png", 5)
+    r = rows["a-none"]
+    assert r["container"] is None and r["duration_ms"] is None
+    assert r["n_bytes"] == len(b"opus-ish bytes no header")
+
+
+def test_audio_features_real_envelope(av_media_df):
+    from pdf_extractor_spark.operators.multimodal import audio_features
+
+    rows = {r["media_id"]: r for r in audio_features(av_media_df, n_bins=4).collect()}
+    # only kind == audio rows flow through
+    assert set(rows) == {"a-wav", "a-none"}
+    env = rows["a-wav"]["envelope"]
+    q = round(0.5 * 32768) / 32768
+    assert len(env) == 4 and all(abs(v - q) < 1e-6 for v in env)
+    assert rows["a-wav"]["sample_rate"] == 8000
+    assert rows["a-none"]["envelope"] is None
+    assert rows["a-none"]["sample_rate"] is None
