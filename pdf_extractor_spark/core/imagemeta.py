@@ -138,29 +138,99 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
 
 # --- PNG pixel codec (pure stdlib zlib + numpy) ------------------------------
 #
-# The sandbox has no PIL/ffmpeg, but baseline PNG is fully decodable with
-# zlib + the five spec scanline filters — so the media decode seam's "real
-# path" (operators/multimodal.py) produces ACTUAL pixels for PNG payloads,
-# not a stub. Supported: bit depth 8, gray / RGB / gray+alpha / RGBA,
-# non-interlaced (the shapes our own encoders emit and the dominant web
-# form). Everything else returns None and the caller degrades to
-# header-sniff-only, never an exception. Reference capability:
-# app/processing/pdf_processor.py:86-101 (pdfminer/PIL image handling).
+# The sandbox has no PIL/ffmpeg, but PNG is fully decodable with zlib + the
+# five spec scanline filters — so the media decode seam's "real path"
+# (operators/multimodal.py) produces ACTUAL pixels for PNG payloads, not a
+# stub. Supported: every legal IHDR combination — bit depths 1/2/4/8/16,
+# color types gray / RGB / palette (PLTE) / gray+alpha / RGBA, tRNS
+# transparency (palette alpha table and gray/RGB color-key), and Adam7
+# interlace. 16-bit samples downscale to 8 by taking the high byte (the
+# spec-sanctioned approximation); tRNS color-keys are compared at FULL
+# source depth before downscaling. Malformed payloads return None and the
+# caller degrades to header-sniff-only, never an exception. Reference
+# capability: app/processing/pdf_processor.py:86-101 (pdfminer/PIL image
+# handling).
 
 import struct as _struct
 import zlib as _zlib
 
 import numpy as _np
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # raw channels pre-palette
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Reverse the five spec scanline filters over ``h`` lines of ``stride``
+    bytes starting at ``raw[pos]`` (each line is 1 filter byte + data).
+    Returns ((h, stride) uint8 ndarray, next_pos) or None. ``bpp`` is the
+    filter's left-neighbor distance: max(1, channels * depth // 8)."""
+    if len(raw) < pos + h * (stride + 1):
+        return None
+    out = _np.empty((h, stride), dtype=_np.uint8)
+    prior = _np.zeros(stride, dtype=_np.uint8)
+    for y in range(h):
+        f = raw[pos]
+        rec = _np.frombuffer(raw, _np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:  # Up (uint8 + wraps mod 256 — exactly the spec)
+            rec += prior
+        elif f == 1:  # Sub == per-byte-lane cumulative sum along the row
+            for c in range(bpp):
+                _np.cumsum(rec[c::bpp], dtype=_np.uint8, out=rec[c::bpp])
+        elif f == 3:  # Average: left-sequential, scalar per byte
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(rec[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: left-sequential, scalar per byte
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(rec[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prior = rec
+    return out, pos
+
+
+def _png_samples(lines, w: int, ch: int, depth: int):
+    """(h, stride) filtered-byte rows → (h, w, ch) uint16 sample array at
+    SOURCE depth (1/2/4-bit values stay 0..2^d-1; 16-bit stays 0..65535)."""
+    h = lines.shape[0]
+    if depth == 8:
+        return lines[:, : w * ch].astype(_np.uint16).reshape(h, w, ch)
+    if depth == 16:
+        hi = lines[:, 0 : 2 * w * ch : 2].astype(_np.uint16)
+        lo = lines[:, 1 : 2 * w * ch : 2].astype(_np.uint16)
+        return ((hi << 8) | lo).reshape(h, w, ch)
+    # sub-byte: unpack bit-planes, group ``depth`` bits per sample, MSB first
+    bits = _np.unpackbits(lines, axis=1)
+    n_samples = w * ch  # per row, pad bits beyond this are dropped
+    bits = bits[:, : n_samples * depth].reshape(h, n_samples, depth)
+    weights = (1 << _np.arange(depth - 1, -1, -1)).astype(_np.uint16)
+    return (bits.astype(_np.uint16) @ weights).reshape(h, w, ch)
 
 
 def png_decode(payload: bytes | None):
-    """(h, w, channels) uint8 ndarray from a baseline PNG, else None."""
+    """(h, w, channels) uint8 ndarray from a PNG (any legal IHDR shape:
+    palette, 1/2/4/8/16-bit, tRNS, Adam7), else None."""
     if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, n = 8, len(payload)
-    w = h = colortype = None
+    w = h = colortype = depth = interlace = None
+    plte = trns = None
     idat = []
     while pos + 8 <= n:
         (length,) = _struct.unpack(">I", payload[pos : pos + 4])
@@ -174,55 +244,79 @@ def png_decode(payload: bytes | None):
             w, h, depth, colortype, comp, filt, interlace = _struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth != 8 or colortype not in _PNG_CHANNELS or comp or filt or interlace:
+            if (comp or filt or interlace > 1 or w == 0 or h == 0
+                    or depth not in _PNG_DEPTHS.get(colortype, ())):
                 return None
+        elif ctype == b"PLTE":
+            if length % 3:
+                return None
+            plte = _np.frombuffer(data, _np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if w is None or not idat:
+    if w is None or not idat or (colortype == 3 and plte is None):
         return None
     try:
         raw = _zlib.decompress(b"".join(idat))
     except _zlib.error:
         return None
     ch = _PNG_CHANNELS[colortype]
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    out = _np.empty((h, stride), dtype=_np.uint8)
-    prior = _np.zeros(stride, dtype=_np.uint8)
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        rec = _np.frombuffer(raw, _np.uint8, stride, pos + 1).copy()
-        pos += stride + 1
-        if f == 0:
-            pass
-        elif f == 2:  # Up (uint8 + wraps mod 256 — exactly the spec)
-            rec += prior
-        elif f == 1:  # Sub == per-channel cumulative sum along the row
-            for c in range(ch):
-                _np.cumsum(rec[c::ch], dtype=_np.uint8, out=rec[c::ch])
-        elif f == 3:  # Average: left-sequential, scalar per byte
-            for i in range(stride):
-                left = int(rec[i - ch]) if i >= ch else 0
-                rec[i] = (int(rec[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth: left-sequential, scalar per byte
-            for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
-                b = int(prior[i])
-                c = int(prior[i - ch]) if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (int(rec[i]) + pred) & 0xFF
-        else:
+    bpp = max(1, ch * depth // 8)
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        got = _png_unfilter(raw, 0, h, stride, bpp)
+        if got is None:
             return None
-        out[y] = rec
-        prior = rec
-    return out.reshape(h, w, ch)
+        samples = _png_samples(got[0], w, ch, depth)
+    else:  # Adam7: seven independent sub-images in pass order
+        samples = _np.zeros((h, w, ch), dtype=_np.uint16)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            got = _png_unfilter(raw, pos, ph, stride, bpp)
+            if got is None:
+                return None
+            lines, pos = got
+            samples[y0::dy, x0::dx] = _png_samples(lines, pw, ch, depth)
+    # palette expansion (+ optional tRNS alpha table)
+    if colortype == 3:
+        idx = samples[:, :, 0].astype(_np.int64)
+        if (idx >= plte.shape[0]).any():
+            return None
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = _np.full(plte.shape[0], 255, dtype=_np.uint8)
+            alpha[: min(len(trns), plte.shape[0])] = _np.frombuffer(
+                trns[: plte.shape[0]], _np.uint8
+            )
+            return _np.dstack([rgb, alpha[idx]])
+        return rgb
+    # gray/RGB color-key transparency: compare at FULL source depth
+    alpha_mask = None
+    if trns is not None and colortype in (0, 2):
+        need = 2 * ch
+        if len(trns) >= need:
+            key = _np.frombuffer(trns[:need], ">u2").astype(_np.uint16)
+            alpha_mask = (samples == key).all(axis=2)
+    # downscale to 8-bit
+    if depth == 16:
+        out = (samples >> 8).astype(_np.uint8)
+    elif depth == 8:
+        out = samples.astype(_np.uint8)
+    else:
+        out = (samples * (255 // ((1 << depth) - 1))).astype(_np.uint8)
+    if alpha_mask is not None:
+        alpha = _np.where(alpha_mask, 0, 255).astype(_np.uint8)
+        out = _np.dstack([out, alpha])
+    return out
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:

@@ -271,10 +271,12 @@ def test_png_codec_roundtrip_and_filters():
     got = png_decode(png)
     assert got is not None and (got == ref_decode(bytes(raw), w, h, ch)).all()
 
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit: unsupported
-    assert png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
-                      + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
-                      + chunk(b"IEND", b"")) is None
+    # 16-bit gray decodes for real now (high byte): 2x2 of zeros
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    got16 = png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+                       + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                       + chunk(b"IEND", b""))
+    assert got16 is not None and got16.shape == (2, 2, 1) and (got16 == 0).all()
     assert png_decode(png[:40]) is None
     assert png_decode(b"junk") is None
 

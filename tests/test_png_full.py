@@ -1,0 +1,164 @@
+"""Full-spec PNG decode coverage: palette (PLTE/tRNS), sub-byte and 16-bit
+depths, color-key transparency, and Adam7 interlace.
+
+The fixtures are built by an independent test-side encoder written straight
+from the PNG spec (bit packing, pass extraction) — png_encode only emits
+baseline 8-bit filter-0 streams, so these shapes can't come from the
+production encoder and the comparison is a genuine differential check.
+Reference capability: the reference gets all of these free from PIL inside
+unstructured (app/processing/pdf_processor.py:86-101)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.imagemeta import png_decode
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _chunk(ctype, data):
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _pack_row(samples, depth):
+    """1-D sample sequence -> packed scanline bytes, MSB-first (spec 7.2)."""
+    if depth == 8:
+        return bytes(bytearray(int(s) for s in samples))
+    if depth == 16:
+        return b"".join(struct.pack(">H", int(s)) for s in samples)
+    out, acc, nbits = bytearray(), 0, 0
+    for s in samples:
+        acc = (acc << depth) | (int(s) & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc, nbits = 0, 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def _mk_png(samples, depth, colortype, plte=None, trns=None, interlace=0):
+    """(h, w, ch) int array of SOURCE-depth samples -> PNG bytes, filter 0."""
+    h, w, ch = samples.shape
+    raw = bytearray()
+    if interlace == 0:
+        for y in range(h):
+            raw.append(0)
+            raw += _pack_row(samples[y].reshape(-1), depth)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw.append(0)
+                raw += _pack_row(sub[y].reshape(-1), depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    if trns is not None:
+        png += _chunk(b"tRNS", trns)
+    return png + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def test_16bit_gray_and_rgb_take_high_byte():
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 65536, size=(5, 3, 1), dtype=np.int64)
+    got = png_decode(_mk_png(s, 16, 0))
+    assert got is not None and (got == (s >> 8)).all()
+    s3 = rng.integers(0, 65536, size=(4, 6, 3), dtype=np.int64)
+    got3 = png_decode(_mk_png(s3, 16, 2))
+    assert got3 is not None and (got3 == (s3 >> 8)).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_scales_to_full_range(depth):
+    rng = np.random.default_rng(depth)
+    hi = (1 << depth) - 1
+    s = rng.integers(0, hi + 1, size=(5, 11, 1), dtype=np.int64)  # odd width: pad bits
+    got = png_decode(_mk_png(s, depth, 0))
+    assert got is not None and (got == s * (255 // hi)).all()
+    assert got.max() <= 255 and (s == hi).any() == (got == 255).any()
+
+
+def test_palette_with_and_without_trns():
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.int64)
+    idx = rng.integers(0, 16, size=(6, 7, 1), dtype=np.int64)
+    got = png_decode(_mk_png(idx, 4, 3, plte=plte))
+    assert got is not None and got.shape == (6, 7, 3)
+    assert (got == plte[idx[:, :, 0]]).all()
+    # short tRNS table: missing entries default to alpha 255
+    trns = bytes([10, 200, 0])
+    got_a = png_decode(_mk_png(idx, 4, 3, plte=plte, trns=trns))
+    assert got_a is not None and got_a.shape == (6, 7, 4)
+    assert (got_a[:, :, :3] == plte[idx[:, :, 0]]).all()
+    alpha_table = np.full(16, 255, dtype=np.int64)
+    alpha_table[:3] = [10, 200, 0]
+    assert (got_a[:, :, 3] == alpha_table[idx[:, :, 0]]).all()
+
+
+def test_palette_8bit_index_out_of_range_refused():
+    plte = np.zeros((4, 3), dtype=np.int64)
+    idx = np.full((2, 2, 1), 9, dtype=np.int64)  # > palette size
+    assert png_decode(_mk_png(idx, 8, 3, plte=plte)) is None
+    # palette colortype without PLTE at all
+    assert png_decode(_mk_png(idx % 4, 8, 3, plte=None)) is None
+
+
+def test_gray_color_key_trns_compares_at_full_depth():
+    # 16-bit gray: two samples share a high byte, only the exact one is keyed
+    s = np.array([[[0x1234], [0x1235], [0x9999]]], dtype=np.int64)
+    trns = struct.pack(">H", 0x1234)
+    got = png_decode(_mk_png(s, 16, 0, trns=trns))
+    assert got is not None and got.shape == (1, 3, 2)
+    assert list(got[0, :, 1]) == [0, 255, 255]  # 0x1235 stays opaque
+    assert list(got[0, :, 0]) == [0x12, 0x12, 0x99]
+
+
+def test_rgb_color_key_trns():
+    s = np.array([[[10, 20, 30], [10, 20, 31], [10, 20, 30]]], dtype=np.int64)
+    trns = struct.pack(">HHH", 10, 20, 30)
+    got = png_decode(_mk_png(s, 8, 2, trns=trns))
+    assert got is not None and got.shape == (1, 3, 4)
+    assert list(got[0, :, 3]) == [0, 255, 0]
+
+
+@pytest.mark.parametrize("shape", [(13, 9, 3), (8, 8, 1), (1, 1, 3), (3, 2, 4), (2, 10, 2)])
+def test_adam7_roundtrip_rgb8(shape):
+    rng = np.random.default_rng(sum(shape))
+    s = rng.integers(0, 256, size=shape, dtype=np.int64)
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[shape[2]]
+    got = png_decode(_mk_png(s, 8, ct, interlace=1))
+    assert got is not None and (got == s).all()
+
+
+def test_adam7_subbyte_palette():
+    rng = np.random.default_rng(3)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.int64)
+    idx = rng.integers(0, 4, size=(9, 13, 1), dtype=np.int64)
+    got = png_decode(_mk_png(idx, 2, 3, plte=plte, interlace=1))
+    assert got is not None and (got == plte[idx[:, :, 0]]).all()
+
+
+def test_adam7_16bit_gray():
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 65536, size=(10, 11, 1), dtype=np.int64)
+    got = png_decode(_mk_png(s, 16, 0, interlace=1))
+    assert got is not None and (got == (s >> 8)).all()
+
+
+def test_illegal_depth_colortype_combos_refused():
+    s = np.zeros((2, 2, 3), dtype=np.int64)
+    assert png_decode(_mk_png(s, 4, 2)) is None  # RGB can't be 4-bit
+    g = np.zeros((2, 2, 1), dtype=np.int64)
+    assert png_decode(_mk_png(g, 16, 3, plte=np.zeros((2, 3)))) is None  # palette 16
