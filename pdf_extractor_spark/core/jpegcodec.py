@@ -5,10 +5,11 @@ same way core/imagemeta.py does for PNG: `extract_pdf_images`' DCTDecode
 passthrough payloads (the stream IS the JPEG) become real pixels without
 PIL. Scope — baseline sequential DCT (SOF0) and progressive DCT (SOF2:
 spectral selection + successive approximation, DC/AC first and refinement
-scans, EOBRUN), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
-sampling, restart markers honored; arithmetic-coded, 12-bit, hierarchical,
-and CMYK files return None (callers degrade to header-sniff-only,
-core/imagemeta.py sniff_image).
+scans, EOBRUN), 8-bit, grayscale / YCbCr (4:4:4, 4:2:2, 4:2:0) / raw RGB
+(APP14 transform 0) / Adobe CMYK and YCCK (APP14 transform 0/2, inverted
+samples per the Adobe convention, converted to RGB), restart markers
+honored; arithmetic-coded, 12-bit, and hierarchical files return None
+(callers degrade to header-sniff-only, core/imagemeta.py sniff_image).
 
 Correctness grounding (tests/test_jpegcodec.py): the IDCT is checked
 against a direct O(n^4) DCT-III evaluation of the spec formula; Huffman +
@@ -142,7 +143,10 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
     """(h, w, channels) uint8 from a baseline (SOF0) or progressive (SOF2)
     JPEG, else None.
 
-    channels: 1 (grayscale) or 3 (RGB from YCbCr, BT.601 full-range)."""
+    channels: 1 (grayscale) or 3 (RGB — from YCbCr BT.601 full-range, from
+    raw RGB when APP14 declares transform 0, or converted from 4-component
+    Adobe CMYK/YCCK; Adobe-marked CMYK samples are stored inverted per the
+    Adobe convention, honored here)."""
     if not payload or payload[:2] != b"\xff\xd8":
         return None
     d = payload
@@ -154,6 +158,7 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
     restart_interval = 0
     progressive = False
     coef = None  # progressive: per-comp (nby, nbx, 64) zigzag coefficients
+    adobe = None  # APP14 color transform: 0 raw, 1 YCbCr, 2 YCCK
     try:
         while pos + 4 <= len(d):
             if d[pos] != 0xFF:
@@ -163,13 +168,15 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
             marker = d[pos + 1]
             if marker == 0xD9:  # EOI
                 if progressive and coef is not None:
-                    return _reconstruct_progressive(frame, coef, qt)
+                    return _reconstruct_progressive(frame, coef, qt, adobe)
                 return None  # EOI before any scan: no image
             seg_len = struct.unpack(">H", d[pos + 2 : pos + 4])[0]
             seg = d[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe = seg[11]  # APP14 transform flag (Adobe TN #5116)
             if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
-                if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                if prec != 8 or nc not in (1, 3, 4) or h == 0 or w == 0:
                     return None
                 comps = []
                 for i in range(nc):
@@ -231,18 +238,19 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                 if len(scan) != len(frame[2]):
                     return None  # sequential multi-scan files: unsupported
                 return _decode_scan(
-                    d, pos + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                    d, pos + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, adobe,
                 )
             pos += 2 + seg_len
     except (IndexError, struct.error, KeyError, ValueError, OverflowError):
         return None
     if progressive and coef is not None:  # truncated file, EOI missing:
         # render what the decoded scans produced (progressive's whole point)
-        return _reconstruct_progressive(frame, coef, qt)
+        return _reconstruct_progressive(frame, coef, qt, adobe)
     return None
 
 
-def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval, adobe=None):
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -306,12 +314,29 @@ def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
-    return _finish_planes(planes, comps, hmax, vmax, h, w)
+    return _finish_planes(planes, comps, hmax, vmax, h, w, adobe)
 
 
-def _finish_planes(planes, comps, hmax, vmax, h, w):
+def _ycc_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def _finish_planes(planes, comps, hmax, vmax, h, w, adobe=None):
     """Upsample each component plane to full resolution, crop to (h, w), and
-    color-convert (shared by the baseline and progressive paths)."""
+    color-convert (shared by the baseline and progressive paths).
+
+    ``adobe`` is the APP14 transform flag: 3-component files honor
+    transform 0 (raw RGB, no conversion); 4-component files are Adobe
+    CMYK (transform 0/absent marker) or YCCK (transform 2), converted to
+    RGB. Adobe writes CMYK samples INVERTED (stored = 255 - ink, Adobe
+    TN #5116 / the libjpeg-compatible convention), so with an APP14
+    marker present RGB = stored_c * stored_k / 255; a markerless CMYK
+    file is taken at face value (RGB = (255-C)(255-K)/255)."""
     out_planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         p = planes[ci]
@@ -321,12 +346,27 @@ def _finish_planes(planes, comps, hmax, vmax, h, w):
     if len(out_planes) == 1:
         gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
-    y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    if len(out_planes) == 4:
+        if adobe == 2:  # YCCK: first three are the YCbCr of inverted CMY
+            c, m, y4 = _ycc_to_rgb(out_planes[0], out_planes[1], out_planes[2])
+        else:
+            c, m, y4 = out_planes[0], out_planes[1], out_planes[2]
+        k = out_planes[3]
+        c, m, y4, k = (np.clip(p, 0.0, 255.0) for p in (c, m, y4, k))
+        if adobe is None:  # plain CMYK: samples are ink levels
+            r = (255.0 - c) * (255.0 - k) / 255.0
+            g = (255.0 - m) * (255.0 - k) / 255.0
+            b = (255.0 - y4) * (255.0 - k) / 255.0
+        else:  # Adobe-marked: samples stored inverted
+            r = c * k / 255.0
+            g = m * k / 255.0
+            b = y4 * k / 255.0
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    if adobe == 0:  # APP14 transform 0 on a 3-component file: raw RGB
+        rgb = np.stack(out_planes, axis=2)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    r, g, b = _ycc_to_rgb(*out_planes)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
@@ -560,7 +600,7 @@ def _decode_prog_scan(d, pos, frame, scan, huff_dc, huff_ac, restart_interval,
     return _scan_entropy_end(d, br.pos)
 
 
-def _reconstruct_progressive(frame, coef, qt):
+def _reconstruct_progressive(frame, coef, qt, adobe=None):
     """Dequantize + IDCT the accumulated coefficient grids (vectorized) and
     assemble the final image."""
     h, w, comps = frame
@@ -583,7 +623,7 @@ def _reconstruct_progressive(frame, coef, qt):
         planes.append(
             spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         )
-    return _finish_planes(planes, comps, hmax, vmax, h, w)
+    return _finish_planes(planes, comps, hmax, vmax, h, w, adobe)
 
 
 # --- encoder (fixture writer) ---------------------------------------------------
@@ -695,11 +735,18 @@ def _emit_block(bw, block, pred, ci, dc_codes, ac_codes):
         bw.write(code, ln)
 
 
+def _rgb_to_ycc(r, g, b):
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
 def jpeg_encode(
     arr: np.ndarray, subsampling: str = "444", restart_interval: int = 0,
-    progressive: bool = False,
+    progressive: bool = False, adobe_transform: int = 2,
 ) -> bytes:
-    """uint8 (h, w), (h, w, 1) or (h, w, 3) → JPEG with all-ones
+    """uint8 (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) → JPEG with all-ones
     quantization (fixture writer for the decoder tests). ``subsampling``:
     '444' or '420' (2x2 box-mean chroma, the dominant real-world layout);
     ``restart_interval`` emits DRI + RSTn every n MCUs. ``progressive=True``
@@ -708,18 +755,34 @@ def jpeg_encode(
     AC refinement — so every progressive decode path (spectral selection,
     successive approximation, EOBRUN, correction bits) is exercised; the
     entropy layer is lossless, so a progressive encode decodes to pixels
-    byte-identical to its baseline twin."""
+    byte-identical to its baseline twin.
+
+    A 4-channel input is CMYK ink levels: samples are stored INVERTED with
+    an APP14 Adobe marker (transform 0 = CMYK, 2 = YCCK via
+    ``adobe_transform``), matching what Adobe products emit. Baseline only."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, nc = a.shape
+    app14 = b""
     if nc == 3:  # RGB → YCbCr (BT.601 full range)
         rgb = a.astype(np.float64)
-        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
-        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
-        planes = [y, cb, cr]
+        planes = list(_rgb_to_ycc(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]))
         samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    elif nc == 4:
+        if progressive:
+            raise ValueError("CMYK fixtures are baseline-only")
+        if adobe_transform not in (0, 2):
+            raise ValueError("adobe_transform must be 0 (CMYK) or 2 (YCCK)")
+        inv = 255.0 - a.astype(np.float64)  # Adobe stores inverted ink
+        if adobe_transform == 2:
+            y, cb, cr = _rgb_to_ycc(inv[:, :, 0], inv[:, :, 1], inv[:, :, 2])
+            planes = [y, cb, cr, inv[:, :, 3]]
+        else:
+            planes = [inv[:, :, i] for i in range(4)]
+        samp = [(1, 1)] * 4
+        app14 = (b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+                 + struct.pack(">HHH", 100, 0, 0) + bytes([adobe_transform]))
     else:
         planes = [a[:, :, 0].astype(np.float64)]
         samp = [(1, 1)]
@@ -784,7 +847,7 @@ def jpeg_encode(
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     comps_sos = b"".join(bytes([i + 1, 0x00]) for i in range(len(planes)))
     sos = seg(0xDA, bytes([len(planes)]) + comps_sos + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
+    return b"\xff\xd8" + app14 + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 # --- progressive encoder (fixture writer for the SOF2 decode paths) ------------

@@ -1052,6 +1052,12 @@ def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int
     try:
         objs = _load_objects(data)
         for page_no, kid in enumerate(_page_leaves(objs), 1):
+            # inline images first — matches extract_pdf's descriptor order
+            # (BI..EI are counted before /Name Do invocations)
+            content = _page_content(objs, objs.get(kid, b""))
+            if content:
+                for k, (iw, ih, payload, codec) in enumerate(_inline_images(content)):
+                    out.append((page_no, f"inline_{k}", iw, ih, payload, codec))
             cur = objs.get(kid, b"")
             xm = None
             for _ in range(16):  # /Parent inheritance walk
@@ -1088,6 +1094,119 @@ def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int
                 out.append((page_no, name.decode("latin-1"), w, h, payload, codec))
     except Exception:
         return []
+    return out
+
+
+# --- inline images (BI <dict> ID <data> EI) ----------------------------------
+#
+# The compact in-content-stream image form PDF writers use for small rasters
+# (logos, separator strips, image masks — PDF spec 8.9.7). Keys and filter
+# names may be abbreviated (Table 93: /W /H /BPC /CS /F /IM; AHx A85 LZW Fl
+# RL DCT CCF). The data length is not declared: for unfiltered data it is
+# computed from the sample layout; for filtered data the terminator is the
+# filter's own EOD where it has one ('>' for AHx, '~>' for A85) else a
+# whitespace-delimited EI token. The reference gets inline images free from
+# pdfminer inside unstructured (app/processing/pdf_processor.py:86-101).
+
+_INLINE_FILTER_ABBREV = {
+    b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode", b"LZW": b"LZWDecode",
+    b"Fl": b"FlateDecode", b"RL": b"RunLengthDecode", b"DCT": b"DCTDecode",
+    b"CCF": b"CCITTFaxDecode",
+}
+_BI_RE = re.compile(rb"\bBI[\x00\t\n\f\r /]")
+_ID_DELIM_RE = re.compile(rb"\bID[\x00\t\n\f\r ]")
+_EI_DELIM_RE = re.compile(rb"[\x00\t\n\f\r ]EI(?=[\x00\t\n\f\r ]|$)")
+_WS = b"\x00\t\n\f\r "
+
+
+def _inline_dict_int(head: bytes, keys: tuple[bytes, ...]) -> int | None:
+    for k in keys:
+        m = re.search(rb"/" + k + rb"\s+(\d+)(?![0-9])", head)
+        if m:
+            return int(m.group(1))
+    return None
+
+
+def _inline_channels(head: bytes) -> int:
+    if re.search(rb"/IM\s+true|/ImageMask\s+true", head):
+        return 1
+    m = re.search(rb"/(?:CS|ColorSpace)\s*/(\w+)", head)
+    cs = m.group(1) if m else b"DeviceGray"
+    if cs in (b"DeviceRGB", b"RGB", b"CalRGB"):
+        return 3
+    if cs in (b"DeviceCMYK", b"CMYK"):
+        return 4
+    return 1  # gray / indexed (indexed samples are palette indices)
+
+
+def _inline_images(content: bytes) -> list[tuple[int, int, bytes, str]]:
+    """[(width, height, payload, codec)] for every decodable BI..ID..EI
+    inline image in one page content stream, stream order. Undecodable
+    entries (CCITT, unknown layout) are skipped, never raised."""
+    out: list[tuple[int, int, bytes, str]] = []
+    pos = 0
+    while True:
+        bm = _BI_RE.search(content, pos)
+        if not bm:
+            break
+        im = _ID_DELIM_RE.search(content, bm.start() + 2)
+        if not im:
+            break
+        head = content[bm.start() + 2 : im.start()]
+        data_start = im.end()  # ID + exactly one whitespace byte
+        pos = data_start  # resume scan past this image even if it's skipped
+        w = _inline_dict_int(head, (b"W", b"Width"))
+        h = _inline_dict_int(head, (b"H", b"Height"))
+        bpc = _inline_dict_int(head, (b"BPC", b"BitsPerComponent")) or (
+            1 if re.search(rb"/IM\s+true|/ImageMask\s+true", head) else 8
+        )
+        fm = re.search(rb"/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+        names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
+        filters = [_INLINE_FILTER_ABBREV.get(n, n) for n in names]
+        if not filters:
+            if w is None or h is None:
+                continue
+            length = ((w * bpc * _inline_channels(head) + 7) // 8) * h
+            data = content[data_start : data_start + length]
+            if len(data) < length:
+                continue
+            pos = data_start + length
+            out.append((w, h, data, "raw"))
+            continue
+        # filtered: find the data end by the first filter's own EOD marker
+        # where it has one, else the whitespace-delimited EI token
+        if filters[0] == b"ASCIIHexDecode":
+            end = content.find(b">", data_start)
+            data_end = end + 1 if end != -1 else -1
+        elif filters[0] == b"ASCII85Decode":
+            end = content.find(b"~>", data_start)
+            data_end = end + 2 if end != -1 else -1
+        else:
+            em = _EI_DELIM_RE.search(content, data_start)
+            data_end = em.start() if em else -1
+        if data_end < 0:
+            continue
+        raw = content[data_start:data_end]
+        pos = data_end
+        try:
+            for i, name in enumerate(filters):
+                if name == b"DCTDecode":
+                    if i != len(filters) - 1:
+                        raise ValueError("DCT must be terminal")
+                    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+                    sniffed = sniff_image(raw)
+                    out.append(
+                        (sniffed[1] if sniffed else (w or 0),
+                         sniffed[2] if sniffed else (h or 0), raw, "jpeg")
+                    )
+                    raw = None
+                    break
+                raw = _apply_text_filter(name, raw, b"")
+        except Exception:
+            continue
+        if raw is not None and w is not None and h is not None:
+            out.append((w, h, raw, "raw"))
     return out
 
 

@@ -283,3 +283,76 @@ def test_progressive_feature_seam():
     feat = _png_feature(jpeg_encode(img, progressive=True))
     assert feat is not None and len(feat) == 16
     assert feat == _png_feature(jpeg_encode(img))  # identical to baseline
+
+
+# --- CMYK / YCCK (APP14 Adobe transform) --------------------------------------
+
+
+def _cmyk_want_rgb(cmyk):
+    """Closed-form RGB for Adobe-marked CMYK: stored = 255-ink, RGB =
+    stored_c * stored_k / 255 (the libjpeg/browser convention)."""
+    inv = 255.0 - cmyk.astype(np.float64)
+    return np.clip(np.rint(np.stack(
+        [inv[:, :, i] * inv[:, :, 3] / 255.0 for i in range(3)], axis=2)), 0, 255)
+
+
+def test_cmyk_transform0_roundtrip():
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(17)
+    cmyk = rng.integers(0, 256, size=(16, 24, 4), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(cmyk, adobe_transform=0))
+    assert dec is not None and dec.shape == (16, 24, 3)
+    assert np.abs(dec.astype(int) - _cmyk_want_rgb(cmyk).astype(int)).max() <= 4
+
+
+def test_ycck_transform2_roundtrip():
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(23)
+    cmyk = rng.integers(0, 256, size=(9, 13, 4), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(cmyk, adobe_transform=2))
+    assert dec is not None and dec.shape == (9, 13, 3)
+    # YCbCr is a float rotation: one extra rounding hop vs transform 0
+    assert np.abs(dec.astype(int) - _cmyk_want_rgb(cmyk).astype(int)).max() <= 4
+
+
+def test_cmyk_without_app14_taken_at_face_value():
+    """Stripping the Adobe marker flips the convention: samples are ink
+    levels, RGB = (255-C)(255-K)/255 — which on an inverted-stored file
+    means ink_c*ink_k/255 of the ORIGINAL inks."""
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(29)
+    cmyk = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    jpg = jpeg_encode(cmyk, adobe_transform=0)
+    assert jpg[2:4] == b"\xff\xee"
+    stripped = jpg[:2] + jpg[18:]  # drop the 16-byte APP14 segment
+    dec = jpeg_decode(stripped)
+    want = np.clip(np.rint(np.stack(
+        [cmyk[:, :, i].astype(np.float64) * cmyk[:, :, 3] / 255.0
+         for i in range(3)], axis=2)), 0, 255)
+    assert dec is not None
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 4
+
+
+def test_app14_transform0_rgb_passthrough():
+    """A 3-component file whose APP14 declares transform 0 skips the YCbCr
+    conversion. Fixture: a gray RGB image encodes to planes (Y=g, 128, 128);
+    declaring those raw means channel 0 = g, channels 1/2 = 128."""
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    rgb = np.stack([g, g, g], axis=2)
+    jpg = jpeg_encode(rgb)
+    app14 = (b"\xff\xee" + b"\x00\x0e" + b"Adobe"
+             + b"\x00\x64\x00\x00\x00\x00" + b"\x00")
+    marked = jpg[:2] + app14 + jpg[2:]
+    dec = jpeg_decode(marked)
+    assert dec is not None and dec.shape == (8, 8, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+    assert np.abs(dec[:, :, 1].astype(int) - 128).max() <= 4
+    assert np.abs(dec[:, :, 2].astype(int) - 128).max() <= 4
+    # unmarked twin still decodes as YCbCr (gray → R=G=B=g)
+    plain = jpeg_decode(jpg)
+    assert np.abs(plain[:, :, 0].astype(int) - g.astype(int)).max() <= 4
