@@ -2189,11 +2189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "audio_features": q_audio_features,
         "clean_text": q_clean_text,
-        "doc_hash": q_doc_hash,
         # --- banked green in earlier rounds' driver artifacts ---
-        # (curate_corpus / minhash_near_dups: green r04 rows, code untouched
-        #  this round — displaced below the 50-query cap by the two new
-        #  never-checked media queries above)
+        # (doc_hash / curate_corpus / minhash_near_dups: green r04 rows,
+        #  code untouched this round — displaced below the 50-query cap by
+        #  the two new never-checked media queries above)
+        "doc_hash": q_doc_hash,
         "curate_corpus": q_curate_corpus,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
