@@ -903,6 +903,144 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def _mk_exif_payload(d: int) -> bytes:
+    """Deterministic EXIF-tagged JPEG for doc ``d`` (core/exif.py
+    exif_encode fixture twin): make = Cam<d%5>; docs with d%4==3 carry no
+    GPS IFD; the rest carry integer (deg, min, centisec) coordinates whose
+    decimal value quantizes back exactly: lat*360000 = ±(deg*360000 +
+    min*6000 + cs)."""
+    from pdf_extractor_spark.core.exif import exif_encode
+
+    gps = None
+    if d % 4 != 3:
+        gps = (
+            (d % 90, d % 60, d % 3600), "N" if d % 2 == 0 else "S",
+            (d % 180, (d * 7) % 60, (d * 13) % 6000), "W" if d % 3 == 0 else "E",
+        )
+    return exif_encode(make=f"Cam{d % 5}", gps=gps)
+
+
+def _exif_media(spark, sf_dir):
+    import pyarrow as pa
+
+    def mk(batches):
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(_mk_exif_payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk, "media_id string, payload binary")
+    )
+
+
+def q_media_exif(spark, sf_dir):
+    """EXIF metadata extraction through the oracle: deterministic
+    EXIF-tagged JPEGs (APP1 TIFF, GPS IFD on 3 of 4 docs) run through the
+    REAL parser (operators/mediameta.py exif_metadata → core/exif.py
+    APP1/IFD walk); coordinates re-quantize to the exact integer
+    (deg*360000 + min*6000 + centisec) grid. Location PII SURFACING is
+    the first half of the image-side scrub story (q_scrub_gps is the
+    second). The reference never reads image metadata
+    (app/processing/pdf_processor.py:157-187, opaque base64)."""
+    from pdf_extractor_spark.operators.mediameta import exif_metadata
+
+    meta = exif_metadata(_exif_media(spark, sf_dir))
+    return meta.select(
+        "media_id",
+        "has_exif",
+        "make",
+        F.round(F.col("gps_lat") * 360000).cast("long").alias("lat_q"),
+        F.round(F.col("gps_lon") * 360000).cast("long").alias("lon_q"),
+    )
+
+
+def q_scrub_gps(spark, sf_dir):
+    """GPS scrubbing (image-side PII remediation) through the oracle: the
+    same EXIF corpus passes through operators/mediameta.py scrub_gps
+    (in-place GPS IFD zeroing — byte length and every other TIFF offset
+    preserved), then the REAL parser re-reads the scrubbed payloads:
+    coordinates must be gone, device make must survive, and the had_gps
+    audit flag must match the construction rule."""
+    from pdf_extractor_spark.operators.mediameta import exif_metadata, scrub_gps
+
+    scrubbed = scrub_gps(_exif_media(spark, sf_dir))
+    after = exif_metadata(scrubbed.select("media_id", "payload"))
+    return scrubbed.select("media_id", "had_gps").join(after, "media_id").select(
+        "media_id",
+        "had_gps",
+        "make",
+        (F.col("gps_lat").isNull() & F.col("gps_lon").isNull()).alias("gps_cleared"),
+    )
+
+
+def q_subtitles(spark, sf_dir):
+    """Subtitle transcript extraction through the oracle: per doc a
+    deterministic WebVTT (even doc_id) or SRT (odd) payload with 1-4 cues,
+    inline markup (<i>, <v>) and an HTML entity per cue, parsed by
+    operators/mediameta.py extract_subtitles → core/subtitles.py; cue
+    timings and cleaned text are closed forms of (doc_id, cue_index).
+    Transcripts are the text a training pipeline harvests from crawl video
+    without any audio decode; no reference counterpart (text-only)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.mediameta import extract_subtitles
+
+    def mk(batches):
+        def ts(ms: int, sep: str) -> str:
+            s, ms_ = divmod(ms, 1000)
+            h, rem = divmod(s, 3600)
+            m, sec = divmod(rem, 60)
+            return f"{h:02d}:{m:02d}:{sec:02d}{sep}{ms_:03d}"
+
+        def payload(d: int) -> bytes:
+            n_cues = d % 4 + 1
+            vtt = d % 2 == 0
+            lines = ["WEBVTT", ""] if vtt else []
+            sep = "." if vtt else ","
+            for k in range(n_cues):
+                start = (d % 100) * 1000 + k * 2000
+                if not vtt:
+                    lines.append(str(k + 1))
+                lines.append(f"{ts(start, sep)} --> {ts(start + 1500, sep)}")
+                lines.append(f"<i>cue</i> {d} &amp; {k}")
+                lines.append("")
+            return "\n".join(lines).encode()
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk, "media_id string, payload binary")
+    )
+    cues = extract_subtitles(media)
+    return cues.select(
+        "media_id",
+        F.col("cue_index").cast("long").alias("cue_index"),
+        "start_ms",
+        "end_ms",
+        "text",
+    )
+
+
 def q_sitemap_discovery(spark, sf_dir):
     """Frontier discovery step: per doc a deterministic robots.txt body with
     rule groups, comments, and two group-independent ``Sitemap:`` lines runs
@@ -2173,26 +2311,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "domain_quota": q_domain_quota,
         "events_funnel": q_events_funnel,
-        # --- 15 touched by round-5 changes (extraction/codec/multimodal) ---
+        # --- 15 touched by round-5 changes (extraction/codec/multimodal),
+        #     incl. 8 queries new this round (never driver-checked) ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_blocks": q_extract_blocks,
         "extract_tables": q_extract_tables,
         "pdf_flags": q_pdf_flags,
         "pdf_encodings": q_pdf_encodings,
-        "chunk_fixed": q_chunk_fixed,
-        "multimodal_features": q_multimodal_features,
         "media_resize": q_media_resize,
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
-        "frame_sample": q_frame_sample,
         "image_sniff": q_image_sniff,
         "media_probe": q_media_probe,
         "audio_features": q_audio_features,
+        "media_exif": q_media_exif,
+        "scrub_gps": q_scrub_gps,
+        "subtitles": q_subtitles,
         "clean_text": q_clean_text,
         # --- banked green in earlier rounds' driver artifacts ---
-        # (doc_hash / curate_corpus / minhash_near_dups: green r04 rows,
-        #  code untouched this round — displaced below the 50-query cap by
-        #  the two new never-checked media queries above)
+        # (chunk_fixed / multimodal_features / frame_sample / doc_hash /
+        #  curate_corpus / minhash_near_dups: green r04 rows, code paths
+        #  untouched this round — displaced below the 50-query cap by the
+        #  never-checked media queries above)
+        "chunk_fixed": q_chunk_fixed,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "doc_hash": q_doc_hash,
         "curate_corpus": q_curate_corpus,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3757,6 +3900,34 @@ SELECT 'doc://' || doc_id AS media_id,
        b.bin::BIGINT AS bin,
        ((doc_id % 100 + 1) * 300)::BIGINT AS amp_q
 FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b""",
+        # lat*360000 = ±(deg*360000 + min*6000 + centisec); d%4==3 → no GPS
+        "media_exif": """
+SELECT 'doc://' || doc_id AS media_id,
+       TRUE AS has_exif,
+       'Cam' || (doc_id % 5) AS make,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+                 * ((doc_id % 90) * 360000 + (doc_id % 60) * 6000
+                    + (doc_id % 3600)) END::BIGINT AS lat_q,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)
+                 * ((doc_id % 180) * 360000 + ((doc_id * 7) % 60) * 6000
+                    + ((doc_id * 13) % 6000)) END::BIGINT AS lon_q
+FROM documents""",
+        "scrub_gps": """
+SELECT 'doc://' || doc_id AS media_id,
+       (doc_id % 4 != 3) AS had_gps,
+       'Cam' || (doc_id % 5) AS make,
+       TRUE AS gps_cleared
+FROM documents""",
+        "subtitles": """
+SELECT 'doc://' || doc_id AS media_id,
+       k.k::BIGINT AS cue_index,
+       ((doc_id % 100) * 1000 + k.k * 2000)::BIGINT AS start_ms,
+       ((doc_id % 100) * 1000 + k.k * 2000 + 1500)::BIGINT AS end_ms,
+       'cue ' || doc_id || ' & ' || k.k AS text
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+WHERE k.k <= doc_id % 4""",
         "sitemap_discovery": """
 SELECT host, sm_index, sitemap_url FROM (
   SELECT 'h' || doc_id || '.example' AS host, 0::BIGINT AS sm_index,

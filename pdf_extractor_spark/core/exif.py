@@ -1,0 +1,289 @@
+"""EXIF metadata: parse + GPS scrubbing for JPEG payloads — pure stdlib.
+
+Training-data relevance: crawl images carry EXIF blocks with device
+fingerprints and, worst, GPS coordinates — location PII that must be
+scrubbed before a corpus ships (the image-side analog of functions/pii.py's
+text scrubbing). Everything here is fixed-layout TIFF structure walking
+(EXIF is a TIFF container embedded in a JPEG APP1 segment), deterministic
+and allocation-light:
+
+- ``exif_parse``: device make/model/software, capture timestamps,
+  orientation, and GPS decimal coordinates from IFD0 → Exif IFD → GPS IFD.
+- ``strip_exif_gps``: removes location data. Default mode zeroes the GPS
+  IFD's entries IN PLACE (tag/type/count/value + pointed-to RATIONAL data),
+  which preserves every byte offset in the file — no TIFF rewriting, the
+  output is the same length and every other EXIF field survives.
+  ``drop_all=True`` removes whole APP1 Exif segments instead.
+
+The reference never reads image metadata (images travel as opaque base64,
+app/processing/pdf_processor.py:157-187). Malformed payloads return
+None / the input unchanged, never an exception.
+"""
+
+from __future__ import annotations
+
+_IFD0_TAGS = {
+    0x010F: "make", 0x0110: "model", 0x0131: "software",
+    0x0132: "datetime", 0x0112: "orientation",
+}
+_EXIF_PTR, _GPS_PTR = 0x8769, 0x8825
+_EXIF_TAGS = {0x9003: "datetime_original"}
+
+
+def _app1_tiff(b: bytes) -> tuple[int, int] | None:
+    """(tiff_start, tiff_end) of the first APP1 Exif segment's TIFF body."""
+    if not b or b[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            return i + 10, i + 2 + seg_len
+        if marker == 0xDA:  # entropy data: no EXIF past here
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _ifd_entries(b: bytes, tiff: int, end: int, ifd_off: int, order: str):
+    """Yield (tag, typ, count, value_field_abs_offset) for one IFD."""
+    p = tiff + ifd_off
+    if p + 2 > end:
+        return
+    n_tags = int.from_bytes(b[p : p + 2], order)
+    for t in range(n_tags):
+        e = p + 2 + 12 * t
+        if e + 12 > end:
+            return
+        yield (
+            int.from_bytes(b[e : e + 2], order),
+            int.from_bytes(b[e + 2 : e + 4], order),
+            int.from_bytes(b[e + 4 : e + 8], order),
+            e + 8,
+        )
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _value(b: bytes, tiff: int, end: int, typ: int, count: int, voff: int, order: str):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * count
+    if total > 4:  # value field holds a pointer into the TIFF body
+        ptr = tiff + int.from_bytes(b[voff : voff + 4], order)
+    else:
+        ptr = voff
+    if ptr + total > end:
+        return None
+    raw = b[ptr : ptr + total]
+    if typ == 2:  # ASCII, NUL-terminated
+        return raw.split(b"\x00", 1)[0].decode("latin-1")
+    if typ == 3:
+        return [int.from_bytes(raw[k : k + 2], order) for k in range(0, total, 2)]
+    if typ == 4:
+        return [int.from_bytes(raw[k : k + 4], order) for k in range(0, total, 4)]
+    if typ == 5:  # RATIONAL: u32 numerator / u32 denominator
+        out = []
+        for k in range(0, total, 8):
+            num = int.from_bytes(raw[k : k + 4], order)
+            den = int.from_bytes(raw[k + 4 : k + 8], order)
+            out.append((num, den))
+        return out
+    return raw
+
+
+def _gps_decimal(rats, ref: str | None) -> float | None:
+    if not rats or len(rats) != 3 or any(den == 0 for _, den in rats):
+        return None
+    (dn, dd), (mn, md), (sn, sd) = rats
+    val = dn / dd + mn / md / 60.0 + sn / sd / 3600.0
+    if ref in ("S", "W"):
+        val = -val
+    return round(val, 7)
+
+
+def exif_parse(payload: bytes | None) -> dict | None:
+    """EXIF summary of a JPEG payload or None when no APP1 Exif exists:
+    ``{make, model, software, datetime, datetime_original, orientation,
+    gps_lat, gps_lon}`` (absent fields None)."""
+    span = _app1_tiff(payload or b"")
+    if span is None:
+        return None
+    b = payload
+    tiff, end = span
+    hdr = b[tiff : tiff + 8]
+    if hdr[:2] == b"II":
+        order = "little"
+    elif hdr[:2] == b"MM":
+        order = "big"
+    else:
+        return None
+    out: dict = {k: None for k in (
+        "make", "model", "software", "datetime", "datetime_original",
+        "orientation", "gps_lat", "gps_lon",
+    )}
+    try:
+        ifd0 = int.from_bytes(hdr[4:8], order)
+        exif_off = gps_off = None
+        for tag, typ, count, voff in _ifd_entries(b, tiff, end, ifd0, order):
+            if tag in _IFD0_TAGS:
+                v = _value(b, tiff, end, typ, count, voff, order)
+                key = _IFD0_TAGS[tag]
+                out[key] = v[0] if key == "orientation" and isinstance(v, list) else v
+            elif tag == _EXIF_PTR:
+                exif_off = int.from_bytes(b[voff : voff + 4], order)
+            elif tag == _GPS_PTR:
+                gps_off = int.from_bytes(b[voff : voff + 4], order)
+        if exif_off is not None:
+            for tag, typ, count, voff in _ifd_entries(b, tiff, end, exif_off, order):
+                if tag in _EXIF_TAGS:
+                    out[_EXIF_TAGS[tag]] = _value(b, tiff, end, typ, count, voff, order)
+        if gps_off is not None:
+            gps: dict[int, object] = {}
+            for tag, typ, count, voff in _ifd_entries(b, tiff, end, gps_off, order):
+                if tag in (1, 2, 3, 4):
+                    gps[tag] = _value(b, tiff, end, typ, count, voff, order)
+            out["gps_lat"] = _gps_decimal(gps.get(2), gps.get(1))
+            out["gps_lon"] = _gps_decimal(gps.get(4), gps.get(3))
+    except Exception:
+        return None
+    return out
+
+
+def strip_exif_gps(payload: bytes | None, drop_all: bool = False) -> bytes | None:
+    """JPEG with location PII removed.
+
+    Default: zero the GPS IFD in place — entry tags, types, counts, value
+    fields AND the RATIONAL data they point to — plus the IFD0 pointer to
+    it. Byte length (hence every other TIFF offset) is preserved, so the
+    rest of the EXIF block stays intact and parseable. ``drop_all=True``
+    splices out entire APP1 Exif segments instead (all metadata gone).
+    Non-JPEG / EXIF-less payloads return unchanged."""
+    if not payload:
+        return payload
+    span = _app1_tiff(payload)
+    if span is None:
+        return payload
+    if drop_all:
+        b = payload
+        out = bytearray(b[:2])
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                out += b[i : i + 2]
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break
+            if not (marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00"):
+                out += b[i : i + 2 + seg_len]
+            i += 2 + seg_len
+            if marker == 0xDA:
+                break
+        out += b[i:]
+        return bytes(out)
+    b = bytearray(payload)
+    tiff, end = span
+    hdr = bytes(b[tiff : tiff + 8])
+    order = "little" if hdr[:2] == b"II" else "big"
+    try:
+        ifd0 = int.from_bytes(hdr[4:8], order)
+        gps_off = None
+        for tag, typ, count, voff in _ifd_entries(bytes(b), tiff, end, ifd0, order):
+            if tag == _GPS_PTR:
+                gps_off = int.from_bytes(b[voff : voff + 4], order)
+                b[voff - 8 : voff + 4] = b"\x00" * 12  # blank the whole entry
+        if gps_off is None:
+            return bytes(b)
+        bb = bytes(b)
+        for tag, typ, count, voff in _ifd_entries(bb, tiff, end, gps_off, order):
+            size = _TYPE_SIZE.get(typ)
+            if size is not None and size * count > 4:
+                ptr = tiff + int.from_bytes(bb[voff : voff + 4], order)
+                if ptr + size * count <= end:
+                    b[ptr : ptr + size * count] = b"\x00" * (size * count)
+            b[voff - 8 : voff + 4] = b"\x00" * 12
+        p = tiff + gps_off
+        if p + 2 <= end:
+            b[p : p + 2] = b"\x00\x00"  # GPS IFD now declares zero entries
+    except Exception:
+        return payload
+    return bytes(b)
+
+
+# --- fixture twin (same pattern as wav_encode / png_encode / bmp_encode) ------
+
+
+def exif_encode(
+    make: str = "Cam",
+    datetime: str = "2020:01:02 03:04:05",
+    datetime_original: str = "2021:06:07 08:09:10",
+    gps: tuple[tuple[int, int, int], str, tuple[int, int, int], str] | None = None,
+) -> bytes:
+    """Minimal JPEG (SOI + APP1 Exif + EOI) carrying the given metadata —
+    the writer twin of ``exif_parse`` for tests and oracle fixtures.
+
+    ``gps`` is ((lat_deg, lat_min, lat_sec100), lat_ref, (lon_deg, lon_min,
+    lon_sec100), lon_ref): integer degrees/minutes + centiseconds, so the
+    decimal coordinate is exactly deg + min/60 + sec100/360000."""
+    import struct as _s
+
+    def _entry(tag, typ, count, value_bytes, heap, heap_base):
+        size = _TYPE_SIZE[typ] * count
+        if size <= 4:
+            field = value_bytes.ljust(4, b"\x00")
+        else:
+            field = _s.pack("<I", heap_base + len(heap))
+            heap += value_bytes
+        return _s.pack("<HHI", tag, typ, count) + field, heap
+
+    def _ifd(entries):
+        return _s.pack("<H", len(entries)) + b"".join(entries) + _s.pack("<I", 0)
+
+    n_ifd0 = 3 + (1 if gps else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n_ifd0 + 4
+    gps_off = exif_off + 2 + 12 * 1 + 4
+    n_gps = 4 if gps else 0
+    heap_base = gps_off + 2 + 12 * n_gps + 4
+    heap = b""
+    make_b = make.encode("latin-1") + b"\x00"
+    dt_b = datetime.encode("latin-1") + b"\x00"
+    e_make, heap = _entry(0x010F, 2, len(make_b), make_b, heap, heap_base)
+    e_dt, heap = _entry(0x0132, 2, len(dt_b), dt_b, heap, heap_base)
+    e_exifp, heap = _entry(_EXIF_PTR, 4, 1, _s.pack("<I", exif_off), heap, heap_base)
+    ifd0_entries = [e_make, e_dt, e_exifp]
+    if gps:
+        e_gpsp, heap = _entry(_GPS_PTR, 4, 1, _s.pack("<I", gps_off), heap, heap_base)
+        ifd0_entries.append(e_gpsp)
+    dto_b = datetime_original.encode("latin-1") + b"\x00"
+    e_dto, heap = _entry(0x9003, 2, len(dto_b), dto_b, heap, heap_base)
+    gps_entries = []
+    if gps:
+        (lad, lam, las), laref, (lod, lom, los), loref = gps
+        lat_r = _s.pack("<IIIIII", lad, 1, lam, 1, las, 100)
+        lon_r = _s.pack("<IIIIII", lod, 1, lom, 1, los, 100)
+        e1, heap = _entry(1, 2, 2, laref.encode() + b"\x00", heap, heap_base)
+        e2, heap = _entry(2, 5, 3, lat_r, heap, heap_base)
+        e3, heap = _entry(3, 2, 2, loref.encode() + b"\x00", heap, heap_base)
+        e4, heap = _entry(4, 5, 3, lon_r, heap, heap_base)
+        gps_entries = [e1, e2, e3, e4]
+    tiff = (b"II*\x00" + _s.pack("<I", ifd0_off) + _ifd(ifd0_entries)
+            + _ifd([e_dto]) + _ifd(gps_entries) + heap)
+    body = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8" + b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
+            + b"\xff\xd9")

@@ -1,0 +1,102 @@
+"""WebVTT / SubRip (SRT) subtitle extraction — pure stdlib, deterministic.
+
+Subtitle sidecars are the highest-yield TEXT source attached to crawl video:
+a training-data pipeline that ingests media catalogs gets transcripts from
+.vtt/.srt payloads without any audio decode. Both formats are line-oriented:
+
+- WebVTT (W3C): ``WEBVTT`` signature, cue = [optional id line] + timing line
+  ``hh:mm:ss.mmm --> hh:mm:ss.mmm [settings]`` + payload lines; NOTE/STYLE/
+  REGION blocks skipped; hour field optional (``mm:ss.mmm``).
+- SRT: numeric counter line + ``hh:mm:ss,mmm --> hh:mm:ss,mmm`` (comma
+  separator) + payload lines.
+
+Cue payload markup (``<v Name>``, ``<i>``, ``<b>``, ``<c.class>``, ruby) is
+stripped to plain text; HTML entities decode via html.unescape. Timestamps
+normalize to integer milliseconds. Malformed cues are skipped, never raised
+— same degrade contract as every other codec in core/.
+
+The reference has no subtitle path at all (text-only PDF/HTML pipeline:
+app/processing/pdf_processor.py, html_processor.py); this is part of the
+training-data surface the graft adds.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re as _re
+
+_TS_RE = _re.compile(
+    r"(?:(\d{1,4}):)?([0-5]?\d):([0-5]\d)[.,](\d{3})"
+)
+_ARROW_RE = _re.compile(
+    r"^\s*((?:\d{1,4}:)?[0-5]?\d:[0-5]\d[.,]\d{3})\s*-->\s*"
+    r"((?:\d{1,4}:)?[0-5]?\d:[0-5]\d[.,]\d{3})"
+)
+_TAG_RE = _re.compile(r"<[^>]*>")
+
+
+def _ts_ms(ts: str) -> int | None:
+    m = _TS_RE.fullmatch(ts.strip())
+    if not m:
+        return None
+    hh = int(m.group(1)) if m.group(1) else 0
+    return ((hh * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 + int(m.group(4))
+
+
+def _clean_payload(lines: list[str]) -> str:
+    text = " ".join(lines)
+    text = _TAG_RE.sub("", text)
+    return " ".join(_html.unescape(text).split())
+
+
+def parse_subtitles(payload: bytes | str | None) -> list[tuple[int, int, str]]:
+    """[(start_ms, end_ms, text)] from a WebVTT or SRT payload, cue order.
+
+    Dispatch is by content, not extension: a ``WEBVTT`` signature selects
+    VTT semantics (NOTE/STYLE/REGION blocks skipped), otherwise SRT.
+    Undecodable bytes fall back through utf-8-sig → cp1252; anything that
+    isn't subtitle-shaped yields []."""
+    if payload is None:
+        return []
+    if isinstance(payload, bytes):
+        try:
+            text = payload.decode("utf-8-sig")
+        except UnicodeDecodeError:
+            text = payload.decode("cp1252", errors="replace")
+    else:
+        text = payload.lstrip("﻿")
+    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
+    out: list[tuple[int, int, str]] = []
+    i = 1 if is_vtt else 0
+    n = len(lines)
+    while i < n:
+        line = lines[i].strip()
+        if not line:
+            i += 1
+            continue
+        if is_vtt and (line.startswith("NOTE") or line in ("STYLE", "REGION")):
+            i += 1
+            while i < n and lines[i].strip():
+                i += 1  # skip the block body
+            continue
+        am = _ARROW_RE.match(line)
+        if not am and i + 1 < n:
+            nxt = _ARROW_RE.match(lines[i + 1].strip())
+            if nxt:  # cue id (VTT) / counter (SRT) line
+                am, i = nxt, i + 1
+        if not am:
+            i += 1
+            continue
+        start, end = _ts_ms(am.group(1)), _ts_ms(am.group(2))
+        i += 1
+        body: list[str] = []
+        while i < n and lines[i].strip():
+            body.append(lines[i].strip())
+            i += 1
+        if start is None or end is None or end < start:
+            continue  # malformed timing: skip the cue, keep scanning
+        cleaned = _clean_payload(body)
+        if cleaned:
+            out.append((start, end, cleaned))
+    return out

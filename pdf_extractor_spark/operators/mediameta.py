@@ -1,0 +1,153 @@
+"""Media metadata operators: EXIF extraction / GPS scrubbing and subtitle
+(WebVTT/SRT) transcript extraction.
+
+Both are scan-shaped Arrow passes over a media table — no shuffle, no
+driver collects, trivially 100 TB-safe: each row's output depends on that
+row's payload alone, so the operators inherit whatever partitioning the
+scan provides and Catalyst prunes to (media_id, payload) at the source.
+
+Training-data roles:
+- ``exif_metadata`` feeds device/timestamp facets for corpus analytics and
+  surfaces location PII; ``scrub_gps`` is the remediation step (the
+  image-side analog of the text pipeline's pii scrubbing) — in-place GPS
+  IFD zeroing keeps every other byte (and all TIFF offsets) intact, so
+  downstream hashes of non-GPS metadata stay stable.
+- ``extract_subtitles`` turns .vtt/.srt sidecar payloads into (cue_index,
+  start_ms, end_ms, text) rows — transcripts are the highest-yield text
+  attached to crawl video, available without any audio decode.
+
+The reference has neither capability (images travel as opaque base64,
+app/processing/pdf_processor.py:157-187; no media/subtitle path at all).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("has_exif", T.BooleanType(), False),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("software", T.StringType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("datetime_original", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("gps_lat", T.DoubleType(), True),
+        T.StructField("gps_lon", T.DoubleType(), True),
+    ]
+)
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """media rows → EXIF summary (device, timestamps, orientation, GPS).
+
+    core/exif.py walks the APP1 TIFF structure only — no pixel decode, so
+    cost is O(header) per row regardless of payload size."""
+    from pdf_extractor_spark.core.exif import exif_parse
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else None)
+            parsed = payloads.map(exif_parse)
+            def col(key):
+                return parsed.map(lambda d, k=key: d[k] if d else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "has_exif": parsed.map(lambda d: d is not None),
+                    "make": col("make"),
+                    "model": col("model"),
+                    "software": col("software"),
+                    "datetime": col("datetime"),
+                    "datetime_original": col("datetime_original"),
+                    "orientation": col("orientation"),
+                    "gps_lat": col("gps_lat"),
+                    "gps_lon": col("gps_lon"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, EXIF_SCHEMA)
+
+
+SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("had_gps", T.BooleanType(), False),
+    ]
+)
+
+
+def scrub_gps(media: DataFrame, drop_all: bool = False) -> DataFrame:
+    """media rows → payloads with location PII removed + a had_gps audit
+    flag (counters feed the same observability channel as pipeline.py's
+    lineage manifests). Non-JPEG / EXIF-less payloads pass through
+    byte-identical."""
+    from pdf_extractor_spark.core.exif import exif_parse, strip_exif_gps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else None)
+
+            def one(b):
+                meta = exif_parse(b)
+                had = bool(meta and (meta["gps_lat"] is not None or meta["gps_lon"] is not None))
+                return (strip_exif_gps(b, drop_all=drop_all) if had or drop_all else b, had)
+
+            done = payloads.map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": done.map(lambda t: t[0]),
+                    "had_gps": done.map(lambda t: t[1]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, SCRUB_SCHEMA)
+
+
+SUBTITLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("cue_index", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def extract_subtitles(media: DataFrame) -> DataFrame:
+    """subtitle payloads → one row per cue (flat-map shape, like
+    extract_blocks). Non-subtitle payloads contribute zero rows."""
+    from pdf_extractor_spark.core.subtitles import parse_subtitles
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, texts = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                cues = parse_subtitles(bytes(b) if b is not None else None)
+                for k, (s, e, t) in enumerate(cues):
+                    ids.append(mid)
+                    idxs.append(k)
+                    starts.append(s)
+                    ends.append(e)
+                    texts.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "cue_index": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "end_ms": pd.Series(ends, dtype="int64"),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, SUBTITLE_SCHEMA)

@@ -1,0 +1,251 @@
+"""core/exif.py (EXIF parse + GPS scrub) and core/subtitles.py (WebVTT/SRT).
+
+EXIF fixtures come from an independent test-side TIFF writer built straight
+from the EXIF/TIFF spec (IFD layout, type sizes, value-vs-pointer rule) —
+the production module only reads, so this is a genuine differential check.
+"""
+
+import struct
+
+import pytest
+
+from pdf_extractor_spark.core.exif import exif_parse, strip_exif_gps
+from pdf_extractor_spark.core.subtitles import parse_subtitles
+
+# --- EXIF fixture writer ------------------------------------------------------
+
+
+def _entry(tag, typ, count, value_bytes, heap, heap_base):
+    size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}[typ] * count
+    if size <= 4:
+        field = value_bytes.ljust(4, b"\x00")
+    else:
+        field = struct.pack("<I", heap_base + len(heap))
+        heap += value_bytes
+    return struct.pack("<HHI", tag, typ, count) + field, heap
+
+
+def _ifd(entries, next_off=0):
+    return struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", next_off)
+
+
+def _exif_jpeg(lat=None, lon=None, make="Cam", dt="2020:01:02 03:04:05"):
+    """Minimal JPEG: SOI + APP1(Exif, little-endian TIFF) + EOI."""
+    # layout: header(8) | IFD0 | Exif IFD | GPS IFD | heap
+    n_ifd0 = 3 + (1 if lat is not None else 0)
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n_ifd0 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 12 * 1 + 4
+    gps_off = exif_off + exif_size
+    n_gps = 4 if lat is not None else 0
+    gps_size = 2 + 12 * n_gps + 4
+    heap_base = gps_off + gps_size
+    heap = b""
+
+    make_b = make.encode() + b"\x00"
+    dt_b = dt.encode() + b"\x00"
+    e_make, heap = _entry(0x010F, 2, len(make_b), make_b, heap, heap_base)
+    e_dt, heap = _entry(0x0132, 2, len(dt_b), dt_b, heap, heap_base)
+    e_exifp, heap = _entry(0x8769, 4, 1, struct.pack("<I", exif_off), heap, heap_base)
+    ifd0_entries = [e_make, e_dt, e_exifp]
+    if lat is not None:
+        e_gpsp, heap = _entry(0x8825, 4, 1, struct.pack("<I", gps_off), heap, heap_base)
+        ifd0_entries.append(e_gpsp)
+    dto_b = b"2021:06:07 08:09:10\x00"
+    e_dto, heap = _entry(0x9003, 2, len(dto_b), dto_b, heap, heap_base)
+    gps_entries = []
+    if lat is not None:
+        def rat3(v):
+            d = int(abs(v)); mfull = (abs(v) - d) * 60; m = int(mfull)
+            s = round((mfull - m) * 60 * 100)
+            return struct.pack("<IIIIII", d, 1, m, 1, s, 100)
+        e1, heap = _entry(1, 2, 2, (b"N\x00" if lat >= 0 else b"S\x00"), heap, heap_base)
+        e2, heap = _entry(2, 5, 3, rat3(lat), heap, heap_base)
+        e3, heap = _entry(3, 2, 2, (b"E\x00" if lon >= 0 else b"W\x00"), heap, heap_base)
+        e4, heap = _entry(4, 5, 3, rat3(lon), heap, heap_base)
+        gps_entries = [e1, e2, e3, e4]
+    tiff = (b"II*\x00" + struct.pack("<I", ifd0_off) + _ifd(ifd0_entries)
+            + _ifd([e_dto]) + _ifd(gps_entries) + heap)
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+
+def _expected(v):
+    d = int(abs(v)); mfull = (abs(v) - d) * 60; m = int(mfull)
+    s = round((mfull - m) * 60 * 100) / 100
+    out = d + m / 60 + s / 3600
+    return round(out if v >= 0 else -out, 7)
+
+
+def test_exif_parse_fields_and_gps():
+    jpg = _exif_jpeg(lat=37.4219, lon=-122.0841)
+    got = exif_parse(jpg)
+    assert got is not None
+    assert got["make"] == "Cam"
+    assert got["datetime"] == "2020:01:02 03:04:05"
+    assert got["datetime_original"] == "2021:06:07 08:09:10"
+    assert got["gps_lat"] == _expected(37.4219)
+    assert got["gps_lon"] == _expected(-122.0841)
+
+
+def test_exif_parse_no_gps_and_no_exif():
+    got = exif_parse(_exif_jpeg())
+    assert got is not None and got["gps_lat"] is None and got["make"] == "Cam"
+    assert exif_parse(b"\xff\xd8\xff\xd9") is None
+    assert exif_parse(b"not a jpeg") is None
+    assert exif_parse(None) is None
+
+
+def test_strip_gps_in_place_preserves_everything_else():
+    jpg = _exif_jpeg(lat=51.5, lon=-0.12)
+    out = strip_exif_gps(jpg)
+    assert len(out) == len(jpg) and out != jpg
+    got = exif_parse(out)
+    assert got["gps_lat"] is None and got["gps_lon"] is None
+    assert got["make"] == "Cam"
+    assert got["datetime_original"] == "2021:06:07 08:09:10"
+    # coordinate rationals are actually zeroed, not just unlinked
+    def rat3(v):
+        d = int(abs(v)); mfull = (abs(v) - d) * 60; m = int(mfull)
+        s = round((mfull - m) * 60 * 100)
+        return struct.pack("<IIIIII", d, 1, m, 1, s, 100)
+    assert rat3(51.5) in jpg and rat3(51.5) not in out
+    assert rat3(-0.12) in jpg and rat3(-0.12) not in out
+
+
+def test_strip_gps_drop_all_removes_app1():
+    jpg = _exif_jpeg(lat=1.0, lon=2.0)
+    out = strip_exif_gps(jpg, drop_all=True)
+    assert out == b"\xff\xd8\xff\xd9"
+    assert exif_parse(out) is None
+
+
+def test_strip_gps_noop_without_gps_or_exif():
+    plain = _exif_jpeg()
+    assert strip_exif_gps(plain) == plain
+    assert strip_exif_gps(b"\xff\xd8\xff\xd9") == b"\xff\xd8\xff\xd9"
+    assert strip_exif_gps(b"junk") == b"junk"
+    assert strip_exif_gps(None) is None
+
+
+def test_exif_on_real_codec_output_with_spliced_app1():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+    base = jpeg_encode(np.full((8, 8), 50, dtype=np.uint8))
+    meta = _exif_jpeg(lat=10.5, lon=20.25)
+    app1 = meta[2:-2]  # the APP1 segment bytes
+    tagged = base[:2] + app1 + base[2:]
+    assert exif_parse(tagged)["gps_lat"] == _expected(10.5)
+    scrubbed = strip_exif_gps(tagged)
+    assert exif_parse(scrubbed)["gps_lat"] is None
+    # the image itself still sniffs and decodes after scrubbing
+    assert sniff_image(scrubbed) == ("jpeg", 8, 8)
+    assert (jpeg_decode(scrubbed) == jpeg_decode(base)).all()
+
+
+# --- subtitles -----------------------------------------------------------------
+
+
+def test_srt_basic():
+    srt = (b"1\n00:00:01,000 --> 00:00:02,500\nHello <i>world</i>\n\n"
+           b"2\n00:01:00,250 --> 00:01:03,000\nline one\nline two\n")
+    assert parse_subtitles(srt) == [
+        (1000, 2500, "Hello world"),
+        (60250, 63000, "line one line two"),
+    ]
+
+
+def test_vtt_with_header_notes_and_voice_tags():
+    vtt = (b"WEBVTT - demo\n\nNOTE\nthis is ignored\n\n"
+           b"STYLE\n::cue { color: red }\n\n"
+           b"intro-cue\n00:05.000 --> 00:07.000 align:start\n"
+           b"<v Fred>Hi &amp; welcome</v>\n\n"
+           b"01:00:00.000 --> 01:00:01.000\nlater\n")
+    assert parse_subtitles(vtt) == [
+        (5000, 7000, "Hi & welcome"),
+        (3600000, 3601000, "later"),
+    ]
+
+
+def test_subtitles_malformed_and_edgecases():
+    assert parse_subtitles(None) == []
+    assert parse_subtitles(b"") == []
+    assert parse_subtitles(b"just some text\nno timings") == []
+    # end before start: cue dropped, later cues kept
+    s = (b"1\n00:00:05,000 --> 00:00:01,000\nbad\n\n"
+         b"2\n00:00:06,000 --> 00:00:07,000\ngood\n")
+    assert parse_subtitles(s) == [(6000, 7000, "good")]
+    # utf-8 BOM + CRLF + blank-payload cue dropped
+    s2 = "﻿WEBVTT\r\n\r\n00:01.000 --> 00:02.000\r\n<b></b>\r\n".encode("utf-8")
+    assert parse_subtitles(s2) == []
+
+
+def test_subtitles_hours_optional_and_comma_vs_dot():
+    vtt = b"WEBVTT\n\n00:09.500 --> 00:10.000\nshort form\n"
+    assert parse_subtitles(vtt) == [(9500, 10000, "short form")]
+    srt = b"1\n10:00:00,001 --> 10:00:00,002\nbig hours\n"
+    assert parse_subtitles(srt) == [(36000000 + 1, 36000000 + 2, "big hours")]
+
+
+# --- operator seams (operators/mediameta.py) -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def meta_media_df(spark):
+    from pdf_extractor_spark.core.exif import exif_encode
+
+    rows = [
+        ("gps", exif_encode(make="A", gps=((37, 25, 1884), "N", (122, 5, 276), "W"))),
+        ("nogps", exif_encode(make="B")),
+        ("plainjpg", b"\xff\xd8\xff\xd9"),
+        ("vtt", b"WEBVTT\n\n00:01.000 --> 00:02.000\nhello\n\n00:03.000 --> 00:04.000\nworld\n"),
+        ("srt", b"1\n00:00:05,000 --> 00:00:06,000\n<i>styled</i>\n"),
+        ("junk", b"nothing here"),
+        ("nullrow", None),
+    ]
+    return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+def test_exif_metadata_operator(meta_media_df):
+    from pdf_extractor_spark.operators.mediameta import exif_metadata
+
+    got = {r["media_id"]: r for r in exif_metadata(meta_media_df).collect()}
+    assert len(got) == 7  # one row per input, even undecodable ones
+    assert got["gps"]["has_exif"] and got["gps"]["make"] == "A"
+    assert got["gps"]["gps_lat"] == round(37 + 25 / 60 + 1884 / 360000, 7)
+    assert got["gps"]["gps_lon"] == -round(122 + 5 / 60 + 276 / 360000, 7)
+    assert got["nogps"]["has_exif"] and got["nogps"]["gps_lat"] is None
+    assert not got["junk"]["has_exif"] and got["junk"]["make"] is None
+    assert not got["nullrow"]["has_exif"]
+
+
+def test_scrub_gps_operator(meta_media_df):
+    from pdf_extractor_spark.core.exif import exif_parse
+    from pdf_extractor_spark.operators.mediameta import scrub_gps
+
+    got = {r["media_id"]: r for r in scrub_gps(meta_media_df).collect()}
+    assert got["gps"]["had_gps"] and not got["nogps"]["had_gps"]
+    after = exif_parse(bytes(got["gps"]["payload"]))
+    assert after["gps_lat"] is None and after["make"] == "A"
+    # untouched rows pass through byte-identical
+    assert bytes(got["junk"]["payload"]) == b"nothing here"
+    assert got["nullrow"]["payload"] is None
+
+
+def test_extract_subtitles_operator(meta_media_df):
+    from pdf_extractor_spark.operators.mediameta import extract_subtitles
+
+    rows = sorted(
+        (r["media_id"], r["cue_index"], r["start_ms"], r["end_ms"], r["text"])
+        for r in extract_subtitles(meta_media_df).collect()
+    )
+    assert rows == [
+        ("srt", 0, 5000, 6000, "styled"),
+        ("vtt", 0, 1000, 2000, "hello"),
+        ("vtt", 1, 3000, 4000, "world"),
+    ]
