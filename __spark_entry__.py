@@ -776,14 +776,16 @@ def _mk_wav_payload(d: int):
 
 
 def q_media_probe(spark, sf_dir):
-    """Unified media-container probe across ALL four payload families a crawl
+    """Unified media-container probe across SEVEN payload families a crawl
     corpus carries: PCM WAV (RIFF chunk walk), MP4/ISO-BMFF (box walk to
     mvhd duration + tkhd 16.16 geometry), WebM/Matroska (EBML vint walk to
-    Segment→Info TimecodeScale×Duration), and PNG (IHDR) — each built
-    deterministically from doc_id so the oracle reconstructs container,
-    geometry, duration, sample layout, AND total byte size in closed form.
-    Exercises operators/multimodal.py probe_media → core/avmedia.py sniff_av
-    + core/imagemeta.py sniff_image. The reference never probes media at all
+    Segment→Info TimecodeScale×Duration), PNG (IHDR), MP3 (MPEG frame
+    header + CBR duration), FLAC (STREAMINFO bit unpack), and Ogg Vorbis
+    (id header + last-page granule) — each built deterministically from
+    doc_id so the oracle reconstructs container, geometry, duration,
+    sample layout, AND total byte size in closed form. Exercises
+    operators/multimodal.py probe_media → core/avmedia.py sniff_av +
+    core/imagemeta.py sniff_image. The reference never probes media at all
     (payloads travel as opaque base64: app/processing/pdf_processor.py:157-187)."""
     import pyarrow as pa
 
@@ -793,7 +795,7 @@ def q_media_probe(spark, sf_dir):
         import struct
 
         def payload(d: int) -> bytes:
-            v = d % 4
+            v = d % 7
             if v == 0:
                 return _mk_wav_payload(d)
             if v == 1:  # MP4: ftyp + moov(mvhd v0 ts=1000 + trak/tkhd v0)
@@ -815,18 +817,40 @@ def q_media_probe(spark, sf_dir):
                 info = b"\x15\x49\xa9\x66" + bytes([0x80 | (len(ts_el) + len(du_el))]) + ts_el + du_el
                 seg = b"\x18\x53\x80\x67" + bytes([0x80 | len(info)]) + info
                 return b"\x1a\x45\xdf\xa3\x80" + seg
-            w, hgt = d % 13 + 1, d % 11 + 1  # PNG signature + IHDR
-            ihdr = (struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, hgt)
-                    + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
-            return b"\x89PNG\r\n\x1a\n" + ihdr
+            if v == 3:  # PNG signature + IHDR
+                w, hgt = d % 13 + 1, d % 11 + 1
+                ihdr = (struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, hgt)
+                        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+                return b"\x89PNG\r\n\x1a\n" + ihdr
+            if v == 4:  # MP3: CBR V1 L3, 128 kbps, 44.1 kHz → 417-byte frames
+                n = d % 30 + 1
+                hdr = bytes([0xFF, 0xFB, 0x90, 0xC0 if d % 2 else 0x00])
+                return (hdr + b"\x00" * 413) * n
+            if v == 5:  # FLAC STREAMINFO
+                rate = 1000 * (d % 8 + 1)
+                total = 16 * (d % 20 + 1) * (d % 8 + 1)
+                bits = (rate << 44) | ((d % 2) << 41) | (15 << 36) | total
+                body = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+                return b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body
+            # Ogg Vorbis: id-header page + EOS page carrying the granule
+            rate = 1000 * (d % 8 + 1)
+            total = 16 * (d % 20 + 1) * (d % 8 + 1)
 
-        kinds = ("audio", "video", "video", "image")
+            def page(body: bytes, granule: int, flag: int) -> bytes:
+                return (b"OggS\x00" + bytes([flag]) + granule.to_bytes(8, "little")
+                        + b"\x00" * 12 + bytes([1, len(body)]) + body)
+
+            ident = (b"\x01vorbis" + b"\x00" * 4 + bytes([d % 2 + 1])
+                     + struct.pack("<I", rate) + b"\x00" * 9)
+            return page(ident, 0, 2) + page(b"eos", total, 4)
+
+        kinds = ("audio", "video", "video", "image", "audio", "audio", "audio")
         for batch in batches:
             ids, ks, payloads = [], [], []
             for d in batch.column("doc_id").to_pylist():
                 d = int(d)
                 ids.append(f"doc://{d}")
-                ks.append(kinds[d % 4])
+                ks.append(kinds[d % 7])
                 payloads.append(payload(d))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.string()), pa.array(ks, type=pa.string()),
@@ -3868,28 +3892,47 @@ SELECT 'doc://' || doc_id AS media_id,
        (doc_id % 11 + 1)::BIGINT AS height
 FROM documents""",
         # WAV: 44-byte header + 2 bytes/sample; n_frames = 16*(d%20+1)*(d%8+1)
+        # MP3: (d%30+1) CBR frames of 417 B (V1 L3, 128 kbps, 44.1 kHz)
+        # FLAC: 42-byte STREAMINFO; Ogg: 53-byte id page + 31-byte EOS page
         "media_probe": """
 SELECT 'doc://' || doc_id AS media_id,
-       CASE doc_id % 4 WHEN 0 THEN 'audio' WHEN 3 THEN 'image'
-            ELSE 'video' END AS kind,
-       CASE doc_id % 4
+       CASE WHEN doc_id % 7 IN (1, 2) THEN 'video'
+            WHEN doc_id % 7 = 3 THEN 'image' ELSE 'audio' END AS kind,
+       CASE doc_id % 7
             WHEN 0 THEN (44 + 2 * (16 * (doc_id % 20 + 1) * (doc_id % 8 + 1))
                               * (doc_id % 2 + 1))::BIGINT
             WHEN 1 THEN 156::BIGINT
             WHEN 2 THEN 33::BIGINT
-            ELSE 33::BIGINT END AS n_bytes,
-       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
-            WHEN 2 THEN 'webm' ELSE 'png' END AS container,
-       CASE doc_id % 4 WHEN 1 THEN (doc_id % 640 + 16)::BIGINT
+            WHEN 3 THEN 33::BIGINT
+            WHEN 4 THEN (417 * (doc_id % 30 + 1))::BIGINT
+            WHEN 5 THEN 42::BIGINT
+            ELSE 84::BIGINT END AS n_bytes,
+       CASE doc_id % 7 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' WHEN 2 THEN 'webm'
+            WHEN 3 THEN 'png' WHEN 4 THEN 'mp3' WHEN 5 THEN 'flac'
+            ELSE 'ogg' END AS container,
+       CASE doc_id % 7 WHEN 1 THEN (doc_id % 640 + 16)::BIGINT
             WHEN 3 THEN (doc_id % 13 + 1)::BIGINT ELSE NULL END AS width,
-       CASE doc_id % 4 WHEN 1 THEN (doc_id % 480 + 16)::BIGINT
+       CASE doc_id % 7 WHEN 1 THEN (doc_id % 480 + 16)::BIGINT
             WHEN 3 THEN (doc_id % 11 + 1)::BIGINT ELSE NULL END AS height,
-       CASE doc_id % 4 WHEN 0 THEN (16 * (doc_id % 20 + 1))::BIGINT
+       CASE doc_id % 7
+            WHEN 0 THEN (16 * (doc_id % 20 + 1))::BIGINT
             WHEN 1 THEN (doc_id % 9999 + 1)::BIGINT
-            WHEN 2 THEN (doc_id % 5000 + 2)::BIGINT ELSE NULL END AS duration_ms,
-       CASE doc_id % 4 WHEN 0 THEN (1000 * (doc_id % 8 + 1))::BIGINT
+            WHEN 2 THEN (doc_id % 5000 + 2)::BIGINT
+            WHEN 4 THEN ((417 * (doc_id % 30 + 1)) * 8000) // 128000
+            WHEN 5 THEN (16 * (doc_id % 20 + 1))::BIGINT
+            WHEN 6 THEN (16 * (doc_id % 20 + 1))::BIGINT
+            ELSE NULL END AS duration_ms,
+       CASE doc_id % 7
+            WHEN 0 THEN (1000 * (doc_id % 8 + 1))::BIGINT
+            WHEN 4 THEN 44100::BIGINT
+            WHEN 5 THEN (1000 * (doc_id % 8 + 1))::BIGINT
+            WHEN 6 THEN (1000 * (doc_id % 8 + 1))::BIGINT
             ELSE NULL END AS sample_rate,
-       CASE doc_id % 4 WHEN 0 THEN (doc_id % 2 + 1)::BIGINT
+       CASE doc_id % 7
+            WHEN 0 THEN (doc_id % 2 + 1)::BIGINT
+            WHEN 4 THEN (2 - doc_id % 2)::BIGINT
+            WHEN 5 THEN (doc_id % 2 + 1)::BIGINT
+            WHEN 6 THEN (doc_id % 2 + 1)::BIGINT
             ELSE NULL END AS channels
 FROM documents""",
         "audio_features": """

@@ -314,4 +314,154 @@ def sniff_av(payload: bytes | None) -> dict | None:
             "sample_rate": None,
             "channels": None,
         }
+    f = flac_info(payload)
+    if f is not None:
+        return {
+            "container": "flac",
+            "duration_ms": f["duration_ms"],
+            "width": None,
+            "height": None,
+            "sample_rate": f["sample_rate"],
+            "channels": f["channels"],
+        }
+    o = ogg_info(payload)
+    if o is not None:
+        return {
+            "container": "ogg",
+            "duration_ms": o["duration_ms"],
+            "width": None,
+            "height": None,
+            "sample_rate": o["sample_rate"],
+            "channels": o["channels"],
+        }
+    p = mp3_info(payload)
+    if p is not None:
+        return {
+            "container": "mp3",
+            "duration_ms": p["duration_ms"],
+            "width": None,
+            "height": None,
+            "sample_rate": p["sample_rate"],
+            "channels": p["channels"],
+        }
     return None
+
+
+# --- MP3 (MPEG audio frame header + optional ID3v2 skip) ----------------------
+
+# bitrate kbps by [version V1/V2][layer 1/2/3][index 1..14]; 0 = free/invalid
+_MP3_BITRATE = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_info(payload: bytes | None) -> dict | None:
+    """``{channels, sample_rate, bitrate_kbps, duration_ms}`` from the first
+    MPEG audio frame header (ID3v2 prefix skipped), or None. Duration is
+    the CBR estimate ``audio_bytes * 8000 // bitrate_bps`` — integer math
+    so fixtures have closed forms; VBR files (no Xing parse) are
+    approximate, which is the honest limit of a header-only probe."""
+    b = payload or b""
+    off = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        off = 10 + size
+    if off + 4 > len(b) or b[off] != 0xFF or (b[off + 1] & 0xE0) != 0xE0:
+        return None
+    h1, h2, h3 = b[off + 1], b[off + 2], b[off + 3]
+    ver_bits = (h1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = (h1 >> 1) & 0x3  # 3=L1, 2=L2, 1=L3
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits
+    vkey = 1 if ver_bits == 3 else 2
+    br_idx = (h2 >> 4) & 0xF
+    sr_idx = (h2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATE[(vkey, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
+    audio_bytes = len(b) - off
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bitrate_kbps": bitrate // 1000,
+        "duration_ms": audio_bytes * 8000 // bitrate,
+    }
+
+
+# --- FLAC (STREAMINFO metadata block) ------------------------------------------
+
+
+def flac_info(payload: bytes | None) -> dict | None:
+    """``{channels, sample_rate, duration_ms}`` from a FLAC STREAMINFO
+    block (always the first metadata block per spec), or None."""
+    b = payload or b""
+    # 4 magic + 4 block header + 34 STREAMINFO body
+    if b[:4] != b"fLaC" or len(b) < 42 or (b[4] & 0x7F) != 0:
+        return None
+    body = b[8:42]
+    bits = int.from_bytes(body[10:18], "big")  # 20 sr | 3 ch-1 | 5 bps-1 | 36 total
+    rate = bits >> 44
+    channels = ((bits >> 41) & 0x7) + 1
+    total = bits & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
+# --- Ogg (Vorbis / Opus identification headers + last-page granule) ------------
+
+
+def ogg_info(payload: bytes | None) -> dict | None:
+    """``{codec, channels, sample_rate, duration_ms}`` from an Ogg stream's
+    identification header, or None. Duration comes from the LAST page's
+    granule position (PCM sample count for Vorbis; 48 kHz units minus
+    pre-skip for Opus — reported against the 48 kHz output clock)."""
+    b = payload or b""
+    if b[:4] != b"OggS" or len(b) < 28:
+        return None
+    nsegs = b[26]
+    body = b[27 + nsegs : 27 + nsegs + 64]
+    codec = channels = rate = None
+    preskip = 0
+    if body[:7] == b"\x01vorbis" and len(body) >= 16:
+        codec = "vorbis"
+        channels = body[11]
+        rate = int.from_bytes(body[12:16], "little")
+    elif body[:8] == b"OpusHead" and len(body) >= 19:
+        codec = "opus"
+        channels = body[9]
+        preskip = int.from_bytes(body[10:12], "little")
+        rate = 48000  # Opus always decodes on the 48 kHz clock
+    else:
+        return None
+    if not rate or not channels:
+        return None
+    last = b.rfind(b"OggS")
+    duration_ms = None
+    if last >= 0 and last + 14 <= len(b):
+        granule = int.from_bytes(b[last + 6 : last + 14], "little", signed=True)
+        if granule > 0:
+            if codec == "opus":
+                granule = max(granule - preskip, 0)
+                duration_ms = granule * 1000 // 48000
+            else:
+                duration_ms = granule * 1000 // rate
+    return {
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": duration_ms,
+    }

@@ -250,3 +250,92 @@ def test_audio_features_real_envelope(av_media_df):
     assert rows["a-wav"]["sample_rate"] == 8000
     assert rows["a-none"]["envelope"] is None
     assert rows["a-none"]["sample_rate"] is None
+
+
+# --- MP3 / FLAC / Ogg probes ----------------------------------------------------
+
+
+def _mp3(n_frames=10, bitrate_idx=9, sr_idx=0, mono=False, id3_size=0):
+    """CBR MPEG1 Layer III stream: header per frame + zero payload."""
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + b"\x00" * id3_size
+    bitrate = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)[bitrate_idx - 1] * 1000
+    sr = (44100, 48000, 32000)[sr_idx]
+    frame_len = 144 * bitrate // sr
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), 0xC0 if mono else 0x00])
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out), bitrate, sr, frame_len
+
+
+def test_mp3_header_and_cbr_duration():
+    from pdf_extractor_spark.core.avmedia import mp3_info, sniff_av
+
+    b, bitrate, sr, frame_len = _mp3(n_frames=20, bitrate_idx=9, sr_idx=0)
+    got = mp3_info(b)
+    assert got == {
+        "channels": 2, "sample_rate": 44100, "bitrate_kbps": bitrate // 1000,
+        "duration_ms": len(b) * 8000 // bitrate,
+    }
+    assert got["bitrate_kbps"] == 128  # V1 L3 table, index 9
+    s = sniff_av(b)
+    assert s["container"] == "mp3" and s["sample_rate"] == 44100
+
+
+def test_mp3_id3v2_skip_and_mono():
+    from pdf_extractor_spark.core.avmedia import mp3_info
+
+    b, bitrate, _, _ = _mp3(n_frames=5, mono=True, id3_size=100)
+    got = mp3_info(b)
+    assert got["channels"] == 1
+    # ID3 bytes excluded from the CBR duration estimate
+    assert got["duration_ms"] == (len(b) - 110) * 8000 // bitrate
+    from pdf_extractor_spark.core.avmedia import sniff_av
+    assert mp3_info(b"\xff\xd8nope") is None  # JPEG SOI isn't a frame sync
+    assert sniff_av(b"random bytes") is None
+
+
+def _flac(sr=44100, channels=2, total=44100 * 3):
+    bits = (sr << 44) | ((channels - 1) << 41) | (15 << 36) | total
+    body = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body
+
+
+def test_flac_streaminfo():
+    from pdf_extractor_spark.core.avmedia import flac_info, sniff_av
+
+    got = flac_info(_flac(sr=96000, channels=1, total=96000 * 2 + 48000))
+    assert got == {"channels": 1, "sample_rate": 96000, "duration_ms": 2500}
+    s = sniff_av(_flac())
+    assert s["container"] == "flac" and s["duration_ms"] == 3000
+    assert flac_info(b"fLaC" + b"\x00" * 10) is None  # truncated
+    assert flac_info(_flac(sr=0)) is None  # zero rate refused
+
+
+def _ogg_page(payload, granule=0, first=True):
+    segs = [255] * (len(payload) // 255) + [len(payload) % 255]
+    return (b"OggS\x00" + (b"\x02" if first else b"\x04")
+            + granule.to_bytes(8, "little", signed=True)
+            + b"\x00" * 12 + bytes([len(segs)]) + bytes(segs) + payload)
+
+
+def test_ogg_vorbis_and_opus():
+    from pdf_extractor_spark.core.avmedia import ogg_info, sniff_av
+
+    ident = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2]) + (22050).to_bytes(4, "little") + b"\x00" * 9
+    b = _ogg_page(ident) + _ogg_page(b"\x05vorbis-end", granule=22050 * 4, first=False)
+    got = ogg_info(b)
+    assert got == {"codec": "vorbis", "channels": 2, "sample_rate": 22050,
+                   "duration_ms": 4000}
+    assert sniff_av(b)["container"] == "ogg"
+
+    opus = b"OpusHead\x01" + bytes([1]) + (312).to_bytes(2, "little") + (16000).to_bytes(4, "little") + b"\x00" * 3
+    b2 = _ogg_page(opus) + _ogg_page(b"tail", granule=48000 + 312, first=False)
+    got2 = ogg_info(b2)
+    assert got2 == {"codec": "opus", "channels": 1, "sample_rate": 48000,
+                    "duration_ms": 1000}
+    assert ogg_info(_ogg_page(b"not an id header")) is None
