@@ -62,14 +62,25 @@ def main() -> None:
     # varies 4-46 s at local[32] with identical config, while pure
     # multiprocessing scales at 0.75-0.85) — the 2→8 pair measures the
     # ENGINE's scaling where the VM can actually deliver parallelism
-    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_low = int(argv[0]) if len(argv) > 0 else 2
+    n_high = int(argv[1]) if len(argv) > 1 else 8
+    sf_dir = argv[2] if len(argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "5"))
-    lo = run_bench(n_low, sf_dir, repeats=repeats)
-    hi = run_bench(n_high, sf_dir, repeats=repeats)
+    if "--recompute" in sys.argv:
+        # regenerate the derived numbers + BASELINE.md from the already-
+        # measured draws in BENCH/scaling.json (no rerun — measurement is
+        # expensive and must be exclusive on this VM)
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            prior = json.load(f)
+        lo, hi = prior["low"], prior["high"]
+        n_low, n_high = prior["n_low"], prior["n_high"]
+        sf_dir = prior["sf_dir"]
+    else:
+        lo = run_bench(n_low, sf_dir, repeats=repeats)
+        hi = run_bench(n_high, sf_dir, repeats=repeats)
     ratio = n_high / n_low
     # efficiency on the flagship extraction stage (docs/sec), the headline metric
     eff_extract = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
@@ -93,14 +104,20 @@ def main() -> None:
     def _corr(t: float, floor: float) -> float:
         return max(t - floor, 1e-3)
 
-    eff_q_corr = {
-        q: round(
-            (_corr(lo["queries"][q], floor_lo) / _corr(hi["queries"][q], floor_hi))
-            / ratio,
-            3,
-        )
-        for q in lo["queries"]
-    }
+    # a per-query corrected ratio is only meaningful when BOTH levels retain
+    # real work after the floor subtraction; once a wall time sits at or
+    # below the floor the residual is pure measurement noise and the ratio
+    # is unbounded garbage — report n/a (None) instead of a fake number
+    NOISE_S = 0.2
+
+    def _corr_eff(q: str) -> float | None:
+        a = _corr(lo["queries"][q], floor_lo)
+        b = _corr(hi["queries"][q], floor_hi)
+        if a < NOISE_S or b < NOISE_S:
+            return None
+        return round((a / b) / ratio, 3)
+
+    eff_q_corr = {q: _corr_eff(q) for q in lo["queries"]}
     total_lo_corr = sum(_corr(lo["queries"][q], floor_lo) for q in lo["queries"])
     total_hi_corr = sum(_corr(hi["queries"][q], floor_hi) for q in hi["queries"])
     eff_total_corr = (total_lo_corr / total_hi_corr) / ratio
@@ -179,7 +196,8 @@ shuffle pathology — which is why the headline gate is the extraction stage):
 |---|---|---|---|---|
 """ + "\n".join(
         f"| {q} | {lo['queries'][q]} ({lo['steal_pct'].get(q)}) "
-        f"| {hi['queries'][q]} ({hi['steal_pct'].get(q)}) | {eff_q[q]} | {eff_q_corr[q]} |"
+        f"| {hi['queries'][q]} ({hi['steal_pct'].get(q)}) | {eff_q[q]} "
+        f"| {eff_q_corr[q] if eff_q_corr[q] is not None else 'n/a (floor-dominated)'} |"
         for q in lo["queries"]
     ) + "\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
