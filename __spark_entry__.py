@@ -350,6 +350,22 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Text analysis: Flesch Reading Ease + Flesch-Kincaid grade.
+
+    Dictionary-free syllable estimate (vowel-group runs, floored at 1 per
+    word) over letter-bearing tokens; sentence proxy = terminal-punctuation
+    runs floored at 1. Pure Column exprs (functions/text.py readability_*),
+    codegen'd, scan-only — the per-document cost model a 100 TB quality
+    gate needs. Oracle repeats the identical formula operand-for-operand."""
+    d = _docs(spark, sf_dir)
+    s = TXT.readability_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *(s[k].alias(k) for k in ("n_words", "n_sentences", "n_syllables", "flesch", "fk_grade")),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Text analysis: marker-profile language ID."""
     d = _docs(spark, sf_dir)
@@ -2404,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
+        "readability": q_readability,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -3147,6 +3164,31 @@ SELECT doc_id, w::BIGINT AS n_tokens,
                   ELSE len(list_filter(toks, t2 -> list_contains({_STOP}, t2))) / len(toks)::DOUBLE END, 4) AS stopword_ratio,
        round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality
 FROM t""",
+        "readability": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> regexp_matches(w, '[a-z]')) AS words,
+         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS raw_sent
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         greatest(1, raw_sent)::BIGINT AS n_sentences,
+         coalesce(list_sum(list_transform(words, w ->
+             greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)::BIGINT
+           AS n_syllables
+  FROM t)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                               - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+       END AS flesch,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE round(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                       + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59, 4)
+       END AS fk_grade
+FROM c""",
         "lang_id": _sql_lang_id(),
         "fingerprint": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)

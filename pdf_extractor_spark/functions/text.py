@@ -372,3 +372,62 @@ def script_ratio(text: Column, script: str) -> Column:
     return F.when(nonspace == 0, F.lit(0.0)).otherwise(
         hits / nonspace.cast("double")
     )
+
+
+# --- readability -------------------------------------------------------------
+
+VOWEL_RUN_RE = r"[aeiouy]+"
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens that carry at least one ASCII letter —
+    the word set readability formulas are defined over (pure numbers and
+    bare punctuation tokens are not words)."""
+    return F.filter(tokens(F.lower(text)), lambda w: w.rlike("[a-z]"))
+
+
+def syllable_count(word: Column) -> Column:
+    """Vowel-group syllable proxy of one lowercase word: the number of
+    contiguous ``[aeiouy]+`` runs, floored at 1 (every word has a syllable).
+    The classic dictionary-free estimator; exact per the written spec, so
+    the DuckDB twin reproduces it bit-for-bit."""
+    return F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(word, F.lit(VOWEL_RUN_RE), F.lit(0))),
+    )
+
+
+def syllable_total(text: Column) -> Column:
+    """Total syllable estimate over ``word_tokens(text)`` (0 for no words)."""
+    return F.aggregate(
+        word_tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + syllable_count(w).cast("long"),
+    )
+
+
+def readability_scores(text: Column) -> dict[str, Column]:
+    """Flesch Reading Ease + Flesch-Kincaid grade from the three counts.
+
+    words-per-sentence uses ``max(1, sentence_count)`` (a fragment with no
+    terminal punctuation is one sentence); both scores are 0.0 for wordless
+    text. Operand order in the formulas is part of the spec — the DuckDB
+    oracle repeats it verbatim so the IEEE doubles match exactly.
+    """
+    n_words = F.size(word_tokens(text)).cast("long")
+    n_sent = F.greatest(F.lit(1).cast("long"), sentence_count(text))
+    n_syll = syllable_total(text)
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    wordless = n_words == 0
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": n_syll,
+        "flesch": F.when(wordless, F.lit(0.0)).otherwise(
+            F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4)
+        ),
+        "fk_grade": F.when(wordless, F.lit(0.0)).otherwise(
+            F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4)
+        ),
+    }

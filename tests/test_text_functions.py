@@ -318,3 +318,32 @@ def test_c4_line_and_page_filters(spark):
     assert got[2]["keep"] is False  # spam vocabulary on the raw page
     assert got[3]["keep"] is False  # code brace on the raw page
     assert (got[4]["keep"], got[4]["ns"]) == (False, 1)  # below 5 sentences
+
+
+def test_readability_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat on the mat."),   # 6 words, 1 sentence, 6 syllables
+            (1, ""),                            # wordless
+            (2, "pfft pfft"),                   # vowel-less words floor at 1 syllable
+            (3, "Reading ability matters! Yes."),  # 2 sentences
+        ],
+        "doc_id long, text string",
+    )
+    s = TXT.readability_scores(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *(s[k].alias(k) for k in s)).collect()
+    }
+    r0 = rows[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (6, 1, 6)
+    # flesch = 206.835 - 1.015*6 - 84.6*1 ; fk = 0.39*6 + 11.8*1 - 15.59
+    assert r0["flesch"] == pytest.approx(116.145, abs=1e-9)
+    assert r0["fk_grade"] == pytest.approx(-1.45, abs=1e-9)
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (0, 1, 0)
+    assert r1["flesch"] == 0.0 and r1["fk_grade"] == 0.0
+    assert rows[2]["n_syllables"] == 2  # floor: one per vowel-less word
+    r3 = rows[3]
+    # reading(2: ea+i) ability(4: a+i+i+y) matters(2) yes(1) = 9 syllables
+    assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (4, 2, 9)
