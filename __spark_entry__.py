@@ -1146,6 +1146,67 @@ def q_sitemap_urls(spark, sf_dir):
     )
 
 
+def q_feed_entries(spark, sf_dir):
+    """Crawl-frontier feed parsing through the oracle: per doc a
+    deterministic feed — RSS 2.0 for even doc_ids, Atom for odd — with two
+    entries each, exercising entity-escaped titles/links, a CDATA title,
+    a missing pubDate, and Atom's published-over-updated preference; the
+    REAL parser (core/links.py feed_entries via extract_feed_entries) runs
+    on the XML and the oracle reconstructs every field from the
+    construction rule."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.linkgraph import extract_feed_entries
+
+    def mk(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d, src in zip(
+                batch.column("doc_id").to_pylist(), batch.column("source").to_pylist()
+            ):
+                if d % 2 == 0:
+                    xml = (
+                        '<?xml version="1.0"?><rss version="2.0"><channel>'
+                        "<title>chan</title>"
+                        f"<item><title>Post {d} &amp; part 0</title>"
+                        f"<link>https://{src}.example/rss/{d}/0?x={d}&amp;y=0</link>"
+                        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+                        f"<item><title><![CDATA[Post {d} <two>]]></title>"
+                        f"<link>https://{src}.example/rss/{d}/1</link></item>"
+                        "</channel></rss>"
+                    )
+                else:
+                    xml = (
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<entry><title>Entry {d} &amp; zero</title>"
+                        f'<link rel="alternate" href="https://{src}.example/atom/{d}/0?x={d}&amp;y=0"/>'
+                        "<published>2024-01-01T00:00:00Z</published>"
+                        "<updated>2023-12-31T23:59:59Z</updated></entry>"
+                        f"<entry><title>Entry {d} one</title>"
+                        f'<link href="https://{src}.example/atom/{d}/1"/>'
+                        "<updated>2024-02-02T00:00:02Z</updated></entry>"
+                        "</feed>"
+                    )
+                urls.append(f"feed://{d}")
+                htmls.append(xml.encode())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id", "source").mapInArrow(
+        mk, "url string, html binary"
+    )
+    return extract_feed_entries(pages).select(
+        "url",
+        F.col("entry_index").cast("long").alias("entry_index"),
+        "kind",
+        "title",
+        "link",
+        "published",
+    )
+
+
 def q_jpeg_features(spark, sf_dir):
     """jpeg_decode through the driver gate: per doc_id a CONSTANT-gray 8x8
     JPEG (core/jpegcodec.py, all-ones quantization — a flat block is
@@ -2421,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
         "readability": q_readability,
+        "feed_entries": q_feed_entries,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -4033,6 +4095,31 @@ SELECT url, loc_index, loc FROM (
          'https://' || source || '.example/cdata/' || doc_id
   FROM documents
 )""",
+        "feed_entries": """
+WITH e AS (SELECT * FROM (VALUES (0::BIGINT), (1::BIGINT)) AS v(entry_index))
+SELECT 'feed://' || doc_id AS url,
+       entry_index,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN
+            CASE entry_index WHEN 0 THEN 'Post ' || doc_id || ' & part 0'
+                             ELSE 'Post ' || doc_id || ' <two>' END
+       ELSE CASE entry_index WHEN 0 THEN 'Entry ' || doc_id || ' & zero'
+                             ELSE 'Entry ' || doc_id || ' one' END
+       END AS title,
+       CASE WHEN doc_id % 2 = 0 THEN
+            CASE entry_index WHEN 0 THEN
+                 'https://' || source || '.example/rss/' || doc_id || '/0?x=' || doc_id || '&y=0'
+            ELSE 'https://' || source || '.example/rss/' || doc_id || '/1' END
+       ELSE CASE entry_index WHEN 0 THEN
+                 'https://' || source || '.example/atom/' || doc_id || '/0?x=' || doc_id || '&y=0'
+            ELSE 'https://' || source || '.example/atom/' || doc_id || '/1' END
+       END AS link,
+       CASE WHEN doc_id % 2 = 0 THEN
+            CASE entry_index WHEN 0 THEN 'Mon, 01 Jan 2024 00:00:00 GMT' ELSE NULL END
+       ELSE CASE entry_index WHEN 0 THEN '2024-01-01T00:00:00Z'
+                             ELSE '2024-02-02T00:00:02Z' END
+       END AS published
+FROM documents, e""",
         "extract_images": (
             "SELECT 'doc://' || doc_id AS url, 'fig ' || source || ',img_1' AS images_csv "
             "FROM documents"

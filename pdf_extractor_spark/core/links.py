@@ -222,3 +222,77 @@ def sitemap_urls(xml: bytes | str | None) -> list[str]:
         if loc:
             out.append(loc)
     return out
+
+
+# --- RSS / Atom feeds --------------------------------------------------------
+# Feeds are the third crawl-frontier artifact after sitemaps and robots.txt:
+# a site's freshest URLs plus publish timestamps, which a re-crawl scheduler
+# prioritizes by. Same engineering stance as sitemap_urls: the two formats'
+# entry grammars are regular enough that a documented regex walk beats a
+# full XML parser (none is available here), and malformed input degrades to
+# zero rows, never an exception.
+
+_ITEM_RE = _re.compile(r"<(item|entry)[\s>].*?</\1\s*>", _re.IGNORECASE | _re.DOTALL)
+_TITLE_RE = _re.compile(r"<title[^>]*>(.*?)</title\s*>", _re.IGNORECASE | _re.DOTALL)
+_RSS_LINK_RE = _re.compile(r"<link\s*>\s*(.*?)\s*</link\s*>", _re.IGNORECASE | _re.DOTALL)
+_ATOM_LINK_RE = _re.compile(
+    r"""<link\b[^>]*\bhref\s*=\s*["']([^"']*)["']""", _re.IGNORECASE
+)
+_RSS_DATE_RE = _re.compile(r"<pubDate\s*>\s*(.*?)\s*</pubDate\s*>", _re.IGNORECASE | _re.DOTALL)
+_ATOM_PUBLISHED_RE = _re.compile(
+    r"<published\s*>\s*(.*?)\s*</published\s*>", _re.IGNORECASE | _re.DOTALL
+)
+_ATOM_UPDATED_RE = _re.compile(
+    r"<updated\s*>\s*(.*?)\s*</updated\s*>", _re.IGNORECASE | _re.DOTALL
+)
+
+
+def _feed_text(m: _re.Match | None) -> str | None:
+    """Inner text of a captured element: CDATA unwrapped, entities decoded,
+    whitespace trimmed; absent/empty → None."""
+    if m is None:
+        return None
+    val = m.group(1)
+    cm = _CDATA_RE.search(val)
+    if cm:
+        val = cm.group(1)
+    val = _html_mod.unescape(val).strip()
+    return val or None
+
+
+@dataclass
+class FeedEntry:
+    entry_index: int
+    kind: str  # 'rss' | 'atom'
+    title: str | None
+    link: str | None
+    published: str | None
+
+
+def feed_entries(xml: bytes | str | None) -> list[FeedEntry]:
+    """Entries of an RSS 2.0 ``<item>`` or Atom ``<entry>`` feed, in file
+    order. Per entry: first <title> (CDATA/entities normalized), link
+    (RSS: inner text of a bare <link> element; Atom: the first link tag's
+    href attribute), published (RSS <pubDate>; Atom <published>, falling
+    back to <updated>) — all raw strings, no date parsing (feeds mix RFC
+    822 and RFC 3339; normalization is a downstream Column expr concern).
+    Non-feed input yields []."""
+    if not xml:
+        return []
+    text = xml.decode("utf-8", errors="replace") if isinstance(xml, bytes) else xml
+    out: list[FeedEntry] = []
+    for i, m in enumerate(_ITEM_RE.finditer(text)):
+        kind = "rss" if m.group(1).lower() == "item" else "atom"
+        body = m.group(0)
+        title = _feed_text(_TITLE_RE.search(body))
+        if kind == "rss":
+            link = _feed_text(_RSS_LINK_RE.search(body))
+            published = _feed_text(_RSS_DATE_RE.search(body))
+        else:
+            lm = _ATOM_LINK_RE.search(body)
+            link = _html_mod.unescape(lm.group(1)).strip() or None if lm else None
+            published = _feed_text(
+                _ATOM_PUBLISHED_RE.search(body)
+            ) or _feed_text(_ATOM_UPDATED_RE.search(body))
+        out.append(FeedEntry(i, kind, title, link, published))
+    return out

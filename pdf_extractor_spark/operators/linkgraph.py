@@ -264,3 +264,47 @@ def extract_sitemap_urls(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInArrow(
         run, "url string, loc_index int, loc string"
     )
+
+
+def extract_feed_entries(pages: DataFrame) -> DataFrame:
+    """feed pages(url, html) → (url, entry_index, kind, title, link,
+    published): one row per RSS <item> / Atom <entry>, order-preserving.
+    The freshness half of the crawl frontier — feeds carry a site's newest
+    URLs plus publish timestamps the re-crawl scheduler prioritizes by.
+    Same fused one-Arrow-pass shape as extract_sitemap_urls; non-feed
+    payloads yield zero rows for that page."""
+    from pdf_extractor_spark.core.links import feed_entries
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {
+                "url": [], "entry_index": [], "kind": [],
+                "title": [], "link": [], "published": [],
+            }
+            for url, html in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
+                for e in feed_entries(html):
+                    cols["url"].append(url)
+                    cols["entry_index"].append(e.entry_index)
+                    cols["kind"].append(e.kind)
+                    cols["title"].append(e.title)
+                    cols["link"].append(e.link)
+                    cols["published"].append(e.published)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["url"], type=pa.string()),
+                    pa.array(cols["entry_index"], type=pa.int32()),
+                    pa.array(cols["kind"], type=pa.string()),
+                    pa.array(cols["title"], type=pa.string()),
+                    pa.array(cols["link"], type=pa.string()),
+                    pa.array(cols["published"], type=pa.string()),
+                ],
+                names=["url", "entry_index", "kind", "title", "link", "published"],
+            )
+
+    return pages.select("url", "html").mapInArrow(
+        run,
+        "url string, entry_index int, kind string, title string, "
+        "link string, published string",
+    )

@@ -242,3 +242,58 @@ def test_extract_sitemap_urls_operator(spark):
     assert [(r["url"], r["loc_index"], r["loc"]) for r in rows] == [
         ("s1", 0, "https://h/a"), ("s1", 1, "https://h/b")
     ]
+
+
+def test_feed_entries_rss_and_atom():
+    from pdf_extractor_spark.core.links import feed_entries
+
+    rss = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel><title>chan</title>'
+        b"<item><title>A &amp; B</title><link> https://h/a?x=1&amp;y=2 </link>"
+        b"<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        b"<item><title><![CDATA[C <b>]]></title><link>https://h/b</link></item>"
+        b"<item><title>truncated, never closed"
+        b"</channel></rss>"
+    )
+    es = feed_entries(rss)
+    assert len(es) == 2  # the unclosed <item> is dropped, not guessed at
+    assert (es[0].kind, es[0].title, es[0].link) == ("rss", "A & B", "https://h/a?x=1&y=2")
+    assert es[0].published == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert (es[1].title, es[1].published) == ("C <b>", None)
+
+    atom = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<ENTRY><title>T1</title><link rel="alternate" href="https://h/1?a=1&amp;b=2"/>'
+        b"<published>2024-01-01T00:00:00Z</published>"
+        b"<updated>2023-12-31T23:59:59Z</updated></ENTRY>"
+        b"<entry><title>T2</title><link href=\"https://h/2\"/>"
+        b"<updated>2024-02-02T00:00:02Z</updated></entry>"
+        b"<entry><title>T3</title><link rel=\"self\"/></entry>"
+        b"</feed>"
+    )
+    es = feed_entries(atom)
+    assert [e.kind for e in es] == ["atom", "atom", "atom"]
+    assert es[0].link == "https://h/1?a=1&b=2"
+    assert es[0].published == "2024-01-01T00:00:00Z"  # published wins over updated
+    assert es[1].published == "2024-02-02T00:00:02Z"  # updated fallback
+    assert es[2].link is None and es[2].published is None
+
+    assert feed_entries(b"<html>page</html>") == []
+    assert feed_entries(None) == []
+    assert feed_entries(b"") == []
+
+
+def test_extract_feed_entries_operator(spark):
+    from pdf_extractor_spark.operators.linkgraph import extract_feed_entries
+
+    pages = spark.createDataFrame(
+        [
+            ("f1", b"<rss><channel><item><title>t</title><link>https://h/x</link>"
+                   b"</item></channel></rss>"),
+            ("f2", b"not xml at all"),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_feed_entries(pages).collect()
+    assert [(r["url"], r["entry_index"], r["kind"], r["title"], r["link"], r["published"])
+            for r in rows] == [("f1", 0, "rss", "t", "https://h/x", None)]
