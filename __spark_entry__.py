@@ -2412,28 +2412,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "domain_quota": q_domain_quota,
         "events_funnel": q_events_funnel,
-        # --- 15 touched by round-5 changes (extraction/codec/multimodal),
-        #     incl. 8 queries new this round (never driver-checked) ---
-        "extract_roundtrip": q_extract_roundtrip,
-        "extract_blocks": q_extract_blocks,
-        "extract_tables": q_extract_tables,
-        "pdf_flags": q_pdf_flags,
+        # --- 9 queries NEW this round (never driver-checked) ---
         "pdf_encodings": q_pdf_encodings,
-        "media_resize": q_media_resize,
-        "png_features": q_png_features,
-        "jpeg_features": q_jpeg_features,
         "image_sniff": q_image_sniff,
         "media_probe": q_media_probe,
         "audio_features": q_audio_features,
         "media_exif": q_media_exif,
         "scrub_gps": q_scrub_gps,
         "subtitles": q_subtitles,
-        "clean_text": q_clean_text,
+        "readability": q_readability,
+        "feed_entries": q_feed_entries,
+        # --- 6 banked-green queries whose CODE changed this round
+        #     (PDF encodings/AESV3/hidden-content/charsets; PNG full-spec;
+        #      progressive + CMYK JPEG) — re-checked inside the 50 window ---
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_blocks": q_extract_blocks,
+        "extract_tables": q_extract_tables,
+        "pdf_flags": q_pdf_flags,
+        "png_features": q_png_features,
+        "jpeg_features": q_jpeg_features,
         # --- banked green in earlier rounds' driver artifacts ---
-        # (chunk_fixed / multimodal_features / frame_sample / doc_hash /
-        #  curate_corpus / minhash_near_dups: green r04 rows, code paths
-        #  untouched this round — displaced below the 50-query cap by the
-        #  never-checked media queries above)
+        # (media_resize / clean_text: green r04 rows; media_resize's mime
+        #  fix and clean_text are oracle-verified by the builder+judge
+        #  sweeps — displaced below the 50-query cap by the never-checked
+        #  queries above)
+        "media_resize": q_media_resize,
+        "clean_text": q_clean_text,
         "chunk_fixed": q_chunk_fixed,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -2481,8 +2485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
-        "readability": q_readability,
-        "feed_entries": q_feed_entries,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
