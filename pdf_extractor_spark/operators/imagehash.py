@@ -1,0 +1,194 @@
+"""Perceptual image hashing (dHash) and hamming-block image near-dup.
+
+The image analog of SimHash text dedup: LAION/DataComp-style multimodal
+curation dedups images by a tiny perceptual signature — re-encoded,
+re-scaled, or slightly re-compressed copies of the same picture land within
+a few hamming bits of each other, while the exact byte hash sees them as
+distinct. The reference ships image crops as opaque base64 and never dedups
+them (app/processing/pdf_processor.py:157-187); a 100 TB crawl cannot
+afford to embed every near-copy.
+
+dHash spec pinned here (so the signature is reproducible engine-to-engine):
+
+* grayscale = integer ITU-R BT.601 luma scaled x1000 (299 R + 587 G + 114 B;
+  single-channel images use the channel as-is; alpha is ignored),
+* area-average downsample to a (HASH_SIZE x HASH_SIZE+1) = 8x9 grid with
+  floor boundaries (row k edge at k*H//8, col k edge at k*W//9); images
+  narrower than the grid are integer-repeated up first, so every block has
+  >= 1 pixel and the result stays integer-exact,
+* bit (r*8 + c) is set iff block (r, c+1) has a strictly greater mean than
+  block (r, c) — compared by cross-multiplied integer block SUMS, so no
+  float ever enters the signature.
+
+Everything per-image runs in one Arrow pass (no shuffle); the near-dup join
+reuses the SimHash pigeonhole machinery: (max_hamming+1) contiguous bit
+blocks, any pair within distance d shares >= 1 exact block, hot buckets
+capped. Exact at any corpus size that doesn't overflow a bucket — same
+contract (and same SQL-oracle mirroring) as simhash_near_duplicates.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.dedup import (
+    _attach_caches,
+    _simhash_block_exprs,
+    hamming64,
+)
+
+HASH_SIZE = 8  # 8 rows x 8 horizontal gradients = 64 bits
+
+
+def dhash64(arr) -> int:
+    """64-bit dHash of an (H, W[, C]) uint8 array as a Python int.
+
+    Integer-exact by construction (see module docstring); the pure scalar
+    spec used directly by the Arrow operator below and by the unit tests.
+    """
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        luma = a.astype(np.int64) * 1000
+    else:
+        if a.shape[2] == 1:
+            luma = a[:, :, 0].astype(np.int64) * 1000
+        else:
+            rgb = a[:, :, :3].astype(np.int64)
+            luma = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+    h, w = luma.shape
+    gw, gh = HASH_SIZE + 1, HASH_SIZE
+    # guarantee every grid block holds >= 1 pixel: integer-repeat tiny axes
+    # (exact for the constant-block images this inflates; deterministic for
+    # all). -(-a // b) is ceil-div.
+    if h < gh:
+        luma = luma.repeat(-(-gh // h), axis=0)
+        h = luma.shape[0]
+    if w < gw:
+        luma = luma.repeat(-(-gw // w), axis=1)
+        w = luma.shape[1]
+    rows = [k * h // gh for k in range(gh + 1)]
+    cols = [k * w // gw for k in range(gw + 1)]
+    # block sums via two reduceats (rows then cols)
+    rsum = np.add.reduceat(luma, rows[:-1], axis=0)
+    block = np.add.reduceat(rsum, cols[:-1], axis=1)  # (8, 9) int64 sums
+    areas = np.outer(np.diff(rows), np.diff(cols)).astype(np.int64)  # (8, 9)
+    # mean(r,c+1) > mean(r,c)  <=>  sum_r * area_l > sum_l * area_r
+    gt = block[:, 1:] * areas[:, :-1] > block[:, :-1] * areas[:, 1:]  # (8, 8)
+    bits = 0
+    for i, b in enumerate(gt.flatten()):  # bit i = row-major (r*8 + c)
+        if b:
+            bits |= 1 << i
+    return bits
+
+
+def image_dhash(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, dhash_hi, dhash_lo, width, height) for every decodable image
+    payload (PNG / baseline+progressive JPEG / GIF / BMP via the pure-numpy
+    codecs). Undecodable payloads drop — parity with simhash_df dropping
+    token-less docs. The 64-bit signature ships as two int32 halves in long
+    columns (hi = bits 32..63), the same layout the hamming-block join and
+    its SQL oracle twins already speak.
+
+    Scale shape: one Arrow pass, zero shuffle, decode cost proportional to
+    bytes scanned."""
+    id_type = media.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pdf_extractor_spark.operators.multimodal import _decode_pixels
+
+        for batch in batches:
+            id_pa = batch.column(id_col).type
+            ids, his, los, ws, hs = [], [], [], [], []
+            for i, b in zip(
+                batch.column(id_col).to_pylist(), batch.column(payload_col).to_pylist()
+            ):
+                arr = _decode_pixels(b) if b is not None else None
+                if arr is None:
+                    continue
+                sig = dhash64(arr)
+                ids.append(i)
+                his.append(sig >> 32)
+                los.append(sig & 0xFFFFFFFF)
+                hs.append(int(arr.shape[0]))
+                ws.append(int(arr.shape[1]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=id_pa),
+                    pa.array(his, type=pa.int64()),
+                    pa.array(los, type=pa.int64()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                ],
+                names=[id_col, "dhash_hi", "dhash_lo", "width", "height"],
+            )
+
+    return media.select(id_col, payload_col).mapInArrow(
+        run,
+        f"{id_col} {id_type}, dhash_hi long, dhash_lo long, width int, height int",
+    )
+
+
+def dhash_value(hi: Column, lo: Column) -> Column:
+    """The signature as ONE bigint (hi*2^32 + lo). Only safe to materialize
+    when bit 63 is known clear (hi < 2^31) — true for the driver corpus;
+    general code should stay on the (hi, lo) pair."""
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def dhash_near_duplicates(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image pairs with dHash distance <= max_hamming.
+
+    Input is image_dhash's output (or anything with dhash_hi/dhash_lo).
+    Candidate generation, hot-bucket cap, and the exactness/recall contract
+    are simhash_near_duplicates' — the signature columns are renamed into
+    the shared pigeonhole block expressions, so the two dedup families
+    cannot drift apart."""
+    sims = hashes.select(
+        id_col,
+        F.col("dhash_hi").alias("simhash_hi"),
+        F.col("dhash_lo").alias("simhash_lo"),
+    )
+    blocks = F.array(*_simhash_block_exprs(max_hamming))
+    keyed = (
+        sims.select(id_col, "simhash_hi", "simhash_lo", F.explode(blocks).alias("b"))
+        .select(id_col, "simhash_hi", "simhash_lo", "b.blk", "b.blk_val")
+        .persist()
+    )
+    big = (
+        keyed.groupBy("blk", "blk_val").count().filter(F.col("count") > max_bucket)
+        .select("blk", "blk_val")
+    )
+    kept = keyed.join(big, ["blk", "blk_val"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(
+                F.col("a.simhash_hi"), F.col("a.simhash_lo"),
+                F.col("b.simhash_hi"), F.col("b.simhash_lo"),
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return _attach_caches(
+        cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b"), keyed
+    )

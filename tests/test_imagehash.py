@@ -1,0 +1,121 @@
+"""dHash perceptual image hashing + hamming-block near-dup join.
+
+The pinned invariant: dhash64 recovers exactly the bit pattern a
+gradient-walk image encodes (integer-exact area averaging), stays stable
+under lossless re-encoding and 2x upscale, and moves only a few bits under
+lossy JPEG re-encode — the property that makes it a near-dup key at all.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.core.imagemeta import png_encode
+from pdf_extractor_spark.core.jpegcodec import jpeg_encode
+from pdf_extractor_spark.operators.imagehash import (
+    dhash64,
+    dhash_near_duplicates,
+    image_dhash,
+)
+
+
+def bits_image(bits: int, step: int = 1, scale: int = 2) -> np.ndarray:
+    """16x18 RGB image whose 8x9 block-mean grid walks +-step per column
+    from 128 — its dHash is exactly ``bits`` (for step>=1)."""
+    v = np.empty((8, 9), np.int16)
+    v[:, 0] = 128
+    for r in range(8):
+        for c in range(8):
+            v[r, c + 1] = v[r, c] + (step if (bits >> (r * 8 + c)) & 1 else -step)
+    g = np.repeat(np.repeat(v.astype(np.uint8), scale, 0), scale, 1)
+    return np.stack([g, g, g], axis=2)
+
+
+@pytest.mark.parametrize(
+    "bits", [0, (1 << 64) - 1, 0x0123456789ABCDEF, 42 * 2654435761]
+)
+def test_dhash_recovers_encoded_bits(bits):
+    assert dhash64(bits_image(bits)) == bits
+
+
+def test_dhash_flat_image_is_zero():
+    assert dhash64(np.full((32, 40, 3), 77, np.uint8)) == 0
+
+
+def test_dhash_gray_2d_equals_rgb_gray():
+    g = bits_image(0xDEADBEEF)[:, :, 0]
+    assert dhash64(g) == dhash64(np.stack([g, g, g], axis=2)) == 0xDEADBEEF
+
+
+def test_dhash_ignores_alpha():
+    img = bits_image(12345)
+    rgba = np.dstack([img, np.full(img.shape[:2], 9, np.uint8)])
+    assert dhash64(rgba) == 12345
+
+
+def test_dhash_scale_invariant():
+    # same picture at 2x and 6x block scale -> identical signature
+    assert dhash64(bits_image(0xCAFEBABE, scale=6)) == 0xCAFEBABE
+
+
+def test_dhash_tiny_image_upscales():
+    # 1x2 black|white: every row's grid sees the jump at the same column
+    sig = dhash64(np.array([[0, 255]], np.uint8))
+    assert sig == 0x1010101010101010
+
+
+def test_dhash_uneven_blocks_integer_exact():
+    # 11x13 (prime-ish dims): block areas differ; cross-multiplied sums must
+    # still see the global left-to-right ramp as all-ascending
+    ramp = np.tile(np.arange(13, dtype=np.uint8) * 18, (11, 1))
+    assert dhash64(ramp) == (1 << 64) - 1
+
+
+def test_dhash_stable_under_lossless_and_close_under_jpeg():
+    from pdf_extractor_spark.core.imagemeta import png_decode
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode
+
+    img = bits_image(0x5A5A_1234_ABCD_0F0F, step=8)
+    sig = dhash64(img)
+    assert dhash64(png_decode(png_encode(img))) == sig  # lossless: exact
+    jsig = dhash64(jpeg_decode(jpeg_encode(img)))
+    ham = bin(sig ^ jsig).count("1")
+    assert ham <= 2  # lossy re-encode: perceptually unchanged -> near
+
+
+def test_image_dhash_and_near_dups(spark):
+    base = 0x2AAA_5555_00FF_33CC
+    imgs = {
+        "img://a": bits_image(base),
+        "img://b": bits_image(base ^ (1 << 7)),  # hamming 1 from a
+        "img://c": bits_image(base ^ 0xFF),  # hamming 8: too far
+        "img://d": bits_image(base ^ (1 << 40) ^ (1 << 3)),  # hamming 2
+    }
+    rows = [(k, png_encode(v)) for k, v in sorted(imgs.items())]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    sigs = image_dhash(media)
+    got = {r["media_id"]: (r["dhash_hi"] << 32) | r["dhash_lo"] for r in sigs.collect()}
+    assert got == {k: dhash64(v) for k, v in imgs.items()}
+    pairs = dhash_near_duplicates(sigs, max_hamming=2).collect()
+    assert {(p["id_a"], p["id_b"], p["hamming"]) for p in pairs} == {
+        ("img://a", "img://b", 1),
+        ("img://a", "img://d", 2),
+    }
+
+
+def test_image_dhash_drops_undecodable(spark):
+    media = spark.createDataFrame(
+        [("img://ok", png_encode(bits_image(5))), ("img://junk", b"\x00not-an-image")],
+        "media_id string, payload binary",
+    )
+    out = image_dhash(media).select("media_id").collect()
+    assert [r["media_id"] for r in out] == ["img://ok"]
+
+
+def test_near_dup_plan_has_no_cartesian(spark):
+    media = spark.createDataFrame(
+        [(f"img://{i}", png_encode(bits_image(i * 2654435761))) for i in range(8)],
+        "media_id string, payload binary",
+    )
+    plan = dhash_near_duplicates(image_dhash(media))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
