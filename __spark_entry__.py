@@ -1290,6 +1290,32 @@ def q_image_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_nb_quality(spark, sf_dir):
+    """Model-based quality filter (operators/qualitymodel.py): Naive-Bayes
+    log-odds trained with sources src0/src1 as the positive seed, every doc
+    scored by its mean token log-odds — the fastText-style curation model
+    FineWeb/DCLM pipelines gate on, in its closed-form one-pass shape.
+    Same tokenizer as the LM queries; train = one token hash-agg."""
+    from pdf_extractor_spark.operators.qualitymodel import (
+        score_nb_quality,
+        train_nb_quality,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn(
+        "label", F.col("source").isin("src0", "src1").cast("int")
+    )
+    model = train_nb_quality(labeled)
+    scored = score_nb_quality(docs, model, broadcast_model=True)
+    # + 0.0 canonicalizes IEEE -0.0 (a doc whose tokens' log-odds cancel
+    # exactly can round to the signed zero in one engine only)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.round("nb_score", 4) + F.lit(0.0)).alias("nb_score"),
+    )
+
+
 def q_jpeg_features(spark, sf_dir):
     """jpeg_decode through the driver gate: per doc_id a CONSTANT-gray 8x8
     JPEG (core/jpegcodec.py, all-ones quantization — a flat block is
@@ -2507,18 +2533,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
-        # --- 4 banked-green queries whose CODE changed this round
+        "nb_quality": q_nb_quality,
+        # --- 3 banked-green queries whose CODE changed this round
         #     (PDF encodings/AESV3/hidden-content/charsets) — re-checked
         #     inside the 50 window ---
         "extract_roundtrip": q_extract_roundtrip,
         "extract_blocks": q_extract_blocks,
-        "extract_tables": q_extract_tables,
         "pdf_flags": q_pdf_flags,
         # --- banked green in earlier rounds' driver artifacts ---
-        # (png/jpeg_features changed this round too but carry green r04
-        #  rows plus builder+judge sweep parity; media_resize's mime fix
-        #  and clean_text likewise — displaced below the 50-query cap by
-        #  the never-checked queries above)
+        # (extract_tables / png/jpeg_features changed this round too but
+        #  carry green r04 rows plus builder+judge sweep parity;
+        #  media_resize's mime fix and clean_text likewise — displaced
+        #  below the 50-query cap by the never-checked queries above)
+        "extract_tables": q_extract_tables,
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
         "media_resize": q_media_resize,
@@ -4207,6 +4234,22 @@ SELECT 'feed://' || doc_id AS url,
                              ELSE '2024-02-02T00:00:02Z' END
        END AS published
 FROM documents, e""",
+        # Naive-Bayes log-odds quality model, same tokenization as
+        # unigram_logprob; trained on the scored corpus itself (src0/src1 =
+        # positive seed), so every token is in-vocabulary here (the OOV
+        # floor path is pytest-covered)
+        "nb_quality": r"""
+WITH tk AS (SELECT doc_id, (source IN ('src0','src1'))::INT AS pos,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0),
+tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+cnt AS (SELECT tok, sum(pos) AS c_pos, sum(1 - pos) AS c_neg FROM tk2 GROUP BY tok),
+st AS (SELECT (sum(c_pos) + count(*))::DOUBLE AS dp,
+              (sum(c_neg) + count(*))::DOUBLE AS dn FROM cnt),
+w AS (SELECT tok, ln((c_pos + 1) / dp) - ln((c_neg + 1) / dn) AS w FROM cnt, st)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(w), 4) + 0.0 AS nb_score
+FROM tk2 JOIN w USING (tok) GROUP BY doc_id""",
         # the rendered 16x18 PNG's dHash IS the closed form below (the +-1
         # column walk encodes each bit as a strict block-mean gradient)
         "image_dhash": """

@@ -1,0 +1,100 @@
+"""Model-based quality filtering: a Naive-Bayes log-odds token classifier.
+
+The FineWeb/DCLM-style curation step the heuristic gates (Gopher/C4 rules,
+`functions/text.py`) cannot replace: train a tiny linear model on a labeled
+seed — "positive" = a curated/high-quality sample (Wikipedia-ish, accepted
+docs), "negative" = raw crawl — then score every document by its tokens'
+learned log-odds and keep the top of the distribution. fastText's
+supervised classifier reduces to exactly this shape for unigram features;
+Naive-Bayes log-odds is its closed-form, one-pass cousin, which is what
+makes it trainable at 10^12 docs: no gradient loop, just token counts.
+
+    w(tok)  = ln((c_pos(tok)+1) / (N_pos+V)) - ln((c_neg(tok)+1) / (N_neg+V))
+    score(doc) = mean over doc tokens of w(tok)   (OOV -> the +1/(N+V) floor)
+
+Train = one explode + one token hash-agg (map-side combined) + a 1-row
+stats broadcast; score = one vocabulary join (broadcastable below ~10^7
+types) + a per-doc avg. Two shuffles end-to-end, both on bounded keys —
+the same scale shape as operators/langmodel.py, whose tokenizer this
+module shares so LM perplexity and NB quality stay comparable per token.
+
+The reference has no model-based filter at all (its quality gate is
+"did unstructured parse it", app/processing/pdf_processor.py) — this is
+part of the beyond-reference curation stack SURVEY §2 tracks.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.langmodel import _doc_tokens
+
+
+def train_nb_quality(
+    docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, w, __oov_w): add-one-smoothed Naive-Bayes log-odds weights.
+
+    ``label_col`` is 1/true for positive-class docs, 0/false for negative.
+    The OOV floor (an unseen token's log-odds) rides on every row like
+    langmodel's __oov, so scoring needs no driver-side scalar. Lazy plan,
+    no collects; token counts shuffle once.
+    """
+    lbl = F.col(label_col).cast("int")
+    toks = (
+        docs.select(F.col(id_col).alias("__doc"), lbl.alias("__pos"), text_col)
+        .withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .filter(F.size("__toks") > 0)
+        .select("__pos", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum("__pos").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("__pos")).alias("c_neg"),
+    )
+    stats = cnt.agg(
+        (F.sum("c_pos") + F.count(F.lit(1))).cast("double").alias("__dp"),
+        (F.sum("c_neg") + F.count(F.lit(1))).cast("double").alias("__dn"),
+    )
+    # operand order pinned: ln((c+1)/denom) per class, then subtract — the
+    # SQL oracle twin must write the same expression shape
+    return cnt.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        (
+            F.log((F.col("c_pos") + F.lit(1)) / F.col("__dp"))
+            - F.log((F.col("c_neg") + F.lit(1)) / F.col("__dn"))
+        ).alias("w"),
+        (F.log(F.lit(1.0) / F.col("__dp")) - F.log(F.lit(1.0) / F.col("__dn"))).alias(
+            "__oov_w"
+        ),
+    )
+
+
+def score_nb_quality(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """(id_col, n_tokens, nb_score): mean token log-odds per document.
+
+    Positive scores lean toward the positive (curated) class. Set
+    ``broadcast_model`` when the vocabulary fits an executor to make the
+    token join a broadcast hash join (the common case)."""
+    mj = F.broadcast(model) if broadcast_model else model
+    toks = _doc_tokens(docs, id_col, text_col)
+    oov = model.agg(F.min("__oov_w").alias("__oov_w"))
+    scored = (
+        toks.join(mj.select("tok", "w"), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.coalesce(F.col("w"), F.col("__oov_w"))).alias("nb_score"),
+        )
+    )
+    return scored.select(F.col("__doc").alias(id_col), "n_tokens", "nb_score")

@@ -1,0 +1,73 @@
+"""Naive-Bayes log-odds quality model: closed-form weights, OOV floor,
+class separation, broadcast scoring plan."""
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.qualitymodel import (
+    score_nb_quality,
+    train_nb_quality,
+)
+
+
+def _labeled(spark):
+    rows = [
+        (0, 1, "good clean prose"),
+        (1, 1, "clean prose again"),
+        (2, 0, "spam spam casino"),
+        (3, 0, "casino spam prose"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, label int, text string")
+
+
+def test_weights_match_closed_form(spark):
+    model = {r["tok"]: r["w"] for r in train_nb_quality(_labeled(spark)).collect()}
+    # corpus: pos tokens = good clean prose clean prose again (6),
+    #         neg tokens = spam spam casino casino spam prose (6), V = 6
+    dp, dn = 6 + 6, 6 + 6
+
+    def w(cp, cn):
+        return math.log((cp + 1) / dp) - math.log((cn + 1) / dn)
+
+    assert model["clean"] == w(2, 0)
+    assert model["spam"] == w(0, 3)
+    assert model["prose"] == w(2, 1)
+    assert model["good"] == w(1, 0) and model["casino"] == w(0, 2)
+    assert set(model) == {"good", "clean", "prose", "again", "spam", "casino"}
+
+
+def test_scores_separate_classes_and_oov_floor(spark):
+    labeled = _labeled(spark)
+    model = train_nb_quality(labeled)
+    docs = spark.createDataFrame(
+        [
+            (10, "clean clean prose"),
+            (11, "spam casino spam"),
+            (12, "zzz-unseen-token"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in score_nb_quality(docs, model).collect()}
+    assert got[10]["nb_score"] > 0 > got[11]["nb_score"]
+    # every token of doc 12 is OOV -> exactly the symmetric floor ln(1/dp)-ln(1/dn) = 0
+    assert got[12]["nb_score"] == 0.0 and got[12]["n_tokens"] == 1
+    assert got[10]["n_tokens"] == 3
+
+
+def test_blank_docs_drop_like_langmodel(spark):
+    model = train_nb_quality(_labeled(spark))
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "prose")], "doc_id long, text string"
+    )
+    out = score_nb_quality(docs, model).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_broadcast_scoring_plan(spark):
+    model = train_nb_quality(_labeled(spark))
+    docs = spark.createDataFrame([(1, "prose")], "doc_id long, text string")
+    plan = (
+        score_nb_quality(docs, model, broadcast_model=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
