@@ -1290,6 +1290,81 @@ def q_image_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_revision_drift(spark, sf_dir):
+    """Re-crawl drift (operators/drift.py): 100 urls x N revisions (every
+    doc is a crawl of url doc_id%100 at ts=doc_id); revisions in the
+    middle third of each century reuse the previous revision's text
+    (unchanged re-crawl), the rest move — changed flags and word-shingle
+    Jaccard to the previous revision come out of ONE window shuffle, and
+    the oracle reconstructs both from the same construction rule."""
+    from pdf_extractor_spark.operators.drift import revision_drift
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    prev = docs.select(
+        (F.col("doc_id") + 100).alias("doc_id"), F.col("text").alias("__ptext")
+    )
+    pages = (
+        docs.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site"), (d % 10).cast("string"),
+                F.lit(".com/page/"), (d % 100).cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+            F.when(
+                ((d / 100).cast("long") % 3 == 1) & F.col("__ptext").isNotNull(),
+                F.col("__ptext"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = revision_drift(pages)
+    return out.select(
+        "doc_id",
+        "url",
+        "rev_index",
+        "changed",
+        (F.round("jaccard_prev", 4) + F.lit(0.0)).alias("jaccard_prev"),
+    )
+
+
+def q_url_change_stats(spark, sf_dir):
+    """Per-url re-crawl scheduling summary (drift.url_change_stats): how
+    many revisions moved and how far — the signal a fetch scheduler spends
+    budget on. Same synthetic revision table as revision_drift; one
+    hash-agg on top of the window."""
+    from pdf_extractor_spark.operators.drift import revision_drift, url_change_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    prev = docs.select(
+        (F.col("doc_id") + 100).alias("doc_id"), F.col("text").alias("__ptext")
+    )
+    pages = (
+        docs.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site"), (d % 10).cast("string"),
+                F.lit(".com/page/"), (d % 100).cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+            F.when(
+                ((d / 100).cast("long") % 3 == 1) & F.col("__ptext").isNotNull(),
+                F.col("__ptext"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    stats = url_change_stats(revision_drift(pages))
+    return stats.select(
+        "url",
+        "n_revisions",
+        "n_changed",
+        (F.round("avg_jaccard", 4) + F.lit(0.0)).alias("avg_jaccard"),
+    )
+
+
 def q_nb_quality(spark, sf_dir):
     """Model-based quality filter (operators/qualitymodel.py): Naive-Bayes
     log-odds trained with sources src0/src1 as the positive seed, every doc
@@ -2534,17 +2609,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
         "nb_quality": q_nb_quality,
-        # --- 3 banked-green queries whose CODE changed this round
+        "revision_drift": q_revision_drift,
+        "url_change_stats": q_url_change_stats,
+        # --- banked-green flagship whose CODE changed this round
         #     (PDF encodings/AESV3/hidden-content/charsets) — re-checked
         #     inside the 50 window ---
         "extract_roundtrip": q_extract_roundtrip,
+        # --- banked green in earlier rounds' driver artifacts ---
+        # (extract_blocks/tables, pdf_flags, png/jpeg_features changed this
+        #  round too but carry green r04 rows plus builder+judge
+        #  all-three-scale sweep parity; media_resize's mime fix and
+        #  clean_text likewise — displaced below the 50-query cap by the
+        #  never-checked queries above)
         "extract_blocks": q_extract_blocks,
         "pdf_flags": q_pdf_flags,
-        # --- banked green in earlier rounds' driver artifacts ---
-        # (extract_tables / png/jpeg_features changed this round too but
-        #  carry green r04 rows plus builder+judge sweep parity;
-        #  media_resize's mime fix and clean_text likewise — displaced
-        #  below the 50-query cap by the never-checked queries above)
         "extract_tables": q_extract_tables,
         "png_features": q_png_features,
         "jpeg_features": q_jpeg_features,
@@ -4234,6 +4312,58 @@ SELECT 'feed://' || doc_id AS url,
                              ELSE '2024-02-02T00:00:02Z' END
        END AS published
 FROM documents, e""",
+        # revision drift: same synthetic revision table (url = doc_id%100,
+        # ts = doc_id, middle-third centuries re-crawl unchanged), same
+        # (ts, hash) window order, shingle Jaccard in list arithmetic
+        "revision_drift": f"""
+WITH rev AS (
+  SELECT d.doc_id,
+         'https://site' || (d.doc_id % 10) || '.com/page/' || (d.doc_id % 100) AS url,
+         d.doc_id AS ts,
+         CASE WHEN (d.doc_id // 100) % 3 = 1 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 100
+),
+t AS (SELECT doc_id, url, ts, sha256(text) AS h, {_SH3} AS sh
+      FROM (SELECT *, {_TOKS} AS toks FROM rev)),
+w AS (SELECT doc_id, url,
+             (row_number() OVER win - 1)::BIGINT AS rev_index,
+             lag(h) OVER win AS ph, lag(sh) OVER win AS psh, h, sh
+      FROM t WINDOW win AS (PARTITION BY url ORDER BY ts, h))
+SELECT doc_id, url, rev_index,
+       CASE WHEN ph IS NULL THEN NULL ELSE h <> ph END AS changed,
+       CASE WHEN ph IS NULL THEN NULL
+            WHEN len(list_distinct(list_concat(sh, psh))) = 0 THEN 1.0
+            ELSE round(len(list_intersect(sh, psh))::DOUBLE
+                       / len(list_distinct(list_concat(sh, psh))), 4) + 0.0
+       END AS jaccard_prev
+FROM w""",
+        # per-url summary over the same drift rows; jaccard averaged
+        # UNROUNDED (matching url_change_stats over revision_drift raw)
+        "url_change_stats": f"""
+WITH rev AS (
+  SELECT d.doc_id,
+         'https://site' || (d.doc_id % 10) || '.com/page/' || (d.doc_id % 100) AS url,
+         d.doc_id AS ts,
+         CASE WHEN (d.doc_id // 100) % 3 = 1 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 100
+),
+t AS (SELECT doc_id, url, ts, sha256(text) AS h, {_SH3} AS sh
+      FROM (SELECT *, {_TOKS} AS toks FROM rev)),
+w AS (SELECT url, lag(h) OVER win AS ph, lag(sh) OVER win AS psh, h, sh
+      FROM t WINDOW win AS (PARTITION BY url ORDER BY ts, h)),
+j AS (SELECT url,
+             CASE WHEN ph IS NULL THEN NULL ELSE (h <> ph)::INT END AS chg,
+             CASE WHEN ph IS NULL THEN NULL
+                  WHEN len(list_distinct(list_concat(sh, psh))) = 0 THEN 1.0
+                  ELSE len(list_intersect(sh, psh))::DOUBLE
+                       / len(list_distinct(list_concat(sh, psh)))
+             END AS jac
+      FROM w)
+SELECT url, count(*)::BIGINT AS n_revisions, sum(chg)::BIGINT AS n_changed,
+       round(avg(jac), 4) + 0.0 AS avg_jaccard
+FROM j GROUP BY url""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

@@ -1,0 +1,80 @@
+"""Re-crawl revision drift: how much does a page change between crawls?
+
+A 10^12-page crawl re-fetches every url on a cadence; the scheduler needs
+per-url change-rate estimates (Cho & Garcia-Molina's re-crawl frequency
+problem) to spend fetch budget on pages that actually move. This module
+turns a revisions table — multiple (url, warc_ts, text) rows per url, the
+exact input_hint shape — into per-revision drift signals:
+
+* ``changed``     — content hash differs from the previous revision,
+* ``jaccard_prev`` — word-shingle Jaccard similarity to the previous
+  revision (1.0 = identical set, 0.0 = disjoint), the graded signal that
+  separates a banner rotation from a rewrite.
+
+Scale shape: ONE shuffle (the window partitionBy url); both lags share the
+window, so Spark plans a single Window node. The shingle set rides the
+shuffle like the text it summarizes — no pairwise join ever materializes
+(the naive revisions-self-join is quadratic per url). Revisions per url
+are bounded by crawl cadence (a few hundred per year), so partition skew
+is structurally capped.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import shingles, tokens
+
+
+def revision_drift(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Append (rev_index, changed, jaccard_prev) to each revision row.
+
+    ``rev_index`` numbers revisions 0.. within a url by (ts, content-hash)
+    — the hash tie-break keeps the order total when two crawls share a
+    timestamp. The first revision of a url has changed = jaccard_prev =
+    NULL (there is no previous). Empty-vs-empty shingle sets compare as
+    identical (jaccard 1.0)."""
+    sh = shingles(tokens(F.lower(F.col(text_col))), k)
+    base = pages.withColumn("__h", F.sha2(F.col(text_col), 256)).withColumn("__sh", sh)
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col), F.col("__h"))
+    inter = F.array_intersect(F.col("__sh"), F.col("__psh"))
+    union = F.array_union(F.col("__sh"), F.col("__psh"))
+    return (
+        base.withColumn("rev_index", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("__ph", F.lag("__h").over(w))
+        .withColumn("__psh", F.lag("__sh").over(w))
+        .withColumn(
+            "changed",
+            F.when(F.col("__ph").isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.col("__h") != F.col("__ph")
+            ),
+        )
+        .withColumn(
+            "jaccard_prev",
+            F.when(F.col("__ph").isNull(), F.lit(None).cast("double")).otherwise(
+                F.when(F.size(union) == 0, F.lit(1.0)).otherwise(
+                    F.size(inter).cast("double") / F.size(union)
+                )
+            ),
+        )
+        .drop("__h", "__sh", "__ph", "__psh")
+    )
+
+
+def url_change_stats(drift: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-url re-crawl scheduling summary over revision_drift's output:
+    (url, n_revisions, n_changed, avg_jaccard). ``n_changed`` counts
+    revisions that differ from their predecessor; ``avg_jaccard`` averages
+    the graded drift over those same comparable revisions (the first
+    revision contributes to neither). One hash-agg, map-side combined."""
+    return drift.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_revisions"),
+        F.sum(F.col("changed").cast("int")).cast("long").alias("n_changed"),
+        F.avg("jaccard_prev").alias("avg_jaccard"),
+    )

@@ -1,0 +1,76 @@
+"""Re-crawl revision drift (operators/drift.py).
+
+Reference scope: the reference re-processes re-uploaded documents through
+the same extract path (`/root/reference/app/processing/pdf_processor.py`);
+drift tracking is the scale-out analogue a crawl scheduler needs on top of
+that revisions table (Cho & Garcia-Molina re-crawl frequency).
+"""
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.drift import revision_drift, url_change_stats
+
+
+@pytest.fixture(scope="module")
+def revs(spark):
+    ts = datetime.datetime(2024, 1, 1)
+
+    def t(i):
+        return ts + datetime.timedelta(hours=i)
+
+    rows = [
+        # url a: 3 revisions — identical, then a one-word edit
+        ("a", t(0), "the quick brown fox jumps over the lazy dog"),
+        ("a", t(1), "the quick brown fox jumps over the lazy dog"),
+        ("a", t(2), "the quick brown fox leaps over the lazy dog"),
+        # url b: total rewrite between revisions
+        ("b", t(0), "alpha beta gamma delta epsilon zeta"),
+        ("b", t(5), "one two three four five six seven"),
+        # url c: single revision — no predecessor
+        ("c", t(3), "lonely page"),
+        # url d: empty-text revisions (empty shingle sets)
+        ("d", t(0), ""),
+        ("d", t(1), ""),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+
+
+def test_rev_index_and_changed(revs):
+    out = {
+        (r["url"], r["rev_index"]): r
+        for r in revision_drift(revs).collect()
+    }
+    assert out[("a", 0)]["changed"] is None
+    assert out[("a", 0)]["jaccard_prev"] is None
+    assert out[("a", 1)]["changed"] is False
+    assert out[("a", 1)]["jaccard_prev"] == 1.0
+    assert out[("a", 2)]["changed"] is True
+    assert 0.0 < out[("a", 2)]["jaccard_prev"] < 1.0
+    assert out[("b", 1)]["changed"] is True
+    assert out[("b", 1)]["jaccard_prev"] == 0.0
+    assert out[("c", 0)]["changed"] is None
+
+
+def test_empty_text_identical(revs):
+    out = {r["rev_index"]: r for r in revision_drift(revs).where("url='d'").collect()}
+    assert out[1]["changed"] is False
+    assert out[1]["jaccard_prev"] == 1.0
+
+
+def test_url_change_stats(revs):
+    stats = {r["url"]: r for r in url_change_stats(revision_drift(revs)).collect()}
+    assert stats["a"]["n_revisions"] == 3
+    assert stats["a"]["n_changed"] == 1
+    assert stats["b"]["n_changed"] == 1
+    assert stats["c"]["n_revisions"] == 1
+    assert stats["c"]["n_changed"] is None  # no comparable revision
+    assert stats["d"]["n_changed"] == 0
+    assert stats["d"]["avg_jaccard"] == 1.0
+
+
+def test_single_window_shuffle(revs):
+    plan = revision_drift(revs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert plan.count("Window") == 1
