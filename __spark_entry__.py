@@ -1365,6 +1365,61 @@ def q_url_change_stats(spark, sf_dir):
     )
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (operators/normalize.py fix_mojibake): UTF-8 text
+    mis-decoded as latin-1/cp1252 is round-trip repaired (ftfy's core case,
+    from scratch), iterated to unwind double encoding, and provably safe —
+    repair applies only when the inverse round-trip succeeds. Input built
+    by corrupting documents.text after planting non-ASCII chars via
+    translate (a/e/o -> ä/é/’ covers 2- and 3-byte UTF-8, cp1252 and
+    latin-1 repair paths); the oracle knows the fixed text by construction
+    — it's the planted original."""
+    from pdf_extractor_spark.operators.normalize import fix_mojibake, to_mojibake
+
+    docs = _docs(spark, sf_dir)
+    planted = F.translate(F.col("text"), "aeo", "äé’")
+    corrupted = to_mojibake(planted)
+    fixed = fix_mojibake(corrupted)
+    return docs.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        (fixed != corrupted).alias("was_fixed"),
+    )
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """Polite fetch scheduling (operators/politeness.py): per-host fetch
+    slots in priority order, spaced by the host's robots.txt Crawl-delay
+    (default 1 s, budget-capped) — ONE window shuffle on host; delays
+    broadcast. Hosts h0/h1 set delays 2.5/0.5 via real robots.txt bodies
+    (h2's is junk, h3's is scoped to another agent -> default)."""
+    from pdf_extractor_spark.operators.politeness import crawl_delays, fetch_schedule
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 5).cast("string"), F.lit(".example.com/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.col("n_chars").alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.com", b"User-agent: *\nCrawl-delay: 2.5"),
+            ("h1.example.com", b"User-agent: *\nDisallow: /x\nCrawl-delay: 0.5"),
+            ("h2.example.com", b"User-agent: *\nCrawl-delay: soon"),
+            ("h3.example.com", b"User-agent: Bingbot\nCrawl-delay: 9"),
+        ],
+        "host string, body binary",
+    )
+    out = fetch_schedule(
+        urls, crawl_delays(robots), priority_col="priority", max_per_host=30
+    )
+    return out.select("doc_id", "url", "host", "slot", "fetch_at")
+
+
 def q_nb_quality(spark, sf_dir):
     """Model-based quality filter (operators/qualitymodel.py): Naive-Bayes
     log-odds trained with sources src0/src1 as the positive seed, every doc
@@ -2611,16 +2666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "revision_drift": q_revision_drift,
         "url_change_stats": q_url_change_stats,
-        # --- banked-green flagship whose CODE changed this round
-        #     (PDF encodings/AESV3/hidden-content/charsets) — re-checked
-        #     inside the 50 window ---
-        "extract_roundtrip": q_extract_roundtrip,
+        "fix_mojibake": q_fix_mojibake,
+        "fetch_schedule": q_fetch_schedule,
         # --- banked green in earlier rounds' driver artifacts ---
-        # (extract_blocks/tables, pdf_flags, png/jpeg_features changed this
-        #  round too but carry green r04 rows plus builder+judge
+        # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
+        #  changed in r4 but carry green r04 driver rows plus builder+judge
         #  all-three-scale sweep parity; media_resize's mime fix and
         #  clean_text likewise — displaced below the 50-query cap by the
         #  never-checked queries above)
+        "extract_roundtrip": q_extract_roundtrip,
         "extract_blocks": q_extract_blocks,
         "pdf_flags": q_pdf_flags,
         "extract_tables": q_extract_tables,
@@ -4364,6 +4418,36 @@ j AS (SELECT url,
 SELECT url, count(*)::BIGINT AS n_revisions, sum(chg)::BIGINT AS n_changed,
        round(avg(jac), 4) + 0.0 AS avg_jaccard
 FROM j GROUP BY url""",
+        # mojibake repair: the oracle knows the fixed text by construction —
+        # it's the planted pre-corruption original; was_fixed <=> any planted
+        # non-ASCII char (i.e. any a/e/o in the source text)
+        "fix_mojibake": """
+SELECT doc_id,
+       translate(text, 'aeo', 'äé’') AS fixed,
+       regexp_matches(text, '[aeo]') AS was_fixed
+FROM documents""",
+        # polite fetch scheduling: same host/priority construction; delays
+        # restated from the fixture robots bodies (h0 2.5s, h1 0.5s, junk/
+        # scoped bodies fall back to the 1s default), budget cap 30
+        "fetch_schedule": """
+WITH u AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 5) || '.example.com/p/' || doc_id AS url,
+         'h' || (doc_id % 5) || '.example.com' AS host,
+         n_chars AS priority
+  FROM documents
+),
+s AS (
+  SELECT doc_id, url, host,
+         (row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) - 1)::BIGINT AS slot
+  FROM u
+)
+SELECT doc_id, url, host, slot,
+       (slot * CASE WHEN host = 'h0.example.com' THEN 2.5
+                    WHEN host = 'h1.example.com' THEN 0.5
+                    ELSE 1.0 END)::DOUBLE AS fetch_at
+FROM s
+WHERE slot < 30""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

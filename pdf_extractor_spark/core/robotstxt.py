@@ -81,3 +81,45 @@ def robots_sitemaps(payload: bytes | str | None) -> list[str]:
         if key.strip().lower() == "sitemap" and val.strip():
             out.append(val.strip())
     return out
+
+
+def robots_crawl_delay(payload: bytes | str | None) -> float | None:
+    """``Crawl-delay`` (seconds) of the ``User-agent: *`` group, or None.
+
+    The de-facto extension (not in RFC 9309 but honored by Bing/Yandex and
+    most polite crawlers): group-scoped like Allow/Disallow, so the same
+    group-tracking state machine as parse_robots applies. Non-numeric or
+    negative values are ignored; the LAST valid value in a ``*`` group wins
+    (matching how the additive group parse treats repeated directives)."""
+    if payload is None:
+        return None
+    text = (
+        payload.decode("utf-8", errors="replace") if isinstance(payload, bytes) else payload
+    )
+    delay: float | None = None
+    in_star_group = False
+    seen_rule_in_group = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule_in_group:
+                in_star_group = val == "*"
+                seen_rule_in_group = False
+            else:
+                in_star_group = in_star_group or val == "*"
+            continue
+        if key in ("allow", "disallow", "crawl-delay"):
+            seen_rule_in_group = True
+            if key == "crawl-delay" and in_star_group:
+                try:
+                    v = float(val)
+                except ValueError:
+                    continue
+                if v >= 0:
+                    delay = v
+    return delay

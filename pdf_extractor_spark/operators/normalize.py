@@ -42,3 +42,78 @@ def nfc_udf(col: Column) -> Column:
 def clean_text(col: Column) -> Column:
     """NFC-normalize then strip control characters."""
     return F.regexp_replace(nfc_udf(col), CONTROL_CLASS, "")
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy's core case, from scratch)
+#
+# Web text is full of UTF-8 that some hop decoded as cp1252/latin-1
+# ("café" → "cafÃ©"). The repair is the inverse round-trip: re-encode the
+# *characters* as the wrong codec's bytes and decode those bytes as UTF-8 —
+# applied only when the full round-trip succeeds, so well-formed text can
+# never be corrupted (a string whose bytes don't form valid UTF-8 is left
+# alone). Iterated a bounded number of times to unwind double/triple
+# encoding. Reference scope: the reference trusts upstream decoding
+# (`/root/reference/app/processing/pdf_processor.py` never re-checks);
+# a 10^12-page crawl cannot.
+
+_MOJIBAKE_MAX_PASSES = 3
+
+
+def fix_mojibake_str(s: str | None) -> str | None:
+    """Repair one string; returns the input unchanged when no safe repair
+    applies. cp1252 is tried first (what browsers actually mean by
+    latin-1); latin-1 is the fallback for the five cp1252 holes
+    (U+0081/8D/8F/90/9D) and C1 controls that appear inside mojibake of
+    3-byte UTF-8 sequences."""
+    if not s:
+        return s
+    cur = s
+    for _ in range(_MOJIBAKE_MAX_PASSES):
+        try:
+            b = cur.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                b = cur.encode("latin-1")
+            except UnicodeEncodeError:
+                break  # contains chars > U+00FF: not mojibake
+        try:
+            dec = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break  # bytes aren't UTF-8: the text was fine as-is
+        if dec == cur:
+            break  # pure-ASCII fixpoint
+        cur = dec
+    return cur
+
+
+def _fix_mojibake(s: pd.Series) -> pd.Series:
+    return s.map(fix_mojibake_str)
+
+
+_MOJIBAKE_UDF = None
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Column-level mojibake repair (Arrow-batched pandas UDF)."""
+    global _MOJIBAKE_UDF
+    if _MOJIBAKE_UDF is None:
+        _MOJIBAKE_UDF = F.pandas_udf(_fix_mojibake, "string")
+    return _MOJIBAKE_UDF(col)
+
+
+def _to_mojibake(s: pd.Series) -> pd.Series:
+    # test/fixture helper: the corruption being repaired (UTF-8 bytes
+    # mis-decoded as latin-1), exposed so synthetic corpora and oracles can
+    # construct known-broken inputs
+    return s.map(lambda t: t.encode("utf-8").decode("latin-1") if t is not None else None)
+
+
+_TO_MOJIBAKE_UDF = None
+
+
+def to_mojibake(col: Column) -> Column:
+    global _TO_MOJIBAKE_UDF
+    if _TO_MOJIBAKE_UDF is None:
+        _TO_MOJIBAKE_UDF = F.pandas_udf(_to_mojibake, "string")
+    return _TO_MOJIBAKE_UDF(col)

@@ -1,0 +1,104 @@
+"""Per-host fetch scheduling — the politeness half of the crawl frontier.
+
+robots.py decides WHETHER a url may be fetched; this module decides WHEN.
+A polite crawler serializes requests per host with at least ``crawl_delay``
+seconds between them (the de-facto ``Crawl-delay`` robots.txt extension,
+parsed by core/robotstxt.robots_crawl_delay), and caps how many urls one
+host may consume from a fetch round (crawl budget). Turning a 10^12-row
+frontier into (url, slot, fetch_at) assignments is a pure window problem:
+
+* ONE shuffle — the window partitionBy host; priority ordering, slot
+  numbering, budget cap, and fetch offset all ride it.
+* Skew is semantic, not accidental: politeness genuinely serializes a
+  mega-host (10^8 urls on one host = 10^8 slots), but the window state is
+  a running count — nothing materializes per partition — and the budget
+  cap (`max_per_host`) is exactly the knob that keeps one host from
+  dominating a round, applied as a filter on the slot number so capped
+  rows are dropped before any downstream stage sees them.
+
+Reference scope: the reference fetches one document per request on demand
+(`/root/reference/app/storage/storage_service.py` download path) — no
+frontier exists; this is the operator that has to exist instead at
+Common-Crawl scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.urls import url_host
+
+
+def crawl_delays(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, crawl_delay) for hosts whose robots.txt sets one.
+
+    Arrow-batched scan over the robots payload table (hosts-sized, orders
+    smaller than the frontier) — no shuffle."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.robotstxt import robots_crawl_delay
+
+    schema = pa.schema(
+        [pa.field("host", pa.string()), pa.field("crawl_delay", pa.float64())]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            hosts = batch.column(host_col).to_pylist()
+            bodies = batch.column(body_col).to_pylist()
+            out_h, out_d = [], []
+            for host, body in zip(hosts, bodies):
+                d = robots_crawl_delay(body)
+                if d is not None:
+                    out_h.append(host)
+                    out_d.append(d)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_h, type=pa.string()), pa.array(out_d, type=pa.float64())],
+                schema=schema,
+            )
+
+    return robots.select(host_col, body_col).mapInArrow(
+        run, "host string, crawl_delay double"
+    )
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Assign each frontier url a per-host fetch slot and time offset.
+
+    Appends (host, slot, fetch_at): ``slot`` numbers a host's urls 0..
+    in priority order (highest ``priority_col`` first, url as the total
+    tie-break), ``fetch_at`` = slot * the host's crawl delay (seconds from
+    the round's start). ``delays`` is an optional (host, crawl_delay)
+    table — crawl_delays' output — broadcast-joined; hosts without an
+    entry use ``default_delay``. With ``max_per_host``, slots beyond the
+    budget are dropped (they belong to the next round).
+    """
+    u = urls.withColumn("host", url_host(F.col(url_col)))
+    if delays is not None:
+        u = u.join(
+            F.broadcast(delays.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        u = u.withColumn("crawl_delay", F.lit(None).cast("double"))
+    order = [F.col(url_col)]
+    if priority_col is not None:
+        order.insert(0, F.col(priority_col).desc_nulls_last())
+    w = Window.partitionBy("host").orderBy(*order)
+    out = u.withColumn("slot", (F.row_number().over(w) - 1).cast("long")).withColumn(
+        "fetch_at",
+        F.col("slot") * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+    ).drop("crawl_delay")
+    if max_per_host is not None:
+        out = out.filter(F.col("slot") < int(max_per_host))
+    return out

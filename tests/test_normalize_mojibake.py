@@ -1,0 +1,49 @@
+"""Mojibake repair (operators/normalize.py fix_mojibake)."""
+from pdf_extractor_spark.operators.normalize import (
+    fix_mojibake,
+    fix_mojibake_str,
+    to_mojibake,
+)
+
+
+def corrupt(s: str, codec: str = "latin-1") -> str:
+    return s.encode("utf-8").decode(codec)
+
+
+def test_fixes_single_encoding():
+    assert fix_mojibake_str(corrupt("café")) == "café"
+    assert fix_mojibake_str(corrupt("naïve — déjà vu")) == "naïve — déjà vu"
+    # curly quote: 3-byte UTF-8, C1 controls in the mojibake
+    assert fix_mojibake_str(corrupt("it’s")) == "it’s"
+    # cp1252-flavored corruption (€ at 0x80) repairs too
+    assert fix_mojibake_str("cafÃ©") == "café"
+
+
+def test_fixes_double_encoding():
+    twice = corrupt(corrupt("café"))
+    assert fix_mojibake_str(twice) == "café"
+
+
+def test_well_formed_text_untouched():
+    for s in ["plain ascii", "café déjà vu", "日本語テキスト", "", None]:
+        assert fix_mojibake_str(s) == s
+
+
+def test_non_utf8_high_bytes_untouched():
+    # latin-1 text that never was UTF-8: é alone encodes to 0xE9, which is
+    # not valid UTF-8 -> repair must refuse
+    assert fix_mojibake_str("café") == "café"
+
+
+def test_column_udfs_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("café ’quote’ — ok",), ("ascii only",), (None,)], ["text"]
+    )
+    out = df.select(
+        F.col("text"),
+        fix_mojibake(to_mojibake(F.col("text"))).alias("fixed"),
+    ).collect()
+    for r in out:
+        assert r["fixed"] == r["text"]

@@ -1,0 +1,86 @@
+"""Crawl-delay parsing + per-host fetch scheduling (operators/politeness.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.core.robotstxt import robots_crawl_delay
+from pdf_extractor_spark.operators.politeness import crawl_delays, fetch_schedule
+
+
+def test_crawl_delay_star_group():
+    assert robots_crawl_delay(b"User-agent: *\nCrawl-delay: 2.5") == 2.5
+    # last valid value in the * group wins
+    assert robots_crawl_delay("User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4") == 4.0
+
+
+def test_crawl_delay_scoping_and_junk():
+    # named-agent group does not apply
+    assert robots_crawl_delay("User-agent: Bingbot\nCrawl-delay: 9") is None
+    # a new group header after rules closes the * group
+    assert (
+        robots_crawl_delay(
+            "User-agent: *\nDisallow: /x\nUser-agent: Bingbot\nCrawl-delay: 9"
+        )
+        is None
+    )
+    assert robots_crawl_delay("User-agent: *\nCrawl-delay: soon") is None
+    assert robots_crawl_delay("User-agent: *\nCrawl-delay: -1") is None
+    assert robots_crawl_delay(None) is None
+    assert robots_crawl_delay("") is None
+
+
+def test_crawl_delays_operator(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com", b"User-agent: *\nCrawl-delay: 3"),
+            ("b.com", b"User-agent: *\nDisallow: /x"),
+            ("c.com", None),
+        ],
+        "host string, body binary",
+    )
+    out = {r["host"]: r["crawl_delay"] for r in crawl_delays(robots).collect()}
+    assert out == {"a.com": 3.0}
+
+
+@pytest.fixture(scope="module")
+def frontier(spark):
+    rows = [
+        ("https://a.com/1", 10),
+        ("https://a.com/2", 30),
+        ("https://a.com/3", 20),
+        ("https://b.com/1", 5),
+        ("https://b.com/2", 5),  # priority tie -> url breaks it
+    ]
+    return spark.createDataFrame(rows, "url string, priority int")
+
+
+def test_fetch_schedule_slots_and_offsets(spark, frontier):
+    delays = spark.createDataFrame([("a.com", 2.5)], "host string, crawl_delay double")
+    out = {
+        r["url"]: r
+        for r in fetch_schedule(frontier, delays, priority_col="priority").collect()
+    }
+    # a.com: priority desc -> /2, /3, /1 at 2.5 s spacing
+    assert out["https://a.com/2"]["slot"] == 0
+    assert out["https://a.com/3"]["slot"] == 1
+    assert out["https://a.com/1"]["slot"] == 2
+    assert out["https://a.com/1"]["fetch_at"] == 5.0
+    # b.com has no delay entry -> default 1.0; tie broken by url order
+    assert out["https://b.com/1"]["slot"] == 0
+    assert out["https://b.com/2"]["fetch_at"] == 1.0
+
+
+def test_fetch_schedule_budget_cap(spark, frontier):
+    out = fetch_schedule(frontier, None, priority_col="priority", max_per_host=2)
+    per_host = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host == {"a.com": 2, "b.com": 2}
+
+
+def test_fetch_schedule_single_shuffle(spark, frontier):
+    plan = (
+        fetch_schedule(frontier, None, priority_col="priority")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1
