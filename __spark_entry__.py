@@ -1420,6 +1420,34 @@ def q_fetch_schedule(spark, sf_dir):
     return out.select("doc_id", "url", "host", "slot", "fetch_at")
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet perplexity terciles (operators/langmodel.py
+    perplexity_buckets): per-language head/middle/tail split by LM
+    avg-logprob rank — the bucket CCNet mixes training data by. Unigram LM
+    trained on the corpus itself (same spec as unigram_logprob); ordering
+    quantized to 4 decimals with doc_id tie-break so the split is total and
+    engine-independent."""
+    from pdf_extractor_spark.operators.langmodel import (
+        perplexity_buckets,
+        score_unigram_logprob,
+        train_unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram_lm(docs)
+    scored = score_unigram_logprob(docs, lm, broadcast_lm=True).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = perplexity_buckets(scored)
+    return out.select(
+        "doc_id",
+        "lang",
+        (F.round("avg_logprob", 4) + F.lit(0.0)).alias("avg_logprob"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "bucket_label",
+    )
+
+
 def q_nb_quality(spark, sf_dir):
     """Model-based quality filter (operators/qualitymodel.py): Naive-Bayes
     log-odds trained with sources src0/src1 as the positive seed, every doc
@@ -2668,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_change_stats": q_url_change_stats,
         "fix_mojibake": q_fix_mojibake,
         "fetch_schedule": q_fetch_schedule,
+        "ppl_buckets": q_ppl_buckets,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
@@ -4448,6 +4477,26 @@ SELECT doc_id, url, host, slot,
                     ELSE 1.0 END)::DOUBLE AS fetch_at
 FROM s
 WHERE slot < 30""",
+        # CCNet perplexity terciles: unigram-LM spec shared with
+        # unigram_logprob; ntile over (rounded avg_logprob desc, doc_id)
+        # per language — the quantized key makes the order total and
+        # engine-independent
+        "ppl_buckets": r"""
+WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0),
+tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+cnt AS (SELECT tok, count(*) AS cnt FROM tk2 GROUP BY tok),
+tot AS (SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS v FROM cnt),
+lp AS (SELECT tok, ln((cnt + 1) / (total + v)) AS logp FROM cnt, tot),
+sc AS (SELECT doc_id, round(avg(logp), 4) + 0.0 AS avg_logprob
+       FROM tk2 JOIN lp USING (tok) GROUP BY doc_id),
+b AS (SELECT d.doc_id, d.lang, sc.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY sc.avg_logprob DESC, d.doc_id)::INT AS bucket
+      FROM documents d JOIN sc USING (doc_id))
+SELECT doc_id, lang, avg_logprob, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+FROM b""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

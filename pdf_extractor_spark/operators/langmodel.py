@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.functions.text import WS_RE
@@ -180,3 +180,49 @@ def score_bigram_backoff(
         )
     )
     return scored.select(F.col("__doc").alias(id_col), "n_bigrams", "avg_logscore")
+
+
+# -- CCNet perplexity buckets ---------------------------------------------
+#
+# CCNet (Wenzek et al. 2020) doesn't threshold perplexity at a fixed value
+# — it splits each language's corpus into head/middle/tail TERCILES of the
+# per-doc perplexity distribution, and downstream mixes sample by bucket.
+# Perplexity is a monotone transform of -avg_logprob, so the split needs no
+# exp(): rank by avg_logprob descending (most-predictable docs first).
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    logprob_col: str = "avg_logprob",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    order_decimals: int = 4,
+) -> DataFrame:
+    """Append (bucket, bucket_label) to per-doc LM scores.
+
+    ``scored`` is score_unigram_logprob/score_bigram_backoff output joined
+    back with the language column. Buckets are per-language ntile(k) ranks
+    over (avg_logprob desc, id) — bucket 1 = the language's most-predictable
+    ("head") docs. The ordering key is quantized to ``order_decimals`` so
+    the split is reproducible across engines and summation orders (ties
+    resolve on the id, keeping the order total).
+
+    Scale shape: ONE sort-shuffle (the per-language window). That is the
+    exact split; at 10^12 docs the standard trade is to compute the k-1
+    thresholds on a hash_sample (functions/sampling.py) with
+    percentile_approx and broadcast-join them back — same output modulo
+    sampling error, no global sort. Both paths are deterministic; this
+    function is the exact one.
+    """
+    part = [lang_col] if lang_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.round(F.col(logprob_col), order_decimals).desc(), F.col(id_col)
+    )
+    out = scored.withColumn("bucket", F.ntile(k).over(w))
+    if len(labels) == k:
+        lab = F.element_at(F.array(*[F.lit(x) for x in labels]), F.col("bucket"))
+    else:
+        lab = F.col("bucket").cast("string")
+    return out.withColumn("bucket_label", lab)

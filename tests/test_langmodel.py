@@ -95,3 +95,37 @@ def test_bigram_single_token_docs_absent(spark):
     big = train_bigram_lm(df)
     ids = {r["doc_id"] for r in score_bigram_backoff(df, big, uni).collect()}
     assert ids == {1}
+
+
+def test_perplexity_buckets_terciles(spark):
+    from pdf_extractor_spark.operators.langmodel import perplexity_buckets
+
+    # 6 docs per lang, avg_logprob strictly ordered -> 2 per bucket,
+    # best-scoring docs land in 'head'
+    rows = [
+        (i + 10 * li, lang, -float(i))
+        for li, lang in enumerate(["en", "fr"])
+        for i in range(6)
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    out = {
+        (r["lang"], r["doc_id"] % 10): (r["bucket"], r["bucket_label"])
+        for r in perplexity_buckets(scored).collect()
+    }
+    for lang in ["en", "fr"]:
+        assert out[(lang, 0)] == (1, "head")
+        assert out[(lang, 1)] == (1, "head")
+        assert out[(lang, 2)] == (2, "middle")
+        assert out[(lang, 5)] == (3, "tail")
+
+
+def test_perplexity_buckets_tie_break_total(spark):
+    from pdf_extractor_spark.operators.langmodel import perplexity_buckets
+
+    # identical scores: doc_id breaks ties, so the split is still stable
+    scored = spark.createDataFrame(
+        [(i, "en", -1.0) for i in range(6)],
+        "doc_id long, lang string, avg_logprob double",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(scored).collect()}
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
