@@ -1448,6 +1448,20 @@ def q_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_sentence_dedup(spark, sf_dir):
+    """Sentence-granular cross-corpus dedup (operators/dedup.py
+    sentence_dedup): sentences occurring >=2 times across the corpus are
+    scrubbed, survivors reassemble in order. A boilerplate cookie prompt is
+    planted at the head of every doc (guaranteed hot); natural duplicate
+    docs' sentences go hot too, so fully-duplicated docs vanish."""
+    from pdf_extractor_spark.operators.dedup import sentence_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("Accept all cookies. "), F.col("text")).alias("text")
+    )
+    return sentence_dedup(docs).select("doc_id", "clean_text")
+
+
 def q_nb_quality(spark, sf_dir):
     """Model-based quality filter (operators/qualitymodel.py): Naive-Bayes
     log-odds trained with sources src0/src1 as the positive seed, every doc
@@ -2697,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "fetch_schedule": q_fetch_schedule,
         "ppl_buckets": q_ppl_buckets,
+        "sentence_dedup": q_sentence_dedup,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
@@ -4497,6 +4512,23 @@ b AS (SELECT d.doc_id, d.lang, sc.avg_logprob,
 SELECT doc_id, lang, avg_logprob, bucket,
        CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
 FROM b""",
+        # sentence dedup: segmentation spec shared with functions/text.py
+        # sentences() — marker injection after [.!?]\s+ (RE2 has no
+        # lookbehind), split on chr(30), trim, drop empties
+        "sentence_dedup": r"""
+WITH built AS (SELECT doc_id, 'Accept all cookies. ' || text AS text FROM documents),
+t AS (SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)
+             ) AS parts
+      FROM built),
+p0 AS (SELECT doc_id, trim(unnest(parts)) AS sent,
+              unnest(generate_series(1, len(parts))) AS pos FROM t),
+p AS (SELECT * FROM p0 WHERE sent <> ''),
+hot AS (SELECT md5(sent) AS sk FROM p GROUP BY md5(sent) HAVING count(*) >= 2),
+k AS (SELECT p.* FROM p ANTI JOIN hot h ON md5(p.sent) = h.sk)
+SELECT doc_id, array_to_string(list(sent ORDER BY pos), ' ') AS clean_text
+FROM k GROUP BY doc_id""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

@@ -250,6 +250,26 @@ def sentence_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))).cast("long")
 
 
+# RS (record separator) — a control char CONTROL_CLASS strips from clean
+# text, so it can never occur in input and is safe as a split marker
+_SENT_MARK = "\x1e"
+
+
+def sentences(text: Column) -> Column:
+    """Sentence segmentation as an array<string> (trimmed, empties dropped).
+
+    Boundary rule: terminal punctuation [.!?] followed by whitespace. RE2
+    (the oracle engine) has no lookbehind, so the boundary is expressed as
+    marker injection — replace "([.!?])\\s+" with "$1<RS>", split on <RS> —
+    which both Spark's regexp_replace and DuckDB's (with the 'g' flag)
+    evaluate identically. Abbreviation handling ("Dr. Smith") is explicitly
+    out of scope: corpus-dedup segmentation needs determinism and
+    cross-engine parity, not linguistic perfection."""
+    marked = F.regexp_replace(text, r"([.!?])\s+", "$1" + _SENT_MARK)
+    parts = F.transform(F.split(marked, _SENT_MARK), F.trim)
+    return F.filter(parts, lambda s: s != "")
+
+
 def c4_page_keep(
     raw: Column,
     clean: Column,

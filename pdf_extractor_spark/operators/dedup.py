@@ -1078,6 +1078,44 @@ def paragraph_dedup(
     )
 
 
+def sentence_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-granular cross-corpus dedup (the finer sibling of
+    paragraph_dedup, the Dolma/RefinedWeb "duplicate sentence" scrub):
+    drop every SENTENCE that occurs >= min_count times across the corpus —
+    cookie prompts, share buttons, and legal lines repeat sentence-wise
+    even inside otherwise-unique paragraphs. Survivors reassemble
+    space-joined in original order as ``clean_text`` (segmentation spec:
+    functions/text.sentences; original inter-sentence whitespace is
+    normalized to one space by design). Docs whose every sentence was
+    boilerplate disappear.
+
+    Same two-bounded-shuffle shape as paragraph_dedup: explode once, count
+    on the md5 digest (map-side combined), anti-join hot digests, per-doc
+    reassembly agg. The hot-sentence table is the reusable side artifact.
+    """
+    from pdf_extractor_spark.functions.text import sentences
+
+    sents = docs.select(
+        F.col(id_col), F.posexplode(sentences(F.col(text_col))).alias("pos", "sent")
+    ).withColumn("sk", F.md5("sent"))
+    hot = sents.groupBy("sk").count().filter(F.col("count") >= min_count).select("sk")
+    kept = sents.join(hot, "sk", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark_sig: DataFrame,

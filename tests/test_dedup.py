@@ -491,3 +491,44 @@ def test_keep_latest_revision_id_tiebreak_total_order(spark):
     )
     got = DD.keep_latest_revision(df, id_col="doc_id").collect()
     assert len(got) == 1 and got[0]["doc_id"] == 3
+
+
+def test_sentence_dedup_drops_hot_sentences(spark):
+    from pdf_extractor_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Accept cookies. Unique alpha thought. Share this!"),
+            (2, "Accept cookies. Different beta insight? Share this!"),
+            (3, "Accept cookies."),  # all-boilerplate doc vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in sentence_dedup(docs).collect()}
+    assert out == {
+        1: "Unique alpha thought.",
+        2: "Different beta insight?",
+    }
+
+
+def test_sentence_dedup_order_preserved(spark):
+    from pdf_extractor_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "First one. Second two! Third three?")], "doc_id long, text string"
+    )
+    out = sentence_dedup(docs, min_count=9).collect()
+    assert out[0]["clean_text"] == "First one. Second two! Third three?"
+
+
+def test_sentences_segmentation(spark):
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [("Hi there. Mr X went!  Really?No split here",)], ["t"]
+    )
+    got = df.select(sentences(F.col("t")).alias("s")).collect()[0]["s"]
+    # "Really?No" has no whitespace after ? -> not a boundary
+    assert got == ["Hi there.", "Mr X went!", "Really?No split here"]
