@@ -1890,6 +1890,27 @@ def q_dedup_clusters(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").cast("long").alias("cluster_id"))
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """Keep-the-best-copy dedup (operators/dedup.py
+    keep_cluster_representatives): minhash pairs → connected components →
+    ONE representative per cluster, chosen by max text length (ties →
+    smallest id), docs outside any cluster untouched — the FineWeb-style
+    policy that keeps the best member, not the first. Oracle: recursive-CTE
+    components + windowed argmax over the same construction."""
+    docs2 = _union_with_near_dups(_docs(spark, sf_dir)).withColumn(
+        "n", F.length("text").cast("long")
+    )
+    pairs = DD.minhash_near_duplicates(docs2.select("doc_id", "text"), threshold=0.5)
+    clusters = DD.near_dup_clusters(pairs)
+    kept = DD.keep_cluster_representatives(docs2, clusters, score_col="n")
+    kept._cached_intermediates = (
+        getattr(kept, "_cached_intermediates", [])
+        + getattr(pairs, "_cached_intermediates", [])
+        + getattr(clusters, "_cached_intermediates", [])
+    )
+    return kept.select("doc_id", F.col("n").alias("n_chars_kept"))
+
+
 def q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/urls.py): crawl-url variants (scheme/
     host case, default ports, fragments, utm_* params, query order) collapse
@@ -2712,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "ppl_buckets": q_ppl_buckets,
         "sentence_dedup": q_sentence_dedup,
+        "dedup_representatives": q_dedup_representatives,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
@@ -4529,6 +4551,29 @@ hot AS (SELECT md5(sent) AS sk FROM p GROUP BY md5(sent) HAVING count(*) >= 2),
 k AS (SELECT p.* FROM p ANTI JOIN hot h ON md5(p.sent) = h.sk)
 SELECT doc_id, array_to_string(list(sent ORDER BY pos), ' ') AS clean_text
 FROM k GROUP BY doc_id""",
+        # keep-the-best-copy dedup: recursive-CTE components over the same
+        # minhash pairs, then a windowed argmax (n desc, doc_id) per cluster;
+        # unclustered docs pass through
+        "dedup_representatives": f"""
+WITH RECURSIVE
+p AS ({_sql_minhash_near_dups()}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+nn AS (SELECT DISTINCT src AS node FROM e),
+reach AS (
+  SELECT node, node AS peer FROM nn
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN e ON r.peer = e.src
+),
+cl AS (SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id FROM reach GROUP BY node),
+d AS (SELECT doc_id, length(text)::BIGINT AS n FROM ({_U_NEAR})),
+j AS (SELECT d.doc_id, d.n, cl.cluster_id FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT doc_id, n AS n_chars_kept FROM j WHERE cluster_id IS NULL
+UNION ALL
+SELECT doc_id, n AS n_chars_kept FROM (
+  SELECT doc_id, n,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, doc_id) AS rn
+  FROM j WHERE cluster_id IS NOT NULL
+) WHERE rn = 1""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

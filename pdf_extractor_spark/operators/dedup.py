@@ -1116,6 +1116,47 @@ def sentence_dedup(
     )
 
 
+def keep_cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster — the best-scoring member —
+    plus every document that belongs to no cluster.
+
+    The curation policy FineWeb/RefinedWeb actually want after clustering:
+    not "keep the smallest id" but "keep the best copy" (longest text,
+    highest quality score, newest crawl — whatever ``score_col`` encodes).
+    Ties break to the smallest id, so selection is total and deterministic;
+    ids must be numeric (the tie-break negates them inside a max_by struct).
+
+    ``clusters`` is near_dup_clusters' (node, cluster) output. Shape: one
+    equi-join attaching cluster ids (clusters table is pairs-sized, orders
+    smaller than docs — AQE broadcasts it when it fits), one hash-agg
+    argmax per cluster (max_by, map-side combined — never a window sort),
+    one join back. Documents outside any cluster never shuffle into the
+    agg.
+    """
+    cl = clusters.select(F.col("node").alias(id_col), "cluster")
+    j = docs.join(cl, id_col, "left")
+    reps = (
+        j.filter(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("i")),
+            ).alias("__rep")
+        )
+    )
+    return (
+        j.join(reps, "cluster", "left")
+        .filter(F.col("cluster").isNull() | (F.col(id_col) == F.col("__rep")))
+        .drop("cluster", "__rep")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark_sig: DataFrame,

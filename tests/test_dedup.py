@@ -532,3 +532,22 @@ def test_sentences_segmentation(spark):
     got = df.select(sentences(F.col("t")).alias("s")).collect()[0]["s"]
     # "Really?No" has no whitespace after ? -> not a boundary
     assert got == ["Hi there.", "Mr X went!", "Really?No split here"]
+
+
+def test_keep_cluster_representatives(spark):
+    from pdf_extractor_spark.operators.dedup import keep_cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, score long",
+    )
+    # cluster A = {1,2,3}: 2 and 3 tie on score -> smaller id (2) wins;
+    # cluster B = {4}; doc 9 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, cluster long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_cluster_representatives(docs, clusters, "score").collect()
+    }
+    assert kept == {2, 4, 9}
