@@ -1462,6 +1462,34 @@ def q_sentence_dedup(spark, sf_dir):
     return sentence_dedup(docs).select("doc_id", "clean_text")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py train_bpe): 24 merges
+    learned from the corpus's (word, freq) vocabulary table — each
+    iteration a pair-explode + hash-agg + 1-row argmax, ties broken on
+    (count desc, left, right) so the rule list is deterministic. Iterative
+    global training is not SQL-expressible, so this is a rows-only driver
+    check; exact parity with an independent reference implementation is
+    pinned in tests/test_bpe.py."""
+    from pdf_extractor_spark.operators.bpe import train_bpe
+
+    merges, _ = train_bpe(_docs(spark, sf_dir), num_merges=24)
+    return spark.createDataFrame(
+        [(int(k), l, r) for k, l, r in merges], "rank long, left string, right string"
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding as a JOIN (operators/bpe.py encode_bpe): per-doc word
+    and BPE-token counts through the trained segmentation table (broadcast)
+    — no Python in the in-vocabulary path. Rows-only driver check (training
+    feeds it); reference parity pinned in tests/test_bpe.py."""
+    from pdf_extractor_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges, segs = train_bpe(docs, num_merges=24)
+    return encode_bpe(docs, segs, merges).select("doc_id", "n_words", "n_bpe_tokens")
+
+
 def q_nb_quality(spark, sf_dir):
     """Model-based quality filter (operators/qualitymodel.py): Naive-Bayes
     log-odds trained with sources src0/src1 as the positive seed, every doc
@@ -2734,6 +2762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "sentence_dedup": q_sentence_dedup,
         "dedup_representatives": q_dedup_representatives,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge

@@ -1,0 +1,191 @@
+"""Byte-pair-encoding tokenizer — trained AND applied as Spark plans.
+
+The operator a training-data pipeline ultimately feeds: the tokenizer.
+functions/text.bpe_token_count approximates one with a regex; this module
+trains a real BPE (Sennrich et al. 2016, public) on the corpus and encodes
+documents with it, both distributed:
+
+* **Train** operates on the corpus's (word, freq) VOCABULARY table, never
+  the corpus itself — the classic trick that makes BPE web-scale: 10^12
+  documents collapse to ~10^7-10^8 distinct words after one hash-agg, and
+  every merge iteration is a small job over that table (pair explode →
+  hash-agg → argmax), not a corpus pass. The argmax is ONE collected row
+  per iteration (the chosen pair must be a global decision — that driver
+  round trip is the algorithm, not an accident); ties break on
+  (count desc, left, right) so training is deterministic. The running
+  segmentation is re-checkpointed every few merges so plan depth stays
+  bounded (same device as near_dup_clusters).
+
+* **Encode** is a JOIN, not a Python loop: training already produced the
+  final segmentation of every vocabulary word, so encoding a document is
+  explode(words) ⋈ segmentation-table — broadcastable below ~10^7 words,
+  plain key-partitioned join above. Words outside the trained vocabulary
+  fall back to a greedy lowest-rank merge loop in an Arrow-batched pandas
+  UDF (encode_word), the same procedure GPT-2's tokenizer runs per word.
+
+Reference scope: the reference counts characters and defers tokenization to
+OpenAI's embedding endpoint (`/root/reference/app/vector_db/
+vector_service.py`); a from-scratch pipeline has to own this step.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import tokens
+
+# end-of-word sentinel: a single symbol, so suffix merges ("ing</w>") stay
+# distinct from infix ones ("ing") — Sennrich's original scheme
+EOW = "</w>"
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_segs(words: DataFrame) -> DataFrame:
+    # word -> its character symbols + the EOW sentinel
+    syms = F.concat(
+        F.split(F.col("word"), ""),  # chars
+        F.array(F.lit(EOW)),
+    )
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+def merge_symbols(syms: list[str], left: str, right: str) -> list[str]:
+    """Replace non-overlapping adjacent (left, right) with left+right,
+    leftmost-first — the BPE merge step on one word (pure, test-shared)."""
+    merged = left + right
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merge_udf(left: str, right: str):
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(lambda syms: merge_symbols(list(syms), left, right))
+
+    return F.pandas_udf(f, "array<string>")
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 100,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[int, str, str]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns (merges, segmentations): ``merges`` is the ranked rule list
+    [(rank, left, right), ...]; ``segmentations`` is the final (word, freq,
+    syms) DataFrame — the lookup table encode_bpe joins against. Training
+    stops early when no pair reaches ``min_pair_count``.
+    """
+    segs = _initial_segs(_word_freqs(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str]] = []
+    n = F.size("syms")
+    for rank in range(num_merges):
+        pairs = segs.filter(n >= 2).select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("syms"), 1, n - 1).alias("l"),
+                    F.slice(F.col("syms"), 2, n - 1).alias("r"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((rank, left, right))
+        segs = segs.withColumn("syms", _apply_merge_udf(left, right)(F.col("syms")))
+        if (rank + 1) % checkpoint_every == 0:
+            segs = segs.localCheckpoint()
+    return merges, segs
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word (lowest-rank merge first) — the OOV
+    fallback and the pure-Python reference for the join path."""
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        cand = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cand:
+            break
+        rank, _ = min(cand)
+        # apply THAT merge everywhere in the word (standard BPE semantics:
+        # one rule application pass per chosen rank)
+        left, right = None, None
+        for a, b in zip(syms, syms[1:]):
+            if ranks.get((a, b)) == rank:
+                left, right = a, b
+                break
+        syms = merge_symbols(syms, left, right)
+    return syms
+
+
+def encode_bpe(
+    docs: DataFrame,
+    segs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(id_col, n_words, n_bpe_tokens): encode each doc with the trained
+    tokenizer. In-vocabulary words resolve through the segmentation JOIN;
+    out-of-vocabulary words run the greedy fallback in a pandas UDF with
+    the (small) merge table broadcast as a plain closure."""
+    ranks = {(l, r): k for k, l, r in merges}
+
+    def oov(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: float(len(encode_word(w, ranks))))
+
+    oov_udf = F.pandas_udf(oov, "double")
+
+    vocab = segs.select("word", F.size("syms").cast("double").alias("__n_in_vocab"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    words = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(vocab, "word", "left")
+        .withColumn(
+            "__n",
+            F.coalesce(F.col("__n_in_vocab"), oov_udf(F.col("word"))),
+        )
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__n").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(F.col("__doc").alias(id_col), "n_words", "n_bpe_tokens")
+    )

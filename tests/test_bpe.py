@@ -1,0 +1,110 @@
+"""Distributed BPE tokenizer (operators/bpe.py) vs an independent
+dict-based reference implementation."""
+import collections
+
+import pytest
+
+from pdf_extractor_spark.operators.bpe import (
+    EOW,
+    encode_bpe,
+    encode_word,
+    merge_symbols,
+    train_bpe,
+)
+
+CORPUS = [
+    (1, "low low low low low lower lower"),
+    (2, "newest newest newest newest newest newest"),
+    (3, "widest widest widest Low NEWEST"),
+]
+
+
+def ref_train(texts, num_merges, min_pair_count=2):
+    """Naive single-process BPE (Sennrich alg. 1), written independently:
+    dict counting, max by (count, then smallest (l, r))."""
+    freqs = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] += 1
+    segs = {w: tuple(list(w) + [EOW]) for w in freqs}
+    merges = []
+    for rank in range(num_merges):
+        pc = collections.Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freqs[w]
+        if not pc:
+            break
+        # deterministic: max count, ties -> lexicographically smallest pair
+        top = max(pc.values())
+        cands = sorted([p for p, c in pc.items() if c == top])
+        pair, cnt = cands[0], top
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, pair[0], pair[1]))
+        new = {}
+        for w, syms in segs.items():
+            s = list(syms)
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[w] = tuple(out)
+        segs = new
+    return merges, segs
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, segs = train_bpe(docs, num_merges=12, checkpoint_every=4)
+    return docs, merges, segs
+
+
+def test_merges_match_reference(trained):
+    _, merges, _ = trained
+    ref_merges, _ = ref_train([t for _, t in CORPUS], 12)
+    assert merges == ref_merges
+
+
+def test_segmentations_match_reference(trained):
+    _, _, segs = trained
+    _, ref_segs = ref_train([t for _, t in CORPUS], 12)
+    got = {r["word"]: tuple(r["syms"]) for r in segs.collect()}
+    assert got == ref_segs
+
+
+def test_encode_word_greedy_equals_training_segmentation(trained):
+    _, merges, segs = trained
+    ranks = {(l, r): k for k, l, r in merges}
+    for r in segs.collect():
+        assert encode_word(r["word"], ranks) == list(r["syms"])
+
+
+def test_encode_bpe_counts(spark, trained):
+    docs, merges, segs = trained
+    got = {r["doc_id"]: r for r in encode_bpe(docs, segs, merges).collect()}
+    _, ref_segs = ref_train([t for _, t in CORPUS], 12)
+    for doc_id, text in CORPUS:
+        words = text.lower().split()
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_bpe_tokens"] == sum(len(ref_segs[w]) for w in words)
+
+
+def test_encode_oov_fallback(spark, trained):
+    docs, merges, segs = trained
+    probe = spark.createDataFrame([(9, "lowest unseen")], "doc_id long, text string")
+    out = encode_bpe(probe, segs, merges).collect()[0]
+    ranks = {(l, r): k for k, l, r in merges}
+    expect = len(encode_word("lowest", ranks)) + len(encode_word("unseen", ranks))
+    assert out["n_bpe_tokens"] == expect
+
+
+def test_merge_symbols_nonoverlapping():
+    assert merge_symbols(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert merge_symbols(["x"], "a", "b") == ["x"]
