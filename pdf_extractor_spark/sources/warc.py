@@ -428,3 +428,86 @@ def render_wet(pages: list[tuple[str, str, str]], per_record_gzip: bool = False)
         else:
             out += rec
     return bytes(out)
+
+
+# --- distributed WARC writer sink --------------------------------------------
+
+
+def write_warc(
+    pages: DataFrame,
+    out_dir: str,
+    per_record_gzip: bool = True,
+    prefix: str = "part",
+) -> DataFrame:
+    """Write a pages table (url, warc_ts, html) as sharded WARC files —
+    the archival sink of a re-crawl pipeline (and the inverse of
+    read_warc_pages, round-trip-tested).
+
+    One shard per input partition, named ``{prefix}-{partitionId:05d}
+    .warc[.gz]`` — so the layout is a pure function of the input
+    partitioning (repartition upstream to choose shard count/size).
+    ``per_record_gzip=True`` emits the Common-Crawl member-per-record
+    layout (gzip mtime pinned to 0, so shard bytes are deterministic).
+    Each task writes to a ``.inprogress`` temp name and renames on
+    completion, so readers globbing ``*.warc*`` never see partial shards
+    and a re-run overwrites atomically (rename is the commit on POSIX; on
+    object stores the TableIO manifest pattern applies instead).
+
+    EAGER: runs a job and returns the collected per-shard manifest as a
+    small DataFrame (path, n_records, n_bytes) — counters for lineage, and
+    the natural input to a CDX indexing pass.
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    _os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if per_record_gzip else ".warc"
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
+        tmp = path + ".inprogress"
+        n = 0
+        nbytes = 0
+        f = None
+        try:
+            for batch in batches:
+                urls = batch.column("url").to_pylist()
+                tss = batch.column("warc_ts").to_pylist()
+                htmls = batch.column("html").to_pylist()
+                recs = []
+                for url, ts, html in zip(urls, tss, htmls):
+                    iso = (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    recs.append((url, iso, html or b""))
+                if not recs:
+                    continue
+                if f is None:
+                    f = open(tmp, "wb")
+                blob = render_warc(recs, per_record_gzip=per_record_gzip)
+                f.write(blob)
+                n += len(recs)
+                nbytes += len(blob)
+        finally:
+            if f is not None:
+                f.close()
+        if f is not None:
+            _os.replace(tmp, path)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([path], type=pa.string()),
+                    pa.array([n], type=pa.int64()),
+                    pa.array([nbytes], type=pa.int64()),
+                ],
+                names=["path", "n_records", "n_bytes"],
+            )
+
+    manifest = pages.select("url", "warc_ts", "html").mapInArrow(
+        run, "path string, n_records long, n_bytes long"
+    )
+    rows = manifest.collect()
+    spark = pages.sparkSession
+    return spark.createDataFrame(rows, "path string, n_records long, n_bytes long")

@@ -205,3 +205,58 @@ def test_wet_conversion_records(spark, tmp_path):
     df = read_wet_texts(spark, str(tmp_path))
     got = {r["url"]: r["text"] for r in df.collect()}
     assert got == {"http://a/1": "extracted text one", "http://b/2": "unicode — déjà vu"}
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    import datetime
+
+    from pdf_extractor_spark.sources.warc import read_warc_pages, write_warc
+
+    rows = [
+        (
+            f"https://site.com/{i}",
+            datetime.datetime(2024, 3, 1, 12, 0, i, tzinfo=datetime.timezone.utc),
+            f"<html><p>page {i}</p></html>".encode(),
+        )
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(4)
+    out = str(tmp_path / "warcs")
+    man = write_warc(pages, out).collect()
+    assert sum(r["n_records"] for r in man) == 20
+    assert all(r["path"].endswith(".warc.gz") for r in man)
+    import os
+    assert not any(p.endswith(".inprogress") for p in os.listdir(out))
+
+    back = read_warc_pages(spark, out).collect()
+    got = {(r["url"], r["warc_ts"], bytes(r["html"])) for r in back}
+    want = {(u, ts.replace(tzinfo=None), h) for u, ts, h in rows}
+    got_naive = {(u, ts.replace(tzinfo=None) if ts.tzinfo else ts, h) for u, ts, h in got}
+    assert got_naive == want
+
+
+def test_write_warc_deterministic_shards(spark, tmp_path):
+    import datetime
+
+    from pdf_extractor_spark.sources.warc import write_warc
+
+    rows = [
+        (
+            f"https://d.com/{i}",
+            datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc),
+            b"<p>x</p>",
+        )
+        for i in range(8)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(2, "url")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(pages, a)
+    write_warc(pages, b)
+    for name in sorted(__import__("os").listdir(a)):
+        pa_ = open(f"{a}/{name}", "rb").read()
+        pb_ = open(f"{b}/{name}", "rb").read()
+        assert pa_ == pb_  # gzip mtime pinned -> byte-identical shards
