@@ -553,6 +553,21 @@ def q_decontaminate(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_contamination_score(spark, sf_dir):
+    """Graded benchmark contamination (operators/dedup.py
+    contamination_score): fraction of each doc's distinct 8-gram shingles
+    found in the held-out set (every 100th doc) — benchmark members score
+    1.0, their copies high, clean docs 0. Broadcast benchmark digests, one
+    corpus shuffle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    out = DD.contamination_score(docs, bench, n=8)
+    return out.select(
+        "doc_id", "n_grams", "n_hit",
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     """Dedup (SimHash): 64-bit per-doc signature (two 32-bit halves) via
     bit votes."""
@@ -2764,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "contamination_score": q_contamination_score,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
@@ -2856,6 +2872,10 @@ _SH3 = (
 _SH4 = (
     "list_distinct(list_transform(generate_series(1, greatest(1, len(toks)-3)), "
     "i -> array_to_string(list_slice(toks, i, i+3), ' ')))"
+)
+_SH8 = (
+    "list_distinct(list_transform(generate_series(1, greatest(1, len(toks)-7)), "
+    "i -> array_to_string(list_slice(toks, i, i+7), ' ')))"
 )
 
 _U_DUPS = (
@@ -4604,6 +4624,19 @@ SELECT doc_id, n AS n_chars_kept FROM (
          row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, doc_id) AS rn
   FROM j WHERE cluster_id IS NOT NULL
 ) WHERE rn = 1""",
+        # graded contamination: distinct-8-gram overlap vs the every-100th
+        # benchmark; same shingle clamp spec as the Spark side
+        "contamination_score": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_SH8}) AS g FROM t),
+bg AS (SELECT DISTINCT md5(g) AS gk FROM g WHERE doc_id % 100 = 0),
+dg AS (SELECT doc_id, md5(g) AS gk FROM g)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN bg.gk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN bg.gk IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) + 0.0 AS score
+FROM dg LEFT JOIN bg ON dg.gk = bg.gk
+GROUP BY doc_id""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

@@ -1181,6 +1181,56 @@ def decontaminate(
     )
 
 
+def contamination_score(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Graded benchmark-contamination signal: per doc, the fraction of its
+    DISTINCT word n-grams that occur anywhere in the held-out benchmark —
+    the GPT-3-style 13-gram screen as a score instead of a drop decision
+    (decontaminate() is the binary near-dup version; this one feeds
+    report-and-threshold workflows where the cutoff is a policy knob).
+
+    Returns (id_col, n_grams, n_hit, score). Shape: the benchmark's n-gram
+    digests are one explode + distinct over a tiny static table — broadcast
+    by default — and the corpus side is explode → broadcast join → per-doc
+    hash-agg: one corpus shuffle, on the doc id. Docs shorter than ``n``
+    tokens clamp to a single whole-doc shingle (shingles() spec).
+    """
+    from pdf_extractor_spark.functions.text import shingles, tokens
+
+    bg = (
+        bench.select(
+            F.explode(shingles(tokens(F.lower(F.col(bench_text_col))), n)).alias("g")
+        )
+        .select(F.md5("g").alias("gk"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.lower(F.col(text_col))), n)).alias("g"),
+    ).withColumn("gk", F.md5("g"))
+    return (
+        dg.join(bg, "gk", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "score", F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+        )
+    )
+
+
 # --- duplicated-span detection (substring-level dedup) ----------------------
 
 def duplicated_token_spans(

@@ -551,3 +551,25 @@ def test_keep_cluster_representatives(spark):
         for r in keep_cluster_representatives(docs, clusters, "score").collect()
     }
     assert kept == {2, 4, 9}
+
+
+def test_contamination_score(spark):
+    from pdf_extractor_spark.operators.dedup import contamination_score
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "completely unrelated words here nothing shared at all ok"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_score(docs, bench, n=3).collect()}
+    assert out[1]["score"] == 1.0
+    assert out[2]["score"] == 0.0
+    assert out[2]["n_hit"] == 0
+    assert 0.0 < out[3]["score"] < 1.0
