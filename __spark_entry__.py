@@ -568,6 +568,20 @@ def q_contamination_score(spark, sf_dir):
     )
 
 
+def q_compress_ratio(spark, sf_dir):
+    """zlib compressibility signal (functions/compressibility.py): the
+    model-free repetition/junk meter (spam compresses too well, noise not at
+    all, prose sits in a band). Not SQL-expressible (no zlib in the oracle
+    engine) — rows-only driver check; regime semantics pinned in
+    tests/test_text_functions.py."""
+    from pdf_extractor_spark.functions.compressibility import compression_ratio
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", (F.round(compression_ratio(F.col("text")), 4)).alias("zratio")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """Dedup (SimHash): 64-bit per-doc signature (two 32-bit halves) via
     bit votes."""
@@ -2780,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "contamination_score": q_contamination_score,
+        "compress_ratio": q_compress_ratio,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge

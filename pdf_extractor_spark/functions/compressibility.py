@@ -1,0 +1,52 @@
+"""Compression-ratio quality signal — the cheap universal repetition meter.
+
+A document's zlib-compressed size over its raw size separates three regimes
+a training corpus cares about: machine-generated/keyword-stuffed spam
+compresses extremely well (ratio << typical prose), random/encrypted/
+binary-ish junk barely compresses (ratio ≈ 1), and natural prose sits in a
+stable band (~0.3-0.6 for English). Dolma/Gopher-family pipelines use
+exactly this as a filter feature because it needs no model and no
+vocabulary — it catches repetition patterns n-gram counters miss (long-
+period loops, templated markup).
+
+zlib is per-row C work with no Column builtin, so this is an Arrow-batched
+pandas UDF (the sanctioned slow path); level 6 is the zlib default and the
+number every published threshold assumes. The ratio is a pure function of
+the text bytes — deterministic across machines for a given zlib version,
+but NOT SQL-expressible, so the driver query over it is rows-only and the
+semantics are pinned by pytest instead.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def compression_ratio_str(s: str | None, level: int = 6) -> float | None:
+    """compressed_size / raw_size of the UTF-8 bytes; None for NULL, 0-byte
+    texts report ratio 1.0 (nothing to compress, nothing saved)."""
+    if s is None:
+        return None
+    raw = s.encode("utf-8")
+    if not raw:
+        return 1.0
+    return len(zlib.compress(raw, level)) / len(raw)
+
+
+_UDF = None
+
+
+def compression_ratio(col: Column) -> Column:
+    """Column-level zlib compression ratio (double)."""
+    global _UDF
+    if _UDF is None:
+
+        def f(s: pd.Series) -> pd.Series:
+            return s.map(compression_ratio_str)
+
+        _UDF = F.pandas_udf(f, "double")
+    return _UDF(col)

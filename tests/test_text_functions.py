@@ -347,3 +347,36 @@ def test_readability_known_values(spark):
     r3 = rows[3]
     # reading(2: ea+i) ability(4: a+i+i+y) matters(2) yes(1) = 9 syllables
     assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (4, 2, 9)
+
+
+def test_compression_ratio_regimes(spark):
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.functions.compressibility import (
+        compression_ratio,
+        compression_ratio_str,
+    )
+
+    spam = "buy cheap pills " * 200
+    prose = (
+        "The committee reviewed the proposal on Thursday and raised several "
+        "distinct concerns about funding, staffing, and the projected "
+        "timeline for the second construction phase."
+    )
+    import random
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(2000))
+
+    r_spam = compression_ratio_str(spam)
+    r_prose = compression_ratio_str(prose)
+    r_noise = compression_ratio_str(noise)
+    assert r_spam < 0.1 < r_prose < r_noise
+    assert compression_ratio_str("") == 1.0
+    assert compression_ratio_str(None) is None
+
+    df = spark.createDataFrame([(1, spam), (2, prose), (3, None)], ["i", "t"])
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", compression_ratio(F.col("t")).alias("r")).collect()
+    }
+    assert got[1] == r_spam and got[2] == r_prose and got[3] is None
