@@ -2366,6 +2366,43 @@ def q_pdf_encodings(spark, sf_dir):
     )
 
 
+def q_pdf_outline(spark, sf_dir):
+    """PDF outline/bookmark trees (core/pdf_extract.extract_pdf_outline via
+    operators/extract.pdf_outlines): per doc a 3-page PDF carries a nested
+    outline (Intro > Part A/Part B, Summary); the walk is the real
+    /Outlines /First//Next chain with /Dest page resolution, the oracle
+    restates the construction rule."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+    from pdf_extractor_spark.operators.extract import pdf_outlines
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ol = [
+                    (0, f"Intro {d}", 0),
+                    (1, f"Part A {d}", 1),
+                    (1, "Part B", 2),
+                    (0, f"Summary {d}", 2),
+                ]
+                urls.append(f"doc://{d}")
+                htmls.append(
+                    render_pdf([[f"p1 {d}"], ["p2"], ["p3"]], outline=ol)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
+
+
 def q_host_blocklist(spark, sf_dir):
     """UT1/RefinedWeb-style host blocklist: blocking a domain must also drop
     every SUBDOMAIN. The suffix test runs as domain-suffix explode + one
@@ -2795,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "contamination_score": q_contamination_score,
         "compress_ratio": q_compress_ratio,
+        "pdf_outline": q_pdf_outline,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
@@ -4652,6 +4690,18 @@ SELECT doc_id, count(*)::BIGINT AS n_grams,
              / count(*), 4) + 0.0 AS score
 FROM dg LEFT JOIN bg ON dg.gk = bg.gk
 GROUP BY doc_id""",
+        # PDF outline: the oracle restates the per-doc construction rule
+        # (4 bookmarks, nested levels, 1-based destination pages)
+        "pdf_outline": """
+SELECT 'doc://' || doc_id AS url, o.ord, o.level::INT AS level,
+       CASE WHEN o.with_id THEN o.base || doc_id ELSE o.base END AS title,
+       o.page::INT AS page
+FROM documents, (VALUES
+  (0::BIGINT, 0, 'Intro ',   TRUE,  1),
+  (1::BIGINT, 1, 'Part A ',  TRUE,  2),
+  (2::BIGINT, 1, 'Part B',   FALSE, 3),
+  (3::BIGINT, 0, 'Summary ', TRUE,  3)
+) AS o(ord, level, base, with_id, page)""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

@@ -1262,6 +1262,80 @@ def pdf_link_uris(data: bytes | None) -> list[tuple[int, str]]:
     return out
 
 
+_OUTLINES_REF_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
+_FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
+_NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
+_TITLE_KEY_RE = re.compile(rb"/Title\s*")
+_DEST_PAGE_RE = re.compile(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R")
+
+
+def _pdf_text_string(raw: bytes) -> str:
+    # PDF text string (spec 7.9.2.2): UTF-16BE with BOM, else PDFDocEncoding
+    # (latin-1 superset — close enough for the printable range)
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+def extract_pdf_outline(data: bytes | None) -> list[tuple[int, str, int]]:
+    """(level, title, page) per bookmark, document order — the PDF outline
+    tree (spec 12.3.3), the section structure a chunker wants when content
+    streams carry no headings (the reference's pdfminer stack exposes the
+    same tree as `.get_toc()`-style tuples). ``level`` is 0-based depth,
+    ``page`` the 1-based destination page of a direct ``/Dest [pg 0 R ...]``
+    (0 when the item has no resolvable destination). Encrypted or
+    unparseable files → []."""
+    if not is_pdf(data) or _is_encrypted(data):
+        return []
+    out: list[tuple[int, str, int]] = []
+    try:
+        objs = _load_objects(data)
+        root = None
+        for body in objs.values():
+            if _TYPE_CATALOG_RE.search(body):
+                m = _OUTLINES_REF_RE.search(body)
+                if m:
+                    root = int(m.group(1))
+                break
+        if root is None:
+            return []
+        page_of = {num: i + 1 for i, num in enumerate(_page_leaves(objs))}
+        seen: set[int] = set()
+
+        def walk(num: int, level: int) -> None:
+            while num and num not in seen and level < 64:
+                seen.add(num)
+                body = objs.get(num, b"")
+                tm = _TITLE_KEY_RE.search(body)
+                title = ""
+                if tm:
+                    for kind, payload, _pos in _iter_strings(body[tm.end():]):
+                        if kind == "lit":
+                            title = _pdf_text_string(_unescape(payload))
+                        else:
+                            hx = b"".join(payload.split())
+                            if len(hx) % 2:
+                                hx += b"0"
+                            title = _pdf_text_string(bytes.fromhex(hx.decode("ascii")))
+                        break
+                dm = _DEST_PAGE_RE.search(body)
+                page = page_of.get(int(dm.group(1)), 0) if dm else 0
+                out.append((level, title, page))
+                fm = _FIRST_REF_RE.search(body)
+                if fm:
+                    walk(int(fm.group(1)), level + 1)
+                nm = _NEXT_REF_RE.search(body)
+                num = int(nm.group(1)) if nm else 0
+
+        rbody = objs.get(root, b"")
+        fm = _FIRST_REF_RE.search(rbody)
+        if fm:
+            walk(int(fm.group(1)), 0)
+    except Exception:
+        return []
+    return out
+
+
 def extract_any(url: str, payload: bytes | None) -> ExtractResult:
     """Format dispatch — the batch form of the reference's content-type gate
     (S2, app/api/endpoints.py:53-54): sniff magic bytes, route to the PDF or
@@ -1360,6 +1434,7 @@ def render_pdf(
     links_per_page: list[list[str]] | None = None,
     encoding: str | None = None,
     differences: dict[int, str] | None = None,
+    outline: list[tuple[int, str, int]] | None = None,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1527,6 +1602,49 @@ def render_pdf(
                 f"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
                 f"/A << /S /URI /URI ({_esc_pdf_str(uri)}) >> >>"
             )
+
+    if outline:
+        # flat (level, title, page_index) list → /Outlines tree; item i's
+        # parent is the most recent item with level-1 (the standard bookmark
+        # nesting rule). Object numbers are assigned ahead of add() so
+        # forward refs (/Next, /First) can be emitted inline.
+        root_num = len(objs) + 1
+        item_num = [root_num + 1 + i for i in range(len(outline))]
+        parents = []
+        kids: dict[int, list[int]] = {-1: []}
+        stack: list[tuple[int, int]] = []  # (level, item index)
+        for i, (level, _title, _pg) in enumerate(outline):
+            while stack and stack[-1][0] >= level:
+                stack.pop()
+            parent = stack[-1][1] if stack else -1
+            parents.append(parent)
+            kids.setdefault(i, [])
+            kids.setdefault(parent, []).append(i)
+            stack.append((level, i))
+        top = kids[-1]
+        add(
+            f"<< /Type /Outlines /First {item_num[top[0]]} 0 R "
+            f"/Last {item_num[top[-1]]} 0 R /Count {len(top)} >>"
+        )
+        for i, (level, title, pg) in enumerate(outline):
+            sibs = kids[parents[i]]
+            at = sibs.index(i)
+            parts = [f"/Title ({_esc_pdf_str(title)})"]
+            pnum = root_num if parents[i] == -1 else item_num[parents[i]]
+            parts.append(f"/Parent {pnum} 0 R")
+            if at > 0:
+                parts.append(f"/Prev {item_num[sibs[at - 1]]} 0 R")
+            if at + 1 < len(sibs):
+                parts.append(f"/Next {item_num[sibs[at + 1]]} 0 R")
+            if kids[i]:
+                parts.append(f"/First {item_num[kids[i][0]]} 0 R")
+                parts.append(f"/Last {item_num[kids[i][-1]]} 0 R")
+                parts.append(f"/Count {len(kids[i])}")
+            parts.append(f"/Dest [{kids_nums[pg]} 0 R /Fit]")
+            add("<< " + " ".join(parts) + " >>")
+        objs[0] = (
+            f"<< /Type /Catalog /Pages 2 0 R /Outlines {root_num} 0 R >>"
+        ).encode("latin-1")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -277,3 +277,42 @@ def extract_chunks(pages: DataFrame) -> DataFrame:
             yield _chunks_batch(rows)
 
     return pages.select("url", "html").mapInArrow(run, CHUNKS_SCHEMA)
+
+
+def pdf_outlines(pages: DataFrame) -> DataFrame:
+    """(url, ord, level, title, page) per bookmark of each PDF payload —
+    the document-structure operator (core/pdf_extract.extract_pdf_outline):
+    section trees drive structure-aware chunking when content streams have
+    no headings. Non-PDF/encrypted/outline-less payloads yield no rows.
+    One Arrow pass over the page scan; no shuffle."""
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("ord", pa.int64()),
+            pa.field("level", pa.int32()),
+            pa.field("title", pa.string()),
+            pa.field("page", pa.int32()),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pdf_extractor_spark.core.pdf_extract import extract_pdf_outline
+
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            payloads = batch.column("html").to_pylist()
+            out: dict[str, list] = {"url": [], "ord": [], "level": [], "title": [], "page": []}
+            for url, data in zip(urls, payloads):
+                for i, (level, title, page) in enumerate(extract_pdf_outline(data)):
+                    out["url"].append(url)
+                    out["ord"].append(i)
+                    out["level"].append(level)
+                    out["title"].append(title)
+                    out["page"].append(page)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[f.name], type=f.type) for f in schema], schema=schema
+            )
+
+    return pages.select("url", "html").mapInArrow(
+        run, "url string, ord long, level int, title string, page int"
+    )

@@ -884,3 +884,53 @@ def test_inline_images_coexist_with_xobjects():
     xo = extract_pdf_images("u", pdf)
     assert [n for _, n, *_ in xo] == ["Im0"]
     assert r.images == ["img_0"]
+
+
+def test_outline_roundtrip_nested():
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf_outline, render_pdf
+
+    ol = [
+        (0, "Intro", 0),
+        (1, "Background (a) \\ esc", 0),
+        (2, "Deep", 1),
+        (1, "Scope", 2),
+        (0, "Results", 2),
+    ]
+    pdf = render_pdf([["one"], ["two"], ["three"]], outline=ol)
+    got = extract_pdf_outline(pdf)
+    assert got == [(lv, t, pg + 1) for lv, t, pg in ol]
+
+
+def test_outline_absent_and_robust():
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf_outline, render_pdf
+
+    assert extract_pdf_outline(render_pdf([["x"]])) == []
+    assert extract_pdf_outline(None) == []
+    assert extract_pdf_outline(b"not a pdf") == []
+    # truncated outline PDF must not raise
+    pdf = render_pdf([["x"]], outline=[(0, "A", 0)])
+    assert extract_pdf_outline(pdf[: len(pdf) // 2]) in ([], [(0, "A", 1)], [(0, "A", 0)])
+
+
+def test_outline_does_not_disturb_text():
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+
+    plain = extract_pdf("u", render_pdf([["hello world"]]))
+    with_ol = extract_pdf("u", render_pdf([["hello world"]], outline=[(0, "T", 0)]))
+    assert plain.text == with_ol.text and with_ol.status == "ok"
+
+
+def test_pdf_outlines_operator(spark):
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+    from pdf_extractor_spark.operators.extract import pdf_outlines
+
+    pdf = render_pdf([["a"], ["b"]], outline=[(0, "One", 0), (0, "Two", 1)])
+    pages = spark.createDataFrame(
+        [("doc://1", bytearray(pdf)), ("doc://2", bytearray(b"<p>html</p>"))],
+        "url string, html binary",
+    )
+    rows = pdf_outlines(pages).collect()
+    assert [(r["url"], r["ord"], r["level"], r["title"], r["page"]) for r in rows] == [
+        ("doc://1", 0, 0, "One", 1),
+        ("doc://1", 1, 0, "Two", 2),
+    ]
