@@ -2403,6 +2403,35 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_extraction_f1(spark, sf_dir):
+    """Extractor grading (operators/evalmetrics.py extraction_f1): token-
+    multiset P/R/F1 of a perturbed extraction vs the gold text — docs
+    d%3==0 gain boilerplate tokens (precision drops), d%3==1 lose their
+    last 3 tokens (recall drops), d%3==2 match exactly. Two (id, token)
+    shuffles; the oracle restates the multiset math."""
+    from pdf_extractor_spark.operators.evalmetrics import extraction_f1
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ext = (
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" subscribe footer now")))
+        .when(
+            d % 3 == 1,
+            F.array_join(F.slice(toks, 1, F.greatest(F.lit(0), F.size(toks) - 3)), " "),
+        )
+        .otherwise(F.col("text"))
+    )
+    pairs = docs.select("doc_id", ext.alias("extracted"), F.col("text").alias("gold"))
+    out = extraction_f1(pairs)
+    return out.select(
+        "doc_id", "n_extracted", "n_gold", "n_common",
+        (F.round("precision", 4) + F.lit(0.0)).alias("precision"),
+        (F.round("recall", 4) + F.lit(0.0)).alias("recall"),
+        (F.round("f1", 4) + F.lit(0.0)).alias("f1"),
+    )
+
+
 def q_host_blocklist(spark, sf_dir):
     """UT1/RefinedWeb-style host blocklist: blocking a domain must also drop
     every SUBDOMAIN. The suffix test runs as domain-suffix explode + one
@@ -2833,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_score": q_contamination_score,
         "compress_ratio": q_compress_ratio,
         "pdf_outline": q_pdf_outline,
+        "extraction_f1": q_extraction_f1,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
@@ -4702,6 +4732,51 @@ FROM documents, (VALUES
   (2::BIGINT, 1, 'Part B',   FALSE, 3),
   (3::BIGINT, 0, 'Summary ', TRUE,  3)
 ) AS o(ord, level, base, with_id, page)""",
+        # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
+        # same empty-side edge spec, f1 from unrounded p/r
+        "extraction_f1": r"""
+WITH src AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' subscribe footer now'
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(list_slice(toks, 1, greatest(0, len(toks) - 3)), ' ')
+              ELSE text END AS extracted,
+         text AS gold
+  FROM src),
+e AS (SELECT doc_id, tok, count(*) AS ce
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(extracted)), '\s+')) AS tok
+            FROM base)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+g AS (SELECT doc_id, tok, count(*) AS cg
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(gold)), '\s+')) AS tok
+            FROM base)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+j AS (SELECT coalesce(e.doc_id, g.doc_id) AS doc_id,
+             coalesce(ce, 0) AS ce, coalesce(cg, 0) AS cg
+      FROM e FULL OUTER JOIN g ON e.doc_id = g.doc_id AND e.tok = g.tok),
+agg AS (SELECT doc_id, sum(ce)::BIGINT AS n_extracted, sum(cg)::BIGINT AS n_gold,
+               sum(least(ce, cg))::BIGINT AS n_common
+        FROM j GROUP BY doc_id),
+fin AS (SELECT d.doc_id,
+               coalesce(n_extracted, 0) AS n_extracted,
+               coalesce(n_gold, 0) AS n_gold,
+               coalesce(n_common, 0) AS n_common
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+pr AS (SELECT *,
+         CASE WHEN n_extracted = 0 AND n_gold = 0 THEN 1.0
+              WHEN n_extracted = 0 THEN 0.0
+              ELSE n_common::DOUBLE / n_extracted END AS p,
+         CASE WHEN n_extracted = 0 AND n_gold = 0 THEN 1.0
+              WHEN n_gold = 0 THEN 0.0
+              ELSE n_common::DOUBLE / n_gold END AS r
+       FROM fin)
+SELECT doc_id, n_extracted, n_gold, n_common,
+       round(p, 4) + 0.0 AS precision,
+       round(r, 4) + 0.0 AS recall,
+       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 4) + 0.0 AS f1
+FROM pr""",
         # Naive-Bayes log-odds quality model, same tokenization as
         # unigram_logprob; trained on the scored corpus itself (src0/src1 =
         # positive seed), so every token is in-vocabulary here (the OOV

@@ -1,0 +1,88 @@
+"""Extraction-quality evaluation — token-level P/R/F1 against gold text.
+
+How main-content extractors are actually graded (the boilerplate-removal
+literature scores hypothesis vs gold as token-multiset precision/recall/F1
+per document): ``precision`` = what fraction of emitted tokens belong,
+``recall`` = what fraction of gold tokens survived, per-doc. This is the
+operator that turns "we changed the density threshold" into a number over
+10^12 pages — run the candidate extractor and the incumbent side by side,
+join on url, aggregate the deltas.
+
+Relational shape: both texts explode to (id, token, count) — multiset
+semantics, so a token repeated 3× in gold but 1× in the hypothesis
+contributes 1 to the intersection — then one full-outer join on (id, token)
+and a per-doc hash-agg. Two shuffles, both keyed on (id, token), bounded by
+document length; no Python anywhere.
+
+Edge spec (deterministic, shared with the oracle): both sides empty →
+P = R = F1 = 1.0 (extracting nothing from nothing is correct); one side
+empty → the empty-denominator metric is 0.0; F1 = 0 when P + R = 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.text import tokens
+
+
+def extraction_f1(
+    df: DataFrame,
+    extracted_col: str = "extracted",
+    gold_col: str = "gold",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_extracted, n_gold, n_common, precision, recall, f1)."""
+    base = df.select(id_col, extracted_col, gold_col)
+    e = (
+        base.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(extracted_col)))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("ce"))
+    )
+    g = (
+        base.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(gold_col)))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cg"))
+    )
+    per_doc = (
+        e.join(g, [id_col, "tok"], "full_outer")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("ce"), F.lit(0))).cast("long").alias("n_extracted"),
+            F.sum(F.coalesce(F.col("cg"), F.lit(0))).cast("long").alias("n_gold"),
+            F.sum(
+                F.least(F.coalesce(F.col("ce"), F.lit(0)), F.coalesce(F.col("cg"), F.lit(0)))
+            ).cast("long").alias("n_common"),
+        )
+    )
+    # re-attach docs whose both sides were empty (no exploded rows at all)
+    out = base.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_extracted", F.lit(0)).alias("n_extracted"),
+        F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+    )
+    ne, ng, nc = F.col("n_extracted"), F.col("n_gold"), F.col("n_common")
+    p = (
+        F.when((ne == 0) & (ng == 0), F.lit(1.0))
+        .when(ne == 0, F.lit(0.0))
+        .otherwise(nc.cast("double") / ne)
+    )
+    r = (
+        F.when((ne == 0) & (ng == 0), F.lit(1.0))
+        .when(ng == 0, F.lit(0.0))
+        .otherwise(nc.cast("double") / ng)
+    )
+    out = out.withColumn("precision", p).withColumn("recall", r)
+    ps, rs = F.col("precision"), F.col("recall")
+    return out.withColumn(
+        "f1",
+        F.when(ps + rs == 0, F.lit(0.0)).otherwise(2 * ps * rs / (ps + rs)),
+    )

@@ -1,0 +1,50 @@
+"""extraction_f1: token-multiset precision/recall/F1 vs gold text."""
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, extracted string, gold string")
+    from pdf_extractor_spark.operators.evalmetrics import extraction_f1
+
+    out = extraction_f1(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_exact_match_is_perfect(spark):
+    m = _run(spark, [(1, "a b c", "a b c")])[1]
+    assert (m["precision"], m["recall"], m["f1"]) == (1.0, 1.0, 1.0)
+    assert (m["n_extracted"], m["n_gold"], m["n_common"]) == (3, 3, 3)
+
+
+def test_multiset_counts_not_set(spark):
+    # gold has 'a' 3x, extracted has 'a' 1x -> intersection contributes 1
+    m = _run(spark, [(1, "a", "a a a")])[1]
+    assert m["n_common"] == 1 and m["n_gold"] == 3 and m["n_extracted"] == 1
+    assert m["precision"] == 1.0 and m["recall"] == pytest.approx(1 / 3)
+    assert m["f1"] == pytest.approx(2 * (1 / 3) / (1 + 1 / 3))
+
+
+def test_boilerplate_hurts_precision_only(spark):
+    m = _run(spark, [(1, "a b c spam spam", "a b c")])[1]
+    assert m["recall"] == 1.0
+    assert m["precision"] == pytest.approx(3 / 5)
+
+
+def test_empty_edges(spark):
+    ms = _run(
+        spark,
+        [(1, "", ""), (2, "", "a b"), (3, "a b", ""), (4, "   ", "  ")],
+    )
+    assert (ms[1]["precision"], ms[1]["recall"], ms[1]["f1"]) == (1.0, 1.0, 1.0)
+    assert (ms[2]["precision"], ms[2]["recall"], ms[2]["f1"]) == (0.0, 0.0, 0.0)
+    assert (ms[3]["precision"], ms[3]["recall"], ms[3]["f1"]) == (0.0, 0.0, 0.0)
+    # whitespace-only == empty
+    assert (ms[4]["precision"], ms[4]["recall"], ms[4]["f1"]) == (1.0, 1.0, 1.0)
+
+
+def test_case_insensitive(spark):
+    m = _run(spark, [(1, "Hello WORLD", "hello world")])[1]
+    assert m["f1"] == 1.0
