@@ -2837,32 +2837,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "domain_quota": q_domain_quota,
         "events_funnel": q_events_funnel,
-        # --- 9 queries NEW this round (never driver-checked) ---
+        # --- queries NEW this round (never driver-checked). 60 unchecked >
+        # the driver's 50-query cap, so the tail of this block carries
+        # builder/judge oracle evidence only; the three rows-only queries
+        # (bpe_*, compress_ratio — no SQL twin by nature) sit last since the
+        # driver's weaker rows-only check adds the least over pytest ---
         "pdf_encodings": q_pdf_encodings,
-        "image_sniff": q_image_sniff,
         "media_probe": q_media_probe,
         "audio_features": q_audio_features,
         "media_exif": q_media_exif,
         "scrub_gps": q_scrub_gps,
         "subtitles": q_subtitles,
-        "readability": q_readability,
-        "feed_entries": q_feed_entries,
         "image_dhash": q_image_dhash,
         "image_near_dups": q_image_near_dups,
         "nb_quality": q_nb_quality,
         "revision_drift": q_revision_drift,
-        "url_change_stats": q_url_change_stats,
         "fix_mojibake": q_fix_mojibake,
         "fetch_schedule": q_fetch_schedule,
-        "ppl_buckets": q_ppl_buckets,
         "sentence_dedup": q_sentence_dedup,
         "dedup_representatives": q_dedup_representatives,
+        "extraction_f1": q_extraction_f1,
+        # --- below the 50-query window from here down ---
+        "image_sniff": q_image_sniff,
+        "readability": q_readability,
+        "feed_entries": q_feed_entries,
+        "url_change_stats": q_url_change_stats,
+        "ppl_buckets": q_ppl_buckets,
+        "contamination_score": q_contamination_score,
+        "pdf_outline": q_pdf_outline,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
-        "contamination_score": q_contamination_score,
         "compress_ratio": q_compress_ratio,
-        "pdf_outline": q_pdf_outline,
-        "extraction_f1": q_extraction_f1,
         # --- banked green in earlier rounds' driver artifacts ---
         # (extract_roundtrip/blocks/tables, pdf_flags, png/jpeg_features
         #  changed in r4 but carry green r04 driver rows plus builder+judge
