@@ -2403,6 +2403,20 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (operators/cluster.py): init = the
+    vectors of the 4 smallest vec_ids, 2 update iterations with per-update
+    6-dp centroid rounding (the cross-engine quantization point), then the
+    final per-vector assignment. Every iteration is one broadcast numpy
+    assignment pass + one map-side-combined hash-agg; the oracle restates
+    the identical iterations as CTEs."""
+    from pdf_extractor_spark.operators.cluster import kmeans_assign, kmeans_train
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_train(emb, k=4, n_iter=2)
+    return kmeans_assign(emb, cents).select("vec_id", "cluster")
+
+
 def q_extraction_f1(spark, sf_dir):
     """Extractor grading (operators/evalmetrics.py extraction_f1): token-
     multiset P/R/F1 of a perturbed extraction vs the gold text — docs
@@ -2858,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "extraction_f1": q_extraction_f1,
         # --- below the 50-query window from here down ---
+        "kmeans_clusters": q_kmeans_clusters,
         "image_sniff": q_image_sniff,
         "readability": q_readability,
         "feed_entries": q_feed_entries,
@@ -4739,6 +4754,46 @@ FROM documents, (VALUES
 ) AS o(ord, level, base, with_id, page)""",
         # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
         # same empty-side edge spec, f1 from unrounded p/r
+        # deterministic Lloyd's k-means: first-4-ids init, 2 update rounds
+        # (assign by argmin ||c||^2 - 2 x.c with ties to the smaller cid;
+        # per-dimension avg rounded to 6 dp; empty clusters keep their
+        # previous centroid, rounded by the same uniform rule), final assign
+        "kmeans_clusters": """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c),
+                  c.cid) AS rn
+         FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+m1 AS (SELECT a.cid, t.i AS dim, round(avg(e.v[t.i + 1]), 6) AS cv
+       FROM a1 a JOIN emb e USING (vec_id), range(64) t(i)
+       GROUP BY a.cid, t.i),
+c1 AS (SELECT c0.cid,
+              coalesce(n.c, list_transform(c0.c, x -> round(x, 6))) AS c
+       FROM c0 LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS c
+                          FROM m1 GROUP BY cid) n USING (cid)),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c),
+                  c.cid) AS rn
+         FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
+m2 AS (SELECT a.cid, t.i AS dim, round(avg(e.v[t.i + 1]), 6) AS cv
+       FROM a2 a JOIN emb e USING (vec_id), range(64) t(i)
+       GROUP BY a.cid, t.i),
+c2 AS (SELECT c1.cid,
+              coalesce(n.c, list_transform(c1.c, x -> round(x, 6))) AS c
+       FROM c1 LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS c
+                          FROM m2 GROUP BY cid) n USING (cid))
+SELECT vec_id, cid::INT AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c),
+           c.cid) AS rn
+  FROM emb e CROSS JOIN c2 c) WHERE rn = 1""",
         "extraction_f1": r"""
 WITH src AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
              FROM documents),

@@ -1,0 +1,92 @@
+"""Deterministic Lloyd's k-means over embedding columns — trained as Spark plans.
+
+``search.ivf_fit`` delegates to MLlib's kmeans|| for production coarse
+quantizers; this module is its transparent twin: plain Lloyd iterations with
+a DETERMINISTIC spec (first-k-ids init, fixed iteration count, per-update
+centroid rounding) so the whole training run is reproducible across engines
+and therefore exactly oracle-checkable — the property every other operator
+in this repo is held to, and the one MLlib's randomized init cannot give.
+Cluster-level curation (SemDeDup's coarse quantizer, FineWeb/Dolma-style
+topic balancing, per-cluster sampling quotas) only needs a few dozen
+iterations over a few hundred centroids, where Lloyd's is the textbook
+algorithm (public: Lloyd 1982; same shape as MLlib's own per-iteration job).
+
+Scale shape, per iteration:
+  * assignment — ``search.ivf_assign``: the (k, dim) centroid matrix is a
+    few KB at ANY corpus size, broadcast into one vectorized numpy pass;
+    never shuffles.
+  * update — posexplode(vector) → hash-agg on (cluster, dim): the explode
+    is n×dim rows but partial-aggregates map-side, so the shuffle carries
+    only k×dim partials per partition; the driver collects k×dim doubles
+    (the new centroid matrix — the same bounded driver round-trip BPE's
+    argmax makes, it IS the algorithm's global decision point).
+  * empty clusters keep their previous centroid (the standard degenerate-
+    case rule, and the one that keeps k stable for the SQL twin).
+
+Centroids round to ``round_decimals`` after every update: float sums are
+order-sensitive, so bit-exact cross-engine parity needs a quantization
+point; 1e-6 is far below any assignment boundary that matters and makes
+the spec engine-independent. The reference has no clustering at all
+(vectors go straight to Qdrant, app/vector_db/vector_service.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> np.ndarray:
+    """Train k centroids with ``n_iter`` Lloyd updates; returns (k, dim).
+
+    Init = the vectors of the k smallest ids (sorted by id) — deterministic
+    and scan-cheap (TakeOrderedAndProject). Each update reads the corpus
+    once; nothing but the k×dim centroid matrix ever reaches the driver.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    from pdf_extractor_spark.operators.search import ivf_assign
+
+    first = emb.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} rows to initialize, got {len(first)}")
+    cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, vec_col=vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("cv"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            nxt[r["list_id"], r["dim"]] = r["cv"]
+        cents = np.round(nxt, round_decimals)
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_col, cluster) under the trained centroids — ``ivf_assign`` with
+    the column named for the curation consumers (cluster quotas, SemDeDup)."""
+    from pdf_extractor_spark.operators.search import ivf_assign
+
+    return ivf_assign(emb, centroids, vec_col=vec_col).select(
+        id_col, F.col("list_id").alias("cluster")
+    )

@@ -1,0 +1,77 @@
+"""Deterministic Lloyd's k-means: convergence, determinism, degenerate cases."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _blobs(spark):
+    # two well-separated blobs in 3-d; ids interleave the blobs so the
+    # first-k init starts with one point from each
+    pts = [
+        (0, [0.0, 0.1, 0.0]),
+        (1, [5.0, 5.1, 5.0]),
+        (2, [0.1, 0.0, 0.1]),
+        (3, [5.1, 5.0, 4.9]),
+        (4, [0.0, 0.0, 0.2]),
+        (5, [4.9, 5.0, 5.1]),
+    ]
+    return pts, spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+
+
+def test_two_blobs_converge_to_means(spark):
+    from pdf_extractor_spark.operators.cluster import kmeans_assign, kmeans_train
+
+    pts, df = _blobs(spark)
+    cents = kmeans_train(df, k=2, n_iter=3)
+    lo = np.array([p[1] for p in pts if p[0] % 2 == 0]).mean(axis=0)
+    hi = np.array([p[1] for p in pts if p[0] % 2 == 1]).mean(axis=0)
+    # init order: id 0 (low blob) -> cluster 0, id 1 (high blob) -> cluster 1
+    assert np.allclose(cents[0], lo, atol=1e-4)
+    assert np.allclose(cents[1], hi, atol=1e-4)
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_training_is_deterministic(spark):
+    from pdf_extractor_spark.operators.cluster import kmeans_train
+
+    _, df = _blobs(spark)
+    a = kmeans_train(df.repartition(4), k=2, n_iter=2)
+    b = kmeans_train(df.repartition(1), k=2, n_iter=2)
+    assert np.array_equal(a, b)  # bit-exact thanks to per-update rounding
+
+
+def test_zero_iterations_returns_init(spark):
+    from pdf_extractor_spark.operators.cluster import kmeans_train
+
+    pts, df = _blobs(spark)
+    cents = kmeans_train(df, k=2, n_iter=0)
+    assert np.allclose(cents[0], pts[0][1], atol=1e-6)
+    assert np.allclose(cents[1], pts[1][1], atol=1e-6)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    from pdf_extractor_spark.operators.cluster import kmeans_train
+
+    # the two init rows share one vector, so both centroids start equal and
+    # the argmin tie rule sends EVERY point to cluster 0 — cluster 1 is
+    # empty from iteration one and must keep its init centroid verbatim
+    pts = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [0.0, 0.0]), (3, [2.0, 2.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cents = kmeans_train(df, k=2, n_iter=2)
+    assert np.allclose(cents[1], [1.0, 1.0], atol=1e-6)
+    assert np.allclose(cents[0], [1.0, 1.0], atol=1e-6)  # mean of all four
+
+
+def test_validation_errors(spark):
+    from pdf_extractor_spark.operators.cluster import kmeans_train
+
+    _, df = _blobs(spark)
+    with pytest.raises(ValueError):
+        kmeans_train(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_train(df, k=100)
+    with pytest.raises(ValueError):
+        kmeans_train(df, k=2, n_iter=-1)
