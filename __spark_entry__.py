@@ -2403,6 +2403,18 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-smoothed language mix (functions/sampling.py
+    temperature_sample): per-language keep rates r_l = min(1, q_l*N/n_l)
+    with q_l propto (n_l/N)^0.3, membership via the shared md5-threshold
+    spec, rates rounded to 9 dp so the pow() boundary is engine-neutral.
+    One hash-agg + broadcast joins — no collect, no shuffle of the docs."""
+    from pdf_extractor_spark.functions.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_sample(docs, alpha=0.3, seed=11).select("doc_id", "lang", "rate")
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd's k-means (operators/cluster.py): init = the
     vectors of the 4 smallest vec_ids, 2 update iterations with per-update
@@ -2873,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_f1": q_extraction_f1,
         # --- below the 50-query window from here down ---
         "kmeans_clusters": q_kmeans_clusters,
+        "temperature_mix": q_temperature_mix,
         "image_sniff": q_image_sniff,
         "readability": q_readability,
         "feed_entries": q_feed_entries,
@@ -4754,6 +4767,19 @@ FROM documents, (VALUES
 ) AS o(ord, level, base, with_id, page)""",
         # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
         # same empty-side edge spec, f1 from unrounded p/r
+        # temperature mixing: q_l ~ (n_l/N)^0.3 normalized; keep rate
+        # min(1, q_l*N/n_l) rounded to 9 dp; md5-threshold membership
+        "temperature_mix": """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS total FROM c),
+q AS (SELECT lang, n, power(n / total, 0.3) AS q FROM c, t),
+s AS (SELECT sum(q) AS qsum FROM q),
+r AS (SELECT lang, round(least(1.0, (q.q / s.qsum) * t.total / q.n), 9) AS rate
+      FROM q, s, t),
+u AS (SELECT doc_id, lang,
+  ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS uval
+ FROM documents)
+SELECT u.doc_id, u.lang, r.rate FROM u JOIN r USING (lang) WHERE uval < r.rate""",
         # deterministic Lloyd's k-means: first-4-ids init, 2 update rounds
         # (assign by argmin ||c||^2 - 2 x.c with ties to the smaller cid;
         # per-dimension avg rounded to 6 dp; empty clusters keep their

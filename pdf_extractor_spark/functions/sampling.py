@@ -119,3 +119,61 @@ def budget_sample(
         .filter(budget.isNotNull() & (F.col("__cum") <= budget))
         .drop("__cum")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    rate_decimals: int = 9,
+) -> DataFrame:
+    """Temperature-based stratum re-balancing (the multilingual-LM mixing
+    rule, public: exponential smoothing in mC4/XLM-R — sample languages
+    with p_l ∝ (n_l/N)^alpha so low-resource strata gain share as alpha
+    drops below 1; alpha=1 reproduces the natural distribution).
+
+    Keeps each stratum with deterministic per-doc membership at rate
+    r_l = min(1, q_l·N / n_l) where q_l is the temperature-smoothed share —
+    the downsample-only variant (rates cap at 1: filtering cannot replicate
+    rows, and a training loader resamples upward from epochs, not copies).
+    Expected output size stays ≤ N with over-represented strata cut toward
+    the smoothed mix.
+
+    Fully declarative — NO driver collect: the per-stratum count table is
+    one hash-agg (|strata| rows at any corpus size) broadcast-joined back,
+    membership is the shared md5-threshold spec. Rates round to
+    ``rate_decimals`` so the float pow() boundary is engine-independent
+    (same quantization device as the k-means centroid rounding); the u
+    grid is 2^-32, orders of magnitude coarser than the rounding error.
+
+    Returns the kept rows plus ``rate`` (the applied keep probability).
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    share = F.pow(F.col("__n").cast("double") / F.col("__total"), float(alpha))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("__q", share)
+        .crossJoin(
+            F.broadcast(
+                counts.crossJoin(total)
+                .agg(F.sum(share).alias("__qsum"))
+            )
+        )
+        .select(
+            stratum_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("__q") / F.col("__qsum"))
+                    * F.col("__total").cast("double")
+                    / F.col("__n").cast("double"),
+                ),
+                rate_decimals,
+            ).alias("rate"),
+        )
+    )
+    u = sample_uniform(F.col(id_col), seed)
+    return df.join(F.broadcast(rates), stratum_col).filter(u < F.col("rate"))

@@ -1,0 +1,57 @@
+"""temperature_sample: mixing-rule math, determinism, alpha edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _corpus(spark, counts):
+    rows, i = [], 0
+    for lang, n in sorted(counts.items()):
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_alpha_one_keeps_everything(spark):
+    from pdf_extractor_spark.functions.sampling import temperature_sample
+
+    df = _corpus(spark, {"en": 40, "fa": 10})
+    out = temperature_sample(df, alpha=1.0)
+    assert out.count() == 50
+    assert {r["rate"] for r in out.select("rate").distinct().collect()} == {1.0}
+
+
+def test_alpha_zero_caps_big_strata_at_uniform_share(spark):
+    from pdf_extractor_spark.functions.sampling import temperature_sample
+
+    # alpha=0 -> uniform target shares (1/2 each): en rate = min(1, 25/40),
+    # fa rate = min(1, 25/10) -> 1.0 (downsample-only: small strata keep all)
+    df = _corpus(spark, {"en": 40, "fa": 10})
+    out = temperature_sample(df, alpha=0.0)
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    assert rates["en"] == pytest.approx(25 / 40, abs=1e-9)
+    assert rates["fa"] == 1.0
+    assert out.filter(F.col("lang") == "fa").count() == 10
+
+
+def test_low_alpha_boosts_low_resource_share(spark):
+    from pdf_extractor_spark.functions.sampling import temperature_sample
+
+    df = _corpus(spark, {"en": 400, "fa": 20})
+    kept = temperature_sample(df, alpha=0.3).groupBy("lang").count().collect()
+    n = {r["lang"]: r["count"] for r in kept}
+    assert n["fa"] == 20  # low-resource stratum never downsampled
+    # en share of the kept corpus must sit under its natural 400/420 share
+    assert n["en"] / (n["en"] + n["fa"]) < 400 / 420
+
+
+def test_membership_is_partitioning_independent(spark):
+    from pdf_extractor_spark.functions.sampling import temperature_sample
+
+    df = _corpus(spark, {"en": 100, "fa": 30})
+    a = {r["doc_id"] for r in temperature_sample(df.repartition(7), alpha=0.3, seed=5).collect()}
+    b = {r["doc_id"] for r in temperature_sample(df.coalesce(1), alpha=0.3, seed=5).collect()}
+    assert a == b and a
