@@ -1,0 +1,106 @@
+"""Sharded JSONL(.gz) export sink — the LLM training-data interchange format.
+
+Curated corpora leave the warehouse as gzipped JSON-lines shards (the format
+every public dataset release and training loader speaks: Dolma, FineWeb,
+RedPajama all ship `*.jsonl.gz`). Same sink discipline as
+``sources/warc.write_warc``: one shard per input partition (repartition
+upstream to pick shard count/size), `.inprogress` temp name + rename so a
+glob never sees a partial shard and re-runs overwrite atomically, gzip
+mtime pinned to 0 so shard bytes are a pure function of the rows, and an
+EAGER per-shard manifest (path, n_records, n_bytes) returned for lineage.
+
+Rows serialize with sorted keys and compact separators — a canonical JSON
+so byte-identical shards fall out of identical rows regardless of column
+order upstream. Binary columns are not JSON-serializable by design: encode
+them upstream (base64/hex) so the escape policy is explicit, not implicit.
+
+The reference has no export path at all (chunks live only inside Qdrant,
+app/vector_db/vector_service.py) — a corpus you cannot ship is not a
+training corpus.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os as _os
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def write_jsonl(
+    df: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    prefix: str = "part",
+) -> DataFrame:
+    """Write any (JSON-serializable) DataFrame as sharded JSONL shards;
+    returns the per-shard manifest DataFrame (path, n_records, n_bytes)."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    _os.makedirs(out_dir, exist_ok=True)
+    suffix = ".jsonl.gz" if compress else ".jsonl"
+
+    def _default(o):
+        # datetimes/dates/decimals arrive from Arrow as rich types; ISO
+        # strings are the JSONL convention. Bytes stay a loud error.
+        if hasattr(o, "isoformat"):
+            return o.isoformat()
+        raise TypeError(f"not JSONL-serializable: {type(o).__name__}")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
+        tmp = path + ".inprogress"
+        n = 0
+        nbytes = 0
+        f = None
+        try:
+            for batch in batches:
+                rows = batch.to_pylist()
+                if not rows:
+                    continue
+                if f is None:
+                    f = open(tmp, "wb")
+                buf = io.BytesIO()
+                sink = (
+                    gzip.GzipFile(fileobj=buf, mode="wb", mtime=0)
+                    if compress
+                    else buf
+                )
+                for row in rows:
+                    sink.write(
+                        json.dumps(
+                            row, sort_keys=True, separators=(",", ":"),
+                            ensure_ascii=False, default=_default,
+                        ).encode("utf-8")
+                    )
+                    sink.write(b"\n")
+                if compress:
+                    sink.close()
+                blob = buf.getvalue()
+                f.write(blob)
+                n += len(rows)
+                nbytes += len(blob)
+        finally:
+            if f is not None:
+                f.close()
+        if f is not None:
+            _os.replace(tmp, path)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([path], type=pa.string()),
+                    pa.array([n], type=pa.int64()),
+                    pa.array([nbytes], type=pa.int64()),
+                ],
+                names=["path", "n_records", "n_bytes"],
+            )
+
+    manifest = df.mapInArrow(run, "path string, n_records long, n_bytes long")
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(
+        rows, "path string, n_records long, n_bytes long"
+    )

@@ -1,0 +1,100 @@
+"""write_jsonl: roundtrip, manifest, deterministic bytes, degenerate shards."""
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _df(spark):
+    rows = [(i, f"doc {i}", ["a", "b"][: i % 3]) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string, tags array<string>")
+
+
+def test_roundtrip_and_manifest(spark, tmp_path):
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    out = str(tmp_path / "dump")
+    man = write_jsonl(_df(spark).repartition(3), out)
+    rows = man.collect()
+    assert sum(r["n_records"] for r in rows) == 20
+    assert all(r["n_bytes"] > 0 and os.path.exists(r["path"]) for r in rows)
+    assert not glob.glob(out + "/*.inprogress")
+    back = spark.read.json(out + "/*.jsonl.gz")
+    assert back.count() == 20
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got[7] == "doc 7"
+
+
+def test_bytes_are_deterministic(spark, tmp_path):
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    df = _df(spark).repartition(2, "doc_id")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl(df, a)
+    write_jsonl(df, b)
+    fa = sorted(glob.glob(a + "/*"))
+    fb = sorted(glob.glob(b + "/*"))
+    assert [os.path.basename(p) for p in fa] == [os.path.basename(p) for p in fb]
+    for pa_, pb_ in zip(fa, fb):
+        assert open(pa_, "rb").read() == open(pb_, "rb").read()
+
+
+def test_canonical_json_sorted_keys_plain_mode(spark, tmp_path):
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    out = str(tmp_path / "plain")
+    write_jsonl(_df(spark).coalesce(1), out, compress=False)
+    line = open(glob.glob(out + "/*.jsonl")[0], "rb").readline().decode()
+    obj = json.loads(line)
+    assert list(obj) == sorted(obj)  # canonical key order on the wire
+
+
+def test_empty_partitions_write_no_shard(spark, tmp_path):
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    out = str(tmp_path / "sparse")
+    df = _df(spark).filter(F.col("doc_id") < 2).repartition(8)
+    man = write_jsonl(df, out)
+    assert sum(r["n_records"] for r in man.collect()) == 2
+    assert len(glob.glob(out + "/*")) == man.count()  # only non-empty shards
+
+
+def test_timestamps_serialize_iso(spark, tmp_path):
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame([(1,)], "doc_id long").select(
+        "doc_id", F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("ts")
+    )
+    out = str(tmp_path / "ts")
+    write_jsonl(df.coalesce(1), out, compress=False)
+    obj = json.loads(open(glob.glob(out + "/*.jsonl")[0]).readline())
+    assert obj["ts"].startswith("2026-01-02T03:04:05")
+
+
+def test_binary_columns_are_a_loud_error(spark, tmp_path):
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame([(1, b"\x00")], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="serializable|TypeError|JSONL"):
+        write_jsonl(df.coalesce(1), str(tmp_path / "bin"))
+
+
+def test_multi_member_gzip_is_readable(spark, tmp_path):
+    # several Arrow batches per partition concatenate gzip members; stdlib
+    # gzip must read them all back
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = str(tmp_path / "multi")
+        write_jsonl(_df(spark).coalesce(1), out)
+        raw = gzip.decompress(open(glob.glob(out + "/*.jsonl.gz")[0], "rb").read())
+        assert len(raw.splitlines()) == 20
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
