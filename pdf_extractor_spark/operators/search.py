@@ -207,6 +207,10 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
     normalized vectors). Writing the table partitioned by list_id turns
     probe filters into partition pruning."""
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or cents.shape[0] == 0:
+        # e.g. seed rows drawn from an empty table — fail with the contract,
+        # not a numpy axis error from deep inside the kernel
+        raise ValueError("centroids must be a non-empty (k, dim) matrix")
     c_norms = (cents * cents).sum(axis=1)
 
     dim = cents.shape[1]

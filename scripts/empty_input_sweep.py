@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Run every __spark_entry__ query against EMPTY (schema-identical) tables.
+
+A 10^12-row pipeline routinely sees empty inputs: a filter that matches
+nothing, a fresh partition, a resume run where everything is already
+committed. Every operator must degrade to zero rows (or raise a documented
+ValueError for genuinely unfulfillable contracts — e.g. k-means needs k
+seed rows), never crash with an IndexError/StopIteration from a driver-side
+scalar collect.
+
+Usage: python scripts/empty_input_sweep.py [query ...]
+Exit 0 = every query returned rows or raised ValueError; 1 otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from pdf_extractor_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("empty_sweep", master="local[4]", shuffle_partitions=4)
+    empty_dir = tempfile.mkdtemp(prefix="empty_sf_")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(empty_dir, f"{t}.parquet"))
+
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            n = fn(spark, empty_dir).count()
+            print(f"ok       {name}: {n} rows", flush=True)
+        except ValueError as e:
+            print(f"ok(VE)   {name}: ValueError: {e}", flush=True)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL     {name}: {type(e).__name__}: {str(e)[:160]}", flush=True)
+            if os.environ.get("EMPTY_SWEEP_TRACE"):
+                traceback.print_exc()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
