@@ -1611,7 +1611,10 @@ def q_ivf_topk(spark, sf_dir):
     from pdf_extractor_spark.operators.search import ivf_assign, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    cents_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    cents_rows = (
+        emb.filter((F.col("vec_id") < 8) & F.col("embedding").isNotNull())
+        .orderBy("vec_id").select("embedding").collect()
+    )
     cents = np.array([list(r["embedding"]) for r in cents_rows], dtype=np.float64)
     assigned = ivf_assign(emb, cents)
     qv = [float(x) for x in embed_one("spark graft query")]
@@ -1639,7 +1642,10 @@ def q_semdedup(spark, sf_dir):
     from pdf_extractor_spark.operators.dedup import semdedup
 
     emb = _emb(spark, sf_dir)
-    cents_rows = emb.filter(F.col("vec_id") < 6).orderBy("vec_id").select("embedding").collect()
+    cents_rows = (
+        emb.filter((F.col("vec_id") < 6) & F.col("embedding").isNotNull())
+        .orderBy("vec_id").select("embedding").collect()
+    )
     cents = np.array([list(r["embedding"]) for r in cents_rows], dtype=np.float64)
     return semdedup(emb, cents, threshold=0.35, max_cluster=400)
 

@@ -57,7 +57,13 @@ def kmeans_train(
         raise ValueError("n_iter must be >= 0")
     from pdf_extractor_spark.operators.search import ivf_assign
 
-    first = emb.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    first = (
+        emb.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # NULL vectors can't seed
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
     if len(first) < k:
         raise ValueError(f"need at least k={k} rows to initialize, got {len(first)}")
     cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)

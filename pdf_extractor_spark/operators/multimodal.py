@@ -184,7 +184,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 if fake:
-                    for t in range(0, int(dur or 0), every_ms):
+                    # NULL duration arrives as NaN (pandas nullable int) —
+                    # and NaN is truthy, so `dur or 0` would int(NaN)-crash
+                    n_ms = int(dur) if pd.notna(dur) else 0
+                    for t in range(0, n_ms, every_ms):
                         ids.append(mid)
                         ts.append(t)
                         shas.append(

@@ -8,7 +8,12 @@ ValueError for genuinely unfulfillable contracts — e.g. k-means needs k
 seed rows), never crash with an IndexError/StopIteration from a driver-side
 scalar collect.
 
-Usage: python scripts/empty_input_sweep.py [query ...]
+`--nulls` runs the second resilience tier: tables keep their row COUNT but
+every non-key column is NULL (the malformed-row case — a scanner must treat
+a NULL payload like a failed parse, not crash a task). Key columns
+(ids/urls/timestamps) stay real so joins and windows still have keys.
+
+Usage: python scripts/empty_input_sweep.py [--nulls] [query ...]
 Exit 0 = every query returned rows or raised ValueError; 1 otherwise.
 """
 
@@ -28,13 +33,34 @@ SRC = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+KEY_COLS = {
+    "doc_id", "vec_id", "url", "warc_ts", "ts", "event_id", "user_id",
+    "o_orderkey", "l_orderkey", "l_linenumber", "c_custkey", "s_suppkey",
+    "p_partkey", "n_nationkey", "r_regionkey",
+}
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:]]
+    nulls = "--nulls" in args
+    only = {a for a in args if a != "--nulls"}
     spark = get_spark("empty_sweep", master="local[4]", shuffle_partitions=4)
-    empty_dir = tempfile.mkdtemp(prefix="empty_sf_")
+    empty_dir = tempfile.mkdtemp(prefix=("null_sf_" if nulls else "empty_sf_"))
+    from pyspark.sql import functions as F
+
     for t in TABLES:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        df.limit(0).write.mode("overwrite").parquet(os.path.join(empty_dir, f"{t}.parquet"))
+        if nulls:
+            out = df.select(
+                *[
+                    F.col(c) if c in KEY_COLS
+                    else F.lit(None).cast(dt).alias(c)
+                    for c, dt in df.dtypes
+                ]
+            )
+        else:
+            out = df.limit(0)
+        out.write.mode("overwrite").parquet(os.path.join(empty_dir, f"{t}.parquet"))
 
     failures = []
     for name, fn in entrymod.queries().items():
