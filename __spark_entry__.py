@@ -2409,6 +2409,31 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate line removal (operators/dedup.py
+    host_boilerplate_dedup): per-host site templates — a header line on
+    every page of its host and a social footer on ~80% of them — strip at
+    min_frac=0.5/min_docs=2 while rare per-doc tails survive; clean text
+    reassembles in order with a removed-line count."""
+    from pdf_extractor_spark.operators.dedup import host_boilerplate_dedup
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+    built = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), h).alias("host"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("welcome to host "), h),
+            F.col("text"),
+            F.when(d % 10 < 8, F.concat(F.lit("follow host "), h, F.lit(" on social")))
+            .otherwise(F.concat(F.lit("rare tail "), d.cast("string"))),
+        ).alias("text"),
+    )
+    return host_boilerplate_dedup(built, min_frac=0.5, min_docs=2)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-smoothed language mix (functions/sampling.py
     temperature_sample): per-language keep rates r_l = min(1, q_l*N/n_l)
@@ -2892,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the 50-query window from here down ---
         "kmeans_clusters": q_kmeans_clusters,
         "temperature_mix": q_temperature_mix,
+        "host_boilerplate": q_host_boilerplate,
         "image_sniff": q_image_sniff,
         "readability": q_readability,
         "feed_entries": q_feed_entries,
@@ -4773,6 +4799,31 @@ FROM documents, (VALUES
 ) AS o(ord, level, base, with_id, page)""",
         # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
         # same empty-side edge spec, f1 from unrounded p/r
+        # host-scoped boilerplate: a line drops for a host when it appears
+        # in >= 2 distinct docs AND >= 50% of that host's docs
+        "host_boilerplate": r"""
+WITH built AS (SELECT doc_id, 'h' || (doc_id % 5)::VARCHAR AS host,
+  'welcome to host ' || (doc_id % 5)::VARCHAR || chr(10) || text || chr(10) ||
+  CASE WHEN doc_id % 10 < 8 THEN 'follow host ' || (doc_id % 5)::VARCHAR || ' on social'
+       ELSE 'rare tail ' || doc_id::VARCHAR END AS text
+ FROM documents),
+t AS (SELECT doc_id, host, regexp_split_to_array(text, '\n') AS parts FROM built),
+p AS (SELECT doc_id, host, unnest(parts) AS line,
+             unnest(generate_series(1, len(parts))) AS pos FROM t),
+hn AS (SELECT host, count(DISTINCT doc_id) AS n FROM built GROUP BY host),
+hot AS (SELECT p.host, md5(p.line) AS pk
+        FROM p JOIN hn ON p.host = hn.host
+        GROUP BY p.host, md5(p.line), hn.n
+        HAVING count(DISTINCT p.doc_id) >= 2
+           AND count(DISTINCT p.doc_id) >= hn.n * 0.5),
+k AS (SELECT p.* FROM p ANTI JOIN hot h
+      ON p.host = h.host AND md5(p.line) = h.pk),
+n0 AS (SELECT doc_id, len(parts) AS n_lines FROM t)
+SELECT k.doc_id,
+       array_to_string(list(k.line ORDER BY k.pos), chr(10)) AS clean_text,
+       (any_value(n0.n_lines) - count(*))::BIGINT AS n_removed
+FROM k JOIN n0 ON k.doc_id = n0.doc_id
+GROUP BY k.doc_id""",
         # temperature mixing: q_l ~ (n_l/N)^0.3 normalized; keep rate
         # min(1, q_l*N/n_l) rounded to 9 dp; md5-threshold membership
         "temperature_mix": """

@@ -1078,6 +1078,77 @@ def paragraph_dedup(
     )
 
 
+def host_boilerplate_dedup(
+    docs: DataFrame,
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip HOST-scoped boilerplate lines — the domain-level sibling of
+    paragraph_dedup (the CCNet/RefinedWeb device: a site's nav, cookie
+    prompt, and footer repeat on MOST of that site's pages but may be
+    globally rare, so corpus-wide counting misses them). A line is host
+    boilerplate when it appears in >= ``min_docs`` distinct documents AND
+    in >= ``min_frac`` of the host's documents; such lines drop from every
+    document of that host, survivors reassemble in order as ``clean_text``
+    (plus ``n_removed``). Pass the host pre-derived (functions/urls.url_host)
+    so the caller controls url canonicalization.
+
+    Scale shape: lines explode once and aggregate on (host, md5 digest) —
+    map-side combined, the digest keeps line text out of the shuffle; host
+    document totals are one tiny hash-agg joined back ON HOST (broadcastable
+    at any corpus size only if hosts are few — it stays a shuffle join
+    otherwise, still keyed and bounded); the per-host hot-line table is the
+    side artifact worth persisting (it IS the site template). One anti-join
+    + one per-doc reassembly after that — no window, no pairwise join, skew
+    bounded by docs-per-host like every host-keyed stage in this repo.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.col(host_col).alias("__host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("pk", F.md5("line"))
+    host_docs = docs.groupBy(F.col(host_col).alias("__host")).agg(
+        F.count_distinct(F.col(id_col)).alias("__hn")
+    )
+    hot = (
+        lines.groupBy("__host", "pk")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .join(host_docs, "__host")
+        .filter(
+            (F.col("__df") >= min_docs)
+            & (F.col("__df") >= F.col("__hn") * float(min_frac))
+        )
+        .select("__host", "pk")
+    )
+    kept = lines.join(hot, ["__host", "pk"], "left_anti")
+    n_lines = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("__n0")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__nkept"),
+        )
+        .join(n_lines, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            (F.col("__n0") - F.col("__nkept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def sentence_dedup(
     docs: DataFrame,
     min_count: int = 2,

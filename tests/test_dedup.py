@@ -573,3 +573,46 @@ def test_contamination_score(spark):
     assert out[2]["score"] == 0.0
     assert out[2]["n_hit"] == 0
     assert 0.0 < out[3]["score"] < 1.0
+
+
+def test_host_boilerplate_is_host_scoped(spark):
+    """A line repeated on most of ONE host's pages drops for that host only;
+    the same line on a single page of another host survives there."""
+    rows = [
+        (0, "a.com", "site a nav\nbody zero"),
+        (1, "a.com", "site a nav\nbody one"),
+        (2, "a.com", "site a nav\nbody two"),
+        (3, "b.com", "site a nav\nbody three"),  # same line, 1/2 of b.com
+        (4, "b.com", "b content\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in
+           DD.host_boilerplate_dedup(df, min_frac=0.6, min_docs=2).collect()}
+    assert out[0]["clean_text"] == "body zero" and out[0]["n_removed"] == 1
+    assert out[2]["clean_text"] == "body two"
+    # b.com: 'site a nav' is 1/2 = 0.5 < 0.6 of host docs -> kept
+    assert out[3]["clean_text"] == "site a nav\nbody three"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0
+
+
+def test_host_boilerplate_min_docs_floor(spark):
+    """min_docs keeps a 1-of-1 host (frac 1.0!) from eating its own page."""
+    rows = [(0, "solo.com", "only line\nmore text")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = DD.host_boilerplate_dedup(df, min_frac=0.5, min_docs=2).collect()
+    assert out[0]["clean_text"] == "only line\nmore text"
+    assert out[0]["n_removed"] == 0
+
+
+def test_host_boilerplate_all_lines_removed_doc_disappears(spark):
+    rows = [
+        (0, "a.com", "nav\nfooter"),
+        (1, "a.com", "nav\nfooter"),
+        (2, "a.com", "nav\nreal body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r["doc_id"]: r for r in
+           DD.host_boilerplate_dedup(df, min_frac=0.5, min_docs=2).collect()}
+    assert set(got) == {2}  # docs 0/1 were pure template
+    assert got[2]["clean_text"] == "real body" and got[2]["n_removed"] == 1
