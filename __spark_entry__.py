@@ -2409,6 +2409,26 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Crawl snapshot diff (operators/drift.py crawl_diff): old crawl =
+    docs d%10!=9, new crawl = docs d%10!=0 with d%4==0 texts rewritten —
+    so each century yields gone (d%10==9... in old only), added (d%10==0
+    in new only), changed (d%4==0 overlap), unchanged; one full-outer
+    equi-join over (url, sha256) sides."""
+    from pdf_extractor_spark.operators.drift import crawl_diff
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s.com/p/"), d.cast("string"))
+    old = docs.filter(d % 10 != 9).select(url.alias("url"), "text")
+    new = docs.filter(d % 10 != 0).select(
+        url.alias("url"),
+        F.when(d % 4 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return crawl_diff(old, new)
+
+
 def q_host_boilerplate(spark, sf_dir):
     """Host-scoped boilerplate line removal (operators/dedup.py
     host_boilerplate_dedup): per-host site templates — a header line on
@@ -2918,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "temperature_mix": q_temperature_mix,
         "host_boilerplate": q_host_boilerplate,
+        "crawl_diff": q_crawl_diff,
         "image_sniff": q_image_sniff,
         "readability": q_readability,
         "feed_entries": q_feed_entries,
@@ -4799,6 +4820,22 @@ FROM documents, (VALUES
 ) AS o(ord, level, base, with_id, page)""",
         # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
         # same empty-side edge spec, f1 from unrounded p/r
+        # crawl snapshot diff: full-outer join of (url, sha256) sides
+        "crawl_diff": """
+WITH o AS (SELECT 'https://s.com/p/' || doc_id::VARCHAR AS url,
+                  sha256(coalesce(text, '')) AS old_hash
+           FROM documents WHERE doc_id % 10 <> 9),
+n AS (SELECT 'https://s.com/p/' || doc_id::VARCHAR AS url,
+             sha256(coalesce(CASE WHEN doc_id % 4 = 0 THEN text || ' updated'
+                                  ELSE text END, '')) AS new_hash
+      FROM documents WHERE doc_id % 10 <> 0)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'gone'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_hash, n.new_hash
+FROM o FULL OUTER JOIN n ON o.url = n.url""",
         # host-scoped boilerplate: a line drops for a host when it appears
         # in >= 2 distinct docs AND >= 50% of that host's docs
         "host_boilerplate": r"""

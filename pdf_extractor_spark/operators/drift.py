@@ -78,3 +78,43 @@ def url_change_stats(drift: DataFrame, url_col: str = "url") -> DataFrame:
         F.sum(F.col("changed").cast("int")).cast("long").alias("n_changed"),
         F.avg("jaccard_prev").alias("avg_jaccard"),
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two crawls: per url, ``status`` ∈ added (only
+    in the new crawl), gone (only in the old), changed (both, different
+    content hash), unchanged. The planner's view of "what moved since last
+    month's crawl" — feeds the re-fetch scheduler (fetch_schedule) and the
+    incremental extraction resume (only added/changed urls re-extract).
+
+    Scale shape: ONE full-outer equi-join on url, both sides pre-reduced to
+    (url, sha256) so document text never shuffles; url-keyed, AQE splits a
+    hot url group like any other equi-join. Duplicate urls within one
+    snapshot should be resolved upstream (dedup.keep_latest_revision);
+    this operator hashes after a max_by on the hash to stay total if they
+    slip through.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(url_col).alias("url"),
+                F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("__h"),
+            )
+            .groupBy("url")
+            .agg(F.max("__h").alias(name))  # total under accidental dup urls
+        )
+
+    o, n = side(old, "old_hash"), side(new, "new_hash")
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("gone"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("url", status.alias("status"), "old_hash", "new_hash")

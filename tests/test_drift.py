@@ -74,3 +74,37 @@ def test_single_window_shuffle(revs):
     plan = revision_drift(revs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert plan.count("Window") == 1
+
+
+def test_crawl_diff_statuses(spark):
+    from pdf_extractor_spark.operators.drift import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "going away")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "brand new")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "added"}
+
+
+def test_crawl_diff_duplicate_urls_stay_total(spark):
+    from pdf_extractor_spark.operators.drift import crawl_diff
+
+    # accidental dup url in one snapshot must not yield two rows or a
+    # nondeterministic hash pick (max_by keeps it total)
+    old = spark.createDataFrame([("u1", "a"), ("u1", "b")], "url string, text string")
+    new = spark.createDataFrame([("u1", "a")], "url string, text string")
+    rows = crawl_diff(old, new).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "u1"
+
+
+def test_crawl_diff_null_text_hashes_as_empty(spark):
+    from pdf_extractor_spark.operators.drift import crawl_diff
+
+    old = spark.createDataFrame([("u1", None)], "url string, text string")
+    new = spark.createDataFrame([("u1", "")], "url string, text string")
+    assert crawl_diff(old, new).collect()[0]["status"] == "unchanged"
