@@ -2409,6 +2409,17 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Per-gate rejection audit (operators/curate.py curation_funnel): each
+    doc of the dup-injected union attributes to the FIRST gate it fails
+    (lang → min_tokens → quality → repetition → line_shape → duplicate) or
+    'kept'; counts are disjoint and sum to the input size. Dedup here keys
+    on RAW text (the audit counts docs, not scrub variants)."""
+    from pdf_extractor_spark.operators.curate import curation_funnel
+
+    return curation_funnel(_union_with_dups(_docs(spark, sf_dir)).select("doc_id", "text"))
+
+
 def q_crawl_diff(spark, sf_dir):
     """Crawl snapshot diff (operators/drift.py crawl_diff): old crawl =
     docs d%10!=9, new crawl = docs d%10!=0 with d%4==0 texts rewritten —
@@ -2939,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "host_boilerplate": q_host_boilerplate,
         "crawl_diff": q_crawl_diff,
+        "curation_funnel": q_curation_funnel,
         "image_sniff": q_image_sniff,
         "readability": q_readability,
         "feed_entries": q_feed_entries,
@@ -4820,6 +4832,43 @@ FROM documents, (VALUES
 ) AS o(ord, level, base, with_id, page)""",
         # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
         # same empty-side edge spec, f1 from unrounded p/r
+        # curation funnel: first-failing-gate attribution over the same
+        # signal expressions as curate_full; dedup on RAW text among gate
+        # survivors; counts disjoint by construction
+        "curation_funnel": r"""
+WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id+10000, text FROM documents WHERE doc_id % 50 = 0),
+t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^\.\!\?\,\;\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr,
+      len(regexp_split_to_array(text, chr(10))) AS nl
+ FROM u),
+g AS (SELECT *, list_transform(generate_series(1, greatest(1, len(toks)-2)),
+                               i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams FROM t),
+s AS (SELECT *, len(list_filter(toks, t2 -> list_contains(['the','and','of','is','in','to','that','it','was','for'], t2))) AS c_en, len(list_filter(toks, t2 -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t2))) AS c_de, len(list_filter(toks, t2 -> list_contains(['el','la','los','las','es','de','que','en','un','una'], t2))) AS c_es, len(list_filter(toks, t2 -> list_contains(['le','la','les','et','est','dans','que','pour','une','du'], t2))) AS c_fr, len(list_filter(toks, t2 -> list_contains(['的','了','是','在','我','有','和','就','不','人'], t2))) AS c_zh FROM g),
+b AS (SELECT *, greatest(c_en, c_de, c_es, c_fr, c_zh) AS best FROM s),
+f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
+        round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
+        CASE WHEN c_en = best AND best > 0 THEN 'en' WHEN c_de = best AND best > 0 THEN 'de' WHEN c_es = best AND best > 0 THEN 'es' WHEN c_fr = best AND best > 0 THEN 'fr' WHEN c_zh = best AND best > 0 THEN 'zh' ELSE 'und' END AS lang_pred,
+        round(CASE WHEN trim(text) = '' THEN 0.0
+                   ELSE (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE END, 4) AS rep_ratio,
+        round(CASE WHEN nl = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '(?m)^\s*[-*•]')) / nl::DOUBLE END, 4) AS bullet_ratio
+      FROM b),
+c AS (SELECT doc_id, text,
+        CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
+             WHEN n_tokens < 20 THEN 'min_tokens'
+             WHEN quality < 0.3 THEN 'quality'
+             WHEN rep_ratio > 0.2 THEN 'repetition'
+             WHEN bullet_ratio > 0.5 THEN 'line_shape' END AS g0
+      FROM f),
+w2 AS (SELECT text, min(doc_id) AS keep FROM c WHERE g0 IS NULL GROUP BY text),
+r AS (SELECT coalesce(c.g0, CASE WHEN c.doc_id = w2.keep THEN 'kept' ELSE 'duplicate' END) AS gate
+      FROM c LEFT JOIN w2 ON c.g0 IS NULL AND c.text = w2.text)
+SELECT gate, count(*)::BIGINT AS n_docs FROM r GROUP BY gate""",
         # crawl snapshot diff: full-outer join of (url, sha256) sides
         "crawl_diff": """
 WITH o AS (SELECT 'https://s.com/p/' || doc_id::VARCHAR AS url,

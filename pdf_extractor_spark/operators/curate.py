@@ -131,3 +131,58 @@ def apply_host_blocklist(
         .distinct()
     )
     return docs.join(hit, docs[url_col] == hit["__hit_u"], "left_anti")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    langs: Sequence[str] = ("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    max_repetition: float = 0.2,
+    max_bullet_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-gate rejection audit for curate_corpus_full: every input doc is
+    attributed to the FIRST gate it fails (documented order: lang →
+    min_tokens → quality → repetition → line_shape → duplicate) or to
+    'kept'; returns (gate, n_docs). The observability half of curation — a
+    100 TB run that drops 60% of its input must say WHICH gate did it
+    (counters are a north-rule requirement, and gate drift between crawls
+    is the first sign of an extractor regression).
+
+    Same single scan as the composite (all signals are Column exprs); the
+    only shuffle is the exact-dup min-id hash-agg over gate survivors plus
+    the final |gates|-row count agg. First-fail attribution means the
+    funnel's column sums to exactly the input count — disjoint by
+    construction, no double counting.
+    """
+    t = F.col(text_col)
+    scored = (
+        docs.withColumn("n_tokens", TXT.token_count(t).cast("long"))
+        .withColumn("quality", F.round(TXT.quality_score(t), 4))
+        .withColumn("lang_pred", TXT.lang_id(t))
+        .withColumn("rep_ratio", F.round(TXT.repetition_ratio(t), 4))
+        .withColumn("bullet_ratio", F.round(TXT.bullet_line_ratio(t), 4))
+    )
+    gate = (
+        F.when(~F.col("lang_pred").isin(list(langs)), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("min_tokens"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(F.col("rep_ratio") > max_repetition, F.lit("repetition"))
+        .when(F.col("bullet_ratio") > max_bullet_ratio, F.lit("line_shape"))
+    )
+    staged = scored.select(F.col(id_col), t.alias("__t"), gate.alias("gate"))
+    survivors = staged.filter(F.col("gate").isNull())
+    winners = survivors.groupBy("__t").agg(F.min(id_col).alias("__keep"))
+    resolved = survivors.join(winners, "__t").select(
+        F.col(id_col),
+        F.when(F.col(id_col) == F.col("__keep"), F.lit("kept"))
+        .otherwise(F.lit("duplicate")).alias("gate"),
+    )
+    rejected = staged.filter(F.col("gate").isNotNull()).select(id_col, "gate")
+    return (
+        rejected.unionByName(resolved)
+        .groupBy("gate")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -108,3 +108,28 @@ def test_budget_sample_zero_token_docs_do_not_leak_absent_strata(spark):
     # absent stratum contributes nothing; zero-token doc in a budgeted
     # stratum is kept (costs nothing against the budget)
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_curation_funnel_first_fail_attribution(spark):
+    from pdf_extractor_spark.operators.curate import curation_funnel
+
+    good = ("the cat and the dog sat in the house and it was warm for the "
+            "day and all of it is fine to read here now")
+    rows = [
+        (0, good),                      # kept
+        (1, good),                      # exact duplicate of 0
+        (2, "der hund und die katze und der vogel und das haus und"),  # lang
+        (3, "the of and is in"),        # en but too few tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["gate"]: r["n_docs"] for r in curation_funnel(df).collect()}
+    assert got == {"kept": 1, "duplicate": 1, "lang": 1, "min_tokens": 1}
+
+
+def test_curation_funnel_counts_are_exhaustive(spark):
+    from pdf_extractor_spark.operators.curate import curation_funnel
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curation_funnel(docs.select("doc_id", "text"))
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
