@@ -150,30 +150,33 @@ def temperature_sample(
 
     Returns the kept rows plus ``rate`` (the applied keep probability).
     """
+    from pyspark.sql import Window
+
+    # ONE corpus aggregation; total and q-sum ride single-partition windows
+    # over the tiny |strata|-row counts relation (re-deriving them as
+    # separate aggs would re-scan the corpus three times — plan-audited)
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
-    total = counts.agg(F.sum("__n").alias("__total"))
-    share = F.pow(F.col("__n").cast("double") / F.col("__total"), float(alpha))
-    rates = (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("__q", share)
-        .crossJoin(
-            F.broadcast(
-                counts.crossJoin(total)
-                .agg(F.sum(share).alias("__qsum"))
-            )
-        )
-        .select(
-            stratum_col,
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    (F.col("__q") / F.col("__qsum"))
-                    * F.col("__total").cast("double")
-                    / F.col("__n").cast("double"),
-                ),
-                rate_decimals,
-            ).alias("rate"),
-        )
+    w = Window.partitionBy()
+    scored = counts.select(
+        stratum_col,
+        "__n",
+        F.sum("__n").over(w).cast("double").alias("__total"),
+        F.pow(
+            F.col("__n").cast("double") / F.sum("__n").over(w).cast("double"),
+            float(alpha),
+        ).alias("__q"),
+    )
+    rates = scored.select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("__q") / F.sum("__q").over(w))
+                * F.col("__total")
+                / F.col("__n").cast("double"),
+            ),
+            rate_decimals,
+        ).alias("rate"),
     )
     u = sample_uniform(F.col(id_col), seed)
     return df.join(F.broadcast(rates), stratum_col).filter(u < F.col("rate"))
