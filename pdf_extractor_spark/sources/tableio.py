@@ -461,3 +461,31 @@ def resume_filter(pages: DataFrame, table: SnapshotTable, spark: SparkSession,
     # no broadcast hint: AQE picks broadcast when the committed set is small;
     # at 10^12 docs the hash set is huge and this must stay a shuffled anti-join
     return hashed.join(done, "doc_hash", "left_anti").drop("doc_hash")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist ``df`` hash-BUCKETED (and sorted) by ``key`` — the co-located
+    join device: two tables bucketed the same way equi-join on the key with
+    ZERO exchange on either side (Spark reads bucket i of both tables into
+    the same task), the managed-table analog of the Iceberg
+    ``bucket(256, doc_hash)`` partition spec in sources/iceberg.py.
+
+    At 10^12 rows this is THE way repeated joins against a huge committed
+    table (resume anti-joins, chunk↔embedding zips, postings lookups) stop
+    paying a shuffle per run: the one-time bucketed write pre-pays it.
+    Plain saveAsTable semantics (metastore-backed managed table in
+    spark.sql.warehouse.dir) — snapshot/lineage needs stay with
+    SnapshotTable; this is the physical-layout seam.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
