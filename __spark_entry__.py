@@ -2409,6 +2409,45 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_jsonld_fields(spark, sf_dir):
+    """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
+    d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
+    Product block without author, d%3==2 none, and every 30th block is
+    malformed JSON — regexp payload extract + JVM get_json_object, NULLs
+    for absent blocks/fields/bad JSON, all inside codegen on the scan."""
+    from pdf_extractor_spark.functions.htmlmeta import jsonld_fields
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    block = (
+        F.when(d % 30 == 0, F.lit('<script type="application/ld+json">{broken</script>'))
+        .when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">{"@type":"Article","headline":"story '),
+                ds,
+                F.lit('","datePublished":"2026-0'), (d % 9 + 1).cast("string"),
+                F.lit('-01","author":{"name":"writer '), (d % 7).cast("string"),
+                F.lit('"}}</script>'),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">{"@type":"Product","headline":"item '),
+                ds, F.lit('"}</script>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head>"), block, F.lit("</head><body>b</body></html>")).alias("html"),
+    )
+    return pages.select("doc_id", *jsonld_fields(F.col("html")))
+
+
 def q_curation_funnel(spark, sf_dir):
     """Per-gate rejection audit (operators/curate.py curation_funnel): each
     doc of the dup-injected union attributes to the FIRST gate it fails
@@ -2951,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "crawl_diff": q_crawl_diff,
         "curation_funnel": q_curation_funnel,
+        "jsonld_fields": q_jsonld_fields,
         "image_sniff": q_image_sniff,
         "readability": q_readability,
         "feed_entries": q_feed_entries,
@@ -4832,6 +4872,28 @@ FROM documents, (VALUES
 ) AS o(ord, level, base, with_id, page)""",
         # token-multiset extraction P/R/F1 vs gold; same perturbation rule,
         # same empty-side edge spec, f1 from unrounded p/r
+        # JSON-LD: same synthetic blocks; payload regex + guarded
+        # json_extract_string (Spark's get_json_object NULLs on bad JSON)
+        "jsonld_fields": r"""
+WITH h AS (SELECT doc_id,
+  '<html><head>' ||
+  CASE WHEN doc_id % 30 = 0 THEN '<script type="application/ld+json">{broken</script>'
+       WHEN doc_id % 3 = 0 THEN '<script type="application/ld+json">{"@type":"Article","headline":"story '
+            || doc_id::VARCHAR || '","datePublished":"2026-0' || (doc_id % 9 + 1)::VARCHAR
+            || '-01","author":{"name":"writer ' || (doc_id % 7)::VARCHAR || '"}}</script>'
+       WHEN doc_id % 3 = 1 THEN '<script type="application/ld+json">{"@type":"Product","headline":"item '
+            || doc_id::VARCHAR || '"}</script>'
+       ELSE '' END || '</head><body>b</body></html>' AS html
+ FROM documents),
+p AS (SELECT doc_id,
+  regexp_extract(html, '<script[^>]*type="application/ld\+json"[^>]*>([^<]*)</script>', 1) AS j
+ FROM h)
+SELECT doc_id,
+  CASE WHEN json_valid(j) THEN json_extract_string(j, '$."@type"') END AS jsonld_type,
+  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.headline') END AS headline,
+  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.datePublished') END AS date_published,
+  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.author.name') END AS author_name
+FROM p""",
         # curation funnel: first-failing-gate attribution over the same
         # signal expressions as curate_full; dedup on RAW text among gate
         # survivors; counts disjoint by construction

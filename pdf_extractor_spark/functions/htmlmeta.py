@@ -120,3 +120,30 @@ def og_description(html: Column) -> Column:
 def has_jsonld(html: Column) -> Column:
     """True when the page embeds a schema.org JSON-LD script block."""
     return html.rlike(_JSONLD_RE)
+
+
+# first JSON-LD block's payload (group 1); [^<]* keeps the match inside the
+# script element without a dotall flag — JSON-LD blobs are '<'-free unless
+# they embed markup strings, which schema.org metadata fields don't
+_JSONLD_PAYLOAD = r'<script[^>]*type="application/ld\+json"[^>]*>([^<]*)</script>'
+
+
+def jsonld_payload(html: Column) -> Column:
+    """Raw JSON text of the first JSON-LD script block ('' when absent)."""
+    return F.regexp_extract(html, _JSONLD_PAYLOAD, 1)
+
+
+def jsonld_fields(html: Column):
+    """(jsonld_type, headline, date_published, author_name) from the first
+    schema.org JSON-LD block — the machine-readable article metadata
+    publishers actually maintain (often better than visible bylines).
+    Pure Column exprs: one regexp_extract + JVM-side get_json_object, so
+    the whole extraction stays in codegen on the scan; malformed JSON
+    yields NULLs (get_json_object's contract), never an error."""
+    j = jsonld_payload(html)
+    return (
+        F.get_json_object(j, "$['@type']").alias("jsonld_type"),
+        F.get_json_object(j, "$.headline").alias("headline"),
+        F.get_json_object(j, "$.datePublished").alias("date_published"),
+        F.get_json_object(j, "$.author.name").alias("author_name"),
+    )

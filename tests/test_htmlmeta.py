@@ -90,3 +90,24 @@ def test_jsonld_detection(spark):
     assert r["jsonld"]
     r = _meta(spark, '<script type="text/javascript">var a;</script>')
     assert not r["jsonld"]
+
+
+def test_jsonld_fields_extraction(spark):
+    from pdf_extractor_spark.functions.htmlmeta import jsonld_fields
+
+    rows = [
+        (0, '<html><script type="application/ld+json">'
+            '{"@type":"Article","headline":"Big","datePublished":"2026-01-01",'
+            '"author":{"name":"A. W."}}</script></html>'),
+        (1, '<html><script type="application/ld+json">{"@type":"Product"}</script></html>'),
+        (2, "<html><body>none</body></html>"),
+        (3, '<html><script type="application/ld+json">{oops</script></html>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in df.select("doc_id", *jsonld_fields(F.col("html"))).collect()}
+    assert (got[0]["jsonld_type"], got[0]["headline"], got[0]["author_name"]) == (
+        "Article", "Big", "A. W.")
+    assert got[0]["date_published"] == "2026-01-01"
+    assert got[1]["jsonld_type"] == "Product" and got[1]["headline"] is None
+    assert got[2]["jsonld_type"] is None  # no block
+    assert got[3]["jsonld_type"] is None  # malformed JSON -> NULL, no error
