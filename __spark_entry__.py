@@ -2372,6 +2372,58 @@ def q_pdf_encodings(spark, sf_dir):
     )
 
 
+def q_pdf_forms(spark, sf_dir):
+    """Form XObject text (core/pdf_extract._walk_page_content): per doc_id
+    the corpus renders a PDF whose text is split between the page content
+    stream and a /Subtype /Form XObject — plain (doc_id%3==0), FlateDecode
+    two-page with per-page forms (doc_id%3==1), or /WinAnsiEncoding with
+    accented form text through the form's OWN /Resources (doc_id%3==2);
+    extraction recurses the real Do invocations with translated anchors
+    while the oracle restates the page-then-form reading order from the
+    same construction rule. Watermarks/stamped headers/LaTeX output route
+    real text through forms; the reference walks them via pdfminer
+    (app/processing/pdf_processor.py:86-101)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                if d % 3 == 0:
+                    pdf = render_pdf(
+                        [[f"page body {d}"]],
+                        form_pages=[[f"stamped header {d}"]],
+                    )
+                elif d % 3 == 1:
+                    pdf = render_pdf(
+                        [[f"part one {d}"], [f"part two {d}"]],
+                        compress=True,
+                        form_pages=[[f"wm alpha {d}"], [f"wm beta {d}"]],
+                    )
+                else:
+                    pdf = render_pdf(
+                        [[f"café body {d}"]],
+                        encoding="winansi",
+                        form_pages=[[f"déjà vu {d}"]],
+                    )
+                urls.append(f"doc://{d}")
+                htmls.append(pdf)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    return extract_docs(pages).select(
+        "url", F.col("text").alias("extracted_text"), "parse_status"
+    )
+
+
 def q_pdf_outline(spark, sf_dir):
     """PDF outline/bookmark trees (core/pdf_extract.extract_pdf_outline via
     operators/extract.pdf_outlines): per doc a 3-page PDF carries a nested
@@ -2970,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bpe_*, compress_ratio — no SQL twin by nature) sit last since the
         # driver's weaker rows-only check adds the least over pytest ---
         "pdf_encodings": q_pdf_encodings,
+        "pdf_forms": q_pdf_forms,
         "media_probe": q_media_probe,
         "audio_features": q_audio_features,
         "media_exif": q_media_exif,
@@ -2983,8 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
         "dedup_representatives": q_dedup_representatives,
-        "extraction_f1": q_extraction_f1,
         # --- below the 50-query window from here down ---
+        "extraction_f1": q_extraction_f1,
         "kmeans_clusters": q_kmeans_clusters,
         "temperature_mix": q_temperature_mix,
         "host_boilerplate": q_host_boilerplate,
@@ -3716,6 +3769,20 @@ SELECT 'doc://' || doc_id AS url,
        CASE WHEN doc_id % 3 = 0 THEN 'café résumé – “page ' || doc_id || '”'
             WHEN doc_id % 3 = 1 THEN 'Tıtle ł – café page ' || doc_id
             ELSE 'café • page ' || doc_id END AS extracted_text,
+       'ok' AS parse_status
+FROM documents""",
+        "pdf_forms": """
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 3 = 0
+              THEN 'page body ' || doc_id || chr(10) || chr(10) ||
+                   'stamped header ' || doc_id
+            WHEN doc_id % 3 = 1
+              THEN 'part one ' || doc_id || chr(10) || chr(10) ||
+                   'wm alpha ' || doc_id || chr(10) || chr(10) ||
+                   'part two ' || doc_id || chr(10) || chr(10) ||
+                   'wm beta ' || doc_id
+            ELSE 'café body ' || doc_id || chr(10) || chr(10) ||
+                 'déjà vu ' || doc_id END AS extracted_text,
        'ok' AS parse_status
 FROM documents""",
         "pdf_flags": """

@@ -57,10 +57,14 @@ _TF_RE = re.compile(rb"/(\w+)\s+[-.\d]+\s+Tf\b")
 # ``(...)`` (balanced parens — one nesting level covered, enough for the
 # synthetic subset) or hex ``<...>``, matched in stream order so mixed forms
 # keep reading order
-# image XObject invocations (`/Name Do`) in a content stream — the PDF
-# analog of <img>: descriptors are positional (alt-less) `img_<i>` names
-# with REAL page attribution for the E5 related-images join
-_DO_RE = re.compile(rb"/\w+\s+Do\b")
+# XObject invocations (`/Name Do`) in a content stream: once the resource
+# map resolves the name, the Do either recurses (a /Subtype /Form content
+# stream — watermarks, stamped headers, LaTeX output route real page text
+# through forms) or counts as an image descriptor — the PDF analog of
+# <img>: positional (alt-less) `img_<i>` names with REAL page attribution
+# for the E5 related-images join
+_XOBJ_DO_RE = re.compile(rb"/(\w+)\s+Do\b")
+_SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
 # inline images (BI ... ID <binary> EI): stripped before text/image scanning
 # so their binary payload can't fabricate strings or BT blocks; each counts
 # as one image descriptor
@@ -831,6 +835,10 @@ _NUM_B = rb"(-?\d+(?:\.\d+)?)"
 _TD_OP_RE = re.compile(_NUM_B + rb"\s+" + _NUM_B + rb"\s+(?:Td|TD)\b")
 _TM_OP_RE = re.compile((_NUM_B + rb"\s+") * 5 + _NUM_B + rb"\s+Tm\b")
 _SHOW_OP_RE = re.compile(rb"\b(?:Tj|TJ)\b|['\"]")
+_CM_OP_RE = re.compile((_NUM_B + rb"\s+") * 5 + _NUM_B + rb"\s+cm\b")
+_FORM_MATRIX_RE = re.compile(
+    rb"/Matrix\s*\[\s*" + (_NUM_B + rb"\s+") * 5 + _NUM_B + rb"\s*\]"
+)
 
 
 def _mask_strings(buf: bytes) -> bytes:
@@ -908,6 +916,152 @@ def _infer_tables(placed: list[tuple[float, float, int, str]]):
     return out
 
 
+def _dict_head(body: bytes) -> bytes:
+    """Object-dict bytes before the ``stream`` keyword — the search scope
+    for /Subtype//Matrix so stream DATA can't spoof structural keys."""
+    i = body.find(b"stream")
+    return body if i < 0 else body[:i]
+
+
+def _resource_xobjects(objs: dict[int, bytes], body: bytes) -> dict[bytes, int]:
+    """{XObject resource name: object number} visible from ``body`` —
+    /Resources inline, indirect, or inherited via /Parent (the same walk
+    as ``_page_fonts``)."""
+    cur = body
+    for _ in range(16):
+        res = cur
+        rm = _RES_REF_RE.search(cur)
+        if rm:
+            res = objs.get(int(rm.group(1)), b"")
+        xm = _XOBJDICT_RE.search(res)
+        if xm:
+            return {n: int(r) for n, r in _FONTREF_RE.findall(xm.group(1))}
+        pm = _PARENT_RE.search(cur)
+        if not pm:
+            break
+        cur = objs.get(int(pm.group(1)), b"")
+    return {}
+
+
+def _walk_page_content(
+    objs: dict[int, bytes],
+    content: bytes,
+    fonts: dict[bytes, object],
+    xobjs: dict[bytes, int],
+    page_no: int,
+    placed: list[tuple[float, float, int, str]],
+    images: list[str],
+    image_pages: list[int],
+    dx: float,
+    dy: float,
+    seen: frozenset,
+    depth: int,
+    seq: int,
+) -> int:
+    """Collect placed text blocks and image descriptors from one content
+    stream, recursing through /Subtype /Form XObjects (PDF 32000 §8.10) —
+    watermarks, stamped headers, and word-processor/LaTeX output route real
+    page text through forms, which the reference walks transparently via
+    pdfminer (app/processing/pdf_processor.py:86-101). A form's text anchors
+    shift by the translation of the nearest preceding ``cm`` at this level
+    plus the form's own /Matrix translation — the same translation-only
+    positioning model ``_block_anchor`` uses for page text. Each form brings
+    its OWN /Resources (fonts, nested XObjects), falling back to the
+    caller's when it declares none; non-form (image / unresolvable) Do
+    invocations keep counting as image descriptors in stream order.
+    ``seen`` (object numbers on the current path) + ``depth`` bound the
+    recursion against cyclic or adversarially nested form graphs. Returns
+    the running text-block sequence counter (the stable-sort tiebreak that
+    keeps same-anchor blocks in stream order)."""
+    content, n_inline = _INLINE_IMG_RE.subn(b" ", content)
+    for _ in range(n_inline):
+        images.append(f"img_{len(images)}")
+        image_pages.append(page_no)
+    # /ToUnicode fonts: string bytes are codes; track the active font
+    # (`/Name size Tf`) by stream position so mixed simple/CID text decodes
+    tf_marks = (
+        [(m.start(), m.group(1)) for m in _TF_RE.finditer(content)] if fonts else []
+    )
+
+    def active_cmap(pos: int):
+        cm = None
+        for s_pos, name in tf_marks:
+            if s_pos <= pos:
+                cm = fonts.get(name)  # None for simple (non-CMap) fonts
+            else:
+                break
+        return cm
+
+    masked = _mask_strings(content)
+    cms = [
+        (m.start(), float(m.group(5)), float(m.group(6)))
+        for m in _CM_OP_RE.finditer(masked)
+    ]
+    events = sorted(
+        [(m.start(1), "bt", m) for m in _BT_RE.finditer(content)]
+        + [(m.start(), "do", m) for m in _XOBJ_DO_RE.finditer(masked)],
+        key=lambda e: e[0],
+    )
+    for pos, kind, m in events:
+        if kind == "bt":
+            parts = []
+            base = m.start(1)
+            for skind, payload, spos in _iter_strings(m.group(1)):
+                cmap = active_cmap(base + spos) if tf_marks else None
+                if skind == "lit":
+                    raw = _unescape(payload)
+                else:
+                    hx = b"".join(payload.split())
+                    if len(hx) % 2:  # odd nibble count: pad with 0 (PDF spec)
+                        hx += b"0"
+                    raw = bytes.fromhex(hx.decode("ascii"))
+                parts.append(cmap.decode(raw) if cmap else raw.decode("latin-1"))
+            btxt = _norm_ws(" ".join(parts))
+            if btxt:
+                ax, ay = _block_anchor(masked[m.start(1) : m.end(1)])
+                placed.append((-round(ay + dy, 2), round(ax + dx, 2), seq, btxt))
+            seq += 1
+            continue
+        ref = xobjs.get(m.group(1))
+        body = objs.get(ref, b"") if ref is not None else b""
+        head = _dict_head(body)
+        if (
+            ref is not None
+            and ref not in seen
+            and depth < 8
+            and _SUBTYPE_FORM_RE.search(head)
+        ):
+            inner = _stream_bytes(body)
+            if inner is not None:
+                mm = _FORM_MATRIX_RE.search(head)
+                fdx = float(mm.group(5)) if mm else 0.0
+                fdy = float(mm.group(6)) if mm else 0.0
+                cx = cy = 0.0
+                for cpos, tx, ty in cms:
+                    if cpos >= pos:
+                        break
+                    cx, cy = tx, ty
+                seq = _walk_page_content(
+                    objs,
+                    inner,
+                    _page_fonts(objs, body) or fonts,
+                    _resource_xobjects(objs, body) or xobjs,
+                    page_no,
+                    placed,
+                    images,
+                    image_pages,
+                    dx + cx + fdx,
+                    dy + cy + fdy,
+                    seen | {ref},
+                    depth + 1,
+                    seq,
+                )
+                continue
+        images.append(f"img_{len(images)}")
+        image_pages.append(page_no)
+    return seq
+
+
 def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
     """Parse one synthetic-subset PDF into reading-order page blocks.
 
@@ -938,50 +1092,23 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
             content = _page_content(objs, page_body)
             if content is None:
                 continue
-            content, n_inline = _INLINE_IMG_RE.subn(b" ", content)
-            n_page_images = n_inline
-            for _ in range(n_inline):
-                images.append(f"img_{len(images)}")
-                image_pages.append(page_no)
-            for _ in _DO_RE.finditer(content):
-                n_page_images += 1
-                images.append(f"img_{len(images)}")
-                image_pages.append(page_no)
-            # /ToUnicode fonts: string bytes are codes; track the active
-            # font (`/Name size Tf`) by stream position so mixed simple/CID
-            # text decodes correctly
-            fonts = _page_fonts(objs, page_body)
-            tf_marks = (
-                [(m.start(), m.group(1)) for m in _TF_RE.finditer(content)] if fonts else []
-            )
-
-            def active_cmap(pos: int) -> _CMap | None:
-                cm = None
-                for s_pos, name in tf_marks:
-                    if s_pos <= pos:
-                        cm = fonts.get(name)  # None for simple (non-CMap) fonts
-                    else:
-                        break
-                return cm
-
             placed: list[tuple[float, float, int, str]] = []  # (-y, x, seq, text)
-            for seq, bt in enumerate(_BT_RE.finditer(content)):
-                parts = []
-                base = bt.start(1)
-                for kind, payload, pos in _iter_strings(bt.group(1)):
-                    cmap = active_cmap(base + pos) if tf_marks else None
-                    if kind == "lit":
-                        raw = _unescape(payload)
-                    else:
-                        hx = b"".join(payload.split())
-                        if len(hx) % 2:  # odd nibble count: pad with 0 (PDF spec)
-                            hx += b"0"
-                        raw = bytes.fromhex(hx.decode("ascii"))
-                    parts.append(cmap.decode(raw) if cmap else raw.decode("latin-1"))
-                btxt = _norm_ws(" ".join(parts))
-                if btxt:
-                    ax, ay = _block_anchor(_mask_strings(bt.group(1)))
-                    placed.append((-round(ay, 2), round(ax, 2), seq, btxt))
+            n_imgs_before = len(images)
+            _walk_page_content(
+                objs,
+                content,
+                _page_fonts(objs, page_body),
+                _resource_xobjects(objs, page_body),
+                page_no,
+                placed,
+                images,
+                image_pages,
+                0.0,
+                0.0,
+                frozenset(),
+                0,
+                0,
+            )
             # visual reading order: top-to-bottom, then left-to-right; the
             # sort is stable, so same-position blocks keep stream order
             # (which keeps the synthetic corpus byte-identical — its blocks
@@ -991,7 +1118,7 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
                 (page_no, kind, btxt, bhtml)
                 for kind, btxt, bhtml in _infer_tables(placed)
             )
-            if n_page_images and not placed:
+            if len(images) > n_imgs_before and not placed:
                 needs_ocr = True  # image-only page: likely a scan (OCR is a
                 # declared non-goal, SURVEY §2.3 E1 — flag, don't guess)
     except Exception:
@@ -1026,6 +1153,53 @@ _WIDTH_RE = re.compile(rb"/Width\s+(\d+)(?![0-9])")
 _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)(?![0-9])")
 
 
+def _emit_xobject_images(
+    objs: dict[int, bytes],
+    xmap: dict[bytes, int],
+    page_no: int,
+    out: list,
+    sniff_image,
+    seen: frozenset,
+    depth: int,
+) -> None:
+    """Emit every /Subtype /Image XObject reachable from ``xmap`` in
+    resource-dict order, recursing through /Subtype /Form XObjects so
+    images embedded inside forms (logos in stamped headers, figures in
+    LaTeX output) materialize like page-level ones — mirroring
+    ``_walk_page_content``'s descriptor counting. Cycle/depth bounded."""
+    for name, ref in xmap.items():
+        xbody = objs.get(ref, b"")
+        if _SUBTYPE_FORM_RE.search(_dict_head(xbody)):
+            if ref in seen or depth >= 8:
+                continue
+            _emit_xobject_images(
+                objs,
+                _resource_xobjects(objs, xbody),
+                page_no,
+                out,
+                sniff_image,
+                seen | {ref},
+                depth + 1,
+            )
+            continue
+        if not _SUBTYPE_IMG_RE.search(xbody):
+            continue
+        decoded = _image_stream(xbody)
+        if decoded is None:
+            continue
+        payload, codec = decoded
+        wm, hm = _WIDTH_RE.search(xbody), _HEIGHT_RE.search(xbody)
+        w = int(wm.group(1)) if wm else 0
+        h = int(hm.group(1)) if hm else 0
+        if codec != "raw":
+            # the payload carries its own header — ground truth for
+            # passthrough codecs (e.g. JPEG SOF dims)
+            sniffed = sniff_image(payload)
+            if sniffed:
+                codec, w, h = sniffed
+        out.append((page_no, name.decode("latin-1"), w, h, payload, codec))
+
+
 def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int, int, bytes, str]]:
     """Embedded image XObjects: [(page, name, width, height, payload, codec)].
 
@@ -1058,40 +1232,15 @@ def extract_pdf_images(url: str, data: bytes | None) -> list[tuple[int, str, int
             if content:
                 for k, (iw, ih, payload, codec) in enumerate(_inline_images(content)):
                     out.append((page_no, f"inline_{k}", iw, ih, payload, codec))
-            cur = objs.get(kid, b"")
-            xm = None
-            for _ in range(16):  # /Parent inheritance walk
-                res = cur
-                rm = _RES_REF_RE.search(cur)
-                if rm:
-                    res = objs.get(int(rm.group(1)), b"")
-                xm = _XOBJDICT_RE.search(res)
-                if xm:
-                    break
-                pm = _PARENT_RE.search(cur)
-                if not pm:
-                    break
-                cur = objs.get(int(pm.group(1)), b"")
-            if not xm:
-                continue
-            for name, ref in _FONTREF_RE.findall(xm.group(1)):
-                xbody = objs.get(int(ref), b"")
-                if not _SUBTYPE_IMG_RE.search(xbody):
-                    continue
-                decoded = _image_stream(xbody)
-                if decoded is None:
-                    continue
-                payload, codec = decoded
-                wm, hm = _WIDTH_RE.search(xbody), _HEIGHT_RE.search(xbody)
-                w = int(wm.group(1)) if wm else 0
-                h = int(hm.group(1)) if hm else 0
-                if codec != "raw":
-                    # the payload carries its own header — ground truth for
-                    # passthrough codecs (e.g. JPEG SOF dims)
-                    sniffed = sniff_image(payload)
-                    if sniffed:
-                        codec, w, h = sniffed
-                out.append((page_no, name.decode("latin-1"), w, h, payload, codec))
+            _emit_xobject_images(
+                objs,
+                _resource_xobjects(objs, objs.get(kid, b"")),
+                page_no,
+                out,
+                sniff_image,
+                frozenset(),
+                0,
+            )
     except Exception:
         return []
     return out
@@ -1435,6 +1584,7 @@ def render_pdf(
     encoding: str | None = None,
     differences: dict[int, str] | None = None,
     outline: list[tuple[int, str, int]] | None = None,
+    form_pages: list[list[str]] | None = None,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1449,7 +1599,13 @@ def render_pdf(
     ``encoding`` ('winansi' | 'macroman' | 'standard') renders a SIMPLE
     Type1 font whose 1-byte codes follow that named base encoding;
     ``differences`` ({code: glyph-name}) patches it with a /Differences
-    array — together the dominant pre-Type0 real-PDF text form."""
+    array — together the dominant pre-Type0 real-PDF text form.
+    ``form_pages`` (per-page paragraph lists) renders those paragraphs
+    INSIDE a /Subtype /Form XObject invoked after the page's own content
+    (``q 1 0 0 1 20 -100 cm /Fm0 Do Q`` with /Matrix [1 0 0 1 0 -8]) —
+    the stamped-header/watermark shape; the form carries its own
+    /Resources when a synthetic font is in play. Not supported with
+    ``objstm`` (ignored there)."""
     if objstm:
         return _render_pdf_objstm(pages, compress, images_per_page, xref_predictor)
 
@@ -1461,7 +1617,10 @@ def render_pdf(
         "standard": "StandardEncoding",
     }.get(encoding or "")
     if cid_font:
-        chars = sorted({c for page in pages for p in page for c in p})
+        chars = sorted(
+            {c for page in pages for p in page for c in p}
+            | {c for fp in (form_pages or []) for p in fp for c in p}
+        )
         code_of = {c: i + 1 for i, c in enumerate(chars)}
 
         def encode_line(ln: str) -> str:  # noqa: F811
@@ -1515,6 +1674,12 @@ def render_pdf(
     ]
     annot_base = xobj_base + sum(img_counts)
     annot_offsets = [sum(len(l) for l in link_lists[:i]) for i in range(n_pages)]
+    form_lists = [
+        (form_pages[i] if form_pages and i < len(form_pages) else [])
+        for i in range(n_pages)
+    ]
+    form_base = annot_base + sum(len(l) for l in link_lists)
+    form_offsets = [sum(1 for l in form_lists[:i] if l) for i in range(n_pages)]
 
     def page_annots(i: int) -> str:
         if not link_lists[i]:
@@ -1528,11 +1693,13 @@ def render_pdf(
         parts = []
         if cid_font or simple_font:
             parts.append(f"/Font << /F1 {font_num} 0 R >>")
-        if img_counts[i]:
-            refs = " ".join(
-                f"/Im{j} {xobj_base + img_offsets[i] + j} 0 R" for j in range(img_counts[i])
-            )
-            parts.append(f"/XObject << {refs} >>")
+        xrefs = [
+            f"/Im{j} {xobj_base + img_offsets[i] + j} 0 R" for j in range(img_counts[i])
+        ]
+        if form_lists[i]:
+            xrefs.append(f"/Fm0 {form_base + form_offsets[i]} 0 R")
+        if xrefs:
+            parts.append(f"/XObject << {' '.join(xrefs)} >>")
         return f" /Resources << {' '.join(parts)} >>" if parts else ""
 
     for i, paragraphs in enumerate(pages):
@@ -1544,6 +1711,8 @@ def render_pdf(
         stream = _page_content_stream(
             paragraphs, img_counts[i], encode_line
         )
+        if form_lists[i]:
+            stream += "\nq 1 0 0 1 20 -100 cm /Fm0 Do Q"
         if compress:
             comp = zlib.compress(stream.encode("latin-1"))
             add(
@@ -1602,6 +1771,34 @@ def render_pdf(
                 f"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
                 f"/A << /S /URI /URI ({_esc_pdf_str(uri)}) >> >>"
             )
+
+    # form XObjects: one /Subtype /Form per form-bearing page, carrying its
+    # own /Resources when a synthetic font is in play (forms resolve their
+    # content against their OWN resource dict per PDF 32000 §8.10)
+    for i in range(n_pages):
+        if not form_lists[i]:
+            continue
+        inner = _page_content_stream(form_lists[i], 0, encode_line)
+        res = (
+            f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+            if (cid_font or simple_font)
+            else ""
+        )
+        head = (
+            f"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            f"/Matrix [1 0 0 1 0 -8]{res}"
+        )
+        if compress:
+            comp = zlib.compress(inner.encode("latin-1"))
+            add(
+                f"{head} /Filter /FlateDecode /Length {len(comp)} >>\nstream\n".encode(
+                    "latin-1"
+                )
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            add(f"{head} /Length {len(inner)} >>\nstream\n{inner}\nendstream")
 
     if outline:
         # flat (level, title, page_index) list → /Outlines tree; item i's

@@ -1,0 +1,187 @@
+"""Form XObject (/Subtype /Form) support in the PDF extractor.
+
+Real PDFs route page text through form XObjects (watermarks, stamped
+headers, word-processor/LaTeX output); the reference walks them
+transparently via pdfminer inside unstructured
+(app/processing/pdf_processor.py:86-101). These tests pin the walker's
+contract: text inside forms extracts with translated anchors, forms are
+NOT counted as images, images INSIDE forms are counted and materialized,
+and cyclic / over-deep form graphs terminate.
+"""
+
+from pdf_extractor_spark.core.pdf_extract import (
+    extract_pdf,
+    extract_pdf_images,
+    render_pdf,
+)
+
+
+def _pdf(objs: list[str | bytes]) -> bytes:
+    """Assemble numbered objects (1-based) into a classic-xref PDF — the
+    multi-object sibling of _manual_stream_pdf for form-graph shapes."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _stream(dict_extra: str, content: str) -> str:
+    return f"<< {dict_extra} /Length {len(content)} >>\nstream\n{content}\nendstream"
+
+
+def test_form_text_extracts_after_page_text():
+    pdf = render_pdf([["page body text"]], form_pages=[["form header text"]])
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "page body text\n\nform header text"
+    assert [b.page for b in r.blocks] == [1, 1]
+    assert r.images == []  # the form Do is NOT an image descriptor
+
+
+def test_form_anchor_above_page_text_sorts_first():
+    # form placed so its text anchors ABOVE the page text: cm ty=+100,
+    # /Matrix ty=+8 → form anchor y = 700 + 108 = 808 > page's 720
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/Resources << /XObject << /Fm0 5 0 R >> >> >>",
+        _stream(
+            "",
+            "BT 72 720 Td (page text) Tj ET\nq 1 0 0 1 0 100 cm /Fm0 Do Q",
+        ),
+        _stream(
+            "/Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 8] /BBox [0 0 612 792]",
+            "BT 72 700 Td (letterhead) Tj ET",
+        ),
+    ]
+    r = extract_pdf("u", _pdf(objs))
+    assert r.status == "ok"
+    assert r.text == "letterhead\n\npage text"
+
+
+def test_nested_forms_and_own_resources():
+    # outer form pulls in an inner form; each level's text lands once, in
+    # stream order at equal anchors
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/Resources << /XObject << /FmA 5 0 R >> >> >>",
+        _stream("", "BT 72 720 Td (page) Tj ET /FmA Do"),
+        _stream(
+            "/Type /XObject /Subtype /Form "
+            "/Resources << /XObject << /FmB 6 0 R >> >>",
+            "BT 72 720 Td (outer) Tj ET /FmB Do",
+        ),
+        _stream(
+            "/Type /XObject /Subtype /Form",
+            "BT 72 720 Td (inner) Tj ET",
+        ),
+    ]
+    r = extract_pdf("u", _pdf(objs))
+    assert r.status == "ok"
+    assert r.text == "page\n\nouter\n\ninner"
+    assert r.images == []
+
+
+def test_cyclic_form_graph_terminates():
+    # FmA invokes FmB which invokes FmA again: the path-scoped seen set
+    # breaks the cycle; each body's text still extracts once per visit
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/Resources << /XObject << /FmA 5 0 R >> >> >>",
+        _stream("", "/FmA Do"),
+        _stream(
+            "/Type /XObject /Subtype /Form "
+            "/Resources << /XObject << /FmB 6 0 R /FmA 5 0 R >> >>",
+            "BT 72 720 Td (alpha) Tj ET /FmB Do",
+        ),
+        _stream(
+            "/Type /XObject /Subtype /Form "
+            "/Resources << /XObject << /FmA 5 0 R >> >>",
+            "BT 72 700 Td (beta) Tj ET /FmA Do",
+        ),
+    ]
+    r = extract_pdf("u", _pdf(objs))
+    assert r.status == "ok"
+    # cycle-closing Do degrades to an image descriptor, not infinite text
+    assert r.text == "alpha\n\nbeta"
+    assert len(r.images) == 1
+
+
+def test_form_embedded_image_counts_and_materializes():
+    px = bytes(range(12))
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/Resources << /XObject << /Fm0 5 0 R >> >> >>",
+        _stream("", "BT 72 720 Td (body) Tj ET /Fm0 Do"),
+        _stream(
+            "/Type /XObject /Subtype /Form "
+            "/Resources << /XObject << /Logo 6 0 R >> >>",
+            "BT 72 700 Td (header) Tj ET q 10 0 0 10 5 5 cm /Logo Do Q",
+        ),
+        (
+            "<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            "/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+            f"/Length {len(px)} >>\nstream\n".encode("latin-1")
+            + px
+            + b"\nendstream"
+        ),
+    ]
+    pdf = _pdf(objs)
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "body\n\nheader"
+    assert r.images == ["img_0"]
+    assert r.image_pages == [1]
+    mats = extract_pdf_images("u", pdf)
+    assert [(p, n, w, h, c) for p, n, w, h, _pl, c in mats] == [
+        (1, "Logo", 2, 2, "raw")
+    ]
+    assert mats[0][4] == px
+
+
+def test_form_with_own_font_resources():
+    # page text under winansi /F1; the rendered form carries its own
+    # /Resources pointing at the same font object — both decode
+    pdf = render_pdf(
+        [["café body"]], encoding="winansi", form_pages=[["déjà form"]]
+    )
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "café body\n\ndéjà form"
+
+
+def test_multi_page_forms_keep_page_attribution():
+    pdf = render_pdf(
+        [["p1 text"], ["p2 text"], ["p3 text"]],
+        compress=True,
+        form_pages=[["f1"], [], ["f3"]],
+    )
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "p1 text\n\nf1\n\np2 text\n\np3 text\n\nf3"
+    assert [(b.page, b.text) for b in r.blocks] == [
+        (1, "p1 text"),
+        (1, "f1"),
+        (2, "p2 text"),
+        (3, "p3 text"),
+        (3, "f3"),
+    ]
