@@ -2424,6 +2424,47 @@ def q_pdf_forms(spark, sf_dir):
     )
 
 
+def q_pdf_kerning(spark, sf_dir):
+    """TJ kerning-aware word assembly + /Rotate parse coverage
+    (core/pdf_extract._walk_page_content): per doc_id the corpus shows each
+    line as ONE TJ array — words split mid-word with small kerns (-20,
+    concatenate) and separated by -240 word gaps (space) instead of space
+    glyphs, the justified-text form real layout engines emit — plain
+    (doc_id%3==0), FlateDecode (doc_id%3==1), or with /Rotate 180 page
+    dicts (doc_id%3==2); extraction applies the ≤-180/1000 em word-gap
+    rule while the oracle restates the source line. The reference gets
+    both from pdfminer (app/processing/pdf_processor.py:86-101)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                text = f"justified paragraph body number {d}"
+                if d % 3 == 0:
+                    pdf = render_pdf([[text]], kerned_tj=True)
+                elif d % 3 == 1:
+                    pdf = render_pdf([[text]], compress=True, kerned_tj=True)
+                else:
+                    pdf = render_pdf([[text]], kerned_tj=True, rotate=180)
+                urls.append(f"doc://{d}")
+                htmls.append(pdf)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    return extract_docs(pages).select(
+        "url", F.col("text").alias("extracted_text"), "parse_status"
+    )
+
+
 def q_pdf_outline(spark, sf_dir):
     """PDF outline/bookmark trees (core/pdf_extract.extract_pdf_outline via
     operators/extract.pdf_outlines): per doc a 3-page PDF carries a nested
@@ -3023,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's weaker rows-only check adds the least over pytest ---
         "pdf_encodings": q_pdf_encodings,
         "pdf_forms": q_pdf_forms,
+        "pdf_kerning": q_pdf_kerning,
         "media_probe": q_media_probe,
         "audio_features": q_audio_features,
         "media_exif": q_media_exif,
@@ -3035,8 +3077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
-        "dedup_representatives": q_dedup_representatives,
         # --- below the 50-query window from here down ---
+        "dedup_representatives": q_dedup_representatives,
         "extraction_f1": q_extraction_f1,
         "kmeans_clusters": q_kmeans_clusters,
         "temperature_mix": q_temperature_mix,
@@ -3769,6 +3811,11 @@ SELECT 'doc://' || doc_id AS url,
        CASE WHEN doc_id % 3 = 0 THEN 'café résumé – “page ' || doc_id || '”'
             WHEN doc_id % 3 = 1 THEN 'Tıtle ł – café page ' || doc_id
             ELSE 'café • page ' || doc_id END AS extracted_text,
+       'ok' AS parse_status
+FROM documents""",
+        "pdf_kerning": """
+SELECT 'doc://' || doc_id AS url,
+       'justified paragraph body number ' || doc_id AS extracted_text,
        'ok' AS parse_status
 FROM documents""",
         "pdf_forms": """

@@ -839,6 +839,16 @@ _CM_OP_RE = re.compile((_NUM_B + rb"\s+") * 5 + _NUM_B + rb"\s+cm\b")
 _FORM_MATRIX_RE = re.compile(
     rb"/Matrix\s*\[\s*" + (_NUM_B + rb"\s+") * 5 + _NUM_B + rb"\s*\]"
 )
+# TJ arrays carry per-segment kerning displacements in thousandths of text
+# space: `[(Hel) -10 (lo)] TJ` is ONE word, `[(two) -240 (words)] TJ` has a
+# word gap. Segments concatenate; a displacement at or below the threshold
+# (space glyphs run ~250/1000 em, kern pairs well under 100) inserts one
+# space — pdfminer's word_margin heuristic, which the reference inherits
+# (app/processing/pdf_processor.py:86-101). Matched on the MASKED body so
+# bracket bytes inside strings can't open arrays.
+_TJ_ARRAY_RE = re.compile(rb"\[([^\[\]]*)\]\s*TJ\b")
+_TJ_NUM_RE = re.compile(rb"-?\d+(?:\.\d+)?")
+_TJ_WORD_GAP = 180.0
 
 
 def _mask_strings(buf: bytes) -> bytes:
@@ -916,6 +926,42 @@ def _infer_tables(placed: list[tuple[float, float, int, str]]):
     return out
 
 
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)(?![0-9])")
+
+
+def _page_rotation(objs: dict[int, bytes], page_body: bytes) -> int:
+    """Normalized /Rotate (0/90/180/270) for a page — inline or INHERITED
+    via /Parent (the spec's inheritance rule, like /Resources). Non-multiples
+    of 90 are illegal per spec and degrade to 0."""
+    body = page_body
+    for _ in range(16):
+        rm = _ROTATE_RE.search(body)
+        if rm:
+            r = int(rm.group(1)) % 360
+            return r if r in (90, 180, 270) else 0
+        pm = _PARENT_RE.search(body)
+        if not pm:
+            break
+        body = objs.get(int(pm.group(1)), b"")
+    return 0
+
+
+def _anchor_sort_key(ax: float, ay: float, rot: int) -> tuple[float, float]:
+    """Reading-order sort key (primary, secondary) for an anchor on a page
+    displayed with /Rotate ``rot``: visual top-to-bottom then left-to-right
+    in DISPLAY space. 90 = clockwise display rotation, so the unrotated
+    left edge becomes the visual top (x ascending reads top-down) — the
+    scanned-sideways / landscape-stamped case pdfminer handles for the
+    reference (app/processing/pdf_processor.py:86-101)."""
+    if rot == 90:
+        return (round(ax, 2), round(ay, 2))
+    if rot == 180:
+        return (round(ay, 2), -round(ax, 2))
+    if rot == 270:
+        return (-round(ax, 2), -round(ay, 2))
+    return (-round(ay, 2), round(ax, 2))
+
+
 def _dict_head(body: bytes) -> bytes:
     """Object-dict bytes before the ``stream`` keyword — the search scope
     for /Subtype//Matrix so stream DATA can't spoof structural keys."""
@@ -957,6 +1003,7 @@ def _walk_page_content(
     seen: frozenset,
     depth: int,
     seq: int,
+    rot: int = 0,
 ) -> int:
     """Collect placed text blocks and image descriptors from one content
     stream, recursing through /Subtype /Form XObjects (PDF 32000 §8.10) —
@@ -1006,6 +1053,12 @@ def _walk_page_content(
         if kind == "bt":
             parts = []
             base = m.start(1)
+            mbody = masked[m.start(1) : m.end(1)]
+            tj_spans = [
+                (t.start(1), t.end(1)) for t in _TJ_ARRAY_RE.finditer(mbody)
+            ]
+            cur_span = None  # TJ array currently being assembled
+            prev_end = 0
             for skind, payload, spos in _iter_strings(m.group(1)):
                 cmap = active_cmap(base + spos) if tf_marks else None
                 if skind == "lit":
@@ -1015,11 +1068,31 @@ def _walk_page_content(
                     if len(hx) % 2:  # odd nibble count: pad with 0 (PDF spec)
                         hx += b"0"
                     raw = bytes.fromhex(hx.decode("ascii"))
-                parts.append(cmap.decode(raw) if cmap else raw.decode("latin-1"))
+                s = cmap.decode(raw) if cmap else raw.decode("latin-1")
+                span = next(
+                    ((a, b) for a, b in tj_spans if a <= spos < b), None
+                )
+                if span is not None and span == cur_span:
+                    # same TJ array: a big negative displacement between the
+                    # previous segment and this one is a word gap, anything
+                    # smaller is kerning — segments concatenate
+                    gap = mbody[prev_end:spos]
+                    if any(
+                        float(x) <= -_TJ_WORD_GAP
+                        for x in _TJ_NUM_RE.findall(gap)
+                    ):
+                        parts[-1] += " " + s
+                    else:
+                        parts[-1] += s
+                else:
+                    parts.append(s)
+                    cur_span = span
+                prev_end = spos + len(payload) + 2
             btxt = _norm_ws(" ".join(parts))
             if btxt:
                 ax, ay = _block_anchor(masked[m.start(1) : m.end(1)])
-                placed.append((-round(ay + dy, 2), round(ax + dx, 2), seq, btxt))
+                k1, k2 = _anchor_sort_key(ax + dx, ay + dy, rot)
+                placed.append((k1, k2, seq, btxt))
             seq += 1
             continue
         ref = xobjs.get(m.group(1))
@@ -1055,6 +1128,7 @@ def _walk_page_content(
                     seen | {ref},
                     depth + 1,
                     seq,
+                    rot,
                 )
                 continue
         images.append(f"img_{len(images)}")
@@ -1108,6 +1182,7 @@ def extract_pdf(url: str, data: bytes | None) -> ExtractResult:
                 frozenset(),
                 0,
                 0,
+                _page_rotation(objs, page_body),
             )
             # visual reading order: top-to-bottom, then left-to-right; the
             # sort is stable, so same-position blocks keep stream order
@@ -1585,6 +1660,8 @@ def render_pdf(
     differences: dict[int, str] | None = None,
     outline: list[tuple[int, str, int]] | None = None,
     form_pages: list[list[str]] | None = None,
+    kerned_tj: bool = False,
+    rotate: int | list[int] = 0,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1605,7 +1682,11 @@ def render_pdf(
     (``q 1 0 0 1 20 -100 cm /Fm0 Do Q`` with /Matrix [1 0 0 1 0 -8]) —
     the stamped-header/watermark shape; the form carries its own
     /Resources when a synthetic font is in play. Not supported with
-    ``objstm`` (ignored there)."""
+    ``objstm`` (ignored there). ``kerned_tj=True`` (plain latin-1 text
+    only) shows each line as ONE TJ array — words split mid-word with a
+    small kern (-20) and separated by a word gap (-240) instead of space
+    glyphs, the justified-text form real layout engines emit. ``rotate``
+    (int or per-page list) writes /Rotate into the page dicts."""
     if objstm:
         return _render_pdf_objstm(pages, compress, images_per_page, xref_predictor)
 
@@ -1649,6 +1730,21 @@ def render_pdf(
                 else:
                     out.append(f"\\{b:03o}")
             return "(" + "".join(out) + ") Tj"
+
+    elif kerned_tj:
+
+        def encode_line(ln: str) -> str:  # noqa: F811
+            segs = []
+            for wi, w in enumerate(ln.split(" ")):
+                if wi:
+                    segs.append("-240")  # word gap: > _TJ_WORD_GAP
+                if len(w) > 3:
+                    segs.append(f"({_esc_pdf_str(w[:2])})")
+                    segs.append("-20")  # kern: no space
+                    segs.append(f"({_esc_pdf_str(w[2:])})")
+                else:
+                    segs.append(f"({_esc_pdf_str(w)})")
+            return "[" + " ".join(segs) + "] TJ"
 
     objs: list[bytes] = []
 
@@ -1704,9 +1800,11 @@ def render_pdf(
 
     for i, paragraphs in enumerate(pages):
         content_num = 3 + 2 * i + 1
+        rot = rotate[i] if isinstance(rotate, list) else rotate
+        rot_part = f" /Rotate {rot}" if rot else ""
         add(
             f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R"
-            f"{page_resources(i)}{page_annots(i)} >>"
+            f"{rot_part}{page_resources(i)}{page_annots(i)} >>"
         )
         stream = _page_content_stream(
             paragraphs, img_counts[i], encode_line

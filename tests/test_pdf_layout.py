@@ -1,0 +1,151 @@
+"""TJ kerning-aware word assembly and /Rotate reading order.
+
+Real layout engines show justified text as TJ arrays — segments split
+mid-word with small kerns, word gaps as large negative displacements
+instead of space glyphs — and scanned-sideways pages carry /Rotate.
+pdfminer resolves both for the reference
+(app/processing/pdf_processor.py:86-101); these tests pin this engine's
+rules: TJ segments concatenate, a displacement ≤ -180/1000 em inserts one
+space, and /Rotate (inline or inherited) remaps the visual sort axes.
+"""
+
+from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+
+
+def _pdf(objs: list[str | bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        if isinstance(body, str):
+            body = body.encode("latin-1")
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _one_page(content: str, pages_extra: str = "", page_extra: str = "") -> bytes:
+    return _pdf(
+        [
+            "<< /Type /Catalog /Pages 2 0 R >>",
+            f"<< /Type /Pages /Kids [3 0 R] /Count 1{pages_extra} >>",
+            f"<< /Type /Page /Parent 2 0 R /Contents 4 0 R{page_extra} >>",
+            f"<< /Length {len(content)} >>\nstream\n{content}\nendstream",
+        ]
+    )
+
+
+# --- TJ arrays ----------------------------------------------------------------
+
+
+def test_tj_kern_concatenates_segments():
+    r = extract_pdf("u", _one_page("BT 72 720 Td [(Hel) -10 (lo)] TJ ET"))
+    assert r.text == "Hello"
+
+
+def test_tj_word_gap_inserts_space():
+    r = extract_pdf("u", _one_page("BT 72 720 Td [(two) -240 (words)] TJ ET"))
+    assert r.text == "two words"
+
+
+def test_tj_positive_displacement_never_spaces():
+    r = extract_pdf("u", _one_page("BT 72 720 Td [(ti) 40 (ght)] TJ ET"))
+    assert r.text == "tight"
+
+
+def test_tj_threshold_boundary():
+    # -180 is a space, anything smaller in magnitude is a kern
+    r = extract_pdf("u", _one_page("BT 72 720 Td [(a) -180 (b) -179 (c)] TJ ET"))
+    assert r.text == "a bc"
+
+
+def test_separate_show_ops_still_space_separated():
+    # two Tj ops (distinct lines / shows) keep the historical space join
+    r = extract_pdf("u", _one_page("BT 72 720 Td (one) Tj T* (two) Tj ET"))
+    assert r.text == "one two"
+
+
+def test_mixed_tj_and_tj_arrays():
+    r = extract_pdf(
+        "u",
+        _one_page("BT 72 720 Td (lead) Tj T* [(ker) -15 (ned) -300 (tail)] TJ ET"),
+    )
+    assert r.text == "lead kerned tail"
+
+
+def test_two_tj_arrays_are_separate_parts():
+    r = extract_pdf(
+        "u", _one_page("BT 72 720 Td [(fir) -9 (st)] TJ [(sec) -9 (ond)] TJ ET")
+    )
+    assert r.text == "first second"
+
+
+def test_tj_hex_segments_concatenate():
+    r = extract_pdf("u", _one_page("BT 72 720 Td [<4865> -12 <6C6C6F>] TJ ET"))
+    assert r.text == "Hello"
+
+
+def test_render_kerned_tj_roundtrips():
+    text = "justified paragraph text from a real layout engine"
+    for compress in (False, True):
+        pdf = render_pdf([[text]], compress=compress, kerned_tj=True)
+        r = extract_pdf("u", pdf)
+        assert r.status == "ok"
+        assert r.text == text
+    # no space glyphs inside the shown strings — words are TJ-gap separated
+    assert b"( " not in render_pdf([[text]], kerned_tj=True)
+
+
+# --- /Rotate ------------------------------------------------------------------
+
+_TWO_BLOCKS = "BT 72 700 Td (A) Tj ET\nBT 300 100 Td (B) Tj ET"
+
+
+def test_rotate_0_reads_top_down():
+    r = extract_pdf("u", _one_page(_TWO_BLOCKS))
+    assert r.text == "A\n\nB"
+
+
+def test_rotate_180_reverses_both_axes():
+    r = extract_pdf("u", _one_page(_TWO_BLOCKS, page_extra=" /Rotate 180"))
+    assert r.text == "B\n\nA"
+
+
+def test_rotate_90_reads_x_ascending():
+    # displayed clockwise: unrotated left edge becomes the visual top,
+    # so A (x=72) stays before B (x=300)
+    r = extract_pdf("u", _one_page(_TWO_BLOCKS, page_extra=" /Rotate 90"))
+    assert r.text == "A\n\nB"
+
+
+def test_rotate_270_reads_x_descending():
+    r = extract_pdf("u", _one_page(_TWO_BLOCKS, page_extra=" /Rotate 270"))
+    assert r.text == "B\n\nA"
+
+
+def test_rotate_inherited_from_pages_node():
+    r = extract_pdf("u", _one_page(_TWO_BLOCKS, pages_extra=" /Rotate 180"))
+    assert r.text == "B\n\nA"
+
+
+def test_rotate_normalizes_and_rejects_illegal():
+    # 540 % 360 = 180; 45 is illegal per spec → treated as 0
+    r = extract_pdf("u", _one_page(_TWO_BLOCKS, page_extra=" /Rotate 540"))
+    assert r.text == "B\n\nA"
+    r2 = extract_pdf("u", _one_page(_TWO_BLOCKS, page_extra=" /Rotate 45"))
+    assert r2.text == "A\n\nB"
+
+
+def test_render_pdf_rotate_param_roundtrips():
+    pdf = render_pdf([["page one"], ["page two"]], rotate=[180, 0])
+    r = extract_pdf("u", pdf)
+    # single same-anchor block per page: rotation can't reorder, text stable
+    assert r.text == "page one\n\npage two"
+    assert b"/Rotate 180" in pdf
