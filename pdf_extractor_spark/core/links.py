@@ -94,6 +94,9 @@ class _LinkParser(HTMLParser):
         self._open: tuple[str | None, str | None, bool, list[str]] | None = None
         self._chrome_counts: dict[str, int] = {}
         self._chrome_depth = 0
+        # <base href>: only the FIRST base element with an href counts
+        # (HTML spec §4.2.3); it rebases every relative link on the page
+        self.base_href: str | None = None
 
     def _flush(self) -> None:
         if self._open is not None:
@@ -106,6 +109,10 @@ class _LinkParser(HTMLParser):
             href = next((v for k, v in attrs if k == "href"), None)
             rel = next((v for k, v in attrs if k == "rel"), None)
             self._open = (href, rel, self._chrome_depth > 0, [])
+        elif tag == "base" and self.base_href is None:
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href and href.strip():
+                self.base_href = href.strip()
         elif tag in CHROME_TAGS:
             self._chrome_counts[tag] = self._chrome_counts.get(tag, 0) + 1
             self._chrome_depth += 1
@@ -149,9 +156,17 @@ def harvest_links(url: str, html: bytes | None) -> list[LinkRow]:
         raw = parser.links
     except Exception:
         return []
+    # <base href> rebases relative links; the base itself resolves against
+    # the document URL per spec, and a base whose scheme isn't followable
+    # (e.g. a javascript: or data: base on a hostile page) is ignored
+    base = url
+    if parser.base_href:
+        b = urljoin(url, parser.base_href)
+        if urlsplit(b).scheme in FOLLOWABLE_SCHEMES:
+            base = b
     rows: list[LinkRow] = []
     for href, rel, in_chrome, parts in raw:
-        dst = resolve_href(url, href)
+        dst = resolve_href(base, href)
         if dst is None:
             continue
         rows.append(

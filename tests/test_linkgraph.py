@@ -297,3 +297,41 @@ def test_extract_feed_entries_operator(spark):
     rows = extract_feed_entries(pages).collect()
     assert [(r["url"], r["entry_index"], r["kind"], r["title"], r["link"], r["published"])
             for r in rows] == [("f1", 0, "rss", "t", "https://h/x", None)]
+
+
+def test_base_href_rebases_relative_links():
+    # <base href> (HTML spec §4.2.3): relative hrefs resolve against the
+    # base, absolute ones are untouched, and the base itself resolves
+    # against the document URL
+    html = (
+        b'<html><head><base href="https://cdn.example.com/assets/"></head>'
+        b'<body><a href="page.html">rel</a> <a href="/root.html">abs-path</a>'
+        b' <a href="https://other.org/x">abs</a></body></html>'
+    )
+    dsts = [lk.dst_url for lk in harvest_links("https://site.org/dir/i.html", html)]
+    assert dsts == [
+        "https://cdn.example.com/assets/page.html",
+        "https://cdn.example.com/root.html",
+        "https://other.org/x",
+    ]
+    # relative base resolves against the document URL first
+    rel = harvest_links(
+        "https://site.org/dir/i.html",
+        b'<base href="../up/"><a href="page.html">r</a>',
+    )
+    assert [lk.dst_url for lk in rel] == ["https://site.org/up/page.html"]
+
+
+def test_base_href_first_wins_and_hostile_base_ignored():
+    two = harvest_links(
+        "https://s.org/",
+        b'<base href="https://a.org/"><base href="https://b.org/">'
+        b'<a href="p">r</a>',
+    )
+    assert [lk.dst_url for lk in two] == ["https://a.org/p"]
+    # a javascript:/data: base must not poison resolution — fall back to
+    # the document URL
+    hostile = harvest_links(
+        "https://s.org/", b'<base href="javascript:evil"><a href="p.html">r</a>'
+    )
+    assert [lk.dst_url for lk in hostile] == ["https://s.org/p.html"]
