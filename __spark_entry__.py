@@ -2792,7 +2792,8 @@ def q_page_metadata(spark, sf_dir):
     metadata). The page's self-description is the crawl-corpus analog of the
     reference's filename metadata (app/models/schemas.py DocumentMetadata)."""
     from pdf_extractor_spark.functions.htmlmeta import (
-        has_jsonld, meta_description, og_description, og_title, page_title,
+        has_jsonld, meta_description, meta_refresh_target, og_description,
+        og_title, page_title,
     )
 
     docs = _docs(spark, sf_dir)
@@ -2810,6 +2811,14 @@ def q_page_metadata(spark, sf_dir):
         .otherwise(F.lit("")),
         F.when(d % 5 == 0, F.lit('<script type="application/ld+json">{"@type":"Article"}</script>'))
         .otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0; url=https://moved.example.org/p/'),
+                k,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
         F.lit("</head><body>x</body></html>"),
     )
     withhtml = docs.select("doc_id", html.alias("html"))
@@ -2821,6 +2830,7 @@ def q_page_metadata(spark, sf_dir):
         og_title(h).alias("og_title"),
         og_description(h).alias("og_description"),
         has_jsonld(h).alias("jsonld"),
+        meta_refresh_target(h).alias("refresh_url"),
     )
 
 
@@ -3732,6 +3742,11 @@ def _sql_page_metadata() -> str:
     ogt = first_match(HM._OG_TITLE)
     ogd = first_match(HM._OG_DESC)
     jsonld = "regexp_matches(html, '%s')" % HM._JSONLD_RE.replace("'", "''")
+    url_pat = r"(?i)url\s*=\s*['\"]?\s*([^'\"\s;>]+)"
+    refresh = "regexp_extract(%s, '%s', 1)" % (
+        first_match(HM._REFRESH),
+        url_pat.replace("'", "''"),
+    )
     return f"""
 WITH d AS (SELECT doc_id,
   '<html><head>'
@@ -3749,10 +3764,15 @@ WITH d AS (SELECT doc_id,
   || (CASE WHEN doc_id % 5 = 0
       THEN '<script type="application/ld+json">{{"@type":"Article"}}</script>'
       ELSE '' END)
+  || (CASE WHEN doc_id % 6 = 0
+      THEN '<meta http-equiv="refresh" content="0; url=https://moved.example.org/p/'
+           || (doc_id % 50)::VARCHAR || '">'
+      ELSE '' END)
   || '</head><body>x</body></html>' AS html
  FROM documents)
 SELECT doc_id, {title} AS title, {desc} AS description,
-       {ogt} AS og_title, {ogd} AS og_description, {jsonld} AS jsonld
+       {ogt} AS og_title, {ogd} AS og_description, {jsonld} AS jsonld,
+       {refresh} AS refresh_url
 FROM d"""
 
 

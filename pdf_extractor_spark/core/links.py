@@ -97,6 +97,9 @@ class _LinkParser(HTMLParser):
         # <base href>: only the FIRST base element with an href counts
         # (HTML spec §4.2.3); it rebases every relative link on the page
         self.base_href: str | None = None
+        # <meta name="robots"> nofollow/none: all links on the page are
+        # nofollow regardless of per-anchor rel
+        self.page_nofollow = False
 
     def _flush(self) -> None:
         if self._open is not None:
@@ -113,6 +116,18 @@ class _LinkParser(HTMLParser):
             href = next((v for k, v in attrs if k == "href"), None)
             if href and href.strip():
                 self.base_href = href.strip()
+        elif tag == "meta":
+            # page-level <meta name="robots" content="... nofollow ...">
+            # marks EVERY link on the page nofollow (Google/Bing semantics;
+            # complements the per-anchor rel token)
+            name = next((v for k, v in attrs if k == "name"), None)
+            if name and name.strip().lower() == "robots":
+                content = next((v for k, v in attrs if k == "content"), "") or ""
+                tokens = {
+                    t.strip().lower() for t in content.replace(";", ",").split(",")
+                }
+                if "nofollow" in tokens or "none" in tokens:
+                    self.page_nofollow = True
         elif tag in CHROME_TAGS:
             self._chrome_counts[tag] = self._chrome_counts.get(tag, 0) + 1
             self._chrome_depth += 1
@@ -174,7 +189,7 @@ def harvest_links(url: str, html: bytes | None) -> list[LinkRow]:
                 link_index=len(rows),
                 dst_url=dst,
                 anchor=_norm_ws("".join(parts)),
-                nofollow=_rel_has_nofollow(rel),
+                nofollow=parser.page_nofollow or _rel_has_nofollow(rel),
                 in_chrome=in_chrome,
             )
         )

@@ -51,6 +51,7 @@ def _first_match(html: Column, patterns: list[str]) -> Column:
 
 _ROBOTS = _attr_pair_patterns("meta", "name", "robots", "content")
 _CANON = _attr_pair_patterns("link", "rel", "canonical", "href")
+_REFRESH = _attr_pair_patterns("meta", "http-equiv", "refresh", "content")
 
 
 def robots_content(html: Column) -> Column:
@@ -71,6 +72,17 @@ def robots_flags(html: Column) -> list[Column]:
         (_has_directive(c, "noindex") | none).alias("noindex"),
         (_has_directive(c, "nofollow") | none).alias("nofollow"),
     ]
+
+
+def meta_refresh_target(html: Column) -> Column:
+    """Redirect target of the first ``<meta http-equiv="refresh">`` tag
+    ('' when absent or when the content declares only a delay). Client-side
+    redirects are crawl-frontier edges — a page that instantly refreshes
+    elsewhere is an alias, not content; the delay is ignored (crawlers
+    follow regardless). Raw target, unresolved, like ``canonical_link``.
+    Pure Column exprs (codegen on the scan)."""
+    content = _first_match(html, _REFRESH)
+    return F.regexp_extract(content, r"(?i)url\s*=\s*['\"]?\s*([^'\"\s;>]+)", 1)
 
 
 def canonical_link(html: Column) -> Column:

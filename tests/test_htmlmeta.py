@@ -111,3 +111,27 @@ def test_jsonld_fields_extraction(spark):
     assert got[1]["jsonld_type"] == "Product" and got[1]["headline"] is None
     assert got[2]["jsonld_type"] is None  # no block
     assert got[3]["jsonld_type"] is None  # malformed JSON -> NULL, no error
+
+
+def test_meta_refresh_target(spark):
+    from pdf_extractor_spark.functions.htmlmeta import meta_refresh_target
+
+    rows = [
+        (0, '<meta http-equiv="refresh" content="5; url=https://t.org/next">'),
+        (1, "<meta http-equiv='refresh' content='0;URL=/moved'>"),
+        (2, '<meta content="3; url=\'https://q.org/x\'" http-equiv="refresh">'),
+        (3, '<meta http-equiv="refresh" content="30">'),  # delay only
+        (4, "<html>no refresh</html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", meta_refresh_target(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[0] == "https://t.org/next"
+    assert got[1] == "/moved"
+    assert got[2] == "https://q.org/x"
+    assert got[3] == ""
+    assert got[4] == ""

@@ -335,3 +335,26 @@ def test_base_href_first_wins_and_hostile_base_ignored():
         "https://s.org/", b'<base href="javascript:evil"><a href="p.html">r</a>'
     )
     assert [lk.dst_url for lk in hostile] == ["https://s.org/p.html"]
+
+
+def test_meta_robots_nofollow_marks_all_links():
+    html = (
+        b'<html><head><meta name="robots" content="index, nofollow"></head>'
+        b'<body><a href="https://a.org/x">one</a>'
+        b'<a rel="nofollow" href="https://b.org/y">two</a></body></html>'
+    )
+    rows = harvest_links("https://s.org/", html)
+    assert [(lk.dst_url, lk.nofollow) for lk in rows] == [
+        ("https://a.org/x", True),
+        ("https://b.org/y", True),
+    ]
+    # content="none" is noindex+nofollow shorthand
+    none_html = (
+        b'<meta name="robots" content="none"><a href="https://a.org/x">o</a>'
+    )
+    assert [lk.nofollow for lk in harvest_links("https://s.org/", none_html)] == [True]
+    # other directives leave per-anchor semantics alone
+    idx_html = (
+        b'<meta name="robots" content="noindex"><a href="https://a.org/x">o</a>'
+    )
+    assert [lk.nofollow for lk in harvest_links("https://s.org/", idx_html)] == [False]
