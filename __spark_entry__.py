@@ -2424,6 +2424,41 @@ def q_pdf_forms(spark, sf_dir):
     )
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-cluster dedup (operators/dedup.py::canonical_dedup): url
+    variants declaring the same rel=canonical target collapse in ONE
+    hash-agg — publisher-asserted equivalence, the crawl-side dedup pass
+    that runs BEFORE any content hashing. Corpus: doc_id%3==0 pages declare
+    no canonical (singletons), %3==1 an absolute canonical, %3==2 a
+    root-relative one, both to /c/{doc_id%40}; kept member = the canonical
+    page itself when present (never, here) else the lexicographically
+    smallest url; the oracle restates the same grouping rule."""
+    from pdf_extractor_spark.operators.dedup import canonical_dedup
+
+    d = F.col("doc_id")
+    g = (d % 40).cast("string")
+    html = (
+        F.when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://site.example.org/c/'),
+                g,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            d % 3 == 2,
+            F.concat(F.lit('<link rel="canonical" href="/c/'), g, F.lit('">')),
+        )
+        .otherwise(F.lit("<p>no canonical</p>"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://site.example.org/p/"), d.cast("string")).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    return canonical_dedup(pages)
+
+
 def q_pdf_kerning(spark, sf_dir):
     """TJ kerning-aware word assembly + /Rotate parse coverage
     (core/pdf_extract._walk_page_content): per doc_id the corpus shows each
@@ -3088,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
+        "canonical_dedup": q_canonical_dedup,
         "dedup_representatives": q_dedup_representatives,
         "extraction_f1": q_extraction_f1,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3833,6 +3869,16 @@ SELECT 'doc://' || doc_id AS url,
             ELSE 'café • page ' || doc_id END AS extracted_text,
        'ok' AS parse_status
 FROM documents""",
+        "canonical_dedup": """
+WITH t AS (
+  SELECT 'https://site.example.org/p/' || doc_id AS url,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'https://site.example.org/p/' || doc_id
+              ELSE 'https://site.example.org/c/' || (doc_id % 40) END AS tgt
+  FROM documents)
+SELECT coalesce(min(CASE WHEN url = tgt THEN url END), min(url)) AS kept_url,
+       tgt AS canonical_target, count(*) AS n_aliases
+FROM t GROUP BY tgt""",
         "pdf_kerning": """
 SELECT 'doc://' || doc_id AS url,
        'justified paragraph body number ' || doc_id AS extracted_text,

@@ -1490,3 +1490,80 @@ def semdedup(
         )
     )
     return _attach_caches(out, assigned)
+
+
+# --- canonical-cluster dedup ----------------------------------------------------
+#
+# The crawl-side FIRST dedup pass: URL variants (tracking params, mirrors,
+# mobile/AMP twins) declare the same <link rel="canonical"> target, so
+# collapsing on the declared target removes duplicates BEFORE any content
+# hashing — publisher-asserted equivalence is free where MinHash costs a
+# corpus scan of shingles. The reference has no crawl notion at all (uploads
+# are islands, app/vector_db/vector_service.py:77-103).
+
+
+def canonical_targets(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``pages`` + a ``canonical_target`` column: the page's declared
+    rel=canonical href absolute-ized against the page url, else the page's
+    own url.
+
+    Resolution covers the forms canonical hrefs actually take — absolute
+    http(s), scheme-relative ``//host/…``, and root-relative ``/path`` —
+    as PURE Column exprs (codegen on the scan; a full urljoin would need
+    Python). Dot-relative or unfollowable (javascript:, data:) hrefs fall
+    back to the page's own url, degrading to "no declared canonical"
+    rather than mis-grouping.
+    """
+    from pdf_extractor_spark.functions.htmlmeta import canonical_link
+
+    href = canonical_link(F.col(html_col).cast("string"))
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    netloc = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+    )
+    target = (
+        F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), netloc, href),
+        )
+        .otherwise(F.col(url_col))
+    )
+    return pages.withColumn("canonical_target", target)
+
+
+def canonical_dedup(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per canonical cluster: (kept_url, canonical_target,
+    n_aliases). The kept member is the canonical page ITSELF when it is in
+    the corpus (its url equals the declared target), else the
+    lexicographically smallest member url — deterministic and
+    partitioning-independent.
+
+    Scale shape: ONE hash-agg shuffle on the target (map-side combined;
+    both the self-url pick and the min-url tiebreak are plain aggregates,
+    no window sort). Cluster sizes are bounded by how many variants a
+    publisher mints per page — no hot-key pathology at 10^12 rows.
+    """
+    t = canonical_targets(pages, url_col, html_col).select(
+        F.col(url_col).alias("__url"), "canonical_target"
+    )
+    return (
+        t.groupBy("canonical_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.min(
+                F.when(F.col("__url") == F.col("canonical_target"), F.col("__url"))
+            ).alias("__self"),
+            F.min("__url").alias("__min"),
+        )
+        .select(
+            F.coalesce("__self", "__min").alias("kept_url"),
+            "canonical_target",
+            "n_aliases",
+        )
+    )

@@ -1,0 +1,65 @@
+"""Canonical-cluster dedup: collapse url variants on their declared
+rel=canonical target (operators/dedup.py::canonical_dedup)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.dedup import canonical_dedup, canonical_targets
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string").withColumn(
+        "html", F.col("html").cast("binary")
+    )
+
+
+def test_canonical_target_resolution_forms(spark):
+    rows = [
+        ("https://s.org/a", '<link rel="canonical" href="https://s.org/c">'),
+        ("https://s.org/b", '<link rel="canonical" href="//cdn.org/c">'),
+        ("https://s.org/d", '<link rel="canonical" href="/root/c">'),
+        ("https://s.org/e", '<link rel="canonical" href="../dotrel">'),
+        ("https://s.org/f", '<link rel="canonical" href="javascript:x">'),
+        ("https://s.org/g", "<p>none declared</p>"),
+    ]
+    got = {
+        r["url"]: r["canonical_target"]
+        for r in canonical_targets(_pages(spark, rows)).collect()
+    }
+    assert got["https://s.org/a"] == "https://s.org/c"
+    assert got["https://s.org/b"] == "https://cdn.org/c"
+    assert got["https://s.org/d"] == "https://s.org/root/c"
+    # unresolvable forms degrade to "no canonical", never mis-group
+    assert got["https://s.org/e"] == "https://s.org/e"
+    assert got["https://s.org/f"] == "https://s.org/f"
+    assert got["https://s.org/g"] == "https://s.org/g"
+
+
+def test_canonical_dedup_prefers_self_then_min_url(spark):
+    c = '<link rel="canonical" href="https://s.org/c">'
+    rows = [
+        # cluster with the canonical page present: it wins over min-url
+        ("https://s.org/c", "<p>the canonical</p>"),
+        ("https://s.org/z?ref=1", c),
+        ("https://s.org/a?ref=2", c),
+        # cluster without its canonical page: lexicographic min wins
+        ("https://s.org/m2", '<link rel="canonical" href="https://s.org/x">'),
+        ("https://s.org/m10", '<link rel="canonical" href="https://s.org/x">'),
+        # singleton, no canonical
+        ("https://s.org/solo", "<p>alone</p>"),
+    ]
+    got = {
+        r["canonical_target"]: (r["kept_url"], r["n_aliases"])
+        for r in canonical_dedup(_pages(spark, rows)).collect()
+    }
+    assert got["https://s.org/c"] == ("https://s.org/c", 3)
+    assert got["https://s.org/x"] == ("https://s.org/m10", 2)  # string min
+    assert got["https://s.org/solo"] == ("https://s.org/solo", 1)
+
+
+def test_canonical_dedup_partitioning_independent(spark):
+    c = '<link rel="canonical" href="https://s.org/hub">'
+    rows = [(f"https://s.org/v{i}", c) for i in range(20)]
+    one = canonical_dedup(_pages(spark, rows).repartition(1)).collect()
+    many = canonical_dedup(_pages(spark, rows).repartition(13)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    assert one[0]["n_aliases"] == 20
