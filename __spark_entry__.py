@@ -2424,6 +2424,39 @@ def q_pdf_forms(spark, sf_dir):
     )
 
 
+def q_extract_incremental(spark, sf_dir):
+    """Incremental re-extraction (operators/extract.py::
+    extract_docs_incremental): the previous crawl = every doc except
+    doc_id%13==3 (those are 'added' now), the current crawl appends
+    ' updated' to the text of doc_id%10==0 ('changed'); only added/changed
+    pages re-parse, the rest reuse the previous extraction rows — payloads
+    never shuffle (both crawls pre-reduce to url+sha256). The oracle
+    restates source text + the added/changed membership rule."""
+    from pdf_extractor_spark.operators.extract import (
+        extract_docs,
+        extract_docs_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    prev_docs_src = docs.filter(d % 13 != 3)
+    cur_docs_src = docs.withColumn(
+        "text",
+        F.when(d % 10 == 0, F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+            F.col("text")
+        ),
+    )
+    prev_pages = _pages_plain(prev_docs_src)
+    cur_pages = _pages_plain(cur_docs_src)
+    inc = extract_docs_incremental(cur_pages, prev_pages, extract_docs(prev_pages))
+    return inc.select(
+        "url",
+        F.col("text").alias("extracted_text"),
+        "parse_status",
+        "extract_source",
+    )
+
+
 def q_canonical_dedup(spark, sf_dir):
     """Canonical-cluster dedup (operators/dedup.py::canonical_dedup): url
     variants declaring the same rel=canonical target collapse in ONE
@@ -3123,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
+        "extract_incremental": q_extract_incremental,
         "canonical_dedup": q_canonical_dedup,
         "dedup_representatives": q_dedup_representatives,
         "extraction_f1": q_extraction_f1,
@@ -3868,6 +3902,14 @@ SELECT 'doc://' || doc_id AS url,
             WHEN doc_id % 3 = 1 THEN 'Tıtle ł – café page ' || doc_id
             ELSE 'café • page ' || doc_id END AS extracted_text,
        'ok' AS parse_status
+FROM documents""",
+        "extract_incremental": """
+SELECT 'doc://' || doc_id AS url,
+       text || (CASE WHEN doc_id % 10 = 0 THEN ' updated' ELSE '' END)
+         AS extracted_text,
+       'ok' AS parse_status,
+       CASE WHEN doc_id % 13 = 3 OR doc_id % 10 = 0 THEN 'extracted'
+            ELSE 'reused' END AS extract_source
 FROM documents""",
         "canonical_dedup": """
 WITH t AS (

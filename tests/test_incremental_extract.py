@@ -1,0 +1,70 @@
+"""extract_docs_incremental: re-parse only added/changed pages, reuse the
+previous crawl's rows for unchanged payloads (operators/extract.py)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import extract_docs, extract_docs_incremental
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string").withColumn(
+        "html", F.col("html").cast("binary")
+    )
+
+
+def _doc_rows(df):
+    return sorted(
+        (r["url"], r["text"], r["parse_status"]) for r in df.collect()
+    )
+
+
+def test_incremental_matches_full_reextraction(spark):
+    prev = _pages(
+        spark,
+        [
+            ("u://same", "<p>stable text</p>"),
+            ("u://edit", "<p>old version</p>"),
+            ("u://gone", "<p>dropped page</p>"),
+        ],
+    )
+    cur = _pages(
+        spark,
+        [
+            ("u://same", "<p>stable text</p>"),
+            ("u://edit", "<p>new version</p>"),
+            ("u://new", "<p>fresh page</p>"),
+        ],
+    )
+    prev_docs = extract_docs(prev)
+    inc = extract_docs_incremental(cur, prev, prev_docs)
+    assert _doc_rows(inc.drop("extract_source")) == _doc_rows(extract_docs(cur))
+    src = {r["url"]: r["extract_source"] for r in inc.collect()}
+    assert src == {
+        "u://same": "reused",
+        "u://edit": "extracted",
+        "u://new": "extracted",
+    }
+
+
+def test_unchanged_rows_really_come_from_prev_docs(spark):
+    # tamper the previous extraction of the unchanged url: if the operator
+    # re-extracted it, the sentinel would disappear
+    prev = _pages(spark, [("u://same", "<p>stable</p>")])
+    cur = _pages(spark, [("u://same", "<p>stable</p>")])
+    tampered = extract_docs(prev).withColumn("text", F.lit("SENTINEL"))
+    out = extract_docs_incremental(cur, prev, tampered).collect()
+    assert [(r["url"], r["text"], r["extract_source"]) for r in out] == [
+        ("u://same", "SENTINEL", "reused")
+    ]
+
+
+def test_unchanged_but_missing_from_prev_docs_reextracts(spark):
+    # previous docs table was filtered (e.g. failed rows dropped): the
+    # output must still be total over the current crawl
+    prev = _pages(spark, [("u://a", "<p>aa</p>"), ("u://b", "<p>bb</p>")])
+    cur = _pages(spark, [("u://a", "<p>aa</p>"), ("u://b", "<p>bb</p>")])
+    partial = extract_docs(prev).filter(F.col("url") == "u://a")
+    out = extract_docs_incremental(cur, prev, partial)
+    src = {r["url"]: r["extract_source"] for r in out.collect()}
+    assert src == {"u://a": "reused", "u://b": "extracted"}
+    assert _doc_rows(out.drop("extract_source")) == _doc_rows(extract_docs(cur))
