@@ -419,13 +419,18 @@ def q_events_windowed(spark, sf_dir):
 
 
 def q_clean_text(spark, sf_dir):
-    """Unicode scrub: NFC + control-char strip. The query injects a control
-    byte and a combining-accent sequence so the pass provably fires
-    (operators/normalize.py; oracle uses DuckDB nfc_normalize)."""
+    """Unicode scrub: NFC + control-char strip + zero-width removal (soft
+    hyphen/ZWSP/BOM/word-joiner \u2014 ZWNJ/ZWJ survive, they are orthographic)
+    + NBSP\u2192space. The query injects every noise class so each pass provably
+    fires (operators/normalize.py; oracle uses DuckDB nfc_normalize + the
+    same RE2 classes)."""
     from pdf_extractor_spark.operators.normalize import clean_text
 
     d = _docs(spark, sf_dir).select(
-        "doc_id", F.concat(F.col("text"), F.lit("\x01e\u0301")).alias("dirty")
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\x01e\u0301 so\u00adft z\u200bw nb\u00a0sp")
+        ).alias("dirty"),
     )
     clean = clean_text(F.col("dirty"))
     return d.select(
@@ -4258,9 +4263,16 @@ SELECT event_type, count(*)::BIGINT AS n_events,
        max((props->>'k')::BIGINT)::BIGINT AS k_max
 FROM events GROUP BY event_type""",
         "clean_text": r"""
-WITH d AS (SELECT doc_id, text || chr(1) || 'e' || chr(769) AS dirty FROM documents),
+WITH d AS (SELECT doc_id,
+        text || chr(1) || 'e' || chr(769) || ' so' || chr(173) || 'ft z'
+             || chr(8203) || 'w nb' || chr(160) || 'sp' AS dirty
+      FROM documents),
 c AS (SELECT doc_id, dirty,
-             regexp_replace(nfc_normalize(dirty), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean
+             regexp_replace(regexp_replace(regexp_replace(
+               nfc_normalize(dirty),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '[\x{00AD}\x{200B}\x{FEFF}\x{2060}]', '', 'g'),
+               '[\x{00A0}\x{202F}]', ' ', 'g') AS clean
       FROM d)
 SELECT doc_id, clean, (length(dirty) - length(clean))::BIGINT AS n_removed FROM c""",
         "pricing_summary": """

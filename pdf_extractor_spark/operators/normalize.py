@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 
 # C0 controls minus \t \n \r, plus DEL — the characters tokenizers choke on
 CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+# invisible formatting noise crawl text is full of: soft hyphen (word-split
+# artifacts), zero-width space, BOM/zwnbsp, word joiner. U+200C ZWNJ and
+# U+200D ZWJ are deliberately NOT here — they are orthographically
+# meaningful (Persian/Arabic zero-width non-joiner, Indic conjuncts, emoji
+# ZWJ sequences); the reference corpus is fas+eng
+# (app/processing/pdf_processor.py:29), so stripping ZWNJ would corrupt it.
+ZERO_WIDTH_CLASS = "[\u00AD\u200B\uFEFF\u2060]"
+# non-breaking spaces normalize to plain space (token boundaries for
+# counting/dedup; trafilatura/ftfy behavior)
+NBSP_CLASS = "[\u00A0\u202F]"
 
 
 def _nfc(s: pd.Series) -> pd.Series:
@@ -40,8 +50,13 @@ def nfc_udf(col: Column) -> Column:
 
 
 def clean_text(col: Column) -> Column:
-    """NFC-normalize then strip control characters."""
-    return F.regexp_replace(nfc_udf(col), CONTROL_CLASS, "")
+    """NFC-normalize, strip control + zero-width formatting characters,
+    normalize non-breaking spaces to plain space. ZWNJ/ZWJ survive (see
+    ZERO_WIDTH_CLASS). Everything after the NFC UDF is codegen'd
+    regexp_replace on the scan."""
+    out = F.regexp_replace(nfc_udf(col), CONTROL_CLASS, "")
+    out = F.regexp_replace(out, ZERO_WIDTH_CLASS, "")
+    return F.regexp_replace(out, NBSP_CLASS, " ")
 
 
 # ---------------------------------------------------------------------------

@@ -47,3 +47,28 @@ def test_column_udfs_roundtrip(spark):
     ).collect()
     for r in out:
         assert r["fixed"] == r["text"]
+
+
+def test_clean_text_strips_invisible_noise_preserves_zwnj(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.normalize import clean_text
+
+    rows = [
+        (0, "so­ft"),          # soft hyphen: word-split artifact
+        (1, "z​w⁠x﻿y"),  # zwsp / word joiner / bom
+        (2, "nb sp nn"),  # nbsp + narrow nbsp -> plain space
+        (3, "می‌خواهم"),  # fa ZWNJ
+        (4, "éclair"),        # NFC composes
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_text(F.col("t")).alias("c")).collect()
+    }
+    assert got[0] == "soft"
+    assert got[1] == "zwxy"
+    assert got[2] == "nb sp nn"
+    # ZWNJ is orthographic in Persian — it must SURVIVE the scrub
+    assert got[3] == "می‌خواهم"
+    assert got[4] == "éclair"
