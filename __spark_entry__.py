@@ -2429,6 +2429,34 @@ def q_pdf_forms(spark, sf_dir):
     )
 
 
+def q_host_profile(spark, sf_dir):
+    """Per-host corpus health profile (operators/curate.py::host_profile):
+    23 synthetic hosts (doc_id%23), exact-dup copies injected at the SAME
+    host for every 10th doc; signals (token count, quality score, text
+    hash, modal lang) are Column exprs in the scan, the profile is one
+    host hash-agg + an exact countDistinct — the table RefinedWeb-style
+    pipelines maintain to decide blocklists/quotas. Oracle restates the
+    same formulas over the same construction."""
+    from pdf_extractor_spark.operators.curate import host_profile
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 23).cast("string"), F.lit(".example.org/p/"),
+        d.cast("string"),
+    )
+    base = docs.select(url.alias("url"), "text", "lang")
+    dups = docs.filter(d % 10 == 0).select(
+        F.concat(
+            F.lit("https://h"), (d % 23).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"), F.lit("-copy"),
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    return host_profile(base.unionAll(dups), lang_col="lang")
+
+
 def q_extract_incremental(spark, sf_dir):
     """Incremental re-extraction (operators/extract.py::
     extract_docs_incremental): the previous crawl = every doc except
@@ -3162,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
         "extract_incremental": q_extract_incremental,
+        "host_profile": q_host_profile,
         "canonical_dedup": q_canonical_dedup,
         "dedup_representatives": q_dedup_representatives,
         "extraction_f1": q_extraction_f1,
@@ -3908,6 +3937,34 @@ SELECT 'doc://' || doc_id AS url,
             ELSE 'café • page ' || doc_id END AS extracted_text,
        'ok' AS parse_status
 FROM documents""",
+        "host_profile": """
+WITH pages AS (
+  SELECT 'h' || (doc_id % 23) || '.example.org' AS host, text, lang
+  FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 23) || '.example.org', text, lang
+  FROM documents WHERE doc_id % 10 = 0),
+t AS (SELECT host, lang, sha256(coalesce(text, '')) AS h,
+        CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+        CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g'))
+                  / length(text)::DOUBLE END AS pr,
+        CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  / length(text)::DOUBLE END AS dr
+      FROM pages),
+prof AS (
+  SELECT host, count(*) AS n_docs, sum(w)::BIGINT AS n_tokens,
+         round(avg(least(1.0, w / 50.0) * (1 - pr) * (1 - dr)), 6) AS mean_quality,
+         round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6) AS dup_frac
+  FROM t GROUP BY host),
+lc AS (SELECT host, lang, count(*) AS c FROM t GROUP BY host, lang),
+top AS (SELECT host, lang AS top_lang FROM (
+  SELECT host, lang, row_number() OVER (PARTITION BY host ORDER BY c DESC, lang) AS rn
+  FROM lc) WHERE rn = 1)
+SELECT prof.host, n_docs, n_tokens, mean_quality, dup_frac, top_lang
+FROM prof JOIN top ON prof.host = top.host""",
         "extract_incremental": """
 SELECT 'doc://' || doc_id AS url,
        text || (CASE WHEN doc_id % 10 = 0 THEN ' updated' ELSE '' END)

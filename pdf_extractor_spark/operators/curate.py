@@ -186,3 +186,57 @@ def curation_funnel(
         .groupBy("gate")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def host_profile(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Per-host corpus health profile: (host, n_docs, n_tokens,
+    mean_quality, dup_frac, top_lang) — the aggregation RefinedWeb/FineWeb
+    style pipelines maintain to DECIDE host blocklists and domain quotas
+    rather than hand-curate them (a host whose pages are mostly duplicates
+    or junk gets gated wholesale; operators/curate.apply_host_blocklist and
+    functions/sampling.domain quotas consume this).
+
+    Scale shape: every per-doc signal (quality score, token count, text
+    hash, lang id) is a pure Column expr computed IN THE SCAN; the profile
+    is then one hash-agg on host (map-side combined; |hosts| ≪ |docs|).
+    ``dup_frac`` = 1 - distinct(text hash)/n_docs uses an exact
+    count(DISTINCT) — a second shuffle keyed on the same host column.
+    ``top_lang`` is the modal language via max_by over per-(host, lang)
+    counts when ``lang_col`` is given, else derived from lang_id's
+    heuristic. Deterministic: ties on lang counts break to the smaller
+    lang string.
+    """
+    from pdf_extractor_spark.functions.text import lang_id, quality_score, token_count
+    from pdf_extractor_spark.functions.urls import url_host
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lang = F.col(lang_col) if lang_col else lang_id(t)
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        token_count(t).alias("__tok"),
+        quality_score(t).alias("__q"),
+        F.sha2(t, 256).alias("__h"),
+        lang.alias("__lang"),
+    )
+    prof = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__h") / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+    lang_counts = base.groupBy("host", "__lang").count()
+    # modal language: min_by over (-count, lang) = highest count, then the
+    # lexicographically smaller lang on ties — total and deterministic
+    top = lang_counts.groupBy("host").agg(
+        F.min_by(
+            F.col("__lang"), F.struct((-F.col("count")).alias("nc"), F.col("__lang"))
+        ).alias("top_lang")
+    )
+    return prof.join(top, "host", "left")

@@ -133,3 +133,41 @@ def test_curation_funnel_counts_are_exhaustive(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = curation_funnel(docs.select("doc_id", "text"))
     assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+def test_host_profile_signals(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.curate import host_profile
+
+    rows = [
+        ("https://a.org/1", "the quick brown fox jumps over the lazy dog", "en"),
+        ("https://a.org/2", "the quick brown fox jumps over the lazy dog", "en"),
+        ("https://a.org/3", "une page differente avec des mots uniques", "fr"),
+        ("https://a.org/4", "encore une autre page en francais unique", "fr"),
+        ("https://b.org/1", "solo host page with reasonable words", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    got = {r["host"]: r for r in host_profile(df, lang_col="lang").collect()}
+    a = got["a.org"]
+    assert a["n_docs"] == 4
+    # one exact dup pair among 4 docs -> 1 - 3/4
+    assert abs(a["dup_frac"] - 0.25) < 1e-9
+    # en/fr tie at 2 docs each -> lexicographically smaller lang wins
+    assert a["top_lang"] == "en"
+    b = got["b.org"]
+    assert (b["n_docs"], b["dup_frac"], b["top_lang"]) == (1, 0.0, "en")
+    assert b["n_tokens"] == 6
+
+
+def test_host_profile_partitioning_independent(spark):
+    from pdf_extractor_spark.operators.curate import host_profile
+
+    rows = [
+        (f"https://h{i % 3}.org/{i}", f"words number {i % 5} here", "en")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    one = sorted(map(tuple, host_profile(df.repartition(1), lang_col="lang").collect()))
+    many = sorted(map(tuple, host_profile(df.repartition(11), lang_col="lang").collect()))
+    assert one == many
