@@ -2429,6 +2429,60 @@ def q_pdf_forms(spark, sf_dir):
     )
 
 
+def q_page_dates(spark, sf_dir):
+    """Publication-date extraction (functions/htmlmeta.py::page_date):
+    per doc_id the corpus exposes the date through exactly one channel —
+    article:published_time meta (doc_id%4==0, WITH a decoy url date to
+    prove precedence), <time datetime> (%4==1), JSON-LD datePublished
+    (%4==2), or the /YYYY/MM/DD/ url path (%4==3) — all pure Column exprs;
+    the oracle restates the construction + precedence. FineWeb-style
+    freshness signal; the reference keeps no dates at all."""
+    from pdf_extractor_spark.functions.htmlmeta import page_date, url_date
+
+    d = F.col("doc_id")
+    day = F.lpad((10 + d % 9).cast("string"), 2, "0")
+    url = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("https://s.org/2010/01/"), day, F.lit("/decoy")),
+    ).when(
+        d % 4 == 3,
+        F.concat(F.lit("https://s.org/2020/01/"), day, F.lit("/post")),
+    ).otherwise(F.concat(F.lit("https://s.org/p/"), d.cast("string")))
+    html = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="2023-05-'),
+                day,
+                F.lit('T10:00:00Z">'),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<time datetime="2022-11-'), day, F.lit('T08:30:00+01:00">x</time>')
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit('<script type="application/ld+json">{"datePublished":"2021-07-'),
+                day,
+                F.lit('"}</script>'),
+            ),
+        )
+        .otherwise(F.lit("<p>no in-page date</p>"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), html.alias("html")
+    )
+    return pages.select(
+        "doc_id",
+        page_date(F.col("url"), F.col("html")).alias("pub_date"),
+        url_date(F.col("url")).alias("url_date"),
+    )
+
+
 def q_host_profile(spark, sf_dir):
     """Per-host corpus health profile (operators/curate.py::host_profile):
     23 synthetic hosts (doc_id%23), exact-dup copies injected at the SAME
@@ -3191,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the 50-query window from here down ---
         "extract_incremental": q_extract_incremental,
         "host_profile": q_host_profile,
+        "page_dates": q_page_dates,
         "canonical_dedup": q_canonical_dedup,
         "dedup_representatives": q_dedup_representatives,
         "extraction_f1": q_extraction_f1,
@@ -3937,6 +3992,20 @@ SELECT 'doc://' || doc_id AS url,
             ELSE 'café • page ' || doc_id END AS extracted_text,
        'ok' AS parse_status
 FROM documents""",
+        "page_dates": """
+WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
+           FROM documents)
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN '2023-05-' || day
+         WHEN 1 THEN '2022-11-' || day
+         WHEN 2 THEN '2021-07-' || day
+         ELSE '2020-01-' || day END AS pub_date,
+       CASE doc_id % 4
+         WHEN 0 THEN '2010-01-' || day
+         WHEN 3 THEN '2020-01-' || day
+         ELSE '' END AS url_date
+FROM d""",
         "host_profile": """
 WITH pages AS (
   SELECT 'h' || (doc_id % 23) || '.example.org' AS host, text, lang

@@ -159,3 +159,61 @@ def jsonld_fields(html: Column):
         F.get_json_object(j, "$.datePublished").alias("date_published"),
         F.get_json_object(j, "$.author.name").alias("author_name"),
     )
+
+
+# --- publication date ------------------------------------------------------------
+#
+# Training corpora want a per-page date for freshness mixing and temporal
+# dedup; publishers expose it in descending reliability order as
+# article:published_time meta, <time datetime=…>, JSON-LD datePublished,
+# and finally the /YYYY/MM/DD/ url path convention. All pure Column exprs.
+
+_PUBLISHED = _attr_pair_patterns(
+    "meta", "property", "article:published_time", "content"
+)
+_TIME_DT = [
+    r"(?i)<time\b[^>]*datetime\s*=\s*\"([^\"]*)\"",
+    r"(?i)<time\b[^>]*datetime\s*=\s*'([^']*)'",
+    r"(?i)<time\b[^>]*datetime\s*=\s*([^\s\"'>]+)",
+]
+_URL_DATE_PAT = r"/((?:19|20)\d{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12]\d|3[01])(?:/|$)"
+
+
+def article_published_time(html: Column) -> Column:
+    """content of the first article:published_time meta ('' when absent)."""
+    return _first_match(html, _PUBLISHED)
+
+
+def time_datetime(html: Column) -> Column:
+    """datetime attribute of the first <time> element ('' when absent)."""
+    return _first_match(html, _TIME_DT)
+
+
+def url_date(url: Column) -> Column:
+    """YYYY-MM-DD from a /YYYY/MM/DD/ (or -separated) url path segment
+    ('' when the url carries no date) — the blog/news permalink
+    convention, the date signal of last resort."""
+    y = F.regexp_extract(url, _URL_DATE_PAT, 1)
+    m = F.regexp_extract(url, _URL_DATE_PAT, 2)
+    d = F.regexp_extract(url, _URL_DATE_PAT, 3)
+    return F.when(y == "", F.lit("")).otherwise(
+        F.concat_ws("-", y, m, d)
+    )
+
+
+def page_date(url: Column, html: Column) -> Column:
+    """Best-effort publication date: article:published_time, else <time
+    datetime>, else JSON-LD datePublished, else the url path date —
+    normalized to the leading YYYY-MM-DD of whatever ISO-ish stamp was
+    found ('' when nothing matches)."""
+    candidates = F.coalesce(
+        F.nullif(article_published_time(html), F.lit("")),
+        F.nullif(time_datetime(html), F.lit("")),
+        F.nullif(
+            F.coalesce(F.get_json_object(jsonld_payload(html), "$.datePublished"), F.lit("")),
+            F.lit(""),
+        ),
+        F.nullif(url_date(url), F.lit("")),
+        F.lit(""),
+    )
+    return F.regexp_extract(candidates, r"^(\d{4}-\d{2}-\d{2})", 1)

@@ -135,3 +135,34 @@ def test_meta_refresh_target(spark):
     assert got[2] == "https://q.org/x"
     assert got[3] == ""
     assert got[4] == ""
+
+
+def test_page_date_precedence_and_validation(spark):
+    from pdf_extractor_spark.functions.htmlmeta import page_date, url_date
+
+    rows = [
+        # meta beats a decoy url date
+        (0, "https://s.org/2020/01/15/post",
+         '<meta property="article:published_time" content="2023-05-11T10:00:00Z">'),
+        (1, "https://s.org/p", "<time datetime='2022-11-05T08:30:00+01:00'>x</time>"),
+        (2, "https://s.org/p2",
+         '<script type="application/ld+json">{"datePublished":"2021-07-09"}</script>'),
+        (3, "https://s.org/2019-03-02/x", "<p>url date only</p>"),
+        (4, "https://s.org/plain", "<p>nothing</p>"),
+        (5, "https://s.org/2099/13/45/x", "<p>illegal month/day</p>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string, html string")
+    got = {
+        r["i"]: (r["d"], r["u"])
+        for r in df.select(
+            "i",
+            page_date(F.col("url"), F.col("html")).alias("d"),
+            url_date(F.col("url")).alias("u"),
+        ).collect()
+    }
+    assert got[0] == ("2023-05-11", "2020-01-15")
+    assert got[1] == ("2022-11-05", "")
+    assert got[2] == ("2021-07-09", "")
+    assert got[3] == ("2019-03-02", "2019-03-02")
+    assert got[4] == ("", "")
+    assert got[5] == ("", "")
