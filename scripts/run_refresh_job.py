@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Cluster entry point for the month-over-month crawl REFRESH loop.
+
+    zip -r /tmp/pdf_extractor_spark.zip pdf_extractor_spark
+    spark-submit --py-files /tmp/pdf_extractor_spark.zip \
+        scripts/run_refresh_job.py \
+        --prev-pages <previous crawl parquet> --cur-pages <current crawl parquet> \
+        --prev-docs <previous docs parquet> --docs-out <dir> \
+        [--chunks-out <snapshot table dir>] [--schedule-out <dir>]
+        [--max-per-host N]
+
+The production composition of the incremental stack:
+
+1. ``crawl_diff(prev, cur)`` — per-url added/gone/changed/unchanged (one
+   full-outer join over (url, sha256) pre-reductions; payloads never
+   shuffle).
+2. ``extract_docs_incremental`` — re-parses ONLY added/changed pages,
+   reuses the previous docs rows for the rest (the ~90% month-over-month
+   overlap never pays the parse again).
+3. The refreshed docs land at ``--docs-out`` (parquet, overwrite); with
+   ``--chunks-out`` the re-extracted slice ALSO flows through chunking
+   into a SnapshotTable via MERGE-style upsert keyed on doc_hash, so
+   downstream chunk consumers see exactly-once refresh semantics.
+4. With ``--schedule-out``, ``fetch_schedule`` turns the changed+gone urls
+   into the next polite re-fetch frontier (per-host serialization).
+
+Prints one JSON line of counters (per-status url counts, docs reused vs
+re-extracted) — the lineage record a scheduler ingests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev-pages", required=True)
+    ap.add_argument("--cur-pages", required=True)
+    ap.add_argument("--prev-docs", required=True)
+    ap.add_argument("--docs-out", required=True)
+    ap.add_argument("--chunks-out", default=None)
+    ap.add_argument("--schedule-out", default=None)
+    ap.add_argument("--max-per-host", type=int, default=1000)
+    ap.add_argument("--master", default=None, help="override master (local runs)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.drift import crawl_diff
+    from pdf_extractor_spark.operators.extract import (
+        chunk_docs,
+        extract_docs_incremental,
+    )
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark("refresh-job", master=args.master)
+    prev_pages = spark.read.parquet(args.prev_pages)
+    cur_pages = spark.read.parquet(args.cur_pages)
+    prev_docs = spark.read.parquet(args.prev_docs)
+
+    diff = crawl_diff(prev_pages, cur_pages, text_col="html").persist()
+    status_counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    docs = extract_docs_incremental(cur_pages, prev_pages, prev_docs).persist()
+    source_counts = {
+        r["extract_source"]: r["n"]
+        for r in docs.groupBy("extract_source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    docs.write.mode("overwrite").parquet(args.docs_out)
+
+    counters = {"urls": status_counts, "docs": source_counts}
+
+    if args.chunks_out:
+        from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+        refreshed = docs.filter(F.col("extract_source") == "extracted").drop(
+            "extract_source"
+        )
+        chunks = chunk_docs(refreshed)
+        run_id = SnapshotTable(args.chunks_out).upsert(
+            spark, chunks, key_cols=("doc_hash",), lineage={"job": "refresh"}
+        )
+        counters["chunks_run_id"] = run_id
+
+    if args.schedule_out:
+        from pdf_extractor_spark.operators.politeness import fetch_schedule
+
+        # changed pages re-fetch first; gone pages get one confirmation
+        # probe — both form the next frontier, priority = status weight
+        frontier = diff.filter(F.col("status").isin("changed", "gone")).select(
+            "url",
+            F.when(F.col("status") == "changed", F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("priority"),
+        )
+        sched = fetch_schedule(
+            frontier, priority_col="priority", max_per_host=args.max_per_host
+        )
+        sched.write.mode("overwrite").parquet(args.schedule_out)
+        counters["scheduled"] = sched.count()
+
+    diff.unpersist()
+    docs.unpersist()
+    json.dump(counters, sys.stdout, sort_keys=True)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
