@@ -115,8 +115,16 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": "el la los las es de que en un una".split(),
     "fr": "le la les et est dans que pour une du".split(),
     "zh": "的 了 是 在 我 有 和 就 不 人".split(),
+    # fa matters specifically here: the reference's own corpus is fas+eng
+    # (app/processing/pdf_processor.py:29 Tesseract lang); ar/ru round out
+    # the major non-Latin web scripts
+    "fa": "از که به در را با این است برای آن".split(),
+    "ar": "في من على أن إلى عن مع هذا كان التي".split(),
+    "ru": "и в не на я что он как это с".split(),
 }
-LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break order
+# deterministic tie-break order; new languages appended so existing
+# first-wins decisions never change
+LANG_ORDER = ["en", "de", "es", "fr", "zh", "fa", "ar", "ru"]
 
 
 def _marker_hits(toks: Column, markers: list[str]) -> Column:

@@ -380,3 +380,21 @@ def test_compression_ratio_regimes(spark):
         for r in df.select("i", compression_ratio(F.col("t")).alias("r")).collect()
     }
     assert got[1] == r_spam and got[2] == r_prose and got[3] is None
+
+
+def test_lang_id_fa_ar_ru(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.text import lang_id
+
+    rows = [
+        # fa: the reference corpus's own language (Tesseract fas+eng)
+        (0, "این کتاب برای من است و آن را با خود به خانه بردم", "fa"),
+        (1, "كان هذا الكتاب في البيت من زمن طويل على الرف", "ar"),
+        (2, "я не знаю что он сказал на это и как с этим быть", "ru"),
+        (3, "the quick brown fox is in the garden for now", "en"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string, want string")
+    got = {r["i"]: r["p"] for r in df.select("i", lang_id(F.col("t")).alias("p")).collect()}
+    want = {r[0]: r[2] for r in rows}
+    assert got == want
