@@ -767,10 +767,11 @@ def q_image_sniff(spark, sf_dir):
             if v == 3:  # real BMP bytes
                 arr = np.full((h, w, 3), d % 256, dtype=np.uint8)
                 return bmp_encode(arr)
-            ifd = struct.pack("<H", 2)
-            ifd += struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", w) + b"\x00\x00"
-            ifd += struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", h)
-            return b"II*\x00" + struct.pack("<I", 8) + ifd + struct.pack("<I", 0)
+            # real decodable baseline TIFF bytes (core/imagemeta.tiff_encode)
+            from pdf_extractor_spark.core.imagemeta import tiff_encode
+
+            arr = np.full((h, w), (d * 3) % 256, dtype=np.uint8)
+            return tiff_encode(arr, packbits=d % 10 == 4)
 
         for batch in batches:
             ids, payloads = [], []

@@ -412,3 +412,211 @@ def resize_nearest(arr, new_w: int, new_h: int):
     ys = (_np.arange(new_h) * h) // new_h
     xs = (_np.arange(new_w) * w) // new_w
     return a[ys][:, xs]
+
+
+# --- baseline TIFF (TIFF 6.0 §2-§9, public spec) -----------------------------
+#
+# The last member of the real-decode codec matrix (png/jpeg/gif/bmp live
+# above / in their own modules): 8-bit baseline TIFF — both byte orders,
+# multi-strip, Compression 1 (none) and 32773 (PackBits §9), Photometric
+# 0/1 (gray, WhiteIsZero inverted) and 2 (RGB, + extra alpha sample).
+# Scans and faxes ship as TIFF; web crawls meet it via PDF attachments and
+# document dumps. Decode is per-strip Python over numpy rows — the
+# sanctioned Arrow-batched slow path, like every codec here.
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _packbits_decode(b: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += b[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                break
+            out += b[i : i + 1] * (257 - c)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    # simple spec-correct encoder: repeat runs >=3 as replicate packets,
+    # everything else as literal packets (fixture twin, not a compressor)
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run]) + row[i : i + 1]
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (i - lit_start) < 128:
+            run = 1
+            while i + run < n and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        out += bytes([(i - lit_start) - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def tiff_decode(payload: bytes | None):
+    """(h, w, ch) uint8 from an 8-bit baseline TIFF (II/MM, strips,
+    Compression 1/32773, Photometric 0/1/2), else None."""
+    b = payload or b""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    bo = "little" if b[:2] == b"II" else "big"
+    if int.from_bytes(b[2:4], bo) != 42:
+        return None
+    ifd = int.from_bytes(b[4:8], bo)
+    if ifd + 2 > len(b):
+        return None
+    n_entries = int.from_bytes(b[ifd : ifd + 2], bo)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            return None
+        tag = int.from_bytes(b[e : e + 2], bo)
+        typ = int.from_bytes(b[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(b[e + 4 : e + 8], bo)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        off = e + 8 if total <= 4 else int.from_bytes(b[e + 8 : e + 12], bo)
+        if off + total > len(b):
+            return None
+        tags[tag] = [
+            int.from_bytes(b[off + size * j : off + size * (j + 1)], bo)
+            for j in range(cnt)
+        ]
+
+    def one(tag: int, default: int | None = None) -> int | None:
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    rps = one(278, h or 0)
+    if (
+        not w or not h or photo not in (0, 1, 2) or comp not in (1, 32773)
+        or not offsets or not counts or len(offsets) != len(counts)
+        or any(x != 8 for x in bits) or spp not in (1, 3, 4)
+        or w * h > 64_000_000
+    ):
+        return None
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = b[off : off + cnt]
+        if len(strip) < cnt:
+            return None
+        raw += _packbits_decode(strip) if comp == 32773 else strip
+    need = h * w * spp
+    if len(raw) < need:
+        return None
+    arr = _np.frombuffer(bytes(raw[:need]), dtype=_np.uint8).reshape(h, w, spp)
+    del rps  # strip layout already fully described by offsets/counts
+    if photo == 0:  # WhiteIsZero: invert to the universal BlackIsZero
+        arr = 255 - arr
+    return arr
+
+
+def tiff_encode(
+    arr, big_endian: bool = False, packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """uint8 (h, w) or (h, w, 1|3|4) ndarray → baseline TIFF — the fixture
+    twin of ``tiff_decode`` (either byte order, optional PackBits, optional
+    multi-strip)."""
+    a = _np.asarray(arr, dtype=_np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    bo = "big" if big_endian else "little"
+    rps = rows_per_strip or h
+    strips_px = [a[y : y + rps] for y in range(0, h, rps)]
+    strips = [
+        _packbits_encode(s.tobytes()) if packbits else s.tobytes()
+        for s in strips_px
+    ]
+    photo = 1 if ch == 1 else 2
+    comp = 32773 if packbits else 1
+
+    entries: list[tuple[int, int, int, list[int]]] = []  # tag, type, count, vals
+
+    def add(tag: int, typ: int, vals: list[int]) -> None:
+        entries.append((tag, typ, len(vals), vals))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8] * ch)
+    add(259, 3, [comp])
+    add(262, 3, [photo])
+    add(277, 3, [ch])
+    add(278, 4, [rps])
+    add(273, 4, [0] * len(strips))  # patched below
+    add(279, 4, [len(s) for s in strips])
+    entries.sort(key=lambda t: t[0])
+
+    header = b"MM" if big_endian else b"II"
+    header += (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header(8) | IFD | overflow values | strip data
+    overflow_at = 8 + ifd_size
+    overflow = bytearray()
+    fixed: list[tuple[int, int, int, bytes]] = []
+    strip_off_entry = None
+    for tag, typ, cnt, vals in entries:
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            val = b"".join(v.to_bytes(_TIFF_TYPE_SIZE[typ], bo) for v in vals)
+            fixed.append((tag, typ, cnt, val.ljust(4, b"\0")))
+        else:
+            pos = overflow_at + len(overflow)
+            if tag == 273:
+                strip_off_entry = (len(fixed), pos)
+            overflow += b"".join(v.to_bytes(_TIFF_TYPE_SIZE[typ], bo) for v in vals)
+            fixed.append((tag, typ, cnt, pos.to_bytes(4, bo)))
+        if size <= 4 and tag == 273:
+            strip_off_entry = (len(fixed) - 1, None)
+    data_at = overflow_at + len(overflow)
+    offs = []
+    pos = data_at
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    # patch strip offsets (inline when they fit, else in overflow)
+    idx, opos = strip_off_entry
+    tag, typ, cnt, _old = fixed[idx]
+    enc = b"".join(v.to_bytes(4, bo) for v in offs)
+    if opos is None:
+        fixed[idx] = (tag, typ, cnt, enc.ljust(4, b"\0"))
+    else:
+        overflow[opos - overflow_at : opos - overflow_at + len(enc)] = enc
+    out = bytearray(header)
+    out += len(fixed).to_bytes(2, bo)
+    for tag, typ, cnt, val in fixed:
+        out += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo) + val
+    out += (0).to_bytes(4, bo)  # next-IFD pointer: none
+    out += overflow
+    for s in strips:
+        out += s
+    return bytes(out)

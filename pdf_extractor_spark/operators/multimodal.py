@@ -85,11 +85,16 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 
 def _decode_pixels(payload: bytes):
-    """(h, w, ch) uint8 from a PNG, JPEG (baseline or progressive), GIF, or
-    uncompressed BMP payload, else None — the pure-stdlib(+numpy) codecs
-    (core/imagemeta.py png_decode/bmp_decode, core/jpegcodec.py,
+    """(h, w, ch) uint8 from a PNG, JPEG (baseline or progressive), GIF,
+    uncompressed BMP, or baseline TIFF payload, else None — the
+    pure-stdlib(+numpy) codecs (core/imagemeta.py
+    png_decode/bmp_decode/tiff_decode, core/jpegcodec.py,
     core/gifcodec.py). No PIL anywhere."""
-    from pdf_extractor_spark.core.imagemeta import bmp_decode, png_decode
+    from pdf_extractor_spark.core.imagemeta import (
+        bmp_decode,
+        png_decode,
+        tiff_decode,
+    )
 
     arr = png_decode(payload)
     if arr is None:
@@ -102,6 +107,8 @@ def _decode_pixels(payload: bytes):
         arr = gif_decode(payload)
     if arr is None:
         arr = bmp_decode(payload)
+    if arr is None:
+        arr = tiff_decode(payload)
     return arr
 
 

@@ -1,0 +1,84 @@
+"""Baseline TIFF decode/encode (core/imagemeta.py tiff_decode/tiff_encode):
+both byte orders, PackBits, multi-strip, WhiteIsZero, malformed inputs."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.imagemeta import (
+    _packbits_decode,
+    _packbits_encode,
+    sniff_image,
+    tiff_decode,
+    tiff_encode,
+)
+
+
+def _px(shape, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(5, 9), (6, 4, 3), (3, 3, 4)])
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("rows_per_strip", [None, 2])
+def test_roundtrip_matrix(shape, big_endian, packbits, rows_per_strip):
+    px = _px(shape)
+    t = tiff_encode(
+        px, big_endian=big_endian, packbits=packbits, rows_per_strip=rows_per_strip
+    )
+    want = px[:, :, None] if px.ndim == 2 else px
+    got = tiff_decode(t)
+    assert got is not None and (got == want).all()
+    codec, w, h = sniff_image(t)
+    assert (codec, w, h) == ("tiff", want.shape[1], want.shape[0])
+
+
+def test_white_is_zero_inverts():
+    # hand-patch Photometric 0 into an encoded gray TIFF: tag 262 SHORT
+    px = _px((4, 6))
+    t = bytearray(tiff_encode(px))
+    ifd = int.from_bytes(t[4:8], "little")
+    n = int.from_bytes(t[ifd : ifd + 2], "little")
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if int.from_bytes(t[e : e + 2], "little") == 262:
+            t[e + 8 : e + 10] = (0).to_bytes(2, "little")
+    got = tiff_decode(bytes(t))
+    assert (got == (255 - px)[:, :, None]).all()
+
+
+def test_packbits_spec_cases():
+    # worked example from the TIFF 6.0 spec §9 (unpacks to 24 bytes)
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    dec = _packbits_decode(enc)
+    assert dec == bytes.fromhex("AAAAAA80002A") + b"\xaa" * 4 + bytes.fromhex(
+        "80002A22"
+    ) + b"\xaa" * 10
+    # encoder output always roundtrips through the decoder
+    for row in (b"", b"\x00" * 200, bytes(range(256)), b"ababab" * 30):
+        assert _packbits_decode(_packbits_encode(row)) == row
+
+
+def test_malformed_inputs_return_none():
+    good = tiff_encode(_px((4, 4)))
+    assert tiff_decode(None) is None
+    assert tiff_decode(b"") is None
+    assert tiff_decode(b"II\x2b\x00") is None  # BigTIFF magic: unsupported
+    assert tiff_decode(good[:20]) is None  # truncated IFD
+    assert tiff_decode(good[:-5]) is None  # truncated strip data
+    # 16-bit samples are out of baseline-8-bit scope: decoder must refuse
+    t = bytearray(good)
+    ifd = int.from_bytes(t[4:8], "little")
+    n = int.from_bytes(t[ifd : ifd + 2], "little")
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if int.from_bytes(t[e : e + 2], "little") == 258:
+            t[e + 8 : e + 10] = (16).to_bytes(2, "little")
+    assert tiff_decode(bytes(t)) is None
+
+
+def test_decode_dispatch_reaches_tiff():
+    from pdf_extractor_spark.operators.multimodal import _decode_pixels
+
+    px = _px((3, 5, 3))
+    assert (_decode_pixels(tiff_encode(px, packbits=True)) == px).all()
