@@ -31,6 +31,10 @@ def _pdf(objs: list[str | bytes]) -> bytes:
     return bytes(out)
 
 
+def _stream(dict_extra: str, content: str) -> str:
+    return f"<< {dict_extra} /Length {len(content)} >>\nstream\n{content}\nendstream"
+
+
 def _one_page(content: str, pages_extra: str = "", page_extra: str = "") -> bytes:
     return _pdf(
         [
@@ -149,3 +153,82 @@ def test_render_pdf_rotate_param_roundtrips():
     # single same-anchor block per page: rotation can't reorder, text stable
     assert r.text == "page one\n\npage two"
     assert b"/Rotate 180" in pdf
+
+
+# --- property tests: random TJ segmentation + random form graphs ---------------
+
+
+def test_tj_random_segmentation_reconstructs_text():
+    # split a known sentence into random TJ segments: word-internal cuts get
+    # kerns (> -180, concatenate), word boundaries get gaps (<= -180, one
+    # space) — extraction must reconstruct the exact sentence
+    import random
+
+    rng = random.Random(42)
+    words = "the quick brown fox jumps over the lazy dog again and again".split()
+    for trial in range(25):
+        n = rng.randint(1, len(words))
+        sample = words[:n]
+        segs = []
+        for wi, w in enumerate(sample):
+            if wi:
+                segs.append(str(-rng.randint(180, 900)))  # word gap
+            cuts = sorted(rng.sample(range(1, len(w)), rng.randint(0, min(2, len(w) - 1))))
+            prev = 0
+            for ci, cut in enumerate(cuts + [len(w)]):
+                if ci:
+                    segs.append(str(-rng.randint(1, 179)))  # kern
+                segs.append(f"({w[prev:cut]})")
+                prev = cut
+        content = "BT 72 720 Td [" + " ".join(segs) + "] TJ ET"
+        r = extract_pdf("u", _one_page(content))
+        assert r.text == " ".join(sample), (trial, content)
+
+
+def test_random_form_graphs_terminate_and_collect_all_text():
+    # random DAG-ish form graphs (with occasional back-edges): extraction
+    # must terminate and surface every node's text exactly once per
+    # invocation path that the cycle guard admits
+    import random
+
+    rng = random.Random(7)
+    for trial in range(15):
+        n_forms = rng.randint(1, 5)
+        # object numbers: 1 catalog, 2 pages, 3 page, 4 content, 5.. forms
+        form_nums = [5 + i for i in range(n_forms)]
+        objs = [
+            "<< /Type /Catalog /Pages 2 0 R >>",
+            "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            f"/Resources << /XObject << /F0 {form_nums[0]} 0 R >> >> >>",
+            _stream("", "BT 72 720 Td (root) Tj ET /F0 Do"),
+        ]
+        for i, num in enumerate(form_nums):
+            # each form may invoke the NEXT form (chain) and sometimes an
+            # earlier one (back-edge → cycle guard)
+            refs, invokes = [], []
+            if i + 1 < n_forms:
+                refs.append(f"/N {form_nums[i + 1]} 0 R")
+                invokes.append("/N Do")
+            if i > 0 and rng.random() < 0.5:
+                refs.append(f"/B {form_nums[rng.randint(0, i - 1)]} 0 R")
+                invokes.append("/B Do")
+            res = f" /Resources << /XObject << {' '.join(refs)} >> >>" if refs else ""
+            objs.append(
+                _stream(
+                    f"/Type /XObject /Subtype /Form{res}",
+                    f"BT 72 {700 - 10 * i} Td (f{i}) Tj ET " + " ".join(invokes),
+                )
+            )
+        r = extract_pdf("u", _pdf(objs))
+        assert r.status == "ok", trial
+        # root first, then the chain in depth order (anchors descend)
+        got = r.text.split("\n\n")
+        assert got[0] == "root"
+        # every chain form's text appears at least once, in order f0..f{n-1}
+        chain = [t for t in got if t.startswith("f")]
+        seen_order = []
+        for t in chain:
+            if t not in seen_order:
+                seen_order.append(t)
+        assert seen_order == [f"f{i}" for i in range(n_forms)], (trial, r.text)
