@@ -3223,11 +3223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "domain_quota": q_domain_quota,
         "events_funnel": q_events_funnel,
-        # --- queries NEW this round (never driver-checked). 60 unchecked >
-        # the driver's 50-query cap, so the tail of this block carries
-        # builder/judge oracle evidence only; the three rows-only queries
-        # (bpe_*, compress_ratio — no SQL twin by nature) sit last since the
-        # driver's weaker rows-only check adds the least over pytest ---
+        # --- queries NEW this round (never driver-checked): positions 36-50
+        # go to the new-extraction-behavior queries (simple-font encodings,
+        # form XObjects, TJ kerning) and the new multimodal/curation ones;
+        # more new queries exist than the driver's 50-query cap admits, so
+        # everything below the cap marker carries builder/judge oracle
+        # evidence only; the three rows-only queries (bpe_*, compress_ratio
+        # — no SQL twin by nature) sit last since the driver's weaker
+        # rows-only check adds the least over pytest ---
         "pdf_encodings": q_pdf_encodings,
         "pdf_forms": q_pdf_forms,
         "pdf_kerning": q_pdf_kerning,
