@@ -29,7 +29,7 @@ from pdf_extractor_spark.operators.embed import embed_chunks
 from pdf_extractor_spark.operators.extract import extract_chunks
 from pdf_extractor_spark.operators.search import ann_topk_lsh, cosine_topk
 from pdf_extractor_spark.functions import text as TXT
-from pdf_extractor_spark.session import get_spark
+from pdf_extractor_spark.session import arrow_batch_rows, get_spark
 
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "16"))  # pages per source doc
 REPEAT_TEXT = 6  # paragraphs per page
@@ -85,6 +85,18 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus, "doc_id")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus, "vec_id")
     docs.count()  # warm the scan / JVM
+    # byte-targeted Arrow batching (session.arrow_batch_rows): the bench
+    # pages are small (~2 KB), so the session's giant-page-safe 128-row
+    # default is hop-dominated here; size batches to ~16 MB of payload the
+    # same way a production job would from table stats. Set BEFORE the noop
+    # calibration so q0 measures the plumbing the queries actually use.
+    avg_html = (
+        amplified_pages(docs.limit(128), n_partitions=cpus)
+        .agg(F.avg(F.length("html")))
+        .collect()[0][0]
+    )
+    batch_rows = arrow_batch_rows(avg_html or 0)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     # warm the Python workers (first Arrow stage pays worker spawn + imports
     # on every core; steady-state throughput is what the bench measures)
     extract_chunks(amplified_pages(docs.limit(64), n_partitions=cpus)).count()
@@ -142,6 +154,7 @@ def main() -> None:
     timed("noop_arrow", lambda: noop_slice.mapInArrow(lambda it: it, noop_slice.schema).count())
     noop_sec = timings.pop("noop_arrow")
     extras["noop_arrow_sec"] = noop_sec
+    extras["arrow_batch_rows"] = batch_rows
     noop_steal = steal_pct.pop("noop_arrow", None)
 
     # q1: flagship extraction+chunking (fused mapInArrow over amplified pages)

@@ -14,8 +14,35 @@ from pyspark.sql import SparkSession
 # of giant pages fits executor memory (SURVEY.md §4: the reference bounds RAM
 # with 8KB/64KB streaming reads, app/storage/storage_service.py:160-163; the
 # columnar analog is a small maxRecordsPerBatch). Corpora with a known small
-# page-size ceiling can raise this to cut per-batch overhead.
+# page-size ceiling can raise this to cut per-batch overhead — the right
+# target is BYTES per batch, not rows: see arrow_batch_rows().
 ARROW_BATCH_RECORDS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "128"))
+
+# ~16 MB of payload per Arrow batch: big enough that the JVM<->Python hop
+# cost amortizes (measured: 128-row ~250 KB batches on small pages cost
+# 2.1 s of pure plumbing for an 80k-page scan vs 0.9 s at 4096 rows),
+# small enough that one in-flight batch per task stays far under executor
+# memory even with 16 concurrent tasks (16 x 16 MB = 256 MB).
+ARROW_BATCH_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ARROW_BATCH_BYTES", str(16 << 20))
+)
+
+
+def arrow_batch_rows(avg_row_bytes: float, lo: int = 32, hi: int = 4096) -> int:
+    """Rows per Arrow batch that hit ~ARROW_BATCH_TARGET_BYTES of payload.
+
+    maxRecordsPerBatch is Spark's only batch knob and it counts rows, so a
+    fixed value is wrong at both ends of the payload spectrum: 128 rows of
+    2 KB bench pages is a 256 KB batch (hop-dominated), 128 rows of 5 MB
+    PDF scans is 640 MB (memory hazard). Jobs that know their average
+    payload size (one cheap F.avg(F.length(col)) scan, or table stats)
+    call this and `spark.conf.set("spark.sql.execution.arrow.
+    maxRecordsPerBatch", ...)` before their Arrow stages; the clamp keeps
+    degenerate inputs (empty rows, multi-GB rows) inside sane bounds.
+    """
+    if not avg_row_bytes or avg_row_bytes <= 0:
+        return ARROW_BATCH_RECORDS
+    return max(lo, min(hi, int(ARROW_BATCH_TARGET_BYTES / avg_row_bytes)))
 
 
 def get_spark(app_name: str = "pdf_extractor_spark", master: str | None = None,
@@ -34,16 +61,15 @@ def get_spark(app_name: str = "pdf_extractor_spark", master: str | None = None,
         # ~cores locally; on a real cluster this would be 2-4x total cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
-    # Arrow-UDF stages run a JVM feeder thread AND a Python worker per task;
-    # at high thread counts on this VM the 2x oversubscription thrashes
-    # (see BENCH/BASELINE.md methodology notes), so tasks reserve 2 cpus
-    # when the session is wide. Override with SPARK_GRAFT_TASK_CPUS.
-    n_threads = cpus
-    if "[" in master:
-        inner = master[master.find("[") + 1 : master.find("]")]
-        if inner.isdigit():
-            n_threads = int(inner)
-    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or ("2" if n_threads > 16 else "1")
+    # Arrow-UDF stages run a JVM feeder thread AND a Python worker per task.
+    # Round 4 measured 2x oversubscription thrashing at width>16 with the
+    # default 128-row batches and shipped task.cpus=2; a round-5 re-measure
+    # (4 independent A/B runs, extract_chunks over 80k pages at local[32],
+    # both 128- and 4096-row batches) shows task.cpus=1 ~20% faster in both
+    # regimes (1.78 s vs 2.2 s) — the r4 thrash window does not reproduce
+    # once batches are byte-targeted. Default to 1; SPARK_GRAFT_TASK_CPUS
+    # remains the escape hatch for feeder-contended environments.
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or "1"
 
     builder = (
         SparkSession.builder.master(master)

@@ -32,12 +32,23 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="override master (local runs)")
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     from pdf_extractor_spark.pipeline import run_extraction
-    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.session import arrow_batch_rows, get_spark
     from pdf_extractor_spark.sources.tableio import SnapshotTable
 
     spark = get_spark("extraction-job", master=args.master)
     pages = spark.read.parquet(args.pages)
+    # byte-targeted Arrow batching: one cheap stats scan sizes batches to
+    # ~16 MB of payload (session.arrow_batch_rows) — small crawl pages get
+    # thousands of rows per batch (amortizing the JVM<->Python hop), giant
+    # PDF scans stay at the memory-safe floor
+    avg_payload = pages.agg(F.avg(F.length("html"))).collect()[0][0]
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(arrow_batch_rows(avg_payload or 0)),
+    )
     lineage = run_extraction(
         spark,
         pages,

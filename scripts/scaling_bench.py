@@ -177,12 +177,16 @@ The N→4N pair therefore uses cores the VM can actually deliver; on a real
 multi-executor cluster the same two-point test runs as N vs 4N executors via
 spark-submit (BASELINE.md).
 
-Wide-session mitigation: sessions wider than 16 threads set
-``spark.task.cpus=2`` (each Arrow-UDF task = 1 JVM feeder + 1 Python
-worker, so 2 cpus/task is the honest accounting, and the VM stops
-thrashing): at ``SPARK_GRAFT_CPUS=32`` the full bench runs ~15 s with
-extraction at ~20-21k docs/sec — the best absolute throughput measured —
-where task.cpus=1 gave 1.9-4.4k docs/sec with 2-5x run-to-run variance.
+Wide-session settings (re-measured round 5): Arrow batches are
+byte-targeted to ~16 MB of payload (``session.arrow_batch_rows``; the bench
+pages are ~2 KB so batches carry 4096 rows instead of the giant-page-safe
+128 default), which cuts the no-op Arrow floor ~2.4x at local[32] and
+removes the JVM-feeder contention that round 4 mitigated with
+``spark.task.cpus=2``. With big batches, task.cpus=1 is ~20% faster than 2
+at BOTH batch sizes (4 independent A/B runs, extract_chunks over 80k pages:
+1.78 s vs 2.2 s), so the session default is back to 1 cpu/task
+(``SPARK_GRAFT_TASK_CPUS`` overrides). Best absolute throughput measured at
+``SPARK_GRAFT_CPUS=32``: ~46k docs/sec, total bench 6.6 s.
 
 Steal gauge (bench.py /proc/stat sampling): no-op Arrow passthrough
 {lo['noop_arrow_sec']} s at local[{n_low}] / {hi['noop_arrow_sec']} s at

@@ -157,3 +157,25 @@ def test_null_html_resume_and_reload(spark, tmp_path):
     assert l2["counters"]["docs_in"] == 0  # sha2(NULL)=NULL must not leak through
     l3 = run_extraction(spark, pages, table, force_reload=True)
     assert table.read(spark).count() == n1  # old NULL-html rows were deleted
+
+
+def test_arrow_batch_rows_byte_targeting():
+    """arrow_batch_rows targets ~16 MB of payload per batch: small crawl
+    pages get thousands of rows (hop amortization), giant scans clamp to
+    the memory-safe floor, and degenerate stats fall back to the session
+    default."""
+    from pdf_extractor_spark.session import (
+        ARROW_BATCH_RECORDS,
+        ARROW_BATCH_TARGET_BYTES,
+        arrow_batch_rows,
+    )
+
+    assert arrow_batch_rows(2_000) == 4096           # 2 KB pages: hi clamp
+    assert arrow_batch_rows(100_000) == ARROW_BATCH_TARGET_BYTES // 100_000
+    assert arrow_batch_rows(5_000_000) == 32         # 5 MB scans: lo clamp
+    assert arrow_batch_rows(0) == ARROW_BATCH_RECORDS
+    assert arrow_batch_rows(None) == ARROW_BATCH_RECORDS
+    # monotonic non-increasing in payload size across the open range
+    sizes = [4_096, 16_384, 65_536, 262_144, 1_048_576]
+    rows = [arrow_batch_rows(s) for s in sizes]
+    assert rows == sorted(rows, reverse=True)
