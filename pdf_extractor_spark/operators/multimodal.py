@@ -19,7 +19,8 @@ pass-through, zero frame rows — never a crash. The deterministic ``fake``
 variants remain for fixture corpora whose payloads aren't media at all.
 
 Scale notes: media bytes dominate row size, so the arrow batch cap
-(session.ARROW_BATCH_RECORDS) bounds per-task memory; feature rows are tiny
+(byte-targeted via session.arrow_batch_rows — media-heavy rows clamp to
+the small-row floor) bounds per-task memory; feature rows are tiny
 and shuffle freely. Frame-sampling emits multiple rows per input via the
 mapInPandas iterator (flat-map shape, no explode of a giant array).
 """

@@ -25,6 +25,10 @@ import argparse
 import json
 import sys
 
+# repo root on sys.path so `python scripts/run_*.py` works like the
+# spark-submit --py-files path (which ships the package itself)
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -34,6 +34,10 @@ import argparse
 import json
 import sys
 
+# repo root on sys.path so `python scripts/run_*.py` works like the
+# spark-submit --py-files path (which ships the package itself)
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -54,12 +58,19 @@ def main() -> None:
         chunk_docs,
         extract_docs_incremental,
     )
-    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.session import arrow_batch_rows, get_spark
 
     spark = get_spark("refresh-job", master=args.master)
     prev_pages = spark.read.parquet(args.prev_pages)
     cur_pages = spark.read.parquet(args.cur_pages)
     prev_docs = spark.read.parquet(args.prev_docs)
+    # byte-targeted Arrow batching for the re-extraction stage (same stats
+    # scan as run_extraction_job.py; see session.arrow_batch_rows)
+    avg_payload = cur_pages.agg(F.avg(F.length("html"))).collect()[0][0]
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(arrow_batch_rows(avg_payload or 0)),
+    )
 
     diff = crawl_diff(prev_pages, cur_pages, text_col="html").persist()
     status_counts = {
