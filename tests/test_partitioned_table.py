@@ -223,3 +223,45 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert set(got.columns) == {"k", "v", "lang"}
     rows = {r["k"]: r["lang"] for r in got.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+def test_upsert_keys_from_staged_bytes_not_plan_reexecution(spark, tmp_path):
+    """The merge keys come from the STAGED parquet, never from re-executing
+    the incoming plan: a nondeterministic upstream (each execution yields a
+    different key set) must still replace exactly the rows whose keys were
+    actually committed — re-deriving keys from the lazy plan would delete a
+    DIFFERENT key set and leave duplicates behind."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl3"))
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}", "old") for i in range(4)], ["key", "val"]
+        )
+    )
+
+    pick = F.udf(lambda: f"k{random.randrange(1000)}", "string").asNondeterministic()
+    incoming = (
+        spark.range(6)
+        .select(pick().alias("key"), F.lit("new").alias("val"))
+    )
+    run_id = t.upsert(spark, incoming, key_cols=("key",))
+
+    staged = {
+        r["key"]
+        for r in spark.read.parquet(str(tmp_path / "tbl3" / "data" / run_id))
+        .select("key")
+        .collect()
+    }
+    rows = t.read(spark).collect()
+    # every key appears exactly once — no old/new twin survived the merge
+    keys = [r["key"] for r in rows]
+    assert len(keys) == len(set(keys)), f"duplicate keys after upsert: {sorted(keys)}"
+    # staged rows all landed; untouched base keys kept their old value
+    got = {r["key"]: r["val"] for r in rows}
+    assert all(got[k] == "new" for k in staged)
+    assert all(got[f"k{i}"] == "old" for i in range(4) if f"k{i}" not in staged)
