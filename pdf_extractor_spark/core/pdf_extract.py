@@ -1045,7 +1045,10 @@ def _walk_page_content(
         for m in _CM_OP_RE.finditer(masked)
     ]
     events = sorted(
-        [(m.start(1), "bt", m) for m in _BT_RE.finditer(content)]
+        # scan BT..ET on the MASKED stream: a literal like (ET) inside a
+        # show string must not terminate the text object (masking is
+        # length-preserving, so the match indices address raw bytes too)
+        [(m.start(1), "bt", m) for m in _BT_RE.finditer(masked)]
         + [(m.start(), "do", m) for m in _XOBJ_DO_RE.finditer(masked)],
         key=lambda e: e[0],
     )
@@ -1059,7 +1062,7 @@ def _walk_page_content(
             ]
             cur_span = None  # TJ array currently being assembled
             prev_end = 0
-            for skind, payload, spos in _iter_strings(m.group(1)):
+            for skind, payload, spos in _iter_strings(content[m.start(1) : m.end(1)]):
                 cmap = active_cmap(base + spos) if tf_marks else None
                 if skind == "lit":
                     raw = _unescape(payload)

@@ -191,7 +191,10 @@ def base_table(name: str) -> list[str] | None:
 
 # --- /Differences parsing + decoder ------------------------------------------
 
-_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]<>()]+)|(\d+)")
+# integers keep their sign: a (spec-invalid) negative start code must not
+# silently lex as its absolute value and remap the following names — the
+# 0<=code<=255 guard in parse_differences skips them instead
+_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]<>()]+)|(-?\d+)")
 
 
 def parse_differences(body: bytes) -> dict[int, str]:

@@ -934,3 +934,48 @@ def test_pdf_outlines_operator(spark):
         ("doc://1", 0, 0, "One", 1),
         ("doc://1", 1, 0, "Two", 2),
     ]
+
+
+def test_parse_differences_fuzz_roundtrip_and_soup():
+    """Property pin for the /Differences parser: (a) well-formed arrays
+    round-trip exactly per PDF 9.6.6.3 (an integer sets the next code, each
+    name consumes one code), including out-of-range starts that must be
+    skipped but still advance; (b) arbitrary byte soup never raises and
+    never yields out-of-range codes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.core.pdfenc import parse_differences
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJ0123456789.",
+        min_size=1, max_size=8,
+    )
+    item = st.one_of(st.integers(min_value=-5, max_value=300), name)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(item, max_size=24))
+    def roundtrip(items):
+        body = " ".join(
+            str(i) if isinstance(i, int) else "/" + i for i in items
+        ).encode()
+        expect: dict[int, str] = {}
+        code = 0
+        for i in items:
+            if isinstance(i, int):
+                code = i
+            else:
+                if 0 <= code <= 255:
+                    expect[code] = i
+                code += 1
+        assert parse_differences(body) == expect
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=64))
+    def soup(raw):
+        out = parse_differences(raw)
+        assert all(0 <= c <= 255 for c in out)
+        assert all(isinstance(v, str) and v for v in out.values())
+
+    roundtrip()
+    soup()
