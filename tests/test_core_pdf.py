@@ -382,7 +382,7 @@ def test_pdf_roundtrip_property():
     """Property: for ANY printable-ASCII paragraphs, render→extract
     round-trips the whitespace-normalized text (escapes, wrapping, empty
     paragraphs included)."""
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     from pdf_extractor_spark.core.html_extract import _norm_ws
@@ -393,6 +393,12 @@ def test_pdf_roundtrip_property():
     )
 
     @settings(max_examples=60, deadline=None)
+    # operator lookalikes INSIDE show strings must not drive the content
+    # scanner (regression: a literal (ET) used to terminate the text object)
+    @example(["ET"])
+    @example(["BT", "ET Tj BT"])
+    @example(["a TJ [ (x) ] b", "Do cm Td Tm"])
+    @example(["(parens) \\ back\\slash", ") stray ( "])
     @given(paras)
     def check(paragraphs):
         r = extract_pdf("u", render_pdf([paragraphs]))
