@@ -1020,14 +1020,21 @@ def _walk_page_content(
     recursion against cyclic or adversarially nested form graphs. Returns
     the running text-block sequence counter (the stable-sort tiebreak that
     keeps same-anchor blocks in stream order)."""
+    # inline images are stripped from the RAW stream before string masking
+    # on purpose: image binary routinely contains unbalanced parens that
+    # would derail the string lexer, while a show string spelling out a full
+    # BI..ID..EI construct is not a thing real producers emit
     content, n_inline = _INLINE_IMG_RE.subn(b" ", content)
     for _ in range(n_inline):
         images.append(f"img_{len(images)}")
         image_pages.append(page_no)
+    masked = _mask_strings(content)
     # /ToUnicode fonts: string bytes are codes; track the active font
-    # (`/Name size Tf`) by stream position so mixed simple/CID text decodes
+    # (`/Name size Tf`) by stream position so mixed simple/CID text decodes.
+    # Scanned on the MASKED stream: '/F1 12 Tf' INSIDE a show string must
+    # not register a font switch (same class of bug as BT..ET below)
     tf_marks = (
-        [(m.start(), m.group(1)) for m in _TF_RE.finditer(content)] if fonts else []
+        [(m.start(), m.group(1)) for m in _TF_RE.finditer(masked)] if fonts else []
     )
 
     def active_cmap(pos: int):
@@ -1039,7 +1046,6 @@ def _walk_page_content(
                 break
         return cm
 
-    masked = _mask_strings(content)
     cms = [
         (m.start(), float(m.group(5)), float(m.group(6)))
         for m in _CM_OP_RE.finditer(masked)

@@ -286,6 +286,40 @@ def test_bfrange_and_mixed_fonts():
     assert r.text == "HELLO plain tail"
 
 
+def test_tf_inside_show_string_does_not_switch_font():
+    """A literal '/F9 12 Tf' INSIDE a show string is text, not an operator:
+    it must not register a font switch (regression: _TF_RE used to scan the
+    raw stream, so the fake switch made the following hex string decode
+    through F9's CMap)."""
+
+    def obj(num, body):
+        return f"{num} 0 obj\n{body}\nendobj\n".encode("latin-1")
+
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "1 beginbfchar\n<4142> <0058>\nendbfchar\nendcmap\nend"
+    )
+    # F1 is simple: <4142> decodes as raw bytes "AB"; a fake Tf in the
+    # string would switch to F9's CMap and decode it as "X"
+    stream = "BT /F1 12 Tf (fake /F9 12 Tf switch) Tj <4142> Tj ET"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R ] /Count 1 >>")
+    pdf += obj(
+        3,
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Resources << /Font << /F9 5 0 R /F1 7 0 R >> >> >>",
+    )
+    pdf += obj(4, f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
+    pdf += obj(5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>")
+    pdf += obj(6, f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
+    pdf += obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    r = extract_pdf("u", pdf)
+    assert r.status == "ok"
+    assert r.text == "fake /F9 12 Tf switch AB"
+
+
 def test_octal_escapes_nested_parens_line_continuation():
     """Real-world literal-string forms: \\ooo octal escapes, BALANCED nested
     parens (no escaping required inside), and backslash-EOL continuations."""
