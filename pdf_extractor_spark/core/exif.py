@@ -39,6 +39,11 @@ def _app1_tiff(b: bytes) -> tuple[int, int] | None:
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
+        if marker == 0xFF:  # spec B.1.1.2 fill byte: a scrub bypass if skipped
+            i += 1
+            continue
+        if marker == 0x00:  # stuffed byte is illegal between segments
+            return None
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             i += 2
             continue
@@ -182,6 +187,12 @@ def strip_exif_gps(payload: bytes | None, drop_all: bool = False) -> bytes | Non
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte: keep it, keep walking
+                out += b[i : i + 1]
+                i += 1
+                continue
+            if marker == 0x00:
+                break
             if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                 out += b[i : i + 2]
                 i += 2

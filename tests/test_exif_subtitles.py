@@ -115,6 +115,23 @@ def test_strip_gps_in_place_preserves_everything_else():
     assert rat3(-0.12) in jpg and rat3(-0.12) not in out
 
 
+def test_fill_bytes_before_app1_do_not_bypass_scrub():
+    """Spec B.1.1.2 fill bytes (0xFF runs before a marker) must not hide the
+    APP1 segment: a padded JPEG that kept its GPS after strip_exif_gps would
+    be a failure-open PII-scrub bypass (regression)."""
+    jpg = _exif_jpeg(lat=51.5, lon=-0.12)
+    padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]  # fill bytes before APP1
+    got = exif_parse(padded)
+    assert got is not None and got["gps_lat"] == _expected(51.5)
+    out = strip_exif_gps(padded)
+    assert len(out) == len(padded) and out != padded
+    scrubbed = exif_parse(out)
+    assert scrubbed["gps_lat"] is None and scrubbed["make"] == "Cam"
+    dropped = strip_exif_gps(padded, drop_all=True)
+    assert exif_parse(dropped) is None
+    assert dropped == b"\xff\xd8\xff\xff\xff\xff\xd9"  # fill bytes survive
+
+
 def test_strip_gps_drop_all_removes_app1():
     jpg = _exif_jpeg(lat=1.0, lon=2.0)
     out = strip_exif_gps(jpg, drop_all=True)
