@@ -185,9 +185,11 @@ def mp4_info(payload: bytes | None) -> dict | None:
         for ctype, cs, ce in _iter_boxes(b, s, e):
             if ctype == b"mvhd" and ce - cs >= 20:
                 ver = b[cs]
-                if ver == 1 and ce - cs >= 28:
+                if ver == 1 and ce - cs >= 32:
                     timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
                     duration = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                elif ver == 1:  # truncated v1 body: never read past the box
+                    continue
                 else:
                     timescale = int.from_bytes(b[cs + 12 : cs + 16], "big")
                     duration = int.from_bytes(b[cs + 16 : cs + 20], "big")
@@ -198,11 +200,14 @@ def mp4_info(payload: bytes | None) -> dict | None:
                     if ttype != b"tkhd":
                         continue
                     ver = b[ts]
-                    # width/height are the LAST 8 bytes of the box body
-                    # (full tkhd body: 84 bytes at v0, 96 at v1)
-                    if te - ts >= (84 if ver == 0 else 96):
-                        w = int.from_bytes(b[te - 8 : te - 4], "big") >> 16
-                        h = int.from_bytes(b[te - 4 : te], "big") >> 16
+                    # width/height sit at FIXED spec offsets into the body
+                    # (full tkhd body: 84 bytes at v0, 96 at v1) — never
+                    # relative to an end-clamped box edge, which would read
+                    # garbage on truncated files
+                    body = 84 if ver == 0 else 96
+                    if te - ts >= body:
+                        w = int.from_bytes(b[ts + body - 8 : ts + body - 4], "big") >> 16
+                        h = int.from_bytes(b[ts + body - 4 : ts + body], "big") >> 16
                         width, height = max(width, w), max(height, h)
         break
     if duration_ms is None:

@@ -139,6 +139,28 @@ def test_mp4_rejects_foreign():
     assert mp4_info(_box(b"ftyp", b"mp42")) is None  # no moov → no duration
 
 
+def test_mp4_malformed_boxes_use_fixed_offsets_never_box_edges():
+    """A v1 mvhd whose body stops before its 8-byte duration must be skipped
+    — not decoded from the NEXT box's bytes (regression: the duration read
+    used to extend past a 28-byte v1 body); tkhd geometry must come from
+    the spec's fixed body offsets, not the last 8 bytes of a box whose
+    declared size carries trailing padding."""
+    # good v0 mvhd FIRST, truncated v1 mvhd second: if the truncated one
+    # were (mis)read, its garbage would overwrite the good duration
+    bad_mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + struct.pack(">QQI", 0, 0, 999))
+    moov = _box(b"moov", _mvhd(1000, 3000) + bad_mvhd)
+    payload = _box(b"ftyp", b"mp42") + moov
+    assert mp4_info(payload)["duration_ms"] == 3000
+    # v0 tkhd with 20 bytes of trailing padding inside the declared box:
+    # geometry sits at body bytes 76..84, not at the box's end
+    head = bytes([0, 0, 0, 0])
+    body = head + b"\x00" * 72 + struct.pack(">II", 1920 << 16, 1080 << 16)
+    padded = _box(b"tkhd", body + b"\x00" * 20)
+    moov2 = _box(b"moov", _mvhd(1000, 1000) + _box(b"trak", padded))
+    info = mp4_info(_box(b"ftyp", b"mp42") + moov2)
+    assert (info["width"], info["height"]) == (1920, 1080)
+
+
 # --- WebM / Matroska -------------------------------------------------------------
 
 
