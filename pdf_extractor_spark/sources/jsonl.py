@@ -52,9 +52,14 @@ def write_jsonl(
         raise TypeError(f"not JSONL-serializable: {type(o).__name__}")
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
-        tmp = path + ".inprogress"
+        # attempt-scoped temp: under speculative execution two attempts of
+        # the same partition run CONCURRENTLY — a shared temp name would
+        # interleave their writes; distinct temps + the atomic rename make
+        # the commit last-wins over identical deterministic bytes
+        tmp = f"{path}.inprogress.{ctx.taskAttemptId()}"
         n = 0
         nbytes = 0
         f = None
@@ -85,6 +90,15 @@ def write_jsonl(
                 f.write(blob)
                 n += len(rows)
                 nbytes += len(blob)
+        except BaseException:
+            if f is not None:
+                f.close()
+                try:
+                    _os.remove(tmp)  # failed attempt leaves no orphan
+                except OSError:
+                    pass
+                f = None
+            raise
         finally:
             if f is not None:
                 f.close()

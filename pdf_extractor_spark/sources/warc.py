@@ -448,9 +448,10 @@ def write_warc(
     partitioning (repartition upstream to choose shard count/size).
     ``per_record_gzip=True`` emits the Common-Crawl member-per-record
     layout (gzip mtime pinned to 0, so shard bytes are deterministic).
-    Each task writes to a ``.inprogress`` temp name and renames on
-    completion, so readers globbing ``*.warc*`` never see partial shards
-    and a re-run overwrites atomically (rename is the commit on POSIX; on
+    Each task attempt writes to its own ``.inprogress.<attempt>`` temp
+    name and renames on completion, so readers globbing ``*.warc*`` never
+    see partial shards, speculative attempts never interleave, and a
+    re-run overwrites atomically (rename is the commit on POSIX; on
     object stores the TableIO manifest pattern applies instead).
 
     EAGER: runs a job and returns the collected per-shard manifest as a
@@ -464,9 +465,14 @@ def write_warc(
     suffix = ".warc.gz" if per_record_gzip else ".warc"
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
-        tmp = path + ".inprogress"
+        # attempt-scoped temp: speculative attempts of the same partition
+        # run concurrently; a shared temp name would interleave their
+        # writes — distinct temps + atomic rename = last-wins commit over
+        # identical deterministic bytes
+        tmp = f"{path}.inprogress.{ctx.taskAttemptId()}"
         n = 0
         nbytes = 0
         f = None
@@ -491,6 +497,15 @@ def write_warc(
                 f.write(blob)
                 n += len(recs)
                 nbytes += len(blob)
+        except BaseException:
+            if f is not None:
+                f.close()
+                try:
+                    _os.remove(tmp)  # failed attempt leaves no orphan
+                except OSError:
+                    pass
+                f = None
+            raise
         finally:
             if f is not None:
                 f.close()

@@ -85,6 +85,25 @@ def test_binary_columns_are_a_loud_error(spark, tmp_path):
         write_jsonl(df.coalesce(1), str(tmp_path / "bin"))
 
 
+def test_failed_attempts_leave_no_orphan_temp_files(spark, tmp_path):
+    """A task that dies mid-serialization must unlink its attempt-scoped
+    .inprogress temp — retries/speculation write distinct temps, so an
+    orphan would accumulate forever on a long-running cluster."""
+    from pdf_extractor_spark.sources.jsonl import write_jsonl
+
+    out = str(tmp_path / "fail")
+    # first row serializes fine (opens the temp file), second row is the
+    # loud binary error — the temp must be cleaned up on the way out
+    df = spark.createDataFrame(
+        [(1, "ok", None), (2, None, b"\x00")],
+        "doc_id long, text string, blob binary",
+    )
+    with pytest.raises(Exception, match="serializable|TypeError|JSONL"):
+        write_jsonl(df.coalesce(1), out)
+    assert glob.glob(out + "/*.inprogress*") == []
+    assert glob.glob(out + "/*.jsonl*") == []
+
+
 def test_multi_member_gzip_is_readable(spark, tmp_path):
     # several Arrow batches per partition concatenate gzip members; stdlib
     # gzip must read them all back
