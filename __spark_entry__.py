@@ -5215,7 +5215,7 @@ SELECT doc_id, n AS n_chars_kept FROM (
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, unnest({_SH8}) AS g FROM t),
 bg AS (SELECT DISTINCT md5(g) AS gk FROM g WHERE doc_id % 100 = 0),
-dg AS (SELECT doc_id, md5(g) AS gk FROM g)
+dg AS (SELECT DISTINCT doc_id, md5(g) AS gk FROM g)
 SELECT doc_id, count(*)::BIGINT AS n_grams,
        sum(CASE WHEN bg.gk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
        round(sum(CASE WHEN bg.gk IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE

@@ -1285,10 +1285,17 @@ def contamination_score(
     )
     if broadcast_bench:
         bg = F.broadcast(bg)
-    dg = docs.select(
-        F.col(id_col),
-        F.explode(shingles(tokens(F.lower(F.col(text_col))), n)).alias("g"),
-    ).withColumn("gk", F.md5("g"))
+    dg = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.lower(F.col(text_col))), n)).alias("g"),
+        )
+        .select(id_col, F.md5("g").alias("gk"))
+        # DISTINCT per doc: the GPT-3 metric scores the fraction of a doc's
+        # distinct n-grams seen in the benchmark — an n-gram repeated inside
+        # one doc must not inflate either numerator or denominator
+        .distinct()
+    )
     return (
         dg.join(bg, "gk", "left")
         .groupBy(id_col)

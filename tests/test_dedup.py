@@ -575,6 +575,21 @@ def test_contamination_score(spark):
     assert 0.0 < out[3]["score"] < 1.0
 
 
+def test_contamination_score_counts_distinct_ngrams(spark):
+    """The GPT-3 metric is over a doc's DISTINCT n-grams: repeating the
+    benchmark sentence twice inside one doc must not double-count — only
+    the two junction 3-grams are new (7 bench hits + 2 junction = 9
+    distinct, not 16 occurrences)."""
+    from pdf_extractor_spark.operators.dedup import contamination_score
+
+    x = "the quick brown fox jumps over the lazy dog"
+    bench = spark.createDataFrame([(100, x)], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, x + " " + x)], "doc_id long, text string")
+    r = contamination_score(docs, bench, n=3).collect()[0]
+    assert (r["n_grams"], r["n_hit"]) == (9, 7)
+    assert abs(r["score"] - 7 / 9) < 1e-12
+
+
 def test_host_boilerplate_is_host_scoped(spark):
     """A line repeated on most of ONE host's pages drops for that host only;
     the same line on a single page of another host survives there."""
