@@ -172,7 +172,9 @@ def curation_funnel(
         .when(F.col("rep_ratio") > max_repetition, F.lit("repetition"))
         .when(F.col("bullet_ratio") > max_bullet_ratio, F.lit("line_shape"))
     )
-    staged = scored.select(F.col(id_col), t.alias("__t"), gate.alias("gate"))
+    # the dup gate keys on the sha256 digest so document text never rides
+    # either shuffle (groupBy + join back) — same discipline as exact_dups
+    staged = scored.select(F.col(id_col), F.sha2(t, 256).alias("__t"), gate.alias("gate"))
     survivors = staged.filter(F.col("gate").isNull())
     winners = survivors.groupBy("__t").agg(F.min(id_col).alias("__keep"))
     resolved = survivors.join(winners, "__t").select(
