@@ -120,6 +120,8 @@ def robots_crawl_delay(payload: bytes | str | None) -> float | None:
                     v = float(val)
                 except ValueError:
                     continue
-                if v >= 0:
+                # finite only: 'inf'/'1e400' parse as float and would poison
+                # fetch_schedule's slot arithmetic (nan already fails >= 0)
+                if 0 <= v < float("inf"):
                     delay = v
     return delay

@@ -24,6 +24,10 @@ def test_crawl_delay_scoping_and_junk():
     )
     assert robots_crawl_delay("User-agent: *\nCrawl-delay: soon") is None
     assert robots_crawl_delay("User-agent: *\nCrawl-delay: -1") is None
+    # 'inf'/'1e400' parse as float but would poison fetch_at arithmetic
+    assert robots_crawl_delay("User-agent: *\nCrawl-delay: inf") is None
+    assert robots_crawl_delay("User-agent: *\nCrawl-delay: 1e400") is None
+    assert robots_crawl_delay("User-agent: *\nCrawl-delay: nan") is None
     assert robots_crawl_delay(None) is None
     assert robots_crawl_delay("") is None
 
