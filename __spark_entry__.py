@@ -2835,6 +2835,40 @@ def q_host_blocklist(spark, sf_dir):
     return apply_host_blocklist(withurl, bl).select("doc_id", "url")
 
 
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL word filter (operators/curate.py
+    apply_url_blocklist): one HARD word anywhere in the lowercased url
+    drops the doc; >= 2 distinct SOFT words co-occurring drop it; one soft
+    word alone survives. Pure Column exprs — the gate folds into the scan,
+    zero shuffle (functions/urls.url_banned_hits)."""
+    from pdf_extractor_spark.operators.curate import apply_url_blocklist
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 7 == 0, F.lit("free-casino-poker-bonus"))  # 2 soft → drop
+        .when(d % 7 == 1, F.lit("live-webcam-escort"))        # hard → drop
+        .when(d % 7 == 2, F.lit("poker-strategy-notes"))      # 1 soft → keep
+        .when(d % 7 == 3, F.lit("research/casino-economics")) # 1 soft → keep
+        .when(d % 7 == 4, F.lit("blog/cooking"))
+        .when(d % 7 == 5, F.lit("news/Markets"))
+        .otherwise(F.lit("WEBCAM-drivers/casino"))            # case-folded 2 soft → drop
+    )
+    withurl = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (d % 5).cast("string"), F.lit(".com/"),
+            path, F.lit("/"), d.cast("string"),
+        ).alias("url"),
+    )
+    return apply_url_blocklist(
+        withurl,
+        hard_words=("escort", "xxx"),
+        soft_words=("casino", "poker", "webcam"),
+        soft_threshold=2,
+    ).select("doc_id", "url")
+
+
 def q_latest_revision(spark, sf_dir):
     """Crawl-recency dedup (dedup.keep_latest_revision): many crawls of one
     page (url variants + re-crawl timestamps) collapse to the single latest
@@ -3330,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
+        "url_filter": q_url_filter,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -5488,4 +5523,22 @@ WHERE bit_count(xor(a.h, b.h)) <= 2""",
 SELECT doc_id::VARCHAR AS media_id,
        unnest(generate_series(0, length(text) * 10 - 1, 1000))::INT AS frame_ts_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        # URL word filter: hard word present → drop; >= 2 distinct soft
+        # words → drop; presence per word (not occurrences), lowercased
+        "url_filter": """
+WITH u AS (SELECT doc_id,
+  'https://site' || (doc_id % 5)::VARCHAR || '.com/' ||
+  CASE doc_id % 7 WHEN 0 THEN 'free-casino-poker-bonus'
+       WHEN 1 THEN 'live-webcam-escort'
+       WHEN 2 THEN 'poker-strategy-notes'
+       WHEN 3 THEN 'research/casino-economics'
+       WHEN 4 THEN 'blog/cooking'
+       WHEN 5 THEN 'news/Markets'
+       ELSE 'WEBCAM-drivers/casino' END || '/' || doc_id::VARCHAR AS url
+ FROM documents)
+SELECT doc_id, url FROM u
+WHERE NOT contains(lower(url), 'escort') AND NOT contains(lower(url), 'xxx')
+  AND (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END
+     + CASE WHEN contains(lower(url), 'poker') THEN 1 ELSE 0 END
+     + CASE WHEN contains(lower(url), 'webcam') THEN 1 ELSE 0 END) < 2""",
     }

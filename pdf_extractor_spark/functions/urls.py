@@ -101,3 +101,19 @@ def domain_suffixes(host: Column, max_labels: int = 10) -> Column:
     return F.when(n_all > max_labels, F.concat(F.array(host), suffixes)).otherwise(
         suffixes
     )
+
+
+def url_banned_hits(url: Column, words) -> Column:
+    """Number of DISTINCT banned substrings present in the lowercased url
+    (int) — the scoring primitive behind RefinedWeb/UT1-style URL word
+    filtering: adult/fraud corpora are blocked by words in the PATH long
+    before any content fetch. Presence per word (not occurrence count) is
+    the pinned spec, so the score is bounded by ``len(words)`` and an
+    attacker can't dilute thresholds by repeating a token. Pure Column
+    exprs (one ``contains`` per word, folded into the scan — word lists
+    are tens-to-hundreds of entries, well inside codegen limits)."""
+    u = F.lower(url)
+    score: Column = F.lit(0)
+    for w in sorted({w.lower() for w in words if w}):
+        score = score + F.when(u.contains(w), F.lit(1)).otherwise(F.lit(0))
+    return score

@@ -133,6 +133,37 @@ def apply_host_blocklist(
     return docs.join(hit, docs[url_col] == hit["__hit_u"], "left_anti")
 
 
+def apply_url_blocklist(
+    docs: DataFrame,
+    hard_words=(),
+    soft_words=(),
+    soft_threshold: int = 2,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop docs by banned WORDS in the url — the RefinedWeb URL word
+    filter, the third leg of URL-level curation next to the host blocklist
+    (domains) and the robots gate (permissions): one ``hard`` word anywhere
+    in the lowercased url drops the doc outright (unambiguous adult/fraud
+    tokens), while ``soft`` words drop it only when >= ``soft_threshold``
+    DISTINCT ones co-occur (individually-innocent words that are damning
+    together). Both scores are pure Column exprs
+    (functions/urls.url_banned_hits) — zero shuffle, the whole gate folds
+    into the scan, so rejected docs never leave it.
+
+    Reference scope: the reference fetches whatever url it is handed
+    (app/storage/storage_service.py:173-181) — no url screening exists; a
+    crawl-scale corpus gates on the url string billions of times before
+    ever touching payload bytes.
+    """
+    from pdf_extractor_spark.functions.urls import url_banned_hits
+
+    u = F.col(url_col)
+    keep = url_banned_hits(u, hard_words) == 0
+    if soft_words:
+        keep = keep & (url_banned_hits(u, soft_words) < int(soft_threshold))
+    return docs.filter(keep)
+
+
 def curation_funnel(
     docs: DataFrame,
     langs: Sequence[str] = ("en",),

@@ -41,6 +41,38 @@ def test_host_blocklist_drops_subdomains(spark):
     assert kept == [3, 4, 5]
 
 
+def test_url_blocklist_hard_and_soft_words(spark):
+    from pdf_extractor_spark.operators.curate import apply_url_blocklist
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/live-ESCORT-cams"),        # hard, case-folded
+            (2, "https://a.com/free-casino-poker"),       # 2 soft → drop
+            (3, "https://a.com/poker-strategy"),          # 1 soft → keep
+            (4, "https://a.com/blog/cooking"),            # clean
+            (5, "https://a.com/casino-casino-casino"),    # 1 DISTINCT soft → keep
+            (6, "https://WEBCAM.a.com/casino"),           # soft words span host+path
+        ],
+        ["doc_id", "url"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_url_blocklist(
+            docs,
+            hard_words=("escort", "xxx"),
+            soft_words=("casino", "poker", "webcam"),
+            soft_threshold=2,
+        ).collect()
+    )
+    assert kept == [3, 4, 5]
+    # no soft list: only the hard gate applies
+    hard_only = sorted(
+        r["doc_id"]
+        for r in apply_url_blocklist(docs, hard_words=("escort",)).collect()
+    )
+    assert hard_only == [2, 3, 4, 5, 6]
+
+
 def test_keep_latest_revision_picks_max_ts_and_min_url_tie(spark):
     t = datetime.datetime
     rows = [
