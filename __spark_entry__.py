@@ -2869,6 +2869,30 @@ def q_url_filter(spark, sf_dir):
     ).select("doc_id", "url")
 
 
+def q_url_shape(spark, sf_dir):
+    """URL shape features (functions/urls.py url_shape): length, path
+    depth, digit fraction, query-param count, path+query length — the
+    non-lexical half of URL-quality models (RefinedWeb's fastText URL
+    scorer inputs). Scan-only Column exprs."""
+    from pdf_extractor_spark.functions.urls import url_shape
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(F.lit("https://a.com/x/y/z/"), ds, F.lit("?a=1&b=2&utm=3#f")))
+        .when(d % 5 == 1, F.concat(F.lit("http://n.net/9834"), ds, F.lit("12/")))
+        .when(d % 5 == 2, F.lit("https://root.org"))
+        .when(d % 5 == 3, F.concat(F.lit("https://q.com/p/"), ds, F.lit("/?q=")))
+        .otherwise(F.concat(F.lit("https://f.io/path"), ds, F.lit("#sec")))
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", url_shape(F.col("url")).alias("s"))
+        .select("doc_id", "url", "s.*")
+    )
+
+
 def q_latest_revision(spark, sf_dir):
     """Crawl-recency dedup (dedup.keep_latest_revision): many crawls of one
     page (url variants + re-crawl timestamps) collapse to the single latest
@@ -3365,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
         "url_filter": q_url_filter,
+        "url_shape": q_url_shape,
     }
     return {name: _with_pkg(fn) for name, fn in qs.items()}
 
@@ -5541,4 +5566,26 @@ WHERE NOT contains(lower(url), 'escort') AND NOT contains(lower(url), 'xxx')
   AND (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END
      + CASE WHEN contains(lower(url), 'poker') THEN 1 ELSE 0 END
      + CASE WHEN contains(lower(url), 'webcam') THEN 1 ELSE 0 END) < 2""",
+        # URL shape features: same regex/split spec as functions/urls.url_shape
+        "url_shape": r"""
+WITH u AS (SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'https://a.com/x/y/z/' || doc_id::VARCHAR || '?a=1&b=2&utm=3#f'
+    WHEN 1 THEN 'http://n.net/9834' || doc_id::VARCHAR || '12/'
+    WHEN 2 THEN 'https://root.org'
+    WHEN 3 THEN 'https://q.com/p/' || doc_id::VARCHAR || '/?q='
+    ELSE 'https://f.io/path' || doc_id::VARCHAR || '#sec' END AS url
+ FROM documents),
+p AS (SELECT doc_id, url,
+  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+  regexp_extract(url, '\?([^#]*)', 1) AS query
+ FROM u)
+SELECT doc_id, url,
+  length(url)::INT AS n_chars,
+  len(list_filter(string_split(path, '/'), s -> s <> ''))::INT AS path_depth,
+  round((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))::DOUBLE
+        / length(url), 6) + 0.0 AS digit_frac,
+  (CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END)::INT AS n_params,
+  (length(path) + length(query))::INT AS path_len
+FROM p""",
     }

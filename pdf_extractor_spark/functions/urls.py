@@ -117,3 +117,31 @@ def url_banned_hits(url: Column, words) -> Column:
     for w in sorted({w.lower() for w in words if w}):
         score = score + F.when(u.contains(w), F.lit(1)).otherwise(F.lit(0))
     return score
+
+
+def url_shape(url: Column):
+    """Struct of URL shape features — the signals URL-quality models
+    (RefinedWeb's fastText URL scorer and kin) consume besides word lists:
+    ``n_chars`` (full url length), ``path_depth`` (non-empty path
+    segments), ``digit_frac`` (digits / n_chars, spam urls are digit-heavy),
+    ``n_params`` (query parameters — tracking/session-id farms), and
+    ``path_len`` (path+query length). Pure Column exprs (codegen on the
+    scan); combine with url_banned_hits / apply_url_blocklist for the full
+    URL gate."""
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_chars = F.length(url)
+    digits = n_chars - F.length(F.regexp_replace(url, r"[0-9]", ""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    return F.struct(
+        n_chars.cast("int").alias("n_chars"),
+        F.size(segs).cast("int").alias("path_depth"),
+        F.when(n_chars == 0, F.lit(0.0))
+        .otherwise(F.round(digits.cast("double") / n_chars.cast("double"), 6))
+        .alias("digit_frac"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&")))
+        .cast("int")
+        .alias("n_params"),
+        (F.length(path) + F.length(query)).cast("int").alias("path_len"),
+    )

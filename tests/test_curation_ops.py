@@ -73,6 +73,29 @@ def test_url_blocklist_hard_and_soft_words(spark):
     assert hard_only == [2, 3, 4, 5, 6]
 
 
+def test_url_shape_features(spark):
+    from pdf_extractor_spark.functions.urls import url_shape
+
+    rows = [
+        ("https://a.com/x/y/z/7?a=1&b=2#f",),
+        ("https://root.org",),            # no path, no query
+        ("http://n.net/90210/",),         # digit-heavy, trailing slash
+    ]
+    df = spark.createDataFrame(rows, ["url"]).select(
+        "url", url_shape(F.col("url")).alias("s")
+    ).select("url", "s.*")
+    got = {r["url"]: r for r in df.collect()}
+    r = got["https://a.com/x/y/z/7?a=1&b=2#f"]
+    assert (r["path_depth"], r["n_params"]) == (4, 2)
+    assert r["path_len"] == len("/x/y/z/7") + len("a=1&b=2")
+    r = got["https://root.org"]
+    assert (r["path_depth"], r["n_params"], r["path_len"]) == (0, 0, 0)
+    assert r["digit_frac"] == 0.0
+    r = got["http://n.net/90210/"]
+    assert r["path_depth"] == 1
+    assert r["digit_frac"] == round(5 / len("http://n.net/90210/"), 6)
+
+
 def test_keep_latest_revision_picks_max_ts_and_min_url_tie(spark):
     t = datetime.datetime
     rows = [
