@@ -12,6 +12,11 @@ parses fixed-layout headers deterministically from bytes:
   count. WAV is the one audio format that needs no entropy coder, so the
   pipeline's "real path" honesty boundary (see operators/multimodal.py)
   includes actual audio samples.
+- AVI (RIFF/'AVI '): hdrl/avih + strh walk (frame clock, geometry, codec) and
+  a movi frame iterator — with MJPEG payloads each frame is a plain JPEG, so
+  core/jpegcodec.py makes AVI the container whose VIDEO FRAMES actually
+  decode here (operators/multimodal.sample_frames real path), plus an
+  avi_encode fixture twin.
 - MP4 / ISO-BMFF (``ftyp``): box walk to moov → mvhd (timescale/duration,
   v0 and v1) and tkhd (16.16 fixed-point track geometry, max across tracks
   since audio tracks carry 0x0).
@@ -146,6 +151,116 @@ def audio_feature(payload: bytes | None, n_bins: int = 16) -> list[float] | None
         seg = mono[edges[i] : edges[i + 1]]
         out.append(float(_np.sqrt(_np.mean(seg * seg))) if seg.size else 0.0)
     return out
+
+
+# --- AVI (RIFF/'AVI ') — MJPEG is the one video codec this sandbox can truly
+# decode (core/jpegcodec.py), so AVI-of-JPEG-frames is the honest "real video"
+# path: container walk, per-frame timestamps from the fixed frame clock, and
+# pixel-level frame decode, all deterministic and stdlib+numpy. --------------
+
+
+def _iter_riff(b: bytes, start: int, end: int):
+    """(fourcc, body_start, body_end) per RIFF sub-chunk; chunk sizes are
+    little-endian and bodies pad to even offsets. Stops (never raises) on a
+    truncated or size-overflowing chunk — degrade-don't-crash like the box
+    and EBML walkers above."""
+    i = start
+    while i + 8 <= end:
+        fourcc = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = i + 8
+        if body + size > end:
+            return
+        yield fourcc, body, body + size
+        i = body + size + (size & 1)
+
+
+def avi_info(payload: bytes | None) -> dict | None:
+    """``{duration_ms, width, height, n_frames, us_per_frame, codec}`` from
+    an AVI main header (LIST hdrl → avih) plus the first video stream's
+    fccHandler (LIST strl → strh where fccType == 'vids'), or None when the
+    payload is not a RIFF/'AVI ' container or carries no usable avih."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    info = None
+    codec = None
+    for fourcc, s, e in _iter_riff(b, 12, len(b)):
+        if fourcc != b"LIST" or b[s : s + 4] != b"hdrl":
+            continue
+        for c4, cs, ce in _iter_riff(b, s + 4, e):
+            if c4 == b"avih" and ce - cs >= 40:
+                us_per_frame = int.from_bytes(b[cs : cs + 4], "little")
+                n_frames = int.from_bytes(b[cs + 16 : cs + 20], "little")
+                width = int.from_bytes(b[cs + 32 : cs + 36], "little")
+                height = int.from_bytes(b[cs + 36 : cs + 40], "little")
+                info = {
+                    "duration_ms": n_frames * us_per_frame // 1000,
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    "us_per_frame": us_per_frame,
+                }
+            elif c4 == b"LIST" and b[cs : cs + 4] == b"strl":
+                for s4, ss, se in _iter_riff(b, cs + 4, ce):
+                    if s4 == b"strh" and se - ss >= 8 and b[ss : ss + 4] == b"vids":
+                        codec = b[ss + 4 : ss + 8].decode("ascii", "replace").strip("\x00 ") or None
+                        break
+        break
+    if info is None:
+        return None
+    info["codec"] = codec
+    return info
+
+
+def avi_frames(payload: bytes | None) -> list[tuple[int, bytes]]:
+    """``[(ts_ms, frame_bytes), ...]`` for stream-0 video chunks (``00dc`` /
+    ``00db``) in the LIST movi body, in file order. Timestamps come off the
+    container's fixed frame clock (frame i starts at i * us_per_frame /
+    1000); frame bytes are the codec payload verbatim (MJPEG → one JPEG per
+    chunk, decodable by core/jpegcodec.jpeg_decode). Empty list when the
+    payload isn't AVI or has no movi chunks."""
+    info = avi_info(payload)
+    if info is None or not info["us_per_frame"]:
+        return []
+    b = payload or b""
+    out: list[tuple[int, bytes]] = []
+    for fourcc, s, e in _iter_riff(b, 12, len(b)):
+        if fourcc != b"LIST" or b[s : s + 4] != b"movi":
+            continue
+        for c4, cs, ce in _iter_riff(b, s + 4, e):
+            if c4 in (b"00dc", b"00db"):
+                out.append((len(out) * info["us_per_frame"] // 1000, b[cs:ce]))
+        break
+    return out
+
+
+def avi_encode(frames: list[bytes], fps: int, width: int, height: int) -> bytes:
+    """Fixture twin of avi_frames: assemble a minimal MJPEG AVI (RIFF →
+    LIST hdrl [avih + LIST strl [strh 'vids'/'MJPG' + strf BITMAPINFOHEADER]]
+    → LIST movi ['00dc' per frame]) from pre-encoded JPEG payloads."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    us_per_frame = 1_000_000 // fps
+    maxb = max((len(f) for f in frames), default=0)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = _struct.pack(
+        "<10I", us_per_frame, maxb * fps, 0, 0x10, len(frames), 0, 1, maxb, width, height
+    ) + b"\x00" * 16
+    strh = (
+        b"vidsMJPG"
+        + _struct.pack("<I2H8I", 0, 0, 0, 0, 1, fps, 0, len(frames), maxb, 0xFFFFFFFF, 0)
+        + _struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = _struct.pack("<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D, 0, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
 # --- MP4 / ISO-BMFF -----------------------------------------------------------
@@ -298,6 +413,16 @@ def sniff_av(payload: bytes | None) -> dict | None:
             "height": None,
             "sample_rate": w["sample_rate"],
             "channels": w["channels"],
+        }
+    v = avi_info(payload)
+    if v is not None:
+        return {
+            "container": "avi",
+            "duration_ms": v["duration_ms"],
+            "width": v["width"] or None,
+            "height": v["height"] or None,
+            "sample_rate": None,
+            "channels": None,
         }
     m = mp4_info(payload)
     if m is not None:

@@ -167,11 +167,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     """video rows → one row per sampled frame timestamp (flat-map shape).
 
     REAL path: animated-GIF payloads actually decode (core/gifcodec.py
-    gif_frames — GCE delays, disposal, transparency); the frame active at
-    each multiple of ``every_ms`` within the animation's total duration is
-    sampled and ``frame_sha`` is the sha256 of its RGB pixel bytes.
-    Payloads no other stdlib codec can open (real video needs ffmpeg,
-    absent here) produce no rows — degrade-don't-crash, like decode_media.
+    gif_frames — GCE delays, disposal, transparency), and MJPEG AVI
+    payloads decode too (core/avmedia.avi_frames walks the movi chunks,
+    core/jpegcodec.jpeg_decode opens each sampled frame); the frame active
+    at each multiple of ``every_ms`` within the clip's total duration is
+    sampled and ``frame_sha`` is the sha256 of its RGB pixel bytes. Only
+    the SAMPLED AVI frames are decoded (at 1 fps sampling over 30 fps
+    input that is 1/30th of the entropy-decode work — the property that
+    makes frame sampling cheaper than transcoding at corpus scale).
+    Payloads no stdlib codec can open (mp4/webm need ffmpeg, absent here)
+    produce no rows — degrade-don't-crash, like decode_media.
     ``fake=True`` keeps the deterministic duration-metadata expansion for
     fixture corpora whose payloads aren't media at all.
     """
@@ -184,7 +189,34 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_extractor_spark.core.avmedia import avi_frames
         from pdf_extractor_spark.core.gifcodec import gif_frames
+        from pdf_extractor_spark.core.jpegcodec import jpeg_decode
+
+        def _avi_rows(mid, raw):
+            from pdf_extractor_spark.core.avmedia import avi_info
+
+            chunks = avi_frames(raw)
+            if not chunks:
+                return
+            # frame i is displayed over [ts_i, ts_i + frame_ms); the clip
+            # ends one frame period after the last frame starts
+            frame_ms = (avi_info(raw) or {}).get("us_per_frame", 0) // 1000
+            total = chunks[-1][0] + max(frame_ms, 1)
+            decoded: dict[int, bytes | None] = {}  # decode-on-demand cache
+            fi = 0
+            for t in range(0, total, every_ms):
+                while fi + 1 < len(chunks) and chunks[fi + 1][0] <= t:
+                    fi += 1
+                if fi not in decoded:
+                    arr = jpeg_decode(chunks[fi][1])
+                    decoded[fi] = None if arr is None else arr.tobytes()
+                px = decoded[fi]
+                if px is None:
+                    continue  # non-MJPEG stream: that frame can't decode here
+                ids.append(mid)
+                ts.append(t)
+                shas.append(hashlib.sha256(px).hexdigest())
 
         for pdf in batches:
             ids, ts, shas = [], [], []
@@ -204,9 +236,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                             ).hexdigest()
                         )
                     continue
-                frames = gif_frames(bytes(payload) if payload is not None else None)
+                raw = bytes(payload) if payload is not None else None
+                frames = gif_frames(raw)
                 if not frames:
-                    continue  # non-GIF video: no decoder in this container
+                    if raw is not None:
+                        _avi_rows(mid, raw)  # MJPEG AVI appends its own rows
+                    continue  # mp4/webm etc: no decoder in this container
                 # frame i is displayed over [start_i, start_i + delay_i)
                 starts, total = [], 0
                 for delay_ms, _arr in frames:

@@ -361,3 +361,83 @@ def test_ogg_vorbis_and_opus():
     assert got2 == {"codec": "opus", "channels": 1, "sample_rate": 48000,
                     "duration_ms": 1000}
     assert ogg_info(_ogg_page(b"not an id header")) is None
+
+
+def test_avi_roundtrip_info_and_frames():
+    """avi_encode → avi_info/avi_frames round-trip: frame clock, geometry,
+    codec tag, per-frame timestamps, and payload bytes all survive."""
+    import numpy as np
+
+    from pdf_extractor_spark.core.avmedia import avi_encode, avi_frames, avi_info
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+    px = [np.full((16, 24, 3), c, dtype=np.uint8) for c in (10, 120, 240)]
+    jpegs = [jpeg_encode(a) for a in px]
+    avi = avi_encode(jpegs, fps=4, width=24, height=16)
+    info = avi_info(avi)
+    assert info == {
+        "duration_ms": 750, "width": 24, "height": 16,
+        "n_frames": 3, "us_per_frame": 250_000, "codec": "MJPG",
+    }
+    frames = avi_frames(avi)
+    assert [t for t, _ in frames] == [0, 250, 500]
+    assert [b for _, b in frames] == jpegs
+    # the all-ones-quant fixture codec is lossless on flat frames
+    assert [int(jpeg_decode(b)[0, 0, 0]) for _, b in frames] == [10, 120, 240]
+    assert avi_frames(b"") == []
+    assert avi_info(avi[:20]) is None
+    assert avi_info(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_sniff_av_reports_avi():
+    from pdf_extractor_spark.core.avmedia import avi_encode, sniff_av
+
+    avi = avi_encode([b"\xff\xd8fake"], fps=10, width=8, height=6)
+    assert sniff_av(avi) == {
+        "container": "avi", "duration_ms": 100, "width": 8, "height": 6,
+        "sample_rate": None, "channels": None,
+    }
+
+
+def test_sample_frames_real_avi_path(spark):
+    """sample_frames(fake=False) walks an MJPEG AVI's movi chunks and
+    decodes ONLY the sampled frames; frame_sha is the sha of the decoded
+    pixel bytes, and non-MJPEG AVI payloads yield no rows."""
+    import hashlib
+
+    import numpy as np
+
+    from pdf_extractor_spark.core.avmedia import avi_encode
+    from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    px = [np.full((8, 8, 3), c, dtype=np.uint8) for c in (15, 99, 200, 250)]
+    avi = avi_encode([jpeg_encode(a) for a in px], fps=10, width=8, height=8)
+
+    def media_df(payload):
+        return spark.createDataFrame(
+            [("v", "video", bytearray(payload),
+              {"mime": "video/x-msvideo", "width": 8, "height": 8, "duration_ms": 400})],
+            "media_id string, kind string, payload binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+        )
+
+    # 10 fps → frame every 100 ms over [0, 400); sample every 100 ms hits all 4
+    rows = sorted(
+        sample_frames(media_df(avi), every_ms=100, fake=False).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [r["frame_ts_ms"] for r in rows] == [0, 100, 200, 300]
+    want = [hashlib.sha256(jpeg_decode(jpeg_encode(a)).tobytes()).hexdigest() for a in px]
+    assert [r["frame_sha"] for r in rows] == want
+    # sparse sampling decodes a strict subset (ticks 0 and 250 → frames 0, 2)
+    rows = sorted(
+        sample_frames(media_df(avi), every_ms=250, fake=False).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [(r["frame_ts_ms"], r["frame_sha"]) for r in rows] == [
+        (0, want[0]), (250, want[2]),
+    ]
+    # an AVI whose frames aren't JPEG degrades to zero rows, never crashes
+    bad = avi_encode([b"not a jpeg"], fps=10, width=8, height=8)
+    assert sample_frames(media_df(bad), every_ms=100, fake=False).count() == 0
