@@ -1604,6 +1604,65 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(media, every_ms=1000, fake=True).select("media_id", "frame_ts_ms")
 
 
+def q_frame_sample_avi(spark, sf_dir):
+    """TRUE video frame sampling (core/avmedia.py avi_info/avi_frames +
+    core/jpegcodec.py): every doc becomes an MJPEG AVI of n = d%3+2 flat
+    8x8 frames at 5 fps, sample_frames(every_ms=200) decodes exactly the
+    frame active at each 200 ms tick, and frame_sha is the sha256 of its
+    decoded RGB bytes. Flat frames survive the all-ones-quant codec
+    byte-exactly (pinned by test_avi_roundtrip_info_and_frames), so the
+    oracle rebuilds each sha in closed form: frame i's 192 pixel bytes are
+    all (d*7 + i*31) % 127 + 1 — ASCII range, so DuckDB's UTF-8 repeat()
+    emits the same bytes sha256 hashes here. The reference never decodes
+    media (app/processing/pdf_processor.py:157-187 ships opaque base64)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.avmedia import avi_encode
+    from pdf_extractor_spark.core.jpegcodec import jpeg_encode
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    def mk_media(batches):
+        def payload(d: int) -> bytes:
+            n = d % 3 + 2
+            frames = [
+                jpeg_encode(np.full((8, 8, 3), (d * 7 + i * 31) % 127 + 1, dtype=np.uint8))
+                for i in range(n)
+            ]
+            return avi_encode(frames, fps=5, width=8, height=8)
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit("video/x-msvideo").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    return sample_frames(media, every_ms=200, fake=False).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"), "frame_sha"
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """Similarity (IVF): coarse quantizer → probe the n_probe nearest lists
     → exact cosine within them. Centroids here are deterministic seed rows
@@ -3305,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
+        "frame_sample_avi": q_frame_sample_avi,
         "extract_incremental": q_extract_incremental,
         "host_profile": q_host_profile,
         "page_dates": q_page_dates,
@@ -5548,6 +5608,16 @@ WHERE bit_count(xor(a.h, b.h)) <= 2""",
 SELECT doc_id::VARCHAR AS media_id,
        unnest(generate_series(0, length(text) * 10 - 1, 1000))::INT AS frame_ts_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        # MJPEG AVI frame sampling: flat 8x8 frames decode byte-exactly
+        # (all-ones quant), so each sha256 rebuilds from the repeated pixel
+        # byte (ASCII range 1..127 → UTF-8 == raw bytes)
+        "frame_sample_avi": """
+SELECT 'doc://' || doc_id AS media_id,
+       (200 * i.i)::BIGINT AS frame_ts_ms,
+       sha256(repeat(chr(((doc_id * 7 + i.i * 31) % 127 + 1)::INT), 192)) AS frame_sha
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+WHERE i.i < doc_id % 3 + 2""",
         # URL word filter: hard word present → drop; >= 2 distinct soft
         # words → drop; presence per word (not occurrences), lowercased
         "url_filter": """
