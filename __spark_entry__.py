@@ -978,6 +978,64 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_audio_features_flac(spark, sf_dir):
+    """REAL compressed-audio decode through the oracle: the same
+    constant-amplitude signals as q_audio_features, but carried as FLAC
+    streams (core/flaccodec.py, FIXED order-1 prediction + rice residuals)
+    instead of PCM WAV. FLAC is lossless integer arithmetic, so the decoded
+    samples — and therefore the 16-bin RMS envelope re-quantized to the
+    int16 grid — are byte-identical to the WAV twin's, and ONE closed-form
+    oracle covers both the container metadata (flac_info) and the decoded
+    waveform. The reference never touches audio (text-only pipeline)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.flaccodec import flac_encode
+    from pdf_extractor_spark.operators.multimodal import audio_features
+
+    def mk_media(batches):
+        def payload(d: int) -> bytes:
+            rate = 1000 * (d % 8 + 1)
+            ch = d % 2 + 1
+            n = 16 * (d % 20 + 1) * (d % 8 + 1)
+            s = (d % 100 + 1) * 300
+            return flac_encode(np.full((n, ch), s, dtype=np.int16), rate, fixed_order=1)
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select("media_id", F.lit("audio").alias("kind"), "payload")
+    )
+    feats = audio_features(media, n_bins=16)
+    ex = feats.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.posexplode("envelope").alias("bin", "amp"),
+    )
+    return ex.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+        F.col("bin").cast("long").alias("bin"),
+        F.round(F.col("amp") * 32768).cast("long").alias("amp_q"),
+    )
+
+
 def _mk_exif_payload(d: int) -> bytes:
     """Deterministic EXIF-tagged JPEG for doc ``d`` (core/exif.py
     exif_encode fixture twin): make = Cam<d%5>; docs with d%4==3 carry no
@@ -3365,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
         "frame_sample_avi": q_frame_sample_avi,
+        "audio_features_flac": q_audio_features_flac,
         "extract_incremental": q_extract_incremental,
         "host_profile": q_host_profile,
         "page_dates": q_page_dates,
@@ -5107,6 +5166,16 @@ SELECT 'doc://' || doc_id AS media_id,
             ELSE NULL END AS channels
 FROM documents""",
         "audio_features": """
+SELECT 'doc://' || doc_id AS media_id,
+       (1000 * (doc_id % 8 + 1))::BIGINT AS sample_rate,
+       (doc_id % 2 + 1)::BIGINT AS channels,
+       (16 * (doc_id % 20 + 1))::BIGINT AS duration_ms,
+       b.bin::BIGINT AS bin,
+       ((doc_id % 100 + 1) * 300)::BIGINT AS amp_q
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b""",
+        # FLAC twin of audio_features: lossless decode of the same constant
+        # signals -> identical closed-form rows
+        "audio_features_flac": """
 SELECT 'doc://' || doc_id AS media_id,
        (1000 * (doc_id % 8 + 1))::BIGINT AS sample_rate,
        (doc_id % 2 + 1)::BIGINT AS channels,

@@ -137,10 +137,15 @@ def wav_encode(samples, rate: int, bits: int = 16) -> bytes:
 
 def audio_feature(payload: bytes | None, n_bins: int = 16) -> list[float] | None:
     """REAL audio feature: ``n_bins`` RMS-envelope values in [0, 1] over the
-    mono mix of a PCM WAV — the audio analog of the 4x4 grayscale image
-    thumbnail (operators/multimodal.py). None when the payload isn't
-    decodable PCM."""
+    mono mix of a PCM WAV or a FLAC stream (core/flaccodec.py — the one
+    COMPRESSED audio format decodable bit-exactly without ffmpeg) — the
+    audio analog of the 4x4 grayscale image thumbnail
+    (operators/multimodal.py). None when the payload isn't decodable."""
     a = wav_decode(payload)
+    if a is None and (payload or b"")[:4] == b"fLaC":
+        from pdf_extractor_spark.core.flaccodec import flac_decode
+
+        a = flac_decode(payload)
     if a is None or a.shape[0] == 0:
         return None
     mono = a.mean(axis=1)

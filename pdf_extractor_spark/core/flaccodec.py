@@ -1,0 +1,440 @@
+"""Pure-stdlib(+numpy) FLAC decoder + fixture encoder.
+
+Extends the real-codec matrix (core/jpegcodec.py, gifcodec.py, imagemeta.py,
+avmedia.py WAV PCM) to COMPRESSED audio: FLAC is the one mainstream
+compressed audio format that is bit-exact by definition (lossless, integer
+arithmetic only), so a from-scratch decoder can be verified sample-for-
+sample against its own encoder twin — the same honesty contract as the
+image codecs. The reference never touches audio at all (it extracts
+PDF/HTML text only: app/processing/pdf_processor.py, html_processor.py);
+a crawl-scale training-data pipeline meets FLAC wherever podcast/music
+archives surface.
+
+Decoder scope (the full mandatory spec surface):
+- frame headers: both blocking strategies, all block-size / sample-rate /
+  sample-size codes, UTF-8-coded frame/sample numbers;
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32
+  (quantized-coefficient prediction with arithmetic shift), wasted bits;
+- residuals: 4-bit RICE and 5-bit RICE2 partitioned methods, escape
+  partitions (raw n-bit residuals), zigzag decode;
+- stereo decorrelation: left/side, right/side, mid/side.
+
+CRCs (header CRC-8, frame CRC-16) are EMITTED correctly by the encoder but
+not verified by the decoder — a corrupt frame already fails structurally,
+and per-row degrade-don't-crash (return None) is the pipeline contract.
+
+Encoder scope (fixture twin, always valid FLAC): STREAMINFO + fixed-
+blocking frames, independent channels, 16-bit samples, VERBATIM or FIXED
+order 0-2 subframes with single-partition rice residuals.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as _np
+
+_SYNC = 0b11111111111110
+
+
+class _BitReader:
+    """MSB-first bit reader over bytes (FLAC is big-endian bit order)."""
+
+    __slots__ = ("b", "pos", "n")
+
+    def __init__(self, b: bytes, start_byte: int = 0):
+        self.b = b
+        self.pos = start_byte * 8
+        self.n = len(b) * 8
+
+    def bits(self, k: int) -> int:
+        if self.pos + k > self.n:
+            raise EOFError("flac: bitstream exhausted")
+        v = 0
+        pos, b = self.pos, self.b
+        for _ in range(k):
+            v = (v << 1) | ((b[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def sbits(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >> (k - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        pos, b, n = self.pos, self.b, self.n
+        while True:
+            if pos >= n:
+                raise EOFError("flac: bitstream exhausted")
+            if (b[pos >> 3] >> (7 - (pos & 7))) & 1:
+                self.pos = pos + 1
+                return q
+            q += 1
+            pos += 1
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _utf8_number(r: _BitReader) -> int:
+    """FLAC's extended-UTF-8 frame/sample number (up to 7 bytes / 36 bits)."""
+    first = r.bits(8)
+    if first < 0x80:
+        return first
+    n_ones = 0
+    m = first
+    while m & 0x80:
+        n_ones += 1
+        m <<= 1
+    if n_ones < 2 or n_ones > 7:
+        raise ValueError("flac: bad utf8 number")
+    v = first & (0x7F >> n_ones)
+    for _ in range(n_ones - 1):
+        c = r.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad utf8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+              8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+              13: 8192, 14: 16384, 15: 32768}
+_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+          7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _rice_residual(r: _BitReader, blocksize: int, pred_order: int) -> list[int]:
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.bits(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("flac: partition order does not divide blocksize")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> po) - (pred_order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("flac: negative partition size")
+        param = r.bits(pbits)
+        if param == escape:
+            raw = r.bits(5)
+            out.extend(r.sbits(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.unary()
+                v = (q << param) | (r.bits(param) if param else 0)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if r.bits(1):
+        raise ValueError("flac: subframe padding bit set")
+    ftype = r.bits(6)
+    wasted = 0
+    if r.bits(1):
+        wasted = r.unary() + 1
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        out = [r.sbits(bps)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [r.sbits(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED
+        order = ftype & 0x7
+        if order > 4:
+            raise ValueError("flac: bad fixed order")
+        out = [r.sbits(bps) for _ in range(order)]
+        res = _rice_residual(r, blocksize, order)
+        coef = _FIXED_COEF[order]
+        for e in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coef))
+            out.append(pred + e)
+    elif ftype >= 32:  # LPC
+        order = (ftype & 0x1F) + 1
+        out = [r.sbits(bps) for _ in range(order)]
+        prec = r.bits(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid qlp precision")
+        shift = r.sbits(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        coef = [r.sbits(prec) for _ in range(order)]
+        res = _rice_residual(r, blocksize, order)
+        for e in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coef)) >> shift
+            out.append(pred + e)
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def flac_decode_int(payload: bytes | None):
+    """``(samples int32 (n, channels), rate, bits)`` from a FLAC stream, or
+    None when the payload isn't FLAC / uses anything outside the decoded
+    spec surface. Decodes every frame in file order."""
+    b = payload or b""
+    if b[:4] != b"fLaC" or len(b) < 42:
+        return None
+    try:
+        # metadata walk: STREAMINFO first (spec), skip the rest
+        i = 4
+        si_rate = si_ch = si_bps = 0
+        last = False
+        first = True
+        while not last:
+            if i + 4 > len(b):
+                return None
+            hdr = b[i]
+            last = bool(hdr & 0x80)
+            btype = hdr & 0x7F
+            size = int.from_bytes(b[i + 1 : i + 4], "big")
+            if first:
+                if btype != 0 or size < 34:
+                    return None
+                body = b[i + 4 : i + 4 + 34]
+                bits = int.from_bytes(body[10:18], "big")
+                si_rate = bits >> 44
+                si_ch = ((bits >> 41) & 0x7) + 1
+                si_bps = ((bits >> 36) & 0x1F) + 1
+                first = False
+            i += 4 + size
+        if si_rate == 0:
+            return None
+
+        chans: list[list[int]] = [[] for _ in range(si_ch)]
+        r = _BitReader(b, i)
+        while r.pos + 16 <= r.n:
+            if r.bits(14) != _SYNC:
+                return None
+            r.bits(1)  # reserved
+            r.bits(1)  # blocking strategy
+            bs_code = r.bits(4)
+            sr_code = r.bits(4)
+            ch_asgn = r.bits(4)
+            ss_code = r.bits(3)
+            r.bits(1)  # reserved
+            _utf8_number(r)
+            if bs_code == 0:
+                return None
+            blocksize = _BLOCKSIZE.get(bs_code)
+            if bs_code == 6:
+                blocksize = r.bits(8) + 1
+            elif bs_code == 7:
+                blocksize = r.bits(16) + 1
+            if sr_code == 12:
+                r.bits(8)
+            elif sr_code in (13, 14):
+                r.bits(16)
+            elif sr_code == 15:
+                return None
+            bps = si_bps if ss_code == 0 else _SAMPLE_SIZE.get(ss_code)
+            if bps is None:
+                return None
+            r.bits(8)  # header CRC-8 (emitted by the encoder, not verified)
+
+            if ch_asgn < 8:
+                nch = ch_asgn + 1
+                if nch != si_ch:
+                    return None
+                subs = [_subframe(r, blocksize, bps) for _ in range(nch)]
+            elif ch_asgn in (8, 9, 10):
+                if si_ch != 2:
+                    return None
+                # the SIDE channel carries one extra bit of sample size
+                if ch_asgn == 8:  # left/side
+                    left = _subframe(r, blocksize, bps)
+                    side = _subframe(r, blocksize, bps + 1)
+                    subs = [left, [l - s for l, s in zip(left, side)]]
+                elif ch_asgn == 9:  # right/side: side first per spec
+                    side = _subframe(r, blocksize, bps + 1)
+                    right = _subframe(r, blocksize, bps)
+                    subs = [[rr + s for rr, s in zip(right, side)], right]
+                else:  # mid/side
+                    mid = _subframe(r, blocksize, bps)
+                    side = _subframe(r, blocksize, bps + 1)
+                    subs = [[], []]
+                    for m, s in zip(mid, side):
+                        m = (m << 1) | (s & 1)
+                        subs[0].append((m + s) >> 1)
+                        subs[1].append((m - s) >> 1)
+            else:
+                return None
+            r.align()
+            r.bits(16)  # frame CRC-16 (not verified)
+            for c in range(si_ch):
+                chans[c].extend(subs[c])
+            # trailing zero padding after the last frame must not resync
+            if b[r.pos >> 3 :].lstrip(b"\x00") == b"":
+                break
+        arr = _np.array(chans, dtype=_np.int64).T
+        return arr.astype(_np.int32), si_rate, si_bps
+    except (EOFError, ValueError, IndexError):
+        return None
+
+
+def flac_decode(payload: bytes | None):
+    """(n, channels) float32 in [-1, 1] — same contract as
+    avmedia.wav_decode — or None."""
+    got = flac_decode_int(payload)
+    if got is None:
+        return None
+    arr, _rate, bits = got
+    return arr.astype(_np.float32) / float(1 << (bits - 1))
+
+
+# --- encoder (fixture twin) -----------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.nbits += k
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.bits(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _utf8_encode(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    # smallest n in 1..6 continuation bytes whose payload capacity fits v
+    for n in range(1, 7):
+        head_bits = 6 - n
+        if v < (1 << (head_bits + 6 * n)):
+            out = [(0xFF << (7 - n)) & 0xFF | (v >> (6 * n))]
+            for k in range(n - 1, -1, -1):
+                out.append(0x80 | ((v >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("flac: frame number too large")
+
+
+def _encode_subframe(w: _BitWriter, samples, order: int) -> None:
+    """FIXED order 0-2 (rice single partition) or VERBATIM (order < 0)."""
+    if order < 0:
+        w.bits(0, 1)
+        w.bits(1, 6)  # VERBATIM
+        w.bits(0, 1)
+        for v in samples:
+            w.bits(int(v), 16)
+        return
+    w.bits(0, 1)
+    w.bits(8 | order, 6)  # FIXED
+    w.bits(0, 1)
+    coef = _FIXED_COEF[order]
+    res = []
+    for i in range(order, len(samples)):
+        pred = sum(c * int(samples[i - 1 - j]) for j, c in enumerate(coef))
+        res.append(int(samples[i]) - pred)
+    for v in samples[:order]:
+        w.bits(int(v), 16)
+    # single-partition rice; param chosen from the mean magnitude
+    w.bits(0, 2)  # 4-bit rice
+    w.bits(0, 4)  # partition order 0
+    mean = sum(abs(e) for e in res) // max(len(res), 1)
+    param = 0
+    while (1 << param) < mean + 1 and param < 14:
+        param += 1
+    w.bits(param, 4)
+    for e in res:
+        z = (abs(e) << 1) - (1 if e < 0 else 0)  # zigzag
+        q, rem = z >> param, z & ((1 << param) - 1)
+        if q:
+            w.bits(0, q)
+        w.bits(1, 1)
+        if param:
+            w.bits(rem, param)
+
+
+def flac_encode(samples, rate: int, block_size: int = 4096, fixed_order: int = -1) -> bytes:
+    """int16 (n, channels) → a valid FLAC stream (fixture twin of
+    flac_decode): STREAMINFO + fixed-blocking frames, independent channels,
+    16-bit samples, VERBATIM subframes by default or FIXED order 0-2 with
+    single-partition rice when ``fixed_order`` >= 0. CRC-8/CRC-16 are
+    computed per spec."""
+    a = _np.asarray(samples, dtype=_np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if not 1 <= ch <= 8:
+        raise ValueError("flac: 1-8 channels")
+    if not 0 <= fixed_order <= 2 and fixed_order != -1:
+        raise ValueError("flac: fixed_order in {-1, 0, 1, 2}")
+    # STREAMINFO: min/max block, min/max frame (0 = unknown), then the
+    # 64-bit packed rate/ch/bps/total field, md5 zeroed (unverified)
+    bits = (rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
+    si = (_struct.pack(">HH", block_size, block_size)
+          + b"\x00" * 6 + bits.to_bytes(8, "big") + b"\x00" * 16)
+    out = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+
+    for f, start in enumerate(range(0, n, block_size)):
+        blk = a[start : start + block_size]
+        bs = blk.shape[0]
+        w = _BitWriter()
+        w.bits(_SYNC, 14)
+        w.bits(0, 1)  # reserved
+        w.bits(0, 1)  # fixed blocking
+        w.bits(7, 4)   # blocksize-1 as 16 bits follows
+        w.bits(13, 4)  # sample rate: 16-bit Hz follows
+        w.bits(ch - 1, 4)  # independent channels
+        w.bits(4, 3)   # 16-bit samples
+        w.bits(0, 1)
+        for byte in _utf8_encode(f):
+            w.bits(byte, 8)
+        w.bits(bs - 1, 16)
+        w.bits(rate, 16)
+        w.align()
+        hdr = w.bytes()
+        body = _BitWriter()
+        # spec: predictor order must be < blocksize (warmup samples all come
+        # from this frame); clamp for tiny tail frames
+        order_eff = min(fixed_order, bs - 1) if fixed_order >= 0 else fixed_order
+        for c in range(ch):
+            _encode_subframe(body, blk[:, c].astype(_np.int64), order_eff)
+        body.align()
+        frame = hdr + bytes([_crc8(hdr)]) + body.bytes()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(out)

@@ -421,18 +421,24 @@ def audio_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
 
     PCM WAV payloads (8-bit unsigned / 16-bit signed LE, any channel
     count) decode for real through core/avmedia.py ``wav_decode`` (pure
-    numpy — WAV needs no entropy coder, so actual audio samples sit inside
-    the pipeline's real-path honesty boundary) and emit an ``n_bins``-value
-    RMS envelope of the mono mix. Compressed audio (AAC/Opus/MP3) would
-    need ffmpeg, absent here: those rows keep container metadata from the
-    header probe but carry a null envelope — degrade-don't-crash.
+    numpy — WAV needs no entropy coder) and FLAC streams decode for real
+    through core/flaccodec.py (lossless integer arithmetic: the one
+    COMPRESSED audio codec inside the pipeline's real-path honesty
+    boundary); both emit an ``n_bins``-value RMS envelope of the mono mix.
+    Other compressed audio (AAC/Opus/MP3) would need ffmpeg, absent here:
+    those rows keep container metadata from the header probe but carry a
+    null envelope — degrade-don't-crash.
     """
-    from pdf_extractor_spark.core.avmedia import audio_feature, wav_info
+    from pdf_extractor_spark.core.avmedia import audio_feature, flac_info, wav_info
+
+    def _info(b):
+        w = wav_info(b)
+        return w if w is not None else flac_info(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else None)
-            infos = payloads.map(wav_info)
+            infos = payloads.map(_info)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

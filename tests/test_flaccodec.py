@@ -1,0 +1,227 @@
+"""FLAC codec: encoder-twin roundtrips plus hand-built bitstreams for the
+decoder paths the fixture encoder never emits (LPC, stereo decorrelation,
+RICE2, escape partitions, multi-partition rice, wasted bits)."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.flaccodec import (
+    _SYNC,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_encode,
+    flac_decode,
+    flac_decode_int,
+    flac_encode,
+)
+
+
+def test_roundtrip_all_channel_counts_and_orders():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 4):
+        for order in (-1, 0, 1, 2):
+            a = rng.integers(-32768, 32767, size=(777, ch)).astype(np.int16)
+            got = flac_decode_int(flac_encode(a, 44100, block_size=192, fixed_order=order))
+            assert got is not None
+            dec, rate, bits = got
+            assert (rate, bits) == (44100, 16)
+            assert (dec == a).all()
+
+
+def test_float_contract_matches_wav_decode():
+    c = np.full((320, 2), -16384, dtype=np.int16)
+    f = flac_decode(flac_encode(c, 8000))
+    assert f.shape == (320, 2)
+    assert np.allclose(f, -0.5)
+
+
+def test_rejects_non_flac_and_truncation():
+    enc = flac_encode(np.zeros((100, 1), dtype=np.int16), 8000)
+    assert flac_decode(b"junk") is None
+    assert flac_decode(b"fLaC") is None
+    assert flac_decode(enc[:40]) is None
+    assert flac_decode(enc[:60]) is None  # mid-frame cut
+    assert flac_decode(None) is None
+
+
+def test_property_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300),
+        ch=st.integers(min_value=1, max_value=2),
+        order=st.integers(min_value=-1, max_value=2),
+    )
+    def check(vals, ch, order):
+        n = len(vals) - len(vals) % ch
+        if n == 0:
+            return
+        a = np.array(vals[:n], dtype=np.int16).reshape(-1, ch)
+        got = flac_decode_int(flac_encode(a, 16000, block_size=64, fixed_order=order))
+        assert got is not None and (got[0] == a).all()
+
+    check()
+
+
+# --- hand-built streams for decoder-only paths ---------------------------------
+
+
+def _streaminfo(rate: int, ch: int, bps: int, total: int) -> bytes:
+    bits = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    body = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame_header(w: _BitWriter, blocksize: int, ch_asgn: int, frame_no: int = 0):
+    w.bits(_SYNC, 14)
+    w.bits(0, 2)  # reserved + fixed blocking
+    w.bits(7, 4)  # 16-bit blocksize follows
+    w.bits(13, 4)  # 16-bit Hz rate follows
+    w.bits(ch_asgn, 4)
+    w.bits(4, 3)  # 16-bit samples
+    w.bits(0, 1)
+    for byte in _utf8_encode(frame_no):
+        w.bits(byte, 8)
+    w.bits(blocksize - 1, 16)
+    w.bits(8000, 16)
+    w.align()
+
+
+def _finish(si: bytes, hdr_and_body: _BitWriter) -> bytes:
+    hdr_and_body.align()
+    raw = hdr_and_body.bytes()
+    return si + raw + _crc16(raw).to_bytes(2, "big")
+
+
+def _verbatim(w: _BitWriter, samples, bps: int):
+    w.bits(0, 1)
+    w.bits(1, 6)
+    w.bits(0, 1)
+    for v in samples:
+        w.bits(int(v) & ((1 << bps) - 1), bps)
+
+
+def _header_with_crc(blocksize: int, ch_asgn: int) -> _BitWriter:
+    h = _BitWriter()
+    _frame_header(h, blocksize, ch_asgn)
+    hdr = h.bytes()
+    w = _BitWriter()
+    for byte in hdr:
+        w.bits(byte, 8)
+    w.bits(_crc8(hdr), 8)
+    return w
+
+
+def test_lpc_subframe():
+    """LPC order 2, coef [3, -1], shift 1: a[i] = ((3a[i-1] - a[i-2]) >> 1) + e."""
+    warm = [100, 110]
+    res = [5, -3, 0, 7]
+    want = list(warm)
+    for e in res:
+        want.append(((3 * want[-1] - want[-2]) >> 1) + e)
+    w = _header_with_crc(len(want), 0)
+    w.bits(0, 1)
+    w.bits(32 | (2 - 1), 6)  # LPC, order 2
+    w.bits(0, 1)  # no wasted bits
+    for v in warm:
+        w.bits(v, 16)
+    w.bits(4 - 1, 4)  # precision 4 bits
+    w.bits(1, 5)  # shift 1
+    w.bits(3 & 0xF, 4)
+    w.bits(-1 & 0xF, 4)
+    w.bits(0, 2)  # rice
+    w.bits(0, 4)  # one partition
+    w.bits(4, 4)  # param 4
+    for e in res:
+        z = (abs(e) << 1) - (1 if e < 0 else 0)
+        q, rem = z >> 4, z & 0xF
+        if q:
+            w.bits(0, q)
+        w.bits(1, 1)
+        w.bits(rem, 4)
+    got = flac_decode_int(_finish(_streaminfo(8000, 1, 16, len(want)), w))
+    assert got is not None
+    assert got[0][:, 0].tolist() == want
+
+
+@pytest.mark.parametrize("asgn", [8, 9, 10])
+def test_stereo_decorrelation(asgn):
+    left = np.array([1000, -2000, 3000, 32767, -32768, 7], dtype=np.int64)
+    right = np.array([999, -2005, 2990, -1, 12, -7], dtype=np.int64)
+    mid = (left + right) >> 1
+    side = left - right
+    w = _header_with_crc(len(left), asgn)
+    if asgn == 8:  # left/side
+        _verbatim(w, left, 16)
+        _verbatim(w, side, 17)
+    elif asgn == 9:  # side first, then right
+        _verbatim(w, side, 17)
+        _verbatim(w, right, 16)
+    else:  # mid/side
+        _verbatim(w, mid, 16)
+        _verbatim(w, side, 17)
+    got = flac_decode_int(_finish(_streaminfo(8000, 2, 16, len(left)), w))
+    assert got is not None
+    assert got[0][:, 0].tolist() == left.tolist()
+    assert got[0][:, 1].tolist() == right.tolist()
+
+
+def test_rice2_escape_and_multi_partition():
+    """FIXED order 0 over 8 samples, RICE2 method, partition order 2
+    (4 partitions of 2), partitions alternating coded/escape."""
+    vals = [3, -4, 100, -100, 0, 1, -1, 2]
+    w = _header_with_crc(len(vals), 0)
+    w.bits(0, 1)
+    w.bits(8 | 0, 6)  # FIXED order 0 → residual == samples
+    w.bits(0, 1)
+    w.bits(1, 2)  # RICE2: 5-bit params
+    w.bits(2, 4)  # partition order 2 → 4 partitions of 2
+    for p in range(4):
+        pair = vals[2 * p : 2 * p + 2]
+        if p % 2 == 0:
+            w.bits(3, 5)  # rice param 3
+            for e in pair:
+                z = (abs(e) << 1) - (1 if e < 0 else 0)
+                q, rem = z >> 3, z & 7
+                if q:
+                    w.bits(0, q)
+                w.bits(1, 1)
+                w.bits(rem, 3)
+        else:
+            w.bits(31, 5)  # escape
+            w.bits(9, 5)  # 9-bit raw residuals
+            for e in pair:
+                w.bits(e & 0x1FF, 9)
+    got = flac_decode_int(_finish(_streaminfo(8000, 1, 16, len(vals)), w))
+    assert got is not None
+    assert got[0][:, 0].tolist() == vals
+
+
+def test_wasted_bits_shift_back():
+    """A subframe with 2 wasted bits stores samples >> 2 and the decoder
+    must shift them back up."""
+    vals = [4, -8, 16, 0]
+    w = _header_with_crc(len(vals), 0)
+    w.bits(0, 1)
+    w.bits(1, 6)  # VERBATIM
+    w.bits(1, 1)  # wasted-bits flag
+    w.bits(1, 2)  # unary 1 → wasted = 2; bps becomes 14
+    for v in vals:
+        w.bits((v >> 2) & 0x3FFF, 14)
+    got = flac_decode_int(_finish(_streaminfo(8000, 1, 16, len(vals)), w))
+    assert got is not None
+    assert got[0][:, 0].tolist() == vals
+
+
+def test_audio_feature_decodes_flac():
+    from pdf_extractor_spark.core.avmedia import audio_feature, wav_encode
+
+    a = np.full((1600, 2), 300, dtype=np.int16)
+    wav_feat = audio_feature(wav_encode(a, 8000))
+    flac_feat = audio_feature(flac_encode(a, 8000, fixed_order=1))
+    assert flac_feat is not None
+    assert wav_feat == pytest.approx(flac_feat)
+    assert audio_feature(b"fLaC but not really") is None
