@@ -2814,6 +2814,60 @@ def q_jsonld_fields(spark, sf_dir):
     return pages.select("doc_id", *jsonld_fields(F.col("html")))
 
 
+def q_microdata_fields(spark, sf_dir):
+    """Schema.org MICRODATA metadata (functions/htmlmeta.py
+    microdata_fields) — the attribute-markup twin of q_jsonld_fields for
+    the older-CMS long tail: d%3==0 pages carry an Article item whose
+    headline appears BOTH as <meta itemprop content> and as element text
+    (the attribute form must win), every 30th uses single-quoted/unquoted
+    attribute forms on a NewsArticle, d%3==1 a Product with only an
+    author <meta>, d%3==2 no microdata at all — pure regexp Column exprs
+    in codegen on the scan, NULLs for absent values."""
+    from pdf_extractor_spark.functions.htmlmeta import microdata_fields
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    block = (
+        F.when(
+            d % 30 == 0,
+            F.concat(
+                F.lit("<div itemscope itemtype='https://schema.org/NewsArticle'>"
+                      "<span itemprop=headline>alt "),
+                ds, F.lit("</span></div>"),
+            ),
+        )
+        .when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<article itemscope itemtype="https://schema.org/Article">'
+                      '<meta itemprop="headline" content="story '),
+                ds,
+                F.lit('"><h1 itemprop="headline">shadowed</h1>'
+                      '<time itemprop="datePublished" datetime="2026-0'),
+                (d % 9 + 1).cast("string"),
+                F.lit('-01">that day</time><span itemprop="author">writer '),
+                (d % 7).cast("string"),
+                F.lit("</span></article>"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<div itemscope itemtype="https://schema.org/Product">'
+                      '<meta itemprop="author" content="brand '),
+                (d % 5).cast("string"), F.lit('"></div>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><body>"), block, F.lit("<p>b</p></body></html>")).alias("html"),
+    )
+    return pages.select("doc_id", *microdata_fields(F.col("html")))
+
+
 def q_curation_funnel(spark, sf_dir):
     """Per-gate rejection audit (operators/curate.py curation_funnel): each
     doc of the dup-injected union attributes to the FIRST gate it fails
@@ -3424,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the 50-query window from here down ---
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
+        "microdata_fields": q_microdata_fields,
         "extract_incremental": q_extract_incremental,
         "host_profile": q_host_profile,
         "page_dates": q_page_dates,
@@ -5173,6 +5228,20 @@ SELECT 'doc://' || doc_id AS media_id,
        b.bin::BIGINT AS bin,
        ((doc_id % 100 + 1) * 300)::BIGINT AS amp_q
 FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b""",
+        # schema.org microdata: closed-form fixture literals
+        "microdata_fields": """
+SELECT doc_id,
+       CASE WHEN doc_id % 30 = 0 THEN 'NewsArticle'
+            WHEN doc_id % 3 = 0 THEN 'Article'
+            WHEN doc_id % 3 = 1 THEN 'Product' END AS micro_type,
+       CASE WHEN doc_id % 30 = 0 THEN 'alt ' || doc_id
+            WHEN doc_id % 3 = 0 THEN 'story ' || doc_id END AS headline,
+       CASE WHEN doc_id % 3 = 0 AND doc_id % 30 != 0
+            THEN '2026-0' || (doc_id % 9 + 1) || '-01' END AS date_published,
+       CASE WHEN doc_id % 30 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'writer ' || (doc_id % 7)
+            WHEN doc_id % 3 = 1 THEN 'brand ' || (doc_id % 5) END AS author
+FROM documents""",
         # FLAC twin of audio_features: lossless decode of the same constant
         # signals -> identical closed-form rows
         "audio_features_flac": """

@@ -217,3 +217,66 @@ def page_date(url: Column, html: Column) -> Column:
         F.lit(""),
     )
     return F.regexp_extract(candidates, r"^(\d{4}-\d{2}-\d{2})", 1)
+
+
+# --- schema.org microdata ----------------------------------------------------------
+#
+# The THIRD metadata vocabulary real crawl pages carry (after OpenGraph and
+# JSON-LD, both handled above): itemscope/itemtype declares the schema.org
+# type inline on an element, and itemprop attributes mark values either as
+# tag attributes (<meta content>, <time datetime>) or as element text.
+# Older CMSes emit microdata where newer ones emit JSON-LD, so a crawl-wide
+# metadata pass that reads only JSON-LD silently loses the long tail.
+# Same discipline as everything above: pure Column regexps (Java ∩ RE2) so
+# the DuckDB oracle twins compile identically, codegen on the scan.
+
+_ITEMTYPE = [
+    r"(?i)<\w+\b[^>]*itemtype\s*=\s*\"([^\"]*)\"",
+    r"(?i)<\w+\b[^>]*itemtype\s*=\s*'([^']*)'",
+    r"(?i)<\w+\b[^>]*itemtype\s*=\s*([^\s\"'>]+)",
+]
+
+
+def microdata_type(html: Column) -> Column:
+    """Last path segment of the first ``itemtype`` URL — the bare
+    schema.org type name ('' when the page carries no microdata)."""
+    url = _first_match(html, _ITEMTYPE)
+    return F.when(url == "", F.lit("")).otherwise(
+        F.regexp_extract(url, r"([^/]+)/?$", 1)
+    )
+
+
+def _microdata_patterns(prop: str) -> list[str]:
+    """Value patterns for one itemprop, in descending reliability order:
+    <meta itemprop content>, <time itemprop datetime>, then the element's
+    text content (first text run before any child tag)."""
+    return (
+        _attr_pair_patterns("meta", "itemprop", prop, "content")
+        + _attr_pair_patterns("time", "itemprop", prop, "datetime")
+        + [
+            r"(?i)<\w+\b[^>]*itemprop\s*=\s*[\"']?" + prop
+            + r"\b[\"']?[^>]*>\s*([^<]*?)\s*<",
+        ]
+    )
+
+
+def microdata_value(html: Column, prop: str) -> Column:
+    """Value of the first ``itemprop=prop`` — attribute-carried forms win
+    over text content ('' when absent)."""
+    return _first_match(html, _microdata_patterns(prop))
+
+
+def microdata_fields(html: Column):
+    """(micro_type, headline, date_published, author) from inline
+    schema.org microdata — the attribute-markup twin of jsonld_fields;
+    NULLs (not '') for absent values so the two vocabularies' outputs
+    union cleanly."""
+    def _n(c: Column) -> Column:
+        return F.nullif(c, F.lit(""))
+
+    return (
+        _n(microdata_type(html)).alias("micro_type"),
+        _n(microdata_value(html, "headline")).alias("headline"),
+        _n(microdata_value(html, "datePublished")).alias("date_published"),
+        _n(microdata_value(html, "author")).alias("author"),
+    )

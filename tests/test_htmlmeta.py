@@ -166,3 +166,27 @@ def test_page_date_precedence_and_validation(spark):
     assert got[3] == ("2019-03-02", "2019-03-02")
     assert got[4] == ("", "")
     assert got[5] == ("", "")
+
+
+def test_microdata_attribute_forms_and_priority(spark):
+    from pdf_extractor_spark.functions.htmlmeta import microdata_fields
+
+    pages = [
+        # attribute-carried value beats element text
+        ('<div itemscope itemtype="https://schema.org/Article">'
+         '<meta itemprop="headline" content="meta wins">'
+         '<h1 itemprop="headline">text loses</h1>'
+         '<time itemprop="datePublished" datetime="2024-01-02">Jan</time>'
+         '<b itemprop="author">bob</b></div>',
+         ("Article", "meta wins", "2024-01-02", "bob")),
+        # single-quoted + unquoted forms; trailing slash in itemtype
+        ("<span itemscope itemtype='https://schema.org/Recipe/'>"
+         "<i itemprop=author>alice</i></span>",
+         ("Recipe", None, None, "alice")),
+        # no microdata at all
+        ("<html><body><p>plain</p></body></html>", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in pages], "html string")
+    rows = df.select(*microdata_fields(F.col("html"))).collect()
+    got = [(r["micro_type"], r["headline"], r["date_published"], r["author"]) for r in rows]
+    assert got == [want for _, want in pages]
