@@ -1036,6 +1036,55 @@ def q_audio_features_flac(spark, sf_dir):
     )
 
 
+def q_audio_tags(spark, sf_dir):
+    """Declared track metadata across both mainstream tag containers
+    (operators/multimodal.py audio_tags): d%3==0 carries an ID3v2.3 tag
+    (plain frame sizes, TYER year), d%3==1 an ID3v2.4 tag (syncsafe sizes,
+    TDRC year, no artist), d%3==2 a FLAC VORBIS_COMMENT block (DATE →
+    leading YYYY) — title/artist/album/year recovered exactly per
+    container, with tag_source naming which parser fired. The
+    rights/dedup/temporal-mixing metadata of an audio corpus, parsed
+    without any sample decode. No reference counterpart (text-only)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.avmedia import id3_encode
+    from pdf_extractor_spark.core.flaccodec import flac_encode
+    from pdf_extractor_spark.operators.multimodal import audio_tags
+
+    def mk_media(batches):
+        def payload(d: int) -> bytes:
+            if d % 3 == 0:
+                return id3_encode(title=f"song {d}", artist=f"band {d % 5}",
+                                  year=str(1990 + d % 30), version=3)
+            if d % 3 == 1:
+                return id3_encode(title=f"tune {d}", album=f"lp {d % 4}", version=4)
+            return flac_encode(
+                np.zeros((16, 1), dtype=np.int16), 8000,
+                tags={"TITLE": f"track {d}", "ARTIST": f"duo {d % 6}",
+                      "DATE": f"{2000 + d % 20}-05-01"},
+            )
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select("media_id", F.lit("audio").alias("kind"), "payload")
+    )
+    return audio_tags(media)
+
+
 def _mk_exif_payload(d: int) -> bytes:
     """Deterministic EXIF-tagged JPEG for doc ``d`` (core/exif.py
     exif_encode fixture twin): make = Cam<d%5>; docs with d%4==3 carry no
@@ -3479,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
+        "audio_tags": q_audio_tags,
         "extract_incremental": q_extract_incremental,
         "host_profile": q_host_profile,
         "page_dates": q_page_dates,
@@ -5228,6 +5278,19 @@ SELECT 'doc://' || doc_id AS media_id,
        b.bin::BIGINT AS bin,
        ((doc_id % 100 + 1) * 300)::BIGINT AS amp_q
 FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b""",
+        # audio tag containers: closed-form fixture literals per branch
+        "audio_tags": """
+SELECT 'doc://' || doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'vorbis' ELSE 'id3' END AS tag_source,
+       CASE doc_id % 3 WHEN 0 THEN 'song ' || doc_id
+            WHEN 1 THEN 'tune ' || doc_id
+            ELSE 'track ' || doc_id END AS title,
+       CASE doc_id % 3 WHEN 0 THEN 'band ' || (doc_id % 5)
+            WHEN 2 THEN 'duo ' || (doc_id % 6) END AS artist,
+       CASE doc_id % 3 WHEN 1 THEN 'lp ' || (doc_id % 4) END AS album,
+       CASE doc_id % 3 WHEN 0 THEN (1990 + doc_id % 30)::VARCHAR
+            WHEN 2 THEN (2000 + doc_id % 20)::VARCHAR END AS year
+FROM documents""",
         # schema.org microdata: closed-form fixture literals
         "microdata_fields": """
 SELECT doc_id,

@@ -600,3 +600,119 @@ def ogg_info(payload: bytes | None) -> dict | None:
         "sample_rate": rate,
         "duration_ms": duration_ms,
     }
+
+
+# --- audio tag metadata (ID3v2 text frames + FLAC Vorbis comments) -------------
+#
+# Corpus curation wants title/artist/album/year long before any sample
+# decode: dedup by recording, rights screening by artist, temporal mixing
+# by release year. Both mainstream containers carry them as plain
+# length-prefixed text — no entropy coding — so the parse is exact.
+
+_ID3_FRAME_KEYS = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+                   b"TYER": "year", b"TDRC": "year"}
+
+
+def _syncsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+
+
+def id3_tags(payload: bytes | None) -> dict | None:
+    """``{title, artist, album, year}`` (absent keys None) from an ID3v2.3
+    or v2.4 prefix, or None when the payload carries no ID3v2 header.
+    Text frames only; encoding byte 0 (latin-1) and 3 (utf-8) decoded,
+    others skipped. Frame sizes are plain u32 in v2.3 and syncsafe in
+    v2.4, per spec."""
+    b = payload or b""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return None
+    ver = b[3]
+    tag_end = 10 + _syncsafe(b[6:10])
+    out = {"title": None, "artist": None, "album": None, "year": None}
+    i = 10
+    if b[5] & 0x40:  # extended header present: skip it
+        if i + 4 > len(b):
+            return out
+        ext = _syncsafe(b[i : i + 4]) if ver == 4 else int.from_bytes(b[i : i + 4], "big") + 4
+        i += ext
+    while i + 10 <= min(tag_end, len(b)):
+        fid = b[i : i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        size = _syncsafe(b[i + 4 : i + 8]) if ver == 4 else int.from_bytes(b[i + 4 : i + 8], "big")
+        body = b[i + 10 : i + 10 + size]
+        key = _ID3_FRAME_KEYS.get(fid)
+        if key is not None and out[key] is None and len(body) >= 1:
+            enc, text = body[0], body[1:]
+            try:
+                if enc == 0:
+                    out[key] = text.split(b"\x00")[0].decode("latin-1")
+                elif enc == 3:
+                    out[key] = text.split(b"\x00")[0].decode("utf-8")
+            except UnicodeDecodeError:
+                pass
+        i += 10 + size
+    return out
+
+
+def id3_encode(title: str | None = None, artist: str | None = None,
+               album: str | None = None, year: str | None = None,
+               version: int = 3) -> bytes:
+    """Fixture twin of id3_tags: an ID3v2.3 (plain frame sizes) or v2.4
+    (syncsafe) tag holding the given utf-8 text frames — prepend to any
+    audio payload."""
+    if version not in (3, 4):
+        raise ValueError("id3: version 3 or 4")
+    frames = bytearray()
+    pairs = [(b"TIT2", title), (b"TPE1", artist), (b"TALB", album),
+             (b"TYER" if version == 3 else b"TDRC", year)]
+    for fid, val in pairs:
+        if val is None:
+            continue
+        body = b"\x03" + val.encode("utf-8")
+        n = len(body)
+        size = (bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+                if version == 4 else n.to_bytes(4, "big"))
+        frames += fid + size + b"\x00\x00" + body
+    n = len(frames)
+    hdr = (b"ID3" + bytes([version, 0, 0])
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]))
+    return hdr + bytes(frames)
+
+
+def vorbis_comments(payload: bytes | None) -> dict | None:
+    """``{title, artist, album, year}`` from a FLAC stream's VORBIS_COMMENT
+    metadata block (type 4), or None when the payload isn't FLAC. Keys are
+    case-insensitive per spec; DATE maps to year (leading YYYY)."""
+    b = payload or b""
+    if b[:4] != b"fLaC" or len(b) < 8:
+        return None
+    out = {"title": None, "artist": None, "album": None, "year": None}
+    i = 4
+    last = False
+    while not last and i + 4 <= len(b):
+        hdr = b[i]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(b[i + 1 : i + 4], "big")
+        body = b[i + 4 : i + 4 + size]
+        if btype == 4 and len(body) >= 8:
+            try:
+                p = 4 + int.from_bytes(body[0:4], "little")  # skip vendor
+                count = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                for _ in range(count):
+                    ln = int.from_bytes(body[p : p + 4], "little")
+                    p += 4
+                    kv = body[p : p + ln].decode("utf-8", "replace")
+                    p += ln
+                    k, _, v = kv.partition("=")
+                    k = k.lower()
+                    if k in ("title", "artist", "album") and out[k] is None:
+                        out[k] = v
+                    elif k == "date" and out["year"] is None:
+                        out["year"] = v[:4]
+            except (IndexError, ValueError):
+                pass
+        i += 4 + size
+    return out

@@ -389,12 +389,14 @@ def _encode_subframe(w: _BitWriter, samples, order: int) -> None:
             w.bits(rem, param)
 
 
-def flac_encode(samples, rate: int, block_size: int = 4096, fixed_order: int = -1) -> bytes:
+def flac_encode(samples, rate: int, block_size: int = 4096, fixed_order: int = -1,
+                tags: dict | None = None) -> bytes:
     """int16 (n, channels) → a valid FLAC stream (fixture twin of
     flac_decode): STREAMINFO + fixed-blocking frames, independent channels,
     16-bit samples, VERBATIM subframes by default or FIXED order 0-2 with
     single-partition rice when ``fixed_order`` >= 0. CRC-8/CRC-16 are
-    computed per spec."""
+    computed per spec. ``tags`` (e.g. {"TITLE": ..., "ARTIST": ..., "DATE":
+    ...}) emits a VORBIS_COMMENT metadata block after STREAMINFO."""
     a = _np.asarray(samples, dtype=_np.int16)
     if a.ndim == 1:
         a = a[:, None]
@@ -408,7 +410,15 @@ def flac_encode(samples, rate: int, block_size: int = 4096, fixed_order: int = -
     bits = (rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
     si = (_struct.pack(">HH", block_size, block_size)
           + b"\x00" * 6 + bits.to_bytes(8, "big") + b"\x00" * 16)
-    out = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+    si_last = 0x80 if not tags else 0x00
+    out = bytearray(b"fLaC" + bytes([si_last]) + len(si).to_bytes(3, "big") + si)
+    if tags:
+        vendor = b"pdf_extractor_spark"
+        body = _struct.pack("<I", len(vendor)) + vendor + _struct.pack("<I", len(tags))
+        for k, v in tags.items():
+            kv = f"{k}={v}".encode("utf-8")
+            body += _struct.pack("<I", len(kv)) + kv
+        out += bytes([0x80 | 4]) + len(body).to_bytes(3, "big") + body
 
     for f, start in enumerate(range(0, n, block_size)):
         blk = a[start : start + block_size]

@@ -453,6 +453,50 @@ def audio_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     return auds.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("tag_source", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("year", T.StringType(), True),
+    ]
+)
+
+
+def audio_tags(media: DataFrame) -> DataFrame:
+    """audio rows → declared track metadata (title/artist/album/year).
+
+    Reads ID3v2.3/2.4 text frames (MP3 and anything else ID3-prefixed) and
+    FLAC VORBIS_COMMENT blocks (core/avmedia.py id3_tags /
+    vorbis_comments) — the rights-screening / recording-dedup / temporal-
+    mixing metadata a curation pass needs long before any sample decode.
+    ``tag_source`` says which container carried the tags ('id3' /
+    'vorbis'); payloads with neither yield NULLs — degrade-don't-crash.
+    One Arrow pass on the scan, no shuffle."""
+    from pdf_extractor_spark.core.avmedia import id3_tags, vorbis_comments
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "tag_source", "title", "artist", "album", "year")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else None
+                tags, src = id3_tags(b), "id3"
+                if tags is None:
+                    tags, src = vorbis_comments(b), "vorbis"
+                if tags is None:
+                    tags, src = {}, None
+                rows["media_id"].append(mid)
+                rows["tag_source"].append(src)
+                for k in ("title", "artist", "album", "year"):
+                    rows[k].append(tags.get(k))
+            yield pd.DataFrame(rows)
+
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(run, AUDIO_TAGS_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic synthetic media table from the documents fixture
     (text bytes as payload) — test/bench scaffolding, no external data."""

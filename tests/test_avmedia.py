@@ -441,3 +441,45 @@ def test_sample_frames_real_avi_path(spark):
     # an AVI whose frames aren't JPEG degrades to zero rows, never crashes
     bad = avi_encode([b"not a jpeg"], fps=10, width=8, height=8)
     assert sample_frames(media_df(bad), every_ms=100, fake=False).count() == 0
+
+
+def test_id3_and_vorbis_tag_roundtrip():
+    import numpy as np
+
+    from pdf_extractor_spark.core.avmedia import id3_encode, id3_tags, vorbis_comments
+    from pdf_extractor_spark.core.flaccodec import flac_decode_int, flac_encode
+
+    t3 = id3_tags(id3_encode(title="T", artist="A", album="L", year="1999", version=3))
+    assert t3 == {"title": "T", "artist": "A", "album": "L", "year": "1999"}
+    t4 = id3_tags(id3_encode(title="ü", year="2024", version=4))
+    assert t4 == {"title": "ü", "artist": None, "album": None, "year": "2024"}
+    assert id3_tags(b"not id3") is None
+    assert id3_tags(None) is None
+    flac = flac_encode(
+        np.full((32, 2), 5, dtype=np.int16), 8000,
+        tags={"TITLE": "tr", "ARTIST": "ar", "ALBUM": "al", "DATE": "2011-02-03"},
+    )
+    assert vorbis_comments(flac) == {"title": "tr", "artist": "ar", "album": "al", "year": "2011"}
+    # a tagged stream still decodes sample-exactly
+    got = flac_decode_int(flac)
+    assert got is not None and (got[0] == 5).all()
+    assert vorbis_comments(b"fLaC") is None or vorbis_comments(b"fLaC") == {
+        "title": None, "artist": None, "album": None, "year": None}
+
+
+def test_audio_tags_operator(spark):
+    from pdf_extractor_spark.core.avmedia import id3_encode
+    from pdf_extractor_spark.operators.multimodal import audio_tags
+
+    media = spark.createDataFrame(
+        [
+            ("a", "audio", bytearray(id3_encode(title="x", version=3))),
+            ("b", "audio", bytearray(b"untagged")),
+            ("c", "video", bytearray(b"skipped")),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_tags(media).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["tag_source"] == "id3" and rows["a"]["title"] == "x"
+    assert rows["b"]["tag_source"] is None and rows["b"]["title"] is None
