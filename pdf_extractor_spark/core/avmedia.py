@@ -702,6 +702,10 @@ def vorbis_comments(payload: bytes | None) -> dict | None:
                 count = int.from_bytes(body[p : p + 4], "little")
                 p += 4
                 for _ in range(count):
+                    # declared count is attacker-controlled (u32) — stop at
+                    # the body edge or a hostile payload loops 2^32 times
+                    if p + 4 > len(body):
+                        break
                     ln = int.from_bytes(body[p : p + 4], "little")
                     p += 4
                     kv = body[p : p + ln].decode("utf-8", "replace")

@@ -1,0 +1,149 @@
+"""Adversarial fuzz sweep over the audio/video container parsers.
+
+The per-row contract everywhere in the media stack is degrade-don't-crash:
+every probe/decoder returns a dict/array/None (or an empty list) and never
+raises on hostile bytes, and every parse finishes fast — declared sizes and
+counts inside a payload are attacker-controlled, so no loop may trust them
+for its iteration bound. Round-4/5 fuzzing covered the PDF and image
+decoders; this module closes the gap for the round-5 AV additions (AVI,
+FLAC, ID3v2/Vorbis tags, MP3/OGG/MP4/WebM probes, WAV, subtitles).
+
+All fuzz inputs are seed-deterministic (random.Random(N)) so failures
+reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.avmedia import (
+    audio_feature,
+    avi_encode,
+    avi_frames,
+    avi_info,
+    id3_encode,
+    id3_tags,
+    mp3_info,
+    mp4_info,
+    ogg_info,
+    sniff_av,
+    vorbis_comments,
+    wav_decode,
+    wav_encode,
+    wav_info,
+    webm_info,
+)
+from pdf_extractor_spark.core.flaccodec import flac_decode, flac_encode
+from pdf_extractor_spark.core.subtitles import parse_subtitles
+
+PROBES = [
+    wav_info, wav_decode, audio_feature, avi_info, avi_frames, mp4_info,
+    webm_info, mp3_info, ogg_info, sniff_av, id3_tags, vorbis_comments,
+    flac_decode,
+]
+
+# magic prefixes steer random tails into each parser's deep path instead of
+# bouncing off the signature check
+MAGICS = [
+    b"", b"RIFF", b"RIFF\xff\xff\xff\xffWAVE", b"RIFF\xff\xff\xff\xffAVI ",
+    b"fLaC", b"ID3", b"OggS", b"\x00\x00\x00\x18ftyp", b"\x1a\x45\xdf\xa3",
+    b"\xff\xfb",
+]
+
+
+def _check_all(payload: bytes) -> None:
+    for fn in PROBES:
+        t0 = time.monotonic()
+        out = fn(payload)
+        took = time.monotonic() - t0
+        assert took < 5.0, f"{fn.__name__} took {took:.1f}s on {len(payload)}B"
+        assert out is None or isinstance(out, (dict, list, tuple, np.ndarray)), (
+            fn.__name__, type(out))
+
+
+def test_random_bytes_never_raise():
+    rng = random.Random(1234)
+    for trial in range(400):
+        magic = MAGICS[trial % len(MAGICS)]
+        n = rng.choice([0, 1, 7, 32, 257, 4096])
+        _check_all(magic + rng.randbytes(n))
+
+
+def _valid_fixtures() -> list[bytes]:
+    rng = random.Random(99)
+    t = np.arange(800, dtype=np.float32)
+    pcm = (0.4 * np.sin(2 * np.pi * 440 * t / 8000)).reshape(-1, 1)
+    wav = wav_encode(pcm, 8000)
+    flac = flac_encode((pcm * 32767).astype(np.int32), 8000)
+    avi = avi_encode([rng.randbytes(64) for _ in range(3)], fps=10, width=4, height=4)
+    id3 = id3_encode(title="t", artist="a", album="b", year="2024") + b"\xff\xfb\x90\x00" + bytes(400)
+    return [wav, flac, avi, id3]
+
+
+def test_mutated_fixtures_never_raise():
+    """Bit flips, truncations, and splices of VALID payloads — the mutations
+    keep magic bytes intact so every parser walks its real structure."""
+    rng = random.Random(4321)
+    for base in _valid_fixtures():
+        for _ in range(120):
+            buf = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:  # flip 1-4 bytes anywhere past the magic
+                for _ in range(rng.randint(1, 4)):
+                    buf[rng.randrange(4, len(buf))] = rng.randrange(256)
+            elif op == 1:  # truncate
+                del buf[rng.randrange(4, len(buf)):]
+            else:  # splice a random window over itself
+                a = rng.randrange(4, len(buf))
+                b = rng.randrange(4, len(buf))
+                buf[a:a + 8] = buf[b:b + 8]
+            _check_all(bytes(buf))
+
+
+def test_vorbis_comment_hostile_count_terminates_fast():
+    """A crafted VORBIS_COMMENT block declaring 2^32-1 comments must parse
+    in bounded time (the loop stops at the body edge, not the count)."""
+    body = (0).to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
+    blk = bytes([0x84]) + len(body).to_bytes(3, "big") + body
+    payload = b"fLaC" + blk
+    t0 = time.monotonic()
+    out = vorbis_comments(payload)
+    assert time.monotonic() - t0 < 1.0
+    assert out == {"title": None, "artist": None, "album": None, "year": None}
+
+
+def test_id3_hostile_frame_sizes_terminate():
+    """Frame sizes near 2^28 and a tag_end past the buffer must not loop or
+    allocate per declared size."""
+    rng = random.Random(7)
+    hdr = b"ID3\x04\x00\x00" + bytes([0x7F, 0x7F, 0x7F, 0x7F])  # tag_end huge
+    frames = b""
+    for _ in range(5):
+        frames += b"TIT2" + bytes([0x7F, 0x7F, 0x7F, 0x7F]) + b"\x00\x00" + rng.randbytes(6)
+    t0 = time.monotonic()
+    out = id3_tags(hdr + frames)
+    assert time.monotonic() - t0 < 1.0
+    assert isinstance(out, dict)
+
+
+def test_subtitles_fuzz_never_raises():
+    rng = random.Random(5150)
+    corpus = [
+        b"1\n00:00:01,000 --> 00:00:02,000\nhello\n\n",
+        b"WEBVTT\n\n00:01.000 --> 00:02.000\nworld\n\n",
+    ]
+    for base in corpus:
+        for _ in range(60):
+            buf = bytearray(base * rng.randint(1, 4))
+            for _ in range(rng.randint(1, 6)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            out = parse_subtitles(bytes(buf))
+            assert out is None or isinstance(out, list)
+    # pure garbage
+    for _ in range(40):
+        out = parse_subtitles(rng.randbytes(rng.choice([0, 3, 64, 999])))
+        assert out is None or isinstance(out, list)
