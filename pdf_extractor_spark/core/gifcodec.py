@@ -109,7 +109,9 @@ def gif_frames(
             if gct.shape[0] != n:
                 return None
             pos += 3 * n
-        if gw == 0 or gh == 0:
+        if gw == 0 or gh == 0 or gw * gh > 64_000_000:
+            # canvas allocates from header-declared dims BEFORE any frame
+            # data pays for them — a 13-byte file could demand 13 GB
             return None
         bg_rgb = gct[bg_idx] if gct is not None and bg_idx < gct.shape[0] else np.zeros(3, np.uint8)
         canvas = np.tile(bg_rgb, (gh, gw, 1)).astype(np.uint8)

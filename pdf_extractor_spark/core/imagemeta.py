@@ -260,12 +260,25 @@ def png_decode(payload: bytes | None):
         pos += 12 + length
     if w is None or not idat or (colortype == 3 and plte is None):
         return None
-    try:
-        raw = _zlib.decompress(b"".join(idat))
-    except _zlib.error:
+    if w * h > 64_000_000:  # same declared-dims cap as BMP/TIFF/GIF/JPEG
         return None
     ch = _PNG_CHANNELS[colortype]
     bpp = max(1, ch * depth // 8)
+    # bound the inflate to exactly what the filter layout can consume —
+    # IDAT is otherwise a classic decompression bomb (KBs -> GBs)
+    if interlace == 0:
+        raw_cap = ((w * ch * depth + 7) // 8 + 1) * h
+    else:
+        raw_cap = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                raw_cap += ((pw * ch * depth + 7) // 8 + 1) * ph
+    try:
+        raw = _zlib.decompressobj().decompress(b"".join(idat), raw_cap)
+    except _zlib.error:
+        return None
     if interlace == 0:
         stride = (w * ch * depth + 7) // 8
         got = _png_unfilter(raw, 0, h, stride, bpp)
@@ -427,10 +440,13 @@ def resize_nearest(arr, new_w: int, new_h: int):
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
-def _packbits_decode(b: bytes) -> bytes:
+def _packbits_decode(b: bytes, max_out: int | None = None) -> bytes:
+    # max_out bounds the expansion: replicate packets amplify 2 input bytes
+    # into up to 128 output bytes, and a hostile file controls how many —
+    # decoded size must be capped by what the caller actually needs.
     out = bytearray()
     i, n = 0, len(b)
-    while i < n:
+    while i < n and (max_out is None or len(out) < max_out):
         c = b[i]
         i += 1
         if c < 128:  # literal run of c+1 bytes
@@ -471,6 +487,10 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+# the only IFD tags tiff_decode reads; everything else is skipped unparsed
+_TIFF_TAGS_USED = frozenset({256, 257, 258, 259, 262, 273, 277, 278, 279})
+
+
 def tiff_decode(payload: bytes | None):
     """(h, w, ch) uint8 from an 8-bit baseline TIFF (II/MM, strips,
     Compression 1/32773, Photometric 0/1/2), else None."""
@@ -493,7 +513,9 @@ def tiff_decode(payload: bytes | None):
         typ = int.from_bytes(b[e + 2 : e + 4], bo)
         cnt = int.from_bytes(b[e + 4 : e + 8], bo)
         size = _TIFF_TYPE_SIZE.get(typ)
-        if size is None:
+        if size is None or tag not in _TIFF_TAGS_USED:
+            # materializing values for arbitrary tags lets a hostile IFD point
+            # thousands of entries at the same big region — O(n^2) ints
             continue
         total = size * cnt
         off = e + 8 if total <= 4 else int.from_bytes(b[e + 8 : e + 12], bo)
@@ -523,13 +545,19 @@ def tiff_decode(payload: bytes | None):
         or w * h > 64_000_000
     ):
         return None
+    need = h * w * spp
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
+        if len(raw) >= need:  # extra strips can't be hostile padding
+            break
         strip = b[off : off + cnt]
         if len(strip) < cnt:
             return None
-        raw += _packbits_decode(strip) if comp == 32773 else strip
-    need = h * w * spp
+        raw += (
+            _packbits_decode(strip, max_out=need - len(raw))
+            if comp == 32773
+            else strip
+        )
     if len(raw) < need:
         return None
     arr = _np.frombuffer(bytes(raw[:need]), dtype=_np.uint8).reshape(h, w, spp)

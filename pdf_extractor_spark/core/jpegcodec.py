@@ -178,6 +178,11 @@ def jpeg_decode(payload: bytes | None) -> np.ndarray | None:
                 prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
                 if prec != 8 or nc not in (1, 3, 4) or h == 0 or w == 0:
                     return None
+                if h * w > 64_000_000:
+                    # plane/coef buffers allocate from the DECLARED frame
+                    # dims before any entropy data pays for them; same
+                    # pixel-count cap as the PNG/BMP/TIFF/GIF decoders
+                    return None
                 comps = []
                 for i in range(nc):
                     cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]

@@ -1,0 +1,187 @@
+"""Adversarial fuzz sweep over the image decoders and EXIF walkers.
+
+Same degrade-don't-crash contract as tests/test_fuzz_media.py, applied to
+the image side: every decoder returns an ndarray/dict/tuple/bytes/None and
+never raises on hostile bytes, and no loop trusts a declared size or count
+inside the payload for its iteration bound or its allocation.
+
+The TIFF bomb tests pin the round-5 hardening: PackBits replicate packets
+amplify 2 input bytes into 128 output bytes, and strip offsets/counts may
+all point at the same blob — decode work must be capped by the pixel count
+the IFD actually declares, not by what the strips can expand to.
+
+All fuzz inputs are seed-deterministic (random.Random(N)) so failures
+reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import numpy as np
+
+from pdf_extractor_spark.core.exif import exif_encode, exif_parse, strip_exif_gps
+from pdf_extractor_spark.core.gifcodec import gif_decode, gif_encode, gif_frames
+from pdf_extractor_spark.core.imagemeta import (
+    bmp_decode,
+    bmp_encode,
+    png_decode,
+    png_encode,
+    sniff_image,
+    tiff_decode,
+    tiff_encode,
+)
+from pdf_extractor_spark.core.jpegcodec import jpeg_decode, jpeg_encode
+
+PROBES = [
+    sniff_image, png_decode, bmp_decode, tiff_decode, gif_decode, gif_frames,
+    jpeg_decode, exif_parse,
+]
+
+# magic prefixes steer random tails into each parser's deep path
+MAGICS = [
+    b"", b"\x89PNG\r\n\x1a\n", b"BM", b"II*\x00", b"MM\x00*",
+    b"GIF89a", b"GIF87a", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1",
+]
+
+
+def _check_all(payload: bytes) -> None:
+    for fn in PROBES:
+        t0 = time.monotonic()
+        out = fn(payload)
+        took = time.monotonic() - t0
+        assert took < 5.0, f"{fn.__name__} took {took:.1f}s on {len(payload)}B"
+        assert out is None or isinstance(
+            out, (dict, list, tuple, bytes, np.ndarray)
+        ), (fn.__name__, type(out))
+    scrubbed = strip_exif_gps(payload)
+    assert scrubbed is None or isinstance(scrubbed, bytes)
+
+
+def test_random_bytes_never_raise():
+    rng = random.Random(1234)
+    for trial in range(400):
+        magic = MAGICS[trial % len(MAGICS)]
+        n = rng.choice([0, 1, 7, 32, 257, 4096])
+        _check_all(magic + rng.randbytes(n))
+
+
+def _px(shape, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def _valid_fixtures() -> list[bytes]:
+    rgb = _px((9, 7, 3))
+    gray = _px((6, 5))
+    return [
+        png_encode(rgb),
+        bmp_encode(rgb),
+        tiff_encode(rgb),
+        tiff_encode(gray, big_endian=True, packbits=True, rows_per_strip=2),
+        gif_encode(rgb[:, :, 0][:, :, None].repeat(3, axis=2)),
+        jpeg_encode(rgb),
+        exif_encode(gps=((51, 30, 2600), "N", (0, 7, 3900), "W")),
+    ]
+
+
+def test_mutated_fixtures_never_raise():
+    """Bit flips, truncations, and splices of VALID payloads — mutations
+    keep magic bytes intact so every parser walks its real structure."""
+    rng = random.Random(4321)
+    for base in _valid_fixtures():
+        for _ in range(100):
+            buf = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:  # flip 1-4 bytes anywhere past the magic
+                for _ in range(rng.randint(1, 4)):
+                    buf[rng.randrange(8, len(buf))] = rng.randrange(256)
+            elif op == 1:  # truncate
+                del buf[rng.randrange(8, len(buf)):]
+            else:  # splice a random window over itself
+                a = rng.randrange(8, len(buf))
+                b = rng.randrange(8, len(buf))
+                buf[a:a + 8] = buf[b:b + 8]
+            _check_all(bytes(buf))
+
+
+def _tiff_header(entries: list[bytes], tail: bytes) -> bytes:
+    """II TIFF with one IFD whose entries are pre-packed 12-byte rows."""
+    ifd = len(entries).to_bytes(2, "little") + b"".join(entries) + b"\0\0\0\0"
+    return b"II*\x00" + (8).to_bytes(4, "little") + ifd + tail
+
+
+def _e(tag: int, typ: int, cnt: int, val: int) -> bytes:
+    return (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little") + val.to_bytes(4, "little"))
+
+
+def test_tiff_packbits_bomb_is_capped():
+    """A 2 KB file whose strips all point at one max-amplification PackBits
+    blob must decode in bounded time/memory: the declared image is 4x4
+    gray (need=16 bytes), so accumulation stops at 16 bytes no matter how
+    much the strips could expand to."""
+    blob = b"\x81\xff" * 512  # each pair expands to 128 bytes: 64x
+    # IFD at 8; entries then blob; compute blob offset after building once
+    n_strips = 64
+    probe = _tiff_header(
+        [_e(256, 3, 1, 4), _e(257, 3, 1, 4), _e(259, 3, 1, 32773),
+         _e(262, 3, 1, 1),
+         _e(273, 4, n_strips, 0), _e(279, 4, n_strips, 0)],
+        b"",
+    )
+    off_arrays_at = len(probe)
+    blob_at = off_arrays_at + 8 * n_strips
+    offs = b"".join(blob_at.to_bytes(4, "little") for _ in range(n_strips))
+    cnts = b"".join(len(blob).to_bytes(4, "little") for _ in range(n_strips))
+    payload = _tiff_header(
+        [_e(256, 3, 1, 4), _e(257, 3, 1, 4), _e(259, 3, 1, 32773),
+         _e(262, 3, 1, 1),
+         _e(273, 4, n_strips, off_arrays_at),
+         _e(279, 4, n_strips, off_arrays_at + 4 * n_strips)],
+        offs + cnts + blob,
+    )
+    t0 = time.monotonic()
+    out = tiff_decode(payload)
+    assert time.monotonic() - t0 < 1.0
+    assert out is not None and out.shape == (4, 4, 1)
+    assert bool((out == 255).all())
+
+
+def test_tiff_hostile_tag_counts_are_skipped():
+    """Thousands of uninteresting IFD entries all declaring huge counts over
+    the same region must not materialize value lists."""
+    filler = bytes(60_000)
+    entries = [_e(256, 3, 1, 2), _e(257, 3, 1, 2), _e(262, 3, 1, 1)]
+    # 2000 junk tags, each claiming 15000 SHORTs somewhere in the filler
+    entries += [_e(40_000 + k, 3, 15_000, 0) for k in range(2000)]
+    payload = _tiff_header(entries, filler)
+    t0 = time.monotonic()
+    out = tiff_decode(payload)  # no strips -> None, but must return FAST
+    assert time.monotonic() - t0 < 1.0
+    assert out is None
+
+
+def test_exif_scrub_fuzz_roundtrip_invariants():
+    """strip_exif_gps on mutated EXIF JPEGs: never raises, output is bytes,
+    and on the UNMUTATED fixture the GPS coordinates are actually gone
+    while make/datetime survive."""
+    base = exif_encode(make="FuzzCam", gps=((1, 2, 300), "S", (4, 5, 600), "E"))
+    meta = exif_parse(base)
+    assert meta is not None and meta["gps_lat"] is not None
+    clean = strip_exif_gps(base)
+    assert len(clean) == len(base)
+    meta2 = exif_parse(clean)
+    assert meta2["gps_lat"] is None and meta2["gps_lon"] is None
+    assert meta2["make"] == "FuzzCam" and meta2["datetime"] == meta["datetime"]
+
+    rng = random.Random(2718)
+    for _ in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            buf[rng.randrange(2, len(buf))] = rng.randrange(256)
+        out = strip_exif_gps(bytes(buf))
+        assert isinstance(out, bytes)
+        parsed = exif_parse(bytes(buf))
+        assert parsed is None or isinstance(parsed, dict)
