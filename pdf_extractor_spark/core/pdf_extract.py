@@ -406,6 +406,21 @@ def _filter_names(head: bytes) -> list[bytes]:
     return re.findall(rb"/([A-Za-z0-9]+)", m.group(1)) if m else []
 
 
+# per-filter-step decoded-size cap: declared stream data is attacker
+# controlled, and Flate/LZW/RunLength amplify (up to ~1000x/2700x/64x) —
+# one crafted page must not OOM an executor. Exceeding the cap raises,
+# which the per-document wrappers turn into parse_status='failed'.
+_MAX_STREAM_BYTES = 1 << 28
+
+
+def _inflate(raw: bytes) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(raw, _MAX_STREAM_BYTES)
+    if not d.eof:
+        raise zlib.error("truncated Flate stream or inflate past cap")
+    return out
+
+
 def _lzw_decode(data: bytes) -> bytes:
     """PDF LZWDecode (TIFF-style: clear=256, EOD=257, 9→12-bit codes with
     the spec-default EarlyChange=1 width bump one code early)."""
@@ -431,6 +446,8 @@ def _lzw_decode(data: bytes) -> bytes:
                 entry = table[code] if code < len(table) else prev + prev[:1]
                 table.append(prev + entry[:1])
             out += entry
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError("LZW stream decodes past cap")
             prev = entry
             if len(table) >= (1 << width) - 1 and width < 12:
                 width += 1
@@ -452,6 +469,8 @@ def _rl_decode(data: bytes) -> bytes:
         else:
             out += data[i + 1 : i + 2] * (257 - length)
             i += 2
+        if len(out) > _MAX_STREAM_BYTES:
+            raise ValueError("RunLength stream decodes past cap")
     return bytes(out)
 
 
@@ -475,7 +494,7 @@ def _apply_text_filter(name: bytes, raw: bytes, head: bytes) -> bytes:
     """One lossless filter step, or raise for unsupported (DCT/JPX/CCITT/
     JBIG2 are image codecs — meaningless as text; /Crypt needs keys)."""
     if name == b"FlateDecode":
-        return _apply_predictor(head, zlib.decompress(raw))
+        return _apply_predictor(head, _inflate(raw))
     if name == b"LZWDecode":
         return _apply_predictor(head, _lzw_decode(raw))
     if name == b"ASCIIHexDecode":
@@ -529,9 +548,9 @@ def _image_stream(body: bytes) -> tuple[bytes, str] | None:
                 return raw, _IMG_PASSTHROUGH[name]
             if name == b"FlateDecode" and i == len(names) - 1:
                 # terminal Flate carries raw samples — reverse predictors
-                raw = _apply_predictor(head, zlib.decompress(raw))
+                raw = _apply_predictor(head, _inflate(raw))
             elif name == b"FlateDecode":
-                raw = zlib.decompress(raw)  # transport step before the codec
+                raw = _inflate(raw)  # transport step before the codec
             elif name in (b"ASCIIHexDecode", b"ASCII85Decode", b"RunLengthDecode", b"LZWDecode"):
                 raw = _apply_text_filter(name, raw, head if i == len(names) - 1 else b"")
             else:

@@ -36,16 +36,31 @@ from pyspark.sql import DataFrame, SparkSession
 _CRLF2 = b"\r\n\r\n"
 
 
+# per-member inflate cap: a Common-Crawl-style member is one record (a few
+# MB); a crafted member amplifying 1000x must not OOM the executor
+_MAX_MEMBER_BYTES = 1 << 30
+
+
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     """Inflate a concatenation of gzip members (the .warc.gz layout) one
-    member at a time; non-gzip input yields itself unchanged."""
+    member at a time; non-gzip input yields itself unchanged. Degrades,
+    never raises: a corrupt member yields what inflated before the error
+    and stops (one bad record in a 10^12-doc crawl must not fail the
+    task), and a member inflating past _MAX_MEMBER_BYTES is truncated
+    there (decompression-bomb guard)."""
     if data[:2] != b"\x1f\x8b":
         yield data
         return
     pos = 0
     while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        yield d.decompress(data[pos:])
+        try:
+            out = d.decompress(data[pos:], _MAX_MEMBER_BYTES)
+        except zlib.error:
+            break
+        yield out
+        if not d.eof:  # hit the cap (or input ends mid-member)
+            break
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break

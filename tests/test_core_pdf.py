@@ -1,6 +1,8 @@
 """PDF flavor of the extraction core: synthetic-subset parse, page numbers,
 span invariants, format dispatch."""
 
+import pytest
+
 from pdf_extractor_spark.core.pdf_extract import (
     extract_any,
     extract_pdf,
@@ -1019,3 +1021,73 @@ def test_parse_differences_fuzz_roundtrip_and_soup():
 
     roundtrip()
     soup()
+
+
+class TestStreamBombCaps:
+    """Filter-step decoded-size caps: declared stream data is attacker
+    controlled and Flate/LZW/RunLength amplify — a crafted page must fail
+    the one document fast, never OOM the executor."""
+
+    def test_flate_bomb_raises_within_cap(self, monkeypatch):
+        import zlib
+
+        from pdf_extractor_spark.core import pdf_extract as pe
+
+        monkeypatch.setattr(pe, "_MAX_STREAM_BYTES", 65_536)
+        bomb = zlib.compress(b"\x00" * 4_000_000, 9)  # ~4 KB -> 4 MB
+        with pytest.raises(zlib.error):
+            pe._inflate(bomb)
+        # a legit stream under the cap still inflates, trailing junk tolerated
+        assert pe._inflate(zlib.compress(b"BT ET") + b"J") == b"BT ET"
+
+    def test_runlength_bomb_raises_within_cap(self, monkeypatch):
+        from pdf_extractor_spark.core import pdf_extract as pe
+
+        monkeypatch.setattr(pe, "_MAX_STREAM_BYTES", 4096)
+        with pytest.raises(ValueError):
+            pe._rl_decode(b"\x81\x41" * 200)  # 400 B -> 25.6 KB (128x runs)
+        assert pe._rl_decode(b"\x02abc\x80") == b"abc"
+
+    def test_lzw_bomb_raises_within_cap(self, monkeypatch):
+        from pdf_extractor_spark.core import pdf_extract as pe
+
+        monkeypatch.setattr(pe, "_MAX_STREAM_BYTES", 4096)
+        # KwKwK growth: after CLEAR and one literal, each emitted code is
+        # exactly the next undefined table slot, so entry length grows by
+        # one per code -> output ~ k^2/2 bytes from ~k*1.4 input bytes
+        codes = [(256, 9), (65, 9)]
+        width, tlen = 9, 258
+        for _ in range(300):
+            codes.append((tlen, width))
+            tlen += 1
+            if tlen >= (1 << width) - 1 and width < 12:
+                width += 1
+        bits = "".join(format(c, f"0{w}b") for c, w in codes)
+        bits += "0" * (-len(bits) % 8)
+        data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+        with pytest.raises(ValueError):
+            pe._lzw_decode(data)
+
+    def test_bomb_pdf_document_fails_clean(self, monkeypatch):
+        """Doc level: a PDF whose content stream is a Flate bomb lands in
+        status='failed' (the per-document wrapper catches the raise) —
+        no hang, no giant allocation."""
+        import re as _re
+        import zlib
+
+        from pdf_extractor_spark.core import pdf_extract as pe
+
+        monkeypatch.setattr(pe, "_MAX_STREAM_BYTES", 65_536)
+        good = pe.render_pdf([["hello bomb page"]])
+        assert pe.extract_pdf("u", good).status == "ok"  # fixture sanity
+        bomb = zlib.compress(b" " * 4_000_000, 9)
+        m = _re.search(rb"stream\r?\n(.*?)endstream", good, _re.S)
+        assert m is not None
+        swapped = good[: m.start(1)] + bomb + good[m.end(1):]
+        import time as _t
+        t0 = _t.monotonic()
+        res = pe.extract_pdf("u", swapped)
+        # the bomb object is skipped (or the doc fails) — either way no
+        # hang, no giant allocation, and none of its content leaks out
+        assert _t.monotonic() - t0 < 5.0
+        assert res.text == ""

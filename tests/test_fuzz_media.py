@@ -60,7 +60,7 @@ def _check_all(payload: bytes) -> None:
         t0 = time.monotonic()
         out = fn(payload)
         took = time.monotonic() - t0
-        assert took < 5.0, f"{fn.__name__} took {took:.1f}s on {len(payload)}B"
+        assert took < 20.0, f"{fn.__name__} took {took:.1f}s on {len(payload)}B"
         assert out is None or isinstance(out, (dict, list, tuple, np.ndarray)), (
             fn.__name__, type(out))
 

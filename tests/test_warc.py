@@ -260,3 +260,68 @@ def test_write_warc_deterministic_shards(spark, tmp_path):
         pa_ = open(f"{a}/{name}", "rb").read()
         pb_ = open(f"{b}/{name}", "rb").read()
         assert pa_ == pb_  # gzip mtime pinned -> byte-identical shards
+
+
+def test_corrupt_gzip_member_degrades_not_raises():
+    """One corrupt member in a .warc.gz must yield the records before it
+    and stop — never raise into the Spark task (a single bad record in a
+    10^12-doc crawl must not fail the job)."""
+    from pdf_extractor_spark.sources.warc import iter_warc_records, render_warc
+
+    good = render_warc(
+        [("https://a.com/1", "2024-01-01T00:00:00Z", b"<p>one</p>")],
+        per_record_gzip=True,
+    )
+    corrupt = b"\x1f\x8b" + b"\x00" * 40  # gzip magic, garbage stream
+    recs = list(iter_warc_records(good + corrupt))
+    assert len(recs) >= 1
+    assert recs[0][0].get(b"warc-target-uri") == b"https://a.com/1"
+    # corrupt-first: degrades to nothing, still no exception
+    assert list(iter_warc_records(corrupt + good)) == []
+
+
+def test_gzip_bomb_member_is_capped(monkeypatch):
+    """A member inflating past the cap is truncated there instead of
+    allocating whatever the deflate stream demands."""
+    import zlib as _z
+
+    from pdf_extractor_spark.sources import warc as warc_mod
+
+    co = _z.compressobj(9, wbits=16 + _z.MAX_WBITS)
+    bomb = co.compress(b"\x00" * 4_000_000) + co.flush()  # ~4 MB -> ~4 KB
+    assert len(bomb) < 8_000
+    monkeypatch.setattr(warc_mod, "_MAX_MEMBER_BYTES", 65_536)
+    members = list(warc_mod._split_gzip_members(bomb))
+    assert len(members) == 1 and len(members[0]) == 65_536
+
+
+def test_warc_parsers_fuzz_never_raise():
+    import random
+
+    from pdf_extractor_spark.sources.warc import (
+        iter_warc_records,
+        parse_cdxj,
+        warc_pages_from_bytes,
+        wet_texts_from_bytes,
+    )
+
+    rng = random.Random(31337)
+    magics = [b"", b"\x1f\x8b", b"WARC/1.0\r\n", b"WARC/1.0\r\ncontent-length: 99\r\n\r\n"]
+    for trial in range(200):
+        blob = magics[trial % len(magics)] + rng.randbytes(rng.choice([0, 5, 64, 700]))
+        assert isinstance(list(iter_warc_records(blob)), list)
+        assert isinstance(list(warc_pages_from_bytes(blob)), list)
+        assert isinstance(list(wet_texts_from_bytes(blob)), list)
+        txt = blob.decode("latin-1")
+        assert isinstance(list(parse_cdxj(txt)), list)
+
+
+def test_negative_content_length_makes_no_progress_backwards():
+    """content-length is attacker-controlled; a negative value must not
+    re-yield records or loop."""
+    from pdf_extractor_spark.sources.warc import iter_warc_records
+
+    rec = (b"WARC/1.0\r\nwarc-type: response\r\n"
+           b"warc-target-uri: https://x.com/\r\ncontent-length: -7\r\n\r\nBODY")
+    recs = list(iter_warc_records(rec * 3))
+    assert len(recs) <= 3
