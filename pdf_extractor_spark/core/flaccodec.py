@@ -35,6 +35,10 @@ import struct as _struct
 import numpy as _np
 
 _SYNC = 0b11111111111110
+# decoded-sample cap per channel (~25 min of 44.1 kHz audio): CONSTANT
+# subframes amplify a handful of input bytes into a 65536-sample block, so
+# total output must be bounded by a constant, not by the input size
+_MAX_SAMPLES = 1 << 26
 
 
 class _BitReader:
@@ -273,6 +277,11 @@ def flac_decode_int(payload: bytes | None):
             r.bits(16)  # frame CRC-16 (not verified)
             for c in range(si_ch):
                 chans[c].extend(subs[c])
+            if len(chans[0]) > _MAX_SAMPLES:
+                # CONSTANT subframes amplify ~10 input bytes into 65536
+                # samples; a crafted file of back-to-back frames must not
+                # accumulate unbounded (declared sizes are attacker data)
+                return None
             # trailing zero padding after the last frame must not resync
             if b[r.pos >> 3 :].lstrip(b"\x00") == b"":
                 break

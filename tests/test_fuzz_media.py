@@ -147,3 +147,24 @@ def test_subtitles_fuzz_never_raises():
     for _ in range(40):
         out = parse_subtitles(rng.randbytes(rng.choice([0, 3, 64, 999])))
         assert out is None or isinstance(out, list)
+
+
+def test_flac_constant_frame_bomb_is_capped(monkeypatch):
+    """Back-to-back CONSTANT subframes amplify ~10 input bytes into 65536
+    samples each; accumulation must stop at the _MAX_SAMPLES cap instead
+    of following the input to billions of samples."""
+    from pdf_extractor_spark.core import flaccodec as fc
+
+    monkeypatch.setattr(fc, "_MAX_SAMPLES", 10_000)
+    pcm = np.zeros((4096, 1), dtype=np.int32)  # constant -> tiny frames
+    payload = fc.flac_encode(pcm, 8000)
+    # single legit file under the cap still decodes
+    assert fc.flac_decode(payload) is not None
+    # splice many copies of the frame section after one header
+    hdr_end = payload.index(b"\xff\xf8")  # first frame sync byte pair
+    frames = payload[hdr_end:]
+    bomb = payload[:hdr_end] + frames * 16  # declares 16x4096 = 65k samples
+    t0 = time.monotonic()
+    out = fc.flac_decode(bomb)
+    assert time.monotonic() - t0 < 5.0
+    assert out is None  # past cap: degrade, don't allocate
