@@ -2824,6 +2824,52 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outlines(pages).select("url", "ord", "level", "title", "page")
 
 
+def q_pdf_info(spark, sf_dir):
+    """PDF document-information dictionaries (core/pdf_extract.pdf_info via
+    operators/extract.pdf_info_rows): d%3==0 docs carry latin-1
+    Title/Author/CreationDate (UT 'Z' date), d%3==1 a UTF-16BE hex-string
+    title plus a /ModDate with a +01'30' UT offset, d%3==2 no /Info at all
+    (no row); the parse is the real trailer-/Info resolution + 7.9.4 date
+    normalization, the oracle restates the construction rule. /CreationDate
+    is often the only publication date a PDF carries (reference: pdfminer's
+    PDFDocument.info, app/processing/pdf_processor.py:86-101)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+    from pdf_extractor_spark.operators.extract import pdf_info_rows
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                mm, dd = 1 + d % 12, 1 + d % 28
+                if d % 3 == 0:
+                    info = {
+                        "Title": f"Report {d}",
+                        "Author": f"Team {d % 7}",
+                        "CreationDate": f"D:2023{mm:02d}{dd:02d}120000Z",
+                    }
+                elif d % 3 == 1:
+                    info = {
+                        "Title": f"Étude n° {d}",
+                        "ModDate": f"D:2022{mm:02d}{dd:02d}0830+01'30'",
+                    }
+                else:
+                    info = None
+                urls.append(f"doc://{d}")
+                htmls.append(render_pdf([[f"body {d}"]], info=info))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    return pdf_info_rows(pages).select("url", "title", "author", "created", "modified")
+
+
 def q_jsonld_fields(spark, sf_dir):
     """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
     d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
@@ -3525,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
+        "pdf_info": q_pdf_info,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4280,6 +4327,20 @@ SELECT 'doc://' || doc_id AS url,
             ELSE 'café • page ' || doc_id END AS extracted_text,
        'ok' AS parse_status
 FROM documents""",
+        "pdf_info": """
+WITH d AS (SELECT doc_id,
+                  lpad((1 + doc_id % 12)::VARCHAR, 2, '0') AS mm,
+                  lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS dd
+           FROM documents)
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'Report ' || doc_id
+            ELSE 'Étude n° ' || doc_id END AS title,
+       CASE WHEN doc_id % 3 = 0 THEN 'Team ' || (doc_id % 7) ELSE '' END AS author,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2023-' || mm || '-' || dd || 'T12:00:00Z' ELSE '' END AS created,
+       CASE WHEN doc_id % 3 = 1
+            THEN '2022-' || mm || '-' || dd || 'T08:30:00+01:30' ELSE '' END AS modified
+FROM d WHERE doc_id % 3 < 2""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -1588,6 +1588,91 @@ def extract_pdf_outline(data: bytes | None) -> list[tuple[int, str, int]]:
     return out
 
 
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_INFO_KEYS = (
+    ("title", rb"Title"),
+    ("author", rb"Author"),
+    ("subject", rb"Subject"),
+    ("keywords", rb"Keywords"),
+    ("creator", rb"Creator"),
+    ("producer", rb"Producer"),
+)
+_PDF_DATE_RE = re.compile(
+    r"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?([Zz+\-])?(\d{2})?'?(\d{2})?"
+)
+
+
+def _pdf_date_iso(raw: str) -> str:
+    """ISO-8601 form of a PDF date string (spec 7.9.4, ``D:YYYYMMDDHHmmSS``
+    + optional UT offset ``Z`` / ``±HH'mm'``); trailing fields default per
+    spec (month/day 01, time 00). Unparseable input → ''."""
+    m = _PDF_DATE_RE.match(raw.strip())
+    if not m:
+        return ""
+    y, mo, dy, hh, mi, ss, o, oh, om = m.groups()
+    if not (1 <= int(mo or 1) <= 12 and 1 <= int(dy or 1) <= 31
+            and int(hh or 0) <= 23 and int(mi or 0) <= 59 and int(ss or 0) <= 60):
+        return ""
+    iso = f"{y}-{mo or '01'}-{dy or '01'}T{hh or '00'}:{mi or '00'}:{ss or '00'}"
+    if o in ("Z", "z"):
+        iso += "Z"
+    elif o in ("+", "-") and oh:
+        iso += f"{o}{oh}:{om or '00'}"
+    return iso
+
+
+def _first_string(buf: bytes) -> str | None:
+    """First PDF string (literal or hex) in ``buf``, decoded as a text
+    string (7.9.2.2: UTF-16BE with BOM, else PDFDocEncoding), or None."""
+    for kind, payload, _pos in _iter_strings(buf):
+        if kind == "lit":
+            return _pdf_text_string(_unescape(payload))
+        hx = b"".join(payload.split())
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return _pdf_text_string(bytes.fromhex(hx.decode("ascii")))
+        except ValueError:
+            return None
+    return None
+
+
+def pdf_info(data: bytes | None) -> dict[str, str] | None:
+    """The document-information dictionary (spec 14.3.3) as ``{title,
+    author, subject, keywords, creator, producer, created, modified}``
+    (absent entries → ''; dates normalized to ISO-8601 via the 7.9.4
+    ``D:`` form) — the PDF twin of the HTML page_metadata / page-dates
+    operators: /Title and /Author feed corpus metadata, and /CreationDate
+    is often the only publication date a PDF carries. The reference reads
+    the same dict through pdfminer's ``PDFDocument.info``
+    (app/processing/pdf_processor.py:86-101). Non-PDF, encrypted (Info
+    strings outside content streams stay ciphertext — see ``_decrypted``),
+    or /Info-less files → None. The LAST trailer's /Info wins, honoring
+    incremental updates."""
+    if not is_pdf(data) or _is_encrypted(data):
+        return None
+    try:
+        m = None
+        for m in _INFO_REF_RE.finditer(data):
+            pass
+        if m is None:
+            return None
+        body = _load_objects(data).get(int(m.group(1)))
+        if body is None or _STREAM_START_RE.search(body):
+            return None
+        out: dict[str, str] = {}
+        for out_key, key in _INFO_KEYS:
+            km = re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body)
+            out[out_key] = (_first_string(body[km.end():]) or "") if km else ""
+        for out_key, key in (("created", rb"CreationDate"), ("modified", rb"ModDate")):
+            km = re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body)
+            raw = (_first_string(body[km.end():]) or "") if km else ""
+            out[out_key] = _pdf_date_iso(raw)
+        return out
+    except Exception:
+        return None
+
+
 def extract_any(url: str, payload: bytes | None) -> ExtractResult:
     """Format dispatch — the batch form of the reference's content-type gate
     (S2, app/api/endpoints.py:53-54): sniff magic bytes, route to the PDF or
@@ -1690,6 +1775,7 @@ def render_pdf(
     form_pages: list[list[str]] | None = None,
     kerned_tj: bool = False,
     rotate: int | list[int] = 0,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1714,7 +1800,11 @@ def render_pdf(
     only) shows each line as ONE TJ array — words split mid-word with a
     small kern (-20) and separated by a word gap (-240) instead of space
     glyphs, the justified-text form real layout engines emit. ``rotate``
-    (int or per-page list) writes /Rotate into the page dicts."""
+    (int or per-page list) writes /Rotate into the page dicts. ``info``
+    ({Title/Author/Subject/Keywords/Creator/Producer/CreationDate/ModDate:
+    value}) emits a document-information dictionary referenced from the
+    trailer's /Info; non-latin-1 values render as UTF-16BE hex strings
+    (the BOM form spec 7.9.2.2 mandates)."""
     if objstm:
         return _render_pdf_objstm(pages, compress, images_per_page, xref_predictor)
 
@@ -1969,6 +2059,22 @@ def render_pdf(
             f"<< /Type /Catalog /Pages 2 0 R /Outlines {root_num} 0 R >>"
         ).encode("latin-1")
 
+    info_num = None
+    if info:
+        parts = []
+        for k in ("Title", "Author", "Subject", "Keywords", "Creator",
+                  "Producer", "CreationDate", "ModDate"):
+            if k not in info:
+                continue
+            v = info[k]
+            try:
+                v.encode("latin-1")
+                parts.append(f"/{k} ({_esc_pdf_str(v)})")
+            except UnicodeEncodeError:
+                hx = (b"\xfe\xff" + v.encode("utf-16-be")).hex().upper()
+                parts.append(f"/{k} <{hx}>")
+        info_num = add("<< " + " ".join(parts) + " >>")
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objs, 1):
@@ -1978,8 +2084,10 @@ def render_pdf(
     out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
+    info_part = f" /Info {info_num} 0 R" if info_num else ""
     out += (
-        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R{info_part} >>"
+        f"\nstartxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
 

@@ -318,6 +318,45 @@ def pdf_outlines(pages: DataFrame) -> DataFrame:
     )
 
 
+def pdf_info_rows(pages: DataFrame) -> DataFrame:
+    """(url, title, author, subject, keywords, creator, producer, created,
+    modified) per PDF payload that carries a document-information dictionary
+    (core/pdf_extract.pdf_info) — the PDF metadata twin of the HTML
+    page_metadata operator: /Title|/Author feed corpus metadata and
+    /CreationDate is often a PDF's only publication date (the reference
+    reads the same dict via pdfminer, app/processing/pdf_processor.py:86-101).
+    Non-PDF / encrypted / /Info-less payloads yield no rows. One Arrow pass
+    over the page scan; no shuffle."""
+    cols = ("title", "author", "subject", "keywords", "creator",
+            "producer", "created", "modified")
+    schema = pa.schema(
+        [pa.field("url", pa.string())]
+        + [pa.field(c, pa.string()) for c in cols]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pdf_extractor_spark.core.pdf_extract import pdf_info
+
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in schema}
+            for url, data in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
+                meta = pdf_info(data)
+                if meta is None:
+                    continue
+                out["url"].append(url)
+                for c in cols:
+                    out[c].append(meta[c])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[f.name], type=f.type) for f in schema], schema=schema
+            )
+
+    return pages.select("url", "html").mapInArrow(
+        run, ", ".join(["url string"] + [f"{c} string" for c in cols])
+    )
+
+
 def extract_docs_incremental(
     cur_pages: DataFrame,
     prev_pages: DataFrame,

@@ -1091,3 +1091,93 @@ class TestStreamBombCaps:
         # hang, no giant allocation, and none of its content leaks out
         assert _t.monotonic() - t0 < 5.0
         assert res.text == ""
+
+
+# --- document-information dictionary (pdf_info) -------------------------------
+
+def test_pdf_info_roundtrip_all_keys():
+    from pdf_extractor_spark.core.pdf_extract import pdf_info, render_pdf
+
+    pdf = render_pdf(
+        [["body"]],
+        info={
+            "Title": "A (nested) title",
+            "Author": "Ada L.",
+            "Subject": "subj",
+            "Keywords": "k1, k2",
+            "Creator": "maker",
+            "Producer": "prod",
+            "CreationDate": "D:20230507142530+02'00'",
+            "ModDate": "D:20240101Z",
+        },
+    )
+    meta = pdf_info(pdf)
+    assert meta == {
+        "title": "A (nested) title",
+        "author": "Ada L.",
+        "subject": "subj",
+        "keywords": "k1, k2",
+        "creator": "maker",
+        "producer": "prod",
+        "created": "2023-05-07T14:25:30+02:00",
+        "modified": "2024-01-01T00:00:00Z",
+    }
+
+
+def test_pdf_info_utf16_and_partial_dates():
+    from pdf_extractor_spark.core.pdf_extract import pdf_info, render_pdf
+
+    pdf = render_pdf(
+        [["body"]],
+        info={"Title": "Résumé — étude", "CreationDate": "D:2021", "Author": "高橋"},
+    )
+    meta = pdf_info(pdf)
+    assert meta["title"] == "Résumé — étude"
+    assert meta["author"] == "高橋"
+    assert meta["created"] == "2021-01-01T00:00:00"
+    assert meta["producer"] == ""
+
+
+def test_pdf_info_absent_invalid_and_encrypted():
+    from pdf_extractor_spark.core.pdf_extract import pdf_info, render_pdf
+    from pdf_extractor_spark.core.pdfcrypt import encrypt_pdf_bytes
+
+    assert pdf_info(render_pdf([["x"]])) is None  # no /Info
+    assert pdf_info(None) is None
+    assert pdf_info(b"not a pdf") is None
+    plain = render_pdf([["x"]], info={"Title": "t"})
+    assert pdf_info(encrypt_pdf_bytes(plain)) is None
+    # creator key must not bleed into /CreationDate (shared prefix)
+    only_date = render_pdf([["x"]], info={"CreationDate": "D:20200102"})
+    meta = pdf_info(only_date)
+    assert meta["creator"] == "" and meta["created"] == "2020-01-02T00:00:00"
+    # invalid date -> ''
+    bad = render_pdf([["x"]], info={"CreationDate": "yesterday"})
+    assert pdf_info(bad)["created"] == ""
+
+
+def test_pdf_info_does_not_disturb_text():
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+
+    plain = extract_pdf("u", render_pdf([["hello world"]]))
+    with_info = extract_pdf("u", render_pdf([["hello world"]], info={"Title": "T"}))
+    assert plain.text == with_info.text and with_info.status == "ok"
+
+
+def test_pdf_info_rows_operator(spark):
+    from pdf_extractor_spark.core.pdf_extract import render_pdf
+    from pdf_extractor_spark.operators.extract import pdf_info_rows
+
+    pdf = render_pdf([["a"]], info={"Title": "One", "CreationDate": "D:20230101"})
+    pages = spark.createDataFrame(
+        [
+            ("doc://1", bytearray(pdf)),
+            ("doc://2", bytearray(render_pdf([["b"]]))),  # no /Info -> no row
+            ("doc://3", bytearray(b"<p>html</p>")),
+        ],
+        "url string, html binary",
+    )
+    rows = pdf_info_rows(pages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["url"], r["title"], r["created"]) == ("doc://1", "One", "2023-01-01T00:00:00")
