@@ -2870,6 +2870,62 @@ def q_pdf_info(spark, sf_dir):
     return pdf_info_rows(pages).select("url", "title", "author", "created", "modified")
 
 
+def q_hreflang_links(spark, sf_dir):
+    """hreflang alternate clusters (functions/htmlmeta.hreflang_links):
+    d%5<4 pages declare en/fr editions plus an x-default — attribute order,
+    quoting form, and case rotate with d%3, and a decoy rss-alternate link
+    (no hreflang) plus a stylesheet link must be ignored — d%5==4 pages
+    declare none (no rows); the parse is regexp_extract_all over <link>
+    tags + per-tag attribute pulls, the oracle restates the construction
+    rule. Translation-pair mining (WMT bitext-from-CommonCrawl) and
+    language-aware dedup both key on these edges."""
+    from pdf_extractor_spark.functions.htmlmeta import hreflang_links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    variants = [
+        # d%3==0: dquoted, rel first
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="en" href="https://alt.ex/en/'), k,
+            F.lit('"><link rel="alternate" hreflang="FR" href="https://alt.ex/fr/'), k,
+            F.lit('"><link rel="alternate" hreflang="x-default" href="https://alt.ex/'), k,
+            F.lit('">'),
+        ),
+        # d%3==1: squoted, hreflang first
+        F.concat(
+            F.lit("<link hreflang='en' href='https://alt.ex/en/"), k,
+            F.lit("' rel='alternate'><link hreflang='fr' href='https://alt.ex/fr/"), k,
+            F.lit("' rel='alternate'><link hreflang='X-DEFAULT' href='https://alt.ex/"), k,
+            F.lit("' rel='alternate'>"),
+        ),
+        # d%3==2: unquoted tokens
+        F.concat(
+            F.lit("<link rel=alternate hreflang=en href=https://alt.ex/en/"), k,
+            F.lit("><link rel=alternate hreflang=fr href=https://alt.ex/fr/"), k,
+            F.lit("><link rel=alternate hreflang=x-default href=https://alt.ex/"), k,
+            F.lit(">"),
+        ),
+    ]
+    cluster = (
+        F.when(d % 3 == 0, variants[0])
+        .when(d % 3 == 1, variants[1])
+        .otherwise(variants[2])
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 5 < 4, cluster).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed">'
+              '<link rel="stylesheet" href="/s.css"></head><body>x</body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), d).alias("url"), html.alias("html")
+    )
+    alt = pages.select("url", F.explode(hreflang_links(F.col("html"))).alias("a"))
+    return alt.select("url", F.col("a.hreflang").alias("hreflang"),
+                      F.col("a.href").alias("href"))
+
+
 def q_jsonld_fields(spark, sf_dir):
     """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
     d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
@@ -3572,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
         "pdf_info": q_pdf_info,
+        "hreflang_links": q_hreflang_links,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4341,6 +4398,16 @@ SELECT 'doc://' || doc_id AS url,
        CASE WHEN doc_id % 3 = 1
             THEN '2022-' || mm || '-' || dd || 'T08:30:00+01:30' ELSE '' END AS modified
 FROM d WHERE doc_id % 3 < 2""",
+        "hreflang_links": """
+SELECT 'doc://' || doc_id AS url, 'en' AS hreflang,
+       'https://alt.ex/en/' || doc_id AS href
+FROM documents WHERE doc_id % 5 < 4
+UNION ALL
+SELECT 'doc://' || doc_id, 'fr', 'https://alt.ex/fr/' || doc_id
+FROM documents WHERE doc_id % 5 < 4
+UNION ALL
+SELECT 'doc://' || doc_id, 'x-default', 'https://alt.ex/' || doc_id
+FROM documents WHERE doc_id % 5 < 4""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

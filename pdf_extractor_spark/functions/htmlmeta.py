@@ -134,6 +134,56 @@ def has_jsonld(html: Column) -> Column:
     return html.rlike(_JSONLD_RE)
 
 
+# -- hreflang alternates ---------------------------------------------------
+#
+# <link rel="alternate" hreflang="xx" href="..."> clusters declare the same
+# document's per-language editions (Google's hreflang spec). A multilingual
+# corpus uses them two ways: as translation-pair mining edges (the WMT
+# bitext-from-CommonCrawl recipe) and as a dedup key — per-language editions
+# are NOT near-dups, so collapsing on rel=canonical alone over-merges. A
+# page carries MANY of these, so this is regexp_extract_all over whole
+# <link> tags + per-tag attribute pulls (array exprs, still codegen on the
+# scan), not the single-hit _first_match form above.
+
+_LINK_TAG_RE = r"(?i)<link\b[^>]*>"
+
+
+def _tag_attr(tag: Column, attr: str) -> Column:
+    # (?:^|[^a-zA-Z]) guards prefix collisions (href vs hreflang); three
+    # HTML value forms, dquoted preferred
+    pats = [
+        r"(?i)(?:^|[^a-zA-Z])" + attr + r"\s*=\s*\"([^\"]*)\"",
+        r"(?i)(?:^|[^a-zA-Z])" + attr + r"\s*=\s*'([^']*)'",
+        r"(?i)(?:^|[^a-zA-Z])" + attr + r"\s*=\s*([^\s\"'>]+)",
+    ]
+    out = F.lit("")
+    for p in reversed(pats):
+        hit = F.regexp_extract(tag, p, 1)
+        out = F.when(hit != "", hit).otherwise(out)
+    return out
+
+
+def hreflang_links(html: Column) -> Column:
+    """``array<struct<hreflang,href>>`` of the page's
+    ``<link rel="alternate" hreflang=… href=…>`` annotations, document
+    order, language codes lowercased (``x-default`` included); tags missing
+    either attribute are dropped. Empty array when the page declares no
+    alternates."""
+    tags = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
+    is_alt = lambda t: (  # noqa: E731
+        t.rlike(r"(?i)(?:^|[^a-zA-Z])rel\s*=\s*[\"']?alternate\b")
+        & (_tag_attr(t, "hreflang") != "")
+        & (_tag_attr(t, "href") != "")
+    )
+    return F.transform(
+        F.filter(tags, is_alt),
+        lambda t: F.struct(
+            F.lower(_tag_attr(t, "hreflang")).alias("hreflang"),
+            _tag_attr(t, "href").alias("href"),
+        ),
+    )
+
+
 # first JSON-LD block's payload (group 1); [^<]* keeps the match inside the
 # script element without a dotall flag — JSON-LD blobs are '<'-free unless
 # they embed markup strings, which schema.org metadata fields don't

@@ -190,3 +190,28 @@ def test_microdata_attribute_forms_and_priority(spark):
     rows = df.select(*microdata_fields(F.col("html"))).collect()
     got = [(r["micro_type"], r["headline"], r["date_published"], r["author"]) for r in rows]
     assert got == [want for _, want in pages]
+
+
+# --- hreflang alternates -------------------------------------------------
+
+def test_hreflang_links_all_forms(spark):
+    from pdf_extractor_spark.functions.htmlmeta import hreflang_links
+
+    html = (
+        '<html><head>'
+        '<link rel="alternate" hreflang="EN" href="https://ex.org/en">'
+        "<link hreflang='fr' href='https://ex.org/fr' rel='alternate'>"
+        '<link rel=alternate hreflang=x-default href=https://ex.org/>'
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'  # no hreflang
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="alternate" hreflang="de">'  # no href
+        "</head></html>"
+    )
+    df = spark.createDataFrame([(html,), ("<p>none</p>",)], "html string")
+    rows = df.select(hreflang_links(F.col("html")).alias("alts")).collect()
+    assert [(a["hreflang"], a["href"]) for a in rows[0]["alts"]] == [
+        ("en", "https://ex.org/en"),
+        ("fr", "https://ex.org/fr"),
+        ("x-default", "https://ex.org/"),
+    ]
+    assert rows[1]["alts"] == []
