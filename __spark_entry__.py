@@ -2926,6 +2926,64 @@ def q_hreflang_links(spark, sf_dir):
                       F.col("a.href").alias("href"))
 
 
+def q_feed_items(spark, sf_dir):
+    """Syndication-feed parsing (functions/feeds.py): d%3==0 payloads are
+    RSS 2.0 channels (plain + CDATA titles, RFC-822 GMT pubDates), d%3==1
+    Atom feeds (rel=alternate href links with a rel=self decoy, ISO
+    published), d%3==2 plain HTML (no rows); the parse is
+    regexp_extract_all item/entry splitting + per-block pulls with RFC-822
+    → ISO date normalization, all pure Column exprs on the scan, and the
+    oracle restates the construction rule. Feeds are the crawl frontier's
+    freshness channel — new-URL discovery + publication-date ground
+    truth."""
+    from pdf_extractor_spark.functions.feeds import feed_items
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    mon_names = F.array(*[F.lit(m) for m in
+                          ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]])
+    mon = F.element_at(mon_names, (d % 12 + 1).cast("int"))
+    dd = F.lpad((1 + d % 28).cast("string"), 2, "0")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>C</title>'),
+        F.lit("<item><title>Story "), k,
+        F.lit("</title><link>https://feed.ex/a/"), k,
+        F.lit("</link><pubDate>Mon, "), dd, F.lit(" "), mon,
+        F.lit(" 2023 08:30:00 GMT</pubDate></item>"),
+        F.lit("<item><title><![CDATA[Update <b>"), k,
+        F.lit("</b>]]></title><link>https://feed.ex/b/"), k,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.lit('<entry><title>Post '), k,
+        F.lit('</title><link rel="self" href="https://feed.ex/self"/>'),
+        F.lit('<link rel="alternate" href="https://feed.ex/1/'), k,
+        F.lit('"/><published>2022-'),
+        F.lpad((d % 12 + 1).cast("string"), 2, "0"), F.lit("-"), dd,
+        F.lit("T05:06:07Z</published></entry>"),
+        F.lit('<entry><title>Note '), k,
+        F.lit('</title><link href="https://feed.ex/2/'), k,
+        F.lit('"/><updated>2022-01-02T03:04:05+01:00</updated></entry></feed>'),
+    )
+    xml = (
+        F.when(d % 3 == 0, rss)
+        .when(d % 3 == 1, atom)
+        .otherwise(F.lit("<html><body>not a feed</body></html>"))
+    )
+    pages = docs.select(F.concat(F.lit("doc://"), d).alias("url"), xml.alias("xml"))
+    it = pages.select(
+        "url", F.posexplode(feed_items(F.col("xml"))).alias("ord", "item")
+    )
+    return it.select(
+        "url", "ord", F.col("item.title").alias("title"),
+        F.col("item.link").alias("link"),
+        F.col("item.published").alias("published"),
+    )
+
+
 def q_jsonld_fields(spark, sf_dir):
     """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
     d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
@@ -3629,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the 50-query window from here down ---
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
+        "feed_items": q_feed_items,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4408,6 +4467,28 @@ FROM documents WHERE doc_id % 5 < 4
 UNION ALL
 SELECT 'doc://' || doc_id, 'x-default', 'https://alt.ex/' || doc_id
 FROM documents WHERE doc_id % 5 < 4""",
+        "feed_items": """
+WITH d AS (SELECT doc_id,
+                  lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm,
+                  lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS dd
+           FROM documents)
+SELECT 'doc://' || doc_id AS url, 0 AS ord,
+       'Story ' || doc_id AS title, 'https://feed.ex/a/' || doc_id AS link,
+       '2023-' || mm || '-' || dd || 'T08:30:00Z' AS published
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'doc://' || doc_id, 1, 'Update <b>' || doc_id || '</b>',
+       'https://feed.ex/b/' || doc_id, ''
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'doc://' || doc_id, 0, 'Post ' || doc_id,
+       'https://feed.ex/1/' || doc_id,
+       '2022-' || mm || '-' || dd || 'T05:06:07Z'
+FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'doc://' || doc_id, 1, 'Note ' || doc_id,
+       'https://feed.ex/2/' || doc_id, '2022-01-02T03:04:05+01:00'
+FROM d WHERE doc_id % 3 = 1""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -1,0 +1,156 @@
+"""RSS 2.0 / Atom feed parsing as pure Column expressions.
+
+Feeds are the crawl-frontier's freshness channel: a crawler that polls
+<link rel="alternate" type="application/rss+xml"> targets discovers new
+URLs hours-to-days before they surface through links, and feed pubDates
+are publication-date ground truth for the linked articles (the HTML-side
+page_date operator can only guess from meta tags). The reference has no
+feed surface (it ingests uploaded PDFs, app/api/endpoints.py:46-71); a
+Common-Crawl-shaped corpus carries feeds as ordinary rows whose payload
+is XML, so parsing them is a scan-side projection, not an IO problem.
+
+Everything here is regexp Column exprs (whole-stage codegen on the scan;
+no DOM, no UDF): feeds are machine-written XML, far more regular than
+hand-authored HTML, so item/entry blocks split reliably on tags. CDATA
+titles and RFC-822 pubDates (RSS) vs ISO-8601 published/updated (Atom)
+are both normalized so downstream sees one shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["feed_kind", "feed_items", "rfc822_to_iso"]
+
+_RSS_DOC_RE = r"(?is)<rss\b|<rdf:RDF\b"
+_ATOM_DOC_RE = r"(?is)<feed\b[^>]*www\.w3\.org/2005/Atom"
+_RSS_ITEM_RE = r"(?is)<item\b[^>]*>.*?</item>"
+_ATOM_ENTRY_RE = r"(?is)<entry\b[^>]*>.*?</entry>"
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_RFC822_RE = (
+    r"(?:[A-Za-z]{3},\s*)?(\d{1,2})\s+("
+    + "|".join(_MONTHS)
+    + r")\s+(\d{4})\s+(\d{2}):(\d{2})(?::(\d{2}))?\s*([A-Za-z]+|[+-]\d{4})?"
+)
+
+
+def feed_kind(xml: Column) -> Column:
+    """'rss' | 'atom' | '' — format sniff for a syndication payload.
+    RSS 2.0 (<rss>) and RSS 1.0 (<rdf:RDF>) both report 'rss'; Atom
+    requires the 2005 namespace so arbitrary <feed> tags don't match."""
+    return (
+        F.when(xml.rlike(_RSS_DOC_RE), F.lit("rss"))
+        .when(xml.rlike(_ATOM_DOC_RE), F.lit("atom"))
+        .otherwise(F.lit(""))
+    )
+
+
+def rfc822_to_iso(raw: Column) -> Column:
+    """RFC-822 date ('Tue, 10 Jun 2003 04:00:12 GMT' and friends) →
+    ISO-8601 'YYYY-MM-DDTHH:MM:SS' + offset ('Z' for GMT/UT/UTC/Z,
+    '±HH:MM' for numeric offsets, '' for unknown zone names — the clock is
+    NOT converted, only re-written, so the value stays exactly what the
+    feed declared). Unparseable input → ''. Missing seconds default :00
+    (the spec makes them optional)."""
+    day = F.regexp_extract(raw, _RFC822_RE, 1)
+    mon = F.regexp_extract(raw, _RFC822_RE, 2)
+    year = F.regexp_extract(raw, _RFC822_RE, 3)
+    hh = F.regexp_extract(raw, _RFC822_RE, 4)
+    mi = F.regexp_extract(raw, _RFC822_RE, 5)
+    ss = F.regexp_extract(raw, _RFC822_RE, 6)
+    zone = F.regexp_extract(raw, _RFC822_RE, 7)
+    mm = F.lpad(
+        F.array_position(F.array(*[F.lit(m) for m in _MONTHS]), mon).cast("string"),
+        2, "0",
+    )
+    tz = (
+        F.when(F.upper(zone).isin("GMT", "UT", "UTC", "Z"), F.lit("Z"))
+        .when(
+            zone.rlike(r"^[+-]\d{4}$"),
+            F.concat(F.substring(zone, 1, 3), F.lit(":"), F.substring(zone, 4, 2)),
+        )
+        .otherwise(F.lit(""))
+    )
+    iso = F.concat(
+        year, F.lit("-"), mm, F.lit("-"), F.lpad(day, 2, "0"), F.lit("T"),
+        hh, F.lit(":"), mi, F.lit(":"),
+        F.when(ss != "", ss).otherwise(F.lit("00")), tz,
+    )
+    return F.when(year != "", iso).otherwise(F.lit(""))
+
+
+def _elem_text(block: Column, tag: str) -> Column:
+    # first <tag>…</tag> text, CDATA-aware (feed titles routinely wrap in
+    # CDATA so markup/ampersands survive XML)
+    cdata = F.regexp_extract(
+        block, r"(?is)<" + tag + r"[^>]*>\s*<!\[CDATA\[(.*?)\]\]>", 1
+    )
+    plain = F.regexp_extract(
+        block, r"(?is)<" + tag + r"[^>]*>\s*([^<]*?)\s*</" + tag + r">", 1
+    )
+    return F.when(cdata != "", cdata).otherwise(plain)
+
+
+def _atom_link(entry: Column) -> Column:
+    # Atom links are attributes: prefer rel="alternate", fall back to the
+    # first <link href=…> (rel defaults to alternate when absent, RFC 4287)
+    alt = F.regexp_extract(
+        entry,
+        r"(?is)<link\b[^>]*rel\s*=\s*[\"']?alternate[\"']?[^>]*"
+        r"href\s*=\s*[\"']([^\"']+)[\"']",
+        1,
+    )
+    alt2 = F.regexp_extract(
+        entry,
+        r"(?is)<link\b[^>]*href\s*=\s*[\"']([^\"']+)[\"'][^>]*"
+        r"rel\s*=\s*[\"']?alternate[\"']?",
+        1,
+    )
+    any_ = F.regexp_extract(
+        entry, r"(?is)<link\b[^>]*href\s*=\s*[\"']([^\"']+)[\"']", 1
+    )
+    return F.when(alt != "", alt).when(alt2 != "", alt2).otherwise(any_)
+
+
+def feed_items(xml: Column) -> Column:
+    """``array<struct<title,link,published>>`` of a feed payload's entries,
+    document order — RSS <item> (title/link/pubDate, RFC-822 date) and Atom
+    <entry> (title / <link href>, preferring rel=alternate / <published>
+    else <updated>, ISO passthrough) normalized to one shape; ``published``
+    is ISO-8601 or '' when the entry has no parseable date. Non-feed
+    payloads → empty array. Pure Column exprs over regexp_extract_all
+    (item blocks) + per-block pulls — codegen on the scan, no UDF."""
+    kind = feed_kind(xml)
+
+    rss_items = F.regexp_extract_all(xml, F.lit(_RSS_ITEM_RE), 0)
+    rss = F.transform(
+        rss_items,
+        lambda it: F.struct(
+            _elem_text(it, "title").alias("title"),
+            _elem_text(it, "link").alias("link"),
+            rfc822_to_iso(_elem_text(it, "pubDate")).alias("published"),
+        ),
+    )
+
+    atom_entries = F.regexp_extract_all(xml, F.lit(_ATOM_ENTRY_RE), 0)
+
+    def _atom_struct(en: Column) -> Column:
+        pub = _elem_text(en, "published")
+        upd = _elem_text(en, "updated")
+        return F.struct(
+            _elem_text(en, "title").alias("title"),
+            _atom_link(en).alias("link"),
+            F.when(pub != "", pub).otherwise(upd).alias("published"),
+        )
+
+    atom = F.transform(atom_entries, _atom_struct)
+
+    empty = F.array().cast("array<struct<title:string,link:string,published:string>>")
+    return (
+        F.when(kind == "rss", rss)
+        .when(kind == "atom", atom)
+        .otherwise(empty)
+    )

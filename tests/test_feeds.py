@@ -1,0 +1,83 @@
+"""RSS/Atom feed parsing: sniff, item extraction, date normalization."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions.feeds import feed_items, feed_kind, rfc822_to_iso
+
+RSS = (
+    '<?xml version="1.0"?><rss version="2.0"><channel>'
+    "<title>Chan</title><link>https://ex.org/</link>"
+    "<item><title>Plain one</title><link>https://ex.org/a</link>"
+    "<pubDate>Tue, 10 Jun 2003 04:00:12 GMT</pubDate></item>"
+    "<item><title><![CDATA[CDATA <b>two</b>]]></title>"
+    "<link>https://ex.org/b</link>"
+    "<pubDate>1 Jan 2021 09:05 +0230</pubDate></item>"
+    "<item><title>No date</title><link>https://ex.org/c</link></item>"
+    "</channel></rss>"
+)
+
+ATOM = (
+    '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+    "<title>Feed</title><entry><title>First</title>"
+    '<link rel="self" href="https://ex.org/self"/>'
+    '<link rel="alternate" href="https://ex.org/1"/>'
+    "<published>2022-03-04T05:06:07Z</published></entry>"
+    "<entry><title>Second</title>"
+    '<link href="https://ex.org/2"/>'
+    "<updated>2022-08-09T10:11:12+01:00</updated></entry></feed>"
+)
+
+
+def test_feed_kind(spark):
+    df = spark.createDataFrame(
+        [(RSS,), (ATOM,), ("<html><body>page</body></html>",),
+         ('<feed xmlns="urn:other">not atom</feed>',)],
+        "xml string",
+    )
+    kinds = [r[0] for r in df.select(feed_kind(F.col("xml"))).collect()]
+    assert kinds == ["rss", "atom", "", ""]
+
+
+def test_rss_items(spark):
+    df = spark.createDataFrame([(RSS,)], "xml string")
+    items = df.select(feed_items(F.col("xml")).alias("it")).collect()[0]["it"]
+    assert [(i["title"], i["link"], i["published"]) for i in items] == [
+        ("Plain one", "https://ex.org/a", "2003-06-10T04:00:12Z"),
+        ("CDATA <b>two</b>", "https://ex.org/b", "2021-01-01T09:05:00+02:30"),
+        ("No date", "https://ex.org/c", ""),
+    ]
+
+
+def test_atom_entries(spark):
+    df = spark.createDataFrame([(ATOM,)], "xml string")
+    items = df.select(feed_items(F.col("xml")).alias("it")).collect()[0]["it"]
+    assert [(i["title"], i["link"], i["published"]) for i in items] == [
+        ("First", "https://ex.org/1", "2022-03-04T05:06:07Z"),
+        ("Second", "https://ex.org/2", "2022-08-09T10:11:12+01:00"),
+    ]
+
+
+def test_non_feed_and_empty(spark):
+    df = spark.createDataFrame(
+        [("<html>x</html>",), ('<rss version="2.0"><channel></channel></rss>',)],
+        "xml string",
+    )
+    rows = df.select(feed_items(F.col("xml")).alias("it")).collect()
+    assert rows[0]["it"] == [] and rows[1]["it"] == []
+
+
+def test_rfc822_variants(spark):
+    df = spark.createDataFrame(
+        [("Tue, 10 Jun 2003 04:00:12 GMT",),
+         ("10 Jun 2003 04:00 UT",),
+         ("Wed, 02 Oct 2002 13:00:00 EST",),  # named non-UT zone -> no suffix
+         ("not a date",)],
+        "d string",
+    )
+    vals = [r[0] for r in df.select(rfc822_to_iso(F.col("d"))).collect()]
+    assert vals == [
+        "2003-06-10T04:00:12Z",
+        "2003-06-10T04:00:00Z",
+        "2002-10-02T13:00:00",
+        "",
+    ]
