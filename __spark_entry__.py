@@ -2984,6 +2984,40 @@ def q_feed_items(spark, sf_dir):
     )
 
 
+def q_feed_discovery(spark, sf_dir):
+    """Feed advertisement discovery (functions/feeds.feed_links): d%4==0
+    pages advertise an RSS feed, d%4==1 an Atom feed (attribute order
+    swapped), d%4==2 both, d%4==3 none — hreflang-alternate and stylesheet
+    links are decoys throughout; the parse filters <link> tags on
+    rel=alternate + feed MIME type, the oracle restates the construction
+    rule. The feed twin of sitemap_discovery: these hrefs are what a
+    frontier polls (and feed_items then parses)."""
+    from pdf_extractor_spark.functions.feeds import feed_links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    rss = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" href="https://h'),
+        k, F.lit('.ex/feed.xml">'),
+    )
+    atom = F.concat(
+        F.lit("<link type='application/atom+xml' href='https://h"), k,
+        F.lit(".ex/atom' rel='alternate'>"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when((d % 4 == 0) | (d % 4 == 2), rss).otherwise(F.lit("")),
+        F.when((d % 4 == 1) | (d % 4 == 2), atom).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" hreflang="fr" href="/fr">'
+              '<link rel="stylesheet" href="/s.css"></head></html>'),
+    )
+    pages = docs.select(F.concat(F.lit("doc://"), d).alias("url"), html.alias("html"))
+    fl = pages.select("url", F.explode(feed_links(F.col("html"))).alias("f"))
+    return fl.select("url", F.col("f.kind").alias("kind"),
+                     F.col("f.href").alias("href"))
+
+
 def q_jsonld_fields(spark, sf_dir):
     """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
     d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
@@ -3688,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
+        "feed_discovery": q_feed_discovery,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4489,6 +4524,13 @@ UNION ALL
 SELECT 'doc://' || doc_id, 1, 'Note ' || doc_id,
        'https://feed.ex/2/' || doc_id, '2022-01-02T03:04:05+01:00'
 FROM d WHERE doc_id % 3 = 1""",
+        "feed_discovery": """
+SELECT 'doc://' || doc_id AS url, 'rss' AS kind,
+       'https://h' || doc_id || '.ex/feed.xml' AS href
+FROM documents WHERE doc_id % 4 IN (0, 2)
+UNION ALL
+SELECT 'doc://' || doc_id, 'atom', 'https://h' || doc_id || '.ex/atom'
+FROM documents WHERE doc_id % 4 IN (1, 2)""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

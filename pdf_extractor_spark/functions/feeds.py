@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["feed_kind", "feed_items", "rfc822_to_iso"]
+__all__ = ["feed_kind", "feed_items", "feed_links", "rfc822_to_iso"]
 
 _RSS_DOC_RE = r"(?is)<rss\b|<rdf:RDF\b"
 _ATOM_DOC_RE = r"(?is)<feed\b[^>]*www\.w3\.org/2005/Atom"
@@ -45,6 +45,35 @@ def feed_kind(xml: Column) -> Column:
         F.when(xml.rlike(_RSS_DOC_RE), F.lit("rss"))
         .when(xml.rlike(_ATOM_DOC_RE), F.lit("atom"))
         .otherwise(F.lit(""))
+    )
+
+
+_FEED_TYPE_RE = r"(?i)type\s*=\s*[\"']?application/(?:rss|atom)\+xml"
+
+
+def feed_links(html: Column) -> Column:
+    """``array<struct<kind,href>>`` of the feed URLs an HTML page advertises
+    via ``<link rel="alternate" type="application/rss+xml|atom+xml">``
+    (document order; ``kind`` is 'rss' | 'atom'). The discovery half of the
+    feed surface: a crawler polls these targets (parsed by ``feed_items``)
+    for frontier freshness — the feed twin of the sitemap_discovery
+    operator. Pages advertising no feeds → empty array."""
+    from pdf_extractor_spark.functions.htmlmeta import _LINK_TAG_RE, _tag_attr
+
+    tags = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
+    is_feed = lambda t: (  # noqa: E731
+        t.rlike(r"(?i)(?:^|[^a-zA-Z])rel\s*=\s*[\"']?alternate\b")
+        & t.rlike(_FEED_TYPE_RE)
+        & (_tag_attr(t, "href") != "")
+    )
+    return F.transform(
+        F.filter(tags, is_feed),
+        lambda t: F.struct(
+            F.when(t.rlike(r"(?i)application/rss\+xml"), F.lit("rss"))
+            .otherwise(F.lit("atom"))
+            .alias("kind"),
+            _tag_attr(t, "href").alias("href"),
+        ),
     )
 
 

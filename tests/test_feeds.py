@@ -81,3 +81,23 @@ def test_rfc822_variants(spark):
         "2002-10-02T13:00:00",
         "",
     ]
+
+
+def test_feed_links_discovery(spark):
+    from pdf_extractor_spark.functions.feeds import feed_links
+
+    html = (
+        "<html><head>"
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+        "<link type='application/atom+xml' rel='alternate' href='https://ex.org/atom'>"
+        '<link rel="alternate" hreflang="fr" href="/fr">'  # not a feed
+        '<link rel="stylesheet" href="/s.css">'
+        "</head></html>"
+    )
+    df = spark.createDataFrame([(html,), ("<p>no feeds</p>",)], "html string")
+    rows = df.select(feed_links(F.col("html")).alias("fl")).collect()
+    assert [(x["kind"], x["href"]) for x in rows[0]["fl"]] == [
+        ("rss", "/feed.xml"),
+        ("atom", "https://ex.org/atom"),
+    ]
+    assert rows[1]["fl"] == []
