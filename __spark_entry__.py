@@ -3018,6 +3018,33 @@ def q_feed_discovery(spark, sf_dir):
                      F.col("f.href").alias("href"))
 
 
+def q_idn_hosts(spark, sf_dir):
+    """IDN host normalization (functions/idn.py): doc_id%6 cycles six hosts
+    — five Unicode spellings (Latin diacritics, Cyrillic, CJK) plus one
+    plain-ASCII — through the ToASCII (punycode) pandas UDF and back
+    through ToUnicode; the engine runs the real RFC-3490 codec while the
+    oracle pins the expected punycode as literals (DuckDB has no IDN
+    surface — the literals were verified against the codec when pinned).
+    Host-keyed blocklists/quotas compare ASCII strings, so unnormalized
+    Unicode spellings are a gate bypass — the IDN twin of the
+    deep-subdomain bypass closed earlier this round."""
+    from pdf_extractor_spark.functions.idn import host_to_ascii, host_to_unicode
+
+    uni = ["bücher.example", "café.fr", "пример.испытание",
+           "日本語.jp", "münchen.de", "plain.example"]
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    host = F.element_at(F.array(*[F.lit(u) for u in uni]), (d % 6 + 1).cast("int"))
+    base = docs.select(d.alias("doc_id"), host.alias("host"))
+    norm = base.select(
+        "doc_id", "host", host_to_ascii(F.col("host")).alias("ascii_host")
+    )
+    return norm.select(
+        "doc_id", "host", "ascii_host",
+        host_to_unicode(F.col("ascii_host")).alias("display_host"),
+    )
+
+
 def q_jsonld_fields(spark, sf_dir):
     """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
     d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
@@ -3723,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
         "feed_discovery": q_feed_discovery,
+        "idn_hosts": q_idn_hosts,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4531,6 +4559,22 @@ FROM documents WHERE doc_id % 4 IN (0, 2)
 UNION ALL
 SELECT 'doc://' || doc_id, 'atom', 'https://h' || doc_id || '.ex/atom'
 FROM documents WHERE doc_id % 4 IN (1, 2)""",
+        "idn_hosts": """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'bücher.example'  WHEN 1 THEN 'café.fr'
+         WHEN 2 THEN 'пример.испытание' WHEN 3 THEN '日本語.jp'
+         WHEN 4 THEN 'münchen.de'      ELSE 'plain.example' END AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN 'xn--bcher-kva.example' WHEN 1 THEN 'xn--caf-dma.fr'
+         WHEN 2 THEN 'xn--e1afmkfd.xn--80akhbyknj4f'
+         WHEN 3 THEN 'xn--wgv71a119e.jp'
+         WHEN 4 THEN 'xn--mnchen-3ya.de'     ELSE 'plain.example' END AS ascii_host,
+       CASE doc_id % 6
+         WHEN 0 THEN 'bücher.example'  WHEN 1 THEN 'café.fr'
+         WHEN 2 THEN 'пример.испытание' WHEN 3 THEN '日本語.jp'
+         WHEN 4 THEN 'münchen.de'      ELSE 'plain.example' END AS display_host
+FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

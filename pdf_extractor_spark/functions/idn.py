@@ -1,0 +1,104 @@
+"""IDN (internationalized domain name) host normalization.
+
+Host-keyed gates — blocklists (functions/urls.apply_host_blocklist),
+per-domain quotas, host quality profiles — compare ASCII strings, but a
+crawl corpus carries the same registrable domain in two spellings: the
+Unicode form browsers display (``bücher.example``) and the punycode form
+DNS resolves (``xn--bcher-kva.example``). Left unnormalized, a blocklisted
+domain trivially bypasses the gate via its other spelling — the IDN twin
+of the deep-subdomain bypass fixed in round 5's domain_suffixes. Pipelines
+therefore normalize every host to its ASCII (punycode) form BEFORE any
+host-keyed join; the Unicode form is display-only.
+
+The conversion (RFC 3490 ToASCII: nameprep + punycode) is table-driven
+Unicode work the JVM expression engine doesn't expose, so this is one of
+the few deliberately Python-side functions: an Arrow-batched pandas UDF
+over stdlib's ``idna`` codec, with an ASCII fast path that skips codec
+work entirely for the overwhelmingly-ASCII real distribution. Scan-side
+projection; no shuffle.
+
+The reference keys storage on opaque uuid filenames
+(app/api/endpoints.py:56) and never sees hostnames; this surface exists
+because the north-rule input is Common-Crawl-shaped urls.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["host_to_ascii", "host_to_ascii_str", "host_to_unicode",
+           "host_to_unicode_str"]
+
+
+def host_to_ascii_str(host: str | None) -> str | None:
+    """ToASCII (punycode) form of a hostname: lowercased, trailing root dot
+    dropped, each non-ASCII label encoded ``xn--…``; labels the codec
+    rejects (bare '-', oversize, empty) pass through unchanged so one bad
+    label can't blank a whole host. None → None."""
+    if host is None:
+        return None
+    h = host.strip().rstrip(".").lower()
+    if not h:
+        return ""
+    if h.isascii():
+        return h
+    try:
+        return h.encode("idna").decode("ascii")
+    except UnicodeError:
+        out = []
+        for lab in h.split("."):
+            try:
+                out.append(lab.encode("idna").decode("ascii") if lab else lab)
+            except UnicodeError:
+                out.append(lab)
+        return ".".join(out)
+
+
+def host_to_unicode_str(host: str | None) -> str | None:
+    """Display (Unicode) form of a hostname: ``xn--`` labels decoded, the
+    rest lowercased; undecodable labels pass through. None → None."""
+    if host is None:
+        return None
+    h = host.strip().rstrip(".").lower()
+    if "xn--" not in h:
+        return h
+    out = []
+    for lab in h.split("."):
+        if lab.startswith("xn--"):
+            try:
+                out.append(lab.encode("ascii").decode("idna"))
+                continue
+            except (UnicodeError, ValueError):
+                pass
+        out.append(lab)
+    return ".".join(out)
+
+
+_ASCII_UDF = None
+_UNICODE_UDF = None
+
+
+def host_to_ascii(col: Column) -> Column:
+    """Column-level ToASCII host normalization (string)."""
+    global _ASCII_UDF
+    if _ASCII_UDF is None:
+
+        def f(s: pd.Series) -> pd.Series:
+            return s.map(host_to_ascii_str)
+
+        _ASCII_UDF = F.pandas_udf(f, "string")
+    return _ASCII_UDF(col)
+
+
+def host_to_unicode(col: Column) -> Column:
+    """Column-level ToUnicode host display form (string)."""
+    global _UNICODE_UDF
+    if _UNICODE_UDF is None:
+
+        def f(s: pd.Series) -> pd.Series:
+            return s.map(host_to_unicode_str)
+
+        _UNICODE_UDF = F.pandas_udf(f, "string")
+    return _UNICODE_UDF(col)
