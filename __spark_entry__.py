@@ -3045,6 +3045,20 @@ def q_idn_hosts(spark, sf_dir):
     )
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/embed.mean_pool): elementwise
+    mean of the embeddings table's 64-dim vectors per label — the pooling
+    primitive behind doc-level embeddings from chunk embeddings and the
+    seed step of SemDeDup/k-means. One hash-agg shuffle + a JVM zip_with
+    fold (never a 64x explode); sums ride doubles so the fold order can't
+    move the mean. TRUE SQL oracle (DuckDB recomputes the mean by index
+    join), not a construction-rule restatement."""
+    from pdf_extractor_spark.operators.embed import mean_pool
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mean_pool(emb, ["label"]).orderBy("label")
+
+
 def q_jsonld_fields(spark, sf_dir):
     """Schema.org JSON-LD metadata (functions/htmlmeta.py jsonld_fields):
     d%3==0 pages embed an Article block (headline/date/author), d%3==1 a
@@ -3751,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": q_feed_items,
         "feed_discovery": q_feed_discovery,
         "idn_hosts": q_idn_hosts,
+        "label_centroids": q_label_centroids,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4575,6 +4590,19 @@ SELECT doc_id,
          WHEN 2 THEN 'пример.испытание' WHEN 3 THEN '日本語.jp'
          WHEN 4 THEN 'münchen.de'      ELSE 'plain.example' END AS display_host
 FROM documents""",
+        "label_centroids": """
+WITH e AS (
+  SELECT label, i AS idx, embedding[i]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  WHERE embedding IS NOT NULL
+),
+m AS (SELECT label, idx, avg(v) AS mv FROM e GROUP BY label, idx)
+SELECT m.label, array_agg(m.mv ORDER BY m.idx) AS centroid,
+       n.n_vectors
+FROM m
+JOIN (SELECT label, count(*) AS n_vectors FROM embeddings
+      WHERE embedding IS NOT NULL GROUP BY label) n USING (label)
+GROUP BY m.label, n.n_vectors ORDER BY m.label""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -28,3 +28,30 @@ def embed_chunks(chunks: DataFrame, text_col: str = "text",
                  keep_cols: tuple[str, ...] = ("chunk_id", "url", "doc_hash")) -> DataFrame:
     """chunk rows → (keep_cols..., embedding float[64])."""
     return chunks.select(*keep_cols, embed_text_udf(F.col(text_col)).alias("embedding"))
+
+
+def mean_pool(df: DataFrame, key_cols: list[str], vec_col: str = "embedding",
+              out_col: str = "centroid") -> DataFrame:
+    """Elementwise mean of ``vec_col`` per ``key_cols`` group — the pooling
+    primitive behind doc-level embeddings from chunk embeddings, per-label
+    centroids (the seed step of SemDeDup/k-means), and query-side pseudo-
+    relevance vectors. One hash-agg shuffle (collect_list of the group's
+    vectors, bounded by chunks-per-doc), then a JVM-side zip_with fold —
+    no Python, no explode (exploding to (key, idx, val) rows would ride a
+    64x-row shuffle for 64-dim vectors; the fold keeps the shuffle at one
+    row per vector). Sums in double regardless of the input float type so
+    the mean is stable to fold order. NULL vectors are dropped before
+    pooling; ``n_vectors`` reports the pooled count."""
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    g = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(*key_cols, dbl.alias("__v"))
+        .groupBy(*key_cols)
+        .agg(F.collect_list("__v").alias("__vs"), F.count("*").alias("n_vectors"))
+    )
+    zero = F.array_repeat(F.lit(0.0), F.size(F.element_at(F.col("__vs"), 1)))
+    summed = F.aggregate(
+        F.col("__vs"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    mean = F.transform(summed, lambda x: x / F.col("n_vectors"))
+    return g.select(*key_cols, mean.alias(out_col), "n_vectors")

@@ -30,3 +30,33 @@ def test_batch_matches_single_and_empty():
     assert embed_batch([]).shape == (0, DIM)
     # empty text -> zero vector (norm guard)
     assert float(np.abs(m[2]).sum()) == 0.0
+
+
+def test_mean_pool_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators.embed import mean_pool
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [3.0, 2.0, 1.0]),
+        ("b", [0.5, -0.5, 0.0]),
+        ("b", None),  # dropped, not averaged as zero
+    ]
+    df = spark.createDataFrame(rows, "k string, embedding array<float>")
+    got = {r["k"]: (r["centroid"], r["n_vectors"])
+           for r in mean_pool(df, ["k"]).collect()}
+    assert got["a"][1] == 2 and got["b"][1] == 1
+    assert np.allclose(got["a"][0], [2.0, 2.0, 2.0])
+    assert np.allclose(got["b"][0], [0.5, -0.5, 0.0])
+
+
+def test_mean_pool_single_shuffle(spark):
+    from pdf_extractor_spark.operators.embed import mean_pool
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "k string, embedding array<float>"
+    )
+    plan = mean_pool(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
