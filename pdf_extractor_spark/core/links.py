@@ -278,15 +278,18 @@ _ATOM_UPDATED_RE = _re.compile(
 
 
 def _feed_text(m: _re.Match | None) -> str | None:
-    """Inner text of a captured element: CDATA unwrapped, entities decoded,
-    whitespace trimmed; absent/empty → None."""
+    """Inner text of a captured element: CDATA unwrapped (kept LITERAL —
+    that's what CDATA means, XML 1.0 §2.7; entities inside it are data,
+    not markup), plain text entity-decoded, whitespace trimmed;
+    absent/empty → None."""
     if m is None:
         return None
     val = m.group(1)
     cm = _CDATA_RE.search(val)
     if cm:
-        val = cm.group(1)
-    val = _html_mod.unescape(val).strip()
+        val = cm.group(1).strip()
+    else:
+        val = _html_mod.unescape(val).strip()
     return val or None
 
 

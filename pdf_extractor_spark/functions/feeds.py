@@ -14,6 +14,18 @@ no DOM, no UDF): feeds are machine-written XML, far more regular than
 hand-authored HTML, so item/entry blocks split reliably on tags. CDATA
 titles and RFC-822 pubDates (RSS) vs ISO-8601 published/updated (Atom)
 are both normalized so downstream sees one shape.
+
+This is the JVM/codegen TWIN of the Python reference parser
+``core/links.feed_entries`` (the same fast-path/oracle-path pairing as
+the fast HTML tokenizer vs stdlib html.parser): links.py's parser is the
+readable spec that runs in pytest and inside Arrow UDFs, this module is
+the scan-side plan that never leaves the JVM, and the two are
+differential-tested against each other (tests/test_feeds.py). links.py
+deliberately leaves dates raw ("normalization is a downstream Column
+expr concern") — ``rfc822_to_iso`` is that downstream concern. Known
+divergence, by design: entity unescaping here covers the five named XML
+entities (numeric character references need a real decoder — Python-side
+parses those).
 """
 
 from __future__ import annotations
@@ -111,16 +123,29 @@ def rfc822_to_iso(raw: Column) -> Column:
     return F.when(year != "", iso).otherwise(F.lit(""))
 
 
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")]  # &amp; LAST
+
+
+def _unescape_xml(col: Column) -> Column:
+    # the five named XML entities (+&#39;), &amp; last so '&amp;lt;' decodes
+    # to '&lt;' not '<' — the same order html.unescape resolves them
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def _elem_text(block: Column, tag: str) -> Column:
     # first <tag>…</tag> text, CDATA-aware (feed titles routinely wrap in
-    # CDATA so markup/ampersands survive XML)
+    # CDATA so markup/ampersands survive XML); plain text is entity-decoded,
+    # CDATA is literal by definition
     cdata = F.regexp_extract(
         block, r"(?is)<" + tag + r"[^>]*>\s*<!\[CDATA\[(.*?)\]\]>", 1
     )
     plain = F.regexp_extract(
         block, r"(?is)<" + tag + r"[^>]*>\s*([^<]*?)\s*</" + tag + r">", 1
     )
-    return F.when(cdata != "", cdata).otherwise(plain)
+    return F.when(cdata != "", cdata).otherwise(_unescape_xml(plain))
 
 
 def _atom_link(entry: Column) -> Column:
@@ -141,7 +166,9 @@ def _atom_link(entry: Column) -> Column:
     any_ = F.regexp_extract(
         entry, r"(?is)<link\b[^>]*href\s*=\s*[\"']([^\"']+)[\"']", 1
     )
-    return F.when(alt != "", alt).when(alt2 != "", alt2).otherwise(any_)
+    return _unescape_xml(
+        F.when(alt != "", alt).when(alt2 != "", alt2).otherwise(any_)
+    )
 
 
 def feed_items(xml: Column) -> Column:

@@ -101,3 +101,37 @@ def test_feed_links_discovery(spark):
         ("atom", "https://ex.org/atom"),
     ]
     assert rows[1]["fl"] == []
+
+
+def test_entity_unescape_matches_python_twin(spark):
+    """feed_items (Column/codegen path) must agree with the Python spec
+    parser core/links.feed_entries on titles, links, and kinds — the same
+    differential discipline as the fast HTML tokenizer vs html.parser."""
+    from pdf_extractor_spark.core.links import feed_entries
+
+    fixtures = [
+        (
+            '<rss version="2.0"><channel>'
+            "<item><title>A &amp; B &lt;tag&gt; &quot;q&quot;</title>"
+            "<link>https://ex.org/?a=1&amp;b=2</link></item>"
+            "<item><title><![CDATA[literal &amp; stays]]></title>"
+            "<link>https://ex.org/c</link></item></channel></rss>"
+        ),
+        (
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            "<entry><title>X &amp;amp; once</title>"
+            '<link rel="alternate" href="https://ex.org/?x=1&amp;y=2"/>'
+            "</entry></feed>"
+        ),
+    ]
+    df = spark.createDataFrame([(x,) for x in fixtures], "xml string")
+    col_rows = df.select(F.col("xml"), F.posexplode(
+        __import__("pdf_extractor_spark.functions.feeds", fromlist=["feed_items"])
+        .feed_items(F.col("xml"))).alias("ord", "it")).collect()
+    got = [(r["xml"][:20], r["ord"], r["it"]["title"], r["it"]["link"])
+           for r in col_rows]
+    want = []
+    for x in fixtures:
+        for e in feed_entries(x):
+            want.append((x[:20], e.entry_index, e.title, e.link))
+    assert got == want
