@@ -3045,6 +3045,72 @@ def q_idn_hosts(spark, sf_dir):
     )
 
 
+def q_hreflang_clusters(spark, sf_dir):
+    """Translation-group assembly (functions/htmlmeta.hreflang_cluster_key):
+    pages sharing an alternate set derive the same key locally — x-default
+    href when declared (even clusters), lexicographic-min alternate href
+    otherwise (odd clusters) — so clustering is ONE groupBy, no iterative
+    connected components (the hreflang contract says every edition lists
+    the same set). doc_id%100 buckets pages into clusters; d%7==6 pages
+    declare nothing and must not form a group. The grouping step of
+    hreflang bitext mining."""
+    from pdf_extractor_spark.functions.htmlmeta import hreflang_cluster_key
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    c = (d % 100).cast("string")
+    xdef = F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" href="https://alt.ex/x/'),
+        c, F.lit('">'),
+    )
+    base = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="https://alt.ex/en/'), c,
+        F.lit('"><link rel="alternate" hreflang="fr" href="https://alt.ex/fr/'), c,
+        F.lit('">'),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 7 == 6, F.lit("")).otherwise(
+            F.when(d % 100 % 2 == 0, F.concat(base, xdef)).otherwise(base)
+        ),
+        F.lit("</head></html>"),
+    )
+    pages = docs.select(F.concat(F.lit("doc://"), d).alias("url"), html.alias("html"))
+    keyed = pages.select(hreflang_cluster_key(F.col("html")).alias("cluster_key"))
+    return (
+        keyed.where(F.col("cluster_key") != "")
+        .groupBy("cluster_key")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def q_url_pct_normalize(spark, sf_dir):
+    """Percent-encoding normalization (functions/idn.pct_normalize, RFC
+    3986 §6.2.2): d%4 cycles a mixed-case reserved+unreserved escape url,
+    a multibyte-escape url (hex uppercased, never decoded), a
+    tilde/dot-segment url (unreserved escapes decode), and a plain url
+    (untouched); the engine runs the real escape-by-escape pass, the
+    oracle pins the normalized literals from the construction rule.
+    Unreserved-escape spellings are dedup-key noise — '%7Euser' and
+    '~user' are the same resource by spec, and canonical_url alone keeps
+    them distinct."""
+    from pdf_extractor_spark.functions.idn import pct_normalize
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(F.lit("https://ex.org/a%2Fb%3fx=%41%62/"), k))
+        .when(d % 4 == 1, F.concat(F.lit("https://ex.org/caf%c3%a9/"), k))
+        .when(d % 4 == 2, F.concat(F.lit("https://ex.org/%7Euser/%2e%2E/"), k))
+        .otherwise(F.concat(F.lit("https://ex.org/plain/"), k))
+    )
+    base = docs.select(d.alias("doc_id"), url.alias("url"))
+    return base.select(
+        "doc_id", "url", pct_normalize(F.col("url")).alias("norm_url")
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -3766,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discovery": q_feed_discovery,
         "idn_hosts": q_idn_hosts,
         "label_centroids": q_label_centroids,
+        "hreflang_clusters": q_hreflang_clusters,
+        "url_pct_normalize": q_url_pct_normalize,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4603,6 +4671,25 @@ FROM m
 JOIN (SELECT label, count(*) AS n_vectors FROM embeddings
       WHERE embedding IS NOT NULL GROUP BY label) n USING (label)
 GROUP BY m.label, n.n_vectors ORDER BY m.label""",
+        "hreflang_clusters": """
+WITH m AS (SELECT doc_id % 100 AS c FROM documents WHERE doc_id % 7 <> 6)
+SELECT CASE WHEN c % 2 = 0 THEN 'https://alt.ex/x/' || c
+            ELSE 'https://alt.ex/en/' || c END AS cluster_key,
+       count(*) AS n_pages
+FROM m GROUP BY c""",
+        "url_pct_normalize": """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://ex.org/a%2Fb%3fx=%41%62/' || doc_id
+         WHEN 1 THEN 'https://ex.org/caf%c3%a9/' || doc_id
+         WHEN 2 THEN 'https://ex.org/%7Euser/%2e%2E/' || doc_id
+         ELSE 'https://ex.org/plain/' || doc_id END AS url,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://ex.org/a%2Fb%3Fx=Ab/' || doc_id
+         WHEN 1 THEN 'https://ex.org/caf%C3%A9/' || doc_id
+         WHEN 2 THEN 'https://ex.org/~user/../' || doc_id
+         ELSE 'https://ex.org/plain/' || doc_id END AS norm_url
+FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -163,6 +163,24 @@ def _tag_attr(tag: Column, attr: str) -> Column:
     return out
 
 
+def hreflang_cluster_key(html: Column) -> Column:
+    """Deterministic translation-group key for a page from its hreflang
+    alternates: the x-default href when declared, else the lexicographic
+    minimum alternate href ('' when the page declares no alternates).
+    Per the hreflang contract every edition lists the SAME alternate set,
+    so each member derives the same key locally — cluster assembly is a
+    plain groupBy on this column, no iterative connected components. The
+    bitext-mining grouping step over hreflang_links."""
+    alts = hreflang_links(html)
+    xdef = F.filter(alts, lambda a: a["hreflang"] == "x-default")
+    hrefs = F.transform(alts, lambda a: a["href"])
+    return (
+        F.when(F.size(xdef) > 0, F.element_at(xdef, 1)["href"])
+        .when(F.size(hrefs) > 0, F.array_min(hrefs))
+        .otherwise(F.lit(""))
+    )
+
+
 def hreflang_links(html: Column) -> Column:
     """``array<struct<hreflang,href>>`` of the page's
     ``<link rel="alternate" hreflang=… href=…>`` annotations, document

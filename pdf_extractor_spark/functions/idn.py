@@ -20,16 +20,27 @@ projection; no shuffle.
 The reference keys storage on opaque uuid filenames
 (app/api/endpoints.py:56) and never sees hostnames; this surface exists
 because the north-rule input is Common-Crawl-shaped urls.
+
+``pct_normalize`` lives here for the same reason: RFC 3986 §6.2.2
+percent-encoding normalization (decode unreserved, uppercase the rest)
+needs hex→byte computation per escape, which Column exprs can't express
+without a 256-case table — so it's the second deliberate Python seam of
+the URL-normalization stack. ``functions/urls.canonical_url`` stays pure
+Column and leaves escapes untouched (its pinned spec); callers who need
+the stronger dedup key chain ``pct_normalize`` in front of it.
 """
 
 from __future__ import annotations
+
+import re
+import string
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["host_to_ascii", "host_to_ascii_str", "host_to_unicode",
-           "host_to_unicode_str"]
+           "host_to_unicode_str", "pct_normalize", "pct_normalize_str"]
 
 
 def host_to_ascii_str(host: str | None) -> str | None:
@@ -76,8 +87,31 @@ def host_to_unicode_str(host: str | None) -> str | None:
     return ".".join(out)
 
 
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = frozenset(string.ascii_letters + string.digits + "-._~")
+
+
+def pct_normalize_str(url: str | None) -> str | None:
+    """RFC 3986 §6.2.2 percent-encoding normalization: escapes of
+    UNRESERVED characters decode to the character (``%7E`` → ``~`` —
+    semantically identical by spec, so safe for dedup keys), every other
+    escape keeps its bytes but uppercases the hex (``%3f`` → ``%3F``).
+    Reserved/other escapes are NOT decoded — ``%2F`` in a path is not a
+    slash. Malformed escapes (non-hex tail) pass through untouched.
+    None → None."""
+    if url is None:
+        return None
+
+    def sub(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(sub, url)
+
+
 _ASCII_UDF = None
 _UNICODE_UDF = None
+_PCT_UDF = None
 
 
 def host_to_ascii(col: Column) -> Column:
@@ -102,3 +136,15 @@ def host_to_unicode(col: Column) -> Column:
 
         _UNICODE_UDF = F.pandas_udf(f, "string")
     return _UNICODE_UDF(col)
+
+
+def pct_normalize(col: Column) -> Column:
+    """Column-level RFC 3986 percent-encoding normalization (string)."""
+    global _PCT_UDF
+    if _PCT_UDF is None:
+
+        def f(s: pd.Series) -> pd.Series:
+            return s.map(pct_normalize_str)
+
+        _PCT_UDF = F.pandas_udf(f, "string")
+    return _PCT_UDF(col)

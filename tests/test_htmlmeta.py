@@ -215,3 +215,22 @@ def test_hreflang_links_all_forms(spark):
         ("x-default", "https://ex.org/"),
     ]
     assert rows[1]["alts"] == []
+
+
+def test_hreflang_cluster_key(spark):
+    from pdf_extractor_spark.functions.htmlmeta import hreflang_cluster_key
+
+    with_default = (
+        '<link rel="alternate" hreflang="fr" href="https://ex/fr">'
+        '<link rel="alternate" hreflang="x-default" href="https://ex/">'
+        '<link rel="alternate" hreflang="en" href="https://ex/en">'
+    )
+    no_default = (
+        '<link rel="alternate" hreflang="fr" href="https://ex/fr">'
+        '<link rel="alternate" hreflang="en" href="https://ex/en">'
+    )
+    df = spark.createDataFrame(
+        [(with_default,), (no_default,), ("<p>none</p>",)], "html string"
+    )
+    keys = [r[0] for r in df.select(hreflang_cluster_key(F.col("html"))).collect()]
+    assert keys == ["https://ex/", "https://ex/en", ""]

@@ -69,3 +69,27 @@ def test_blocklist_bypass_closed(spark):
         ).alias("blocked")
     ).collect()
     assert [r["blocked"] for r in hit] == [True, False]
+
+
+def test_pct_normalize_spec():
+    from pdf_extractor_spark.functions.idn import pct_normalize_str as n
+
+    assert n("https://ex.org/a%2Fb%3fx=%41%62") == "https://ex.org/a%2Fb%3Fx=Ab"
+    assert n("https://ex.org/caf%c3%a9") == "https://ex.org/caf%C3%A9"
+    assert n("https://ex.org/%7Euser/%2e%2E/p") == "https://ex.org/~user/../p"
+    assert n("https://ex.org/plain") == "https://ex.org/plain"
+    assert n("bad%zz%4") == "bad%zz%4"  # malformed escapes untouched
+    assert n(None) is None
+
+
+def test_pct_normalize_column_and_chain(spark):
+    from pdf_extractor_spark.functions.idn import pct_normalize
+    from pdf_extractor_spark.functions.urls import canonical_url
+
+    df = spark.createDataFrame(
+        [("HTTPS://Ex.org/%7Eu?b=%31&utm_source=x&a=2",)], "url string"
+    )
+    # normalize escapes first, then the pure-Column canonicalizer
+    norm = df.select(pct_normalize(F.col("url")).alias("u"))
+    out = norm.select(canonical_url(F.col("u")).alias("c")).collect()[0]["c"]
+    assert out == "https://ex.org/~u?a=2&b=1"
