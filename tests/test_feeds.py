@@ -135,3 +135,54 @@ def test_entity_unescape_matches_python_twin(spark):
         for e in feed_entries(x):
             want.append((x[:20], e.entry_index, e.title, e.link))
     assert got == want
+
+
+def test_generated_soup_differential(spark):
+    """Seeded generator sweep: the Column parser and the Python spec parser
+    must agree on (ord, title, link) across randomized quoting, entity,
+    CDATA, whitespace, and missing-field combinations."""
+    import random
+
+    from pdf_extractor_spark.core.links import feed_entries
+
+    rng = random.Random(20260819)
+    titles = ["plain", "A &amp; B", "x &lt;y&gt;", "<![CDATA[lit &amp;]]>",
+              "  padded  ", "q&quot;q"]
+    fixtures = []
+    for _ in range(40):
+        if rng.random() < 0.5:
+            items = []
+            for j in range(rng.randint(1, 4)):
+                t = rng.choice(titles)
+                parts = [f"<title>{t}</title>",
+                         f"<link>https://ex.org/{j}?a=1&amp;b={j}</link>"]
+                if rng.random() < 0.5:
+                    parts.append("<pubDate>Tue, 10 Jun 2003 04:00:12 GMT</pubDate>")
+                rng.shuffle(parts)
+                items.append("<item>" + "".join(parts) + "</item>")
+            fixtures.append('<rss version="2.0"><channel>' + "".join(items)
+                            + "</channel></rss>")
+        else:
+            entries = []
+            for j in range(rng.randint(1, 3)):
+                t = rng.choice(titles)
+                link = (f'<link rel="alternate" href="https://ex.org/e/{j}"/>'
+                        if rng.random() < 0.5
+                        else f'<link href="https://ex.org/e/{j}"/>')
+                entries.append(f"<entry><title>{t}</title>{link}</entry>")
+            fixtures.append('<feed xmlns="http://www.w3.org/2005/Atom">'
+                            + "".join(entries) + "</feed>")
+
+    df = spark.createDataFrame([(x,) for x in fixtures], "xml string")
+    from pdf_extractor_spark.functions.feeds import feed_items
+
+    col_rows = df.select(
+        F.col("xml"), F.posexplode(feed_items(F.col("xml"))).alias("ord", "it")
+    ).collect()
+    got = sorted((r["xml"], r["ord"], r["it"]["title"], r["it"]["link"])
+                 for r in col_rows)
+    want = sorted(
+        (x, e.entry_index, e.title or "", e.link or "")
+        for x in fixtures for e in feed_entries(x)
+    )
+    assert got == want
