@@ -3111,6 +3111,38 @@ def q_url_pct_normalize(spark, sf_dir):
     )
 
 
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language gate (functions/htmlmeta.html_lang +
+    functions/text.lang_id): pages declare their lang in the <html> tag —
+    truthfully ('{lang}-XX' region tag, d%5<4) or wrongly ('zz', d%5==4) —
+    and the gate compares the declared PRIMARY subtag against the marker-
+    profile detector over the text. Disagreement (with a confident
+    detection) flags machine-translated spam and template-default
+    mislabels; CCNet keys its per-language pipelines on the detector, not
+    the author's claim. Oracle recomputes the detector via the shared
+    _sql_lang_id scoring."""
+    from pdf_extractor_spark.functions.htmlmeta import html_lang, lang_primary
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    declared = F.when(d % 5 == 4, F.lit("zz")).otherwise(
+        F.concat(F.col("lang"), F.lit("-XX"))
+    )
+    html = F.concat(
+        F.lit('<html lang="'), declared, F.lit('"><body>x</body></html>')
+    )
+    pages = docs.select("doc_id", "text", html.alias("html"))
+    out = pages.select(
+        "doc_id",
+        lang_primary(html_lang(F.col("html"))).alias("declared"),
+        TXT.lang_id(F.col("text")).alias("detected"),
+    )
+    return out.withColumn(
+        "mismatch",
+        (F.col("detected") != "und") & (F.col("declared") != F.col("detected")),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -3834,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "hreflang_clusters": q_hreflang_clusters,
         "url_pct_normalize": q_url_pct_normalize,
+        "lang_mismatch": q_lang_mismatch,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4886,6 +4919,15 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
        END AS fk_grade
 FROM c""",
         "lang_id": _sql_lang_id(),
+        "lang_mismatch": f"""
+WITH det AS ({_sql_lang_id()})
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN 'zz' ELSE lang_true END AS declared,
+       lang_pred AS detected,
+       (lang_pred <> 'und'
+        AND (CASE WHEN doc_id % 5 = 4 THEN 'zz' ELSE lang_true END) <> lang_pred)
+       AS mismatch
+FROM det""",
         "fingerprint": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,

@@ -134,6 +134,29 @@ def has_jsonld(html: Column) -> Column:
     return html.rlike(_JSONLD_RE)
 
 
+_HTML_LANG = [
+    r"(?i)<html\b[^>]*(?:^|[^a-zA-Z])lang\s*=\s*\"([^\"]*)\"",
+    r"(?i)<html\b[^>]*(?:^|[^a-zA-Z])lang\s*=\s*'([^']*)'",
+    r"(?i)<html\b[^>]*(?:^|[^a-zA-Z])lang\s*=\s*([^\s\"'>]+)",
+]
+
+
+def html_lang(html: Column) -> Column:
+    """Lowercased ``lang`` attribute of the ``<html>`` tag ('' when absent;
+    ``xml:lang`` matches too — same semantics). The page's DECLARED
+    language; CCNet-style curation compares it against the DETECTED
+    language (functions/text.lang_id) because the two disagreeing flags
+    machine-translated spam and template-default mislabels — a declared
+    lang is author metadata, not evidence."""
+    return F.lower(_first_match(html, _HTML_LANG))
+
+
+def lang_primary(lang: Column) -> Column:
+    """Primary subtag of a BCP-47 tag: 'en-US' → 'en' (comparison key
+    against two-letter detector output)."""
+    return F.regexp_extract(lang, r"^([a-zA-Z]+)", 1)
+
+
 # -- hreflang alternates ---------------------------------------------------
 #
 # <link rel="alternate" hreflang="xx" href="..."> clusters declare the same

@@ -234,3 +234,23 @@ def test_hreflang_cluster_key(spark):
     )
     keys = [r[0] for r in df.select(hreflang_cluster_key(F.col("html"))).collect()]
     assert keys == ["https://ex/", "https://ex/en", ""]
+
+
+def test_html_lang_and_primary(spark):
+    from pdf_extractor_spark.functions.htmlmeta import html_lang, lang_primary
+
+    df = spark.createDataFrame(
+        [('<html lang="EN-us"><body>x</body></html>',),
+         ("<html dir='rtl' lang='fa'><body>x</body></html>",),
+         ("<html xml:lang=de><body>x</body></html>",),
+         ("<html><body>no lang</body></html>",),
+         ('<p lang="fr">not the html tag</p>',)],
+        "html string",
+    )
+    rows = df.select(
+        html_lang(F.col("html")).alias("l"),
+        lang_primary(html_lang(F.col("html"))).alias("p"),
+    ).collect()
+    assert [(r["l"], r["p"]) for r in rows] == [
+        ("en-us", "en"), ("fa", "fa"), ("de", "de"), ("", ""), ("", ""),
+    ]
