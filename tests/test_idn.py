@@ -93,3 +93,37 @@ def test_pct_normalize_column_and_chain(spark):
     norm = df.select(pct_normalize(F.col("url")).alias("u"))
     out = norm.select(canonical_url(F.col("u")).alias("c")).collect()[0]["c"]
     assert out == "https://ex.org/~u?a=2&b=1"
+
+
+def test_normalizers_idempotent_hypothesis():
+    """n(n(x)) == n(x) — the defining normalizer property, swept over
+    generated inputs including raw percent signs, partial escapes, unicode
+    hosts, and mixed-case hex."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.functions.idn import (
+        host_to_ascii_str,
+        pct_normalize_str,
+    )
+
+    url_alphabet = st.sampled_from(list("abz%0419AF/.:?=&~_-ü日"))
+    urls = st.text(alphabet=url_alphabet, max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(urls)
+    def check_pct(u):
+        once = pct_normalize_str(u)
+        assert pct_normalize_str(once) == once
+
+    host_alphabet = st.sampled_from(list("abxyz09.-üé日хn"))
+    hosts = st.text(alphabet=host_alphabet, max_size=30)
+
+    @settings(max_examples=300, deadline=None)
+    @given(hosts)
+    def check_host(h):
+        once = host_to_ascii_str(h)
+        assert host_to_ascii_str(once) == once
+
+    check_pct()
+    check_host()
