@@ -3143,6 +3143,75 @@ def q_lang_mismatch(spark, sf_dir):
     )
 
 
+def q_warc_revisit_resolve(spark, sf_dir):
+    """WARC revisit expansion (sources/warc.py): per doc the corpus renders
+    a real WARC holding a response capture plus a revisit record pointing
+    at it (WARC 1.1 §6.7.2 headers-only form with sha1-b32 payload digest,
+    the way Common Crawl marks server-side duplicates) and, for d%4==3, an
+    orphan revisit whose referent was never ingested; parsing is the real
+    record walk and resolve_revisits borrows each revisit's payload from
+    the latest referred capture via one equi-join (originals keep
+    resolved_from=''). A reader that keeps only response records silently
+    drops every duplicate capture's url/ts row — this query pins that the
+    expansion neither drops nor fabricates payloads (sha256 of the html
+    rides the compare)."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.sources.warc import (
+        render_warc,
+        resolve_revisits,
+        warc_pages_from_bytes,
+        warc_revisits_from_bytes,
+    )
+
+    def mk(batches):
+        for batch in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "kind": [],
+                   "refers_to": []}
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                body = f"<html><body>payload {d}</body></html>".encode()
+                revs = [(f"https://w.ex/{d}/dup", "2023-02-01T00:00:00Z",
+                         f"https://w.ex/{d}/orig", body)]
+                if d % 4 == 3:
+                    revs.append((f"https://w.ex/{d}/orphan",
+                                 "2023-02-02T00:00:00Z",
+                                 f"https://w.ex/{d}/missing", None))
+                data = render_warc(
+                    [(f"https://w.ex/{d}/orig", "2023-01-01T00:00:00Z", body)],
+                    revisits=revs,
+                )
+                for url, ts, html in warc_pages_from_bytes(data):
+                    out["url"].append(url); out["warc_ts"].append(ts)
+                    out["html"].append(html); out["kind"].append("response")
+                    out["refers_to"].append("")
+                for url, ts, refers, _dig in warc_revisits_from_bytes(data):
+                    out["url"].append(url); out["warc_ts"].append(ts)
+                    out["html"].append(b""); out["kind"].append("revisit")
+                    out["refers_to"].append(refers)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["url"], type=pa.string()),
+                 pa.array(out["warc_ts"], type=pa.timestamp("us", tz="UTC")),
+                 pa.array(out["html"], type=pa.binary()),
+                 pa.array(out["kind"], type=pa.string()),
+                 pa.array(out["refers_to"], type=pa.string())],
+                names=["url", "warc_ts", "html", "kind", "refers_to"],
+            )
+
+    recs = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk,
+        "url string, warc_ts timestamp, html binary, kind string, refers_to string",
+    )
+    pages = recs.where(F.col("kind") == "response").select("url", "warc_ts", "html")
+    revs = recs.where(F.col("kind") == "revisit").select(
+        "url", "warc_ts", "refers_to"
+    )
+    out = resolve_revisits(pages, revs)
+    return out.select(
+        "url", "resolved_from", F.sha2(F.col("html"), 256).alias("payload_sha")
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -3867,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "url_pct_normalize": q_url_pct_normalize,
         "lang_mismatch": q_lang_mismatch,
+        "warc_revisit_resolve": q_warc_revisit_resolve,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4723,6 +4793,18 @@ SELECT doc_id,
          WHEN 2 THEN 'https://ex.org/~user/../' || doc_id
          ELSE 'https://ex.org/plain/' || doc_id END AS norm_url
 FROM documents""",
+        "warc_revisit_resolve": """
+WITH b AS (SELECT doc_id,
+                  sha256('<html><body>payload ' || doc_id || '</body></html>')
+                  AS payload_sha
+           FROM documents)
+SELECT 'https://w.ex/' || doc_id || '/orig' AS url,
+       '' AS resolved_from, payload_sha
+FROM b
+UNION ALL
+SELECT 'https://w.ex/' || doc_id || '/dup',
+       'https://w.ex/' || doc_id || '/orig', payload_sha
+FROM b""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -170,22 +170,123 @@ def read_warc_pages(
     )
 
 
+def warc_revisits_from_bytes(
+    data: bytes,
+) -> Iterator[tuple[str, datetime | None, str, str]]:
+    """(url, warc_ts, refers_to_uri, payload_digest) for every ``revisit``
+    record (WARC 1.1 §6.7.2) in one WARC file. Real crawls write a revisit
+    instead of re-storing an unchanged payload — Common Crawl marks
+    server-side duplicates this way — so a reader that only keeps
+    ``response`` records silently drops every duplicate capture's url/ts
+    row. The digest (``WARC-Payload-Digest``, usually ``sha1:<b32>``) is
+    kept verbatim for verification joins; '' when absent."""
+    for headers, _payload in iter_warc_records(data):
+        if headers.get(b"warc-type") != b"revisit":
+            continue
+        uri = headers.get(b"warc-target-uri")
+        refers = headers.get(b"warc-refers-to-target-uri")
+        if not uri or not refers:
+            continue
+        yield (
+            uri.decode("utf-8", errors="replace"),
+            _parse_warc_date(headers.get(b"warc-date", b"")),
+            refers.decode("utf-8", errors="replace"),
+            headers.get(b"warc-payload-digest", b"").decode("ascii", errors="replace"),
+        )
+
+
+def read_warc_revisits(
+    spark: SparkSession, path: str, glob: str = "*.warc*", max_bytes: int | None = None
+) -> DataFrame:
+    """Directory of .warc(.gz) files → revisit DataFrame
+    (url, warc_ts, refers_to, payload_digest); same binaryFile scan shape
+    as read_warc_pages, one Arrow pass, no shuffle."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    files = reader.load(path)
+    if max_bytes is not None:
+        files = files.filter(F.col("length") <= max_bytes)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            out: dict[str, list] = {"url": [], "warc_ts": [], "refers_to": [],
+                                    "payload_digest": []}
+            for content in batch.column("content").to_pylist():
+                for url, ts, refers, digest in warc_revisits_from_bytes(content or b""):
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["refers_to"].append(refers)
+                    out["payload_digest"].append(digest)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["url"], type=pa.string()),
+                    pa.array(out["warc_ts"], type=pa.timestamp("us", tz="UTC")),
+                    pa.array(out["refers_to"], type=pa.string()),
+                    pa.array(out["payload_digest"], type=pa.string()),
+                ],
+                names=["url", "warc_ts", "refers_to", "payload_digest"],
+            )
+
+    return files.select("content").mapInArrow(
+        run,
+        "url string, warc_ts timestamp, refers_to string, payload_digest string",
+    )
+
+
+def resolve_revisits(pages: DataFrame, revisits: DataFrame) -> DataFrame:
+    """Expand revisit records into full page rows: each revisit borrows the
+    payload of its referred capture (latest response per referred url) and
+    lands beside the original — output (url, warc_ts, html, resolved_from)
+    where responses carry resolved_from='' and resolved revisits carry the
+    referred url. Revisits whose referent isn't in ``pages`` drop (nothing
+    to resolve — the referred segment wasn't ingested).
+
+    Scale shape: one max_by reduction of pages to (url → latest payload),
+    then one equi-join keyed on the referred uri — revisit sets are a few
+    percent of a crawl, so the join's build side is small and AQE
+    broadcast-plans it; payloads ride the shuffle once (the reduction),
+    never per-revisit."""
+    from pyspark.sql import functions as F
+
+    latest = pages.groupBy(F.col("url").alias("refers_to")).agg(
+        F.max_by("html", "warc_ts").alias("html")
+    )
+    resolved = (
+        revisits.join(latest, "refers_to", "inner")
+        .select(
+            "url", "warc_ts", "html", F.col("refers_to").alias("resolved_from")
+        )
+    )
+    originals = pages.select(
+        "url", "warc_ts", "html", F.lit("").alias("resolved_from")
+    )
+    return originals.unionByName(resolved)
+
+
 # --- deterministic synthetic WARC writer (test/bench scaffolding) -----------
 
 def render_warc(
-    pages: list[tuple[str, str, bytes]], per_record_gzip: bool = False
+    pages: list[tuple[str, str, bytes]],
+    per_record_gzip: bool = False,
+    revisits: list[tuple[str, str, str, bytes | None]] | None = None,
 ) -> bytes:
     """Build a WARC file from (url, iso_ts, html) triples: one ``response``
     record per page wrapping a minimal HTTP response. ``per_record_gzip``
-    emits the Common-Crawl layout (each record its own gzip member)."""
-    out = bytearray()
+    emits the Common-Crawl layout (each record its own gzip member).
+    ``revisits`` appends (url, iso_ts, refers_url, referred_html|None)
+    ``revisit`` records — headers-only HTTP block per WARC 1.1 §6.7.2,
+    with a ``WARC-Payload-Digest: sha1:<b32>`` when the referred payload
+    bytes are supplied."""
+    recs: list[bytes] = []
     for url, iso_ts, html in pages:
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
             + f"Content-Length: {len(html)}\r\n\r\n".encode()
             + html
         )
-        rec = (
+        recs.append(
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
             + f"WARC-Target-URI: {url}\r\n".encode()
@@ -195,6 +296,30 @@ def render_warc(
             + http
             + b"\r\n\r\n"
         )
+    for url, iso_ts, refers, ref_html in revisits or []:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        digest = b""
+        if ref_html is not None:
+            import base64 as _b64
+            import hashlib as _hl
+
+            b32 = _b64.b32encode(_hl.sha1(ref_html).digest()).decode("ascii")
+            digest = f"WARC-Payload-Digest: sha1:{b32}\r\n".encode()
+        recs.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: revisit\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {iso_ts}\r\n".encode()
+            + f"WARC-Refers-To-Target-URI: {refers}\r\n".encode()
+            + digest
+            + f"Content-Length: {len(http)}".encode()
+            + _CRLF2
+            + http
+            + b"\r\n\r\n"
+        )
+
+    out = bytearray()
+    for rec in recs:
         if per_record_gzip:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:

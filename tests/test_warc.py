@@ -325,3 +325,63 @@ def test_negative_content_length_makes_no_progress_backwards():
            b"warc-target-uri: https://x.com/\r\ncontent-length: -7\r\n\r\nBODY")
     recs = list(iter_warc_records(rec * 3))
     assert len(recs) <= 3
+
+
+# --- revisit records -----------------------------------------------------
+
+def _revisit_fixture():
+    from pdf_extractor_spark.sources.warc import render_warc
+
+    body = b"<html><body>original payload</body></html>"
+    return render_warc(
+        [("https://w.ex/orig", "2023-01-01T00:00:00Z", body),
+         ("https://w.ex/other", "2023-01-02T00:00:00Z", b"<p>other</p>")],
+        revisits=[
+            ("https://w.ex/dup", "2023-02-01T00:00:00Z", "https://w.ex/orig", body),
+            ("https://w.ex/orphan", "2023-02-02T00:00:00Z", "https://w.ex/missing", None),
+        ],
+    ), body
+
+
+def test_revisit_parse_and_digest():
+    import base64
+    import hashlib
+
+    from pdf_extractor_spark.sources.warc import (
+        warc_pages_from_bytes,
+        warc_revisits_from_bytes,
+    )
+
+    data, body = _revisit_fixture()
+    pages = list(warc_pages_from_bytes(data))
+    assert [u for u, _, _ in pages] == ["https://w.ex/orig", "https://w.ex/other"]
+    revs = list(warc_revisits_from_bytes(data))
+    assert [(u, r) for u, _, r, _ in revs] == [
+        ("https://w.ex/dup", "https://w.ex/orig"),
+        ("https://w.ex/orphan", "https://w.ex/missing"),
+    ]
+    b32 = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    assert revs[0][3] == f"sha1:{b32}" and revs[1][3] == ""
+
+
+def test_resolve_revisits_join(spark, tmp_path):
+    from pdf_extractor_spark.sources.warc import (
+        read_warc_pages,
+        read_warc_revisits,
+        resolve_revisits,
+    )
+
+    data, body = _revisit_fixture()
+    (tmp_path / "a.warc").write_bytes(data)
+    pages = read_warc_pages(spark, str(tmp_path))
+    revs = read_warc_revisits(spark, str(tmp_path))
+    rows = {r["url"]: r for r in resolve_revisits(pages, revs).collect()}
+    # originals kept with empty resolved_from
+    assert rows["https://w.ex/orig"]["resolved_from"] == ""
+    # revisit borrowed the referred payload
+    dup = rows["https://w.ex/dup"]
+    assert bytes(dup["html"]) == body
+    assert dup["resolved_from"] == "https://w.ex/orig"
+    # unresolvable revisit dropped
+    assert "https://w.ex/orphan" not in rows
+    assert len(rows) == 3
