@@ -3212,6 +3212,38 @@ def q_warc_revisit_resolve(spark, sf_dir):
     )
 
 
+def q_card_scrub(spark, sf_dir):
+    """Payment-card redaction (functions/pii.scrub_card_numbers): doc_id%6
+    cycles plain/spaced/dashed VALID PANs (public test numbers), a
+    Luhn-INVALID lookalike, a 13-digit order id, and a no-digit text; the
+    engine runs the real candidate-regex + pure-Column Luhn fold
+    (split → indexed transform → aggregate, still codegen) and redacts
+    each validated candidate literally, while the oracle pins the expected
+    strings from the construction rule (no SQL Luhn exists — that's WHY
+    this tier can't share pattern text with the regex-tier scrub_pii
+    oracle). Luhn gating is what makes card scrubbing deployable: every
+    order id and timestamp is a candidate, ~10%% of them pass Luhn."""
+    from pdf_extractor_spark.functions.pii import card_count, scrub_card_numbers
+
+    texts = [
+        "pay 4111111111111111 now",
+        "pay 4111 1111 1111 1111 or 4111-1111-1111-1111",
+        "amex 378282246310005 ok",
+        "not a card 4111111111111112",
+        "order 1234567890123 shipped",
+        "no digits here",
+    ]
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.element_at(F.array(*[F.lit(t) for t in texts]), (d % 6 + 1).cast("int"))
+    base = docs.select("doc_id", text.alias("text"))
+    return base.select(
+        "doc_id",
+        scrub_card_numbers(F.col("text")).alias("scrubbed"),
+        card_count(F.col("text")).alias("n_cards"),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -3937,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pct_normalize": q_url_pct_normalize,
         "lang_mismatch": q_lang_mismatch,
         "warc_revisit_resolve": q_warc_revisit_resolve,
+        "card_scrub": q_card_scrub,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4805,6 +4838,18 @@ UNION ALL
 SELECT 'https://w.ex/' || doc_id || '/dup',
        'https://w.ex/' || doc_id || '/orig', payload_sha
 FROM b""",
+        "card_scrub": """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'pay <CARD> now'
+         WHEN 1 THEN 'pay <CARD> or <CARD>'
+         WHEN 2 THEN 'amex <CARD> ok'
+         WHEN 3 THEN 'not a card 4111111111111112'
+         WHEN 4 THEN 'order 1234567890123 shipped'
+         ELSE 'no digits here' END AS scrubbed,
+       CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+         ELSE 0 END AS n_cards
+FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -47,3 +47,58 @@ def pii_counts(text: Column) -> dict[str, Column]:
         "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), F.lit(0))).cast("long"),
         "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))).cast("long"),
     }
+
+
+# -- payment-card numbers (Luhn tier) ---------------------------------------
+#
+# Card numbers can't ride the shared-regex tier above: every phone number,
+# order id, and timestamp is a 13-19-digit false positive, so the industry
+# pass is regex CANDIDATES filtered by the Luhn check digit (ISO/IEC 7812)
+# — which cuts random digit-run false positives ~10x while never missing a
+# real PAN. The Luhn fold is pure Column exprs (split → transform with
+# index → aggregate), so this stays codegen/scan-only; it just can't share
+# its oracle pattern text with DuckDB the way the regex tier does (no SQL
+# Luhn), so its driver query pins constructed fixtures instead.
+
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    digits = F.filter(F.split(cand, ""), lambda c: c.rlike("^[0-9]$"))
+    n = F.size(digits)
+    rev = F.reverse(digits)
+    terms = F.transform(
+        rev,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9)
+            .otherwise(c.cast("int") * 2),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, b: a + b)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_candidates(text: Column) -> Column:
+    """Luhn-valid card-number candidate strings in ``text`` (verbatim,
+    separators included), document order."""
+    cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0))
+    return F.filter(cands, _luhn_valid)
+
+
+def scrub_card_numbers(text: Column) -> Column:
+    """Redact Luhn-valid payment-card numbers with ``<CARD>`` (literal
+    replacement of each validated candidate — every occurrence). Luhn-
+    invalid digit runs (order ids, timestamps, most phone formats) are
+    left alone."""
+    return F.aggregate(
+        card_candidates(text),
+        text,
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+    )
+
+
+def card_count(text: Column) -> Column:
+    """Number of Luhn-valid card candidates in the ORIGINAL text (audit
+    metric, counted before scrubbing)."""
+    return F.size(card_candidates(text)).cast("long")

@@ -1,0 +1,23 @@
+"""Payment-card PII tier: Luhn-gated candidate redaction."""
+
+from pyspark.sql import functions as F
+
+# --- payment cards (Luhn tier) --------------------------------------------
+
+def test_card_scrub_luhn_gate(spark):
+    from pdf_extractor_spark.functions.pii import card_count, scrub_card_numbers
+
+    rows = [
+        ("pay 4111111111111111 now", "pay <CARD> now", 1),
+        ("pay 4111 1111 1111 1111 or 4111-1111-1111-1111", "pay <CARD> or <CARD>", 2),
+        ("amex 378282246310005 ok", "amex <CARD> ok", 1),
+        ("not a card 4111111111111112", "not a card 4111111111111112", 0),
+        ("order 1234567890123 shipped", "order 1234567890123 shipped", 0),
+        ("no digits here", "no digits here", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "text string")
+    got = df.select(
+        scrub_card_numbers(F.col("text")).alias("s"),
+        card_count(F.col("text")).alias("n"),
+    ).collect()
+    assert [(r["s"], r["n"]) for r in got] == [(e, n) for _, e, n in rows]
