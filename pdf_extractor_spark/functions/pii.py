@@ -102,3 +102,53 @@ def card_count(text: Column) -> Column:
     """Number of Luhn-valid card candidates in the ORIGINAL text (audit
     metric, counted before scrubbing)."""
     return F.size(card_candidates(text)).cast("long")
+
+
+# -- credentials / secrets tier ----------------------------------------------
+#
+# Crawled pages and pasted configs leak live credentials; Dolma-class
+# pipelines scrub them before training so models can't memorize working
+# keys. These are FIXED-FORMAT secrets, so they ride the shared-regex tier
+# (same pattern text compiles in Java regex and DuckDB RE2 — the oracle
+# applies the identical chain). Order matters and is shared with the
+# oracle: the private-key block goes first (its base64 body could contain
+# substrings the token patterns match), then JWT before the short tokens.
+
+PRIVATE_KEY_PATTERN = (
+    r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+    r"[A-Za-z0-9+/=\s]*?"
+    r"-----END [A-Z ]{0,20}PRIVATE KEY-----"
+)
+JWT_PATTERN = r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b"
+AWS_KEY_PATTERN = r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"
+GITHUB_TOKEN_PATTERN = r"\bgh[pousr]_[A-Za-z0-9]{36,255}\b"
+SLACK_TOKEN_PATTERN = r"\bxox[baprs]-[A-Za-z0-9-]{10,250}\b"
+
+SECRET_REDACTIONS = (
+    (PRIVATE_KEY_PATTERN, "<PRIVATE_KEY>"),
+    (JWT_PATTERN, "<JWT>"),
+    (AWS_KEY_PATTERN, "<AWS_KEY>"),
+    (GITHUB_TOKEN_PATTERN, "<GH_TOKEN>"),
+    (SLACK_TOKEN_PATTERN, "<SLACK_TOKEN>"),
+)
+
+
+def scrub_secrets(text: Column) -> Column:
+    """Redact fixed-format credentials (private-key blocks, JWTs, AWS key
+    ids, GitHub and Slack tokens) with typed tokens, in the shared order."""
+    out = text
+    for pattern, token in SECRET_REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def secret_counts(text: Column) -> dict[str, Column]:
+    """{kind: count} of credential matches in the ORIGINAL text."""
+    names = ("n_private_keys", "n_jwts", "n_aws_keys", "n_gh_tokens",
+             "n_slack_tokens")
+    return {
+        name: F.size(
+            F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+        ).cast("long")
+        for name, (pattern, _tok) in zip(names, SECRET_REDACTIONS)
+    }
