@@ -152,3 +152,51 @@ def secret_counts(text: Column) -> dict[str, Column]:
         ).cast("long")
         for name, (pattern, _tok) in zip(names, SECRET_REDACTIONS)
     }
+
+
+# -- IBAN (mod-97 tier) -------------------------------------------------------
+#
+# Same deployability logic as the Luhn tier: the candidate shape
+# (2 letters, 2 digits, 10-30 alphanumerics) collides with invoice and
+# serial numbers, and ISO 13616's mod-97 check digit is the filter. The
+# fold is pure Column exprs: rotate the first four chars to the end,
+# expand letters to their base-36 two-digit values, and run the running
+# remainder (acc*10 + digit) % 97 over the digit string — constant-size
+# arithmetic per char, codegen on the scan, no bignum needed.
+
+IBAN_CANDIDATE_PATTERN = r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b"
+
+
+def _iban_valid(cand: Column) -> Column:
+    rotated = F.concat(F.substring(cand, 5, 34), F.substring(cand, 1, 4))
+    chars = F.filter(F.split(rotated, ""), lambda c: c != "")
+    expanded = F.array_join(
+        F.transform(
+            chars,
+            lambda c: F.when(
+                c.rlike("^[A-Z]$"), (F.ascii(c) - 55).cast("string")
+            ).otherwise(c),
+        ),
+        "",
+    )
+    digits = F.filter(F.split(expanded, ""), lambda c: c != "")
+    rem = F.aggregate(
+        digits, F.lit(0), lambda acc, c: (acc * 10 + c.cast("int")) % 97
+    )
+    return rem == 1
+
+
+def iban_candidates(text: Column) -> Column:
+    """mod-97-valid IBAN candidates in ``text``, document order."""
+    cands = F.regexp_extract_all(text, F.lit(IBAN_CANDIDATE_PATTERN), F.lit(0))
+    return F.filter(cands, _iban_valid)
+
+
+def scrub_ibans(text: Column) -> Column:
+    """Redact mod-97-valid IBANs with ``<IBAN>``; invalid lookalikes
+    (invoice ids, serials, mistyped accounts) are left alone."""
+    return F.aggregate(
+        iban_candidates(text),
+        text,
+        lambda acc, c: F.replace(acc, c, F.lit("<IBAN>")),
+    )

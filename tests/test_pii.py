@@ -46,3 +46,18 @@ def test_secret_scrub_formats(spark):
     counts = df.select(*[c.alias(k) for k, c in secret_counts(F.col("text")).items()]).collect()
     assert counts[0]["n_private_keys"] == 1 and counts[2]["n_aws_keys"] == 1
     assert counts[5]["n_aws_keys"] == 0
+
+
+def test_iban_scrub_mod97_gate(spark):
+    from pdf_extractor_spark.functions.pii import scrub_ibans
+
+    rows = [
+        ("pay DE89370400440532013000 now", "pay <IBAN> now"),
+        ("or GB82WEST12345698765432 works", "or <IBAN> works"),
+        ("fr FR1420041010050500013M02606 ok", "fr <IBAN> ok"),
+        ("typo DE89370400440532013001 kept", "typo DE89370400440532013001 kept"),
+        ("serial AB12XYZ9876543 kept", "serial AB12XYZ9876543 kept"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["s"] for r in df.select(scrub_ibans(F.col("text")).alias("s")).collect()]
+    assert got == [e for _, e in rows]
