@@ -2851,8 +2851,11 @@ def q_pdf_info(spark, sf_dir):
                         "CreationDate": f"D:2023{mm:02d}{dd:02d}120000Z",
                     }
                 elif d % 3 == 1:
+                    # № (U+2116) is NOT latin-1-encodable, so render_pdf
+                    # takes the UTF-16BE hex-string branch — the oracle
+                    # row pins the BOM-decode path, not just a unit test
                     info = {
-                        "Title": f"Étude n° {d}",
+                        "Title": f"Étude № {d}",
                         "ModDate": f"D:2022{mm:02d}{dd:02d}0830+01'30'",
                     }
                 else:
@@ -4827,7 +4830,7 @@ WITH d AS (SELECT doc_id,
            FROM documents)
 SELECT 'doc://' || doc_id AS url,
        CASE WHEN doc_id % 3 = 0 THEN 'Report ' || doc_id
-            ELSE 'Étude n° ' || doc_id END AS title,
+            ELSE 'Étude № ' || doc_id END AS title,
        CASE WHEN doc_id % 3 = 0 THEN 'Team ' || (doc_id % 7) ELSE '' END AS author,
        CASE WHEN doc_id % 3 = 0
             THEN '2023-' || mm || '-' || dd || 'T12:00:00Z' ELSE '' END AS created,

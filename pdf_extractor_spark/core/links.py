@@ -234,7 +234,8 @@ _CDATA_RE = _re.compile(r"<!\[CDATA\[(.*?)\]\]>", _re.DOTALL)
 
 def sitemap_urls(xml: bytes | str | None) -> list[str]:
     """Every ``<loc>`` URL of a sitemap / sitemap-index document, in file
-    order: CDATA unwrapped, XML entities decoded (a sitemap's URLs are
+    order: CDATA unwrapped and kept LITERAL (XML 1.0 §2.7 — same rule as
+    _feed_text), plain text entity-decoded (a sitemap's URLs are
     entity-escaped per the protocol — ``&amp;`` is the common one),
     whitespace trimmed. Works for both ``<urlset>`` page sitemaps and
     ``<sitemapindex>`` files (whose <loc>s are child sitemap URLs — the
@@ -247,8 +248,9 @@ def sitemap_urls(xml: bytes | str | None) -> list[str]:
         loc = m.group(1)
         cm = _CDATA_RE.search(loc)
         if cm:
-            loc = cm.group(1)
-        loc = _html_mod.unescape(loc).strip()
+            loc = cm.group(1).strip()
+        else:
+            loc = _html_mod.unescape(loc).strip()
         if loc:
             out.append(loc)
     return out
@@ -266,7 +268,11 @@ _ITEM_RE = _re.compile(r"<(item|entry)[\s>].*?</\1\s*>", _re.IGNORECASE | _re.DO
 _TITLE_RE = _re.compile(r"<title[^>]*>(.*?)</title\s*>", _re.IGNORECASE | _re.DOTALL)
 _RSS_LINK_RE = _re.compile(r"<link\s*>\s*(.*?)\s*</link\s*>", _re.IGNORECASE | _re.DOTALL)
 _ATOM_LINK_RE = _re.compile(
-    r"""<link\b[^>]*\bhref\s*=\s*["']([^"']*)["']""", _re.IGNORECASE
+    r"""<link\b[^>]*[\s"'/]href\s*=\s*["']([^"']*)["']""", _re.IGNORECASE
+)
+_ATOM_LINK_TAG_RE = _re.compile(r"<link\b[^>]*>", _re.IGNORECASE)
+_ATOM_REL_ALT_RE = _re.compile(
+    r"""[\s"'/]rel\s*=\s*["']?alternate\b""", _re.IGNORECASE
 )
 _RSS_DATE_RE = _re.compile(r"<pubDate\s*>\s*(.*?)\s*</pubDate\s*>", _re.IGNORECASE | _re.DOTALL)
 _ATOM_PUBLISHED_RE = _re.compile(
@@ -322,7 +328,19 @@ def feed_entries(xml: bytes | str | None) -> list[FeedEntry]:
             link = _feed_text(_RSS_LINK_RE.search(body))
             published = _feed_text(_RSS_DATE_RE.search(body))
         else:
-            lm = _ATOM_LINK_RE.search(body)
+            # prefer rel="alternate" (RFC 4287 §4.2.7.2: THE entry link;
+            # rel="self" is the entry's own feed URI), else first href —
+            # same preference as the Column twin functions/feeds._atom_link
+            lm = None
+            for cand in _ATOM_LINK_TAG_RE.finditer(body):
+                hm = _ATOM_LINK_RE.search(cand.group(0))
+                if not hm:
+                    continue
+                if lm is None:
+                    lm = hm
+                if _ATOM_REL_ALT_RE.search(cand.group(0)):
+                    lm = hm
+                    break
             link = _html_mod.unescape(lm.group(1)).strip() or None if lm else None
             published = _feed_text(
                 _ATOM_PUBLISHED_RE.search(body)

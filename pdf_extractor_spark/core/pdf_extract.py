@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from datetime import datetime
 
 from pdf_extractor_spark.core.html_extract import Block, ExtractResult, _norm_ws
 
@@ -1598,20 +1599,25 @@ _INFO_KEYS = (
     ("producer", rb"Producer"),
 )
 _PDF_DATE_RE = re.compile(
-    r"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?([Zz+\-])?(\d{2})?'?(\d{2})?"
+    r"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+    r"(?:([Zz+\-])(\d{2})?'?(\d{2})?'?)?\Z"
 )
 
 
 def _pdf_date_iso(raw: str) -> str:
     """ISO-8601 form of a PDF date string (spec 7.9.4, ``D:YYYYMMDDHHmmSS``
     + optional UT offset ``Z`` / ``±HH'mm'``); trailing fields default per
-    spec (month/day 01, time 00). Unparseable input → ''."""
+    spec (month/day 01, time 00). Anchored end-to-end and calendar-checked
+    (via datetime), so malformed variants like ``D:2023-05-07`` or
+    ``D:20230231`` return '' instead of fabricating a date."""
     m = _PDF_DATE_RE.match(raw.strip())
     if not m:
         return ""
     y, mo, dy, hh, mi, ss, o, oh, om = m.groups()
-    if not (1 <= int(mo or 1) <= 12 and 1 <= int(dy or 1) <= 31
-            and int(hh or 0) <= 23 and int(mi or 0) <= 59 and int(ss or 0) <= 60):
+    try:
+        datetime(int(y), int(mo or 1), int(dy or 1),
+                 int(hh or 0), int(mi or 0), min(int(ss or 0), 59))
+    except ValueError:
         return ""
     iso = f"{y}-{mo or '01'}-{dy or '01'}T{hh or '00'}:{mi or '00'}:{ss or '00'}"
     if o in ("Z", "z"):
@@ -1637,6 +1643,26 @@ def _first_string(buf: bytes) -> str | None:
     return None
 
 
+_VALUE_REF_RE = re.compile(rb"\A\s*(\d+)\s+\d+\s+R(?![\w])")
+
+
+def _info_value(objs: dict[int, bytes], body: bytes, pos: int) -> str:
+    """String value of an Info key at ``body[pos:]``: a direct literal/hex
+    string, or an indirect reference to a string object (spec 14.3.3 allows
+    both; pdfminer resolves refs the same way). Any other value type
+    (name, number, dict) → '' — critically, this never scans PAST a
+    non-string value into the NEXT key's string, which would misattribute
+    metadata ('/Title 99 0 R /Author (Bob)' must not report title='Bob')."""
+    tail = body[pos:]
+    m = _VALUE_REF_RE.match(tail)
+    if m:
+        return _first_string(objs.get(int(m.group(1)), b"")) or ""
+    s = tail.lstrip()
+    if s.startswith(b"(") or (s.startswith(b"<") and not s.startswith(b"<<")):
+        return _first_string(tail) or ""
+    return ""
+
+
 def pdf_info(data: bytes | None) -> dict[str, str] | None:
     """The document-information dictionary (spec 14.3.3) as ``{title,
     author, subject, keywords, creator, producer, created, modified}``
@@ -1657,16 +1683,17 @@ def pdf_info(data: bytes | None) -> dict[str, str] | None:
             pass
         if m is None:
             return None
-        body = _load_objects(data).get(int(m.group(1)))
+        objs = _load_objects(data)
+        body = objs.get(int(m.group(1)))
         if body is None or _STREAM_START_RE.search(body):
             return None
         out: dict[str, str] = {}
         for out_key, key in _INFO_KEYS:
             km = re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body)
-            out[out_key] = (_first_string(body[km.end():]) or "") if km else ""
+            out[out_key] = _info_value(objs, body, km.end()) if km else ""
         for out_key, key in (("created", rb"CreationDate"), ("modified", rb"ModDate")):
             km = re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body)
-            raw = (_first_string(body[km.end():]) or "") if km else ""
+            raw = _info_value(objs, body, km.end()) if km else ""
             out[out_key] = _pdf_date_iso(raw)
         return out
     except Exception:

@@ -42,10 +42,13 @@ _ATOM_ENTRY_RE = r"(?is)<entry\b[^>]*>.*?</entry>"
 
 _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+# month alternation is case-insensitive (RFC 822 §3.4.7 makes alphabetic
+# tokens case-insensitive; 'JUN'/'jun' occur in real feeds) — matched text
+# is title-cased before the month-table lookup
 _RFC822_RE = (
-    r"(?:[A-Za-z]{3},\s*)?(\d{1,2})\s+("
+    r"(?:[A-Za-z]{3},\s*)?(\d{1,2})\s+((?i:"
     + "|".join(_MONTHS)
-    + r")\s+(\d{4})\s+(\d{2}):(\d{2})(?::(\d{2}))?\s*([A-Za-z]+|[+-]\d{4})?"
+    + r"))\s+(\d{4})\s+(\d{2}):(\d{2})(?::(\d{2}))?\s*([A-Za-z]+|[+-]\d{4})?"
 )
 
 
@@ -60,7 +63,7 @@ def feed_kind(xml: Column) -> Column:
     )
 
 
-_FEED_TYPE_RE = r"(?i)type\s*=\s*[\"']?application/(?:rss|atom)\+xml"
+_FEED_TYPE_RE = r"(?i)[\s\"'/]type\s*=\s*[\"']?application/(?:rss|atom)\+xml"
 
 
 def feed_links(html: Column) -> Column:
@@ -74,7 +77,7 @@ def feed_links(html: Column) -> Column:
 
     tags = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
     is_feed = lambda t: (  # noqa: E731
-        t.rlike(r"(?i)(?:^|[^a-zA-Z])rel\s*=\s*[\"']?alternate\b")
+        t.rlike(r"(?i)[\s\"'/]rel\s*=\s*[\"']?alternate\b")
         & t.rlike(_FEED_TYPE_RE)
         & (_tag_attr(t, "href") != "")
     )
@@ -104,7 +107,9 @@ def rfc822_to_iso(raw: Column) -> Column:
     ss = F.regexp_extract(raw, _RFC822_RE, 6)
     zone = F.regexp_extract(raw, _RFC822_RE, 7)
     mm = F.lpad(
-        F.array_position(F.array(*[F.lit(m) for m in _MONTHS]), mon).cast("string"),
+        F.array_position(
+            F.array(*[F.lit(m) for m in _MONTHS]), F.initcap(F.lower(mon))
+        ).cast("string"),
         2, "0",
     )
     tz = (
@@ -138,9 +143,13 @@ def _unescape_xml(col: Column) -> Column:
 def _elem_text(block: Column, tag: str) -> Column:
     # first <tag>…</tag> text, CDATA-aware (feed titles routinely wrap in
     # CDATA so markup/ampersands survive XML); plain text is entity-decoded,
-    # CDATA is literal by definition
-    cdata = F.regexp_extract(
-        block, r"(?is)<" + tag + r"[^>]*>\s*<!\[CDATA\[(.*?)\]\]>", 1
+    # CDATA is literal by definition but whitespace-TRIMMED and allowed
+    # after leading text — both exactly as the Python twin _feed_text does
+    # (the differential sweep holds the two to the same answers)
+    cdata = F.trim(
+        F.regexp_extract(
+            block, r"(?is)<" + tag + r"[^>]*>[^<]*<!\[CDATA\[(.*?)\]\]>", 1
+        )
     )
     plain = F.regexp_extract(
         block, r"(?is)<" + tag + r"[^>]*>\s*([^<]*?)\s*</" + tag + r">", 1
@@ -148,23 +157,27 @@ def _elem_text(block: Column, tag: str) -> Column:
     return F.when(cdata != "", cdata).otherwise(_unescape_xml(plain))
 
 
+_G = r"[\s\"'/]"  # attribute-name guard (see htmlmeta._ATTR_GUARD)
+
+
 def _atom_link(entry: Column) -> Column:
-    # Atom links are attributes: prefer rel="alternate", fall back to the
-    # first <link href=…> (rel defaults to alternate when absent, RFC 4287)
+    # Atom links are attributes: prefer rel="alternate" (RFC 4287 §4.2.7.2
+    # — THE entry link; rel="self" is the entry's own feed URI), fall back
+    # to the first <link href=…> (rel defaults to alternate when absent)
     alt = F.regexp_extract(
         entry,
-        r"(?is)<link\b[^>]*rel\s*=\s*[\"']?alternate[\"']?[^>]*"
-        r"href\s*=\s*[\"']([^\"']+)[\"']",
+        r"(?is)<link\b[^>]*" + _G + r"rel\s*=\s*[\"']?alternate[\"']?[^>]*"
+        + _G + r"href\s*=\s*[\"']([^\"']+)[\"']",
         1,
     )
     alt2 = F.regexp_extract(
         entry,
-        r"(?is)<link\b[^>]*href\s*=\s*[\"']([^\"']+)[\"'][^>]*"
-        r"rel\s*=\s*[\"']?alternate[\"']?",
+        r"(?is)<link\b[^>]*" + _G + r"href\s*=\s*[\"']([^\"']+)[\"'][^>]*"
+        + _G + r"rel\s*=\s*[\"']?alternate[\"']?",
         1,
     )
     any_ = F.regexp_extract(
-        entry, r"(?is)<link\b[^>]*href\s*=\s*[\"']([^\"']+)[\"']", 1
+        entry, r"(?is)<link\b[^>]*" + _G + r"href\s*=\s*[\"']([^\"']+)[\"']", 1
     )
     return _unescape_xml(
         F.when(alt != "", alt).when(alt2 != "", alt2).otherwise(any_)

@@ -26,15 +26,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# attribute-name guard: an attribute is preceded by whitespace, a quote
+# closing the previous value, or the self-closing slash — NEVER by a letter,
+# digit, '-', or ':' (which would make it the tail of a LONGER attribute
+# name: data-href, data-lang, hreflang vs lang). Shared by every pattern
+# family here AND by the generated DuckDB oracle twins (same pattern text).
+_ATTR_GUARD = r"[\s\"'/]"
+
+
 def _attr_pair_patterns(tag: str, key_attr: str, key_val: str, want: str) -> list[str]:
     """Single-group patterns extracting ``want``'s value from a ``tag`` that
     also carries ``key_attr=key_val`` — both attribute orders x the three
-    HTML value forms (dquoted / squoted / unquoted token)."""
-    key = key_attr + r"\s*=\s*[\"']?" + key_val + r"\b[\"']?"
+    HTML value forms (dquoted / squoted / unquoted token). Attribute names
+    are _ATTR_GUARD-anchored so ``data-content``/``data-name`` style
+    attributes can't stand in for the real ones."""
+    key = _ATTR_GUARD + key_attr + r"\s*=\s*[\"']?" + key_val + r"\b[\"']?"
     vals = [
-        want + r"\s*=\s*\"([^\"]*)\"",
-        want + r"\s*=\s*'([^']*)'",
-        want + r"\s*=\s*([^\s\"'>]+)",
+        _ATTR_GUARD + want + r"\s*=\s*\"([^\"]*)\"",
+        _ATTR_GUARD + want + r"\s*=\s*'([^']*)'",
+        _ATTR_GUARD + want + r"\s*=\s*([^\s\"'>]+)",
     ]
     head = r"(?i)<" + tag + r"\b[^>]*"
     mid = r"[^>]*"
@@ -134,10 +144,13 @@ def has_jsonld(html: Column) -> Column:
     return html.rlike(_JSONLD_RE)
 
 
+# ':' admitted so xml:lang (same semantics) matches; '-' is NOT, so
+# data-lang can't stand in for the real attribute
+_LANG_GUARD = r"[\s\"':]"
 _HTML_LANG = [
-    r"(?i)<html\b[^>]*(?:^|[^a-zA-Z])lang\s*=\s*\"([^\"]*)\"",
-    r"(?i)<html\b[^>]*(?:^|[^a-zA-Z])lang\s*=\s*'([^']*)'",
-    r"(?i)<html\b[^>]*(?:^|[^a-zA-Z])lang\s*=\s*([^\s\"'>]+)",
+    r"(?i)<html\b[^>]*" + _LANG_GUARD + r"lang\s*=\s*\"([^\"]*)\"",
+    r"(?i)<html\b[^>]*" + _LANG_GUARD + r"lang\s*=\s*'([^']*)'",
+    r"(?i)<html\b[^>]*" + _LANG_GUARD + r"lang\s*=\s*([^\s\"'>]+)",
 ]
 
 
@@ -172,12 +185,14 @@ _LINK_TAG_RE = r"(?i)<link\b[^>]*>"
 
 
 def _tag_attr(tag: Column, attr: str) -> Column:
-    # (?:^|[^a-zA-Z]) guards prefix collisions (href vs hreflang); three
-    # HTML value forms, dquoted preferred
+    # _ATTR_GUARD anchors the attribute NAME: guards both prefix collisions
+    # (href vs hreflang) and longer-name collisions (data-href, data-lang
+    # — '-' and ':' are word chars in attribute names, so [^a-zA-Z] alone
+    # is NOT a boundary); three HTML value forms, dquoted preferred
     pats = [
-        r"(?i)(?:^|[^a-zA-Z])" + attr + r"\s*=\s*\"([^\"]*)\"",
-        r"(?i)(?:^|[^a-zA-Z])" + attr + r"\s*=\s*'([^']*)'",
-        r"(?i)(?:^|[^a-zA-Z])" + attr + r"\s*=\s*([^\s\"'>]+)",
+        r"(?i)" + _ATTR_GUARD + attr + r"\s*=\s*\"([^\"]*)\"",
+        r"(?i)" + _ATTR_GUARD + attr + r"\s*=\s*'([^']*)'",
+        r"(?i)" + _ATTR_GUARD + attr + r"\s*=\s*([^\s\"'>]+)",
     ]
     out = F.lit("")
     for p in reversed(pats):
@@ -212,7 +227,7 @@ def hreflang_links(html: Column) -> Column:
     alternates."""
     tags = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
     is_alt = lambda t: (  # noqa: E731
-        t.rlike(r"(?i)(?:^|[^a-zA-Z])rel\s*=\s*[\"']?alternate\b")
+        t.rlike(r"(?i)" + _ATTR_GUARD + r"rel\s*=\s*[\"']?alternate\b")
         & (_tag_attr(t, "hreflang") != "")
         & (_tag_attr(t, "href") != "")
     )

@@ -87,14 +87,20 @@ def card_candidates(text: Column) -> Column:
 
 
 def scrub_card_numbers(text: Column) -> Column:
-    """Redact Luhn-valid payment-card numbers with ``<CARD>`` (literal
-    replacement of each validated candidate — every occurrence). Luhn-
-    invalid digit runs (order ids, timestamps, most phone formats) are
-    left alone."""
+    """Redact Luhn-valid payment-card numbers with ``<CARD>`` (every
+    boundary-guarded occurrence of each validated candidate — the ``\\b``
+    the candidate regex enforced is re-applied at replacement time, so a
+    longer digit run that merely CONTAINS a valid candidate's digits is
+    not corrupted). Luhn-invalid digit runs (order ids, timestamps, most
+    phone formats) are left alone. Candidates contain only digits, spaces,
+    and dashes, so embedding them in a replacement pattern needs no
+    quoting."""
     return F.aggregate(
         card_candidates(text),
         text,
-        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit("<CARD>")
+        ),
     )
 
 
@@ -194,9 +200,14 @@ def iban_candidates(text: Column) -> Column:
 
 def scrub_ibans(text: Column) -> Column:
     """Redact mod-97-valid IBANs with ``<IBAN>``; invalid lookalikes
-    (invoice ids, serials, mistyped accounts) are left alone."""
+    (invoice ids, serials, mistyped accounts) are left alone. Boundary-
+    guarded replacement like scrub_card_numbers: a longer alphanumeric run
+    containing a valid IBAN's characters is not corrupted (candidates are
+    [A-Z0-9]+, regex-inert)."""
     return F.aggregate(
         iban_candidates(text),
         text,
-        lambda acc, c: F.replace(acc, c, F.lit("<IBAN>")),
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit("<IBAN>")
+        ),
     )

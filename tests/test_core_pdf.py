@@ -1181,3 +1181,47 @@ def test_pdf_info_rows_operator(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["url"], r["title"], r["created"]) == ("doc://1", "One", "2023-01-01T00:00:00")
+
+
+def test_pdf_info_indirect_refs_and_nonstring_values():
+    """Info values may be indirect string refs (spec 14.3.3); a non-string
+    value must NOT scan past into the next key's string."""
+    from pdf_extractor_spark.core.pdf_extract import pdf_info
+
+    # hand-built: /Title is an indirect ref, /Author direct
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        "<< /Length 20 >>\nstream\nBT (x) Tj ET\nendstream",
+        "(Indirect title)",
+        "<< /Title 5 0 R /Author (Bob) /Subject 99 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body.encode() + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R /Info 6 0 R >>"
+        f"\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    meta = pdf_info(bytes(out))
+    assert meta["title"] == "Indirect title"
+    assert meta["author"] == "Bob"
+    assert meta["subject"] == ""  # dangling ref -> '', never Bob
+
+
+def test_pdf_date_anchored_and_calendar_checked():
+    from pdf_extractor_spark.core.pdf_extract import _pdf_date_iso
+
+    assert _pdf_date_iso("D:2023-05-07") == ""      # hyphenated variant
+    assert _pdf_date_iso("D:20230231") == ""        # impossible calendar day
+    assert _pdf_date_iso("D:20230507142530+02'00'") == "2023-05-07T14:25:30+02:00"
+    assert _pdf_date_iso("D:20230507142530+02'00") == "2023-05-07T14:25:30+02:00"
+    assert _pdf_date_iso("D:20231301") == ""        # month 13
+    assert _pdf_date_iso("D:2021") == "2021-01-01T00:00:00"

@@ -186,3 +186,67 @@ def test_generated_soup_differential(spark):
         for x in fixtures for e in feed_entries(x)
     )
     assert got == want
+
+
+def test_twin_parity_self_first_and_padded_cdata(spark):
+    """The two review-found twin divergences, pinned: rel=self-first Atom
+    entries and padded / text-preceded CDATA must parse identically
+    through both paths (both prefer rel=alternate per RFC 4287 §4.2.7.2;
+    CDATA is trimmed and may follow leading text)."""
+    from pdf_extractor_spark.core.links import feed_entries
+    from pdf_extractor_spark.functions.feeds import feed_items
+
+    fixtures = [
+        '<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>t</title>'
+        '<link rel="self" href="https://e/self"/>'
+        '<link rel="alternate" href="https://e/alt"/></entry></feed>',
+        '<rss version="2.0"><channel><item>'
+        "<title><![CDATA[ padded ]]></title><link>https://e/p</link></item>"
+        "<item><title>x <![CDATA[y]]></title><link>https://e/q</link></item>"
+        "</channel></rss>",
+    ]
+    df = spark.createDataFrame([(x,) for x in fixtures], "xml string")
+    col_rows = df.select(
+        F.col("xml"), F.posexplode(feed_items(F.col("xml"))).alias("ord", "it")
+    ).collect()
+    got = sorted((r["xml"][:30], r["ord"], r["it"]["title"], r["it"]["link"])
+                 for r in col_rows)
+    want = sorted((x[:30], e.entry_index, e.title or "", e.link or "")
+                  for x in fixtures for e in feed_entries(x))
+    assert got == want
+    assert ("https://e/alt" in str(want)) and ("padded" in str(want))
+
+
+def test_data_attr_decoys_rejected(spark):
+    from pdf_extractor_spark.functions.feeds import feed_links
+    from pdf_extractor_spark.functions.htmlmeta import hreflang_links, html_lang
+
+    html = (
+        '<html lang="en" data-lang="xx"><head>'
+        '<link data-href="https://evil/x" rel="alternate" hreflang="fr"'
+        ' href="https://real/fr">'
+        '<link rel="alternate" data-type="application/rss+xml" href="/not-feed">'
+        "</head></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    row = df.select(
+        html_lang(F.col("html")).alias("l"),
+        hreflang_links(F.col("html")).alias("alts"),
+        feed_links(F.col("html")).alias("feeds"),
+    ).collect()[0]
+    assert row["l"] == "en"
+    assert [(a["hreflang"], a["href"]) for a in row["alts"]] == [
+        ("fr", "https://real/fr")
+    ]
+    assert row["feeds"] == []  # data-type is not a feed MIME declaration
+
+
+def test_rfc822_uppercase_month(spark):
+    from pdf_extractor_spark.functions.feeds import rfc822_to_iso
+
+    df = spark.createDataFrame(
+        [("Tue, 10 JUN 2003 04:00:12 GMT",), ("1 jan 2021 09:05 +0230",)],
+        "d string",
+    )
+    vals = [r[0] for r in df.select(rfc822_to_iso(F.col("d"))).collect()]
+    assert vals == ["2003-06-10T04:00:12Z", "2021-01-01T09:05:00+02:30"]

@@ -358,3 +358,18 @@ def test_meta_robots_nofollow_marks_all_links():
         b'<meta name="robots" content="noindex"><a href="https://a.org/x">o</a>'
     )
     assert [lk.nofollow for lk in harvest_links("https://s.org/", idx_html)] == [False]
+
+
+def test_sitemap_cdata_kept_literal():
+    """CDATA content is data, not markup (XML 1.0 §2.7): entities inside
+    it must NOT decode — same rule as _feed_text."""
+    from pdf_extractor_spark.core.links import sitemap_urls
+
+    xml = (
+        b'<urlset><url><loc><![CDATA[https://e/?a=1&amp;b=2]]></loc></url>'
+        b"<url><loc>https://e/?c=3&amp;d=4</loc></url></urlset>"
+    )
+    assert sitemap_urls(xml) == [
+        "https://e/?a=1&amp;b=2",  # CDATA literal
+        "https://e/?c=3&d=4",      # plain text decoded
+    ]

@@ -61,3 +61,24 @@ def test_iban_scrub_mod97_gate(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
     got = [r["s"] for r in df.select(scrub_ibans(F.col("text")).alias("s")).collect()]
     assert got == [e for _, e in rows]
+
+
+def test_scrub_does_not_corrupt_containing_runs(spark):
+    from pdf_extractor_spark.functions.pii import scrub_card_numbers, scrub_ibans
+
+    df = spark.createDataFrame(
+        [("card 4111111111111111 ref 94111111111111111234",),
+         ("iban DE89370400440532013000 id XDE89370400440532013000Y",)],
+        "text string",
+    )
+    got = [
+        (r["c"], r["i"])
+        for r in df.select(
+            scrub_card_numbers(F.col("text")).alias("c"),
+            scrub_ibans(F.col("text")).alias("i"),
+        ).collect()
+    ]
+    # the 20-digit ref and the letter-wrapped id merely CONTAIN valid
+    # candidates' characters — they must survive untouched
+    assert got[0][0] == "card <CARD> ref 94111111111111111234"
+    assert got[1][1] == "iban <IBAN> id XDE89370400440532013000Y"
