@@ -211,3 +211,63 @@ def scrub_ibans(text: Column) -> Column:
             acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit("<IBAN>")
         ),
     )
+
+
+# -- high-entropy token tier ---------------------------------------------------
+#
+# Fixed-format patterns (above) only catch credentials whose issuer
+# publishes a shape; random API keys, session tokens, and signing secrets
+# have none. The deployable detector (truffleHog lineage) is Shannon
+# entropy over long base64/hex-alphabet runs: English-word tokens run
+# ~2-3 bits/char, random-key material approaches log2(alphabet). The
+# entropy fold is pure Column exprs — distinct chars, a nested filter for
+# each count, one aggregate for -sum(p*log2 p) — per-candidate O(k·d)
+# with k<=128, codegen on the scan.
+
+ENTROPY_CANDIDATE_PATTERN = r"\b[A-Za-z0-9+/=_-]{24,128}\b"
+ENTROPY_BITS_THRESHOLD = 4.0
+
+
+def token_entropy(cand: Column) -> Column:
+    """Shannon entropy (bits/char) of a token string."""
+    chars = F.filter(F.split(cand, ""), lambda c: c != "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    h = F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, d: acc
+        - (F.size(F.filter(chars, lambda c: c == d)) / n)
+        * F.log2(F.size(F.filter(chars, lambda c: c == d)) / n),
+    )
+    return h
+
+
+def high_entropy_tokens(text: Column,
+                        threshold: float = ENTROPY_BITS_THRESHOLD) -> Column:
+    """Candidates (24-128 char base64/hex-alphabet runs) whose per-char
+    Shannon entropy is ≥ ``threshold`` bits, document order. Prose-like
+    tokens sit well under 3.5 bits/char; random key material approaches
+    log2(alphabet)."""
+    cands = F.regexp_extract_all(text, F.lit(ENTROPY_CANDIDATE_PATTERN), F.lit(0))
+    return F.filter(cands, lambda c: token_entropy(c) >= threshold)
+
+
+def scrub_high_entropy(text: Column,
+                       threshold: float = ENTROPY_BITS_THRESHOLD) -> Column:
+    """Redact high-entropy tokens with ``<TOKEN>`` (boundary-guarded, like
+    the card/IBAN tiers — candidates are regex-inert [A-Za-z0-9+/=_-],
+    with only '+' needing a quote, handled by matching it as a literal
+    class member at scan time; replacement re-anchors with lookarounds on
+    the alphabet instead of \\b because '=' and '-' are not word chars)."""
+    return F.aggregate(
+        high_entropy_tokens(text, threshold),
+        text,
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(
+                F.lit(r"(?<![A-Za-z0-9+/=_-])\Q"), c, F.lit(r"\E(?![A-Za-z0-9+/=_-])")
+            ),
+            F.lit("<TOKEN>"),
+        ),
+    )

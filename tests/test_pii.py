@@ -82,3 +82,43 @@ def test_scrub_does_not_corrupt_containing_runs(spark):
     # candidates' characters — they must survive untouched
     assert got[0][0] == "card <CARD> ref 94111111111111111234"
     assert got[1][1] == "iban <IBAN> id XDE89370400440532013000Y"
+
+
+def test_high_entropy_token_scrub(spark):
+    from pdf_extractor_spark.functions.pii import (
+        scrub_high_entropy,
+        token_entropy,
+    )
+
+    rows = [
+        ("key AIzaSyD4X8mP2qRt7vKj9wLn3bZcF1eYhG5sUo here",
+         "key <TOKEN> here"),
+        ("b64 c2VjcmV0LXJhbmRvbS10b2tlbg end", "b64 <TOKEN> end"),
+        # prose-like long tokens stay
+        ("see internationalization-team notes",
+         "see internationalization-team notes"),
+        ("file configuration_management_notes.txt",
+         "file configuration_management_notes.txt"),
+        ("run aaaaaaaaaaaaaaaaaaaaaaaaaaaa twice",
+         "run aaaaaaaaaaaaaaaaaaaaaaaaaaaa twice"),
+        # a leading word char merely extends the candidate run — the whole
+        # run is the token and gets redacted together
+        ("xAIzaSyD4X8mP2qRt7vKj9wLn3bZcF1eYhG5sUo!",
+         "<TOKEN>!"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["s"] for r in df.select(scrub_high_entropy(F.col("text")).alias("s")).collect()]
+    assert got == [e for _, e in rows]
+    # entropy sanity on the column fold vs the python formula
+    import math
+    from collections import Counter
+
+    def h(s):
+        c = Counter(s)
+        return -sum(v / len(s) * math.log2(v / len(s)) for v in c.values())
+
+    toks = ["c2VjcmV0LXJhbmRvbS10b2tlbg", "internationalization-team"]
+    tdf = spark.createDataFrame([(t,) for t in toks], "t string")
+    vals = [r[0] for r in tdf.select(token_entropy(F.col("t"))).collect()]
+    for got_h, tok in zip(vals, toks):
+        assert abs(got_h - h(tok)) < 1e-9
