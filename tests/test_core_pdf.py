@@ -1225,3 +1225,29 @@ def test_pdf_date_anchored_and_calendar_checked():
     assert _pdf_date_iso("D:20230507142530+02'00") == "2023-05-07T14:25:30+02:00"
     assert _pdf_date_iso("D:20231301") == ""        # month 13
     assert _pdf_date_iso("D:2021") == "2021-01-01T00:00:00"
+
+
+def test_pdf_info_never_raises_on_garbage():
+    """pdf_info is a per-row operator: any byte soup must map to None/dict,
+    never an exception (one bad doc must not fail a 10^12-row task)."""
+    import random
+
+    from pdf_extractor_spark.core.pdf_extract import pdf_info, render_pdf
+
+    rng = random.Random(20260820)
+    base = render_pdf([["seed"]], info={"Title": "t", "CreationDate": "D:2024"})
+    for _ in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 30)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        out = pdf_info(bytes(buf))
+        assert out is None or isinstance(out, dict)
+    # structured hostile shapes
+    for payload in [
+        b"%PDF-1.4\ntrailer << /Info 1 0 R >>",
+        b"%PDF-1.4\n1 0 obj\n<< /Title >>\nendobj\ntrailer<</Info 1 0 R>>",
+        b"%PDF-1.4\n" + b"/Info 1 0 R" * 1000,
+        base[: len(base) // 3],
+    ]:
+        out = pdf_info(payload)
+        assert out is None or isinstance(out, dict)

@@ -250,3 +250,30 @@ def test_rfc822_uppercase_month(spark):
     )
     vals = [r[0] for r in df.select(rfc822_to_iso(F.col("d"))).collect()]
     assert vals == ["2003-06-10T04:00:12Z", "2021-01-01T09:05:00+02:30"]
+
+
+def test_feed_parsers_never_raise_on_soup(spark):
+    """Both feed paths must degrade (empty/partial arrays), never error,
+    on truncated, nested, and hostile XML."""
+    import random
+
+    from pdf_extractor_spark.core.links import feed_entries
+
+    rng = random.Random(20260820)
+    frags = ["<rss", "<item>", "</item>", "<title>", "<![CDATA[", "]]>",
+             "&amp;", "<link>", "x" * 50, "<entry ", 'href="h"', "<feed",
+             "xmlns=\"http://www.w3.org/2005/Atom\"", ">", "</", "\x00"]
+    soups = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 40)))
+             for _ in range(60)]
+    # python path: just must not raise
+    for s in soups:
+        feed_entries(s)
+    # column path: one pass over all soups must evaluate cleanly
+    from pdf_extractor_spark.functions.feeds import feed_items, feed_kind
+
+    df = spark.createDataFrame([(s,) for s in soups], "xml string")
+    rows = df.select(
+        feed_kind(F.col("xml")).alias("k"),
+        F.size(feed_items(F.col("xml"))).alias("n"),
+    ).collect()
+    assert all(r["n"] >= 0 for r in rows)
