@@ -3337,6 +3337,54 @@ def q_secret_scrub(spark, sf_dir):
     )
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap scheduling hints (core/links.sitemap_entries via
+    operators/linkgraph.extract_sitemap_entries): per doc a urlset whose
+    first <url> carries lastmod + changefreq (enum cycles with d%7, upper-
+    cased in the XML to pin the lowercase normalization) + priority
+    ((d%11)/10), whose second carries loc only (hints → NULL), and — for
+    d%9==8 — a loc-less decoy block that must be skipped; the oracle
+    restates the construction rule. lastmod/changefreq/priority are what
+    fetch_schedule weighs beside observed revision drift."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.linkgraph import extract_sitemap_entries
+
+    freqs = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+
+    def mk(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                mm, dd = 1 + d % 12, 1 + d % 28
+                decoy = ("<url><lastmod>2020-01-01</lastmod></url>"
+                         if d % 9 == 8 else "")
+                xml = (
+                    "<urlset>"
+                    f"<url><loc>https://sm.ex/{d}/0</loc>"
+                    f"<lastmod>2024-{mm:02d}-{dd:02d}</lastmod>"
+                    f"<changefreq>{freqs[d % 7].upper()}</changefreq>"
+                    f"<priority>{(d % 11) / 10}</priority></url>"
+                    f"{decoy}"
+                    f"<url><loc>https://sm.ex/{d}/1</loc></url>"
+                    "</urlset>"
+                )
+                urls.append(f"sm://{d}")
+                htmls.append(xml.encode())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk, "url string, html binary"
+    )
+    return extract_sitemap_entries(pages).select(
+        "url", "entry_index", "loc", "lastmod", "changefreq", "priority"
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4066,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scrub": q_secret_scrub,
         "iban_scrub": q_iban_scrub,
         "entropy_scrub": q_entropy_scrub,
+        "sitemap_entries": q_sitemap_entries,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -4993,6 +5042,23 @@ SELECT doc_id,
          WHEN 3 THEN 'file configuration_management_notes.txt'
          ELSE 'run aaaaaaaaaaaaaaaaaaaaaaaaaaaa twice' END AS scrubbed
 FROM documents""",
+        "sitemap_entries": """
+WITH d AS (SELECT doc_id,
+                  lpad((1 + doc_id % 12)::VARCHAR, 2, '0') AS mm,
+                  lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS dd
+           FROM documents)
+SELECT 'sm://' || doc_id AS url, 0 AS entry_index,
+       'https://sm.ex/' || doc_id || '/0' AS loc,
+       '2024-' || mm || '-' || dd AS lastmod,
+       CASE doc_id % 7 WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+         WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly'
+         WHEN 5 THEN 'yearly' ELSE 'never' END AS changefreq,
+       (doc_id % 11) / 10.0 AS priority
+FROM d
+UNION ALL
+SELECT 'sm://' || doc_id, 1, 'https://sm.ex/' || doc_id || '/1',
+       NULL, NULL, NULL
+FROM d""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

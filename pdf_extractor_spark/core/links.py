@@ -256,6 +256,87 @@ def sitemap_urls(xml: bytes | str | None) -> list[str]:
     return out
 
 
+_SM_URL_BLOCK_RE = _re.compile(
+    r"<url\s*>(.*?)</url\s*>", _re.IGNORECASE | _re.DOTALL
+)
+_LASTMOD_RE = _re.compile(
+    r"<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", _re.IGNORECASE | _re.DOTALL
+)
+_CHANGEFREQ_RE = _re.compile(
+    r"<changefreq\s*>\s*(.*?)\s*</changefreq\s*>", _re.IGNORECASE | _re.DOTALL
+)
+_PRIORITY_RE = _re.compile(
+    r"<priority\s*>\s*(.*?)\s*</priority\s*>", _re.IGNORECASE | _re.DOTALL
+)
+_SM_FREQS = frozenset(
+    ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+)
+
+
+def _sm_text(m: _re.Match | None) -> str | None:
+    # same CDATA-literal / plain-decoded rule as sitemap_urls and _feed_text
+    if m is None:
+        return None
+    val = m.group(1)
+    cm = _CDATA_RE.search(val)
+    if cm:
+        val = cm.group(1).strip()
+    else:
+        val = _html_mod.unescape(val).strip()
+    return val or None
+
+
+@dataclass
+class SitemapEntry:
+    entry_index: int
+    loc: str
+    lastmod: str | None
+    changefreq: str | None
+    priority: float | None
+
+
+def sitemap_entries(xml: bytes | str | None) -> list[SitemapEntry]:
+    """Full ``<url>`` entries of a page sitemap, in file order: loc (same
+    CDATA/entity rules as sitemap_urls), and the three optional scheduling
+    hints the protocol defines — lastmod (raw string: sitemaps mix date
+    and datetime forms; normalization is a downstream concern), changefreq
+    (lowercased; values outside the protocol's seven-token enum → None),
+    priority (float, clamped to the protocol's [0.0, 1.0]; unparseable →
+    None). These hints are exactly what a re-crawl scheduler
+    (operators/politeness.fetch_schedule) wants beside its own observed
+    revision drift. Blocks without a <loc> are skipped; non-XML input
+    yields []."""
+    if not xml:
+        return []
+    text = xml.decode("utf-8", errors="replace") if isinstance(xml, bytes) else xml
+    out: list[SitemapEntry] = []
+    for m in _SM_URL_BLOCK_RE.finditer(text):
+        block = m.group(1)
+        loc = _sm_text(_LOC_RE.search(block))
+        if not loc:
+            continue
+        freq = _sm_text(_CHANGEFREQ_RE.search(block))
+        freq = freq.lower() if freq else None
+        if freq is not None and freq not in _SM_FREQS:
+            freq = None
+        prio_raw = _sm_text(_PRIORITY_RE.search(block))
+        prio: float | None
+        try:
+            prio = float(prio_raw) if prio_raw is not None else None
+        except ValueError:
+            prio = None
+        if prio is not None and not (0.0 <= prio <= 1.0):
+            prio = min(max(prio, 0.0), 1.0)
+        if prio is not None and prio != prio:  # NaN
+            prio = None
+        out.append(
+            SitemapEntry(
+                len(out), loc, _sm_text(_LASTMOD_RE.search(block)), freq, prio
+            )
+        )
+    return out
+
+
 # --- RSS / Atom feeds --------------------------------------------------------
 # Feeds are the third crawl-frontier artifact after sitemaps and robots.txt:
 # a site's freshest URLs plus publish timestamps, which a re-crawl scheduler

@@ -266,6 +266,50 @@ def extract_sitemap_urls(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_sitemap_entries(pages: DataFrame) -> DataFrame:
+    """sitemap pages(url, html) → (url, entry_index, loc, lastmod,
+    changefreq, priority): one row per full <url> block with the
+    protocol's optional scheduling hints (core/links.sitemap_entries) —
+    the inputs a re-crawl scheduler (operators/politeness.fetch_schedule)
+    weighs beside observed revision drift. Same fused one-Arrow-pass shape
+    as extract_sitemap_urls; malformed XML yields zero rows."""
+    from pdf_extractor_spark.core.links import sitemap_entries
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            out: dict[str, list] = {"url": [], "entry_index": [], "loc": [],
+                                    "lastmod": [], "changefreq": [],
+                                    "priority": []}
+            for url, html in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
+                for e in sitemap_entries(html):
+                    out["url"].append(url)
+                    out["entry_index"].append(e.entry_index)
+                    out["loc"].append(e.loc)
+                    out["lastmod"].append(e.lastmod)
+                    out["changefreq"].append(e.changefreq)
+                    out["priority"].append(e.priority)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["url"], type=pa.string()),
+                    pa.array(out["entry_index"], type=pa.int32()),
+                    pa.array(out["loc"], type=pa.string()),
+                    pa.array(out["lastmod"], type=pa.string()),
+                    pa.array(out["changefreq"], type=pa.string()),
+                    pa.array(out["priority"], type=pa.float64()),
+                ],
+                names=["url", "entry_index", "loc", "lastmod", "changefreq",
+                       "priority"],
+            )
+
+    return pages.select("url", "html").mapInArrow(
+        run,
+        "url string, entry_index int, loc string, lastmod string, "
+        "changefreq string, priority double",
+    )
+
+
 def extract_feed_entries(pages: DataFrame) -> DataFrame:
     """feed pages(url, html) → (url, entry_index, kind, title, link,
     published): one row per RSS <item> / Atom <entry>, order-preserving.

@@ -373,3 +373,45 @@ def test_sitemap_cdata_kept_literal():
         "https://e/?a=1&amp;b=2",  # CDATA literal
         "https://e/?c=3&d=4",      # plain text decoded
     ]
+
+
+def test_sitemap_entries_hints():
+    from pdf_extractor_spark.core.links import sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://e/a</loc><lastmod>2024-01-02</lastmod>"
+        "<changefreq>DAILY</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://e/b</loc></url>"
+        "<url><loc>https://e/c</loc><changefreq>sometimes</changefreq>"
+        "<priority>7</priority></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> skipped
+        "<url><loc>https://e/d</loc><priority>junk</priority></url>"
+        "</urlset>"
+    )
+    es = sitemap_entries(xml)
+    assert [(e.entry_index, e.loc, e.lastmod, e.changefreq, e.priority)
+            for e in es] == [
+        (0, "https://e/a", "2024-01-02", "daily", 0.8),
+        (1, "https://e/b", None, None, None),
+        (2, "https://e/c", None, None, 1.0),  # out-of-enum freq dropped, prio clamped
+        (3, "https://e/d", None, None, None),
+    ]
+    assert sitemap_entries(b"") == [] and sitemap_entries(None) == []
+
+
+def test_extract_sitemap_entries_operator(spark):
+    from pdf_extractor_spark.operators.linkgraph import extract_sitemap_entries
+
+    xml = ("<urlset><url><loc>https://e/a</loc>"
+           "<lastmod>2024-02-03</lastmod></url></urlset>").encode()
+    pages = spark.createDataFrame(
+        [("sm://1", bytearray(xml)), ("sm://2", bytearray(b"not xml"))],
+        "url string, html binary",
+    )
+    rows = extract_sitemap_entries(pages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["url"], r["loc"], r["lastmod"], r["priority"]) == (
+        "sm://1", "https://e/a", "2024-02-03", None,
+    )
