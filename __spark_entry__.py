@@ -3385,6 +3385,57 @@ def q_sitemap_entries(spark, sf_dir):
     )
 
 
+def q_soft404_flags(spark, sf_dir):
+    """Soft-404 / parked / placeholder page-status gates
+    (functions/pagestatus.py): one case-folded rlike per tier, pure Column
+    exprs, scan-only. The fixture prepends a known genre marker per
+    doc_id%7 class (soft-404 apology, for-sale lander, coming-soon stub,
+    near-empty body) so every tier and the parked>soft404 precedence fire
+    on a known subset; the oracle re-runs the SAME regexes in DuckDB RE2
+    over the same staged body — phrase tiers outrank the 40-char
+    emptiness screen."""
+    from pdf_extractor_spark.functions.pagestatus import (
+        page_status,
+        parked_flag,
+        placeholder_flag,
+        soft404_flag,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    body = (
+        F.when(
+            d % 7 == 1,
+            F.concat(
+                F.lit("Error 404: the page you requested was not found. "),
+                F.col("text"),
+            ),
+        )
+        .when(
+            d % 7 == 2,
+            F.concat(
+                F.lit("This domain is for sale. Buy this domain today. "),
+                F.col("text"),
+            ),
+        )
+        .when(
+            d % 7 == 3,
+            F.concat(F.lit("Our new site is coming soon. "), F.col("text")),
+        )
+        .when(d % 7 == 4, F.lit("  Hi. "))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    return staged.select(
+        "doc_id",
+        soft404_flag(b).alias("is_soft404"),
+        parked_flag(b).alias("is_parked"),
+        placeholder_flag(b).alias("is_placeholder"),
+        page_status(b).alias("status"),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4115,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iban_scrub": q_iban_scrub,
         "entropy_scrub": q_entropy_scrub,
         "sitemap_entries": q_sitemap_entries,
+        "soft404_flags": q_soft404_flags,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5059,6 +5111,35 @@ UNION ALL
 SELECT 'sm://' || doc_id, 1, 'https://sm.ex/' || doc_id || '/1',
        NULL, NULL, NULL
 FROM d""",
+        "soft404_flags": """
+WITH staged AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 1 THEN 'Error 404: the page you requested was not found. ' || text
+           WHEN 2 THEN 'This domain is for sale. Buy this domain today. ' || text
+           WHEN 3 THEN 'Our new site is coming soon. ' || text
+           WHEN 4 THEN '  Hi. '
+           ELSE text END AS body
+  FROM documents),
+flags AS (
+  SELECT doc_id, body,
+         coalesce(regexp_matches(lower(body),
+           '(page|file|article|document) (you requested |you are looking for )?(was |is |could )?not (be )?found|error 404|404 (error|not found|page)|(page|content) (no longer|does not) exist'),
+           FALSE) AS is_soft404,
+         coalesce(regexp_matches(lower(body),
+           'domain (name )?(is )?for sale|buy this domain|this domain (name )?(has been|was) registered|parked (free|domain)|domain parking|related searches'),
+           FALSE) AS is_parked,
+         coalesce(regexp_matches(lower(body),
+           'under construction|coming soon|default (web )?page|account (has been )?suspended|website is currently unavailable'),
+           FALSE) AS is_placeholder
+  FROM staged)
+SELECT doc_id, is_soft404, is_parked, is_placeholder,
+       CASE WHEN is_parked THEN 'parked'
+            WHEN is_soft404 THEN 'soft404'
+            WHEN is_placeholder THEN 'placeholder'
+            WHEN coalesce(length(trim(body)), 0) < 40 THEN 'empty'
+            ELSE 'ok' END AS status
+FROM flags""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

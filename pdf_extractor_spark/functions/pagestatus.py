@@ -1,0 +1,91 @@
+"""Soft-404 / parked-domain / placeholder page detection — pure Column exprs.
+
+Real crawls are full of '200 OK' responses whose body is an error or
+placeholder rather than content: soft 404s (the server renders "page not
+found" into a template and returns 200), parked / for-sale domains, and
+"under construction" stubs. Curation pipelines in the CCNet/RefinedWeb
+lineage drop these before dedup so their template boilerplate doesn't
+dominate MinHash buckets or leak into training mixes. The reference
+service never sees them — it ingests caller-supplied PDFs
+(/root/reference/app/processing/pdf_processor.py) — but the
+Common-Crawl-shaped corpus this engine curates (BASELINE.json input_hint)
+is where they live, and a status gate belongs beside the quality gates in
+operators/curate.py.
+
+Detection is deliberately phrase + length only (no HTTP metadata — the
+input table carries none): one case-folded ``rlike`` per tier over the
+extracted text. Everything stays JVM-side in whole-stage codegen —
+scan-only at 100 TB, no shuffle, no Python. The phrase lists are the
+stable, language-independent cores of each genre (error codes, sale
+offers, construction notices); they are screens, not classifiers — a page
+that merely *mentions* a 404 in prose is the accepted false-positive cost
+of a gate this cheap, the same trade C4 makes with its word filters.
+
+Regexes use only alternation and optional groups so the Spark (Java
+regex) and DuckDB (RE2) oracles match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The server said 200 but the body says the resource is gone. Phrases are
+# matched anywhere in the page — soft 404s land mid-template.
+SOFT404_RE = (
+    r"(page|file|article|document) (you requested |you are looking for )?"
+    r"(was |is |could )?not (be )?found"
+    r"|error 404|404 (error|not found|page)"
+    r"|(page|content) (no longer|does not) exist"
+)
+
+# Registrar / reseller lander on an unclaimed or lapsed domain.
+PARKED_RE = (
+    r"domain (name )?(is )?for sale|buy this domain"
+    r"|this domain (name )?(has been|was) registered"
+    r"|parked (free|domain)|domain parking|related searches"
+)
+
+# Intentional stubs: pre-launch notices, default server pages, suspended
+# hosting accounts.
+PLACEHOLDER_RE = (
+    r"under construction|coming soon|default (web )?page"
+    r"|account (has been )?suspended|website is currently unavailable"
+)
+
+
+def soft404_flag(text: Column) -> Column:
+    """True when the page body announces a missing resource (soft 404)."""
+    return F.coalesce(F.lower(text).rlike(SOFT404_RE), F.lit(False))
+
+
+def parked_flag(text: Column) -> Column:
+    """True when the page body is a domain-parking / for-sale lander."""
+    return F.coalesce(F.lower(text).rlike(PARKED_RE), F.lit(False))
+
+
+def placeholder_flag(text: Column) -> Column:
+    """True when the page body is an intentional stub (construction /
+    coming-soon / default / suspended notice)."""
+    return F.coalesce(F.lower(text).rlike(PLACEHOLDER_RE), F.lit(False))
+
+
+def page_status(text: Column, min_chars: int = 40) -> Column:
+    """Classify a page body: 'parked' | 'soft404' | 'placeholder' |
+    'empty' | 'ok'.
+
+    Phrase evidence outranks the length screen (parked landers are often
+    one line), and the tiers are ordered most- to least-specific: a parked
+    lander that also says "not found" is parked, not soft404. 'empty' is
+    the residual gate — under ``min_chars`` non-whitespace-trimmed
+    characters (NULL text counts as zero) there is nothing to train on
+    regardless of what the fragment says.
+    """
+    n = F.coalesce(F.length(F.trim(text)), F.lit(0))
+    return (
+        F.when(parked_flag(text), F.lit("parked"))
+        .when(soft404_flag(text), F.lit("soft404"))
+        .when(placeholder_flag(text), F.lit("placeholder"))
+        .when(n < min_chars, F.lit("empty"))
+        .otherwise(F.lit("ok"))
+    )

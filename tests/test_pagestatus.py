@@ -1,0 +1,68 @@
+"""Soft-404 / parked / placeholder page-status gates vs. hand-labeled rows."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.functions import pagestatus as PS
+
+LONG_OK = (
+    "A perfectly ordinary article about garden birds, long enough to clear "
+    "the emptiness screen, with several complete sentences of real prose."
+)
+
+ROWS = [
+    # (doc_id, text, expected status)
+    (0, LONG_OK, "ok"),
+    (1, "Error 404: the page you requested was not found. " + LONG_OK, "soft404"),
+    (2, "Sorry, this document could not be found on our server. " + LONG_OK, "soft404"),
+    (3, "This domain is for sale. Make an offer today! " + LONG_OK, "parked"),
+    (4, "example.com — parked free, courtesy of a registrar. " + LONG_OK, "parked"),
+    (5, "Our new website is COMING SOON. Check back later. " + LONG_OK, "placeholder"),
+    (6, "This account has been suspended by the hosting provider.", "placeholder"),
+    (7, "Hi.", "empty"),
+    (8, "   ", "empty"),
+    (9, None, "empty"),
+    # precedence: sale lander that also apologizes for a missing page
+    (10, "Buy this domain. The page you requested was not found. " + LONG_OK, "parked"),
+    # phrase evidence beats the length screen
+    (11, "error 404", "soft404"),
+    # prose that merely mentions construction far from any notice still fires
+    # (documented false-positive cost of a screen this cheap) — pin it
+    (12, "The bridge was under construction for a decade. " + LONG_OK, "placeholder"),
+]
+
+
+def test_page_status_tiers(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, want string")
+    got = {
+        r["doc_id"]: (r["status"], r["want"])
+        for r in df.select(
+            "doc_id", PS.page_status(F.col("text")).alias("status"), "want"
+        ).collect()
+    }
+    for doc_id, (status, want) in got.items():
+        assert status == want, (doc_id, status, want)
+
+
+def test_flags_null_safe_and_boolean(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, want string")
+    rows = df.select(
+        "doc_id",
+        PS.soft404_flag(F.col("text")).alias("s"),
+        PS.parked_flag(F.col("text")).alias("p"),
+        PS.placeholder_flag(F.col("text")).alias("c"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # NULL text → all flags False (not NULL)
+    assert (by_id[9]["s"], by_id[9]["p"], by_id[9]["c"]) == (False, False, False)
+    # the precedence row carries BOTH raw flags; page_status arbitrates
+    assert by_id[10]["p"] and by_id[10]["s"]
+    for r in rows:
+        for k in ("s", "p", "c"):
+            assert r[k] in (True, False)
+
+
+def test_min_chars_is_tunable(spark):
+    df = spark.createDataFrame([(0, "short but honest")], "doc_id long, text string")
+    strict = df.select(PS.page_status(F.col("text"), min_chars=40).alias("s")).head()["s"]
+    lax = df.select(PS.page_status(F.col("text"), min_chars=5).alias("s")).head()["s"]
+    assert (strict, lax) == ("empty", "ok")
