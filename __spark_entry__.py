@@ -3436,6 +3436,61 @@ def q_soft404_flags(spark, sf_dir):
     )
 
 
+def q_dehyphenate(spark, sf_dir):
+    """End-of-line de-hyphenation (operators/normalize.dehyphenate): one
+    codegen'd regexp_replace joining letter + '-'/U+2010 + newline +
+    optional indent + LOWERCASE letter. The fixture appends a suffix
+    exercising join (plain + indented + chained single-pass), keep
+    (uppercase continuation, digit ranges), and the U+2010 fold; the
+    corpus text is all-ASCII with no pre-existing '-\\n' (probed), so the
+    Java-regex and DuckDB-RE2 twins see identical match sets."""
+    from pdf_extractor_spark.operators.normalize import dehyphenate
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    staged = F.concat(
+        F.col("text"),
+        F.lit("\nThe exam-\nple shows dehy-\n  phenation and an ex-\nAmple kept. "),
+        F.when(d % 2 == 0, F.lit("pre-\nfix a-\nb-\nc")).otherwise(
+            F.lit("uni‐\ncode fold")
+        ),
+        F.lit(" pages 3-\n4 kept"),
+    )
+    return docs.select("doc_id", dehyphenate(staged).alias("clean"))
+
+
+def q_running_headers(spark, sf_dir):
+    """Running header/footer removal (operators/extract.drop_running_lines):
+    digit-folded block text repeating on >= max(3, ceil(0.5*n_pages))
+    distinct pages of a document is boilerplate the layout stamped, not
+    content. The fixture fans each doc into 4 pages x (header, footer,
+    body): headers are constant per doc (dropped) except doc_id%5==0 where
+    they vary by page word (kept); 'Page N of 4' footers fold together
+    (dropped); bodies vary by page word (kept). The oracle restates the
+    construction and the two-hash-agg + anti-join relational logic."""
+    from pdf_extractor_spark.operators.extract import drop_running_lines
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id", "text", F.explode(F.expr("array(1,2,3,4)")).alias("page")
+    )
+    word = F.element_at(
+        F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"), F.lit("delta")),
+        F.col("page"),
+    )
+    header = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("Chapter "), word)
+    ).otherwise(F.concat(F.lit("Annual Report "), F.col("doc_id")))
+    footer = F.concat(F.lit("Page "), F.col("page"), F.lit(" of 4"))
+    body = F.concat(F.substring(F.col("text"), 1, 40), F.lit(" "), word)
+    blocks = pages.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "page",
+        F.explode(F.array(header, footer, body)).alias("block_text"),
+    )
+    return drop_running_lines(blocks).select("url", "page", "block_text")
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4167,6 +4222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_scrub": q_entropy_scrub,
         "sitemap_entries": q_sitemap_entries,
         "soft404_flags": q_soft404_flags,
+        "dehyphenate": q_dehyphenate,
+        "running_headers": q_running_headers,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5140,6 +5197,50 @@ SELECT doc_id, is_soft404, is_parked, is_placeholder,
             WHEN coalesce(length(trim(body)), 0) < 40 THEN 'empty'
             ELSE 'ok' END AS status
 FROM flags""",
+        "dehyphenate": r"""
+WITH staged AS (
+  SELECT doc_id,
+         text || chr(10) || 'The exam-' || chr(10) || 'ple shows dehy-' || chr(10)
+           || '  phenation and an ex-' || chr(10) || 'Ample kept. '
+           || CASE WHEN doc_id % 2 = 0
+                THEN 'pre-' || chr(10) || 'fix a-' || chr(10) || 'b-' || chr(10) || 'c'
+                ELSE 'uni' || '‐' || chr(10) || 'code fold' END
+           || ' pages 3-' || chr(10) || '4 kept' AS s
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(s, '(\p{L})[-‐]\n[ \t]*(\p{Ll})', '\1\2', 'g') AS clean
+FROM staged""",
+        "running_headers": """
+WITH pages AS (
+  SELECT doc_id, text, p AS page
+  FROM documents, (VALUES (1), (2), (3), (4)) t(p)),
+w AS (
+  SELECT doc_id, text, page,
+         CASE page WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+                   WHEN 3 THEN 'gamma' ELSE 'delta' END AS word
+  FROM pages),
+blocks AS (
+  SELECT 'doc://' || doc_id AS url, page,
+         CASE WHEN doc_id % 5 = 0 THEN 'Chapter ' || word
+              ELSE 'Annual Report ' || doc_id END AS block_text
+  FROM w
+  UNION ALL
+  SELECT 'doc://' || doc_id, page, 'Page ' || page || ' of 4' FROM w
+  UNION ALL
+  SELECT 'doc://' || doc_id, page, substr(text, 1, 40) || ' ' || word FROM w),
+norm AS (
+  SELECT url, page, block_text,
+         regexp_replace(lower(trim(block_text)), '[0-9]+', '#', 'g') AS n
+  FROM blocks),
+doc_pages AS (SELECT url, count(DISTINCT page) AS np FROM norm GROUP BY url),
+line_pages AS (SELECT url, n, count(DISTINCT page) AS lp FROM norm GROUP BY url, n),
+running AS (
+  SELECT l.url, l.n
+  FROM line_pages l JOIN doc_pages d USING (url)
+  WHERE length(l.n) > 0 AND l.lp >= greatest(3, ceil(0.5 * d.np)))
+SELECT norm.url, norm.page, norm.block_text
+FROM norm LEFT JOIN running ON norm.url = running.url AND norm.n = running.n
+WHERE running.n IS NULL""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -403,3 +403,63 @@ def extract_docs_incremental(
     return extract_docs(fresh).withColumn(
         "extract_source", F.lit("extracted")
     ).unionByName(reused.withColumn("extract_source", F.lit("reused")))
+
+
+def drop_running_lines(
+    blocks: DataFrame,
+    url_col: str = "url",
+    page_col: str = "page",
+    text_col: str = "block_text",
+    min_pages: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Remove running headers/footers from a per-page block table: blocks
+    whose digit-folded text repeats on at least ``max(min_pages,
+    ceil(min_frac * n_pages))`` distinct pages of the same document.
+
+    Print layouts stamp the same line on every page — a chapter title up
+    top, "Page 3 of 118" down below — and a reading-order extractor
+    faithfully re-emits it once per page, polluting chunks, shingles, and
+    token counts. The reference gets Header/Footer element types from
+    unstructured's layout model (app/processing/pdf_processor.py:86-101,
+    hi_res partitioning) and this is the model-free batch twin: repetition
+    ACROSS pages is the signal, not visual position. Digits fold to '#'
+    before comparison so page counters match each other; the documented
+    false-positive cost is a body line repeated verbatim on most pages
+    differing only in numbers — which is exactly the boilerplate the fold
+    is meant to catch. Whitespace-only blocks are never treated as running
+    lines (they carry no signal either way).
+
+    Scale shape: two hash-aggs and one anti-join, all keyed by
+    (url[, norm]) — partition-aligned with the extraction output, no
+    cross-document shuffle key, no window sort. The per-(url, norm)
+    distinct-page count is bounded by the document's own page count, so
+    no key can run hot beyond a single document's size.
+    """
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), "[0-9]+", "#"
+    )
+    tagged = blocks.withColumn("__norm", norm)
+    per_line = tagged.groupBy(url_col, "__norm").agg(
+        F.countDistinct(page_col).alias("__line_pages")
+    )
+    per_doc = tagged.groupBy(url_col).agg(
+        F.countDistinct(page_col).alias("__doc_pages")
+    )
+    running = (
+        per_line.join(per_doc, url_col)
+        .where(
+            (F.length(F.col("__norm")) > 0)
+            & (
+                F.col("__line_pages")
+                >= F.greatest(
+                    F.lit(min_pages),
+                    F.ceil(F.lit(min_frac) * F.col("__doc_pages")),
+                )
+            )
+        )
+        .select(url_col, "__norm")
+    )
+    return tagged.join(running, [url_col, "__norm"], "left_anti").drop("__norm")

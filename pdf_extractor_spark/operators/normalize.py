@@ -60,6 +60,37 @@ def clean_text(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# End-of-line de-hyphenation
+#
+# Justified print media (PDFs above all) breaks words across lines with a
+# hyphen; extraction preserves the break, so "exam-\nple" tokenizes as two
+# garbage tokens and splits dedup shingles. The standard repair
+# (trafilatura lineage) joins a letter + hyphen + newline + lowercase
+# letter — lowercase continuation is the guard that keeps sentence-initial
+# dashes and "Commission-\nEuropean" style breaks intact. The documented
+# false-join cost: a true compound split at the line break ("well-\n
+# known") loses its hyphen; resolving that needs a lexicon, which a
+# deterministic byte-level pass deliberately doesn't carry. Reference
+# scope: unstructured re-flows lines inside each element before the
+# reference ever sees text (app/processing/pdf_processor.py:86-101), so it
+# inherits pdfminer's joining; this is the batch twin of that repair.
+#
+# Pure Column regexp_replace (codegen, scan-only); U+2010 HYPHEN is
+# folded alongside ASCII '-' (U+00AD SOFT HYPHEN is already stripped by
+# clean_text upstream). Single-pass non-overlapping semantics match
+# between Java regex and DuckDB RE2, so the oracle is exact.
+
+DEHYPHENATE_PATTERN = r"(\p{L})[-‐]\n[ \t]*(\p{Ll})"
+
+
+def dehyphenate(col: Column) -> Column:
+    """Join words hyphen-split across line breaks: letter + '-'/U+2010 +
+    newline + optional indent + lowercase letter → the two word halves
+    fused (the soft-wrap newline disappears with the hyphen)."""
+    return F.regexp_replace(col, DEHYPHENATE_PATTERN, "$1$2")
+
+
+# ---------------------------------------------------------------------------
 # Mojibake repair (ftfy's core case, from scratch)
 #
 # Web text is full of UTF-8 that some hop decoded as cp1252/latin-1

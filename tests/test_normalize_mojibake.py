@@ -72,3 +72,33 @@ def test_clean_text_strips_invisible_noise_preserves_zwnj(spark):
     # ZWNJ is orthographic in Persian — it must SURVIVE the scrub
     assert got[3] == "می‌خواهم"
     assert got[4] == "éclair"
+
+
+def test_dehyphenate_joins_soft_wraps(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.normalize import dehyphenate
+
+    rows = [
+        (0, "exam-\nple text"),            # classic soft wrap → join
+        (1, "exam-\n  ple text"),          # indented continuation → join
+        (2, "well-\nKnown brand"),         # uppercase continuation → keep
+        (3, "see page 3-\n4 for more"),    # digit before/after → keep
+        (4, "trailing dash -\nalone"),     # space before dash → keep
+        (5, "uni‐\ncode hyphen"),     # U+2010 folded like '-'
+        (6, "a-\nb-\nc"),                  # chained: single-pass semantics
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", dehyphenate(F.col("t")).alias("c")).collect()
+    }
+    assert got[0] == "example text"
+    assert got[1] == "example text"
+    assert got[2] == "well-\nKnown brand"
+    assert got[3] == "see page 3-\n4 for more"
+    assert got[4] == "trailing dash -\nalone"
+    assert got[5] == "unicode hyphen"
+    assert got[6] == "ab-\nc"
+    assert got[7] is None

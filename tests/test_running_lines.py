@@ -1,0 +1,69 @@
+"""Running header/footer removal over per-page block tables."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import drop_running_lines
+
+# one 4-page document: header + page-counter footer on every page,
+# a unique body line per page, and a one-off note on page 2
+ROWS = [
+    ("doc://a", p, kind, text)
+    for p in (1, 2, 3, 4)
+    for kind, text in [
+        ("header", "Annual Report 2024"),
+        ("footer", f"Page {p} of 4"),
+        ("body", ["alpha", "beta", "gamma", "delta"][p - 1] + " paragraph."),
+    ]
+] + [("doc://a", 2, "body", "A one-off note.")]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, page int, kind string, block_text string"
+    )
+
+
+def test_running_lines_dropped_unique_kept(spark):
+    out = drop_running_lines(_df(spark, ROWS)).collect()
+    texts = sorted(r["block_text"] for r in out)
+    # header gone (4/4 pages), digit-folded footer gone ('page # of #'
+    # matches across pages), all five unique body lines survive
+    assert texts == sorted(
+        [
+            "alpha paragraph.",
+            "beta paragraph.",
+            "gamma paragraph.",
+            "delta paragraph.",
+            "A one-off note.",
+        ]
+    )
+
+
+def test_threshold_respects_short_docs(spark):
+    # 2-page doc: repeated header appears on 2 pages < min_pages=3 → kept
+    rows = [
+        ("doc://b", 1, "header", "Short Doc"),
+        ("doc://b", 2, "header", "Short Doc"),
+        ("doc://b", 1, "body", "first page prose"),
+        ("doc://b", 2, "body", "second page prose"),
+    ]
+    out = drop_running_lines(_df(spark, rows)).collect()
+    assert len(out) == 4
+
+
+def test_docs_are_independent(spark):
+    # the same header text running in doc a must not delete doc c's
+    # single occurrence of it
+    rows = ROWS + [("doc://c", 1, "body", "Annual Report 2024")]
+    out = drop_running_lines(_df(spark, rows))
+    c = out.where(F.col("url") == "doc://c").collect()
+    assert [r["block_text"] for r in c] == ["Annual Report 2024"]
+
+
+def test_whitespace_blocks_never_running(spark):
+    rows = [("doc://d", p, "body", "   ") for p in (1, 2, 3, 4)] + [
+        ("doc://d", p, "body", f"page body {['w','x','y','z'][p-1]}")
+        for p in (1, 2, 3, 4)
+    ]
+    out = drop_running_lines(_df(spark, rows)).collect()
+    assert len(out) == 8
