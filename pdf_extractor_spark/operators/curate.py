@@ -63,6 +63,7 @@ def curate_corpus_full(
     max_bullet_ratio: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    drop_error_pages: bool = False,
 ) -> DataFrame:
     """The widened curation pass: language + quality + repetition +
     line-shape gates, PII scrubbing, exact dedup — still ONE scan plus one
@@ -70,6 +71,13 @@ def curate_corpus_full(
     cost zero additional passes; PII redaction happens only on survivors
     (filters run first), and dedup keys on the SCRUBBED text so two pages
     differing only in redacted PII collapse.
+
+    ``drop_error_pages=True`` adds the page-status screen
+    (functions/pagestatus.page_status): soft 404s, parked/for-sale
+    landers, and construction stubs are rejected BEFORE the dedup shuffle
+    like every other gate — their template boilerplate otherwise floods
+    the exact-dup buckets with near-identical non-content. Off by default
+    (the status tiers are screens, not classifiers — callers opt in).
 
     Output per kept doc: id, lang_pred, n_tokens, quality, rep_ratio,
     n_pii (total redactions), clean_text.
@@ -84,13 +92,18 @@ def curate_corpus_full(
         .withColumn("rep_ratio", F.round(TXT.repetition_ratio(t), 4))
         .withColumn("bullet_ratio", F.round(TXT.bullet_line_ratio(t), 4))
     )
-    kept = scored.filter(
+    gate = (
         F.col("lang_pred").isin(list(langs))
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("quality") >= min_quality)
         & (F.col("rep_ratio") <= max_repetition)
         & (F.col("bullet_ratio") <= max_bullet_ratio)
     )
+    if drop_error_pages:
+        from pdf_extractor_spark.functions.pagestatus import page_status
+
+        gate = gate & (page_status(t) == "ok")
+    kept = scored.filter(gate)
     c = pii_counts(t)
     kept = kept.select(
         F.col(id_col), "lang_pred", "n_tokens", "quality", "rep_ratio",

@@ -226,3 +226,31 @@ def test_host_profile_partitioning_independent(spark):
     one = sorted(map(tuple, host_profile(df.repartition(1), lang_col="lang").collect()))
     many = sorted(map(tuple, host_profile(df.repartition(11), lang_col="lang").collect()))
     assert one == many
+
+
+def test_curate_full_drop_error_pages_gate(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pdf_extractor_spark.operators.curate import curate_corpus_full
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then keeps going "
+        "with many more plain english words in a sentence that is long "
+        "enough to pass the token and quality gates without any trouble"
+    )
+    rows = [
+        (0, good),
+        (1, "Error 404: the page you requested was not found. " + good),
+        (2, "This domain is for sale today. " + good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default_ids = {
+        r["doc_id"] for r in curate_corpus_full(df, min_tokens=10).collect()
+    }
+    gated_ids = {
+        r["doc_id"]
+        for r in curate_corpus_full(df, min_tokens=10, drop_error_pages=True).collect()
+    }
+    # off by default: the status screen must not change existing behavior
+    assert default_ids == {0, 1, 2}
+    assert gated_ids == {0}
