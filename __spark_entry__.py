@@ -3491,6 +3491,41 @@ def q_running_headers(spark, sf_dir):
     return drop_running_lines(blocks).select("url", "page", "block_text")
 
 
+def q_link_spam(spark, sf_dir):
+    """Link-farm outlink-concentration signals
+    (operators/linkgraph.host_spam_scores): per source host the out-degree,
+    distinct targets, self-link ratio, top-target share, and the
+    Herfindahl concentration index — integer sums end-to-end so the two
+    engines' divisions agree exactly. The fixture fans each doc into 3
+    rotating target hosts, with doc_id%7==0 hosts additionally firing 4
+    links at spam.ex and 1 at themselves (the farm shape the operator
+    exists to surface)."""
+    from pdf_extractor_spark.operators.linkgraph import host_spam_scores
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    src = F.concat(F.lit("https://h"), d % 7, F.lit(".ex/p"), d)
+    base = F.array(
+        *[
+            F.concat(F.lit("https://t"), (d + j) % 5, F.lit(".ex/"))
+            for j in range(3)
+        ]
+    )
+    extra = F.when(
+        d % 7 == 0,
+        F.array(
+            *([F.lit("https://spam.ex/")] * 4
+              + [F.concat(F.lit("https://h"), d % 7, F.lit(".ex/self"))])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    edges = docs.select(
+        src.alias("src_url"), F.explode(F.concat(base, extra)).alias("dst_url")
+    )
+    return host_spam_scores(edges).select(
+        "host", "out_links", "out_hosts", "self_ratio", "top_share", "hhi"
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4224,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_flags": q_soft404_flags,
         "dehyphenate": q_dehyphenate,
         "running_headers": q_running_headers,
+        "link_spam": q_link_spam,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5241,6 +5277,25 @@ running AS (
 SELECT norm.url, norm.page, norm.block_text
 FROM norm LEFT JOIN running ON norm.url = running.url AND norm.n = running.n
 WHERE running.n IS NULL""",
+        "link_spam": """
+WITH e AS (
+  SELECT 'h' || (doc_id % 7) || '.ex' AS host,
+         't' || ((doc_id + j) % 5) || '.ex' AS dst
+  FROM documents, (VALUES (0), (1), (2)) t(j)
+  UNION ALL
+  SELECT 'h0.ex', 'spam.ex'
+  FROM documents, (VALUES (0), (1), (2), (3)) s(k)
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'h0.ex', 'h0.ex' FROM documents WHERE doc_id % 7 = 0),
+pair AS (SELECT host, dst, count(*) AS n FROM e GROUP BY host, dst)
+SELECT host,
+       sum(n)::BIGINT AS out_links,
+       count(*)::BIGINT AS out_hosts,
+       coalesce(sum(CASE WHEN dst = host THEN n END), 0)::DOUBLE / sum(n) AS self_ratio,
+       max(n)::DOUBLE / sum(n) AS top_share,
+       sum(n * n)::DOUBLE / (sum(n) * sum(n)) AS hhi
+FROM pair GROUP BY host""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

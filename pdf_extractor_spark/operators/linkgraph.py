@@ -352,3 +352,43 @@ def extract_feed_entries(pages: DataFrame) -> DataFrame:
         "url string, entry_index int, kind string, title string, "
         "link string, published string",
     )
+
+
+def host_spam_scores(edges: DataFrame) -> DataFrame:
+    """Per source host: outlink-concentration signals for link-farm /
+    SEO-spam triage — (host, out_links, out_hosts, self_ratio,
+    top_share, hhi).
+
+    Link farms look one of two ways in the outlink distribution: a huge
+    out-degree funneled at a handful of targets (high ``top_share``), or
+    a mesh that links mostly to itself (high ``self_ratio``). ``hhi`` is
+    the Herfindahl index of the destination-host distribution — 1.0 when
+    every outlink hits one host, →0 as targets diversify — the standard
+    concentration summary, so a curation gate can threshold one number
+    instead of two. Web-graph spam features in the WebSpam-UK lineage;
+    the downstream consumer is apply_host_blocklist / host quotas.
+
+    Shape: one (src_host, dst_host) hash-agg then one src_host hash-agg —
+    counts ride as integers end-to-end (hhi and ratios are single
+    divisions of exact integer sums, so the result is partitioning-
+    independent and oracle-exact). No joins, no windows; the pair
+    cardinality is bounded by distinct (src, dst) host pairs, far below
+    edge count on real crawls.
+    """
+    pair = edges.groupBy(
+        host_of(F.col("src_url")).alias("host"),
+        host_of(F.col("dst_url")).alias("dst_host"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pair.groupBy("host").agg(
+        F.sum("n").cast("long").alias("out_links"),
+        F.count(F.lit(1)).cast("long").alias("out_hosts"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("dst_host") == F.col("host"), F.col("n"))),
+                F.lit(0),
+            )
+            / F.sum("n")
+        ).alias("self_ratio"),
+        (F.max("n") / F.sum("n")).alias("top_share"),
+        (F.sum(F.col("n") * F.col("n")) / (F.sum("n") * F.sum("n"))).alias("hhi"),
+    )

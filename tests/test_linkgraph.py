@@ -415,3 +415,41 @@ def test_extract_sitemap_entries_operator(spark):
     assert (r["url"], r["loc"], r["lastmod"], r["priority"]) == (
         "sm://1", "https://e/a", "2024-02-03", None,
     )
+
+
+def test_host_spam_scores(spark):
+    from pdf_extractor_spark.operators.linkgraph import host_spam_scores
+
+    edges = spark.createDataFrame(
+        # farm.ex: 4 outlinks, 3 to one target + 1 self
+        [("https://farm.ex/a", "https://shop.ex/p1")] * 3
+        + [("https://farm.ex/b", "https://farm.ex/c")]
+        # fair.ex: 4 outlinks to 4 distinct hosts
+        + [(f"https://fair.ex/{i}", f"https://t{i}.ex/") for i in range(4)],
+        "src_url string, dst_url string",
+    )
+    rows = {r["host"]: r for r in host_spam_scores(edges).collect()}
+    farm, fair = rows["farm.ex"], rows["fair.ex"]
+    assert (farm["out_links"], farm["out_hosts"]) == (4, 2)
+    assert farm["self_ratio"] == 0.25
+    assert farm["top_share"] == 0.75
+    assert farm["hhi"] == (9 + 1) / 16
+    assert (fair["out_links"], fair["out_hosts"]) == (4, 4)
+    assert fair["self_ratio"] == 0.0
+    assert fair["top_share"] == 0.25
+    assert fair["hhi"] == 4 / 16
+
+
+def test_host_spam_scores_partitioning_independent(spark):
+    from pdf_extractor_spark.operators.linkgraph import host_spam_scores
+
+    edges = spark.createDataFrame(
+        [
+            (f"https://h{i % 3}.ex/{i}", f"https://t{i % 5}.ex/{i}")
+            for i in range(40)
+        ],
+        "src_url string, dst_url string",
+    )
+    one = sorted(map(tuple, host_spam_scores(edges.repartition(1)).collect()))
+    many = sorted(map(tuple, host_spam_scores(edges.repartition(13)).collect()))
+    assert one == many
