@@ -3526,6 +3526,37 @@ def q_link_spam(spark, sf_dir):
     )
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 wildcard rules (operators/robots.robots_filter): ``*``
+    matches any sequence, trailing ``$`` anchors at path end, longest RAW
+    value wins, tie → Allow. The fixture exercises the session-id trap
+    (`/app/*?sid=` at any depth), an exact-path Allow vs same-length
+    wildcard Disallow tie (Allow wins), the anchor miss (`/app/keepx`
+    falls to the `*` rule), and the no-match failure-open. The oracle
+    replays the decision with the equivalent literal RE2 patterns and the
+    same (raw length, allow) precedence."""
+    from pdf_extractor_spark.operators.robots import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.lit("/app/keep"))
+        .when(d % 4 == 1, F.lit("/app/keepx"))
+        .when(d % 4 == 2, F.concat(F.lit("/app/p?sid="), d))
+        .otherwise(F.concat(F.lit("/other/"), d))
+    )
+    urls = docs.select("doc_id", F.concat(F.lit("https://w.ex"), path).alias("url"))
+    rules = spark.createDataFrame(
+        [
+            ("w.ex", False, "/app/*?sid="),
+            ("w.ex", True, "/app/keep$"),
+            ("w.ex", False, "/app/keep*"),
+        ],
+        ["host", "allow", "prefix"],
+    )
+    return robots_filter(urls, rules).select("doc_id", "url")
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4260,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphenate": q_dehyphenate,
         "running_headers": q_running_headers,
         "link_spam": q_link_spam,
+        "robots_wildcards": q_robots_wildcards,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5296,6 +5328,25 @@ SELECT host,
        max(n)::DOUBLE / sum(n) AS top_share,
        sum(n * n)::DOUBLE / (sum(n) * sum(n)) AS hhi
 FROM pair GROUP BY host""",
+        "robots_wildcards": r"""
+WITH d AS (SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN '/app/keep' WHEN 1 THEN '/app/keepx'
+       WHEN 2 THEN '/app/p?sid=' || doc_id
+       ELSE '/other/' || doc_id END AS path
+ FROM documents),
+r AS (SELECT * FROM (VALUES
+        (false, '^/app/.*\?sid=', 11),
+        (true,  '^/app/keep$',    10),
+        (false, '^/app/keep.*',   10)) AS t(allow, rx, rawlen)),
+v AS (SELECT doc_id, allow FROM (
+        SELECT d.doc_id, r.allow,
+               row_number() OVER (PARTITION BY d.doc_id
+                                  ORDER BY r.rawlen DESC, r.allow DESC) AS rn
+        FROM d JOIN r ON regexp_matches(d.path, r.rx))
+      WHERE rn = 1)
+SELECT d.doc_id, 'https://w.ex' || d.path AS url
+FROM d LEFT JOIN v ON d.doc_id = v.doc_id
+WHERE coalesce(v.allow, true)""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -11,16 +11,35 @@ Scope (documented subset of the Google/RFC 9309 spec, deterministic):
 * only ``User-agent: *`` groups apply (named agents are out of scope here —
   corpus curation models the generic crawler); consecutive user-agent lines
   form one group header,
-* ``Allow`` / ``Disallow`` rules collect their path-prefix values; an empty
+* ``Allow`` / ``Disallow`` rules collect their path values; an empty
   value is a no-op rule (``Disallow:`` alone means allow-everything),
 * comments (``#`` to end of line) and unknown directives are ignored,
-* NO wildcard (``*``/``$``) support — rules containing them are dropped
-  rather than misinterpreted,
-* decision (operators/robots.py): longest-prefix match wins, tie → Allow,
-  no matching rule → allowed.
+* RFC 9309 wildcards ARE honored: ``*`` matches any character sequence
+  (including empty) and a TRAILING ``$`` anchors the match at the path
+  end; a ``$`` anywhere else is a literal (the de-facto Google matcher
+  behavior — a mid-pattern anchor can never match anyway). Real
+  robots.txt files lean on these (``Disallow: /*?sessionid=``), and a
+  parser that dropped such rules would crawl exactly what the site
+  forbids,
+* decision (operators/robots.py): longest RAW rule value wins (wildcards
+  count as one octet, per the Google matcher), tie → Allow, no matching
+  rule → allowed.
 """
 
 from __future__ import annotations
+
+import re as _re
+
+
+def rule_regex(value: str) -> str:
+    """Anchored regex equivalent of one Allow/Disallow path value — the
+    pure-Python twin of the Column-expr builder in operators/robots.py
+    (tests cross-check MATCH behavior, not regex text: the two escape
+    slightly different character sets with identical semantics)."""
+    anchored = value.endswith("$")
+    core = value[:-1] if anchored else value
+    body = _re.escape(core).replace(r"\*", ".*")
+    return "^" + body + ("$" if anchored else "")
 
 
 def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
@@ -57,7 +76,7 @@ def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
             continue
         if key in ("allow", "disallow"):
             seen_rule_in_group = True
-            if not in_star_group or not val or "*" in val or "$" in val:
+            if not in_star_group or not val:
                 continue
             rules.append((key == "allow", val))
     return rules

@@ -58,10 +58,22 @@ def robots_rules(robots: DataFrame, host_col: str = "host", body_col: str = "bod
 def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
     """Rows of ``urls`` a generic crawler may fetch per ``rules``.
 
-    Decision per RFC 9309: among rules of the url's host whose prefix
+    Decision per RFC 9309: among rules of the url's host whose path value
     matches the url PATH (query included, fragment-free per canonical
-    crawling), the longest prefix wins; at equal length Allow wins; a url
-    with no matching rule — or on a host with no rules — is allowed.
+    crawling), the longest RAW rule value wins; at equal length Allow
+    wins; a url with no matching rule — or on a host with no rules — is
+    allowed. Wildcards are honored: ``*`` in a rule matches any sequence
+    and a trailing ``$`` anchors at path end (core/robotstxt.py scope
+    note — real robots.txt leans on ``Disallow: /*?sessionid=`` forms,
+    and dropping them would crawl exactly what the site forbids).
+
+    Plain prefix rules (the overwhelming majority) keep the codegen'd
+    ``startswith`` fast path; only rules carrying ``*``/trailing ``$``
+    take the per-pair regex branch (pattern is a column, so the regex
+    compiles per pair — bounded by rules-per-host, typically dozens).
+    The regex is built from the rule value by Column exprs: escape regex
+    metacharacters, ``*`` → ``.*``, re-anchor; the pure-Python twin is
+    core/robotstxt.rule_regex.
     """
     u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__path",
@@ -77,10 +89,25 @@ def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Da
         F.col("host").alias("__host"), F.col("allow").alias("__allow"),
         F.col("prefix").alias("__prefix"),
     )
+    raw = F.col("__prefix")
+    anchored = raw.endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(__prefix, 1, length(__prefix) - 1)")
+    ).otherwise(raw)
+    esc = F.regexp_replace(core, r"([\\.\[\]{}()+?^$|])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    matched = F.when(
+        raw.contains("*") | anchored, F.expr("rlike(__path, __rx)")
+    ).otherwise(F.col("__path").startswith(raw))
     verdict = (
         u.select(url_col, "__host", "__path")
         .join(r, "__host")
-        .filter(F.col("__path").startswith(F.col("__prefix")))
+        .withColumn("__rx", rx)
+        .filter(matched)
         .groupBy(url_col)
         .agg(
             F.max_by(

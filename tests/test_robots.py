@@ -19,7 +19,11 @@ Disallow: /x
 
 
 def test_parse_robots_star_group_only():
-    assert parse_robots(ROBOTS) == [(False, "/private"), (True, "/private/pub")]
+    assert parse_robots(ROBOTS) == [
+        (False, "/private"),
+        (True, "/private/pub"),
+        (False, "/tmp/*"),
+    ]
     assert parse_robots(None) == [] and parse_robots(b"") == []
     # consecutive UA lines form one group header
     assert parse_robots(b"User-agent: a\nUser-agent: *\nDisallow: /d") == [(False, "/d")]
@@ -32,6 +36,7 @@ def test_robots_filter_longest_match_and_failure_open(spark):
     rules = robots_rules(robots)
     assert sorted(rules.collect(), key=lambda r: r["prefix"]) == [
         ("a.com", False, "/private"), ("a.com", True, "/private/pub"),
+        ("a.com", False, "/tmp/*"),
     ]
     urls = spark.createDataFrame(
         [
@@ -39,6 +44,7 @@ def test_robots_filter_longest_match_and_failure_open(spark):
             ("https://a.com/private/secret",),     # disallowed
             ("https://a.com/private/pub/ok",),     # longer Allow overrides
             ("https://A.COM:443/private/x",),      # host case/port normalized
+            ("https://a.com/tmp/scratch",),        # wildcard disallow
             ("https://empty.com/anything",),       # host with zero rules
             ("https://norules.com/anything",),     # host absent entirely
         ],
@@ -51,6 +57,66 @@ def test_robots_filter_longest_match_and_failure_open(spark):
         "https://empty.com/anything",
         "https://norules.com/anything",
     }
+
+
+def test_robots_filter_wildcards_and_anchor(spark):
+    rules = spark.createDataFrame(
+        [
+            ("w.com", False, "/*?sid="),       # session-id trap, any depth
+            ("w.com", True, "/keep$"),         # exactly /keep (len 6)
+            ("w.com", False, "/keep*"),        # anything under /keep (len 6)
+            ("w.com", False, "/a+b"),          # regex metachar stays literal
+        ],
+        ["host", "allow", "prefix"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://w.com/page?sid=99",),     # wildcard query disallow
+            ("https://w.com/deep/x?sid=1",),    # ...at any depth
+            ("https://w.com/page?id=99",),      # different param -> allowed
+            ("https://w.com/keep",),            # tie (6 == 6) -> Allow wins
+            ("https://w.com/keeper",),          # anchor misses, * rule hits
+            ("https://w.com/a+b",),             # literal + must match itself
+            ("https://w.com/axb",),             # and NOT as regex 'a+b'
+        ],
+        ["url"],
+    )
+    kept = {r["url"] for r in robots_filter(urls, rules).collect()}
+    assert kept == {
+        "https://w.com/page?id=99",
+        "https://w.com/keep",
+        "https://w.com/axb",
+    }
+
+
+def test_rule_regex_twin_matches_column_builder(spark):
+    """The pure-Python rule_regex and the Column-expr regex builder must
+    make identical match decisions (regex TEXT may differ in escaping)."""
+    import re
+
+    from pdf_extractor_spark.core.robotstxt import rule_regex
+
+    patterns = ["/p/*", "/q$", "/a+b", "/x*y$", "/.dot", "/(par)", "/*?s=", "/pl|ain"]
+    paths = [
+        "/p/", "/p/deep/x", "/q", "/q2", "/a+b", "/aab", "/xZZy", "/xZZyZ",
+        "/.dot", "/Xdot", "/(par)", "/par", "/k?s=1", "/pl|ain", "/plain",
+    ]
+    rules = spark.createDataFrame(
+        [("t.com", False, p) for p in patterns], ["host", "allow", "prefix"]
+    )
+    urls = spark.createDataFrame(
+        [(f"https://t.com{p}",) for p in paths], ["url"]
+    )
+    kept_spark = {
+        r["url"].removeprefix("https://t.com")
+        for r in robots_filter(urls, rules).collect()
+    }
+    kept_py = {
+        path
+        for path in paths
+        if not any(re.search(rule_regex(p), path) for p in patterns)
+    }
+    assert kept_spark == kept_py
 
 
 def test_robots_sitemaps_directive():
