@@ -3557,6 +3557,43 @@ def q_robots_wildcards(spark, sf_dir):
     return robots_filter(urls, rules).select("doc_id", "url")
 
 
+def q_robots_agent_rules(spark, sf_dir):
+    """RFC 9309 named-agent group selection (core/robotstxt.parse_robots
+    via operators/robots.robots_rules(agent='ccbot')): groups headed by
+    the crawler's product token take precedence over ``*`` and are NOT
+    merged with it — the AI-crawler opt-out shape ('User-agent: CCBot /
+    Disallow: /') a training pipeline must honor even when the star group
+    allows everything. The fixture cycles three body shapes per doc_id%3:
+    a CASE-different named group before the star group, a lowercase named
+    group after it, and star-only fallback; the oracle restates which
+    rules survive selection."""
+    from pdf_extractor_spark.operators.robots import robots_rules
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    body = (
+        F.when(
+            d % 3 == 0,
+            F.lit(
+                "User-agent: CCBot\nDisallow: /no-ai\n\n"
+                "User-agent: *\nDisallow: /all\n"
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.lit(
+                "User-agent: *\nDisallow: /all\n\n"
+                "User-agent: ccbot\nAllow: /ok\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /all\n"))
+    )
+    robots = docs.select(
+        F.concat(F.lit("h"), d, F.lit(".ex")).alias("host"), body.alias("body")
+    )
+    return robots_rules(robots, agent="ccbot").select("host", "allow", "prefix")
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4292,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_headers": q_running_headers,
         "link_spam": q_link_spam,
         "robots_wildcards": q_robots_wildcards,
+        "robots_agent_rules": q_robots_agent_rules,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5347,6 +5385,15 @@ v AS (SELECT doc_id, allow FROM (
 SELECT d.doc_id, 'https://w.ex' || d.path AS url
 FROM d LEFT JOIN v ON d.doc_id = v.doc_id
 WHERE coalesce(v.allow, true)""",
+        "robots_agent_rules": """
+SELECT 'h' || doc_id || '.ex' AS host, false AS allow, '/no-ai' AS prefix
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'h' || doc_id || '.ex', true, '/ok'
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'h' || doc_id || '.ex', false, '/all'
+FROM documents WHERE doc_id % 3 = 2""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -42,8 +42,20 @@ def rule_regex(value: str) -> str:
     return "^" + body + ("$" if anchored else "")
 
 
-def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
-    """(allow, prefix) rules of the ``User-agent: *`` groups.
+def parse_robots(
+    payload: bytes | str | None, agent: str | None = None
+) -> list[tuple[bool, str]]:
+    """(allow, prefix) rules of the applicable group set.
+
+    With ``agent`` given (a product token, matched case-insensitively and
+    EXACTLY — prefix matching of compound tokens like 'googlebot-news'
+    against a 'googlebot' group is out of this documented subset), groups
+    headed by that token take precedence: if ANY exist, ONLY their rules
+    apply — per RFC 9309 group selection the ``*`` groups are NOT merged
+    in. This is how sites express AI-crawler opt-outs ('User-agent: CCBot
+    / Disallow: /'), which a training-data pipeline must honor even when
+    the ``*`` group allows everything. Without ``agent`` the
+    ``User-agent: *`` groups apply, as before.
 
     Returns [] for empty/undecodable input (no rules → everything allowed,
     the spec's failure-open behavior for missing robots.txt)."""
@@ -56,8 +68,10 @@ def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
             return []
     else:
         text = payload
-    rules: list[tuple[bool, str]] = []
-    in_star_group = False
+    want = agent.lower() if agent else None
+    star: list[tuple[bool, str]] = []
+    named: list[tuple[bool, str]] = []
+    group_agents: set[str] = set()
     seen_rule_in_group = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -69,17 +83,21 @@ def parse_robots(payload: bytes | str | None) -> list[tuple[bool, str]]:
         if key == "user-agent":
             if seen_rule_in_group:
                 # a new group header after rules closes the previous group
-                in_star_group = val == "*"
+                group_agents = {val.lower()} if val else set()
                 seen_rule_in_group = False
-            else:
-                in_star_group = in_star_group or val == "*"
+            elif val:
+                group_agents.add(val.lower())
             continue
         if key in ("allow", "disallow"):
             seen_rule_in_group = True
-            if not in_star_group or not val:
+            if not val:
                 continue
-            rules.append((key == "allow", val))
-    return rules
+            rule = (key == "allow", val)
+            if "*" in group_agents:
+                star.append(rule)
+            if want is not None and want in group_agents:
+                named.append(rule)
+    return named if named else star
 
 
 def robots_sitemaps(payload: bytes | str | None) -> list[str]:

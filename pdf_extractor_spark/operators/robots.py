@@ -34,8 +34,19 @@ RULES_ARROW = pa.schema(
 RULES_SCHEMA = "host string, allow boolean, prefix string"
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
-    """(host, allow, prefix) rows from a table of robots.txt payloads."""
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str | None = None,
+) -> DataFrame:
+    """(host, allow, prefix) rows from a table of robots.txt payloads.
+
+    ``agent`` selects the applicable group set per RFC 9309 (see
+    core/robotstxt.parse_robots): pass the crawler's product token (e.g.
+    'ccbot') to honor agent-specific opt-outs — if a host has groups for
+    that token, ONLY those rules are emitted; otherwise its ``*`` groups,
+    as before."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -43,7 +54,7 @@ def robots_rules(robots: DataFrame, host_col: str = "host", body_col: str = "bod
             bodies = batch.column(body_col).to_pylist()
             out: dict[str, list] = {"host": [], "allow": [], "prefix": []}
             for host, body in zip(hosts, bodies):
-                for allow, prefix in parse_robots(body):
+                for allow, prefix in parse_robots(body, agent=agent):
                     out["host"].append(host)
                     out["allow"].append(allow)
                     out["prefix"].append(prefix)

@@ -156,3 +156,39 @@ def test_extract_robots_sitemaps_operator(spark):
     assert [(r["host"], r["sm_index"], r["sitemap_url"]) for r in rows] == [
         ("a.example", 0, "https://a.example/s.xml")
     ]
+
+
+def test_parse_robots_named_agent_groups():
+    body = (
+        b"User-agent: CCBot\nDisallow: /no-ai\n\n"
+        b"User-agent: *\nDisallow: /all\n\n"
+        b"User-agent: ccbot\nUser-agent: gptbot\nAllow: /shared\n"
+    )
+    # named groups win and are NOT merged with the * group
+    assert parse_robots(body, agent="ccbot") == [
+        (False, "/no-ai"),
+        (True, "/shared"),
+    ]
+    # case-insensitive token match
+    assert parse_robots(body, agent="GPTBot") == [(True, "/shared")]
+    # an agent with no named group falls back to *
+    assert parse_robots(body, agent="otherbot") == [(False, "/all")]
+    # default behavior unchanged
+    assert parse_robots(body) == [(False, "/all")]
+    # the full AI opt-out shape: * allows, the named group blocks all
+    optout = b"User-agent: *\nAllow: /\n\nUser-agent: CCBot\nDisallow: /\n"
+    assert parse_robots(optout, agent="ccbot") == [(False, "/")]
+
+
+def test_robots_rules_agent_param(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nAllow: /\nUser-agent: CCBot\nDisallow: /\n"),
+            ("b.com", "User-agent: *\nDisallow: /priv\n"),
+        ],
+        ["host", "body"],
+    )
+    rows = sorted(
+        map(tuple, robots_rules(robots, agent="ccbot").collect())
+    )
+    assert rows == [("a.com", False, "/"), ("b.com", False, "/priv")]
