@@ -3594,6 +3594,31 @@ def q_robots_agent_rules(spark, sf_dir):
     return robots_rules(robots, agent="ccbot").select("host", "allow", "prefix")
 
 
+def q_ai_optout(spark, sf_dir):
+    """In-page AI/TDM opt-out flags (functions/htmlmeta.ai_optout_flags):
+    noai/noimageai robots-meta tokens (DeviantArt-lineage convention) and
+    the W3C TDM Reservation Protocol meta ('tdm-reservation' content='1').
+    Pure regexp Column exprs; the fixture cycles quoting/attribute-order
+    forms plus the content='0' non-reservation and a token-substring decoy
+    ('paranoia' must not read as noai); the oracle restates the
+    construction rule."""
+    from pdf_extractor_spark.functions.htmlmeta import ai_optout_flags
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noai, noimageai">'))
+        .when(d % 5 == 1, F.lit("<meta content=noai name=robots>"))
+        .when(d % 5 == 2, F.lit('<meta name="tdm-reservation" content="1">'))
+        .when(d % 5 == 3, F.lit("<meta name='tdm-reservation' content='0'>"))
+        .otherwise(F.lit('<meta name="robots" content="paranoia">')),
+        F.lit("</head><body>x</body></html>"),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select("doc_id", *ai_optout_flags(F.col("html")))
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4330,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_spam": q_link_spam,
         "robots_wildcards": q_robots_wildcards,
         "robots_agent_rules": q_robots_agent_rules,
+        "ai_optout": q_ai_optout,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5394,6 +5420,12 @@ FROM documents WHERE doc_id % 3 = 1
 UNION ALL
 SELECT 'h' || doc_id || '.ex', false, '/all'
 FROM documents WHERE doc_id % 3 = 2""",
+        "ai_optout": """
+SELECT doc_id,
+       doc_id % 5 IN (0, 1) AS noai,
+       doc_id % 5 = 0 AS noimageai,
+       doc_id % 5 = 2 AS tdm_reserved
+FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day
            FROM documents)

@@ -120,21 +120,32 @@ def robots_sitemaps(payload: bytes | str | None) -> list[str]:
     return out
 
 
-def robots_crawl_delay(payload: bytes | str | None) -> float | None:
-    """``Crawl-delay`` (seconds) of the ``User-agent: *`` group, or None.
+def robots_crawl_delay(
+    payload: bytes | str | None, agent: str | None = None
+) -> float | None:
+    """``Crawl-delay`` (seconds) of the applicable group, or None.
 
     The de-facto extension (not in RFC 9309 but honored by Bing/Yandex and
     most polite crawlers): group-scoped like Allow/Disallow, so the same
     group-tracking state machine as parse_robots applies. Non-numeric or
-    negative values are ignored; the LAST valid value in a ``*`` group wins
-    (matching how the additive group parse treats repeated directives)."""
+    negative values are ignored; the LAST valid value in a group wins
+    (matching how the additive group parse treats repeated directives).
+
+    ``agent`` follows parse_robots group selection, judged per directive
+    kind: when any group headed by the crawler's product token carries a
+    Crawl-delay, that delay applies and the ``*`` groups' delays are
+    ignored; otherwise the ``*`` delay (a named group that sets only
+    Allow/Disallow leaves the delay to ``*`` — the per-directive reading
+    of the de-facto extension)."""
     if payload is None:
         return None
     text = (
         payload.decode("utf-8", errors="replace") if isinstance(payload, bytes) else payload
     )
-    delay: float | None = None
-    in_star_group = False
+    want = agent.lower() if agent else None
+    star_delay: float | None = None
+    named_delay: float | None = None
+    group_agents: set[str] = set()
     seen_rule_in_group = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -145,20 +156,24 @@ def robots_crawl_delay(payload: bytes | str | None) -> float | None:
         val = val.strip()
         if key == "user-agent":
             if seen_rule_in_group:
-                in_star_group = val == "*"
+                group_agents = {val.lower()} if val else set()
                 seen_rule_in_group = False
-            else:
-                in_star_group = in_star_group or val == "*"
+            elif val:
+                group_agents.add(val.lower())
             continue
         if key in ("allow", "disallow", "crawl-delay"):
             seen_rule_in_group = True
-            if key == "crawl-delay" and in_star_group:
+            if key == "crawl-delay":
                 try:
                     v = float(val)
                 except ValueError:
                     continue
                 # finite only: 'inf'/'1e400' parse as float and would poison
                 # fetch_schedule's slot arithmetic (nan already fails >= 0)
-                if 0 <= v < float("inf"):
-                    delay = v
-    return delay
+                if not (0 <= v < float("inf")):
+                    continue
+                if "*" in group_agents:
+                    star_delay = v
+                if want is not None and want in group_agents:
+                    named_delay = v
+    return named_delay if named_delay is not None else star_delay

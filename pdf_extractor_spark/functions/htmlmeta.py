@@ -84,6 +84,32 @@ def robots_flags(html: Column) -> list[Column]:
     ]
 
 
+_TDM = _attr_pair_patterns("meta", "name", "tdm-reservation", "content")
+
+
+def ai_optout_flags(html: Column) -> list[Column]:
+    """[noai, noimageai, tdm_reserved] boolean columns — the in-page
+    machine-readable opt-outs a training-data pipeline must honor.
+
+    ``noai`` / ``noimageai`` ride the robots-meta token list (the
+    DeviantArt-lineage convention: ``<meta name="robots" content="noai,
+    noimageai">``), so they reuse the robots_content extraction and the
+    same token-in-comma-list matcher as noindex/nofollow. ``tdm_reserved``
+    is the W3C TDM Reservation Protocol meta form (``<meta
+    name="tdm-reservation" content="1">``): content '1' means rights
+    reserved — text-and-data-mining requires a license; any other value
+    (or absence) is not a reservation. Pure regexp Column exprs on the
+    scan, same attribute-order/quoting tolerance as the other meta
+    extractors."""
+    c = robots_content(html)
+    tdm = F.trim(_first_match(html, _TDM))
+    return [
+        _has_directive(c, "noai").alias("noai"),
+        _has_directive(c, "noimageai").alias("noimageai"),
+        (tdm == "1").alias("tdm_reserved"),
+    ]
+
+
 def meta_refresh_target(html: Column) -> Column:
     """Redirect target of the first ``<meta http-equiv="refresh">`` tag
     ('' when absent or when the content declares only a delay). Client-side

@@ -31,9 +31,11 @@ from pdf_extractor_spark.functions.urls import url_host
 
 
 def crawl_delays(robots: DataFrame, host_col: str = "host",
-                 body_col: str = "body") -> DataFrame:
+                 body_col: str = "body", agent: str | None = None) -> DataFrame:
     """(host, crawl_delay) for hosts whose robots.txt sets one.
 
+    ``agent`` follows the parse_robots group selection (a named group's
+    Crawl-delay overrides the ``*`` group's — core/robotstxt.py).
     Arrow-batched scan over the robots payload table (hosts-sized, orders
     smaller than the frontier) — no shuffle."""
     from collections.abc import Iterator
@@ -52,7 +54,7 @@ def crawl_delays(robots: DataFrame, host_col: str = "host",
             bodies = batch.column(body_col).to_pylist()
             out_h, out_d = [], []
             for host, body in zip(hosts, bodies):
-                d = robots_crawl_delay(body)
+                d = robots_crawl_delay(body, agent=agent)
                 if d is not None:
                     out_h.append(host)
                     out_d.append(d)

@@ -254,3 +254,31 @@ def test_html_lang_and_primary(spark):
     assert [(r["l"], r["p"]) for r in rows] == [
         ("en-us", "en"), ("fa", "fa"), ("de", "de"), ("", ""), ("", ""),
     ]
+
+
+def test_ai_optout_flags(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.htmlmeta import ai_optout_flags
+
+    rows = [
+        (0, '<meta name="robots" content="noai, noimageai">'),
+        (1, "<meta content=noai name=robots>"),
+        (2, '<meta name="tdm-reservation" content="1">'),
+        (3, "<meta name='tdm-reservation' content='0'>"),  # not reserved
+        (4, '<meta name="robots" content="noindex">'),     # unrelated tokens
+        (5, '<meta name="robots" content="paranoia">'),    # substring != token
+        (6, "<p>no meta at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {
+        r["i"]: (r["noai"], r["noimageai"], r["tdm_reserved"])
+        for r in df.select("i", *ai_optout_flags(F.col("html"))).collect()
+    }
+    assert got[0] == (True, True, False)
+    assert got[1] == (True, False, False)
+    assert got[2] == (False, False, True)
+    assert got[3] == (False, False, False)
+    assert got[4] == (False, False, False)
+    assert got[5] == (False, False, False)
+    assert got[6] == (False, False, False)

@@ -192,3 +192,18 @@ def test_robots_rules_agent_param(spark):
         map(tuple, robots_rules(robots, agent="ccbot").collect())
     )
     assert rows == [("a.com", False, "/"), ("b.com", False, "/priv")]
+
+
+def test_robots_crawl_delay_agent_groups():
+    from pdf_extractor_spark.core.robotstxt import robots_crawl_delay
+
+    body = (
+        b"User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        b"User-agent: CCBot\nCrawl-delay: 30\n"
+    )
+    assert robots_crawl_delay(body) == 2.0
+    assert robots_crawl_delay(body, agent="ccbot") == 30.0
+    assert robots_crawl_delay(body, agent="otherbot") == 2.0
+    # a named group WITHOUT a delay leaves the delay to * (per-directive)
+    nod = b"User-agent: *\nCrawl-delay: 5\n\nUser-agent: CCBot\nDisallow: /\n"
+    assert robots_crawl_delay(nod, agent="ccbot") == 5.0
