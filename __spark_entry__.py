@@ -3619,6 +3619,52 @@ def q_ai_optout(spark, sf_dir):
     return staged.select("doc_id", *ai_optout_flags(F.col("html")))
 
 
+def q_cc_license(spark, sf_dir):
+    """Creative-Commons license ids (functions/htmlmeta.cc_license): the
+    affirmative half of training-data governance — deed-URL forms
+    (anchor, rel=license, case-folded), CC0, and the rel=license-wins
+    precedence (a non-CC declared license suppresses a merely-cited deed
+    link). Bodies are built from doc_id literals only, so the oracle's
+    construction restatement is exact."""
+    from pdf_extractor_spark.functions.htmlmeta import cc_license
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.when(
+            d % 6 == 0,
+            F.lit('<a href="https://creativecommons.org/licenses/by/4.0/">CC BY</a>'),
+        )
+        .when(
+            d % 6 == 1,
+            F.lit(
+                '<link rel="license" '
+                'href="https://creativecommons.org/licenses/by-nc-sa/3.0/">'
+            ),
+        )
+        .when(
+            d % 6 == 2,
+            F.lit('<a href="https://creativecommons.org/publicdomain/zero/1.0/">z</a>'),
+        )
+        .when(
+            d % 6 == 3,
+            F.lit(
+                '<link rel="license" href="/terms">'
+                '<a href="https://creativecommons.org/licenses/by/4.0/">cited</a>'
+            ),
+        )
+        .when(
+            d % 6 == 4,
+            F.lit('<a href="HTTPS://CREATIVECOMMONS.ORG/LICENSES/BY-SA/4.0/">x</a>'),
+        )
+        .otherwise(F.lit("<p>plain</p>")),
+        F.lit("</body></html>"),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select("doc_id", cc_license(F.col("html")).alias("license"))
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4356,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcards": q_robots_wildcards,
         "robots_agent_rules": q_robots_agent_rules,
         "ai_optout": q_ai_optout,
+        "cc_license": q_cc_license,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5425,6 +5472,15 @@ SELECT doc_id,
        doc_id % 5 IN (0, 1) AS noai,
        doc_id % 5 = 0 AS noimageai,
        doc_id % 5 = 2 AS tdm_reserved
+FROM documents""",
+        "cc_license": """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'cc-by-4.0'
+         WHEN 1 THEN 'cc-by-nc-sa-3.0'
+         WHEN 2 THEN 'cc0'
+         WHEN 4 THEN 'cc-by-sa-4.0'
+         ELSE '' END AS license
 FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day

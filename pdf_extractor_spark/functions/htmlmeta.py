@@ -110,6 +110,38 @@ def ai_optout_flags(html: Column) -> list[Column]:
     ]
 
 
+_LICENSE_LINK = _attr_pair_patterns("link", "rel", "license", "href")
+# canonical CC deed URL forms: /licenses/<code>/<ver>[/] and the CC0
+# public-domain dedication /publicdomain/zero/1.0
+_CC_DEED_RE = (
+    r"creativecommons\.org/licenses/([a-z][a-z-]*)/([0-9]\.[0-9])"
+)
+_CC0_RE = r"creativecommons\.org/publicdomain/zero/1\.0"
+
+
+def cc_license(html: Column) -> Column:
+    """Normalized Creative-Commons license id declared by the page
+    ('' when none): 'cc-<code>-<version>' from any creativecommons.org
+    deed URL in the markup (``<a href=…>``, ``<link rel="license">``, RDFa
+    — the regex reads the URL wherever it appears), or 'cc0' for the
+    public-domain dedication. This is the affirmative half of the
+    training-data-governance pair (ai_optout_flags is the refusal half):
+    CC-filtered corpora in the Openverse/LAION lineage select exactly on
+    these deed links. The ``rel="license"`` target is preferred when
+    present (it is the page's own declaration; a bare deed link elsewhere
+    may just be citing the license), falling back to the first deed URL
+    anywhere. Pure regexp Column exprs on the scan."""
+    rel_target = _first_match(html, _LICENSE_LINK)
+    src = F.when(rel_target != "", rel_target).otherwise(html)
+    code = F.regexp_extract(F.lower(src), _CC_DEED_RE, 1)
+    ver = F.regexp_extract(F.lower(src), _CC_DEED_RE, 2)
+    return (
+        F.when(F.lower(src).rlike(_CC0_RE), F.lit("cc0"))
+        .when(code != "", F.concat(F.lit("cc-"), code, F.lit("-"), ver))
+        .otherwise(F.lit(""))
+    )
+
+
 def meta_refresh_target(html: Column) -> Column:
     """Redirect target of the first ``<meta http-equiv="refresh">`` tag
     ('' when absent or when the content declares only a delay). Client-side

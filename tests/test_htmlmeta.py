@@ -282,3 +282,34 @@ def test_ai_optout_flags(spark):
     assert got[4] == (False, False, False)
     assert got[5] == (False, False, False)
     assert got[6] == (False, False, False)
+
+
+def test_cc_license(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.htmlmeta import cc_license
+
+    rows = [
+        (0, '<a href="https://creativecommons.org/licenses/by/4.0/">CC BY</a>'),
+        (1, '<link rel="license" href="https://creativecommons.org/licenses/by-nc-sa/3.0/">'),
+        (2, '<a href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>'),
+        # rel=license is the page's declaration: a non-CC target wins over
+        # a stray deed link elsewhere (citing != licensing)
+        (3, '<link rel="license" href="/terms">'
+            '<a href="https://creativecommons.org/licenses/by/4.0/">cited</a>'),
+        (4, "<p>no license here</p>"),
+        (5, '<a href="HTTPS://CREATIVECOMMONS.ORG/LICENSES/BY-SA/4.0/">x</a>'),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {
+        r["i"]: r["lic"]
+        for r in df.select("i", cc_license(F.col("html")).alias("lic")).collect()
+    }
+    assert got[0] == "cc-by-4.0"
+    assert got[1] == "cc-by-nc-sa-3.0"
+    assert got[2] == "cc0"
+    assert got[3] == ""
+    assert got[4] == ""
+    assert got[5] == "cc-by-sa-4.0"
+    assert got[6] in ("", None)
