@@ -3665,6 +3665,41 @@ def q_cc_license(spark, sf_dir):
     return staged.select("doc_id", cc_license(F.col("html")).alias("license"))
 
 
+def q_content_rating(spark, sf_dir):
+    """Self-label gates (functions/htmlmeta.content_rating_flags): the
+    page's own adult-rating declaration (meta rating adult/RTA label) and
+    the schema.org paywall marker (isAccessibleForFree: false). Bodies
+    are built from doc_id literals only, so the oracle's construction
+    restatement is exact."""
+    from pdf_extractor_spark.functions.htmlmeta import content_rating_flags
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 5 == 0, F.lit('<meta name="rating" content="adult">'))
+        .when(d % 5 == 1, F.lit("<meta content=RTA-5042-1996-1400-1577-RTA name=rating>"))
+        .when(
+            d % 5 == 2,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"@type":"NewsArticle","isAccessibleForFree":false}</script>'
+            ),
+        )
+        .when(
+            d % 5 == 3,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"@type":"NewsArticle","isAccessibleForFree":true}</script>'
+            ),
+        )
+        .otherwise(F.lit('<meta name="rating" content="general">')),
+        F.lit("</head><body>x</body></html>"),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select("doc_id", *content_rating_flags(F.col("html")))
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4403,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_agent_rules": q_robots_agent_rules,
         "ai_optout": q_ai_optout,
         "cc_license": q_cc_license,
+        "content_rating": q_content_rating,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5481,6 +5517,11 @@ SELECT doc_id,
          WHEN 2 THEN 'cc0'
          WHEN 4 THEN 'cc-by-sa-4.0'
          ELSE '' END AS license
+FROM documents""",
+        "content_rating": """
+SELECT doc_id,
+       doc_id % 5 IN (0, 1) AS adult_rated,
+       doc_id % 5 = 2 AS paywalled
 FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day

@@ -325,6 +325,31 @@ def jsonld_fields(html: Column):
     )
 
 
+_RATING = _attr_pair_patterns("meta", "name", "rating", "content")
+
+
+def content_rating_flags(html: Column) -> list[Column]:
+    """[adult_rated, paywalled] boolean columns — two self-labels a
+    curation pipeline reads before content-based classifiers run.
+
+    ``adult_rated``: the page's own ``<meta name="rating">`` declaration —
+    'adult'/'mature' values or the RTA label (RTA-5042-1996-1400-1577-RTA,
+    the Restricted-To-Adults convention filtering software keys on).
+    Self-labels are high-precision: a site that declares itself adult is
+    not a false positive, so this gate runs ahead of (and cheaper than)
+    any lexical classifier. ``paywalled``: schema.org
+    ``isAccessibleForFree: false`` in the first JSON-LD block — paywalled
+    article stubs are truncated teasers that pollute training text (the
+    visible text is not the article). Pure Column exprs on the scan."""
+    r = F.lower(F.trim(_first_match(html, _RATING)))
+    adult = r.isin("adult", "mature") | r.contains("rta-5042-1996-1400-1577-rta")
+    free = F.lower(F.get_json_object(jsonld_payload(html), "$.isAccessibleForFree"))
+    return [
+        F.coalesce(adult, F.lit(False)).alias("adult_rated"),
+        F.coalesce(free == "false", F.lit(False)).alias("paywalled"),
+    ]
+
+
 # --- publication date ------------------------------------------------------------
 #
 # Training corpora want a per-page date for freshness mixing and temporal

@@ -313,3 +313,33 @@ def test_cc_license(spark):
     assert got[4] == ""
     assert got[5] == "cc-by-sa-4.0"
     assert got[6] in ("", None)
+
+
+def test_content_rating_flags(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.htmlmeta import content_rating_flags
+
+    rows = [
+        (0, '<meta name="rating" content="adult">'),
+        (1, "<meta content=RTA-5042-1996-1400-1577-RTA name=rating>"),
+        (2, '<script type="application/ld+json">'
+            '{"@type":"NewsArticle","isAccessibleForFree":false}</script>'),
+        (3, '<script type="application/ld+json">'
+            '{"@type":"NewsArticle","isAccessibleForFree":true}</script>'),
+        (4, '<meta name="rating" content="general">'),
+        (5, "<p>nothing declared</p>"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {
+        r["i"]: (r["adult_rated"], r["paywalled"])
+        for r in df.select("i", *content_rating_flags(F.col("html"))).collect()
+    }
+    assert got[0] == (True, False)
+    assert got[1] == (True, False)
+    assert got[2] == (False, True)
+    assert got[3] == (False, False)
+    assert got[4] == (False, False)
+    assert got[5] == (False, False)
+    assert got[6] == (False, False)
