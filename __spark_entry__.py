@@ -3700,6 +3700,45 @@ def q_content_rating(spark, sf_dir):
     return staged.select("doc_id", *content_rating_flags(F.col("html")))
 
 
+def q_compliance_screen(spark, sf_dir):
+    """One-scan governance screen (operators/curate.compliance_screen):
+    every machine-readable refusal/permission signal as one flag row per
+    page — noindex/nofollow (policy-neutral), noai/noimageai/tdm_reserved
+    (refusals), adult_rated/paywalled (self-labels), the CC license id,
+    and the conservative eligible verdict. Bodies from doc_id literals
+    only; the oracle restates the construction per class."""
+    from pdf_extractor_spark.operators.curate import compliance_screen
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 6 == 0, F.lit('<meta name="robots" content="noindex, noai">'))
+        .when(d % 6 == 1, F.lit('<meta name="tdm-reservation" content="1">'))
+        .when(d % 6 == 2, F.lit('<meta name="rating" content="adult">'))
+        .when(
+            d % 6 == 3,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"isAccessibleForFree":false}</script>'
+            ),
+        )
+        .when(
+            d % 6 == 4,
+            F.lit('<a href="https://creativecommons.org/licenses/by/4.0/">l</a>'),
+        )
+        .otherwise(F.lit("<p>plain</p>")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), d).alias("url"), html.alias("html")
+    )
+    return compliance_screen(pages).select(
+        "url", "noindex", "nofollow", "noai", "noimageai", "tdm_reserved",
+        "adult_rated", "paywalled", "license", "eligible",
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4439,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ai_optout": q_ai_optout,
         "cc_license": q_cc_license,
         "content_rating": q_content_rating,
+        "compliance_screen": q_compliance_screen,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5522,6 +5562,18 @@ FROM documents""",
 SELECT doc_id,
        doc_id % 5 IN (0, 1) AS adult_rated,
        doc_id % 5 = 2 AS paywalled
+FROM documents""",
+        "compliance_screen": """
+SELECT 'doc://' || doc_id AS url,
+       doc_id % 6 = 0 AS noindex,
+       false AS nofollow,
+       doc_id % 6 = 0 AS noai,
+       false AS noimageai,
+       doc_id % 6 = 1 AS tdm_reserved,
+       doc_id % 6 = 2 AS adult_rated,
+       doc_id % 6 = 3 AS paywalled,
+       CASE WHEN doc_id % 6 = 4 THEN 'cc-by-4.0' ELSE '' END AS license,
+       doc_id % 6 NOT IN (0, 1, 2, 3) AS eligible
 FROM documents""",
         "page_dates": """
 WITH d AS (SELECT doc_id, lpad((10 + doc_id % 9)::VARCHAR, 2, '0') AS day

@@ -286,3 +286,60 @@ def host_profile(
         ).alias("top_lang")
     )
     return prof.join(top, "host", "left")
+
+
+def compliance_screen(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One-scan training-data-governance screen: every machine-readable
+    refusal and permission signal a page can declare, as one row of flags
+    per page — (url, noindex, nofollow, noai, noimageai, tdm_reserved,
+    adult_rated, paywalled, license, eligible).
+
+    The point is the composition: each signal is a pure Column expr
+    (functions/htmlmeta.py), so computing all of them costs exactly one
+    scan of the pages table with zero shuffles — at 100 TB this runs as a
+    map-only pass beside extraction. ``eligible`` is the conservative
+    text-training verdict: no AI/TDM opt-out, no adult self-label, not a
+    paywalled stub. ``noindex``/``nofollow`` are reported but
+    policy-neutral here (they govern search indexing and link following —
+    whether a corpus honors them for training is the operator's caller's
+    policy, not a page-declared training refusal), and ``license`` is the
+    affirmative CC signal for permissively-licensed selection.
+
+    The html column may be binary (the pages-table shape) or string; a
+    binary column is read as UTF-8 text for these markup regexes — the
+    signals live in ASCII markup, so lossy decode of exotic bytes cannot
+    flip a flag that wasn't there.
+    """
+    from pdf_extractor_spark.functions.htmlmeta import (
+        ai_optout_flags,
+        cc_license,
+        content_rating_flags,
+        robots_flags,
+    )
+
+    h = F.col(html_col).cast("string")
+    noindex, nofollow = robots_flags(h)
+    noai, noimageai, tdm = ai_optout_flags(h)
+    adult, paywalled = content_rating_flags(h)
+    out = pages.select(
+        F.col(url_col),
+        F.coalesce(noindex, F.lit(False)).alias("noindex"),
+        F.coalesce(nofollow, F.lit(False)).alias("nofollow"),
+        noai,
+        noimageai,
+        tdm,
+        adult,
+        paywalled,
+        cc_license(h).alias("license"),
+    )
+    return out.withColumn(
+        "eligible",
+        ~(
+            F.col("noai")
+            | F.col("tdm_reserved")
+            | F.col("adult_rated")
+            | F.col("paywalled")
+        ),
+    )

@@ -254,3 +254,41 @@ def test_curate_full_drop_error_pages_gate(spark):
     # off by default: the status screen must not change existing behavior
     assert default_ids == {0, 1, 2}
     assert gated_ids == {0}
+
+
+def test_compliance_screen_flags_and_verdict(spark):
+    from pdf_extractor_spark.operators.curate import compliance_screen
+
+    rows = [
+        ("u0", '<meta name="robots" content="noindex, noai">'),
+        ("u1", '<meta name="tdm-reservation" content="1">'),
+        ("u2", '<meta name="rating" content="adult">'),
+        ("u3", '<script type="application/ld+json">'
+               '{"isAccessibleForFree":false}</script>'),
+        ("u4", '<a href="https://creativecommons.org/licenses/by/4.0/">l</a>'),
+        ("u5", "<p>plain page</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["url"]: r for r in compliance_screen(df).collect()}
+    assert got["u0"]["noindex"] and got["u0"]["noai"] and not got["u0"]["eligible"]
+    assert got["u1"]["tdm_reserved"] and not got["u1"]["eligible"]
+    assert got["u2"]["adult_rated"] and not got["u2"]["eligible"]
+    assert got["u3"]["paywalled"] and not got["u3"]["eligible"]
+    assert got["u4"]["license"] == "cc-by-4.0" and got["u4"]["eligible"]
+    assert got["u5"]["eligible"] and got["u5"]["license"] == ""
+    # noindex alone is policy-neutral: it must NOT flip eligible
+    one = spark.createDataFrame(
+        [("x", '<meta name="robots" content="noindex">')], "url string, html string"
+    )
+    r = compliance_screen(one).collect()[0]
+    assert r["noindex"] and r["eligible"]
+
+
+def test_compliance_screen_binary_html(spark):
+    from pdf_extractor_spark.operators.curate import compliance_screen
+
+    df = spark.createDataFrame(
+        [("b", b'<meta name="robots" content="noai">')], "url string, html binary"
+    )
+    r = compliance_screen(df).collect()[0]
+    assert r["noai"] and not r["eligible"]
