@@ -35,9 +35,14 @@ def rule_regex(value: str) -> str:
     """Anchored regex equivalent of one Allow/Disallow path value — the
     pure-Python twin of the Column-expr builder in operators/robots.py
     (tests cross-check MATCH behavior, not regex text: the two escape
-    slightly different character sets with identical semantics)."""
+    slightly different character sets with identical semantics). Runs of
+    ``*`` collapse first, mirroring the operator's backtracking guard;
+    the >5-wildcard prefix fallback lives in the operator (this twin is
+    the regex half only — callers of rule_regex on pathological values
+    inherit their own regex engine's behavior)."""
     anchored = value.endswith("$")
     core = value[:-1] if anchored else value
+    core = _re.sub(r"\*{2,}", "*", core)
     body = _re.escape(core).replace(r"\*", ".*")
     return "^" + body + ("$" if anchored else "")
 

@@ -85,6 +85,17 @@ def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Da
     The regex is built from the rule value by Column exprs: escape regex
     metacharacters, ``*`` → ``.*``, re-anchor; the pure-Python twin is
     core/robotstxt.rule_regex.
+
+    Backtracking guard: Java regex (unlike RE2) is exponential on failing
+    matches over many ``.*`` segments — a hostile robots.txt could hang
+    an executor task with one 20-star rule against a long URL. Runs of
+    ``*`` collapse first (semantics-identical), and a rule still carrying
+    more than 5 wildcards falls back to a prefix test on the text before
+    its first ``*`` — a SUPERSET of the rule's true matches (each dropped
+    segment only constrains further), so a pathological Disallow
+    over-blocks (polite) and a pathological Allow over-allows on its own
+    host only; both engines of the oracle pair see the same documented
+    semantics.
     """
     u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__path",
@@ -105,15 +116,22 @@ def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Da
     core = F.when(
         anchored, F.expr("substring(__prefix, 1, length(__prefix) - 1)")
     ).otherwise(raw)
+    core = F.regexp_replace(core, r"\*{2,}", "*")  # '**' == '*'
+    n_stars = F.size(F.split(core, r"\*")) - 1
     esc = F.regexp_replace(core, r"([\\.\[\]{}()+?^$|])", r"\\$1")
     rx = F.concat(
         F.lit("^"),
         F.regexp_replace(esc, r"\*", ".*"),
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
-    matched = F.when(
-        raw.contains("*") | anchored, F.expr("rlike(__path, __rx)")
-    ).otherwise(F.col("__path").startswith(raw))
+    matched = (
+        F.when(
+            n_stars > 5,
+            F.col("__path").startswith(F.substring_index(core, "*", 1)),
+        )
+        .when(raw.contains("*") | anchored, F.expr("rlike(__path, __rx)"))
+        .otherwise(F.col("__path").startswith(raw))
+    )
     verdict = (
         u.select(url_col, "__host", "__path")
         .join(r, "__host")

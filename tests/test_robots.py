@@ -207,3 +207,29 @@ def test_robots_crawl_delay_agent_groups():
     # a named group WITHOUT a delay leaves the delay to * (per-directive)
     nod = b"User-agent: *\nCrawl-delay: 5\n\nUser-agent: CCBot\nDisallow: /\n"
     assert robots_crawl_delay(nod, agent="ccbot") == 5.0
+
+
+def test_robots_filter_backtracking_guard(spark):
+    rules = spark.createDataFrame(
+        [
+            # star runs collapse: '**' behaves exactly like '*'
+            ("g.com", False, "/a**b"),
+            # pathological rule (>5 wildcards): superset prefix fallback —
+            # everything under the text before the first '*' is treated as
+            # matched (over-blocking for a Disallow, documented)
+            ("g.com", False, "/p*1*2*3*4*5*6$"),
+        ],
+        ["host", "allow", "prefix"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://g.com/aXYZb",),        # '**' rule hits
+            ("https://g.com/ab",),           # empty-sequence '*' hits too
+            ("https://g.com/a-only",),       # no trailing b -> kept
+            ("https://g.com/p" + "z" * 500,),  # fallback prefix '/p' blocks
+            ("https://g.com/q-safe",),       # outside '/p' -> kept
+        ],
+        ["url"],
+    )
+    kept = {r["url"] for r in robots_filter(urls, rules).collect()}
+    assert kept == {"https://g.com/a-only", "https://g.com/q-safe"}
