@@ -31,7 +31,7 @@ def test_stream_extract_exactly_once(spark, stream_dirs):
     table = SnapshotTable(tbl_path)
 
     q = stream_extract(spark, inp, table, chkpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
     # every input row marker-recorded (urls may repeat across seed files)
     n_docs = table.read(spark).filter(F.col("chunk_index") < 0).count()
     assert n_docs == 70
@@ -41,14 +41,14 @@ def test_stream_extract_exactly_once(spark, stream_dirs):
     # drain again with the same checkpoint: no new files → no new commits
     runs_before = len(table.manifest()["runs"])
     q2 = stream_extract(spark, inp, table, chkpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream did not finish within 300 s"
     assert len(table.manifest()["runs"]) == runs_before
     assert table.read_chunks(spark).count() == n_chunks
 
     # new file arrives → only the new docs are processed
     write_pages_parquet(os.path.join(inp, "part-2.parquet"), seed=3, n=10, include_edge_cases=False)
     q3 = stream_extract(spark, inp, table, chkpt)
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(300), "stream did not finish within 300 s"
     n_docs2 = table.read(spark).filter(F.col("chunk_index") < 0).count()
     assert n_docs2 == 80
 
@@ -73,7 +73,7 @@ def test_stream_dedup_first_seen(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
     rows = spark.sql(f"SELECT doc_hash, count(*) c FROM {sink} GROUP BY doc_hash").collect()
     assert rows, "no output"
     assert all(r["c"] == 1 for r in rows)  # every hash exactly once
@@ -93,7 +93,7 @@ def test_stream_quality_counters(spark, stream_dirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
     got = spark.sql(f"SELECT sum(docs) AS d FROM {sink}").collect()[0]["d"]
     # append mode only emits windows sealed by the watermark; all rows from
     # closed windows must sum to ≤ total and every emitted row is well-formed
@@ -135,7 +135,11 @@ def test_stream_extract_dedup_drops_corpus_near_dups(spark, tmp_path):
     q = stream_extract_dedup(
         spark, str(inp), table, sig_path, str(tmp_path / "ckpt"), available_now=True
     )
-    q.awaitTermination(120)
+    # fail HERE if the stream stalls (a lapsed wait otherwise reads a
+    # half-committed table and fails with a misleading set-diff); 300 s
+    # absorbs a loaded machine — available_now terminates right after the
+    # single micro-batch in any healthy run
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
     urls = {r["url"] for r in table.read_chunks(spark).select("url").distinct().collect()}
     assert urls == {"s://new"}
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
@@ -186,7 +190,7 @@ def test_stream_upsert_latest_keeps_newest_across_runs(spark, tmp_path):
 
     table = SnapshotTable(tbl_path)
     q = stream_upsert_latest(spark, str(inp), table, chkpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
     rows = {r["canonical_url"]: r for r in table.read(spark).collect()}
     assert len(rows) == 2
     assert "second crawl of a" in rows["http://a.com/p"]["text"]
@@ -197,7 +201,7 @@ def test_stream_upsert_latest_keeps_newest_across_runs(spark, tmp_path):
         [page("http://A.COM/p", t(2024, 3, 1), "third crawl of a")],
     )
     q2 = stream_upsert_latest(spark, str(inp), table, chkpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream did not finish within 300 s"
     rows = {r["canonical_url"]: r for r in table.read(spark).collect()}
     assert len(rows) == 2
     assert "third crawl of a" in rows["http://a.com/p"]["text"]
