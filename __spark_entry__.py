@@ -3739,6 +3739,58 @@ def q_compliance_screen(spark, sf_dir):
     )
 
 
+def q_page_series(spark, sf_dir):
+    """Page-series and AMP alias links (functions/htmlmeta.pagination_links
+    + amp_alias): rel=next/prev stitching edges for multi-page articles and
+    the AMP duality both directions (rel=amphtml advertisement, <html amp>
+    self-identification). Bodies from doc_id literals; construction
+    oracle."""
+    from pdf_extractor_spark.functions.htmlmeta import amp_alias, pagination_links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('<html><head><link rel="next" href="/p/'),
+                (d + 1),
+                F.lit('"><link rel="prev" href="/p/'),
+                (d - 1),
+                F.lit('">'),
+            ),
+        )
+        .when(d % 5 == 1, F.concat(F.lit("<html><head><link href=/p2- rel=next>"), d))
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit('<html><head><link rel="amphtml" href="https://cdn.amp/'), d, F.lit('">')),
+        )
+        .when(d % 5 == 3, F.lit('<html amp lang="en"><head>'))
+        .otherwise(F.lit("<html><head>")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select(
+        "doc_id", *pagination_links(F.col("html")), *amp_alias(F.col("html"))
+    )
+
+
+def q_vocab_richness(spark, sf_dir):
+    """Type-token ratio (functions/text.type_token_ratio): distinct
+    lowercased whitespace tokens over total — the lexical-diversity screen
+    for keyword stuffing and template spam; same token split as
+    token_counts, so the oracle reuses the shared _TOKS fragment."""
+    from pdf_extractor_spark.functions.text import token_count, type_token_ratio
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        type_token_ratio(t).alias("ttr"),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4479,6 +4531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_license": q_cc_license,
         "content_rating": q_content_rating,
         "compliance_screen": q_compliance_screen,
+        "page_series": q_page_series,
+        "vocab_richness": q_vocab_richness,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5562,6 +5616,21 @@ FROM documents""",
 SELECT doc_id,
        doc_id % 5 IN (0, 1) AS adult_rated,
        doc_id % 5 = 2 AS paywalled
+FROM documents""",
+        "page_series": """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN '/p/' || (doc_id + 1)
+            WHEN doc_id % 5 = 1 THEN '/p2-' ELSE '' END AS next_href,
+       CASE WHEN doc_id % 5 = 0 THEN '/p/' || (doc_id - 1) ELSE '' END AS prev_href,
+       CASE WHEN doc_id % 5 = 2 THEN 'https://cdn.amp/' || doc_id ELSE '' END AS amphtml_href,
+       doc_id % 5 = 3 AS is_amp
+FROM documents""",
+        "vocab_richness": f"""
+SELECT doc_id,
+       (CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0.0
+            ELSE len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}) END AS ttr
 FROM documents""",
         "compliance_screen": """
 SELECT 'doc://' || doc_id AS url,

@@ -325,6 +325,40 @@ def jsonld_fields(html: Column):
     )
 
 
+_NEXT = _attr_pair_patterns("link", "rel", "next", "href")
+_PREV = _attr_pair_patterns("link", "rel", "prev", "href")
+_AMPHTML = _attr_pair_patterns("link", "rel", "amphtml", "href")
+_AMP_ATTR_RE = r"(?i)<html\b[^>]*\s(amp|⚡)[\s=>/]"
+
+
+def pagination_links(html: Column) -> list[Column]:
+    """[next_href, prev_href] — the ``rel=next``/``rel=prev`` page-series
+    annotations ('' when absent). Multi-page articles are one logical
+    document split across urls: a crawler stitches or series-dedups them,
+    and a frontier treats ``next`` as a must-follow edge even under
+    page-level nofollow heuristics. Raw hrefs, unresolved, like
+    ``canonical_link``."""
+    return [
+        _first_match(html, _NEXT).alias("next_href"),
+        _first_match(html, _PREV).alias("prev_href"),
+    ]
+
+
+def amp_alias(html: Column) -> list[Column]:
+    """[amphtml_href, is_amp] — the AMP duality both directions: a
+    canonical page advertising its AMP twin (``<link rel="amphtml">``)
+    and an AMP page identifying itself (the ``amp``/``⚡`` boolean
+    attribute on ``<html>``). AMP twins are near-exact duplicates served
+    from a different url (often a CDN cache host), so corpus dedup wants
+    the alias edge explicitly — MinHash catches the text, but the edge
+    tells canonical-cluster dedup WHICH copy is canonical (the AMP page's
+    own rel=canonical points back)."""
+    return [
+        _first_match(html, _AMPHTML).alias("amphtml_href"),
+        F.coalesce(html.rlike(_AMP_ATTR_RE), F.lit(False)).alias("is_amp"),
+    ]
+
+
 _RATING = _attr_pair_patterns("meta", "name", "rating", "content")
 
 

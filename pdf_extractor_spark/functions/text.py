@@ -310,6 +310,22 @@ def dup_line_fraction(text: Column) -> Column:
     )
 
 
+def type_token_ratio(text: Column) -> Column:
+    """Distinct lowercased tokens / total tokens — vocabulary richness.
+
+    The classic lexical-diversity screen: machine-generated spam, keyword
+    stuffing, and template boilerplate repeat a tiny vocabulary (TTR well
+    under natural prose for the same length), while natural text at a
+    fixed length holds a stable band. Length-sensitive (longer docs drift
+    lower as vocabulary saturates), so threshold PER LENGTH BUCKET, not
+    globally — documented, not hidden. 0.0 for empty text."""
+    toks = F.transform(tokens(text), F.lower)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)) / n.cast("double")
+    )
+
+
 def alpha_word_fraction(text: Column) -> Column:
     """Fraction of whitespace tokens containing >= 1 ASCII letter (Gopher
     keeps docs with >= 0.8)."""

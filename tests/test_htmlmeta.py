@@ -343,3 +343,33 @@ def test_content_rating_flags(spark):
     assert got[4] == (False, False)
     assert got[5] == (False, False)
     assert got[6] == (False, False)
+
+
+def test_pagination_and_amp(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.htmlmeta import amp_alias, pagination_links
+
+    rows = [
+        (0, '<link rel="next" href="/p/2"><link rel="prev" href="/p/0">'),
+        (1, "<link href=/page2 rel=next>"),
+        (2, '<link rel="amphtml" href="https://cdn.amp/x">'),
+        (3, '<html amp lang="en"><body>x</body></html>'),
+        (4, "<html ⚡></html>"),
+        (5, '<html data-amp="no"><p>plain</p></html>'),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {
+        r["i"]: (r["next_href"], r["prev_href"], r["amphtml_href"], r["is_amp"])
+        for r in df.select(
+            "i", *pagination_links(F.col("html")), *amp_alias(F.col("html"))
+        ).collect()
+    }
+    assert got[0] == ("/p/2", "/p/0", "", False)
+    assert got[1] == ("/page2", "", "", False)
+    assert got[2] == ("", "", "https://cdn.amp/x", False)
+    assert got[3] == ("", "", "", True)
+    assert got[4] == ("", "", "", True)
+    assert got[5] == ("", "", "", False)
+    assert got[6][3] is False

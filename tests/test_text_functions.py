@@ -398,3 +398,21 @@ def test_lang_id_fa_ar_ru(spark):
     got = {r["i"]: r["p"] for r in df.select("i", lang_id(F.col("t")).alias("p")).collect()}
     want = {r[0]: r[2] for r in rows}
     assert got == want
+
+
+def test_type_token_ratio(docs_df):
+    rows = {
+        r["doc_id"]: r["ttr"]
+        for r in docs_df.select(
+            "doc_id", TXT.type_token_ratio(F.col("text")).alias("ttr")
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        toks = [t.lower() for t in py_tokens(text)]
+        want = len(set(toks)) / len(toks) if toks else 0.0
+        assert abs(rows[doc_id] - want) < 1e-12, (doc_id, rows[doc_id], want)
+    # case folds: 'The the THE' is one type
+    one = docs_df.sparkSession.createDataFrame(
+        [(0, "The the THE")], "doc_id long, text string"
+    ).select(TXT.type_token_ratio(F.col("text")).alias("t")).head()["t"]
+    assert abs(one - 1 / 3) < 1e-12
