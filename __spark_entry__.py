@@ -3791,6 +3791,37 @@ def q_vocab_richness(spark, sf_dir):
     )
 
 
+def q_crawl_priority(spark, sf_dir):
+    """Re-crawl priority (operators/politeness.crawl_priority): importance
+    x expected change rate, weighing OBSERVED drift above declared sitemap
+    changefreq (sitemaps overstate freshness to bait crawl budget), with
+    the [0,1] priority hint scaling importance and floors so unranked
+    hosts and unhinted urls still score. The oracle replays the exact
+    formula; all inputs are exact doubles so the products agree
+    bit-for-bit."""
+    from pdf_extractor_spark.operators.politeness import crawl_priority
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), d % 5, F.lit(".ex/p"), d)
+    urls = docs.select(url.alias("url"))
+    freqs = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+    hints = docs.filter(d % 3 == 0).select(
+        url.alias("loc"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in freqs]), (d % 7 + 1).cast("int")
+        ).alias("changefreq"),
+        ((d % 11) / F.lit(10.0)).alias("priority"),
+    )
+    drift = docs.filter(d % 4 == 0).select(
+        url.alias("url"), (((d % 9) + 1) / F.lit(4.0)).alias("change_rate")
+    )
+    ranks = spark.createDataFrame(
+        [("h0.ex", 0.1), ("h1.ex", 0.2), ("h2.ex", 0.3)], "host string, rank double"
+    )
+    return crawl_priority(urls, hints=hints, ranks=ranks, drift=drift)
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4533,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compliance_screen": q_compliance_screen,
         "page_series": q_page_series,
         "vocab_richness": q_vocab_richness,
+        "crawl_priority": q_crawl_priority,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5617,6 +5649,27 @@ SELECT doc_id,
        doc_id % 5 IN (0, 1) AS adult_rated,
        doc_id % 5 = 2 AS paywalled
 FROM documents""",
+        "crawl_priority": """
+WITH d AS (SELECT doc_id,
+                  'https://h' || (doc_id % 5) || '.ex/p' || doc_id AS url,
+                  'h' || (doc_id % 5) || '.ex' AS host
+           FROM documents),
+x AS (SELECT doc_id, url, host,
+        CASE WHEN doc_id % 4 = 0 THEN ((doc_id % 9) + 1) / 4.0 END AS obs,
+        CASE WHEN doc_id % 3 = 0 THEN
+          CASE doc_id % 7 WHEN 0 THEN 24.0 WHEN 1 THEN 24.0 WHEN 2 THEN 1.0
+               WHEN 3 THEN 1.0/7.0 WHEN 4 THEN 1.0/30.0 WHEN 5 THEN 1.0/365.0
+               ELSE 1.0/3650.0 END END AS declared,
+        CASE WHEN doc_id % 3 = 0 THEN (doc_id % 11) / 10.0 END AS hint,
+        CASE doc_id % 5 WHEN 0 THEN 0.1 WHEN 1 THEN 0.2 WHEN 2 THEN 0.3
+             ELSE NULL END AS rnk
+      FROM d)
+SELECT url, host,
+       coalesce(obs, declared, 1.0/30.0) AS change_rate,
+       coalesce(rnk, 1e-6) AS "rank",
+       coalesce(rnk, 1e-6) * (0.5 + coalesce(hint, 0.5))
+         * coalesce(obs, declared, 1.0/30.0) AS score
+FROM x""",
         "page_series": """
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN '/p/' || (doc_id + 1)

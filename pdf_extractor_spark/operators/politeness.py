@@ -104,3 +104,100 @@ def fetch_schedule(
     if max_per_host is not None:
         out = out.filter(F.col("slot") < int(max_per_host))
     return out
+
+
+# changefreq → expected changes/day (the sitemap protocol's seven tokens);
+# 'always' reads as hourly-class freshness, 'never' as a tiny floor rather
+# than zero so archived pages still re-verify eventually
+CHANGEFREQ_RATE = {
+    "always": 24.0,
+    "hourly": 24.0,
+    "daily": 1.0,
+    "weekly": 1.0 / 7.0,
+    "monthly": 1.0 / 30.0,
+    "yearly": 1.0 / 365.0,
+    "never": 1.0 / 3650.0,
+}
+DEFAULT_CHANGE_RATE = 1.0 / 30.0  # unhinted page: assume monthly-class
+
+
+def crawl_priority(
+    urls: DataFrame,
+    hints: DataFrame | None = None,
+    ranks: DataFrame | None = None,
+    drift: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Re-crawl priority per frontier url: importance × expected change
+    rate — the WIRE/Heritrix-lineage scheduling formula, assembled from
+    the three signal tables this engine already produces.
+
+    * ``hints``: sitemap scheduling hints (linkgraph.extract_sitemap_entries
+      output — columns loc, changefreq, priority); the protocol's
+      changefreq maps to expected changes/day via CHANGEFREQ_RATE and the
+      [0,1] priority hint scales importance as (0.5 + priority).
+    * ``drift``: OBSERVED per-url change rates (operators/drift lineage —
+      columns url, change_rate in changes/day). Observation beats
+      declaration: where both exist the measured rate wins — sitemaps
+      routinely overstate freshness to bait crawl budget.
+    * ``ranks``: per-host importance (linkgraph.pagerank output — columns
+      host, rank); hosts without a rank get a small floor so new hosts
+      are explored, not starved.
+
+    score = coalesce(rank, 1e-6) × (0.5 + coalesce(priority_hint, 0.5))
+            × coalesce(observed_rate, declared_rate, 1/30)
+
+    Every term is a broadcast-joinable dimension against the frontier
+    (hints/ranks/drift are orders smaller than the url list); the formula
+    is pure Column arithmetic of exact inputs, so it is deterministic and
+    oracle-exact. Feed the output's ``score`` into fetch_schedule's
+    ``priority_col`` to get polite per-host slots in priority order.
+    """
+    u = urls.withColumn("__host", url_host(F.col(url_col)))
+    if hints is not None:
+        h = hints.select(
+            F.col("loc").alias(url_col),
+            F.col("changefreq").alias("__cf"),
+            F.col("priority").alias("__hint"),
+        )
+        u = u.join(F.broadcast(h), url_col, "left")
+    else:
+        u = u.withColumn("__cf", F.lit(None).cast("string")).withColumn(
+            "__hint", F.lit(None).cast("double")
+        )
+    if drift is not None:
+        u = u.join(
+            F.broadcast(
+                drift.select(F.col(url_col), F.col("change_rate").alias("__obs"))
+            ),
+            url_col,
+            "left",
+        )
+    else:
+        u = u.withColumn("__obs", F.lit(None).cast("double"))
+    if ranks is not None:
+        u = u.join(
+            F.broadcast(
+                ranks.select(F.col("host").alias("__host"), F.col("rank").alias("__rank"))
+            ),
+            "__host",
+            "left",
+        )
+    else:
+        u = u.withColumn("__rank", F.lit(None).cast("double"))
+    declared = F.create_map(
+        *[x for k, v in CHANGEFREQ_RATE.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("__cf")]
+    rate = F.coalesce(F.col("__obs"), declared, F.lit(DEFAULT_CHANGE_RATE))
+    score = (
+        F.coalesce(F.col("__rank"), F.lit(1e-6))
+        * (F.lit(0.5) + F.coalesce(F.col("__hint"), F.lit(0.5)))
+        * rate
+    )
+    return u.select(
+        F.col(url_col),
+        F.col("__host").alias("host"),
+        rate.alias("change_rate"),
+        F.coalesce(F.col("__rank"), F.lit(1e-6)).alias("rank"),
+        score.alias("score"),
+    )

@@ -88,3 +88,42 @@ def test_fetch_schedule_single_shuffle(spark, frontier):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 1
+
+
+def test_crawl_priority_observation_beats_declaration(spark):
+    from pdf_extractor_spark.operators.politeness import (
+        DEFAULT_CHANGE_RATE,
+        crawl_priority,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 2}.ex/p{i}",) for i in range(4)], ["url"]
+    )
+    hints = spark.createDataFrame(
+        [
+            ("https://h0.ex/p0", "daily", 0.9),   # declared daily
+            ("https://h0.ex/p2", "never", None),  # declared never, no hint
+        ],
+        "loc string, changefreq string, priority double",
+    )
+    drift = spark.createDataFrame(
+        [("https://h0.ex/p0", 3.0)], "url string, change_rate double"
+    )
+    ranks = spark.createDataFrame([("h0.ex", 0.5)], "host string, rank double")
+    got = {
+        r["url"]: r
+        for r in crawl_priority(urls, hints=hints, ranks=ranks, drift=drift).collect()
+    }
+    p0 = got["https://h0.ex/p0"]
+    # observed 3/day beats declared daily; hint 0.9 scales importance
+    assert p0["change_rate"] == 3.0
+    assert abs(p0["score"] - 0.5 * (0.5 + 0.9) * 3.0) < 1e-12
+    p2 = got["https://h0.ex/p2"]
+    assert abs(p2["change_rate"] - 1 / 3650) < 1e-15
+    # unhinted url on an unranked host: floors everywhere, never NULL/zero
+    p1 = got["https://h1.ex/p1"]
+    assert p1["rank"] == 1e-6 and p1["change_rate"] == DEFAULT_CHANGE_RATE
+    assert p1["score"] > 0
+    # no signal tables at all still scores every url
+    bare = crawl_priority(urls).collect()
+    assert len(bare) == 4 and all(r["score"] > 0 for r in bare)
