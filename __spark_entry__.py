@@ -3822,6 +3822,30 @@ def q_crawl_priority(spark, sf_dir):
     return crawl_priority(urls, hints=hints, ranks=ranks, drift=drift)
 
 
+def q_pca_embeddings(spark, sf_dir):
+    """Embedding PCA (operators/embed.pca_fit/pca_project): fit k=8
+    components on the embeddings table and project every vector —
+    the compression/whitening step retrieval stacks run before ANN and
+    SemDeDup. Rows-only driver check by nature (a static SQL oracle
+    cannot eigendecompose); the numpy-twin parity, determinism (pinned
+    eigen sign/order), whitening variance, and NULL/bounds behavior are
+    pytest-covered (tests/test_pca.py). Output: (vec_id, norm of the
+    k-dim projection rounded to 4dp, first component value) — scalars a
+    rows+schema check can hold stable."""
+    from pdf_extractor_spark.operators.embed import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, k=8)
+    out = pca_project(emb, model)
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("pca", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("pca_norm"),
+        F.round(F.element_at("pca", 1), 4).alias("pc1"),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4565,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_series": q_page_series,
         "vocab_richness": q_vocab_richness,
         "crawl_priority": q_crawl_priority,
+        "pca_embeddings": q_pca_embeddings,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,

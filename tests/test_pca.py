@@ -1,0 +1,93 @@
+"""PCA over embedding columns vs a plain-numpy twin."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.operators.embed import (
+    embedding_moments,
+    pca_fit,
+    pca_project,
+)
+
+
+def _df(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def mat():
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: strong first axis so the top component is unambiguous
+    base = rng.randn(200, 8) * np.array([5.0, 2.0, 1.0, 0.5, 0.3, 0.2, 0.1, 0.05])
+    return np.round(base, 3)  # float32-exact-ish inputs
+
+
+def test_moments_match_numpy(spark, mat):
+    n, mean, cov = embedding_moments(_df(spark, mat))
+    m64 = mat.astype(np.float32).astype(np.float64)  # what Spark stored
+    assert n == len(mat)
+    assert np.allclose(mean, m64.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(m64, rowvar=False, bias=True), atol=1e-8)
+
+
+def test_moments_partitioning_tolerance(spark, mat):
+    d1 = _df(spark, mat).repartition(1)
+    d13 = _df(spark, mat).repartition(13)
+    _, mean1, cov1 = embedding_moments(d1)
+    _, mean13, cov13 = embedding_moments(d13)
+    assert np.allclose(mean1, mean13, atol=1e-10)
+    assert np.allclose(cov1, cov13, atol=1e-9)
+
+
+def test_pca_recovers_principal_axis_and_projects(spark, mat):
+    df = _df(spark, mat)
+    model = pca_fit(df, k=3)
+    m64 = mat.astype(np.float32).astype(np.float64)
+    cov = np.cov(m64, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(model["explained_variance"], evals[:3], atol=1e-8)
+    # top component aligns with the dominant axis (e0), sign pinned positive
+    c0 = np.asarray(model["components"][0])
+    assert abs(c0[0]) > 0.99 and c0[np.argmax(np.abs(c0))] > 0
+    # projection twin: W (v - mu)
+    out = {
+        r["id"]: np.asarray(r["pca"])
+        for r in pca_project(df, model).select("id", "pca").collect()
+    }
+    W = np.asarray(model["components"])
+    mu = np.asarray(model["mean"])
+    for i in range(0, 200, 37):
+        want = (W @ (m64[i] - mu)).astype(np.float32)
+        assert np.allclose(out[i], want, atol=1e-6), i
+
+
+def test_pca_whiten_unit_variance(spark, mat):
+    df = _df(spark, mat)
+    model = pca_fit(df, k=4, whiten=True)
+    proj = np.asarray(
+        [r["pca"] for r in pca_project(df, model).select("pca").collect()],
+        dtype=np.float64,
+    )
+    assert np.allclose(proj.var(axis=0), 1.0, atol=1e-3)
+
+
+def test_pca_null_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0]), (3, [5.0, 0.0])],
+        "id long, embedding array<float>",
+    )
+    model = pca_fit(df, k=1)  # NULL row skipped in moments
+    assert model["n"] == 3
+    out = {r["id"]: r["pca"] for r in pca_project(df, model).collect()}
+    assert out[1] is None and len(out[0]) == 1
+    with pytest.raises(ValueError):
+        pca_fit(df, k=0)
+    with pytest.raises(ValueError):
+        pca_fit(df, k=3)
+    with pytest.raises(ValueError):
+        embedding_moments(
+            spark.createDataFrame([], "id long, embedding array<float>")
+        )
