@@ -91,7 +91,9 @@ class SnapshotTable:
     # -- write path --------------------------------------------------------
     def append(self, df: DataFrame, lineage: dict | None = None, run_id: str | None = None,
                partition_cols: tuple[str, ...] | None = None,
-               stats_cols: tuple[str, ...] = ()) -> str:
+               stats_cols: tuple[str, ...] = (),
+               cluster_by: tuple[str, ...] = (),
+               cluster_files: int | None = None) -> str:
         """Stage df as parquet then commit a new snapshot. Returns run_id.
 
         ``partition_cols`` writes hive-style partition directories — the
@@ -104,7 +106,27 @@ class SnapshotTable:
         the metadata level, no file is ever opened. The stats scan reads the
         just-written parquet (footer min/max make it cheap) so a recomputed
         input plan is never re-executed.
+
+        ``cluster_by`` range-partitions + sorts the run on those columns
+        before writing (Iceberg's sorted-write / SORTED BY analog): each
+        data file then covers a DISJOINT key range, so its parquet footer
+        min/max actually prunes — a point or range predicate on the
+        cluster key opens one file instead of all of them. Manifest stats
+        prune whole runs; clustering prunes WITHIN a run. Costs one range
+        shuffle at write time (sampling pass + exchange), which is why it
+        is opt-in: pay it where the read pattern is key-scoped
+        (doc_hash-scoped chunk reads, J3), skip it for write-once-scan-all
+        runs. ``cluster_files`` pins the file count (target-file sizing;
+        without it AQE may coalesce a small run to one file, which is
+        correct but prunes nothing).
         """
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = (
+                df.repartitionByRange(int(cluster_files), *cols)
+                if cluster_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cluster_by)
         run_id = run_id or uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", run_id)
         writer = df.write.mode("overwrite")
