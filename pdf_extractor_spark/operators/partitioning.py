@@ -75,3 +75,60 @@ def size_balanced(df: DataFrame, num_partitions: int, size_col: str = "html",
         .repartition(num_partitions, F.col("__ptoken"))
         .drop("__ptoken")
     )
+
+
+# --- z-order clustering -----------------------------------------------------
+#
+# Single-key sorted writes (SnapshotTable.append(cluster_by=…)) prune one
+# dimension perfectly and the others not at all. Z-ordering interleaves the
+# bits of several dimensions' bucket numbers into one sort key, so files
+# cover small HYPER-RECTANGLES of the key space and a predicate on ANY of
+# the dimensions skips most files — the Delta/Iceberg OPTIMIZE ZORDER idea.
+# Buckets here are equi-width over the observed [min, max] (one cheap agg;
+# Delta uses range-partition ids from sampling — equi-width trades pruning
+# power under skew for a plan with no sampling job, and correctness never
+# depends on the choice: the z-key only orders rows).
+
+ZORDER_BITS = 16  # per-dimension buckets: 2^16; 2 dims -> 32-bit z-values
+
+
+def _spread_bits(col):
+    """Interleave-ready spreading: 16-bit int -> 32-bit with a zero between
+    consecutive bits (classic morton-code mask ladder, Column arithmetic)."""
+    x = col.cast("long")
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(df: DataFrame, cols: tuple[str, str]) -> DataFrame:
+    """Append ``__z``: the morton interleave of two numeric columns'
+    equi-width bucket numbers — feed it to
+    ``SnapshotTable.append(cluster_by=("__z",), cluster_files=…)`` for
+    multi-dimensional file pruning. Two columns (the common case: e.g.
+    (warc_ts, doc_length) or (host_bucket, page_rank)); NULLs bucket to 0
+    (they sort first, harmlessly). One global min/max agg (driver-side,
+    4 scalars) is the only extra job — no sampling pass, no second scan
+    of the upstream plan (same reasoning as size_balanced above)."""
+    a, b = cols
+    r = df.agg(
+        F.min(a).alias("na"), F.max(a).alias("xa"),
+        F.min(b).alias("nb"), F.max(b).alias("xb"),
+    ).collect()[0]
+
+    def bucket(c, lo, hi):
+        if lo is None or hi is None or float(hi) == float(lo):
+            return F.lit(0)
+        span = float(hi) - float(lo)
+        raw = ((F.col(c).cast("double") - float(lo)) / span) * ((1 << ZORDER_BITS) - 1)
+        return F.coalesce(
+            F.least(F.greatest(raw.cast("long"), F.lit(0)),
+                    F.lit((1 << ZORDER_BITS) - 1)),
+            F.lit(0),
+        )
+
+    za = _spread_bits(bucket(a, r["na"], r["xa"]))
+    zb = _spread_bits(bucket(b, r["nb"], r["xb"]))
+    return df.withColumn("__z", za.bitwiseOR(F.shiftleft(zb, 1)).cast("long"))

@@ -1,0 +1,59 @@
+"""Z-order clustering: files become hyper-rectangles, both dims prune."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.partitioning import zorder_key
+from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+
+def _file_boxes(spark, files, cols):
+    boxes = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            *[F.min(c).alias(f"n{c}") for c in cols],
+            *[F.max(c).alias(f"x{c}") for c in cols],
+        ).collect()[0]
+        if r[f"n{cols[0]}"] is not None:
+            boxes.append({c: (r[f"n{c}"], r[f"x{c}"]) for c in cols})
+    return boxes
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    # 64x64 grid: every (x, y) combination, so one-dimensional sorting
+    # could never shrink the OTHER dimension's per-file range
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    z = zorder_key(df, ("x", "y"))
+    table = SnapshotTable(str(tmp_path / "t"))
+    rid = table.append(z, cluster_by=("__z",), cluster_files=16)
+    files = sorted(glob.glob(str(tmp_path / "t" / "data" / rid / "*.parquet")))
+    assert len(files) >= 8
+    boxes = _file_boxes(spark, files, ("x", "y"))
+
+    def files_touched(col, val):
+        return sum(1 for b in boxes if b[col][0] <= val <= b[col][1])
+
+    n = len(boxes)
+    # a point predicate on EITHER dimension must skip most files; a plain
+    # x-sort would give files_touched('y', …) == n for every y
+    assert files_touched("x", 7) <= n // 2
+    assert files_touched("y", 7) <= n // 2
+    assert files_touched("x", 55) <= n // 2
+    assert files_touched("y", 55) <= n // 2
+    # content intact
+    assert table.read(spark).count() == 64 * 64
+
+
+def test_zorder_key_deterministic_and_null_safe(spark):
+    rows = [(1, 10), (None, 20), (5, None), (9, 90)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    a = sorted(r["__z"] for r in zorder_key(df, ("x", "y")).collect())
+    b = sorted(r["__z"] for r in zorder_key(df.repartition(3), ("x", "y")).collect())
+    assert a == b
+    assert all(v is not None and v >= 0 for v in a)
+    # constant column degrades to bucket 0 everywhere, never errors
+    c = spark.createDataFrame([(1, 7), (2, 7)], "x int, y int")
+    out = zorder_key(c, ("x", "y")).collect()
+    assert all(r["__z"] is not None for r in out)
