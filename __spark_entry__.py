@@ -3846,6 +3846,38 @@ def q_pca_embeddings(spark, sf_dir):
     )
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/quantize.pq_encode/
+    pq_topk): encode every embedding against a formula-literal (4, 8, 16)
+    codebook, then answer a formula-literal query by asymmetric distance —
+    m LUT lookups per row, corpus floats never read. The fixture
+    integer-quantizes the embeddings (floor(x*8+0.5)) and uses
+    integer-valued codebooks, so every squared-distance sum is an exact
+    integer in BOTH engines (no float-order hazard) and the oracle replays
+    encode + ADC + the (dist, vec_id) total order bit-for-bit. Codebook
+    TRAINING (pq_fit) is pytest-covered — it reuses the oracled
+    kmeans_train spec per subspace."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.quantize import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qe = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 8 + F.lit(0.5)).cast("double"),
+        ).alias("embedding"),
+    )
+    j, c, dl = np.meshgrid(
+        np.arange(4), np.arange(8), np.arange(16), indexing="ij"
+    )
+    cb = (((j * 31 + c * 17 + dl * 7) % 23) - 11).astype(np.float64)
+    qv = (((np.arange(64) * 13) % 17) - 8).astype(np.float64)
+    codes = pq_encode(qe, cb)
+    return pq_topk(codes, cb, qv, topk=10)
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (operators/embed.mean_pool): elementwise
     mean of the embeddings table's 64-dim vectors per label — the pooling
@@ -4590,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": q_vocab_richness,
         "crawl_priority": q_crawl_priority,
         "pca_embeddings": q_pca_embeddings,
+        "pq_adc_topk": q_pq_adc_topk,
         "frame_sample_avi": q_frame_sample_avi,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
@@ -5695,6 +5728,38 @@ SELECT url, host,
        coalesce(rnk, 1e-6) * (0.5 + coalesce(hint, 0.5))
          * coalesce(obs, declared, 1.0/30.0) AS score
 FROM x""",
+        "pq_adc_topk": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * 8 + 0.5)::DOUBLE) AS qe
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+cb AS (SELECT j.j, c.c, dl.dl,
+              ((((j.j * 31 + c.c * 17 + dl.dl * 7) % 23) - 11))::DOUBLE AS w
+       FROM (SELECT unnest(generate_series(0, 3)) AS j) j,
+            (SELECT unnest(generate_series(0, 7)) AS c) c,
+            (SELECT unnest(generate_series(0, 15)) AS dl) dl),
+ed AS (SELECT vec_id, d // 16 AS j, d % 16 AS dl, qe[d + 1] AS v
+       FROM e, dims),
+dist AS (SELECT ed.vec_id, ed.j, cb.c,
+                sum((ed.v - cb.w) * (ed.v - cb.w)) AS dd
+         FROM ed JOIN cb ON cb.j = ed.j AND cb.dl = ed.dl
+         GROUP BY ed.vec_id, ed.j, cb.c),
+code AS (SELECT vec_id, j, c FROM (
+           SELECT vec_id, j, c,
+                  row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dd, c) AS rn
+           FROM dist) WHERE rn = 1),
+q AS (SELECT d // 16 AS j, d % 16 AS dl,
+             (((d * 13) % 17) - 8)::DOUBLE AS v
+      FROM dims),
+lut AS (SELECT q.j, cb.c, sum((q.v - cb.w) * (q.v - cb.w)) AS l
+        FROM q JOIN cb ON cb.j = q.j AND cb.dl = q.dl
+        GROUP BY q.j, cb.c),
+score AS (SELECT code.vec_id, sum(lut.l) AS adc_dist
+          FROM code JOIN lut ON lut.j = code.j AND lut.c = code.c
+          GROUP BY code.vec_id)
+SELECT vec_id, adc_dist FROM score ORDER BY adc_dist, vec_id LIMIT 10""",
         "page_series": """
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN '/p/' || (doc_id + 1)
