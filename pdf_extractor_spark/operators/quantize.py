@@ -203,3 +203,49 @@ def pq_topk(
         F.col(id_col), udf(F.col("codes")).alias("adc_dist")
     ).filter(F.col("adc_dist").isNotNull())
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(topk)
+
+
+def ivf_pq_index(
+    emb: DataFrame,
+    centroids,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, list_id, codes): the stored IVF-PQ index relation — coarse
+    list assignment (search.ivf_assign) plus PQ codes, the two columns a
+    warehouse ANN table persists per vector (partition by list_id so
+    probe filters become partition pruning; ~m bytes + one int per
+    vector). One scan, two vectorized Arrow passes, no shuffle."""
+    from pdf_extractor_spark.operators.search import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
+        id_col, "list_id", vec_col
+    )
+    codes = pq_encode(assigned, codebooks, vec_col=vec_col, id_col=id_col)
+    return assigned.select(id_col, "list_id").join(codes, id_col)
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    centroids,
+    codebooks,
+    query,
+    topk: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Composed ANN: probe the ``nprobe`` nearest coarse lists (driver
+    numpy over the KB-sized centroid matrix), filter the index to those
+    lists (partition pruning when the table is list-partitioned), then
+    PQ asymmetric-distance top-k over the survivors. nprobe == n_lists
+    degrades to exact ADC over everything — the recall/latency dial every
+    IVF-PQ deployment exposes."""
+    import numpy as np
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    order = np.lexsort((np.arange(len(cents)), ((cents - q) ** 2).sum(axis=1)))
+    probe = [int(x) for x in order[: max(1, int(nprobe))]]
+    pruned = index.filter(F.col("list_id").isin(probe))
+    return pq_topk(pruned, codebooks, q, topk=topk, id_col=id_col)

@@ -84,3 +84,28 @@ def test_pq_null_and_shape_errors(spark):
     out = {r["vec_id"]: r["codes"] for r in pq_encode(df, books).collect()}
     assert out[1] is None and out[0] == [0, 0]
     assert pq_topk(pq_encode(df, books), books, [0.0] * 4, topk=5).count() == 1
+
+
+def test_ivf_pq_compose(spark, mat):
+    from pdf_extractor_spark.operators.quantize import ivf_pq_index, ivf_pq_topk
+
+    df = _df(spark, mat)
+    books = pq_fit(df, m=2, k=4, n_iter=3)
+    from pdf_extractor_spark.operators.cluster import kmeans_train
+
+    cents = kmeans_train(df, k=4, n_iter=3)
+    index = ivf_pq_index(df, cents, books)
+    assert index.columns == ["vec_id", "list_id", "codes"]
+    assert index.count() == 120
+    q = mat[7].astype(np.float64)
+    # probing ALL lists == brute-force ADC over the whole corpus
+    full = [(r["vec_id"], r["adc_dist"])
+            for r in ivf_pq_topk(index, cents, books, q, topk=8, nprobe=4).collect()]
+    brute = [(r["vec_id"], r["adc_dist"])
+             for r in pq_topk(pq_encode(df, books), books, q, topk=8).collect()]
+    assert full == brute
+    # nprobe=1 returns only vectors from the query's own coarse list
+    one = ivf_pq_topk(index, cents, books, q, topk=8, nprobe=1).collect()
+    lists = {r["list_id"] for r in index.collect() if r["vec_id"] in
+             {x["vec_id"] for x in one}}
+    assert len(lists) == 1
