@@ -141,11 +141,13 @@ def pq_encode(
     codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): per subspace the nearest codeword's index
-    (squared L2; ties -> smallest index, numpy argmin's rule). One
-    vectorized Arrow pass — the (m, k, sub) codebook broadcasts as a
-    closure; NULL vectors get NULL codes."""
+    """(id, *keep_cols, codes array<int>): per subspace the nearest
+    codeword's index (squared L2; ties -> smallest index, numpy argmin's
+    rule). One vectorized Arrow pass — the (m, k, sub) codebook broadcasts
+    as a closure; NULL vectors get NULL codes. ``keep_cols`` ride along so
+    composite index builds (IVF-PQ) stay a single scan with no re-join."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -165,7 +167,8 @@ def pq_encode(
         return pd.Series(out)
 
     udf = F.pandas_udf(enc, T.ArrayType(T.IntegerType()))
-    return emb.select(F.col(id_col), udf(F.col(vec_col)).alias("codes"))
+    cols = [F.col(id_col), *(F.col(c) for c in keep_cols)]
+    return emb.select(*cols, udf(F.col(vec_col)).alias("codes"))
 
 
 def pq_topk(
@@ -216,14 +219,16 @@ def ivf_pq_index(
     list assignment (search.ivf_assign) plus PQ codes, the two columns a
     warehouse ANN table persists per vector (partition by list_id so
     probe filters become partition pruning; ~m bytes + one int per
-    vector). One scan, two vectorized Arrow passes, no shuffle."""
+    vector). One scan, two vectorized Arrow passes, no shuffle — list_id
+    rides through the PQ pass via ``keep_cols`` instead of a re-join on
+    id (which would shuffle both sides of a self-join at corpus scale)."""
     from pdf_extractor_spark.operators.search import ivf_assign
 
     assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
         id_col, "list_id", vec_col
     )
-    codes = pq_encode(assigned, codebooks, vec_col=vec_col, id_col=id_col)
-    return assigned.select(id_col, "list_id").join(codes, id_col)
+    return pq_encode(assigned, codebooks, vec_col=vec_col, id_col=id_col,
+                     keep_cols=("list_id",))
 
 
 def ivf_pq_topk(

@@ -109,3 +109,19 @@ def test_ivf_pq_compose(spark, mat):
     lists = {r["list_id"] for r in index.collect() if r["vec_id"] in
              {x["vec_id"] for x in one}}
     assert len(lists) == 1
+
+
+def test_ivf_pq_index_build_is_shuffle_free(spark, mat):
+    """The index build must be a single scan: list_id rides through the
+    PQ encode pass as a kept column, never re-joined on id."""
+    import re
+
+    from pdf_extractor_spark.operators.cluster import kmeans_train
+    from pdf_extractor_spark.operators.quantize import ivf_pq_index
+
+    df = _df(spark, mat)
+    books = pq_fit(df, m=2, k=4, n_iter=3)
+    cents = kmeans_train(df, k=4, n_iter=3)
+    plan = ivf_pq_index(df, cents, books)._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bExchange\b", plan), plan
+    assert not re.search(r"\bJoin\b", plan), plan
