@@ -2093,6 +2093,19 @@ def q_hash_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic global training shuffle (operators/shuffling.py):
+    order + range shard from md5(seed~id) — same permutation on every run
+    and partitioning; shard monotone in the key so shard-ordered reads
+    reproduce the global order without a global sort."""
+    from pdf_extractor_spark.operators.shuffling import training_shuffle
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return training_shuffle(docs, n_shards=8, seed=5).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition signal: fraction of repeated word 3-grams,
     spam phrasing injected into every 4th doc so the signal separates."""
@@ -4593,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
+        "training_order": q_training_order,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6128,6 +6142,12 @@ SELECT doc_id, array_to_string(list(para ORDER BY pos), chr(10)||chr(10)) AS cle
 FROM k GROUP BY doc_id""",
         # same md5-threshold spec as functions/sampling.py: uint32 of the
         # first 8 hex chars / 2^32 (exact in binary64 on both engines)
+        "training_order": """
+SELECT doc_id,
+  md5('5~' || doc_id::VARCHAR) AS shuffle_key,
+  CAST((('0x' || substr(md5('5~' || doc_id::VARCHAR), 1, 8))::UBIGINT * 8) >> 32
+       AS BIGINT) AS shard
+FROM documents""",
         "hash_sample": """
 WITH u AS (SELECT doc_id, lang,
   ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS uval

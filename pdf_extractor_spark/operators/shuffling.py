@@ -1,0 +1,89 @@
+"""Deterministic global training shuffle — the last-mile write ordering.
+
+Training runs stream the corpus in a "random" order, and at 10^12 docs
+that shuffle must be (a) reproducible — the same seed must give the same
+order on every run, machine, and cluster size, which rules out ``rand()``
+(per-partition seeds make the order depend on partitioning) and
+``ORDER BY rand()`` (a fresh order per run); and (b) writable without a
+single-machine global sort. The standard answer is a keyed pseudo-random
+permutation: order by ``hash(seed, id)``.
+
+The hash key doubles as the shard assigner. A shard is a VALUE RANGE of
+the key — ``shard = (uint32(key[:8 hex]) * n_shards) >> 32`` — so shard
+number is monotone in the key (fixed-width lowercase hex compares
+lexicographically as it does numerically). Reading shard directories in
+shard order, each internally key-sorted, therefore reproduces the exact
+global order with no external merge: the ranges are disjoint and ordered.
+The write is ONE hash exchange on ``shard`` plus a per-partition sort —
+no global sort ever materializes, and shard sizes concentrate tightly
+around corpus/n_shards (the key is uniform), so no shard straggles.
+
+Reference parity: the reference has no trainer-facing writer (its corpus
+lives in Qdrant, fetched per-query); this is part of the training-data
+last mile the Spark engine adds. The DuckDB oracle shares the exact
+md5/shift spec, so the permutation is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffle_key(id_col: Column, seed: int = 0) -> Column:
+    """32-hex deterministic pseudo-random sort key for a stable id.
+    Distinct ids collide only if md5 collides; order ties break on id."""
+    return F.md5(F.concat(F.lit(f"{seed}~"), id_col.cast("string")))
+
+
+def shuffle_shard(key: Column, n_shards: int) -> Column:
+    """Range shard for a :func:`shuffle_key`: ``(u32(key[:8]) * n) >> 32``.
+    Exact integer arithmetic (u32 * n < 2^63 for any sane n), monotone in
+    the key, uniform across shards."""
+    if not 1 <= int(n_shards) <= (1 << 30):
+        raise ValueError(f"n_shards out of range: {n_shards}")
+    u32 = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    return F.shiftrightunsigned(u32 * F.lit(int(n_shards)), 32)
+
+
+def training_shuffle(
+    df: DataFrame,
+    n_shards: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All input columns plus (shuffle_key, shard). Scan-only — ordering
+    and sharding are decided per row from (seed, id) with no shuffle; the
+    global order is ORDER BY (shard, shuffle_key, id) == ORDER BY
+    (shuffle_key, id) because shard is monotone in the key."""
+    key = shuffle_key(F.col(id_col), seed)
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shard", shuffle_shard(F.col("shuffle_key"), n_shards)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Write ``path/shard=K/`` parquet, each shard internally sorted by
+    (shuffle_key, id): concatenating shards in shard order reproduces the
+    deterministic global shuffle. One hash exchange on shard + local
+    sorts; size n_shards so corpus/n_shards fits a trainer read task."""
+    out = training_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_order(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """The written shards in global shuffled order (for verification and
+    single-consumer reads; trainers normally stream shard dirs directly)."""
+    return spark.read.parquet(path).orderBy("shard", "shuffle_key", id_col)

@@ -1,0 +1,106 @@
+"""Deterministic global training shuffle: permutation + shard properties."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.shuffling import (
+    read_training_order,
+    shuffle_shard,
+    training_shuffle,
+    write_training_shards,
+)
+
+
+def _docs(spark, n=200):
+    return spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_key_and_shard_match_hashlib_spec(spark):
+    out = {
+        r["doc_id"]: (r["shuffle_key"], r["shard"])
+        for r in training_shuffle(_docs(spark, 50), n_shards=8, seed=5).collect()
+    }
+    for i in range(50):
+        h = hashlib.md5(f"5~{i}".encode()).hexdigest()
+        assert out[i] == (h, (int(h[:8], 16) * 8) >> 32), i
+
+
+def test_order_is_partitioning_independent(spark):
+    docs = _docs(spark)
+    a = [
+        r["doc_id"]
+        for r in training_shuffle(docs.repartition(7), n_shards=16, seed=1)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in training_shuffle(docs.repartition(3), n_shards=16, seed=1)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    assert a == b
+    # different seed -> different permutation
+    c = [
+        r["doc_id"]
+        for r in training_shuffle(docs, n_shards=16, seed=2)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    assert a != c
+    assert sorted(a) == sorted(c) == list(range(200))
+
+
+def test_shard_is_monotone_in_key(spark):
+    rows = (
+        training_shuffle(_docs(spark), n_shards=8, seed=3)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    )
+    shards = [r["shard"] for r in rows]
+    assert shards == sorted(shards)  # ranges are disjoint and ordered
+    assert 0 <= min(shards) and max(shards) <= 7
+
+
+def test_training_shuffle_is_scan_only(spark):
+    import re
+
+    plan = (
+        training_shuffle(_docs(spark), n_shards=8, seed=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"\bExchange\b", plan), plan
+
+
+def test_written_shards_reproduce_global_order(spark, tmp_path):
+    docs = _docs(spark, 150)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, seed=9)
+    got = [r["doc_id"] for r in read_training_order(spark, path).collect()]
+    want = [
+        r["doc_id"]
+        for r in training_shuffle(docs, n_shards=4, seed=9)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    assert got == want
+    # every shard dir is itself sorted by the key (trainer-side invariant)
+    for k in {r["shard"] for r in read_training_order(spark, path).collect()}:
+        keys = [
+            r["shuffle_key"]
+            for r in spark.read.parquet(f"{path}/shard={k}").collect()
+        ]
+        # parquet read order within one small file preserves row order
+        assert keys == sorted(keys), k
+
+
+def test_bad_n_shards_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        shuffle_shard(F.lit("00000000"), 0)
