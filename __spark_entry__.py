@@ -604,6 +604,23 @@ def q_embedding_near_dups(spark, sf_dir):
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Semantic benchmark decontamination (operators/dedup.py): max cosine
+    of each corpus vector against a BROADCAST benchmark set (every 100th
+    vector plays the eval item) — catches paraphrased eval leakage that
+    n-gram screens miss; scan-only gemm per Arrow batch, zero shuffles."""
+    from pdf_extractor_spark.operators.dedup import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    bench = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return semantic_decontaminate(emb, bench, threshold=0.9)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Similarity (ANN): hyperplane-LSH bucketed top-k. The bucketing is
     seed-deterministic (numpy RandomState(7) hyperplanes), so the DuckDB
@@ -4607,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         # --- below the 50-query window from here down ---
         "training_order": q_training_order,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6184,6 +6202,16 @@ dup AS (SELECT DISTINCT cand.new_id
 SELECT doc_id FROM documents ANTI JOIN dup ON documents.doc_id = dup.new_id""",
         "simhash": _sql_simhash("SELECT doc_id, text FROM documents"),
         "simhash_near_dups": _sql_simhash_near_dups(_U_NEAR),
+        # max(round(cos,4)) ≡ round(max(cos),4): round is monotone, and the
+        # Spark side rounds per-pair before the max — same form here
+        "semantic_decontaminate": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT v AS bv FROM e WHERE vec_id % 100 = 0)
+SELECT e.vec_id,
+       max(round(list_cosine_similarity(e.v, b.bv), 4)) AS max_bench_cos,
+       max(round(list_cosine_similarity(e.v, b.bv), 4)) < 0.9 AS keep
+FROM e CROSS JOIN b
+GROUP BY e.vec_id""",
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1499,6 +1499,70 @@ def semdedup(
     return _attach_caches(out, assigned)
 
 
+def semantic_decontaminate(
+    emb: DataFrame,
+    bench_matrix,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic benchmark decontamination: (id, max_bench_cos, keep) where
+    keep ⇔ the vector's max cosine against ANY benchmark vector < threshold.
+
+    The text-level screen (:func:`decontaminate`) catches verbatim and
+    near-verbatim eval copies; this catches PARAPHRASED contamination —
+    eval items rewritten enough to beat n-gram/shingle overlap but still
+    co-located in embedding space (the SemDeDup-era companion check).
+
+    Scale shape: eval sets are small (10^3-10^5 vectors — a few MB of
+    float64), so the bench matrix ships as a pandas-UDF closure broadcast
+    and the corpus pass is SCAN-ONLY: one numpy gemm per Arrow batch,
+    zero shuffles at any corpus size, unlike within-corpus semantic dedup
+    (:func:`semdedup`) which must pair-join.
+
+    Scores round to 4 decimals BEFORE the max (round is monotone, so
+    round-then-max ≡ max-then-round — the DuckDB twin uses the other
+    form); NULL/zero/wrong-dim vectors score 0.0 and are kept — validity
+    screens are upstream's job. An empty bench keeps everything at NULL
+    score (nothing to be contaminated BY).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.search import _stack_vectors
+
+    B = np.asarray(list(bench_matrix), dtype=np.float64)
+    if B.size and B.ndim != 2:
+        raise ValueError(f"bench_matrix must be 2-D, got shape {B.shape}")
+    if not B.size:
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_bench_cos"),
+            F.lit(True).alias("keep"),
+        )
+    bn = np.linalg.norm(B, axis=1)
+    dim = B.shape[1]
+
+    def _score(s):
+        if len(s) == 0:
+            return pd.Series([], dtype="float64")
+        mat = _stack_vectors(s, dim)                      # (n, d)
+        dots = mat @ B.T                                  # (n, m)
+        dens = np.linalg.norm(mat, axis=1)[:, None] * bn[None, :]
+        cos = np.divide(dots, dens, out=np.zeros_like(dots), where=dens > 0)
+        return pd.Series(np.round(cos, 4).max(axis=1))
+
+    # module has `from __future__ import annotations`, so inline hints are
+    # strings pyspark can't infer the eval type from — attach real ones
+    _score.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    score = F.pandas_udf(_score, "double")
+
+    scored = emb.select(
+        F.col(id_col), score(F.col(vec_col)).alias("max_bench_cos")
+    )
+    return scored.withColumn("keep", F.col("max_bench_cos") < F.lit(threshold))
+
+
 # --- canonical-cluster dedup ----------------------------------------------------
 #
 # The crawl-side FIRST dedup pass: URL variants (tracking params, mirrors,

@@ -1,0 +1,74 @@
+"""Semantic benchmark decontamination: broadcast-cosine screen."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.operators.dedup import semantic_decontaminate
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_matches_numpy_twin_and_flags_bench_members(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = _emb(spark, list(enumerate(vecs)))
+    bench = vecs[::10]  # rows 0, 10, 20, 30 are in the corpus
+    out = {
+        r["vec_id"]: (r["max_bench_cos"], r["keep"])
+        for r in semantic_decontaminate(df, bench, threshold=0.95).collect()
+    }
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    b32 = bench.astype(np.float32).astype(np.float64)
+    for i in range(40):
+        cos = (b32 @ f32[i]) / (
+            np.linalg.norm(b32, axis=1) * np.linalg.norm(f32[i])
+        )
+        want = float(np.round(cos, 4).max())
+        got_cos, got_keep = out[i]
+        assert abs(got_cos - want) < 1e-9, i
+        assert got_keep == (want < 0.95), i
+    # every bench member self-matches at cosine 1.0 -> dropped
+    for i in (0, 10, 20, 30):
+        assert out[i][1] is False
+
+
+def test_null_and_zero_vectors_score_zero_and_keep(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["max_bench_cos"], r["keep"])
+        for r in semantic_decontaminate(df, [[1.0, 0.0]], threshold=0.9).collect()
+    }
+    assert out[0] == (1.0, False)
+    assert out[1] == (0.0, True)
+    assert out[2] == (0.0, True)
+
+
+def test_empty_bench_keeps_everything(spark):
+    df = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    rows = semantic_decontaminate(df, [], threshold=0.5).collect()
+    assert all(r["keep"] for r in rows)
+    assert all(r["max_bench_cos"] is None for r in rows)
+    with pytest.raises(ValueError):
+        semantic_decontaminate(df, [[[1.0]]], threshold=0.5)
+
+
+def test_scan_only_plan(spark):
+    import re
+
+    df = _emb(spark, [(i, [float(i), 1.0]) for i in range(10)])
+    plan = (
+        semantic_decontaminate(df, [[1.0, 0.0]])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"\bExchange\b", plan), plan
