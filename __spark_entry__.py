@@ -599,6 +599,37 @@ def q_simhash_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_image_pairs(spark, sf_dir):
+    """Image-text pair mining (operators/multimodal.mine_image_pairs): the
+    LAION-style multimodal seed rows — caption-bearing <img> tags across
+    quoting forms, src resolution for absolute/scheme-relative/root-
+    relative/dir-relative shapes, data-URI + no-alt + short-alt + wrong-tag
+    decoys dropped; d%7==6 pages have no images (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_image_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit('<img src="https://img.ex/a/'), k, F.lit('.jpg" alt="Fox '),
+        k, F.lit(' jumps">'),
+        F.lit("<img alt='Night "), k, F.lit("' src='//cdn.ex/n/"), k,
+        F.lit(".png'>"),
+        F.lit("<img src=/r/"), k, F.lit(".gif alt=Skyline"), k, F.lit(">"),
+        F.lit('<img src="t/'), k, F.lit('.webp" alt="Dir rel '), k,
+        F.lit('">'),
+        F.lit('<img src="data:image/gif;base64,AA" alt="inline pixel decoy">'),
+        F.lit('<img src="https://img.ex/na.jpg">'),
+        F.lit('<img src="https://img.ex/s.jpg" alt="ok">'),
+        F.lit('<image src="https://img.ex/x.jpg" alt="not an img tag">'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"),
+        F.when(d % 7 != 6, html).otherwise(F.lit("<p>plain</p>")).alias("html"),
+    )
+    return mine_image_pairs(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4625,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the 50-query window from here down ---
         "training_order": q_training_order,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "image_pairs": q_image_pairs,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6202,6 +6234,21 @@ dup AS (SELECT DISTINCT cand.new_id
 SELECT doc_id FROM documents ANTI JOIN dup ON documents.doc_id = dup.new_id""",
         "simhash": _sql_simhash("SELECT doc_id, text FROM documents"),
         "simhash_near_dups": _sql_simhash_near_dups(_U_NEAR),
+        # restates the fixture construction: 4 kept pairs per page in
+        # document order, decoys never emitted, d%7==6 pages imageless
+        "image_pairs": """
+WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 7 <> 6)
+SELECT 'doc://' || k AS url, 0 AS pair_index,
+       'https://img.ex/a/' || k || '.jpg' AS src,
+       'Fox ' || k || ' jumps' AS alt FROM d
+UNION ALL
+SELECT 'doc://' || k, 1, 'doc://cdn.ex/n/' || k || '.png', 'Night ' || k FROM d
+UNION ALL
+SELECT 'doc://' || k, 2, 'doc://' || k || '/r/' || k || '.gif',
+       'Skyline' || k FROM d
+UNION ALL
+SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
+       'Dir rel ' || k FROM d""",
         # max(round(cos,4)) ≡ round(max(cos),4): round is monotone, and the
         # Spark side rounds per-pair before the max — same form here
         "semantic_decontaminate": """

@@ -503,3 +503,35 @@ def microdata_fields(html: Column):
         _n(microdata_value(html, "datePublished")).alias("date_published"),
         _n(microdata_value(html, "author")).alias("author"),
     )
+
+
+# --- image-text pair mining -------------------------------------------------
+#
+# LAION/DataComp-lineage multimodal pair source: an <img> whose alt text is
+# a real caption, paired with its (resolved) src URL. The regex tier keeps
+# attribute-order/quoting tolerance and does NOT decode character
+# references in alt values (same contract as every other signal in this
+# module — entity decode belongs to the full extractor path).
+
+_IMG_TAG_RE = r"(?i)<img\b[^>]*>"
+
+
+def image_alt_pairs(html: Column) -> Column:
+    """``array<struct<src,alt>>`` of the page's ``<img>`` tags carrying
+    BOTH a non-empty src and non-empty (post-trim) alt, document order —
+    the caption-bearing subset image-text pair mining keeps (an alt-less
+    or empty-alt image is decoration, not a pair). Empty array when the
+    page has none."""
+    tags = F.regexp_extract_all(html, F.lit(_IMG_TAG_RE), 0)
+    kept = F.filter(
+        tags,
+        lambda t: (_tag_attr(t, "src") != "")
+        & (F.trim(_tag_attr(t, "alt")) != ""),
+    )
+    return F.transform(
+        kept,
+        lambda t: F.struct(
+            _tag_attr(t, "src").alias("src"),
+            F.trim(_tag_attr(t, "alt")).alias("alt"),
+        ),
+    )

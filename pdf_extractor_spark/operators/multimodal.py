@@ -574,3 +574,65 @@ def pdf_media_rows(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInArrow(run, out_schema)
+
+
+def mine_image_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_alt_chars: int = 3,
+) -> DataFrame:
+    """LAION-style image-text pair mining: (url, pair_index, src, alt) per
+    caption-bearing ``<img>`` — the multimodal-corpus seed row (download +
+    decode happen downstream against ``src``; this stage only mines).
+
+    src resolution is pure Column arithmetic applied INSIDE the pairs
+    array before the explode, so the whole pass is scan-only (codegen,
+    zero shuffles) and pair_index is dense over kept pairs for free:
+    own-scheme srcs pass through, ``//host/x`` inherits the page scheme,
+    ``/path`` joins the page origin, bare-relative paths join the page's
+    base directory (no dot-segment normalization — ``../`` stays verbatim;
+    unnormalized URLs still key downloads and dedup). data:/javascript:
+    URIs drop (nothing to fetch); alt shorter than ``min_alt_chars`` after
+    trim drops (icons and tracking pixels carry token alts, not captions).
+    """
+    from pdf_extractor_spark.functions.htmlmeta import image_alt_pairs
+
+    url = F.col(url_col)
+    scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)", 1)
+    path = F.substring(url, F.length(origin) + 1, F.length(url))
+    basedir = F.concat(
+        origin,
+        F.when(path.rlike("/"), F.regexp_replace(path, r"[^/]*$", ""))
+        .otherwise(F.lit("/")),
+    )
+
+    def _resolve(raw):
+        return (
+            F.when(raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), raw)
+            .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
+            .when(raw.startswith("/"), F.concat(origin, raw))
+            .otherwise(F.concat(basedir, raw))
+        )
+
+    pairs = F.transform(
+        image_alt_pairs(F.col(html_col).cast("string")),
+        lambda p: F.struct(_resolve(p["src"]).alias("src"), p["alt"].alias("alt")),
+    )
+    kept = F.filter(
+        pairs,
+        lambda p: ~p["src"].rlike(r"^(?i)(data|javascript):")
+        & (F.length(p["alt"]) >= min_alt_chars),
+    )
+    # materialize the array first: the resolve exprs reference the page url,
+    # which would otherwise be a lateral alias inside the posexplode select
+    staged = pages.withColumn("__pairs", kept)
+    return staged.select(
+        url.alias("url"), F.posexplode("__pairs").alias("pair_index", "pair")
+    ).select(
+        "url",
+        "pair_index",
+        F.col("pair.src").alias("src"),
+        F.col("pair.alt").alias("alt"),
+    )

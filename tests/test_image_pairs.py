@@ -1,0 +1,79 @@
+"""Image-text pair mining: <img src/alt> harvest + src resolution."""
+
+import re
+
+from pdf_extractor_spark.functions.htmlmeta import image_alt_pairs
+from pdf_extractor_spark.operators.multimodal import mine_image_pairs
+from pyspark.sql import functions as F
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_alt_pairs_attribute_forms_and_decoys(spark):
+    html = (
+        '<img src="https://a.ex/1.jpg" alt="a red fox">'       # dquoted
+        "<img alt='city at night' src='/p/2.png'>"              # squoted, alt first
+        "<IMG SRC=rel/3.gif ALT=skyline>"                        # unquoted, upper
+        '<img src="https://a.ex/no-alt.jpg">'                    # no alt -> drop
+        '<img src="https://a.ex/empty.jpg" alt="  ">'            # blank alt -> drop
+        '<img alt="orphan caption">'                             # no src -> drop
+        '<image src="https://a.ex/x.jpg" alt="not an img tag">'  # wrong tag
+        '<imgx src="https://a.ex/y.jpg" alt="prefix decoy">'
+    )
+    rows = (
+        _pages(spark, [("https://h.ex/a/b", html)])
+        .select(F.explode(image_alt_pairs(F.col("html"))).alias("p"))
+        .select("p.src", "p.alt")
+        .collect()
+    )
+    assert [(r["src"], r["alt"]) for r in rows] == [
+        ("https://a.ex/1.jpg", "a red fox"),
+        ("/p/2.png", "city at night"),
+        ("rel/3.gif", "skyline"),
+    ]
+
+
+def test_mine_resolves_and_gates(spark):
+    html = (
+        '<img src="https://cdn.ex/abs.jpg" alt="absolute form kept">'
+        '<img src="//cdn.ex/scheme.jpg" alt="scheme relative">'
+        '<img src="/root.jpg" alt="root relative">'
+        '<img src="img/rel.jpg" alt="dir relative">'
+        '<img src="data:image/gif;base64,R0lGOD" alt="inline data dropped">'
+        '<img src="https://cdn.ex/t.gif" alt="ok">'  # alt < 3 chars -> drop
+    )
+    out = mine_image_pairs(
+        _pages(spark, [("https://h.ex/a/page.html", html)])
+    ).collect()
+    got = [(r["pair_index"], r["src"], r["alt"]) for r in out]
+    assert got == [
+        (0, "https://cdn.ex/abs.jpg", "absolute form kept"),
+        (1, "https://cdn.ex/scheme.jpg", "scheme relative"),
+        (2, "https://h.ex/root.jpg", "root relative"),
+        (3, "https://h.ex/a/img/rel.jpg", "dir relative"),
+    ]
+
+
+def test_mine_pathless_base_and_no_imgs(spark):
+    out = mine_image_pairs(
+        _pages(
+            spark,
+            [
+                ("https://h.ex", '<img src="x.png" alt="pathless base">'),
+                ("https://h.ex/b", "<p>no images here</p>"),
+            ],
+        )
+    ).collect()
+    assert [(r["url"], r["src"]) for r in out] == [
+        ("https://h.ex", "https://h.ex/x.png")
+    ]
+
+
+def test_mine_is_scan_only(spark):
+    df = _pages(spark, [("https://h.ex/a", '<img src="x.png" alt="abc">')])
+    plan = (
+        mine_image_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.search(r"\bExchange\b", plan), plan
