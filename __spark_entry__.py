@@ -630,6 +630,35 @@ def q_image_pairs(spark, sf_dir):
     return mine_image_pairs(pages)
 
 
+def q_figure_pairs(spark, sf_dir):
+    """Figure-caption pair mining (operators/multimodal.mine_figure_pairs):
+    the editorial caption tier — <figure> blocks pairing an <img src> with
+    a <figcaption> (inner tags stripped, whitespace collapsed); decoy
+    blocks missing either half or with blank captions drop; d%5==4 pages
+    have no figures (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_figure_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit('<figure><img src="/fig/'), k,
+        F.lit('.jpg"><figcaption>Figure '), k,
+        F.lit(":\n  <em>trend</em> over   time</figcaption></figure>"),
+        F.lit("<figure><figcaption>Chart "), k,
+        F.lit('</figcaption><img src="https://img.ex/c/'), k,
+        F.lit('.png"></figure>'),
+        F.lit('<figure><img src="/lonely.jpg"></figure>'),
+        F.lit("<figure><figcaption>captionless image block</figcaption></figure>"),
+        F.lit('<figure><img src="/blank.jpg"><figcaption>  </figcaption></figure>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"),
+        F.when(d % 5 != 4, html).otherwise(F.lit("<p>no figures</p>")).alias("html"),
+    )
+    return mine_figure_pairs(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4657,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "semantic_decontaminate": q_semantic_decontaminate,
         "image_pairs": q_image_pairs,
+        "figure_pairs": q_figure_pairs,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6249,6 +6279,16 @@ SELECT 'doc://' || k, 2, 'doc://' || k || '/r/' || k || '.gif',
 UNION ALL
 SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
        'Dir rel ' || k FROM d""",
+        # two kept figures per page in document order; caption whitespace
+        # collapsed and inner tags stripped by construction
+        "figure_pairs": """
+WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 5 <> 4)
+SELECT 'doc://' || k AS url, 0 AS pair_index,
+       'doc://' || k || '/fig/' || k || '.jpg' AS src,
+       'Figure ' || k || ': trend over time' AS caption FROM d
+UNION ALL
+SELECT 'doc://' || k, 1, 'https://img.ex/c/' || k || '.png',
+       'Chart ' || k FROM d""",
         # max(round(cos,4)) ≡ round(max(cos),4): round is monotone, and the
         # Spark side rounds per-pair before the max — same form here
         "semantic_decontaminate": """

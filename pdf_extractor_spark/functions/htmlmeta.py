@@ -535,3 +535,35 @@ def image_alt_pairs(html: Column) -> Column:
             F.trim(_tag_attr(t, "alt")).alias("alt"),
         ),
     )
+
+
+_FIGURE_RE = r"(?is)<figure\b[^>]*>.*?</figure>"
+_FIGCAPTION_RE = r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>"
+
+
+def figure_caption_pairs(html: Column) -> Column:
+    """``array<struct<src,caption>>`` from ``<figure>`` blocks that carry
+    BOTH an ``<img src>`` and a non-empty ``<figcaption>`` — the editorial
+    caption tier above alt text (authors write figcaptions to describe,
+    alts often to placehold). Caption = figcaption inner text with tags
+    stripped and whitespace collapsed; document order; blocks missing
+    either half are dropped. Non-greedy block capture means a nested
+    figure closes at the FIRST </figure> (regex tier, no DOM — same
+    contract as every signal in this module)."""
+    blocks = F.regexp_extract_all(html, F.lit(_FIGURE_RE), 0)
+
+    def _src(b: Column) -> Column:
+        img = F.regexp_extract(b, _IMG_TAG_RE.replace("(?i)", "(?is)"), 0)
+        return _tag_attr(img, "src")
+
+    def _caption(b: Column) -> Column:
+        inner = F.regexp_extract(b, _FIGCAPTION_RE, 1)
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(inner, r"<[^>]*>", " "), r"\s+", " ")
+        )
+
+    kept = F.filter(blocks, lambda b: (_src(b) != "") & (_caption(b) != ""))
+    return F.transform(
+        kept,
+        lambda b: F.struct(_src(b).alias("src"), _caption(b).alias("caption")),
+    )

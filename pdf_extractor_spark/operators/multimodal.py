@@ -576,28 +576,20 @@ def pdf_media_rows(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInArrow(run, out_schema)
 
 
-def mine_image_pairs(
+def _mine_pairs(
     pages: DataFrame,
-    url_col: str = "url",
-    html_col: str = "html",
-    min_alt_chars: int = 3,
+    pairs_array,
+    text_field: str,
+    url_col: str,
+    min_chars: int,
 ) -> DataFrame:
-    """LAION-style image-text pair mining: (url, pair_index, src, alt) per
-    caption-bearing ``<img>`` — the multimodal-corpus seed row (download +
-    decode happen downstream against ``src``; this stage only mines).
-
-    src resolution is pure Column arithmetic applied INSIDE the pairs
-    array before the explode, so the whole pass is scan-only (codegen,
-    zero shuffles) and pair_index is dense over kept pairs for free:
+    """Shared mining core: resolve srcs INSIDE the (src, text) pairs array,
+    gate, and posexplode — scan-only with dense pair_index. Resolution:
     own-scheme srcs pass through, ``//host/x`` inherits the page scheme,
     ``/path`` joins the page origin, bare-relative paths join the page's
     base directory (no dot-segment normalization — ``../`` stays verbatim;
-    unnormalized URLs still key downloads and dedup). data:/javascript:
-    URIs drop (nothing to fetch); alt shorter than ``min_alt_chars`` after
-    trim drops (icons and tracking pixels carry token alts, not captions).
-    """
-    from pdf_extractor_spark.functions.htmlmeta import image_alt_pairs
-
+    unnormalized URLs still key downloads and dedup); data:/javascript:
+    URIs drop (nothing to fetch); text shorter than ``min_chars`` drops."""
     url = F.col(url_col)
     scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)", 1)
@@ -617,13 +609,15 @@ def mine_image_pairs(
         )
 
     pairs = F.transform(
-        image_alt_pairs(F.col(html_col).cast("string")),
-        lambda p: F.struct(_resolve(p["src"]).alias("src"), p["alt"].alias("alt")),
+        pairs_array,
+        lambda p: F.struct(
+            _resolve(p["src"]).alias("src"), p[text_field].alias(text_field)
+        ),
     )
     kept = F.filter(
         pairs,
         lambda p: ~p["src"].rlike(r"^(?i)(data|javascript):")
-        & (F.length(p["alt"]) >= min_alt_chars),
+        & (F.length(p[text_field]) >= min_chars),
     )
     # materialize the array first: the resolve exprs reference the page url,
     # which would otherwise be a lateral alias inside the posexplode select
@@ -634,5 +628,50 @@ def mine_image_pairs(
         "url",
         "pair_index",
         F.col("pair.src").alias("src"),
-        F.col("pair.alt").alias("alt"),
+        F.col(f"pair.{text_field}").alias(text_field),
+    )
+
+
+def mine_image_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_alt_chars: int = 3,
+) -> DataFrame:
+    """LAION-style image-text pair mining: (url, pair_index, src, alt) per
+    caption-bearing ``<img>`` — the multimodal-corpus seed row (download +
+    decode happen downstream against ``src``; this stage only mines).
+    Resolution/gating semantics in :func:`_mine_pairs`; alt shorter than
+    ``min_alt_chars`` after trim drops (icons and tracking pixels carry
+    token alts, not captions)."""
+    from pdf_extractor_spark.functions.htmlmeta import image_alt_pairs
+
+    return _mine_pairs(
+        pages,
+        image_alt_pairs(F.col(html_col).cast("string")),
+        "alt",
+        url_col,
+        min_alt_chars,
+    )
+
+
+def mine_figure_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_caption_chars: int = 3,
+) -> DataFrame:
+    """(url, pair_index, src, caption) per ``<figure>`` carrying both an
+    ``<img src>`` and a ``<figcaption>`` — the editorial caption tier
+    above alt text (authors write figcaptions to DESCRIBE; alts often to
+    placehold), so pair quality is higher where present. Same scan-only
+    resolution/gating core as :func:`mine_image_pairs`."""
+    from pdf_extractor_spark.functions.htmlmeta import figure_caption_pairs
+
+    return _mine_pairs(
+        pages,
+        figure_caption_pairs(F.col(html_col).cast("string")),
+        "caption",
+        url_col,
+        min_caption_chars,
     )

@@ -3,7 +3,7 @@
 import re
 
 from pdf_extractor_spark.functions.htmlmeta import image_alt_pairs
-from pdf_extractor_spark.operators.multimodal import mine_image_pairs
+from pdf_extractor_spark.operators.multimodal import mine_figure_pairs, mine_image_pairs
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,35 @@ def test_mine_is_scan_only(spark):
         mine_image_pairs(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert not re.search(r"\bExchange\b", plan), plan
+
+
+def test_figure_caption_pairs(spark):
+    html = (
+        "<figure><img src='/f/1.jpg'>"
+        "<figcaption>A <b>bold</b> fox\n  leaps</figcaption></figure>"
+        '<figure class="wide"><figcaption>caption before img</figcaption>'
+        '<img src="https://a.ex/2.png"></figure>'
+        "<figure><img src='/no-caption.jpg'></figure>"       # no figcaption
+        "<figure><figcaption>no image</figcaption></figure>"  # no img
+        "<figure><img src='/f/3.jpg'><figcaption>  </figcaption></figure>"
+    )
+    out = mine_figure_pairs(
+        _pages(spark, [("https://h.ex/p/q.html", html)])
+    ).collect()
+    got = [(r["pair_index"], r["src"], r["caption"]) for r in out]
+    assert got == [
+        (0, "https://h.ex/f/1.jpg", "A bold fox leaps"),
+        (1, "https://a.ex/2.png", "caption before img"),
+    ]
+
+
+def test_figure_pairs_gate_and_data_uri(spark):
+    html = (
+        "<figure><img src='data:image/gif;base64,AA'>"
+        "<figcaption>data uri dropped</figcaption></figure>"
+        "<figure><img src='/k.jpg'><figcaption>ok</figcaption></figure>"
+    )
+    out = mine_figure_pairs(
+        _pages(spark, [("https://h.ex/", html)]), min_caption_chars=3
+    ).collect()
+    assert out == []
