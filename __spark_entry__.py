@@ -659,6 +659,36 @@ def q_figure_pairs(spark, sf_dir):
     return mine_figure_pairs(pages)
 
 
+def q_card_pairs(spark, sf_dir):
+    """Page-card pair mining (operators/multimodal.mine_card_pairs): the
+    og:image paired with the page's best self-description — the ladder
+    og:description → meta description → <title> rotates by d%4, d%4==3
+    pages nominate no image (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_card_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    img = F.concat(
+        F.lit('<meta property="og:image" content="/card/'), k, F.lit('.jpg">')
+    )
+    ogd = F.concat(F.lit('<meta property="og:description" content="Social '),
+                   k, F.lit('">'))
+    md = F.concat(F.lit('<meta name="description" content="Meta '), k,
+                  F.lit('">'))
+    ttl = F.concat(F.lit("<title>Title "), k, F.lit("</title>"))
+    html = (
+        F.when(d % 4 == 0, F.concat(img, ogd, md, ttl))
+        .when(d % 4 == 1, F.concat(img, md, ttl))
+        .when(d % 4 == 2, F.concat(img, ttl))
+        .otherwise(F.concat(ogd, md, ttl))
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"), html.alias("html")
+    )
+    return mine_card_pairs(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4687,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "image_pairs": q_image_pairs,
         "figure_pairs": q_figure_pairs,
+        "card_pairs": q_card_pairs,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6279,6 +6310,15 @@ SELECT 'doc://' || k, 2, 'doc://' || k || '/r/' || k || '.gif',
 UNION ALL
 SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
        'Dir rel ' || k FROM d""",
+        # one pair per page with an og:image; description ladder by d%4
+        "card_pairs": """
+WITH d AS (SELECT doc_id, doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)
+SELECT 'doc://' || k AS url, 0 AS pair_index,
+       'doc://' || k || '/card/' || k || '.jpg' AS src,
+       CASE WHEN doc_id % 4 = 0 THEN 'Social ' || k
+            WHEN doc_id % 4 = 1 THEN 'Meta ' || k
+            ELSE 'Title ' || k END AS text
+FROM d""",
         # two kept figures per page in document order; caption whitespace
         # collapsed and inner tags stripped by construction
         "figure_pairs": """

@@ -197,6 +197,17 @@ def og_description(html: Column) -> Column:
     return _first_match(html, _OG_DESC)
 
 
+_OG_IMAGE = _attr_pair_patterns("meta", "property", "og:image", "content")
+
+
+def og_image(html: Column) -> Column:
+    """content of the first og:image meta ('' when absent) — the page's
+    self-nominated preview image, the third image-text pair tier (one
+    curated pair per page, beneath figcaption and alt in caption quality
+    but present on most editorial pages)."""
+    return _first_match(html, _OG_IMAGE)
+
+
 def has_jsonld(html: Column) -> Column:
     """True when the page embeds a schema.org JSON-LD script block."""
     return html.rlike(_JSONLD_RE)

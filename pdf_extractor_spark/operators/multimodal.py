@@ -675,3 +675,40 @@ def mine_figure_pairs(
         url_col,
         min_caption_chars,
     )
+
+
+def mine_card_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_text_chars: int = 3,
+) -> DataFrame:
+    """(url, pair_index, src, text): at most ONE pair per page — the
+    page's self-nominated og:image paired with its best self-description
+    (og:description, else meta description, else <title>). The third
+    mining tier: below figcaption/alt in caption quality, but present on
+    most editorial pages, and the only tier that yields a pair when body
+    images carry no captions at all. Same scan-only resolution/gating
+    core (:func:`_mine_pairs`) via a 0-or-1-element pairs array."""
+    from pdf_extractor_spark.functions.htmlmeta import (
+        meta_description,
+        og_description,
+        og_image,
+        page_title,
+    )
+
+    html = F.col(html_col).cast("string")
+    src = og_image(html)
+    text = F.trim(
+        F.coalesce(
+            F.nullif(og_description(html), F.lit("")),
+            F.nullif(meta_description(html), F.lit("")),
+            F.nullif(page_title(html), F.lit("")),
+            F.lit(""),
+        )
+    )
+    pair = F.struct(src.alias("src"), text.alias("text"))
+    arr = F.when(
+        (src != "") & (text != ""), F.array(pair)
+    ).otherwise(F.array().cast("array<struct<src:string,text:string>>"))
+    return _mine_pairs(pages, arr, "text", url_col, min_text_chars)

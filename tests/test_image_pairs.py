@@ -109,3 +109,30 @@ def test_figure_pairs_gate_and_data_uri(spark):
         _pages(spark, [("https://h.ex/", html)]), min_caption_chars=3
     ).collect()
     assert out == []
+
+
+def test_card_pairs_description_ladder(spark):
+    from pdf_extractor_spark.operators.multimodal import mine_card_pairs
+
+    rows = [
+        # og:description wins
+        ("https://h.ex/a", '<meta property="og:image" content="/card.jpg">'
+         '<meta property="og:description" content="social blurb">'
+         '<meta name="description" content="meta blurb"><title>T</title>'),
+        # falls to meta description
+        ("https://h.ex/b", "<meta property='og:image' content='//cdn.ex/c.png'>"
+         '<meta name="description" content="meta blurb"><title>T</title>'),
+        # falls to title
+        ("https://h.ex/c", '<meta property="og:image" content="https://i.ex/t.jpg">'
+         "<title>Only The Title</title>"),
+        # no og:image -> no pair
+        ("https://h.ex/d", '<meta name="description" content="text only">'),
+        # image but no text -> no pair
+        ("https://h.ex/e", '<meta property="og:image" content="/x.jpg">'),
+    ]
+    out = mine_card_pairs(_pages(spark, rows)).orderBy("url").collect()
+    assert [(r["url"], r["pair_index"], r["src"], r["text"]) for r in out] == [
+        ("https://h.ex/a", 0, "https://h.ex/card.jpg", "social blurb"),
+        ("https://h.ex/b", 0, "https://cdn.ex/c.png", "meta blurb"),
+        ("https://h.ex/c", 0, "https://i.ex/t.jpg", "Only The Title"),
+    ]
