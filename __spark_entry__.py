@@ -618,6 +618,9 @@ def q_image_pairs(spark, sf_dir):
         F.lit("<img src=/r/"), k, F.lit(".gif alt=Skyline"), k, F.lit(">"),
         F.lit('<img src="t/'), k, F.lit('.webp" alt="Dir rel '), k,
         F.lit('">'),
+        F.lit('<img srcset="/s/'), k, F.lit("-sm.jpg 480w, /s/"), k,
+        F.lit('-lg.jpg 1024w" src="/s/'), k,
+        F.lit('-fb.jpg" alt="Responsive '), k, F.lit('">'),
         F.lit('<img src="data:image/gif;base64,AA" alt="inline pixel decoy">'),
         F.lit('<img src="https://img.ex/na.jpg">'),
         F.lit('<img src="https://img.ex/s.jpg" alt="ok">'),
@@ -6309,7 +6312,10 @@ SELECT 'doc://' || k, 2, 'doc://' || k || '/r/' || k || '.gif',
        'Skyline' || k FROM d
 UNION ALL
 SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
-       'Dir rel ' || k FROM d""",
+       'Dir rel ' || k FROM d
+UNION ALL
+SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
+       'Responsive ' || k FROM d""",
         # one pair per page with an og:image; description ladder by d%4
         "card_pairs": """
 WITH d AS (SELECT doc_id, doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)

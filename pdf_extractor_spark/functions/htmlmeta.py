@@ -527,6 +527,45 @@ def microdata_fields(html: Column):
 _IMG_TAG_RE = r"(?i)<img\b[^>]*>"
 
 
+def srcset_best(tag: Column) -> Column:
+    """URL of the highest-resolution ``srcset`` candidate in ``tag``
+    ('' when the tag has no parseable srcset). Weights: ``Nw`` width
+    descriptors count N*1000, ``Nx`` density descriptors N*1000 (valid
+    srcsets use one descriptor kind; mixed kinds compare on these
+    weights), bare candidates weight 1; the FIRST-listed max wins —
+    deterministic. Responsive pages put the fetch-worthy resolution here,
+    not in src."""
+    raw = _tag_attr(tag, "srcset")
+    # NOT `F.transform(..., F.trim)`: trim's optional second parameter makes
+    # transform pass (element, index) into the two-arg trim form
+    cands = F.transform(F.split(raw, ","), lambda c: F.trim(c))
+
+    def _url(c: Column) -> Column:
+        return F.regexp_extract(c, r"^(\S+)", 1)
+
+    def _weight(c: Column) -> Column:
+        d = F.regexp_extract(c, r"\s(\S+)$", 1)
+        w = F.regexp_extract(d, r"^(\d+)w$", 1)
+        x = F.regexp_extract(d, r"^(\d+(?:\.\d+)?)x$", 1)
+        return (
+            F.when(w != "", w.cast("long") * 1000)
+            .when(x != "", (x.cast("double") * 1000).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit("").alias("url"), F.lit(0).cast("long").alias("wt")
+        ),
+        lambda acc, c: F.when(
+            (_url(c) != "") & (_weight(c) > acc["wt"]),
+            F.struct(_url(c).alias("url"), _weight(c).alias("wt")),
+        ).otherwise(acc),
+    )
+    return best["url"]
+
+
 def image_alt_pairs(html: Column) -> Column:
     """``array<struct<src,alt>>`` of the page's ``<img>`` tags carrying
     BOTH a non-empty src and non-empty (post-trim) alt, document order —
@@ -534,15 +573,21 @@ def image_alt_pairs(html: Column) -> Column:
     or empty-alt image is decoration, not a pair). Empty array when the
     page has none."""
     tags = F.regexp_extract_all(html, F.lit(_IMG_TAG_RE), 0)
+    def _best_src(t: Column) -> Column:
+        # responsive pages carry the fetch-worthy resolution in srcset
+        return F.coalesce(
+            F.nullif(srcset_best(t), F.lit("")), _tag_attr(t, "src")
+        )
+
     kept = F.filter(
         tags,
-        lambda t: (_tag_attr(t, "src") != "")
+        lambda t: (_best_src(t) != "")
         & (F.trim(_tag_attr(t, "alt")) != ""),
     )
     return F.transform(
         kept,
         lambda t: F.struct(
-            _tag_attr(t, "src").alias("src"),
+            _best_src(t).alias("src"),
             F.trim(_tag_attr(t, "alt")).alias("alt"),
         ),
     )

@@ -136,3 +136,42 @@ def test_card_pairs_description_ladder(spark):
         ("https://h.ex/b", 0, "https://cdn.ex/c.png", "meta blurb"),
         ("https://h.ex/c", 0, "https://i.ex/t.jpg", "Only The Title"),
     ]
+
+
+def test_srcset_best_selection(spark):
+    from pdf_extractor_spark.functions.htmlmeta import srcset_best
+
+    cases = [
+        # widths: largest wins
+        ('<img srcset="a.jpg 480w, b.jpg 1024w, c.jpg 800w">', "b.jpg"),
+        # densities incl. fractional
+        ("<img srcset='lo.png 1x, hi.png 2x, mid.png 1.5x'>", "hi.png"),
+        # bare candidate only
+        ('<img srcset="solo.webp">', "solo.webp"),
+        # first max wins ties
+        ('<img srcset="t1.jpg 2x, t2.jpg 2x">', "t1.jpg"),
+        # no srcset
+        ('<img src="plain.jpg">', ""),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "tag string")
+    got = [r["b"] for r in df.select(srcset_best(F.col("tag")).alias("b")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_alt_pairs_prefer_srcset_over_src(spark):
+    html = (
+        '<img srcset="s.jpg 480w, l.jpg 1024w" src="fallback.jpg" alt="responsive pic">'
+        '<img src="only-src.jpg" alt="plain pic">'
+        '<img srcset="lone.png 2x" alt="srcset only">'
+    )
+    rows = (
+        _pages(spark, [("https://h.ex/", html)])
+        .select(F.explode(image_alt_pairs(F.col("html"))).alias("p"))
+        .select("p.src", "p.alt")
+        .collect()
+    )
+    assert [(r["src"], r["alt"]) for r in rows] == [
+        ("l.jpg", "responsive pic"),
+        ("only-src.jpg", "plain pic"),
+        ("lone.png", "srcset only"),
+    ]
