@@ -707,7 +707,9 @@ def q_semantic_decontaminate(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     bench = [
         r["embedding"]
-        for r in emb.filter(F.col("vec_id") % 100 == 0)
+        for r in emb.filter(
+            (F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull()
+        )
         .orderBy("vec_id")
         .collect()
     ]

@@ -274,7 +274,11 @@ def sentences(text: Column) -> Column:
     out of scope: corpus-dedup segmentation needs determinism and
     cross-engine parity, not linguistic perfection."""
     marked = F.regexp_replace(text, r"([.!?])\s+", "$1" + _SENT_MARK)
-    parts = F.transform(F.split(marked, _SENT_MARK), F.trim)
+    # NOT `F.transform(..., F.trim)`: trim's optional second parameter makes
+    # transform pass (element, index), i.e. the two-arg trim form that
+    # strips the element's own INDEX DIGITS from its edges ("1984 was…" at
+    # position 1 would lose its leading '1')
+    parts = F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s))
     return F.filter(parts, lambda s: s != "")
 
 

@@ -416,3 +416,17 @@ def test_type_token_ratio(docs_df):
         [(0, "The the THE")], "doc_id long, text string"
     ).select(TXT.type_token_ratio(F.col("text")).alias("t")).head()["t"]
     assert abs(one - 1 / 3) < 1e-12
+
+
+def test_sentences_keep_index_digit_edges(spark):
+    """Regression: transform(parts, F.trim) passed (element, index) into
+    the two-arg trim, stripping a sentence's own index digits from its
+    edges — '1984 was calm.' at position 1 lost its leading '1'."""
+    from pdf_extractor_spark.functions.text import sentences
+    from pyspark.sql import functions as F
+
+    text = "Year zero. 1984 was calm. 22 cats sat on 22 mats, all 22"
+    got = spark.range(1).select(
+        sentences(F.lit(text)).alias("s")
+    ).collect()[0]["s"]
+    assert got == ["Year zero.", "1984 was calm.", "22 cats sat on 22 mats, all 22"]
