@@ -692,6 +692,31 @@ def q_card_pairs(spark, sf_dir):
     return mine_card_pairs(pages)
 
 
+def q_media_links(spark, sf_dir):
+    """A/V source mining (operators/multimodal.mine_media_links): video /
+    audio / source tags with declared mime, srcs resolved through the
+    shared resolver; srcless and data:-URI decoys drop; d%6==5 pages have
+    no media (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_media_links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit('<video src="/v/'), k, F.lit('.mp4"></video>'),
+        F.lit("<video controls><source src='s/"), k,
+        F.lit(".webm' type='video/webm'></video>"),
+        F.lit('<audio src="https://a.ex/'), k, F.lit('.mp3"></audio>'),
+        F.lit("<video controls></video>"),
+        F.lit('<source src="data:video/mp4;base64,AA" type="video/mp4">'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"),
+        F.when(d % 6 != 5, html).otherwise(F.lit("<p>text only</p>")).alias("html"),
+    )
+    return mine_media_links(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4723,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pairs": q_image_pairs,
         "figure_pairs": q_figure_pairs,
         "card_pairs": q_card_pairs,
+        "media_links": q_media_links,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6318,6 +6344,16 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
        'Responsive ' || k FROM d""",
+        # three kept media rows per page in document order
+        "media_links": """
+WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 6 <> 5)
+SELECT 'doc://' || k AS url, 0 AS media_index, 'video' AS kind,
+       'doc://' || k || '/v/' || k || '.mp4' AS src, '' AS mime FROM d
+UNION ALL
+SELECT 'doc://' || k, 1, 'source', 'doc://' || k || '/s/' || k || '.webm',
+       'video/webm' FROM d
+UNION ALL
+SELECT 'doc://' || k, 2, 'audio', 'https://a.ex/' || k || '.mp3', '' FROM d""",
         # one pair per page with an og:image; description ladder by d%4
         "card_pairs": """
 WITH d AS (SELECT doc_id, doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)

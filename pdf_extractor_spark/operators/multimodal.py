@@ -576,20 +576,12 @@ def pdf_media_rows(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInArrow(run, out_schema)
 
 
-def _mine_pairs(
-    pages: DataFrame,
-    pairs_array,
-    text_field: str,
-    url_col: str,
-    min_chars: int,
-) -> DataFrame:
-    """Shared mining core: resolve srcs INSIDE the (src, text) pairs array,
-    gate, and posexplode — scan-only with dense pair_index. Resolution:
-    own-scheme srcs pass through, ``//host/x`` inherits the page scheme,
-    ``/path`` joins the page origin, bare-relative paths join the page's
-    base directory (no dot-segment normalization — ``../`` stays verbatim;
-    unnormalized URLs still key downloads and dedup); data:/javascript:
-    URIs drop (nothing to fetch); text shorter than ``min_chars`` drops."""
+def _src_resolver(url_col: str):
+    """Column-lambda src resolver against the page url (shared by every
+    miner): own-scheme srcs pass through, ``//host/x`` inherits the page
+    scheme, ``/path`` joins the page origin, bare-relative paths join the
+    page's base directory (no dot-segment normalization — ``../`` stays
+    verbatim; unnormalized URLs still key downloads and dedup)."""
     url = F.col(url_col)
     scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)", 1)
@@ -607,6 +599,26 @@ def _mine_pairs(
             .when(raw.startswith("/"), F.concat(origin, raw))
             .otherwise(F.concat(basedir, raw))
         )
+
+    return _resolve
+
+
+def _mine_pairs(
+    pages: DataFrame,
+    pairs_array,
+    text_field: str,
+    url_col: str,
+    min_chars: int,
+) -> DataFrame:
+    """Shared mining core: resolve srcs INSIDE the (src, text) pairs array,
+    gate, and posexplode — scan-only with dense pair_index. Resolution:
+    own-scheme srcs pass through, ``//host/x`` inherits the page scheme,
+    ``/path`` joins the page origin, bare-relative paths join the page's
+    base directory (no dot-segment normalization — ``../`` stays verbatim;
+    unnormalized URLs still key downloads and dedup); data:/javascript:
+    URIs drop (nothing to fetch); text shorter than ``min_chars`` drops."""
+    url = F.col(url_col)
+    _resolve = _src_resolver(url_col)
 
     pairs = F.transform(
         pairs_array,
@@ -712,3 +724,54 @@ def mine_card_pairs(
         (src != "") & (text != ""), F.array(pair)
     ).otherwise(F.array().cast("array<struct<src:string,text:string>>"))
     return _mine_pairs(pages, arr, "text", url_col, min_text_chars)
+
+
+_MEDIA_TAG_RE = r"(?is)<(?:video|audio|source)\b[^>]*>"
+
+
+def mine_media_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, media_index, kind, src, mime): the audio/video seed rows for
+    a multimodal corpus — ``<video src>``, ``<audio src>``, and their
+    ``<source src type>`` children, document order, srcs resolved by the
+    shared :func:`_src_resolver` (scan-only, zero shuffles). ``kind`` is
+    the tag name (a <source> belongs to whichever element wrapped it —
+    structural attribution needs a DOM, so the regex tier reports the tag
+    and lets ``mime`` carry the format); ``mime`` is the declared type
+    attribute ('' when absent — sniffing belongs downstream at fetch
+    time). data:/javascript: URIs drop; tags without src drop (a bare
+    <video> controlled by MSE/JS has nothing to fetch)."""
+    from pdf_extractor_spark.functions.htmlmeta import _tag_attr
+
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html, F.lit(_MEDIA_TAG_RE), 0)
+    _resolve = _src_resolver(url_col)
+
+    def _name(t):
+        return F.lower(F.regexp_extract(t, r"^<\s*([a-zA-Z]+)", 1))
+
+    links = F.transform(
+        F.filter(tags, lambda t: _tag_attr(t, "src") != ""),
+        lambda t: F.struct(
+            _name(t).alias("kind"),
+            _resolve(_tag_attr(t, "src")).alias("src"),
+            _tag_attr(t, "type").alias("mime"),
+        ),
+    )
+    kept = F.filter(
+        links, lambda p: ~p["src"].rlike(r"^(?i)(data|javascript):")
+    )
+    staged = pages.withColumn("__links", kept)
+    return staged.select(
+        F.col(url_col).alias("url"),
+        F.posexplode("__links").alias("media_index", "link"),
+    ).select(
+        "url",
+        "media_index",
+        F.col("link.kind").alias("kind"),
+        F.col("link.src").alias("src"),
+        F.col("link.mime").alias("mime"),
+    )

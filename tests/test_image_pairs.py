@@ -175,3 +175,27 @@ def test_alt_pairs_prefer_srcset_over_src(spark):
         ("only-src.jpg", "plain pic"),
         ("lone.png", "srcset only"),
     ]
+
+
+def test_media_links_tags_and_resolution(spark):
+    from pdf_extractor_spark.operators.multimodal import mine_media_links
+
+    html = (
+        '<video src="/v/clip.mp4" poster="/v/p.jpg"></video>'
+        "<video controls><source src='h264.mp4' type='video/mp4'>"
+        '<source src="//cdn.ex/vp9.webm" type="video/webm"></video>'
+        '<audio src="https://a.ex/pod.mp3"></audio>'
+        "<video controls></video>"                        # no src -> drop
+        '<source src="data:video/mp4;base64,AA" type="video/mp4">'
+        '<videox src="/decoy.mp4">'
+    )
+    out = mine_media_links(
+        _pages(spark, [("https://h.ex/shows/ep1.html", html)])
+    ).collect()
+    got = [(r["media_index"], r["kind"], r["src"], r["mime"]) for r in out]
+    assert got == [
+        (0, "video", "https://h.ex/v/clip.mp4", ""),
+        (1, "source", "https://h.ex/shows/h264.mp4", "video/mp4"),
+        (2, "source", "https://cdn.ex/vp9.webm", "video/webm"),
+        (3, "audio", "https://a.ex/pod.mp3", ""),
+    ]
