@@ -717,6 +717,31 @@ def q_media_links(spark, sf_dir):
     return mine_media_links(pages)
 
 
+def q_track_links(spark, sf_dir):
+    """Subtitle/caption track mining (operators/multimodal.
+    mine_track_links): <track> rows with spec-default kind ('subtitles'
+    when absent), lowercased kind/srclang; srcless and data:-URI decoys
+    drop; d%4==3 pages have no tracks (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_track_links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit('<video><track src="/t/'), k,
+        F.lit('-en.vtt" kind="subtitles" srclang="en" label="English"></video>'),
+        F.lit("<track src='c/"), k, F.lit("-fr.vtt' kind='CAPTIONS' srclang='FR'>"),
+        F.lit('<track src="https://c.ex/'), k, F.lit('.vtt">'),
+        F.lit("<track kind='subtitles'>"),
+        F.lit('<track src="data:text/vtt,WEBVTT">'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"),
+        F.when(d % 4 != 3, html).otherwise(F.lit("<p>no tracks</p>")).alias("html"),
+    )
+    return mine_track_links(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4749,6 +4774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "figure_pairs": q_figure_pairs,
         "card_pairs": q_card_pairs,
         "media_links": q_media_links,
+        "track_links": q_track_links,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6344,6 +6370,18 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
        'Responsive ' || k FROM d""",
+        # three kept track rows per page; kind defaults to subtitles
+        "track_links": """
+WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)
+SELECT 'doc://' || k AS url, 0 AS track_index,
+       'doc://' || k || '/t/' || k || '-en.vtt' AS src,
+       'subtitles' AS kind, 'en' AS srclang, 'English' AS label FROM d
+UNION ALL
+SELECT 'doc://' || k, 1, 'doc://' || k || '/c/' || k || '-fr.vtt',
+       'captions', 'fr', '' FROM d
+UNION ALL
+SELECT 'doc://' || k, 2, 'https://c.ex/' || k || '.vtt',
+       'subtitles', '', '' FROM d""",
         # three kept media rows per page in document order
         "media_links": """
 WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 6 <> 5)

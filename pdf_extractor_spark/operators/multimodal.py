@@ -775,3 +775,52 @@ def mine_media_links(
         F.col("link.src").alias("src"),
         F.col("link.mime").alias("mime"),
     )
+
+
+_TRACK_TAG_RE = r"(?is)<track\b[^>]*>"
+
+
+def mine_track_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, track_index, src, kind, srclang, label): ``<track>`` text-
+    alternative links — the subtitle/caption side of the A/V seed
+    (payloads fetched downstream feed core/subtitles.parse_subtitles,
+    turning video into aligned clip-text training pairs). kind defaults
+    to 'subtitles' per the HTML spec when the attribute is absent;
+    srclang/label stay '' (unknown, not asserted). Same scan-only shape
+    and src resolution as :func:`mine_media_links`."""
+    from pdf_extractor_spark.functions.htmlmeta import _tag_attr
+
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html, F.lit(_TRACK_TAG_RE), 0)
+    _resolve = _src_resolver(url_col)
+
+    links = F.transform(
+        F.filter(tags, lambda t: _tag_attr(t, "src") != ""),
+        lambda t: F.struct(
+            _resolve(_tag_attr(t, "src")).alias("src"),
+            F.when(F.lower(_tag_attr(t, "kind")) != "",
+                   F.lower(_tag_attr(t, "kind")))
+            .otherwise(F.lit("subtitles")).alias("kind"),
+            F.lower(_tag_attr(t, "srclang")).alias("srclang"),
+            _tag_attr(t, "label").alias("label"),
+        ),
+    )
+    kept = F.filter(
+        links, lambda p: ~p["src"].rlike(r"^(?i)(data|javascript):")
+    )
+    staged = pages.withColumn("__tracks", kept)
+    return staged.select(
+        F.col(url_col).alias("url"),
+        F.posexplode("__tracks").alias("track_index", "track"),
+    ).select(
+        "url",
+        "track_index",
+        F.col("track.src").alias("src"),
+        F.col("track.kind").alias("kind"),
+        F.col("track.srclang").alias("srclang"),
+        F.col("track.label").alias("label"),
+    )

@@ -199,3 +199,26 @@ def test_media_links_tags_and_resolution(spark):
         (2, "source", "https://cdn.ex/vp9.webm", "video/webm"),
         (3, "audio", "https://a.ex/pod.mp3", ""),
     ]
+
+
+def test_track_links_defaults_and_resolution(spark):
+    from pdf_extractor_spark.operators.multimodal import mine_track_links
+
+    html = (
+        '<video><track src="/subs/en.vtt" kind="subtitles" srclang="en"'
+        ' label="English"></video>'
+        "<track src='cap/fr.vtt' kind='CAPTIONS' srclang='FR'>"
+        '<track src="https://c.ex/d.vtt">'       # kind defaults to subtitles
+        "<track kind='subtitles'>"                # no src -> drop
+        '<track src="data:text/vtt,WEBVTT">'     # data uri -> drop
+    )
+    out = mine_track_links(
+        _pages(spark, [("https://h.ex/w/ep.html", html)])
+    ).collect()
+    got = [(r["track_index"], r["src"], r["kind"], r["srclang"], r["label"])
+           for r in out]
+    assert got == [
+        (0, "https://h.ex/subs/en.vtt", "subtitles", "en", "English"),
+        (1, "https://h.ex/w/cap/fr.vtt", "captions", "fr", ""),
+        (2, "https://c.ex/d.vtt", "subtitles", "", ""),
+    ]
