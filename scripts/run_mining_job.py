@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Cluster entry point for the multimodal seed miners — the spark-submit path.
+
+    zip -r /tmp/pdf_extractor_spark.zip pdf_extractor_spark
+    spark-submit --py-files /tmp/pdf_extractor_spark.zip \
+        scripts/run_mining_job.py \
+        --pages <pages table/parquet path> --out <output root dir>
+
+Runs all five mining tiers over one pages scan family and commits each as
+its own snapshot table under ``<out>/``: image_pairs (alt tier, srcset-
+aware), figure_pairs (figcaption tier), card_pairs (og:image tier),
+media_links (video/audio/source), track_links (subtitle tracks). Every
+miner is scan-only (shared resolver, no shuffles), so the job's cost is
+five parquet scans of the html column — or one, when the input is a
+column-pruned table whose scan Spark caches. Prints one JSON line with
+per-table row counts and snapshot ids.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages parquet/table path")
+    ap.add_argument("--out", required=True, help="root dir for the five mined tables")
+    ap.add_argument("--min-alt-chars", type=int, default=3)
+    ap.add_argument("--master", default=None, help="override master (local runs)")
+    args = ap.parse_args()
+
+    from pdf_extractor_spark.operators.multimodal import (
+        mine_card_pairs,
+        mine_figure_pairs,
+        mine_image_pairs,
+        mine_media_links,
+        mine_track_links,
+    )
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.tableio import SnapshotTable
+
+    spark = get_spark("mining-job", master=args.master)
+    pages = spark.read.parquet(args.pages).select("url", "html")
+
+    miners = {
+        "image_pairs": lambda p: mine_image_pairs(
+            p, min_alt_chars=args.min_alt_chars
+        ),
+        "figure_pairs": mine_figure_pairs,
+        "card_pairs": mine_card_pairs,
+        "media_links": mine_media_links,
+        "track_links": mine_track_links,
+    }
+    report = {}
+    for name, miner in miners.items():
+        table = SnapshotTable(f"{args.out.rstrip('/')}/{name}")
+        mined = miner(pages)
+        run_id = table.append(mined, lineage={"source": args.pages, "miner": name})
+        # count from the committed parquet (footer metadata — no data read),
+        # so the reported number is what future readers will see
+        rows = table.read(spark).count()
+        report[name] = {"rows": rows, "run_id": run_id}
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
