@@ -39,16 +39,33 @@ def _attr_pair_patterns(tag: str, key_attr: str, key_val: str, want: str) -> lis
     also carries ``key_attr=key_val`` — both attribute orders x the three
     HTML value forms (dquoted / squoted / unquoted token). Attribute names
     are _ATTR_GUARD-anchored so ``data-content``/``data-name`` style
-    attributes can't stand in for the real ones."""
-    key = _ATTR_GUARD + key_attr + r"\s*=\s*[\"']?" + key_val + r"\b[\"']?"
-    vals = [
-        _ATTR_GUARD + want + r"\s*=\s*\"([^\"]*)\"",
-        _ATTR_GUARD + want + r"\s*=\s*'([^']*)'",
-        _ATTR_GUARD + want + r"\s*=\s*([^\s\"'>]+)",
+    attributes can't stand in for the real ones. The key VALUE is closed
+    by an explicit terminator class, not ``\\b`` — ``og:image\\b`` would
+    match inside ``og:image:width``/``og:image:alt`` (':' is a word
+    boundary), pairing pages with garbage like content="1200". RE2-safe
+    (no lookahead): in the key-first order the terminator may consume the
+    ONE space separating it from ``want`` (`name=robots content=x`), so
+    the gap to ``want`` is "empty or anything ending in a guard char" and
+    ``want`` carries no leading guard of its own — the key's terminator
+    doubles as the guard when they are adjacent, while `data-content`
+    still can't match ('-' is neither a terminator nor a guard)."""
+    key_core = _ATTR_GUARD + key_attr + r"\s*=\s*[\"']?" + key_val
+    # key-first: terminator EXCLUDES '>' — a '>' terminator would end the
+    # tag and let the gap+want match page text outside it; key-last: '>'
+    # is fine (nothing follows the key in the pattern, confinement holds)
+    key_first = key_core + r"[\"'\s/]"
+    key_last = key_core + r"[\"'\s/>]"
+    bare = [
+        want + r"\s*=\s*\"([^\"]*)\"",
+        want + r"\s*=\s*'([^']*)'",
+        want + r"\s*=\s*([^\s\"'>]+)",
     ]
     head = r"(?i)<" + tag + r"\b[^>]*"
+    gap = r"(?:[^>]*[\s\"'/])?"
     mid = r"[^>]*"
-    return [head + key + mid + v for v in vals] + [head + v + mid + key for v in vals]
+    return [head + key_first + gap + v for v in bare] + [
+        head + _ATTR_GUARD + v + mid + key_last for v in bare
+    ]
 
 
 def _first_match(html: Column, patterns: list[str]) -> Column:
@@ -488,8 +505,11 @@ def _microdata_patterns(prop: str) -> list[str]:
         _attr_pair_patterns("meta", "itemprop", prop, "content")
         + _attr_pair_patterns("time", "itemprop", prop, "datetime")
         + [
+            # same explicit-terminator rule as _attr_pair_patterns (\b would
+            # let `author` match inside `author-bio`), with a direct-'>'
+            # branch so `itemprop=author>` still terminates the tag
             r"(?i)<\w+\b[^>]*itemprop\s*=\s*[\"']?" + prop
-            + r"\b[\"']?[^>]*>\s*([^<]*?)\s*<",
+            + r"(?:[\"'\s/][^>]*)?>\s*([^<]*?)\s*<",
         ]
     )
 

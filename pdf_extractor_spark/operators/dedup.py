@@ -1520,9 +1520,10 @@ def semantic_decontaminate(
     zero shuffles at any corpus size, unlike within-corpus semantic dedup
     (:func:`semdedup`) which must pair-join.
 
-    Scores round to 4 decimals BEFORE the max (round is monotone, so
-    round-then-max ≡ max-then-round — the DuckDB twin uses the other
-    form); NULL/zero/wrong-dim vectors score 0.0 and are kept — validity
+    Scores round to 4 decimals BEFORE the max, and the DuckDB twin uses
+    the same max(round(·,4)) form (round is monotone, so either order
+    would agree anyway); NULL/zero/wrong-dim vectors score 0.0 and are
+    kept — validity
     screens are upstream's job. An empty bench keeps everything at NULL
     score (nothing to be contaminated BY).
     """

@@ -584,8 +584,14 @@ def _src_resolver(url_col: str):
     verbatim; unnormalized URLs still key downloads and dedup)."""
     url = F.col(url_col)
     scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
-    origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)", 1)
-    path = F.substring(url, F.length(origin) + 1, F.length(url))
+    # authority stops at '/', '?', or '#' (RFC 3986) — '[^/]+' alone would
+    # swallow a pathless url's query into the origin
+    origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    # the base path drops query and fragment before the last segment is
+    # stripped, per RFC 3986 merge: 'dir/page?id=a/b' resolves from 'dir/'
+    path = F.regexp_replace(
+        F.substring(url, F.length(origin) + 1, F.length(url)), r"[?#].*", ""
+    )
     basedir = F.concat(
         origin,
         F.when(path.rlike("/"), F.regexp_replace(path, r"[^/]*$", ""))
@@ -711,13 +717,14 @@ def mine_card_pairs(
 
     html = F.col(html_col).cast("string")
     src = og_image(html)
-    text = F.trim(
-        F.coalesce(
-            F.nullif(og_description(html), F.lit("")),
-            F.nullif(meta_description(html), F.lit("")),
-            F.nullif(page_title(html), F.lit("")),
-            F.lit(""),
-        )
+    # nullif on the TRIMMED value per rung: a whitespace-only
+    # og:description must fall through to the next rung, not win the
+    # coalesce and then trim to '' (dropping the pair entirely)
+    text = F.coalesce(
+        F.nullif(F.trim(og_description(html)), F.lit("")),
+        F.nullif(F.trim(meta_description(html)), F.lit("")),
+        F.nullif(F.trim(page_title(html)), F.lit("")),
+        F.lit(""),
     )
     pair = F.struct(src.alias("src"), text.alias("text"))
     arr = F.when(

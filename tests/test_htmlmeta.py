@@ -373,3 +373,28 @@ def test_pagination_and_amp(spark):
     assert got[4] == ("", "", "", True)
     assert got[5] == ("", "", "", False)
     assert got[6][3] is False
+
+
+def test_attr_patterns_subproperty_and_tag_confinement(spark):
+    """Regression pair: (a) og:image\\b matched inside og:image:width;
+    (b) the explicit-terminator fix must not let a '>'-terminated key
+    leak the match into page text after the tag."""
+    from pdf_extractor_spark.functions.htmlmeta import og_image, robots_content
+    from pyspark.sql import functions as F
+
+    cases = [
+        # sub-property never stands in for the real og:image
+        ('<meta property="og:image:width" content="1200">', ""),
+        # adjacent unquoted key+want still pair (single shared space)
+        ("<META NAME=ROBOTS CONTENT=NOINDEX>", None),
+        # key at end of tag + look-alike text after the tag: no leak
+        ("<meta name=robots>content=evil", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = df.select(
+        og_image(F.col("html")).alias("og"),
+        robots_content(F.col("html")).alias("robots"),
+    ).collect()
+    assert got[0]["og"] == ""
+    assert got[1]["robots"] == "noindex"
+    assert got[2]["robots"] == ""

@@ -222,3 +222,52 @@ def test_track_links_defaults_and_resolution(spark):
         (1, "https://h.ex/w/cap/fr.vtt", "captions", "fr", ""),
         (2, "https://c.ex/d.vtt", "subtitles", "", ""),
     ]
+
+
+def test_og_image_ignores_subproperties(spark):
+    """Regression: og:image\\b matched inside og:image:width/alt, pairing
+    pages with garbage srcs like '1200'."""
+    from pdf_extractor_spark.functions.htmlmeta import og_image
+
+    cases = [
+        ('<meta property="og:image:width" content="1200">'
+         '<meta property="og:image" content="/real.jpg">'
+         '<meta property="og:image:alt" content="word pic">', "/real.jpg"),
+        # sub-properties only -> no image at all
+        ('<meta property="og:image:width" content="1200">', ""),
+        ("<meta property='og:image' content='/sq.jpg'>"
+         '<meta property="og:image:height" content="630">', "/sq.jpg"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r["i"] for r in df.select(og_image(F.col("html")).alias("i")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_resolver_handles_query_and_fragment_bases(spark):
+    """Regression: a '?'/'#' in the page url leaked into origin/basedir."""
+    rows = [
+        ("https://h.ex/dir/page?id=a/b", '<img src="pic.jpg" alt="rel under query">'),
+        ("https://h.ex?q=1", '<img src="/root.jpg" alt="root under query">'),
+        ("https://h.ex/a/b#frag/c", '<img src="x.jpg" alt="frag stripped">'),
+    ]
+    out = {r["url"]: r["src"] for r in mine_image_pairs(_pages(spark, rows)).collect()}
+    assert out == {
+        "https://h.ex/dir/page?id=a/b": "https://h.ex/dir/pic.jpg",
+        "https://h.ex?q=1": "https://h.ex/root.jpg",
+        "https://h.ex/a/b#frag/c": "https://h.ex/a/x.jpg",
+    }
+
+
+def test_card_ladder_skips_whitespace_rungs(spark):
+    """Regression: a whitespace-only og:description won the coalesce and
+    killed the pair instead of falling to the next rung."""
+    from pdf_extractor_spark.operators.multimodal import mine_card_pairs
+
+    rows = [("https://h.ex/a",
+             '<meta property="og:image" content="/c.jpg">'
+             '<meta property="og:description" content="   ">'
+             '<meta name="description" content="good meta blurb">')]
+    out = mine_card_pairs(_pages(spark, rows)).collect()
+    assert [(r["src"], r["text"]) for r in out] == [
+        ("https://h.ex/c.jpg", "good meta blurb")
+    ]
