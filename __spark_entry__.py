@@ -742,6 +742,24 @@ def q_track_links(spark, sf_dir):
     return mine_track_links(pages)
 
 
+def q_token_drift(spark, sf_dir):
+    """Corpus token-distribution drift (operators/drift.token_drift): crawl
+    B = crawl A plus an injected template token on d%3==0 pages — the
+    distribution-level monitor that catches template rollouts / extractor
+    regressions crawl_diff's per-url view cannot."""
+    from pdf_extractor_spark.operators.drift import token_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    drifted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" zzdrift zzdrift")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return token_drift(docs, drifted, top_k=20)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4775,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_pairs": q_card_pairs,
         "media_links": q_media_links,
         "track_links": q_track_links,
+        "token_drift": q_token_drift,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6370,6 +6389,26 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
        'Responsive ' || k FROM d""",
+        # exact count/total ratios, rounded at 6; blank docs contribute no
+        # tokens (tokens() -> empty array, not a '' token)
+        "token_drift": """
+WITH a AS (SELECT text FROM documents),
+b AS (SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' zzdrift zzdrift'
+                  ELSE text END AS text FROM documents),
+ta AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       FROM a WHERE trim(text) <> ''),
+tb AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       FROM b WHERE trim(text) <> ''),
+ca AS (SELECT token, count(*) / (SELECT count(*)::DOUBLE FROM ta) AS pa
+       FROM ta GROUP BY token),
+cb AS (SELECT token, count(*) / (SELECT count(*)::DOUBLE FROM tb) AS pb
+       FROM tb GROUP BY token)
+SELECT coalesce(ca.token, cb.token) AS token,
+       round(coalesce(pa, 0), 6) AS p_a,
+       round(coalesce(pb, 0), 6) AS p_b,
+       round(abs(coalesce(pa, 0) - coalesce(pb, 0)), 6) AS delta
+FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+ORDER BY delta DESC, token ASC LIMIT 20""",
         # three kept track rows per page; kind defaults to subtitles
         "track_links": """
 WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)

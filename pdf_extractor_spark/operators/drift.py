@@ -118,3 +118,48 @@ def crawl_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("url", status.alias("status"), "old_hash", "new_hash")
+
+
+def token_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` tokens by unigram-probability shift between two crawl
+    snapshots: (token, p_a, p_b, delta), delta = |p_a - p_b| desc, token
+    asc — the distribution-level drift monitor that catches what
+    :func:`crawl_diff`'s per-url view cannot (a template rollout shifting
+    boilerplate vocabulary across MANY pages, an extractor regression
+    leaking nav tokens, a spam wave). First sign of "the corpus changed
+    under the model" in a continuously-refreshed training pipeline.
+
+    Scale shape: one explode + hash-agg per side (map-side combined,
+    keyed by token — bounded by vocabulary, not corpus), one full-outer
+    equi-join on token, one top-k. Probabilities are exact-integer counts
+    over exact totals, divided once and rounded to 6 — partitioning-
+    independent and oracle-exact; absent tokens count 0.
+    """
+    def dist(docs: DataFrame, name: str) -> DataFrame:
+        toks = docs.select(
+            F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        counts = toks.groupBy("token").agg(F.count("*").alias("__n"))
+        total = toks.count()
+        return counts.select(
+            "token", (F.col("__n") / F.lit(float(total))).alias(name)
+        )
+
+    joined = dist(docs_a, "__pa").join(dist(docs_b, "__pb"), "token", "full_outer")
+    pa = F.coalesce(F.col("__pa"), F.lit(0.0))
+    pb = F.coalesce(F.col("__pb"), F.lit(0.0))
+    return (
+        joined.select(
+            "token",
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round(F.abs(pa - pb), 6).alias("delta"),
+        )
+        .orderBy(F.col("delta").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

@@ -108,3 +108,39 @@ def test_crawl_diff_null_text_hashes_as_empty(spark):
     old = spark.createDataFrame([("u1", None)], "url string, text string")
     new = spark.createDataFrame([("u1", "")], "url string, text string")
     assert crawl_diff(old, new).collect()[0]["status"] == "unchanged"
+
+
+def test_token_drift_flags_injected_vocabulary(spark):
+    from pdf_extractor_spark.operators.drift import token_drift
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, "alpha beta gamma" + (" zzdrift" if i % 2 == 0 else ""))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = token_drift(a, b, top_k=4).collect()
+    # B has 35 tokens: 30 base + 5 injected; zzdrift 0 -> 5/35
+    top = out[0]
+    assert top["token"] == "zzdrift"
+    assert top["p_a"] == 0.0 and abs(top["p_b"] - 5 / 35) < 1e-6
+    # the three base tokens each shift from 10/30 to 10/35
+    rest = {r["token"]: r["delta"] for r in out[1:]}
+    assert set(rest) == {"alpha", "beta", "gamma"}
+    want = round(abs(10 / 30 - 10 / 35), 6)
+    assert all(abs(d - want) < 1e-9 for d in rest.values())
+
+
+def test_token_drift_identical_corpora_and_empty(spark):
+    from pdf_extractor_spark.operators.drift import token_drift
+
+    a = spark.createDataFrame([(0, "same text here")], "doc_id long, text string")
+    out = token_drift(a, a, top_k=5).collect()
+    assert all(r["delta"] == 0.0 for r in out)
+    empty = a.filter("doc_id < 0")
+    assert token_drift(empty, empty).count() == 0
+    # blank documents contribute no tokens (not a '' token)
+    blank = spark.createDataFrame([(0, "  ")], "doc_id long, text string")
+    assert token_drift(blank, blank).count() == 0
