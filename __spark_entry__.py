@@ -760,6 +760,51 @@ def q_token_drift(spark, sf_dir):
     return token_drift(docs, drifted, top_k=20)
 
 
+def q_corpus_divergence(spark, sf_dir):
+    """Scalar drift alarm (operators/drift.corpus_divergence): JS
+    divergence + vocab overlap between crawl A and the same corpus with
+    an injected template token — the number a refresh pipeline thresholds
+    on before reading token_drift's per-token table."""
+    from pdf_extractor_spark.operators.drift import corpus_divergence
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    drifted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" zzdrift zzdrift")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_divergence(docs, drifted)
+
+
+def q_media_frontier(spark, sf_dir):
+    """Download frontier (operators/multimodal.media_frontier): the shared
+    CDN logo referenced by every page (twice on even pages) collapses to
+    ONE fetch row with popularity counts; per-page unique images stay
+    singletons; sample caption = lexicographic min across references."""
+    from pdf_extractor_spark.operators.multimodal import (
+        media_frontier,
+        mine_image_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit('<img src="https://cdn.ex/logo.png" alt="Site logo">'),
+        F.lit('<img src="/p/'), k, F.lit('.jpg" alt="Pic '), k, F.lit('">'),
+        F.when(
+            d % 2 == 0,
+            F.lit('<img src="https://cdn.ex/logo.png" alt="Footer logo">'),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"), html.alias("html")
+    )
+    return media_frontier(mine_image_pairs(pages), text_col="alt")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4794,6 +4839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_links": q_media_links,
         "track_links": q_track_links,
         "token_drift": q_token_drift,
+        "corpus_divergence": q_corpus_divergence,
+        "media_frontier": q_media_frontier,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6389,6 +6436,43 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
        'Responsive ' || k FROM d""",
+        # one shared-asset row (popularity counts) + one singleton per page
+        "media_frontier": """
+SELECT 'https://cdn.ex/logo.png' AS src, 'cdn.ex' AS host,
+       (SELECT count(*) + count(CASE WHEN doc_id % 2 = 0 THEN 1 END)
+        FROM documents) AS n_refs,
+       (SELECT count(*) FROM documents) AS n_pages,
+       'Footer logo' AS sample_text
+UNION ALL
+SELECT 'doc://' || doc_id || '/p/' || doc_id || '.jpg',
+       doc_id::VARCHAR, 1, 1, 'Pic ' || doc_id
+FROM documents""",
+        # JS divergence over the token union; float sum rounded at 4 (the
+        # aggregation-order noise floor is ~1e-13)
+        "corpus_divergence": """
+WITH a AS (SELECT text FROM documents),
+b AS (SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' zzdrift zzdrift'
+                  ELSE text END AS text FROM documents),
+ta AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       FROM a WHERE trim(text) <> ''),
+tb AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       FROM b WHERE trim(text) <> ''),
+ca AS (SELECT token, count(*) / (SELECT count(*)::DOUBLE FROM ta) AS pa
+       FROM ta GROUP BY token),
+cb AS (SELECT token, count(*) / (SELECT count(*)::DOUBLE FROM tb) AS pb
+       FROM tb GROUP BY token),
+j AS (SELECT coalesce(pa, 0) AS pa, coalesce(pb, 0) AS pb,
+             ca.token AS tok_a, cb.token AS tok_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+SELECT round(sum(
+         (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) / 2 ELSE 0 END)
+       + (CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) / 2 ELSE 0 END)
+       ), 4) AS js_divergence,
+       count(tok_a) AS vocab_a,
+       count(tok_b) AS vocab_b,
+       count(CASE WHEN tok_a IS NOT NULL AND tok_b IS NOT NULL THEN 1 END)
+         AS vocab_shared
+FROM j""",
         # exact count/total ratios, rounded at 6; blank docs contribute no
         # tokens (tokens() -> empty array, not a '' token)
         "token_drift": """

@@ -163,3 +163,44 @@ def token_drift(
         .orderBy(F.col("delta").desc(), F.col("token").asc())
         .limit(top_k)
     )
+
+
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE row: (js_divergence, vocab_a, vocab_b, vocab_shared) — the
+    scalar alarm over :func:`token_drift`'s per-token view. Jensen-Shannon
+    divergence of the two unigram distributions (symmetric, bounded by
+    ln 2, defined when either side has zero mass — KL is neither), the
+    number a refresh pipeline thresholds on before paging a human to read
+    the token-level table.
+
+    Same scale shape as token_drift (vocabulary-bounded aggs + one token
+    join); the divergence sum is a float reduction over the vocabulary,
+    rounded at 4 — aggregation-order noise sits ~1e-13 below that.
+    """
+    def dist(docs: DataFrame, name: str) -> DataFrame:
+        toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        counts = toks.groupBy("token").agg(F.count("*").alias("__n"))
+        total = toks.count()
+        return counts.select(
+            "token", (F.col("__n") / F.lit(float(total))).alias(name)
+        )
+
+    joined = dist(docs_a, "__pa").join(dist(docs_b, "__pb"), "token", "full_outer")
+    pa = F.coalesce(F.col("__pa"), F.lit(0.0))
+    pb = F.coalesce(F.col("__pb"), F.lit(0.0))
+    m = (pa + pb) / 2
+    term = (
+        F.when(pa > 0, pa * F.log(pa / m) / 2).otherwise(F.lit(0.0))
+        + F.when(pb > 0, pb * F.log(pb / m) / 2).otherwise(F.lit(0.0))
+    )
+    return joined.agg(
+        F.round(F.sum(term), 4).alias("js_divergence"),
+        F.count(F.col("__pa")).alias("vocab_a"),
+        F.count(F.col("__pb")).alias("vocab_b"),
+        F.count(F.when(F.col("__pa").isNotNull() & F.col("__pb").isNotNull(), 1))
+        .alias("vocab_shared"),
+    )

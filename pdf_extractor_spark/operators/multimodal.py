@@ -831,3 +831,39 @@ def mine_track_links(
         F.col("track.srclang").alias("srclang"),
         F.col("track.label").alias("label"),
     )
+
+
+def media_frontier(
+    mined: DataFrame,
+    url_col: str = "url",
+    src_col: str = "src",
+    text_col: str | None = None,
+) -> DataFrame:
+    """(src, host, n_refs, n_pages[, sample_text]): the download frontier
+    over any miner's output — the same CDN asset referenced by a million
+    pages must FETCH ONCE, and per-host grouping is what the politeness
+    scheduler (operators/politeness.py) keys on. n_refs counts every
+    reference (popularity signal for fetch priority), n_pages distinct
+    referrers; ``text_col`` (alt/caption/text) keeps the lexicographically
+    smallest candidate as the deterministic representative caption. One
+    hash-agg keyed by src — bounded by distinct assets, not references.
+    """
+    from pdf_extractor_spark.functions.urls import url_host
+
+    aggs = [
+        F.count("*").alias("n_refs"),
+        F.count_distinct(F.col(url_col)).alias("n_pages"),
+    ]
+    if text_col is not None:
+        aggs.append(F.min(F.col(text_col)).alias("sample_text"))
+    return (
+        mined.groupBy(F.col(src_col).alias("src"))
+        .agg(*aggs)
+        .select(
+            "src",
+            url_host(F.col("src")).alias("host"),
+            "n_refs",
+            "n_pages",
+            *([F.col("sample_text")] if text_col is not None else []),
+        )
+    )

@@ -144,3 +144,32 @@ def test_token_drift_identical_corpora_and_empty(spark):
     # blank documents contribute no tokens (not a '' token)
     blank = spark.createDataFrame([(0, "  ")], "doc_id long, text string")
     assert token_drift(blank, blank).count() == 0
+
+
+def test_corpus_divergence_bounds_and_identity(spark):
+    import math
+
+    from pdf_extractor_spark.operators.drift import corpus_divergence
+
+    a = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    b = spark.createDataFrame([(0, "p q r")], "doc_id long, text string")
+    same = corpus_divergence(a, a).collect()[0]
+    assert same["js_divergence"] == 0.0
+    assert same["vocab_a"] == same["vocab_b"] == same["vocab_shared"] == 3
+    disjoint = corpus_divergence(a, b).collect()[0]
+    # fully disjoint supports -> JS = ln 2
+    assert abs(disjoint["js_divergence"] - round(math.log(2), 4)) < 1e-9
+    assert disjoint["vocab_shared"] == 0
+    # hand-computed partial overlap: A = {x:1/2, y:1/2}, B = {x:1}
+    c = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    d = spark.createDataFrame([(0, "x x")], "doc_id long, text string")
+    pa, pb = {"x": 0.5, "y": 0.5}, {"x": 1.0}
+    js = 0.0
+    for t in {"x", "y"}:
+        qa, qb = pa.get(t, 0.0), pb.get(t, 0.0)
+        m = (qa + qb) / 2
+        js += (qa * math.log(qa / m) / 2 if qa else 0.0) + (
+            qb * math.log(qb / m) / 2 if qb else 0.0
+        )
+    got = corpus_divergence(c, d).collect()[0]
+    assert abs(got["js_divergence"] - round(js, 4)) < 1e-9

@@ -271,3 +271,24 @@ def test_card_ladder_skips_whitespace_rungs(spark):
     assert [(r["src"], r["text"]) for r in out] == [
         ("https://h.ex/c.jpg", "good meta blurb")
     ]
+
+
+def test_media_frontier_aggregates_shared_assets(spark):
+    from pdf_extractor_spark.operators.multimodal import media_frontier
+
+    rows = [
+        ("https://a.ex/1", '<img src="https://cdn.ex/logo.jpg" alt="Site logo">'
+         '<img src="/u1.jpg" alt="unique one">'),
+        ("https://a.ex/2", '<img src="https://cdn.ex/logo.jpg" alt="Logo again">'
+         '<img src="https://cdn.ex/logo.jpg" alt="And in footer">'),
+    ]
+    mined = mine_image_pairs(_pages(spark, rows))
+    out = {r["src"]: r for r in media_frontier(mined, text_col="alt").collect()}
+    logo = out["https://cdn.ex/logo.jpg"]
+    assert (logo["n_refs"], logo["n_pages"], logo["host"]) == (3, 2, "cdn.ex")
+    assert logo["sample_text"] == "And in footer"  # lexicographic min
+    uniq = out["https://a.ex/u1.jpg"]
+    assert (uniq["n_refs"], uniq["n_pages"]) == (1, 1)
+    # without text_col the caption column is absent
+    cols = media_frontier(mined).columns
+    assert cols == ["src", "host", "n_refs", "n_pages"]
