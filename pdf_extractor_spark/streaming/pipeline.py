@@ -242,3 +242,41 @@ def stream_upsert_latest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_mine_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incrementally mine image-text pairs from newly-landed page files
+    into a snapshot table — the miners are stateless scans, so the batch
+    operator runs unchanged per micro-batch; exactly-once via the same
+    epoch-keyed run_id idempotence as stream_extract (a checkpoint replay
+    of a committed epoch is a no-op)."""
+    from pdf_extractor_spark.operators.multimodal import mine_image_pairs
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"pairs-{epoch_id:06d}"
+        if any(r["run_id"] == run_id for r in table.manifest()["runs"]):
+            return
+        table.append(
+            mine_image_pairs(batch_df),
+            lineage={"stage": "image_pairs", "epoch": epoch_id},
+            run_id=run_id,
+        )
+
+    writer = pages.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -292,3 +292,21 @@ def test_media_frontier_aggregates_shared_assets(spark):
     # without text_col the caption column is absent
     cols = media_frontier(mined).columns
     assert cols == ["src", "host", "n_refs", "n_pages"]
+
+
+def test_frontier_feeds_fetch_schedule(spark):
+    """Glue: the frontier's (src, host, n_refs) drops straight into the
+    politeness scheduler — popular assets get earlier slots per host."""
+    from pdf_extractor_spark.operators.multimodal import media_frontier
+    from pdf_extractor_spark.operators.politeness import fetch_schedule
+
+    rows = [
+        ("https://a.ex/1", '<img src="https://cdn.ex/hot.jpg" alt="hot pic">'
+         '<img src="https://cdn.ex/cold.jpg" alt="cold pic">'),
+        ("https://a.ex/2", '<img src="https://cdn.ex/hot.jpg" alt="hot again">'),
+    ]
+    frontier = media_frontier(mine_image_pairs(_pages(spark, rows)))
+    sched = fetch_schedule(frontier, url_col="src", priority_col="n_refs")
+    out = {r["src"]: r["slot"] for r in sched.collect()}
+    assert out["https://cdn.ex/hot.jpg"] == 0   # 2 refs -> first slot
+    assert out["https://cdn.ex/cold.jpg"] == 1

@@ -206,3 +206,33 @@ def test_stream_upsert_latest_keeps_newest_across_runs(spark, tmp_path):
     assert len(rows) == 2
     assert "third crawl of a" in rows["http://a.com/p"]["text"]
     assert "only crawl of b" in rows["http://b.com/q"]["text"]
+
+
+def test_stream_mine_pairs_exactly_once(spark, tmp_path):
+    """The stateless miners run unchanged per micro-batch: pairs land
+    exactly once, a checkpoint replay commits nothing new."""
+    from pdf_extractor_spark.streaming.pipeline import stream_mine_pairs
+
+    inp = tmp_path / "pages_in"
+    inp.mkdir()
+    write_pages_parquet(str(inp / "a.parquet"), seed=4, n=15, include_edge_cases=False)
+    table = SnapshotTable(str(tmp_path / "pairs_tbl"))
+    chkpt = str(tmp_path / "chk")
+
+    q = stream_mine_pairs(spark, str(inp), table, chkpt)
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
+    n = table.read(spark).count()
+    runs = len(table.manifest()["runs"])
+
+    # re-drain with the same checkpoint: nothing new
+    q2 = stream_mine_pairs(spark, str(inp), table, chkpt)
+    assert q2.awaitTermination(300), "stream did not finish within 300 s"
+    assert table.read(spark).count() == n
+    assert len(table.manifest()["runs"]) == runs
+
+    # new file -> only its pages mined on top
+    write_pages_parquet(str(inp / "b.parquet"), seed=5, n=5, include_edge_cases=False)
+    q3 = stream_mine_pairs(spark, str(inp), table, chkpt)
+    assert q3.awaitTermination(300), "stream did not finish within 300 s"
+    assert len(table.manifest()["runs"]) > runs
+    assert table.read(spark).count() >= n
