@@ -56,6 +56,7 @@ def main() -> None:
         "track_links": mine_track_links,
     }
     report = {}
+    committed = {}
     for name, miner in miners.items():
         table = SnapshotTable(f"{args.out.rstrip('/')}/{name}")
         mined = miner(pages)
@@ -63,7 +64,25 @@ def main() -> None:
         # count from the committed parquet (footer metadata — no data read),
         # so the reported number is what future readers will see
         rows = table.read(spark).count()
+        committed[name] = table
         report[name] = {"rows": rows, "run_id": run_id}
+
+    # combined download frontier over every miner's COMMITTED srcs: one
+    # fetch row per distinct asset across all five tiers, with popularity
+    # counts — the table the politeness scheduler consumes
+    from functools import reduce
+
+    from pdf_extractor_spark.operators.multimodal import media_frontier
+
+    srcs = reduce(
+        lambda a, b: a.unionByName(b),
+        [t.read(spark).select("url", "src") for t in committed.values()],
+    )
+    ftable = SnapshotTable(f"{args.out.rstrip('/')}/frontier")
+    run_id = ftable.append(
+        media_frontier(srcs), lineage={"source": args.pages, "miner": "frontier"}
+    )
+    report["frontier"] = {"rows": ftable.read(spark).count(), "run_id": run_id}
     print(json.dumps(report))
 
 
