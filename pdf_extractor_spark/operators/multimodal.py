@@ -587,11 +587,10 @@ def _src_resolver(url_col: str):
     # authority stops at '/', '?', or '#' (RFC 3986) — '[^/]+' alone would
     # swallow a pathless url's query into the origin
     origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    rest = F.substring(url, F.length(origin) + 1, F.length(url))
     # the base path drops query and fragment before the last segment is
     # stripped, per RFC 3986 merge: 'dir/page?id=a/b' resolves from 'dir/'
-    path = F.regexp_replace(
-        F.substring(url, F.length(origin) + 1, F.length(url)), r"[?#].*", ""
-    )
+    path = F.regexp_replace(rest, r"[?#].*", "")
     basedir = F.concat(
         origin,
         F.when(path.rlike("/"), F.regexp_replace(path, r"[^/]*$", ""))
@@ -603,6 +602,13 @@ def _src_resolver(url_col: str):
             F.when(raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), raw)
             .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
             .when(raw.startswith("/"), F.concat(origin, raw))
+            # '?'-led: replace the base query, KEEP the full base path
+            .when(raw.startswith("?"), F.concat(origin, path, raw))
+            # '#'-led: same-document reference — keep base path AND query
+            .when(
+                raw.startswith("#"),
+                F.concat(origin, F.regexp_replace(rest, r"#.*", ""), raw),
+            )
             .otherwise(F.concat(basedir, raw))
         )
 

@@ -1,0 +1,61 @@
+"""Differential property test: the Column-expr src resolver vs urljoin.
+
+The resolver documents ONE deviation from RFC 3986: dot segments
+('.'/'..') are left verbatim, not normalized. Everything else —
+absolute, scheme-relative, root-relative, query-led, fragment-led, and
+bare-relative srcs against bases with paths/queries/fragments — must
+agree with the stdlib's urljoin byte-for-byte, so generation excludes
+dot segments and empty srcs (miners filter empty srcs upstream) and
+asserts equality on the rest.
+"""
+
+from urllib.parse import urljoin
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SEG = st.text(alphabet="abcz059-_", min_size=1, max_size=4)
+
+
+@st.composite
+def _base(draw):
+    host = draw(st.sampled_from(["h.ex", "a-b.example", "x.y.z"]))
+    scheme = draw(st.sampled_from(["http", "https"]))
+    segs = draw(st.lists(_SEG, max_size=3))
+    path = "".join("/" + s for s in segs)
+    if draw(st.booleans()):
+        path += "/"
+    q = draw(st.sampled_from(["", "?id=1", "?a=b/c", "?x"]))
+    frag = draw(st.sampled_from(["", "#top", "#s/1"]))
+    return f"{scheme}://{host}{path}{q}{frag}"
+
+
+@st.composite
+def _src(draw):
+    kind = draw(st.sampled_from(["abs", "netrel", "rootrel", "rel", "query", "frag"]))
+    segs = draw(st.lists(_SEG, min_size=1, max_size=3))
+    path = "/".join(segs)
+    if kind == "abs":
+        return "https://cdn.ex/" + path
+    if kind == "netrel":
+        return "//cdn.ex/" + path
+    if kind == "rootrel":
+        return "/" + path
+    if kind == "query":
+        return "?" + segs[0] + "=1"
+    if kind == "frag":
+        return "#" + segs[0]
+    return path + draw(st.sampled_from(["", ".jpg"]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(base=_base(), src=_src())
+def test_resolver_matches_urljoin(spark, base, src):
+    from pdf_extractor_spark.operators.multimodal import _src_resolver
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(base, src)], "url string, raw string")
+    got = df.select(
+        _src_resolver("url")(F.col("raw")).alias("r")
+    ).collect()[0]["r"]
+    assert got == urljoin(base, src), (base, src)
