@@ -666,3 +666,92 @@ def write_warc(
     rows = manifest.collect()
     spark = pages.sparkSession
     return spark.createDataFrame(rows, "path string, n_records long, n_bytes long")
+
+
+def write_wet(
+    docs: DataFrame,
+    out_dir: str,
+    per_record_gzip: bool = True,
+    prefix: str = "part",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write a documents table (url, warc_ts, text) as sharded WET files —
+    the extracted-text derivative sink (the inverse of read_wet_texts,
+    round-trip-tested), i.e. this engine's own Common-Crawl-style
+    distribution format for its extraction output.
+
+    Same commit discipline as :func:`write_warc`: one shard per input
+    partition named ``{prefix}-{partitionId:05d}.warc.wet[.gz]``,
+    attempt-scoped temp + atomic rename, deterministic bytes (gzip mtime
+    0), NULL timestamps as the epoch (WARC-Date is mandatory). EAGER —
+    returns the per-shard manifest (path, n_records, n_bytes).
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    _os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.wet.gz" if per_record_gzip else ".warc.wet"
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
+        tmp = f"{path}.inprogress.{ctx.taskAttemptId()}"
+        n = 0
+        nbytes = 0
+        f = None
+        try:
+            for batch in batches:
+                urls = batch.column("url").to_pylist()
+                tss = batch.column("warc_ts").to_pylist()
+                texts = batch.column("text").to_pylist()
+                recs = []
+                for url, ts, text in zip(urls, tss, texts):
+                    iso = (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    recs.append((url, iso, text or ""))
+                if not recs:
+                    continue
+                if f is None:
+                    f = open(tmp, "wb")
+                blob = render_wet(recs, per_record_gzip=per_record_gzip)
+                f.write(blob)
+                n += len(recs)
+                nbytes += len(blob)
+        except BaseException:
+            if f is not None:
+                f.close()
+                try:
+                    _os.remove(tmp)
+                except OSError:
+                    pass
+                f = None
+            raise
+        finally:
+            if f is not None:
+                f.close()
+        if f is not None:
+            _os.replace(tmp, path)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([path], type=pa.string()),
+                    pa.array([n], type=pa.int64()),
+                    pa.array([nbytes], type=pa.int64()),
+                ],
+                names=["path", "n_records", "n_bytes"],
+            )
+
+    manifest = docs.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(text_col).alias("text"),
+    ).mapInArrow(run, "path string, n_records long, n_bytes long")
+    rows = manifest.collect()
+    spark = docs.sparkSession
+    return spark.createDataFrame(rows, "path string, n_records long, n_bytes long")

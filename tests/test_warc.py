@@ -385,3 +385,43 @@ def test_resolve_revisits_join(spark, tmp_path):
     # unresolvable revisit dropped
     assert "https://w.ex/orphan" not in rows
     assert len(rows) == 3
+
+
+def test_wet_write_read_roundtrip(spark, tmp_path):
+    """write_wet is the inverse of read_wet_texts: (url, ts, text) survive
+    byte-identically, including non-ASCII text and NULL timestamps."""
+    from datetime import datetime, timezone
+
+    from pdf_extractor_spark.sources.warc import read_wet_texts, write_wet
+
+    rows = [
+        ("https://a.ex/1", datetime(2023, 5, 1, 12, 30, 5, tzinfo=timezone.utc),
+         "plain ascii text."),
+        ("https://a.ex/2", None, "naïve café — 統一碼 ✓"),
+        ("https://a.ex/3", datetime(2024, 1, 2, tzinfo=timezone.utc), ""),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet")
+    manifest = write_wet(docs.repartition(2), out).collect()
+    assert 1 <= len(manifest) <= 2
+    assert sum(r["n_records"] for r in manifest) == 3
+    back = {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in read_wet_texts(spark, out).collect()
+    }
+    assert set(back) == {u for u, _, _ in rows}
+    assert back["https://a.ex/1"][1] == "plain ascii text."
+    assert back["https://a.ex/2"][1] == "naïve café — 統一碼 ✓"
+    assert back["https://a.ex/2"][0] == datetime(1970, 1, 1)  # NULL -> epoch
+    assert back["https://a.ex/3"][1] == ""
+    assert back["https://a.ex/1"][0] == datetime(2023, 5, 1, 12, 30, 5)
+    # determinism: same input bytes -> same file bytes
+    import glob as _g
+
+    first = sorted(_g.glob(out + "/*.gz"))
+    out2 = str(tmp_path / "wet2")
+    write_wet(docs.repartition(2), out2).collect()
+    second = sorted(_g.glob(out2 + "/*.gz"))
+    a = b"".join(open(f, "rb").read() for f in first)
+    b = b"".join(open(f, "rb").read() for f in second)
+    assert a == b
