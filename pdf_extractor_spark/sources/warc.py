@@ -755,3 +755,168 @@ def write_wet(
     rows = manifest.collect()
     spark = docs.sparkSession
     return spark.createDataFrame(rows, "path string, n_records long, n_bytes long")
+
+
+def _gzip_member_spans(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, length, inflated) per gzip member of a .warc.gz blob —
+    the byte spans a CDX index records. Same degradation contract as
+    _split_gzip_members (corrupt member stops the walk, bomb guard)."""
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            out = d.decompress(data[pos:], _MAX_MEMBER_BYTES)
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        yield pos, consumed, out
+        pos += consumed
+
+
+def surt_key(url: str) -> str:
+    """SURT-style sort key: host labels reversed + path, lowercased —
+    'https://www.a.ex/p/1' → 'ex,a,www)/p/1'. Groups a host's captures
+    (and a registrable domain's subdomains) adjacently under the CDX sort,
+    which is the property ranged lookups bank on."""
+    from urllib.parse import urlsplit
+
+    s = urlsplit(url)
+    host = (s.hostname or "").lower()
+    key = ",".join(reversed(host.split("."))) if host else ""
+    path = s.path or "/"
+    q = f"?{s.query}" if s.query else ""
+    return f"{key}){path}{q}".lower()
+
+
+def build_cdx(spark: SparkSession, warc_dir: str, glob: str = "*.warc.gz") -> DataFrame:
+    """Index a directory of per-record-gzip WARCs: one row per ``response``
+    record — (urlkey, ts, url, filename, offset, length), where
+    offset/length span the record's OWN gzip member, so a later fetch is
+    one ranged read (read_warc_pages_ranged). One binaryFile scan, one
+    Arrow pass; cost follows archive size once, queries pay selection
+    size forever after — the same economics as Common Crawl's own CDXJ.
+    """
+    import pyarrow as pa
+
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(warc_dir)
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            blobs = batch.column("content").to_pylist()
+            keys, tss, urls, fnames, offs, lens = [], [], [], [], [], []
+            for path, blob in zip(paths, blobs):
+                fname = _os.path.basename(path.split("file:")[-1])
+                for off, ln, rec in _gzip_member_spans(blob or b""):
+                    split = rec.split(_CRLF2, 1)
+                    headers = _parse_warc_headers(split[0])
+                    if headers.get(b"warc-type") != b"response":
+                        continue
+                    uri = headers.get(b"warc-target-uri")
+                    if not uri:
+                        continue
+                    url = uri.decode("utf-8", errors="replace")
+                    ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+                    compact = "".join(c for c in ts if c.isdigit())[:14]
+                    keys.append(surt_key(url))
+                    tss.append(compact)
+                    urls.append(url)
+                    fnames.append(fname)
+                    offs.append(off)
+                    lens.append(ln)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=pa.string()),
+                    pa.array(tss, type=pa.string()),
+                    pa.array(urls, type=pa.string()),
+                    pa.array(fnames, type=pa.string()),
+                    pa.array(offs, type=pa.int64()),
+                    pa.array(lens, type=pa.int64()),
+                ],
+                names=["urlkey", "ts", "url", "filename", "offset", "length"],
+            )
+
+    return files.select("path", "content").mapInArrow(
+        run,
+        "urlkey string, ts string, url string, filename string, "
+        "offset long, length long",
+    )
+
+
+def write_cdx(spark: SparkSession, warc_dir: str, out_dir: str,
+              glob: str = "*.warc.gz") -> DataFrame:
+    """Materialize :func:`build_cdx` as CDXJ text: one ``<warc-basename>
+    .cdxj`` per WARC shard, lines sorted by (urlkey, ts) — the layout
+    read_cdx_index globs. Same attempt-scoped-temp + rename commit as
+    write_warc. EAGER; returns the per-file manifest (path, n_lines)."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    _os.makedirs(out_dir, exist_ok=True)
+    idx = (
+        build_cdx(spark, warc_dir, glob=glob)
+        .repartition(F.col("filename"))
+        .sortWithinPartitions("filename", "urlkey", "ts")
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        attempt = TaskContext.get().taskAttemptId()
+        counts: dict[str, int] = {}
+        handles: dict[str, object] = {}
+
+        def _tmp(fname: str) -> str:
+            # dot-free temp name: must match neither the '*.cdx*' index
+            # glob nor any '*.warc*' archive glob while in progress
+            return _os.path.join(
+                out_dir, f"tmp-{attempt}-{fname.replace('.', '_')}"
+            )
+
+        try:
+            for batch in batches:
+                for i in range(batch.num_rows):
+                    row = {c: batch.column(c)[i].as_py() for c in
+                           ("urlkey", "ts", "url", "filename", "offset", "length")}
+                    fname = row["filename"]
+                    if fname not in handles:
+                        handles[fname] = open(_tmp(fname), "w", encoding="utf-8")
+                    meta = _json.dumps(
+                        {"url": row["url"], "filename": fname,
+                         "offset": row["offset"], "length": row["length"]},
+                        sort_keys=True,
+                    )
+                    handles[fname].write(f"{row['urlkey']} {row['ts']} {meta}\n")
+                    counts[fname] = counts.get(fname, 0) + 1
+        except BaseException:
+            for fname, f in handles.items():
+                f.close()
+                try:
+                    _os.remove(_tmp(fname))
+                except OSError:
+                    pass
+            raise
+        finally:
+            for f in handles.values():
+                f.close()
+        paths = []
+        for fname in handles:
+            final = _os.path.join(out_dir, f"{fname}.cdxj")
+            _os.replace(_tmp(fname), final)
+            paths.append((final, counts[fname]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([p for p, _ in paths], type=pa.string()),
+                pa.array([n for _, n in paths], type=pa.int64()),
+            ],
+            names=["path", "n_lines"],
+        )
+
+    manifest = idx.mapInArrow(run, "path string, n_lines long").collect()
+    return spark.createDataFrame(manifest, "path string, n_lines long")

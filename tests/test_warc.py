@@ -425,3 +425,57 @@ def test_wet_write_read_roundtrip(spark, tmp_path):
     a = b"".join(open(f, "rb").read() for f in first)
     b = b"".join(open(f, "rb").read() for f in second)
     assert a == b
+
+
+def test_surt_key_groups_hosts(spark):
+    from pdf_extractor_spark.sources.warc import surt_key
+
+    assert surt_key("https://www.a.ex/p/1") == "ex,a,www)/p/1"
+    assert surt_key("http://A.EX/") == "ex,a)/"
+    assert surt_key("https://a.ex") == "ex,a)/"
+    assert surt_key("https://a.ex/s?q=2") == "ex,a)/s?q=2"
+
+
+def test_cdx_build_write_and_ranged_read(spark, tmp_path):
+    """The full archival loop: write sharded WARCs, index them to CDXJ,
+    read the index back, and ranged-read a SELECTION — rows must match the
+    full-scan read exactly."""
+    from datetime import datetime, timezone
+
+    from pdf_extractor_spark.sources.warc import (
+        read_cdx_index,
+        read_warc_pages,
+        read_warc_pages_ranged,
+        write_cdx,
+        write_warc,
+    )
+
+    rows = [
+        (f"https://h{i % 3}.ex/p/{i}",
+         datetime(2024, 3, 1 + i % 5, tzinfo=timezone.utc),
+         f"<p>page {i}</p>".encode())
+        for i in range(30)
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    warc_dir = str(tmp_path / "warcs")
+    write_warc(pages.repartition(3), warc_dir)
+
+    cdx_dir = str(tmp_path / "cdx")
+    manifest = write_cdx(spark, warc_dir, cdx_dir).collect()
+    assert sum(r["n_lines"] for r in manifest) == 30
+    assert all(r["path"].endswith(".cdxj") for r in manifest)
+
+    idx = read_cdx_index(spark, cdx_dir)
+    assert idx.count() == 30
+    # ranged read of one host's selection == the full scan filtered
+    sel = idx.filter("url LIKE 'https://h1.ex/%'")
+    got = {
+        (r["url"], bytes(r["html"]))
+        for r in read_warc_pages_ranged(sel, warc_dir).collect()
+    }
+    want = {
+        (r["url"], bytes(r["html"]))
+        for r in read_warc_pages(spark, warc_dir).collect()
+        if r["url"].startswith("https://h1.ex/")
+    }
+    assert got == want and len(got) == 10
