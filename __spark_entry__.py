@@ -805,6 +805,33 @@ def q_media_frontier(spark, sf_dir):
     return media_frontier(mine_image_pairs(pages), text_col="alt")
 
 
+def q_picture_pairs(spark, sf_dir):
+    """Responsive <picture> pair mining (operators/multimodal.
+    mine_picture_pairs): source-srcset best candidate beats img srcset
+    beats img src; alt from the fallback img; alt-less and img-less
+    blocks drop; d%3==2 pages have no pictures (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_picture_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit("<picture><source srcset='/pw/"), k, F.lit("-sm.webp 480w, /pw/"),
+        k, F.lit("-lg.webp 1024w' type='image/webp'><img src='/pw/"), k,
+        F.lit(".jpg' alt='Hero "), k, F.lit("'></picture>"),
+        F.lit('<picture><img srcset="/pd/'), k, F.lit('-1x.png 1x, /pd/'), k,
+        F.lit('-2x.png 2x" src="/pd/'), k, F.lit('.png" alt="Density '), k,
+        F.lit('"></picture>'),
+        F.lit("<picture><source srcset='/drop.webp 1x'><img src='/drop.jpg'></picture>"),
+        F.lit("<picture><source srcset='/noimg.webp 1x'></picture>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"),
+        F.when(d % 3 != 2, html).otherwise(F.lit("<p>no pictures</p>")).alias("html"),
+    )
+    return mine_picture_pairs(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4841,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": q_token_drift,
         "corpus_divergence": q_corpus_divergence,
         "media_frontier": q_media_frontier,
+        "picture_pairs": q_picture_pairs,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6436,6 +6464,15 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
        'Responsive ' || k FROM d""",
+        # two kept picture blocks per page; srcset-best replayed literally
+        "picture_pairs": """
+WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 3 <> 2)
+SELECT 'doc://' || k AS url, 0 AS pair_index,
+       'doc://' || k || '/pw/' || k || '-lg.webp' AS src,
+       'Hero ' || k AS alt FROM d
+UNION ALL
+SELECT 'doc://' || k, 1, 'doc://' || k || '/pd/' || k || '-2x.png',
+       'Density ' || k FROM d""",
         # one shared-asset row (popularity counts) + one singleton per page
         "media_frontier": """
 SELECT 'https://cdn.ex/logo.png' AS src, 'cdn.ex' AS host,

@@ -643,3 +643,43 @@ def figure_caption_pairs(html: Column) -> Column:
         kept,
         lambda b: F.struct(_src(b).alias("src"), _caption(b).alias("caption")),
     )
+
+
+_PICTURE_RE = r"(?is)<picture\b[^>]*>.*?</picture>"
+_SOURCE_TAG_RE = r"(?is)<source\b[^>]*>"
+
+
+def picture_pairs(html: Column) -> Column:
+    """``array<struct<src,alt>>`` from ``<picture>`` blocks: the best
+    candidate across the block's ``<source srcset>`` entries and the
+    fallback ``<img>`` (srcset-best beats img srcset beats img src —
+    the browser's own preference order), with the img's alt as the
+    caption. Blocks missing an alt-bearing img or any usable URL drop.
+    The modern responsive-image markup the bare ``<img>`` harvest cannot
+    see: its sources carry srcset, not src."""
+    blocks = F.regexp_extract_all(html, F.lit(_PICTURE_RE), 0)
+
+    def _img(b: Column) -> Column:
+        return F.regexp_extract(b, _IMG_TAG_RE.replace("(?i)", "(?is)"), 0)
+
+    def _best(b: Column) -> Column:
+        img = _img(b)
+        first_source = F.regexp_extract(b, _SOURCE_TAG_RE, 0)
+        return F.coalesce(
+            F.nullif(srcset_best(first_source), F.lit("")),
+            F.nullif(srcset_best(img), F.lit("")),
+            F.nullif(_tag_attr(img, "src"), F.lit("")),
+            F.lit(""),
+        )
+
+    kept = F.filter(
+        blocks,
+        lambda b: (_best(b) != "") & (F.trim(_tag_attr(_img(b), "alt")) != ""),
+    )
+    return F.transform(
+        kept,
+        lambda b: F.struct(
+            _best(b).alias("src"),
+            F.trim(_tag_attr(_img(b), "alt")).alias("alt"),
+        ),
+    )

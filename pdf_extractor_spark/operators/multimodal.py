@@ -873,3 +873,25 @@ def media_frontier(
             *([F.col("sample_text")] if text_col is not None else []),
         )
     )
+
+
+def mine_picture_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_alt_chars: int = 3,
+) -> DataFrame:
+    """(url, pair_index, src, alt) from ``<picture>`` blocks — the modern
+    responsive-image markup whose ``<source srcset>`` candidates the bare
+    ``<img>`` harvest cannot see; best-candidate preference order and
+    caption rules in functions/htmlmeta.picture_pairs, resolution/gating
+    in the shared :func:`_mine_pairs` core."""
+    from pdf_extractor_spark.functions.htmlmeta import picture_pairs
+
+    return _mine_pairs(
+        pages,
+        picture_pairs(F.col(html_col).cast("string")),
+        "alt",
+        url_col,
+        min_alt_chars,
+    )

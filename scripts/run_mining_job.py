@@ -38,6 +38,7 @@ def main() -> None:
         mine_figure_pairs,
         mine_image_pairs,
         mine_media_links,
+        mine_picture_pairs,
         mine_track_links,
     )
     from pdf_extractor_spark.session import get_spark
@@ -51,6 +52,7 @@ def main() -> None:
             p, min_alt_chars=args.min_alt_chars
         ),
         "figure_pairs": mine_figure_pairs,
+        "picture_pairs": mine_picture_pairs,
         "card_pairs": mine_card_pairs,
         "media_links": mine_media_links,
         "track_links": mine_track_links,

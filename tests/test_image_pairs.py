@@ -310,3 +310,33 @@ def test_frontier_feeds_fetch_schedule(spark):
     out = {r["src"]: r["slot"] for r in sched.collect()}
     assert out["https://cdn.ex/hot.jpg"] == 0   # 2 refs -> first slot
     assert out["https://cdn.ex/cold.jpg"] == 1
+
+
+def test_picture_pairs_preference_order(spark):
+    from pdf_extractor_spark.functions.htmlmeta import picture_pairs
+
+    html = (
+        # source srcset wins over img srcset and src
+        "<picture><source srcset='/w1.webp 1024w, /w0.webp 480w' type='image/webp'>"
+        "<img srcset='/j1.jpg 800w' src='/fb.jpg' alt='hero shot'></picture>"
+        # no sources: img srcset beats src
+        "<picture><img srcset='/only1.png 2x, /only2.png 1x' src='/fb2.png'"
+        " alt='second'></picture>"
+        # bare img src fallback
+        "<picture><img src='/plain.gif' alt='third'></picture>"
+        # no alt -> drop
+        "<picture><source srcset='/x.webp 1x'><img src='/x.jpg'></picture>"
+        # no img at all -> drop
+        "<picture><source srcset='/y.webp 1x'></picture>"
+    )
+    rows = (
+        _pages(spark, [("https://h.ex/", html)])
+        .select(F.explode(picture_pairs(F.col("html"))).alias("p"))
+        .select("p.src", "p.alt")
+        .collect()
+    )
+    assert [(r["src"], r["alt"]) for r in rows] == [
+        ("/w1.webp", "hero shot"),
+        ("/only1.png", "second"),
+        ("/plain.gif", "third"),
+    ]
