@@ -832,6 +832,35 @@ def q_picture_pairs(spark, sf_dir):
     return mine_picture_pairs(pages)
 
 
+def q_base_pairs(spark, sf_dir):
+    """<base href> rebasing (operators/multimodal._with_base): the page's
+    declared base — absolute cross-origin (d%4==0), relative (d%4==1),
+    root-relative (d%4==2), or absent (d%4==3) — rebases the same
+    root-relative + directory-relative img pair; HTML §4.2.3 semantics
+    the DOM link harvester already honors, now in the Column tier."""
+    from pdf_extractor_spark.operators.multimodal import mine_image_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    base = (
+        F.when(d % 4 == 0, F.lit('<base href="https://b.ex/dir/">'))
+        .when(d % 4 == 1, F.lit("<base href='sub/'>"))
+        .when(d % 4 == 2, F.lit('<base href="/rooted/">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        base,
+        F.lit('<img src="/r/'), k, F.lit('.jpg" alt="Root '), k, F.lit('">'),
+        F.lit('<img src="t/'), k, F.lit('.png" alt="Rel '), k, F.lit('">'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://h.ex/a/"), k, F.lit("/p.html")).alias("url"),
+        html.alias("html"),
+    )
+    return mine_image_pairs(pages)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Dedup (embedding-cosine): all-pairs cosine ≥ 0.35 (exact baseline)."""
     return DD.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.35)
@@ -4869,6 +4898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": q_corpus_divergence,
         "media_frontier": q_media_frontier,
         "picture_pairs": q_picture_pairs,
+        "base_pairs": q_base_pairs,
         "pdf_info": q_pdf_info,
         "hreflang_links": q_hreflang_links,
         "feed_items": q_feed_items,
@@ -6464,6 +6494,21 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
        'Responsive ' || k FROM d""",
+        # base-form rotation by d%4: root-rel keys on the BASE's origin,
+        # dir-rel on the base's directory
+        "base_pairs": """
+WITH d AS (SELECT doc_id, doc_id::VARCHAR AS k FROM documents)
+SELECT 'https://h.ex/a/' || k || '/p.html' AS url, 0 AS pair_index,
+       CASE WHEN doc_id % 4 = 0 THEN 'https://b.ex/r/' || k || '.jpg'
+            ELSE 'https://h.ex/r/' || k || '.jpg' END AS src,
+       'Root ' || k AS alt FROM d
+UNION ALL
+SELECT 'https://h.ex/a/' || k || '/p.html', 1,
+       CASE WHEN doc_id % 4 = 0 THEN 'https://b.ex/dir/t/' || k || '.png'
+            WHEN doc_id % 4 = 1 THEN 'https://h.ex/a/' || k || '/sub/t/' || k || '.png'
+            WHEN doc_id % 4 = 2 THEN 'https://h.ex/rooted/t/' || k || '.png'
+            ELSE 'https://h.ex/a/' || k || '/t/' || k || '.png' END,
+       'Rel ' || k FROM d""",
         # two kept picture blocks per page; srcset-best replayed literally
         "picture_pairs": """
 WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 3 <> 2)

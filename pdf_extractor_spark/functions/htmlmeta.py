@@ -683,3 +683,19 @@ def picture_pairs(html: Column) -> Column:
             F.trim(_tag_attr(_img(b), "alt")).alias("alt"),
         ),
     )
+
+
+_BASE_HREF = [
+    r"(?i)<base\b[^>]*" + _ATTR_GUARD + r"href\s*=\s*\"([^\"]*)\"",
+    r"(?i)<base\b[^>]*" + _ATTR_GUARD + r"href\s*=\s*'([^']*)'",
+    r"(?i)<base\b[^>]*" + _ATTR_GUARD + r"href\s*=\s*([^\s\"'>]+)",
+]
+
+
+def base_href(html: Column) -> Column:
+    """href of the page's ``<base>`` element ('' when absent) — HTML
+    §4.2.3: it rebases every relative URL on the page. First match by the
+    module's form-priority rule (the regex tier's documented stand-in for
+    document order; core/links.py's DOM parser honors strict first-base
+    semantics)."""
+    return F.trim(_first_match(html, _BASE_HREF))

@@ -615,12 +615,30 @@ def _src_resolver(url_col: str):
     return _resolve
 
 
+def _with_base(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """pages + ``__base``: the page's resolution base — its own url unless
+    a ``<base href>`` redeclares it (HTML §4.2.3, the thing the DOM link
+    harvester honors and a regex tier must too: real pages rebase every
+    relative URL with it). The base href itself resolves against the page
+    url with the same arithmetic, so relative and cross-origin bases both
+    work; a '#'-led or empty base degrades to the page url."""
+    from pdf_extractor_spark.functions.htmlmeta import base_href
+
+    href = base_href(F.col(html_col).cast("string"))
+    resolve = _src_resolver(url_col)
+    eff = F.when(
+        (href != "") & ~href.startswith("#"), resolve(href)
+    ).otherwise(F.col(url_col))
+    return pages.withColumn("__base", eff)
+
+
 def _mine_pairs(
     pages: DataFrame,
     pairs_array,
     text_field: str,
     url_col: str,
     min_chars: int,
+    html_col: str = "html",
 ) -> DataFrame:
     """Shared mining core: resolve srcs INSIDE the (src, text) pairs array,
     gate, and posexplode — scan-only with dense pair_index. Resolution:
@@ -628,9 +646,11 @@ def _mine_pairs(
     ``/path`` joins the page origin, bare-relative paths join the page's
     base directory (no dot-segment normalization — ``../`` stays verbatim;
     unnormalized URLs still key downloads and dedup); data:/javascript:
-    URIs drop (nothing to fetch); text shorter than ``min_chars`` drops."""
+    URIs drop (nothing to fetch); text shorter than ``min_chars`` drops.
+    Resolution honors ``<base href>`` via :func:`_with_base`."""
     url = F.col(url_col)
-    _resolve = _src_resolver(url_col)
+    pages = _with_base(pages, url_col, html_col)
+    _resolve = _src_resolver("__base")
 
     pairs = F.transform(
         pairs_array,
@@ -676,6 +696,7 @@ def mine_image_pairs(
         "alt",
         url_col,
         min_alt_chars,
+        html_col=html_col,
     )
 
 
@@ -698,6 +719,7 @@ def mine_figure_pairs(
         "caption",
         url_col,
         min_caption_chars,
+        html_col=html_col,
     )
 
 
@@ -736,7 +758,8 @@ def mine_card_pairs(
     arr = F.when(
         (src != "") & (text != ""), F.array(pair)
     ).otherwise(F.array().cast("array<struct<src:string,text:string>>"))
-    return _mine_pairs(pages, arr, "text", url_col, min_text_chars)
+    return _mine_pairs(pages, arr, "text", url_col, min_text_chars,
+                       html_col=html_col)
 
 
 _MEDIA_TAG_RE = r"(?is)<(?:video|audio|source)\b[^>]*>"
@@ -761,7 +784,8 @@ def mine_media_links(
 
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(_MEDIA_TAG_RE), 0)
-    _resolve = _src_resolver(url_col)
+    pages = _with_base(pages, url_col, html_col)
+    _resolve = _src_resolver("__base")
 
     def _name(t):
         return F.lower(F.regexp_extract(t, r"^<\s*([a-zA-Z]+)", 1))
@@ -809,7 +833,8 @@ def mine_track_links(
 
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(_TRACK_TAG_RE), 0)
-    _resolve = _src_resolver(url_col)
+    pages = _with_base(pages, url_col, html_col)
+    _resolve = _src_resolver("__base")
 
     links = F.transform(
         F.filter(tags, lambda t: _tag_attr(t, "src") != ""),
@@ -894,4 +919,5 @@ def mine_picture_pairs(
         "alt",
         url_col,
         min_alt_chars,
+        html_col=html_col,
     )

@@ -340,3 +340,29 @@ def test_picture_pairs_preference_order(spark):
         ("/only1.png", "second"),
         ("/plain.gif", "third"),
     ]
+
+
+def test_base_href_rebases_relative_srcs(spark):
+    """HTML §4.2.3: <base href> rebases every relative URL — absolute,
+    relative, and cross-origin base forms; absolute srcs unaffected."""
+    rows = [
+        # absolute cross-origin base: root-rel AND dir-rel move origins
+        ("https://h.ex/a/p.html",
+         '<base href="https://b.ex/dir/">'
+         '<img src="/root.jpg" alt="root moves"><img src="rel.jpg" alt="rel moves">'
+         '<img src="https://keep.ex/abs.jpg" alt="abs stays">'),
+        # relative base resolves against the page first
+        ("https://h.ex/a/p.html",
+         "<base href='sub/'><img src='x.jpg' alt='nested rel'>"),
+        # no base: unchanged behavior
+        ("https://h.ex/a/p.html", '<img src="y.jpg" alt="no base here">'),
+    ]
+    out = [(r["alt"], r["src"]) for r in
+           mine_image_pairs(_pages(spark, rows)).collect()]
+    assert sorted(out) == sorted([
+        ("root moves", "https://b.ex/root.jpg"),
+        ("rel moves", "https://b.ex/dir/rel.jpg"),
+        ("abs stays", "https://keep.ex/abs.jpg"),
+        ("nested rel", "https://h.ex/a/sub/x.jpg"),
+        ("no base here", "https://h.ex/a/y.jpg"),
+    ])
