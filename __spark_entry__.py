@@ -621,6 +621,8 @@ def q_image_pairs(spark, sf_dir):
         F.lit('<img srcset="/s/'), k, F.lit("-sm.jpg 480w, /s/"), k,
         F.lit('-lg.jpg 1024w" src="/s/'), k,
         F.lit('-fb.jpg" alt="Responsive '), k, F.lit('">'),
+        F.lit('<img src="data:image/gif;base64,AA" data-src="/lz/'), k,
+        F.lit('.jpg" alt="Lazy '), k, F.lit('">'),
         F.lit('<img src="data:image/gif;base64,AA" alt="inline pixel decoy">'),
         F.lit('<img src="https://img.ex/na.jpg">'),
         F.lit('<img src="https://img.ex/s.jpg" alt="ok">'),
@@ -6493,7 +6495,10 @@ SELECT 'doc://' || k, 3, 'doc://' || k || '/t/' || k || '.webp',
        'Dir rel ' || k FROM d
 UNION ALL
 SELECT 'doc://' || k, 4, 'doc://' || k || '/s/' || k || '-lg.jpg',
-       'Responsive ' || k FROM d""",
+       'Responsive ' || k FROM d
+UNION ALL
+SELECT 'doc://' || k, 5, 'doc://' || k || '/lz/' || k || '.jpg',
+       'Lazy ' || k FROM d""",
         # base-form rotation by d%4: root-rel keys on the BASE's origin,
         # dir-rel on the base's directory
         "base_pairs": """

@@ -594,9 +594,13 @@ def image_alt_pairs(html: Column) -> Column:
     page has none."""
     tags = F.regexp_extract_all(html, F.lit(_IMG_TAG_RE), 0)
     def _best_src(t: Column) -> Column:
-        # responsive pages carry the fetch-worthy resolution in srcset
+        # responsive pages carry the fetch-worthy resolution in srcset;
+        # lazy-load libraries park the REAL image in data-src (src holds a
+        # 1px/data: placeholder), so data-src outranks src when present
         return F.coalesce(
-            F.nullif(srcset_best(t), F.lit("")), _tag_attr(t, "src")
+            F.nullif(srcset_best(t), F.lit("")),
+            F.nullif(_tag_attr(t, "data-src"), F.lit("")),
+            _tag_attr(t, "src"),
         )
 
     kept = F.filter(

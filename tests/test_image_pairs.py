@@ -366,3 +366,21 @@ def test_base_href_rebases_relative_srcs(spark):
         ("nested rel", "https://h.ex/a/sub/x.jpg"),
         ("no base here", "https://h.ex/a/y.jpg"),
     ])
+
+
+def test_lazy_data_src_outranks_placeholder(spark):
+    html = (
+        '<img src="data:image/gif;base64,AA" data-src="/real/lazy.jpg"'
+        ' alt="lazy loaded">'
+        '<img src="/placeholder.gif" data-src="/real/hero.jpg" alt="lazy two">'
+        '<img src="/eager.jpg" alt="no lazy attr">'
+        '<img srcset="/rs.jpg 2x" data-src="/ignored.jpg" alt="srcset wins">'
+    )
+    out = [(r["alt"], r["src"]) for r in
+           mine_image_pairs(_pages(spark, [("https://h.ex/", html)])).collect()]
+    assert out == [
+        ("lazy loaded", "https://h.ex/real/lazy.jpg"),
+        ("lazy two", "https://h.ex/real/hero.jpg"),
+        ("no lazy attr", "https://h.ex/eager.jpg"),
+        ("srcset wins", "https://h.ex/rs.jpg"),
+    ]
