@@ -193,8 +193,10 @@ def test_consecutive_invocations_leave_no_persistent_rdds(spark, near_dup_df):
         return n_cached()
 
     spark.catalog.clearCache()  # isolate from any prior test's session state
+    # the invariant under test is that THESE operators add nothing — not
+    # that every other fixture in a shared full-suite session has already
+    # finished its async release; take whatever floor remains as the base
     base = settle(0)
-    assert base == 0
     ops = [
         lambda: DD.minhash_near_duplicates(near_dup_df, threshold=0.5),
         lambda: DD.minhash_candidates(near_dup_df),
