@@ -709,8 +709,11 @@ def q_media_links(spark, sf_dir):
         F.lit("<video controls><source src='s/"), k,
         F.lit(".webm' type='video/webm'></video>"),
         F.lit('<audio src="https://a.ex/'), k, F.lit('.mp3"></audio>'),
+        F.lit('<iframe src="https://tube.ex/embed/'), k,
+        F.lit('" allowfullscreen></iframe>'),
         F.lit("<video controls></video>"),
         F.lit('<source src="data:video/mp4;base64,AA" type="video/mp4">'),
+        F.lit("<iframe loading='lazy'></iframe>"),
     )
     pages = docs.select(
         F.concat(F.lit("doc://"), k).alias("url"),
@@ -6592,7 +6595,7 @@ SELECT 'doc://' || k, 1, 'doc://' || k || '/c/' || k || '-fr.vtt',
 UNION ALL
 SELECT 'doc://' || k, 2, 'https://c.ex/' || k || '.vtt',
        'subtitles', '', '' FROM d""",
-        # three kept media rows per page in document order
+        # four kept media rows per page in document order (iframe embeds incl.)
         "media_links": """
 WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 6 <> 5)
 SELECT 'doc://' || k AS url, 0 AS media_index, 'video' AS kind,
@@ -6601,7 +6604,9 @@ UNION ALL
 SELECT 'doc://' || k, 1, 'source', 'doc://' || k || '/s/' || k || '.webm',
        'video/webm' FROM d
 UNION ALL
-SELECT 'doc://' || k, 2, 'audio', 'https://a.ex/' || k || '.mp3', '' FROM d""",
+SELECT 'doc://' || k, 2, 'audio', 'https://a.ex/' || k || '.mp3', '' FROM d
+UNION ALL
+SELECT 'doc://' || k, 3, 'iframe', 'https://tube.ex/embed/' || k, '' FROM d""",
         # one pair per page with an og:image; description ladder by d%4
         "card_pairs": """
 WITH d AS (SELECT doc_id, doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)

@@ -762,7 +762,7 @@ def mine_card_pairs(
                        html_col=html_col)
 
 
-_MEDIA_TAG_RE = r"(?is)<(?:video|audio|source)\b[^>]*>"
+_MEDIA_TAG_RE = r"(?is)<(?:video|audio|source|iframe)\b[^>]*>"
 
 
 def mine_media_links(
@@ -772,7 +772,10 @@ def mine_media_links(
 ) -> DataFrame:
     """(url, media_index, kind, src, mime): the audio/video seed rows for
     a multimodal corpus — ``<video src>``, ``<audio src>``, and their
-    ``<source src type>`` children, document order, srcs resolved by the
+    ``<source src type>`` children, plus ``<iframe src>`` embeds (the
+    HowTo100M-lineage harvest path: embedded players are how most pages
+    carry video — downstream filters by the frontier's host column, e.g.
+    keeping known embed hosts), document order, srcs resolved by the
     shared :func:`_src_resolver` (scan-only, zero shuffles). ``kind`` is
     the tag name (a <source> belongs to whichever element wrapped it —
     structural attribution needs a DOM, so the regex tier reports the tag

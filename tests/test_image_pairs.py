@@ -384,3 +384,19 @@ def test_lazy_data_src_outranks_placeholder(spark):
         ("no lazy attr", "https://h.ex/eager.jpg"),
         ("srcset wins", "https://h.ex/rs.jpg"),
     ]
+
+
+def test_media_links_include_iframe_embeds(spark):
+    from pdf_extractor_spark.operators.multimodal import mine_media_links
+
+    html = (
+        '<iframe src="https://www.youtube.com/embed/abc123" allowfullscreen>'
+        "</iframe><iframe loading='lazy'></iframe>"
+        '<audio src="/pod.mp3"></audio>'
+    )
+    out = mine_media_links(_pages(spark, [("https://h.ex/", html)])).collect()
+    got = [(r["kind"], r["src"]) for r in out]
+    assert got == [
+        ("iframe", "https://www.youtube.com/embed/abc123"),
+        ("audio", "https://h.ex/pod.mp3"),
+    ]
