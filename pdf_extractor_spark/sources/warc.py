@@ -98,10 +98,99 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[bytes, bytes], bytes]]
             pos = body_start + length
 
 
+def _parse_http_headers(block: bytes) -> dict[bytes, bytes]:
+    """Lower-cased header map from an HTTP status-line + headers block
+    (same shape as _parse_warc_headers; [0] is the HTTP/1.1 status line)."""
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(b"\r\n")[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Reassemble a chunked transfer-encoded body (RFC 9112 §7.1):
+    hex-size line (chunk extensions after ';' ignored) → chunk data →
+    CRLF, terminated by a zero-size chunk (trailer section ignored).
+    Returns None when the framing is malformed from the very first chunk
+    (caller keeps the raw captured bytes); a capture truncated mid-stream
+    keeps the chunks assembled before the break. Total output is capped
+    at _MAX_MEMBER_BYTES (a crafted chain must not OOM the executor)."""
+    out = bytearray()
+    pos = 0
+    first = True
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            return None if first else bytes(out)
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return None if first else bytes(out)
+        if size < 0:
+            return None if first else bytes(out)
+        if size == 0:
+            return bytes(out)
+        chunk = body[eol + 2 : eol + 2 + size]
+        out += chunk
+        if len(out) >= _MAX_MEMBER_BYTES:
+            return bytes(out[:_MAX_MEMBER_BYTES])
+        if len(chunk) < size:
+            return bytes(out)  # truncated capture: keep what arrived
+        pos = eol + 2 + size + 2  # skip the chunk-data CRLF
+        first = False
+
+
+def _content_decode(body: bytes, coding: bytes) -> bytes | None:
+    """Undo one HTTP content-coding (RFC 9110 §8.4): gzip/x-gzip, or
+    deflate — tried zlib-wrapped first, then raw, because real servers
+    ship both under the same label. Returns None for identity/unknown
+    codings (``br`` stays raw — no brotli in a stdlib-only engine) and
+    for undecodable bytes; inflation capped at _MAX_MEMBER_BYTES."""
+    coding = coding.lower()
+    if coding in (b"gzip", b"x-gzip"):
+        wbits_options = (16 + zlib.MAX_WBITS,)
+    elif coding == b"deflate":
+        wbits_options = (zlib.MAX_WBITS, -zlib.MAX_WBITS)
+    else:
+        return None
+    for wbits in wbits_options:
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(body, _MAX_MEMBER_BYTES)
+        except zlib.error:
+            continue
+        if out:
+            return out
+    return None
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Strip the HTTP status line + headers from a response payload."""
+    """HTTP response payload → entity bytes: strip the status line +
+    headers, reverse chunked transfer-encoding, then inflate gzip/deflate
+    content-encoding. Real crawls store responses AS CAPTURED — Common
+    Crawl response records carry both framings verbatim — so a reader
+    that only strips headers hands compressed or chunk-framed bytes to
+    the extractor. Degrades, never raises: malformed chunk framing and
+    undecodable/unknown codings keep the raw captured bytes."""
     sep = payload.find(_CRLF2)
-    return payload[sep + len(_CRLF2) :] if sep != -1 else payload
+    if sep == -1:
+        return payload
+    headers = _parse_http_headers(payload[:sep])
+    body = payload[sep + len(_CRLF2) :]
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    codings = [c.strip() for c in headers.get(b"content-encoding", b"").split(b",")]
+    for coding in reversed([c for c in codings if c]):  # last applied first off
+        decoded = _content_decode(body, coding)
+        if decoded is None:
+            break
+        body = decoded
+    return body
 
 
 def _parse_warc_date(raw: bytes) -> datetime | None:
@@ -267,24 +356,56 @@ def resolve_revisits(pages: DataFrame, revisits: DataFrame) -> DataFrame:
 
 # --- deterministic synthetic WARC writer (test/bench scaffolding) -----------
 
+def _encode_http_response(
+    html: bytes, chunked: bool = False, content_encoding: str | None = None
+) -> bytes:
+    """Minimal HTTP/1.1 response around ``html``, optionally compressed
+    (``content_encoding`` = 'gzip' | 'deflate', deterministic: gzip mtime
+    pinned to 0) and/or chunk-framed in 512-byte chunks — the as-captured
+    framings _http_body has to reverse."""
+    body = html
+    headers = [b"Content-Type: text/html"]
+    if content_encoding == "gzip":
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(body)
+        body = buf.getvalue()
+        headers.append(b"Content-Encoding: gzip")
+    elif content_encoding == "deflate":
+        body = zlib.compress(body)
+        headers.append(b"Content-Encoding: deflate")
+    if chunked:
+        chunks = [body[i : i + 512] for i in range(0, len(body), 512)]
+        body = (
+            b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks)
+            + b"0\r\n\r\n"
+        )
+        headers.append(b"Transfer-Encoding: chunked")
+    else:
+        headers.append(f"Content-Length: {len(body)}".encode())
+    return b"HTTP/1.1 200 OK\r\n" + b"\r\n".join(headers) + _CRLF2 + body
+
+
 def render_warc(
     pages: list[tuple[str, str, bytes]],
     per_record_gzip: bool = False,
     revisits: list[tuple[str, str, str, bytes | None]] | None = None,
+    chunked: bool = False,
+    content_encoding: str | None = None,
 ) -> bytes:
     """Build a WARC file from (url, iso_ts, html) triples: one ``response``
     record per page wrapping a minimal HTTP response. ``per_record_gzip``
-    emits the Common-Crawl layout (each record its own gzip member).
+    emits the Common-Crawl layout (each record its own gzip member);
+    ``chunked`` / ``content_encoding`` emit the page bodies chunk-framed
+    and/or gzip/deflate-compressed as real captures do.
     ``revisits`` appends (url, iso_ts, refers_url, referred_html|None)
     ``revisit`` records — headers-only HTTP block per WARC 1.1 §6.7.2,
     with a ``WARC-Payload-Digest: sha1:<b32>`` when the referred payload
     bytes are supplied."""
     recs: list[bytes] = []
     for url, iso_ts, html in pages:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            + f"Content-Length: {len(html)}\r\n\r\n".encode()
-            + html
+        http = _encode_http_response(
+            html, chunked=chunked, content_encoding=content_encoding
         )
         recs.append(
             b"WARC/1.0\r\n"

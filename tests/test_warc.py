@@ -479,3 +479,108 @@ def test_cdx_build_write_and_ranged_read(spark, tmp_path):
         if r["url"].startswith("https://h1.ex/")
     }
     assert got == want and len(got) == 10
+
+
+# --- HTTP payload decoding: chunked transfer-encoding + content-encoding ----
+
+
+def test_http_encoded_payloads_roundtrip():
+    """Real captures store responses as delivered: chunked framing and
+    gzip/deflate content-encoding must be reversed to the page bytes."""
+    import itertools
+
+    for chunked, enc in itertools.product((False, True), (None, "gzip", "deflate")):
+        data = render_warc(PAGES, chunked=chunked, content_encoding=enc)
+        got = list(warc_pages_from_bytes(data))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in PAGES], (
+            chunked,
+            enc,
+        )
+
+
+def test_http_chunked_with_extensions_and_trailers():
+    from pdf_extractor_spark.sources.warc import _http_body
+
+    body = b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nTrailer: x\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    )
+    assert _http_body(payload) == b"hello world"
+
+
+def test_http_raw_deflate_content_encoding():
+    """Servers ship RAW deflate under the 'deflate' label; both forms decode."""
+    import zlib as _z
+
+    from pdf_extractor_spark.sources.warc import _http_body
+
+    html = b"<html><body>raw deflate page</body></html>"
+    co = _z.compressobj(wbits=-_z.MAX_WBITS)
+    raw = co.compress(html) + co.flush()
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw
+    assert _http_body(payload) == html
+
+
+def test_http_unknown_coding_and_malformed_chunks_keep_raw():
+    from pdf_extractor_spark.sources.warc import _http_body
+
+    body = b"not really brotli"
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + body
+    assert _http_body(payload) == body
+
+    junk = b"ZZZ\r\nnot chunked at all"
+    payload = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + junk
+    assert _http_body(payload) == junk
+
+
+def test_http_truncated_chunked_keeps_prefix():
+    from pdf_extractor_spark.sources.warc import _http_body
+
+    body = b"5\r\nhello\r\nA\r\ncut"  # second chunk promises 10 bytes, has 3
+    payload = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    assert _http_body(payload) == b"hellocut"
+
+
+def test_http_gzip_bomb_payload_is_capped(monkeypatch):
+    import zlib as _z
+
+    from pdf_extractor_spark.sources import warc as warc_mod
+
+    co = _z.compressobj(9, wbits=16 + _z.MAX_WBITS)
+    bomb = co.compress(b"\x00" * 4_000_000) + co.flush()
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
+    monkeypatch.setattr(warc_mod, "_MAX_MEMBER_BYTES", 65_536)
+    assert len(warc_mod._http_body(payload)) == 65_536
+
+
+def test_http_stacked_codings_decode_right_to_left():
+    import gzip as _gz
+    import io as _io
+    import zlib as _z
+
+    from pdf_extractor_spark.sources.warc import _http_body
+
+    html = b"<html><body>stacked</body></html>"
+    inner = _z.compress(html)  # deflate first
+    buf = _io.BytesIO()
+    with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(inner)  # then gzip on top
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate, gzip\r\n\r\n"
+        + buf.getvalue()
+    )
+    assert _http_body(payload) == html
+
+
+def test_spark_ingestion_of_encoded_warc(spark, tmp_path):
+    """End-to-end: a chunked+gzip Common-Crawl-layout WARC lands in the
+    pages shape with decoded bodies through the distributed reader."""
+    p = tmp_path / "enc.warc.gz"
+    p.write_bytes(
+        render_warc(
+            PAGES, per_record_gzip=True, chunked=True, content_encoding="gzip"
+        )
+    )
+    df = read_warc_pages(spark, str(tmp_path))
+    rows = {r.url: bytes(r.html) for r in df.collect()}
+    assert rows == {u: h for u, _, h in PAGES}
