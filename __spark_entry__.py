@@ -821,7 +821,8 @@ def q_picture_pairs(spark, sf_dir):
     d = F.col("doc_id")
     k = d.cast("string")
     html = F.concat(
-        F.lit("<picture><source srcset='/pw/"), k, F.lit("-sm.webp 480w, /pw/"),
+        F.lit("<picture><source srcset='/pw/"), k,
+        F.lit("-sm.avif 480w' type='image/avif'><source srcset='/pw/"),
         k, F.lit("-lg.webp 1024w' type='image/webp'><img src='/pw/"), k,
         F.lit(".jpg' alt='Hero "), k, F.lit("'></picture>"),
         F.lit('<picture><img srcset="/pd/'), k, F.lit('-1x.png 1x, /pd/'), k,
@@ -4112,6 +4113,15 @@ def q_crawl_priority(spark, sf_dir):
         ).alias("changefreq"),
         ((d % 11) / F.lit(10.0)).alias("priority"),
     )
+    # locs legitimately repeat across sitemap files: a second, strictly
+    # less optimistic hint row per d%6==0 url must neither duplicate the
+    # frontier row nor win the max-reduction (oracle is unchanged by it)
+    dup = docs.filter(d % 6 == 0).select(
+        url.alias("loc"),
+        F.lit("never").alias("changefreq"),
+        F.lit(0.0).alias("priority"),
+    )
+    hints = hints.unionByName(dup)
     drift = docs.filter(d % 4 == 0).select(
         url.alias("url"), (((d % 9) + 1) / F.lit(4.0)).alias("change_rate")
     )

@@ -555,7 +555,12 @@ def srcset_best(tag: Column) -> Column:
     weights), bare candidates weight 1; the FIRST-listed max wins —
     deterministic. Responsive pages put the fetch-worthy resolution here,
     not in src."""
-    raw = _tag_attr(tag, "srcset")
+    return _srcset_pick(_tag_attr(tag, "srcset"))
+
+
+def _srcset_pick(raw: Column) -> Column:
+    """srcset_best's core over a raw srcset attribute VALUE (callers may
+    join several tags' srcsets with commas to pick across them)."""
     # NOT `F.transform(..., F.trim)`: trim's optional second parameter makes
     # transform pass (element, index) into the two-arg trim form
     cands = F.transform(F.split(raw, ","), lambda c: F.trim(c))
@@ -668,9 +673,15 @@ def picture_pairs(html: Column) -> Column:
 
     def _best(b: Column) -> Column:
         img = _img(b)
-        first_source = F.regexp_extract(b, _SOURCE_TAG_RE, 0)
+        # ALL <source> tags in the block — AVIF-first markup puts the big
+        # candidate in a later source; joining the srcsets with commas
+        # lets _srcset_pick choose across the whole block
+        sources = F.regexp_extract_all(b, F.lit(_SOURCE_TAG_RE), 0)
+        combined = F.array_join(
+            F.transform(sources, lambda t: _tag_attr(t, "srcset")), ","
+        )
         return F.coalesce(
-            F.nullif(srcset_best(first_source), F.lit("")),
+            F.nullif(_srcset_pick(combined), F.lit("")),
             F.nullif(srcset_best(img), F.lit("")),
             F.nullif(_tag_attr(img, "src"), F.lit("")),
             F.lit(""),

@@ -120,6 +120,25 @@ def crawl_diff(
     return j.select("url", status.alias("status"), "old_hash", "new_hash")
 
 
+def _unigram_dist(docs: DataFrame, name: str, text_col: str) -> DataFrame:
+    """(token, p) unigram distribution of one snapshot. The token total is
+    derived LAZILY from the already-aggregated counts (sum of a
+    vocabulary-bounded relation, broadcast as one row) instead of an eager
+    ``count()`` action — the naive version pays a second full corpus
+    explode per side just to learn the denominator; here the exchange
+    under both the counts and the total is the same canonical subplan, so
+    Spark's ReuseExchange runs the explode+partial-agg once."""
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__n"))
+    )
+    total = counts.agg(F.sum("__n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("__n") / F.col("__total")).alias(name)
+    )
+
+
 def token_drift(
     docs_a: DataFrame,
     docs_b: DataFrame,
@@ -140,17 +159,9 @@ def token_drift(
     over exact totals, divided once and rounded to 6 — partitioning-
     independent and oracle-exact; absent tokens count 0.
     """
-    def dist(docs: DataFrame, name: str) -> DataFrame:
-        toks = docs.select(
-            F.explode(tokens(F.col(text_col))).alias("token")
-        )
-        counts = toks.groupBy("token").agg(F.count("*").alias("__n"))
-        total = toks.count()
-        return counts.select(
-            "token", (F.col("__n") / F.lit(float(total))).alias(name)
-        )
-
-    joined = dist(docs_a, "__pa").join(dist(docs_b, "__pb"), "token", "full_outer")
+    joined = _unigram_dist(docs_a, "__pa", text_col).join(
+        _unigram_dist(docs_b, "__pb", text_col), "token", "full_outer"
+    )
     pa = F.coalesce(F.col("__pa"), F.lit(0.0))
     pb = F.coalesce(F.col("__pb"), F.lit(0.0))
     return (
@@ -181,15 +192,9 @@ def corpus_divergence(
     join); the divergence sum is a float reduction over the vocabulary,
     rounded at 4 — aggregation-order noise sits ~1e-13 below that.
     """
-    def dist(docs: DataFrame, name: str) -> DataFrame:
-        toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
-        counts = toks.groupBy("token").agg(F.count("*").alias("__n"))
-        total = toks.count()
-        return counts.select(
-            "token", (F.col("__n") / F.lit(float(total))).alias(name)
-        )
-
-    joined = dist(docs_a, "__pa").join(dist(docs_b, "__pb"), "token", "full_outer")
+    joined = _unigram_dist(docs_a, "__pa", text_col).join(
+        _unigram_dist(docs_b, "__pb", text_col), "token", "full_outer"
+    )
     pa = F.coalesce(F.col("__pa"), F.lit(0.0))
     pb = F.coalesce(F.col("__pb"), F.lit(0.0))
     m = (pa + pb) / 2

@@ -154,41 +154,48 @@ def crawl_priority(
     ``priority_col`` to get polite per-host slots in priority order.
     """
     u = urls.withColumn("__host", url_host(F.col(url_col)))
+    # every signal table is reduced to ONE row per join key before the
+    # left join: a loc listed in two sitemap files (legitimate — locs
+    # repeat across sitemaps) or a url with two drift rows must not
+    # duplicate the frontier row and claim multiple fetch slots. The
+    # most optimistic signal wins (max) — deterministic and oracle-exact.
     if hints is not None:
-        h = hints.select(
-            F.col("loc").alias(url_col),
-            F.col("changefreq").alias("__cf"),
-            F.col("priority").alias("__hint"),
+        declared_map = F.create_map(
+            *[x for k, v in CHANGEFREQ_RATE.items() for x in (F.lit(k), F.lit(v))]
+        )
+        h = (
+            hints.select(
+                F.col("loc").alias(url_col),
+                declared_map[F.col("changefreq")].alias("__decl"),
+                F.col("priority").alias("__hint"),
+            )
+            .groupBy(url_col)
+            .agg(F.max("__decl").alias("__decl"), F.max("__hint").alias("__hint"))
         )
         u = u.join(F.broadcast(h), url_col, "left")
     else:
-        u = u.withColumn("__cf", F.lit(None).cast("string")).withColumn(
+        u = u.withColumn("__decl", F.lit(None).cast("double")).withColumn(
             "__hint", F.lit(None).cast("double")
         )
     if drift is not None:
-        u = u.join(
-            F.broadcast(
-                drift.select(F.col(url_col), F.col("change_rate").alias("__obs"))
-            ),
-            url_col,
-            "left",
+        d = (
+            drift.select(F.col(url_col), F.col("change_rate").alias("__obs"))
+            .groupBy(url_col)
+            .agg(F.max("__obs").alias("__obs"))
         )
+        u = u.join(F.broadcast(d), url_col, "left")
     else:
         u = u.withColumn("__obs", F.lit(None).cast("double"))
     if ranks is not None:
-        u = u.join(
-            F.broadcast(
-                ranks.select(F.col("host").alias("__host"), F.col("rank").alias("__rank"))
-            ),
-            "__host",
-            "left",
+        r = (
+            ranks.select(F.col("host").alias("__host"), F.col("rank").alias("__rank"))
+            .groupBy("__host")
+            .agg(F.max("__rank").alias("__rank"))
         )
+        u = u.join(F.broadcast(r), "__host", "left")
     else:
         u = u.withColumn("__rank", F.lit(None).cast("double"))
-    declared = F.create_map(
-        *[x for k, v in CHANGEFREQ_RATE.items() for x in (F.lit(k), F.lit(v))]
-    )[F.col("__cf")]
-    rate = F.coalesce(F.col("__obs"), declared, F.lit(DEFAULT_CHANGE_RATE))
+    rate = F.coalesce(F.col("__obs"), F.col("__decl"), F.lit(DEFAULT_CHANGE_RATE))
     score = (
         F.coalesce(F.col("__rank"), F.lit(1e-6))
         * (F.lit(0.5) + F.coalesce(F.col("__hint"), F.lit(0.5)))

@@ -121,7 +121,12 @@ def pq_fit(
 
     from pdf_extractor_spark.operators.cluster import kmeans_train
 
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            f"pq_fit: no non-NULL '{vec_col}' vector to probe dimensionality"
+        )
+    dim = len(probe[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

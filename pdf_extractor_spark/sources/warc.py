@@ -162,7 +162,7 @@ def _content_decode(body: bytes, coding: bytes) -> bytes | None:
             out = d.decompress(body, _MAX_MEMBER_BYTES)
         except zlib.error:
             continue
-        if out:
+        if out or d.eof:  # a zero-byte entity is a SUCCESSFUL decode
             return out
     return None
 
@@ -186,6 +186,8 @@ def _http_body(payload: bytes) -> bytes:
             body = dechunked
     codings = [c.strip() for c in headers.get(b"content-encoding", b"").split(b",")]
     for coding in reversed([c for c in codings if c]):  # last applied first off
+        if coding.lower() == b"identity":  # defined no-op (RFC 9110 §8.4.1)
+            continue
         decoded = _content_decode(body, coding)
         if decoded is None:
             break

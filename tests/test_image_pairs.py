@@ -319,6 +319,12 @@ def test_picture_pairs_preference_order(spark):
         # source srcset wins over img srcset and src
         "<picture><source srcset='/w1.webp 1024w, /w0.webp 480w' type='image/webp'>"
         "<img srcset='/j1.jpg 800w' src='/fb.jpg' alt='hero shot'></picture>"
+        # AVIF-first markup: the best candidate lives in a LATER source,
+        # and a srcset-less media-only source must not mask it
+        "<picture><source media='(min-width:600px)'>"
+        "<source srcset='/a-sm.avif 480w' type='image/avif'>"
+        "<source srcset='/a-lg.webp 2048w' type='image/webp'>"
+        "<img src='/a-fb.jpg' alt='avif first'></picture>"
         # no sources: img srcset beats src
         "<picture><img srcset='/only1.png 2x, /only2.png 1x' src='/fb2.png'"
         " alt='second'></picture>"
@@ -337,6 +343,7 @@ def test_picture_pairs_preference_order(spark):
     )
     assert [(r["src"], r["alt"]) for r in rows] == [
         ("/w1.webp", "hero shot"),
+        ("/a-lg.webp", "avif first"),
         ("/only1.png", "second"),
         ("/plain.gif", "third"),
     ]
