@@ -1012,6 +1012,71 @@ def q_png_features(spark, sf_dir):
     )
 
 
+def q_webp_features(spark, sf_dir):
+    """REAL lossless-WebP pixel path (core/webpcodec.py): per doc_id a
+    constant-color 8x8 RGB image is VP8L-encoded, cycling the encoder's
+    option surface by doc_id — plain literals, subtract-green transform,
+    color-indexing (palette), and RLE backrefs + color cache — and
+    decode_media(fake=False) decodes the ACTUAL pixels through the full
+    RFC 9649 bitstream (prefix codes, transforms, LZ77, cache) and emits
+    the grayscale-thumbnail feature. A constant image makes the feature a
+    closed form of doc_id regardless of which encoder path produced the
+    bytes — gray = mean(d%256, 7d%256, 13d%256)/255, rounded to 4."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import decode_media
+
+    def mk_media(batches):
+        import numpy as np
+
+        from pdf_extractor_spark.core.webpcodec import webp_encode
+
+        variants = (
+            {},
+            {"subtract_green": True},
+            {"palette": True},
+            {"rle": True, "cache_bits": 4},
+        )
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                arr = np.empty((8, 8, 3), dtype=np.uint8)
+                arr[:, :, 0] = d % 256
+                arr[:, :, 1] = (d * 7) % 256
+                arr[:, :, 2] = (d * 13) % 256
+                ids.append(f"doc://{d}")
+                payloads.append(webp_encode(arr, **variants[d % 4]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit("image/webp").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    feats = decode_media(media, fake=False)
+    return feats.select(
+        "media_id",
+        "codec",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("gray"),
+    )
+
+
 def q_image_sniff(spark, sf_dir):
     """Web-media header sniffing beyond PNG/JPEG/GIF: per doc_id a payload
     cycles through the five modern-web container variants — WebP lossy
@@ -4981,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_flags": q_pdf_flags,
         "extract_tables": q_extract_tables,
         "png_features": q_png_features,
+        "webp_features": q_webp_features,
         "jpeg_features": q_jpeg_features,
         "media_resize": q_media_resize,
         "clean_text": q_clean_text,
@@ -7209,6 +7275,13 @@ SELECT 'doc://' || doc_id AS media_id,
        'png' AS codec,
        4::BIGINT AS width,
        4::BIGINT AS height,
+       ROUND((((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) / 3.0) / 255.0, 4) AS gray
+FROM documents""",
+        "webp_features": """
+SELECT 'doc://' || doc_id AS media_id,
+       'webp' AS codec,
+       8::BIGINT AS width,
+       8::BIGINT AS height,
        ROUND((((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) / 3.0) / 255.0, 4) AS gray
 FROM documents""",
         "jpeg_features": """

@@ -1,0 +1,991 @@
+"""VP8L (lossless WebP) codec — pure stdlib + numpy, no PIL.
+
+WebP is the one web image format the engine could previously only
+header-sniff; this module decodes the LOSSLESS flavor end-to-end so the
+media decode seam (operators/multimodal.py) emits REAL pixels for VP8L
+payloads, completing the pure-numpy codec matrix (PNG/JPEG/GIF/BMP/TIFF
+already decode for real). Implemented from the public WebP Lossless
+Bitstream Specification (RFC 9649): LSB-first bit reading, simple and
+code-length-coded ("normal") canonical prefix codes, meta prefix-code
+groups, the color cache, LZ77 backward references with the 120-entry 2D
+distance map, and all four transforms — predictor (14 modes), color
+(signed-delta), subtract-green, and color-indexing including sub-byte
+pixel bundling. Lossy VP8 frames return None (the DCT + boolean-coder
+decode is genuinely out of scope for a stdlib container); header sniff
+metadata still flows for them via core/imagemeta.sniff_image.
+
+The encoder twin (``vp8l_encode`` / ``webp_encode``) exists for fixtures
+and oracle queries only: it emits spec-valid streams using generically
+constructed complete canonical codes, with optional subtract-green /
+fixed-mode predictor / constant color-transform / palette transforms,
+run-length LZ77 and color-cache emission — enough surface to exercise
+every decoder path in round-trip tests. Deterministic byte-for-byte.
+
+Reference capability: app/processing/pdf_processor.py:86-101 (the
+reference gets image decoding from PIL inside unstructured).
+
+Degrades, never raises: malformed/truncated/hostile payloads return
+None; declared-dimension bombs are capped before allocation (same
+64M-pixel cap as the other codecs).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_PIXELS = 64_000_000  # same declared-dims cap as PNG/BMP/TIFF/GIF/JPEG
+
+
+class _Bad(Exception):
+    """Malformed bitstream (decoder-internal; callers see None)."""
+
+
+# --- bit I/O (LSB-first within each byte, per the VP8L spec) ----------------
+
+
+class _Bits:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def read(self, k: int) -> int:
+        p = self.pos
+        if p + k > self.n:
+            raise _Bad("truncated")
+        v = 0
+        d = self.data
+        for i in range(k):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + k
+        return v
+
+    def read1(self) -> int:
+        p = self.pos
+        if p >= self.n:
+            raise _Bad("truncated")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, k: int) -> None:  # LSB-first
+        self.acc |= (val & ((1 << k) - 1)) << self.nbits
+        self.nbits += k
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, k: int) -> None:  # canonical codes: MSB-first
+        for i in range(k - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.out) + bytes([self.acc & 0xFF])
+        return bytes(self.out)
+
+
+# --- canonical prefix codes -------------------------------------------------
+
+# code-length-code transmission order (spec kCodeLengthCodeOrder)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _canonical_codes(lengths):
+    """symbol → (code, length) canonical assignment (RFC 1951 rules), plus
+    completeness validation. Raises _Bad on over/under-subscribed codes;
+    a single used symbol is the spec's trivial zero-bit code."""
+    nz = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        raise _Bad("empty code")
+    if len(nz) == 1:
+        return {nz[0][0]: (0, 0)}
+    maxl = max(ln for _, ln in nz)
+    if maxl > 15:
+        raise _Bad("length > 15")
+    bl_count = [0] * (maxl + 1)
+    for _, ln in nz:
+        bl_count[ln] += 1
+    if sum(c << (maxl - ln) for ln, c in enumerate(bl_count) if ln) != (1 << maxl):
+        raise _Bad("incomplete code")
+    next_code = [0] * (maxl + 2)
+    code = 0
+    for ln in range(1, maxl + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table = {}
+    for s, ln in nz:  # symbol order = canonical order
+        table[s] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return table
+
+
+class _Code:
+    """Decoder-side prefix code: bit-by-bit canonical walk (images at the
+    feature-extraction seam are small; clarity beats a lookup table)."""
+
+    __slots__ = ("trivial", "table")
+
+    def __init__(self, lengths):
+        canon = _canonical_codes(lengths)
+        if len(canon) == 1:
+            self.trivial = next(iter(canon))
+            self.table = None
+        else:
+            self.trivial = None
+            self.table = {(ln, code): s for s, (code, ln) in canon.items()}
+
+    def read(self, bits: _Bits) -> int:
+        if self.trivial is not None:
+            return self.trivial
+        code = 0
+        table = self.table
+        for ln in range(1, 16):
+            code = (code << 1) | bits.read1()
+            s = table.get((ln, code))
+            if s is not None:
+                return s
+        raise _Bad("bad prefix code")
+
+
+def _read_prefix_code(bits: _Bits, alphabet: int) -> _Code:
+    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+    if bits.read1():  # simple
+        num = bits.read1() + 1
+        s0 = bits.read(8) if bits.read1() else bits.read1()
+        lengths = [0] * alphabet
+        if s0 >= alphabet:
+            raise _Bad("symbol out of range")
+        lengths[s0] = 1
+        if num == 2:
+            s1 = bits.read(8)
+            if s1 >= alphabet or s1 == s0:
+                raise _Bad("symbol out of range")
+            lengths[s1] = 1
+        return _Code(lengths)
+    n = 4 + bits.read(4)
+    clc = [0] * 19
+    for i in range(n):
+        clc[_CLC_ORDER[i]] = bits.read(3)
+    lc = _Code(clc)
+    if bits.read1():
+        length_nbits = 2 + 2 * bits.read(3)
+        max_symbol = 2 + bits.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = lc.read(bits)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + bits.read(2)
+            if i + rep > alphabet:
+                raise _Bad("repeat overflow")
+            for _ in range(rep):
+                lengths[i] = prev
+                i += 1
+        elif s == 17:
+            i += 3 + bits.read(3)
+        else:
+            i += 11 + bits.read(7)
+    if i > alphabet:
+        raise _Bad("repeat overflow")
+    return _Code(lengths)
+
+
+# --- LZ77 helpers -----------------------------------------------------------
+
+# the spec's 120 closest-2D-offsets distance map, code 1..120 → (dx, dy)
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _prefix_val(bits: _Bits, code: int) -> int:
+    """Length/distance prefix decoding: code → value ≥ 1 (+ extra bits)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + bits.read(extra) + 1
+
+
+def _prefix_code_of(v: int):
+    """(code, extra_bits, extra_val) — encoder inverse of _prefix_val."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, extra, v - offset - 1
+    raise ValueError(f"value {v} out of prefix range")
+
+
+def _plane_to_dist(d: int, xsize: int) -> int:
+    if d > 120:
+        return d - 120
+    dx, dy = _DIST_MAP[d - 1]
+    v = dx + dy * xsize
+    return v if v >= 1 else 1
+
+
+def _cache_key(px: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+# --- entropy-coded image decoding -------------------------------------------
+
+
+def _read_group(bits: _Bits, cache_size: int):
+    """One prefix-code group: (green+len+cache, red, blue, alpha, dist)."""
+    return (
+        _read_prefix_code(bits, 256 + 24 + cache_size),
+        _read_prefix_code(bits, 256),
+        _read_prefix_code(bits, 256),
+        _read_prefix_code(bits, 256),
+        _read_prefix_code(bits, 40),
+    )
+
+
+def _decode_image(bits: _Bits, xsize: int, ysize: int, is_level0: bool):
+    """Spec DecodeImageStream: returns a flat np.uint32 ARGB array of
+    xsize*ysize pixels; top-level calls also return the transform list
+    (applied later, in reverse read order) and the final coded xsize."""
+    transforms = []
+    if is_level0:
+        seen = set()
+        while bits.read1():
+            t = bits.read(2)
+            if t in seen:
+                raise _Bad("duplicate transform")
+            seen.add(t)
+            if t == 2:  # subtract green: no data
+                transforms.append((2, None))
+            elif t in (0, 1):  # predictor / color: tiled subimage
+                size_bits = 3 + bits.read(3)
+                tw = (xsize + (1 << size_bits) - 1) >> size_bits
+                th = (ysize + (1 << size_bits) - 1) >> size_bits
+                tiles = _decode_image(bits, tw, th, False)
+                transforms.append((t, (size_bits, tw, th, tiles, xsize)))
+            else:  # color indexing
+                n_colors = bits.read(8) + 1
+                pal = _decode_image(bits, n_colors, 1, False)
+                # palette entries are delta-coded componentwise
+                p8 = pal.view(np.uint8).reshape(-1, 4)
+                pal = np.cumsum(p8, axis=0, dtype=np.uint32).astype(np.uint8)
+                pal = pal.copy().view(np.uint32).reshape(-1)
+                if n_colors <= 2:
+                    wb = 3
+                elif n_colors <= 4:
+                    wb = 2
+                elif n_colors <= 16:
+                    wb = 1
+                else:
+                    wb = 0
+                transforms.append((3, (wb, pal, xsize)))
+                if wb:
+                    xsize = (xsize + (1 << wb) - 1) >> wb
+    cache_bits = 0
+    if bits.read1():
+        cache_bits = bits.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise _Bad("bad cache bits")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    meta = None
+    meta_bits = 0
+    mw = 0
+    n_groups = 1
+    if is_level0 and bits.read1():
+        meta_bits = bits.read(3) + 2
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        mh = (ysize + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_image(bits, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+    groups = [_read_group(bits, cache_size) for _ in range(n_groups)]
+
+    npix = xsize * ysize
+    out = np.zeros(npix, dtype=np.uint32)
+    cache = [0] * cache_size if cache_size else None
+    pos = 0
+    green_c, red_c, blue_c, alpha_c, dist_c = groups[0]
+    while pos < npix:
+        if meta is not None:
+            y, x = divmod(pos, xsize)
+            g = int(meta[(y >> meta_bits) * mw + (x >> meta_bits)])
+            green_c, red_c, blue_c, alpha_c, dist_c = groups[g]
+        s = green_c.read(bits)
+        if s < 256:
+            r = red_c.read(bits)
+            b = blue_c.read(bits)
+            a = alpha_c.read(bits)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache is not None:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += 1
+        elif s < 280:
+            length = _prefix_val(bits, s - 256)
+            dist = _plane_to_dist(_prefix_val(bits, dist_c.read(bits)), xsize)
+            if dist > pos or length > npix - pos:
+                raise _Bad("backref out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache is not None:
+                    cache[_cache_key(px, cache_bits)] = px
+                pos += 1
+        else:
+            idx = s - 280
+            if cache is None or idx >= cache_size:
+                raise _Bad("cache miss")
+            out[pos] = cache[idx]
+            pos += 1
+    if is_level0:
+        return out, transforms, xsize
+    return out
+
+
+# --- inverse transforms -----------------------------------------------------
+
+
+def _argb_planes(flat: np.ndarray, w: int, h: int):
+    """flat uint32 → (a, r, g, b) int32 planes shaped (h, w)."""
+    a = ((flat >> 24) & 0xFF).astype(np.int32).reshape(h, w)
+    r = ((flat >> 16) & 0xFF).astype(np.int32).reshape(h, w)
+    g = ((flat >> 8) & 0xFF).astype(np.int32).reshape(h, w)
+    b = (flat & 0xFF).astype(np.int32).reshape(h, w)
+    return a, r, g, b
+
+
+def _pack_planes(a, r, g, b) -> np.ndarray:
+    return (
+        ((a.astype(np.uint32) & 0xFF) << 24)
+        | ((r.astype(np.uint32) & 0xFF) << 16)
+        | ((g.astype(np.uint32) & 0xFF) << 8)
+        | (b.astype(np.uint32) & 0xFF)
+    ).reshape(-1)
+
+
+def _inv_subtract_green(flat, w, h):
+    a, r, g, b = _argb_planes(flat, w, h)
+    return _pack_planes(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+
+
+def _ct_delta(t, c):
+    """spec ColorTransformDelta: (int8)t * (int8)c >> 5, arithmetic."""
+    ts = np.where(t > 127, t - 256, t).astype(np.int32)
+    cs = np.where(c > 127, c - 256, c).astype(np.int32)
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(flat, w, h, size_bits, tw, tiles):
+    a, r, g, b = _argb_planes(flat, w, h)
+    ys, xs = np.mgrid[0:h, 0:w]
+    idx = (ys >> size_bits) * tw + (xs >> size_bits)
+    te = tiles[idx.reshape(-1)].reshape(h, w)
+    g2r = (te >> 16) & 0xFF
+    g2b = (te >> 8) & 0xFF
+    r2b = te & 0xFF
+    r = (r + _ct_delta(g2r, g)) & 0xFF
+    b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+    return _pack_planes(a, r, g, b)
+
+
+def _avg2(p, q):
+    return tuple((pc + qc) >> 1 for pc, qc in zip(p, q))
+
+
+def _clamp(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _predict(mode, L, T, TL, TR):
+    """One predicted ARGB pixel (4-tuples of ints) per spec mode 0..13."""
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select: Manhattan-closer of L and T to (L+T-TL)
+        p = tuple(lc + tc - tlc for lc, tc, tlc in zip(L, T, TL))
+        pl = sum(abs(pc - lc) for pc, lc in zip(p, L))
+        pt = sum(abs(pc - tc) for pc, tc in zip(p, T))
+        return L if pl <= pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            _clamp(lc + tc - tlc) for lc, tc, tlc in zip(L, T, TL)
+        )
+    if mode == 13:  # ClampAddSubtractHalf (C integer division: trunc to 0)
+        ave = _avg2(L, T)
+        out = []
+        for ac, tlc in zip(ave, TL):
+            d = ac - tlc
+            half = d // 2 if d >= 0 else -((-d) // 2)  # trunc like C
+            out.append(_clamp(ac + half))
+        return tuple(out)
+    raise _Bad("bad predictor mode")
+
+
+def _split_px(px: int):
+    return ((px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+
+
+def _inv_predictor(flat, w, h, size_bits, tw, tiles):
+    out = flat.copy()
+    modes = ((tiles >> 8) & 0xFF).astype(np.int64)
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = _split_px(int(out[pos - 1]))
+        elif x == 0:
+            pred = _split_px(int(out[pos - w]))
+        else:
+            mode = int(modes[(y >> size_bits) * tw + (x >> size_bits)])
+            L = _split_px(int(out[pos - 1]))
+            T = _split_px(int(out[pos - w]))
+            TL = _split_px(int(out[pos - w - 1]))
+            # rightmost column: top-right wraps to this row's first pixel
+            TR = _split_px(int(out[pos - w + 1]))
+            pred = _predict(mode, L, T, TL, TR)
+        res = _split_px(int(out[pos]))
+        out[pos] = (
+            (((res[0] + pred[0]) & 0xFF) << 24)
+            | (((res[1] + pred[1]) & 0xFF) << 16)
+            | (((res[2] + pred[2]) & 0xFF) << 8)
+            | ((res[3] + pred[3]) & 0xFF)
+        )
+    return out
+
+
+def _inv_color_indexing(flat, packed_w, h, wb, pal, orig_w):
+    n_colors = len(pal)
+    if wb == 0:
+        idx = ((flat >> 8) & 0xFF).astype(np.int64)
+        safe = np.where(idx < n_colors, idx, 0)
+        out = pal[safe]
+        out[idx >= n_colors] = 0  # out-of-range indices are transparent black
+        return out, orig_w
+    bpp = 8 >> wb
+    per = 1 << wb
+    greens = ((flat >> 8) & 0xFF).astype(np.int64).reshape(h, packed_w)
+    xs = np.arange(orig_w)
+    src = greens[:, xs >> wb]
+    shift = (xs % per) * bpp
+    idx = (src >> shift[None, :]) & ((1 << bpp) - 1)
+    idx = idx.reshape(-1)
+    safe = np.where(idx < n_colors, idx, 0)
+    out = pal[safe]
+    out[idx >= n_colors] = 0
+    return out, orig_w
+
+
+# --- public decode ----------------------------------------------------------
+
+
+def vp8l_decode(chunk: bytes):
+    """(h, w, channels) uint8 ndarray (RGB, or RGBA when any alpha < 255)
+    from a raw VP8L chunk payload, else None."""
+    try:
+        if not chunk or chunk[0] != 0x2F:
+            return None
+        bits = _Bits(chunk[1:])
+        w = bits.read(14) + 1
+        h = bits.read(14) + 1
+        bits.read1()  # alpha hint (informational)
+        if bits.read(3) != 0:
+            return None  # unknown version
+        if w * h > _MAX_PIXELS:
+            return None
+        flat, transforms, coded_w = _decode_image(bits, w, h, True)
+        cur_w = coded_w
+        for t, args in reversed(transforms):
+            if t == 2:
+                flat = _inv_subtract_green(flat, cur_w, h)
+            elif t == 1:
+                size_bits, tw, th, tiles, txsize = args
+                if txsize != cur_w:
+                    raise _Bad("transform width mismatch")
+                flat = _inv_color_transform(flat, cur_w, h, size_bits, tw, tiles)
+            elif t == 0:
+                size_bits, tw, th, tiles, txsize = args
+                if txsize != cur_w:
+                    raise _Bad("transform width mismatch")
+                flat = _inv_predictor(flat, cur_w, h, size_bits, tw, tiles)
+            else:
+                wb, pal, orig_w = args
+                flat, cur_w = _inv_color_indexing(flat, cur_w, h, wb, pal, orig_w)
+        if cur_w != w:
+            raise _Bad("width mismatch")
+        a, r, g, b = _argb_planes(flat, w, h)
+        if int(a.min()) == 255:
+            return np.stack([r, g, b], axis=-1).astype(np.uint8)
+        return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+    except (_Bad, IndexError, ValueError, OverflowError, MemoryError):
+        return None
+
+
+def webp_decode(payload: bytes | None):
+    """(h, w, ch) uint8 pixels from a WebP file (RIFF container): VP8L
+    lossless decodes for real; lossy VP8 / animated returns None (caller
+    degrades to sniff-only metadata)."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            return vp8l_decode(body)
+        # VP8X extended container: keep scanning chunks for a VP8L frame
+        pos += 8 + size + (size & 1)
+    return None
+
+
+# --- encoder twin (fixtures / oracle queries only) --------------------------
+
+
+def _complete_lengths(symbols):
+    """length per symbol making a COMPLETE canonical code over exactly the
+    used symbols: with m used symbols and k = ceil(log2 m), the first
+    2^k - m (in symbol order) get length k-1, the rest k."""
+    syms = sorted(symbols)
+    m = len(syms)
+    if m == 1:
+        return {syms[0]: 0}
+    k = max(1, (m - 1).bit_length())
+    n_short = (1 << k) - m
+    return {s: (k - 1 if i < n_short and k > 1 else k) for i, s in enumerate(syms)}
+
+
+def _write_code_lengths(bw: _BitWriter, lengths: dict, alphabet: int) -> None:
+    """Transmit a code's lengths via the code-length code (the 'normal'
+    path): literal length symbols + 17/18 zero-runs, max_symbol budget."""
+    used = sorted(lengths)
+    if len(used) == 1 and used[0] <= 255:
+        bw.write(1, 1)  # simple, one symbol
+        bw.write(0, 1)
+        if used[0] <= 1:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        return
+    if (
+        len(used) == 2
+        and all(s <= 255 for s in used)
+        and all(lengths[s] == 1 for s in used)
+    ):
+        bw.write(1, 1)  # simple, two symbols
+        bw.write(1, 1)
+        if used[0] <= 1:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        bw.write(used[1], 8)
+        return
+    bw.write(0, 1)  # normal
+    # emission plan over symbol indices 0..max_used: literals + zero-runs
+    ops = []  # ("lit", length) | ("z17", n) | ("z18", n)
+    i = 0
+    max_used = used[-1]
+    used_set = lengths
+    while i <= max_used:
+        if i in used_set:
+            ops.append(("lit", used_set[i]))
+            i += 1
+        else:
+            j = i
+            while j <= max_used and j not in used_set:
+                j += 1
+            gap = j - i
+            while gap:
+                if gap >= 11:
+                    n = min(gap, 11 + 127)
+                    ops.append(("z18", n))
+                    gap -= n
+                elif gap >= 3:
+                    ops.append(("z17", gap))
+                    gap = 0
+                else:
+                    for _ in range(gap):
+                        ops.append(("lit", 0))
+                    gap = 0
+            i = j
+    # code-length code over the clc symbols we actually emit
+    clc_used = set()
+    for op, v in ops:
+        clc_used.add(v if op == "lit" else (17 if op == "z17" else 18))
+    if len(clc_used) == 1:
+        clc_used.add(0 if 0 not in clc_used else 15)  # ensure ≥ 2 for a real code
+    clc_lengths = _complete_lengths(clc_used)
+    clc_canon = _canonical_codes(
+        [clc_lengths.get(s, 0) for s in range(19)]
+    )
+    n_clc = max(idx for idx, s in enumerate(_CLC_ORDER) if s in clc_lengths) + 1
+    n_clc = max(n_clc, 4)
+    bw.write(n_clc - 4, 4)
+    for idx in range(n_clc):
+        bw.write(clc_lengths.get(_CLC_ORDER[idx], 0), 3)
+    # explicit max_symbol budget (= clc symbols emitted) is REQUIRED here:
+    # without it the decoder would keep reading clc symbols until the full
+    # alphabet is covered, consuming bits past our emission
+    budget = len(ops)
+    if budget < 2:
+        raise ValueError("normal code needs >= 2 code-length ops")
+    x = max(0, ((budget - 2).bit_length() - 2 + 1) // 2) if budget > 2 else 0
+    while (budget - 2) >= (1 << (2 + 2 * x)):
+        x += 1
+    if x > 7:
+        raise ValueError("code-length budget out of range")
+    bw.write(1, 1)
+    bw.write(x, 3)
+    bw.write(budget - 2, 2 + 2 * x)
+    for op, v in ops:
+        if op == "lit":
+            code, ln = clc_canon[v]
+            bw.write_code(code, ln)
+        elif op == "z17":
+            code, ln = clc_canon[17]
+            bw.write_code(code, ln)
+            bw.write(v - 3, 3)
+        else:
+            code, ln = clc_canon[18]
+            bw.write_code(code, ln)
+            bw.write(v - 11, 7)
+
+
+def _build_written_code(bw: _BitWriter, symbols, alphabet: int):
+    """Write a complete canonical code for ``symbols`` and return the
+    symbol → (code, length) emission map."""
+    lengths = _complete_lengths(set(symbols))
+    _write_code_lengths(bw, lengths, alphabet)
+    full = [0] * alphabet
+    for s, ln in lengths.items():
+        full[s] = ln
+    if len(lengths) == 1:
+        return {next(iter(lengths)): (0, 0)}
+    return _canonical_codes(full)
+
+
+def _fwd_predictor(arr_argb, w, h, size_bits, mode):
+    """Forward fixed-mode predictor residuals (encoder twin)."""
+    flat = arr_argb.copy()
+    out = flat.copy()
+    for pos in range(w * h - 1, -1, -1):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = _split_px(int(flat[pos - 1]))
+        elif x == 0:
+            pred = _split_px(int(flat[pos - w]))
+        else:
+            L = _split_px(int(flat[pos - 1]))
+            T = _split_px(int(flat[pos - w]))
+            TL = _split_px(int(flat[pos - w - 1]))
+            TR = _split_px(int(flat[pos - w + 1]))
+            pred = _predict(mode, L, T, TL, TR)
+        px = _split_px(int(flat[pos]))
+        out[pos] = (
+            (((px[0] - pred[0]) & 0xFF) << 24)
+            | (((px[1] - pred[1]) & 0xFF) << 16)
+            | (((px[2] - pred[2]) & 0xFF) << 8)
+            | ((px[3] - pred[3]) & 0xFF)
+        )
+    return out
+
+
+def _write_subimage(bw: _BitWriter, flat, xsize: int) -> None:
+    """Entropy-coded image (no transforms, no cache, no meta): literal
+    pixels through per-channel complete codes."""
+    bw.write(0, 1)  # no color cache
+    a = [(int(p) >> 24) & 0xFF for p in flat]
+    r = [(int(p) >> 16) & 0xFF for p in flat]
+    g = [(int(p) >> 8) & 0xFF for p in flat]
+    b = [int(p) & 0xFF for p in flat]
+    g_map = _build_written_code(bw, g, 256 + 24)
+    r_map = _build_written_code(bw, r, 256)
+    b_map = _build_written_code(bw, b, 256)
+    a_map = _build_written_code(bw, a, 256)
+    _build_written_code(bw, [0], 40)  # distance code: unused
+    for i in range(len(flat)):
+        for val, m in ((g[i], g_map), (r[i], r_map), (b[i], b_map), (a[i], a_map)):
+            code, ln = m[val]
+            bw.write_code(code, ln)
+
+
+def vp8l_encode(
+    arr,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    color_deltas: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    rle: bool = False,
+    cache_bits: int = 0,
+    size_bits: int = 4,
+) -> bytes:
+    """Spec-valid VP8L chunk payload from an (h, w, 3|4) uint8 array —
+    the deterministic fixture twin. Options exercise decoder paths:
+    ``subtract_green`` / fixed ``predictor_mode`` / constant
+    ``color_deltas`` (g2r, g2b, r2b) / ``palette`` (with sub-byte
+    bundling when ≤16 colors) / ``rle`` run-length backrefs /
+    ``cache_bits`` color-cache emission. Palette excludes the other
+    pixel transforms (it replaces colors with indices)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.shape[2] == 3:
+        alpha = np.full((h, w), 255, np.uint8)
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    else:
+        r, g, b, alpha = arr[..., 0], arr[..., 1], arr[..., 2], arr[..., 3]
+    flat = _pack_planes(
+        alpha.astype(np.int32), r.astype(np.int32),
+        g.astype(np.int32), b.astype(np.int32),
+    )
+    if palette and (subtract_green or predictor_mode is not None or color_deltas):
+        raise ValueError("palette excludes the other pixel transforms")
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(int(arr.shape[2] == 4), 1)
+    bw.write(0, 3)  # version
+
+    coded_w = w
+    # transforms, in read order (decoder inverts in reverse)
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)
+        a_, r_, g_, b_ = _argb_planes(flat, coded_w, h)
+        flat = _pack_planes(a_, (r_ - g_) & 0xFF, g_, (b_ - g_) & 0xFF)
+    if color_deltas is not None:
+        g2r, g2b, r2b = (d & 0xFF for d in color_deltas)
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(size_bits - 3, 3)
+        tw = (coded_w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        tile_px = (0xFF << 24) | (g2r << 16) | (g2b << 8) | r2b
+        _write_subimage(bw, np.full(tw * th, tile_px, np.uint32), tw)
+        a_, r_, g_, b_ = _argb_planes(flat, coded_w, h)
+        orig_r = r_.copy()
+        gr = np.full_like(g_, g2r)
+        gb = np.full_like(g_, g2b)
+        rb = np.full_like(g_, r2b)
+        r_ = (r_ - _ct_delta(gr, g_)) & 0xFF
+        b_ = (b_ - _ct_delta(gb, g_) - _ct_delta(rb, orig_r)) & 0xFF
+        flat = _pack_planes(a_, r_, g_, b_)
+    if predictor_mode is not None:
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(size_bits - 3, 3)
+        tw = (coded_w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        tile_px = (0xFF << 24) | ((predictor_mode & 0xFF) << 8)
+        _write_subimage(bw, np.full(tw * th, tile_px, np.uint32), tw)
+        flat = _fwd_predictor(flat, coded_w, h, size_bits, predictor_mode)
+    if palette:
+        colors = list(dict.fromkeys(int(p) for p in flat))  # first-seen order
+        if len(colors) > 256:
+            raise ValueError("palette transform: > 256 distinct colors")
+        n_colors = len(colors)
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(n_colors - 1, 8)
+        deltas = []
+        prev = 0
+        for c in colors:
+            pc = _split_px(prev)
+            cc = _split_px(c)
+            deltas.append(
+                (((cc[0] - pc[0]) & 0xFF) << 24)
+                | (((cc[1] - pc[1]) & 0xFF) << 16)
+                | (((cc[2] - pc[2]) & 0xFF) << 8)
+                | ((cc[3] - pc[3]) & 0xFF)
+            )
+            prev = c
+        _write_subimage(bw, np.array(deltas, np.uint32), n_colors)
+        lookup = {c: i for i, c in enumerate(colors)}
+        idx = np.array([lookup[int(p)] for p in flat], np.int64)
+        if n_colors <= 2:
+            wb = 3
+        elif n_colors <= 4:
+            wb = 2
+        elif n_colors <= 16:
+            wb = 1
+        else:
+            wb = 0
+        if wb:
+            bpp = 8 >> wb
+            per = 1 << wb
+            packed_w = (coded_w + per - 1) >> wb
+            greens = np.zeros((h, packed_w), np.int64)
+            idx2 = idx.reshape(h, coded_w)
+            for j in range(per):
+                cols = np.arange(j, coded_w, per)
+                greens[:, (cols >> wb)] |= idx2[:, cols] << (j * bpp)
+            coded_w = packed_w
+            idx = greens.reshape(-1)
+        flat = ((0xFF << 24) | (idx << 8)).astype(np.uint32)
+    bw.write(0, 1)  # end of transforms
+
+    # color cache
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    bw.write(0, 1)  # no meta prefix codes
+
+    # symbol planning: literals / cache hits / RLE backrefs
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    npix = len(flat)
+    ops = []  # ("lit", px) | ("cache", idx) | ("ref", length)
+    pos = 0
+    while pos < npix:
+        px = int(flat[pos])
+        if rle and pos > 0 and px == int(flat[pos - 1]):
+            run = 1
+            while pos + run < npix and int(flat[pos + run]) == px:
+                run += 1
+            length = min(run, 4096)
+            ops.append(("ref", length))
+            if cache is not None:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += length
+            continue
+        if cache is not None:
+            key = _cache_key(px, cache_bits)
+            if cache[key] == px:
+                ops.append(("cache", key))
+                pos += 1
+                continue
+            cache[key] = px
+        ops.append(("lit", px))
+        pos += 1
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    g_syms, r_syms, b_syms, a_syms, d_syms = [], [], [], [], []
+    for op, v in ops:
+        if op == "lit":
+            a_, r_, g_, b_ = _split_px(v)
+            g_syms.append(g_)
+            r_syms.append(r_)
+            b_syms.append(b_)
+            a_syms.append(a_)
+        elif op == "cache":
+            g_syms.append(256 + 24 + v)
+        else:
+            code, _, _ = _prefix_code_of(v)
+            g_syms.append(256 + code)
+            d_syms.append(0)  # distance value 1 → plane code 2 → prefix sym 1
+    d_syms = d_syms or [0]
+    r_syms = r_syms or [0]
+    b_syms = b_syms or [0]
+    a_syms = a_syms or [0]
+    g_map = _build_written_code(bw, g_syms, 256 + 24 + cache_size)
+    r_map = _build_written_code(bw, r_syms, 256)
+    b_map = _build_written_code(bw, b_syms, 256)
+    a_map = _build_written_code(bw, a_syms, 256)
+    d_map = _build_written_code(bw, [1] if any(o == "ref" for o, _ in ops) else [0], 40)
+
+    for op, v in ops:
+        if op == "lit":
+            a_, r_, g_, b_ = _split_px(v)
+            for val, m in ((g_, g_map), (r_, r_map), (b_, b_map), (a_, a_map)):
+                code, ln = m[val]
+                bw.write_code(code, ln)
+        elif op == "cache":
+            code, ln = g_map[256 + 24 + v]
+            bw.write_code(code, ln)
+        else:
+            pcode, extra, extra_val = _prefix_code_of(v)
+            code, ln = g_map[256 + pcode]
+            bw.write_code(code, ln)
+            if extra:
+                bw.write(extra_val, extra)
+            code, ln = d_map[1]  # distance prefix symbol 1 → value 2 → dist 1
+            bw.write_code(code, ln)
+    return b"\x2f" + bw.bytes()
+
+
+def webp_encode(arr, **kwargs) -> bytes:
+    """RIFF-wrapped lossless WebP file from an (h, w, 3|4) uint8 array
+    (see vp8l_encode for the option surface). Deterministic."""
+    chunk = vp8l_encode(arr, **kwargs)
+    if len(chunk) & 1:
+        padded = chunk + b"\x00"
+    else:
+        padded = chunk
+    riff_size = 4 + 8 + len(padded)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(chunk))
+        + padded
+    )

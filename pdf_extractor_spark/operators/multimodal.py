@@ -110,6 +110,10 @@ def _decode_pixels(payload: bytes):
         arr = bmp_decode(payload)
     if arr is None:
         arr = tiff_decode(payload)
+    if arr is None:
+        from pdf_extractor_spark.core.webpcodec import webp_decode
+
+        arr = webp_decode(payload)
     return arr
 
 

@@ -1,0 +1,200 @@
+"""VP8L lossless WebP codec: encoder-twin round-trips across every
+transform and entropy path, spec edge cases, fuzz, and the multimodal
+decode-seam integration."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.core.webpcodec import (
+    vp8l_encode,
+    webp_decode,
+    webp_encode,
+)
+
+
+def _rand(h, w, ch=3, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (5, 7), (16, 16), (17, 33)])
+def test_roundtrip_plain_rgb(h, w):
+    arr = _rand(h, w, 3, seed=h * 100 + w)
+    got = webp_decode(webp_encode(arr))
+    assert got is not None and got.shape == (h, w, 3)
+    assert np.array_equal(got, arr)
+
+
+def test_roundtrip_rgba_and_opaque_collapse():
+    arr = _rand(6, 9, 4, seed=1)
+    arr[..., 3] |= 1  # ensure some alpha < 255 stays < 255? keep as-is
+    arr[0, 0, 3] = 10  # guarantee non-opaque
+    got = webp_decode(webp_encode(arr))
+    assert got.shape == (6, 9, 4) and np.array_equal(got, arr)
+
+    opaque = _rand(4, 4, 4, seed=2)
+    opaque[..., 3] = 255
+    got = webp_decode(webp_encode(opaque))
+    assert got.shape == (4, 4, 3)  # alpha uniformly 255 collapses to RGB
+    assert np.array_equal(got, opaque[..., :3])
+
+
+def test_roundtrip_subtract_green():
+    arr = _rand(8, 8, 3, seed=3)
+    data = webp_encode(arr, subtract_green=True)
+    assert np.array_equal(webp_decode(data), arr)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_roundtrip_predictor_modes(mode):
+    arr = _rand(12, 20, 3, seed=40 + mode)  # several 8px tiles at sb=3
+    data = webp_encode(arr, predictor_mode=mode, size_bits=3)
+    got = webp_decode(data)
+    assert got is not None and np.array_equal(got, arr), f"mode {mode}"
+
+
+@pytest.mark.parametrize(
+    "deltas", [(0, 0, 0), (5, 3, 1), (0x90, 0x7F, 0xFF), (255, 128, 64)]
+)
+def test_roundtrip_color_transform(deltas):
+    arr = _rand(10, 14, 3, seed=sum(deltas))
+    data = webp_encode(arr, color_deltas=deltas, size_bits=3)
+    assert np.array_equal(webp_decode(data), arr)
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 4, 9, 16, 17, 77, 256])
+def test_roundtrip_palette_bundling(n_colors):
+    rng = np.random.RandomState(n_colors)
+    pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.randint(0, n_colors, size=(9, 13))
+    arr = pal[idx]
+    data = webp_encode(arr, palette=True)
+    got = webp_decode(data)
+    assert got is not None and np.array_equal(got, arr), n_colors
+
+
+def test_roundtrip_transform_combo():
+    arr = _rand(11, 19, 4, seed=9)
+    data = webp_encode(
+        arr, subtract_green=True, color_deltas=(7, 250, 3), predictor_mode=11,
+        size_bits=4,
+    )
+    assert np.array_equal(webp_decode(data), arr)
+
+
+def test_roundtrip_rle_backrefs():
+    arr = np.zeros((16, 16, 3), np.uint8)
+    arr[:8] = [10, 200, 30]
+    arr[8:] = [250, 1, 2]
+    plain = webp_encode(arr)
+    packed = webp_encode(arr, rle=True)
+    assert len(packed) < len(plain) // 2  # backrefs actually engaged
+    assert np.array_equal(webp_decode(packed), arr)
+
+
+def test_roundtrip_color_cache():
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    arr = pal[rng.randint(0, 4, size=(12, 12))]
+    data = webp_encode(arr, cache_bits=4)
+    assert np.array_equal(webp_decode(data), arr)
+    # cache + rle together
+    data = webp_encode(arr, cache_bits=6, rle=True)
+    assert np.array_equal(webp_decode(data), arr)
+
+
+def test_grayscale_input_promotes():
+    arr = _rand(5, 5, 3, seed=11)[..., 0]
+    got = webp_decode(webp_encode(arr))
+    assert got.shape == (5, 5, 3)
+    assert np.array_equal(got[..., 0], arr) and np.array_equal(got[..., 1], arr)
+
+
+def test_sniff_agrees_with_encoder():
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+    arr = _rand(23, 41, 3)
+    assert sniff_image(webp_encode(arr)) == ("webp", 41, 23)
+
+
+def test_lossy_vp8_returns_none():
+    import struct
+
+    body = b"\x00" * 20
+    payload = (
+        b"RIFF" + struct.pack("<I", 12 + len(body)) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(body)) + body
+    )
+    assert webp_decode(payload) is None
+
+
+def test_vp8x_wrapper_scans_to_vp8l():
+    import struct
+
+    arr = _rand(4, 6, 3, seed=13)
+    plain = webp_encode(arr)
+    vp8l_chunk = plain[20:]  # 'VP8L' size payload...
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk)) + b"WEBP"
+        + vp8x + b"VP8L" + plain[16:20] + plain[20:]
+    )
+    # plain[16:20] is the original chunk size; rebuild precisely instead
+    chunk = vp8l_encode(arr)
+    if len(chunk) & 1:
+        chunk_p = chunk + b"\x00"
+    else:
+        chunk_p = chunk
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + len(vp8x) + 8 + len(chunk_p)) + b"WEBP"
+        + vp8x + b"VP8L" + struct.pack("<I", len(chunk)) + chunk_p
+    )
+    assert np.array_equal(webp_decode(payload), arr)
+
+
+def test_dimension_bomb_capped():
+    # hand-build a header declaring 16384x16384 (268M pixels > 64M cap)
+    from pdf_extractor_spark.core.webpcodec import _BitWriter
+
+    bw = _BitWriter()
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    chunk = b"\x2f" + bw.bytes() + b"\x00" * 64
+    import struct
+
+    payload = (
+        b"RIFF" + struct.pack("<I", 12 + len(chunk)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+    )
+    assert webp_decode(payload) is None
+
+
+def test_truncations_never_raise():
+    arr = _rand(9, 9, 3, seed=17)
+    data = webp_encode(arr, rle=True, cache_bits=3)
+    for cut in range(len(data)):
+        out = webp_decode(data[:cut])  # None or a decoded array; no raise
+        assert out is None or out.shape[2] in (3, 4)
+
+
+def test_bitflip_fuzz_never_raises():
+    arr = _rand(8, 12, 3, seed=19)
+    base = bytearray(webp_encode(arr, predictor_mode=2, size_bits=3))
+    rng = np.random.RandomState(23)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randint(12, len(mut))  # keep the RIFF/WEBP magic intact
+            mut[i] ^= 1 << rng.randint(0, 8)
+        out = webp_decode(bytes(mut))
+        assert out is None or isinstance(out, np.ndarray)
+
+
+def test_decode_seam_integration():
+    from pdf_extractor_spark.operators.multimodal import _decode_pixels
+
+    arr = _rand(6, 6, 3, seed=29)
+    got = _decode_pixels(webp_encode(arr))
+    assert got is not None and np.array_equal(got, arr)
