@@ -2122,6 +2122,64 @@ def q_frame_sample_avi(spark, sf_dir):
     )
 
 
+def q_frame_sample_webp(spark, sf_dir):
+    """Animated-WebP frame sampling (core/webpcodec.py webp_frames): every
+    doc becomes a VP8X/ANIM/ANMF animation of n = d%3+2 flat 8x8 VP8L
+    frames at 200 ms each (no-blend full-canvas rects), and
+    sample_frames(every_ms=200) composites + samples the frame active at
+    each tick. VP8L is lossless, so the oracle rebuilds each sha in closed
+    form exactly like frame_sample_avi: frame i's 192 RGB bytes are all
+    (d*7 + i*31) % 127 + 1 (ASCII range → DuckDB repeat(chr(..))). The
+    encoder cycles variants by frame (plain / subtract-green / RLE+cache)
+    so the driver gate exercises those decoder paths inside an animation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_spark.core.webpcodec import webp_encode_anim
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    def mk_media(batches):
+        def payload(d: int) -> bytes:
+            n = d % 3 + 2
+            frames = [
+                (200, np.full((8, 8, 3), (d * 7 + i * 31) % 127 + 1, np.uint8))
+                for i in range(n)
+            ]
+            variants = ({}, {"subtract_green": True}, {"rle": True, "cache_bits": 3})
+            return webp_encode_anim(frames, **variants[d % 3])
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit("image/webp").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    return sample_frames(media, every_ms=200, fake=False).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"), "frame_sha"
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """Similarity (IVF): coarse quantizer → probe the n_probe nearest lists
     → exact cosine within them. Centroids here are deterministic seed rows
@@ -5010,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "pq_adc_topk": q_pq_adc_topk,
         "frame_sample_avi": q_frame_sample_avi,
+        "frame_sample_webp": q_frame_sample_webp,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
         "audio_tags": q_audio_tags,
@@ -7885,6 +7944,14 @@ FROM documents WHERE doc_id % 3 = 2""",
         # (all-ones quant), so each sha256 rebuilds from the repeated pixel
         # byte (ASCII range 1..127 → UTF-8 == raw bytes)
         "frame_sample_avi": """
+SELECT 'doc://' || doc_id AS media_id,
+       (200 * i.i)::BIGINT AS frame_ts_ms,
+       sha256(repeat(chr(((doc_id * 7 + i.i * 31) % 127 + 1)::INT), 192)) AS frame_sha
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+WHERE i.i < doc_id % 3 + 2""",
+        # lossless frames → same closed-form shas as the AVI twin
+        "frame_sample_webp": """
 SELECT 'doc://' || doc_id AS media_id,
        (200 * i.i)::BIGINT AS frame_ts_ms,
        sha256(repeat(chr(((doc_id * 7 + i.i * 31) % 127 + 1)::INT), 192)) AS frame_sha

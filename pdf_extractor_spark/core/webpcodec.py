@@ -972,6 +972,167 @@ def vp8l_encode(
     return b"\x2f" + bw.bytes()
 
 
+def _u24(b: bytes) -> int:
+    return b[0] | (b[1] << 8) | (b[2] << 16)
+
+
+def _p24(v: int) -> bytes:
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+
+def _to_rgba(arr: np.ndarray) -> np.ndarray:
+    if arr.shape[2] == 4:
+        return arr
+    a = np.full(arr.shape[:2] + (1,), 255, np.uint8)
+    return np.concatenate([arr, a], axis=-1)
+
+
+def webp_frames(payload: bytes | None, max_frames: int = 10_000):
+    """[(duration_ms, (h, w, 3) uint8 RGB), ...] — the animated-WebP twin
+    of core/gifcodec.gif_frames: VP8X canvas + ANIM background + ANMF
+    frames composited per the spec (frame rects, alpha-blend vs no-blend,
+    dispose-to-background), each frame decoded by the VP8L machinery
+    above. A still VP8L file yields its single frame at duration 0.
+    Animations carrying lossy VP8 sub-frames return None (compositing
+    over undecodable frames would mislabel every later timestamp); so do
+    non-WebP / malformed payloads. Never raises."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    try:
+        chunks = []
+        pos, n = 12, len(payload)
+        while pos + 8 <= n:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                break
+            chunks.append((fourcc, body))
+            pos += 8 + size + (size & 1)
+        vp8x = anim = None
+        anmf = []
+        for fourcc, body in chunks:
+            if fourcc == b"VP8X":
+                vp8x = body
+            elif fourcc == b"ANIM":
+                anim = body
+            elif fourcc == b"ANMF":
+                anmf.append(body)
+            elif fourcc == b"VP8L" and anim is None and not anmf:
+                arr = vp8l_decode(body)
+                return None if arr is None else [(0, _to_rgba(arr)[..., :3].copy())]
+            elif fourcc == b"VP8 " and anim is None and not anmf:
+                return None  # lossy still frame
+        if vp8x is None or anim is None or not anmf or len(vp8x) < 10:
+            return None
+        cw = _u24(vp8x[4:7]) + 1
+        ch = _u24(vp8x[7:10]) + 1
+        if cw * ch > _MAX_PIXELS:
+            return None
+        # ANIM background color is BGRA byte order; canvas starts filled
+        # with it and dispose-to-background refills frame rects with it
+        bg = np.array([anim[2], anim[1], anim[0], anim[3]], np.uint8)
+        canvas = np.empty((ch, cw, 4), np.uint8)
+        canvas[:] = bg
+        out = []
+        for body in anmf[:max_frames]:
+            if len(body) < 16:
+                return None
+            fx = _u24(body[0:3]) * 2
+            fy = _u24(body[3:6]) * 2
+            fw = _u24(body[6:9]) + 1
+            fh = _u24(body[9:12]) + 1
+            dur = _u24(body[12:15])
+            flags = body[15]
+            arr = None
+            spos = 16
+            while spos + 8 <= len(body):
+                sub = body[spos : spos + 4]
+                (ssize,) = struct.unpack("<I", body[spos + 4 : spos + 8])
+                sbody = body[spos + 8 : spos + 8 + ssize]
+                if sub == b"VP8L":
+                    arr = vp8l_decode(sbody)
+                    break
+                if sub == b"VP8 ":
+                    return None  # lossy sub-frame
+                spos += 8 + ssize + (ssize & 1)  # e.g. ALPH: skip
+            if arr is None or arr.shape[0] != fh or arr.shape[1] != fw:
+                return None
+            arr = _to_rgba(arr)
+            x1 = min(fx + fw, cw)
+            y1 = min(fy + fh, ch)
+            if fx >= cw or fy >= ch:
+                continue
+            src = arr[: y1 - fy, : x1 - fx].astype(np.float64)
+            dst = canvas[fy:y1, fx:x1].astype(np.float64)
+            if flags & 0x02:  # no-blend: overwrite the rect
+                blended = src
+            else:  # straight alpha blend per the spec formula
+                sa = src[..., 3:4] / 255.0
+                da = dst[..., 3:4] / 255.0
+                oa = sa + da * (1 - sa)
+                rgb = src[..., :3] * sa + dst[..., :3] * da * (1 - sa)
+                safe = np.where(oa > 0, oa, 1.0)
+                blended = np.concatenate(
+                    [np.rint(rgb / safe), np.rint(oa * 255.0)], axis=-1
+                )
+            canvas[fy:y1, fx:x1] = np.clip(blended, 0, 255).astype(np.uint8)
+            out.append((dur, canvas[..., :3].copy()))
+            if flags & 0x01:  # dispose to background color
+                canvas[fy:y1, fx:x1] = bg
+        return out or None
+    except (IndexError, ValueError, OverflowError, MemoryError, struct.error):
+        return None
+
+
+def webp_encode_anim(
+    frames,
+    canvas_size=None,
+    bg=(255, 255, 255, 255),
+    loop: int = 0,
+    **enc_kwargs,
+) -> bytes:
+    """Animated-WebP fixture twin: VP8X + ANIM + one ANMF (VP8L frame
+    data) per entry. ``frames`` entries are (duration_ms, arr) or
+    (duration_ms, arr, x, y, no_blend, dispose_bg); x/y must be even
+    (the wire format stores them halved). ``bg`` is RGBA. Deterministic."""
+    norm = []
+    for f in frames:
+        dur, arr = f[0], np.asarray(f[1], np.uint8)
+        x, y = (f[2], f[3]) if len(f) > 2 else (0, 0)
+        no_blend = f[4] if len(f) > 4 else True
+        dispose = f[5] if len(f) > 5 else False
+        if x % 2 or y % 2:
+            raise ValueError("frame offsets must be even")
+        norm.append((dur, arr, x, y, no_blend, dispose))
+    if canvas_size is None:
+        cw = max(x + a.shape[1] for _, a, x, _, _, _ in norm)
+        ch = max(y + a.shape[0] for _, a, _, y, _, _ in norm)
+    else:
+        cw, ch = canvas_size
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    has_alpha = any(a.ndim == 3 and a.shape[2] == 4 for _, a, *_ in norm)
+    vp8x = bytes([0x02 | (0x10 if has_alpha else 0)]) + b"\x00\x00\x00" + _p24(
+        cw - 1
+    ) + _p24(ch - 1)
+    anim = bytes((bg[2], bg[1], bg[0], bg[3])) + struct.pack("<H", loop)
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for dur, arr, x, y, no_blend, dispose in norm:
+        fh, fw = arr.shape[:2]
+        flags = (0x02 if no_blend else 0) | (0x01 if dispose else 0)
+        frame_data = chunk(b"VP8L", vp8l_encode(arr, **enc_kwargs))
+        anmf = (
+            _p24(x // 2) + _p24(y // 2) + _p24(fw - 1) + _p24(fh - 1)
+            + _p24(dur) + bytes([flags]) + frame_data
+        )
+        body += chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
 def webp_encode(arr, **kwargs) -> bytes:
     """RIFF-wrapped lossless WebP file from an (h, w, 3|4) uint8 array
     (see vp8l_encode for the option surface). Deterministic."""

@@ -171,9 +171,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     """video rows → one row per sampled frame timestamp (flat-map shape).
 
     REAL path: animated-GIF payloads actually decode (core/gifcodec.py
-    gif_frames — GCE delays, disposal, transparency), and MJPEG AVI
-    payloads decode too (core/avmedia.avi_frames walks the movi chunks,
-    core/jpegcodec.jpeg_decode opens each sampled frame); the frame active
+    gif_frames — GCE delays, disposal, transparency), animated WebP too
+    (core/webpcodec.webp_frames — VP8X/ANIM/ANMF compositing over VP8L
+    frames), and MJPEG AVI as well (core/avmedia.avi_frames walks the
+    movi chunks, core/jpegcodec.jpeg_decode opens each sampled frame);
+    the frame active
     at each multiple of ``every_ms`` within the clip's total duration is
     sampled and ``frame_sha`` is the sha256 of its RGB pixel bytes. Only
     the SAMPLED AVI frames are decoded (at 1 fps sampling over 30 fps
@@ -242,6 +244,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                     continue
                 raw = bytes(payload) if payload is not None else None
                 frames = gif_frames(raw)
+                if not frames:
+                    from pdf_extractor_spark.core.webpcodec import webp_frames
+
+                    frames = webp_frames(raw)  # animated WebP (VP8L frames)
                 if not frames:
                     if raw is not None:
                         _avi_rows(mid, raw)  # MJPEG AVI appends its own rows

@@ -198,3 +198,127 @@ def test_decode_seam_integration():
     arr = _rand(6, 6, 3, seed=29)
     got = _decode_pixels(webp_encode(arr))
     assert got is not None and np.array_equal(got, arr)
+
+
+# --- animated WebP (VP8X / ANIM / ANMF) -------------------------------------
+
+
+def test_anim_fullframe_sequence():
+    from pdf_extractor_spark.core.webpcodec import webp_encode_anim, webp_frames
+
+    f0 = np.full((4, 6, 3), 10, np.uint8)
+    f1 = np.full((4, 6, 3), 200, np.uint8)
+    data = webp_encode_anim([(100, f0), (250, f1)])
+    frames = webp_frames(data)
+    assert [d for d, _ in frames] == [100, 250]
+    assert np.array_equal(frames[0][1], f0)
+    assert np.array_equal(frames[1][1], f1)
+
+
+def test_anim_subrect_update_and_dispose():
+    from pdf_extractor_spark.core.webpcodec import webp_encode_anim, webp_frames
+
+    base = np.full((8, 8, 3), 50, np.uint8)
+    patch = np.full((2, 4, 3), 222, np.uint8)
+    data = webp_encode_anim(
+        [
+            (10, base, 0, 0, True, False),
+            (20, patch, 2, 4, True, True),  # dispose-to-background after
+            (30, np.full((2, 2, 3), 7, np.uint8), 0, 0, True, False),
+        ],
+        canvas_size=(8, 8),
+        bg=(1, 2, 3, 255),
+    )
+    frames = webp_frames(data)
+    assert len(frames) == 3
+    # frame 1: patch lands at (x=2, y=4)
+    assert np.array_equal(frames[1][1][4:6, 2:6], patch)
+    assert np.array_equal(frames[1][1][0:4], base[0:4])
+    # frame 2: the disposed rect shows the BGRA background (RGB = 1,2,3)
+    assert tuple(frames[2][1][5, 3]) == (1, 2, 3)
+    assert tuple(frames[2][1][0, 0]) == (7, 7, 7)
+
+
+def test_anim_alpha_blend_keeps_canvas_under_transparent_pixels():
+    from pdf_extractor_spark.core.webpcodec import webp_encode_anim, webp_frames
+
+    base = np.full((4, 4, 3), 90, np.uint8)
+    overlay = np.zeros((4, 4, 4), np.uint8)
+    overlay[:2, :, :3] = 240
+    overlay[:2, :, 3] = 255  # top half opaque
+    # bottom half alpha 0: blending must keep the canvas
+    data = webp_encode_anim(
+        [(10, base, 0, 0, True, False), (10, overlay, 0, 0, False, False)]
+    )
+    frames = webp_frames(data)
+    assert np.all(frames[1][1][:2] == 240)
+    assert np.all(frames[1][1][2:] == 90)
+
+
+def test_anim_still_vp8l_single_frame():
+    from pdf_extractor_spark.core.webpcodec import webp_frames
+
+    arr = _rand(3, 5, 3, seed=31)
+    frames = webp_frames(webp_encode(arr))
+    assert len(frames) == 1 and frames[0][0] == 0
+    assert np.array_equal(frames[0][1], arr)
+
+
+def test_anim_lossy_subframe_returns_none():
+    import struct
+
+    from pdf_extractor_spark.core.webpcodec import _p24, webp_frames
+
+    vp8x = b"\x02\x00\x00\x00" + _p24(7) + _p24(7)
+    anim = b"\x00\x00\x00\xff\x00\x00"
+    lossy = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    anmf_body = _p24(0) + _p24(0) + _p24(7) + _p24(7) + _p24(10) + b"\x02" + lossy
+    body = (
+        b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        + b"ANIM" + struct.pack("<I", len(anim)) + anim
+        + b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert webp_frames(payload) is None
+
+
+def test_anim_fuzz_never_raises():
+    from pdf_extractor_spark.core.webpcodec import webp_encode_anim, webp_frames
+
+    base = webp_encode_anim([(10, _rand(4, 4, 3, seed=1)), (10, _rand(4, 4, 3, seed=2))])
+    rng = np.random.RandomState(37)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randint(12, len(mut))
+            mut[i] ^= 1 << rng.randint(0, 8)
+        out = webp_frames(bytes(mut))
+        assert out is None or isinstance(out, list)
+
+
+def test_sample_frames_real_webp_path(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.core.webpcodec import webp_encode_anim
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    import hashlib
+
+    f0 = np.full((4, 4, 3), 60, np.uint8)
+    f1 = np.full((4, 4, 3), 61, np.uint8)
+    payload = webp_encode_anim([(1500, f0), (1500, f1)])
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(payload))], "media_id string, kind string, payload binary"
+    ).select(
+        "media_id", "kind", "payload",
+        F.struct(
+            F.lit("image/webp").alias("mime"), F.lit(4).alias("width"),
+            F.lit(4).alias("height"), F.lit(3000).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    rows = sample_frames(media, every_ms=1000).orderBy("frame_ts_ms").collect()
+    assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000]
+    # f0 shows over [0, 1500), f1 over [1500, 3000)
+    assert rows[0].frame_sha == hashlib.sha256(f0.tobytes()).hexdigest()
+    assert rows[1].frame_sha == hashlib.sha256(f0.tobytes()).hexdigest()
+    assert rows[2].frame_sha == hashlib.sha256(f1.tobytes()).hexdigest()
