@@ -1,0 +1,178 @@
+"""Archive ingestion — zip / tar / tar.gz corpora into the pages pipeline.
+
+Document corpora routinely arrive as archives (a crawl dump tarred per
+host, a zip of exported HTML, a site mirror): the batch twin of the
+reference's per-file upload surface (app/storage/storage_service.py:
+the /vectorize upload path receives one document at a time; a warehouse
+receives a million of them inside one tarball). This source expands
+archive MEMBERS into rows without ever landing the members on disk:
+``binaryFile`` scan (distributed listing + pathGlobFilter + ``length``
+pushdown) → one Arrow pass per archive that walks the central directory
+/ tar stream with stdlib ``zipfile``/``tarfile`` over ``BytesIO``.
+
+Scale shape: like WARC files, one archive = one row on the scan side, so
+partition sizing = archive sizing (``spark.sql.files.maxPartitionBytes``
+at or above the archive size); the member expansion is a flat-map inside
+``mapInArrow`` — no shuffle. Member filtering (``member_glob``) and the
+per-member inflate cap run INSIDE the pass, so a selective read of one
+file class never materializes the rest of the archive's bytes.
+
+Degrades, never raises: a corrupt archive yields the members readable
+before the error; a member inflating past the cap is skipped (zip-bomb
+guard — stored size lies, the cap bounds the actual expansion).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from collections.abc import Iterator
+from datetime import datetime, timezone
+from fnmatch import fnmatch
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# per-member inflate cap, matching the WARC gzip-member guard: a crafted
+# member amplifying 1000x must not OOM the executor
+_MAX_MEMBER_BYTES = 1 << 30
+
+
+def iter_archive_members(
+    data: bytes, member_glob: str | None = None
+) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """(member_path, mtime, member_bytes) for every regular-file member of
+    a zip / tar / tar.gz / tgz archive. Pure Python — shared verbatim
+    between pytest and the Spark operator. Non-archive input yields
+    nothing; corrupt archives yield what parsed before the error."""
+    buf = io.BytesIO(data)
+    if data[:4] == b"PK\x03\x04" or data[:4] == b"PK\x05\x06":
+        try:
+            with zipfile.ZipFile(buf) as zf:
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    if member_glob and not fnmatch(info.filename, member_glob):
+                        continue
+                    try:
+                        with zf.open(info) as fh:
+                            payload = fh.read(_MAX_MEMBER_BYTES + 1)
+                    except (zipfile.BadZipFile, RuntimeError, OSError, EOFError):
+                        continue
+                    if len(payload) > _MAX_MEMBER_BYTES:
+                        continue  # bomb guard: stored size lies, cap is real
+                    mtime = None
+                    try:
+                        mtime = datetime(*info.date_time, tzinfo=timezone.utc)
+                    except (ValueError, TypeError):
+                        pass
+                    yield info.filename, mtime, payload
+        except (zipfile.BadZipFile, OSError, EOFError, ValueError):
+            return
+        return
+    # tar / tar.gz / tgz (tarfile sniffs the compression itself)
+    try:
+        with tarfile.open(fileobj=buf, mode="r:*") as tf:
+            while True:
+                try:
+                    info = tf.next()
+                except (tarfile.TarError, OSError, EOFError, ValueError):
+                    return  # keep members yielded before the corruption
+                if info is None:
+                    return
+                if not info.isfile():
+                    continue
+                if member_glob and not fnmatch(info.name, member_glob):
+                    continue
+                if info.size > _MAX_MEMBER_BYTES:
+                    continue
+                try:
+                    fh = tf.extractfile(info)
+                    payload = fh.read(_MAX_MEMBER_BYTES + 1) if fh else None
+                except (tarfile.TarError, OSError, EOFError, ValueError):
+                    continue
+                if payload is None or len(payload) > _MAX_MEMBER_BYTES:
+                    continue
+                mtime = None
+                try:
+                    mtime = datetime.fromtimestamp(info.mtime, tz=timezone.utc)
+                except (ValueError, OSError, OverflowError):
+                    pass
+                yield info.name, mtime, payload
+    except (tarfile.TarError, OSError, EOFError, ValueError):
+        return
+
+
+def read_archive_members(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.{zip,tar,tar.gz,tgz}",
+    member_glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Directory of archives → member DataFrame
+    (archive, member, mtime, payload, n_bytes).
+
+    ``glob`` prunes archive files at LIST time; ``max_bytes`` pushes down
+    on the archive ``length`` column; ``member_glob`` filters member
+    paths inside the Arrow pass (fnmatch, e.g. ``'**/*.html'``)."""
+    import pyarrow as pa
+
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    files = reader.load(path)
+    if max_bytes is not None:
+        files = files.filter(F.col("length") <= max_bytes)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            arcs, members, mtimes, payloads, sizes = [], [], [], [], []
+            for apath, content in zip(paths, contents):
+                for name, mtime, payload in iter_archive_members(
+                    content or b"", member_glob
+                ):
+                    arcs.append(apath)
+                    members.append(name)
+                    mtimes.append(mtime)
+                    payloads.append(payload)
+                    sizes.append(len(payload))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arcs, type=pa.string()),
+                    pa.array(members, type=pa.string()),
+                    pa.array(mtimes, type=pa.timestamp("us", tz="UTC")),
+                    pa.array(payloads, type=pa.binary()),
+                    pa.array(sizes, type=pa.int64()),
+                ],
+                names=["archive", "member", "mtime", "payload", "n_bytes"],
+            )
+
+    return files.select("path", "content").mapInArrow(
+        run,
+        "archive string, member string, mtime timestamp, payload binary,"
+        " n_bytes long",
+    )
+
+
+def read_archive_pages(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.{zip,tar,tar.gz,tgz}",
+    member_glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Archives of page files → the pages input shape (url, warc_ts, html):
+    url = ``archive!member`` (the bang convention keeps provenance and is
+    collision-free — member paths repeat across archives), warc_ts = the
+    member mtime. Feed straight to operators/extract.py, like
+    binaryfiles.read_binary_pages."""
+    members = read_archive_members(
+        spark, path, glob=glob, member_glob=member_glob, max_bytes=max_bytes
+    )
+    return members.select(
+        F.concat_ws("!", F.col("archive"), F.col("member")).alias("url"),
+        F.col("mtime").alias("warc_ts"),
+        F.col("payload").alias("html"),
+    )

@@ -1,0 +1,112 @@
+"""Archive source: zip/tar member expansion, filtering, bomb guards,
+Spark ingestion into the pages shape, extraction reach."""
+
+import io
+import tarfile
+import zipfile
+from datetime import datetime, timezone
+
+from pdf_extractor_spark.sources.archives import (
+    iter_archive_members,
+    read_archive_members,
+    read_archive_pages,
+)
+
+DOCS = [
+    ("site/a.html", b"<html><body><article><p>page one text</p></article></body></html>"),
+    ("site/sub/b.html", b"<html><body><article><p>page two text</p></article></body></html>"),
+    ("site/notes.txt", b"plain notes"),
+]
+
+
+def _zip_bytes(docs=DOCS) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, payload in docs:
+            info = zipfile.ZipInfo(name, date_time=(2026, 3, 1, 12, 0, 0))
+            zf.writestr(info, payload)
+    return buf.getvalue()
+
+
+def _tar_bytes(docs=DOCS, gz=False) -> bytes:
+    buf = io.BytesIO()
+    mode = "w:gz" if gz else "w"
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, payload in docs:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 1772366400  # 2026-03-01T12:00:00Z
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def test_zip_and_tar_members_roundtrip():
+    for data in (_zip_bytes(), _tar_bytes(), _tar_bytes(gz=True)):
+        got = list(iter_archive_members(data))
+        assert [(n, p) for n, _, p in got] == DOCS
+        assert all(ts == datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+                   for _, ts, _ in got)
+
+
+def test_member_glob_filters_inside_pass():
+    got = list(iter_archive_members(_zip_bytes(), member_glob="*.html"))
+    assert [n for n, _, _ in got] == ["site/a.html", "site/sub/b.html"]
+    got = list(iter_archive_members(_tar_bytes(), member_glob="*/sub/*"))
+    assert [n for n, _, _ in got] == ["site/sub/b.html"]
+
+
+def test_directories_skipped_and_non_archive_yields_nothing():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("dir/", b"")
+        zf.writestr("dir/f.txt", b"x")
+    assert [n for n, _, _ in iter_archive_members(buf.getvalue())] == ["dir/f.txt"]
+    assert list(iter_archive_members(b"not an archive")) == []
+    assert list(iter_archive_members(b"")) == []
+
+
+def test_corrupt_archive_degrades_not_raises():
+    data = _tar_bytes()
+    # truncate mid-second-member: the first member still comes out
+    cut = data[: 512 + 512 + 10]
+    got = list(iter_archive_members(cut))
+    assert [n for n, _, _ in got] == ["site/a.html"]
+    # corrupt zip tail
+    zdata = _zip_bytes()
+    assert isinstance(list(iter_archive_members(zdata[:-7])), list)  # no raise
+
+
+def test_zip_bomb_member_is_capped(monkeypatch):
+    from pdf_extractor_spark.sources import archives as mod
+
+    big = b"\x00" * 200_000
+    data = _zip_bytes([("bomb.bin", big), ("ok.txt", b"fine")])
+    monkeypatch.setattr(mod, "_MAX_MEMBER_BYTES", 65_536)
+    got = list(iter_archive_members(data))
+    assert [n for n, _, _ in got] == ["ok.txt"]  # bomb skipped, rest kept
+
+
+def test_spark_members_and_pages(spark, tmp_path):
+    (tmp_path / "c.zip").write_bytes(_zip_bytes())
+    (tmp_path / "c.tar.gz").write_bytes(_tar_bytes(gz=True))
+    df = read_archive_members(spark, str(tmp_path), glob="*.{zip,tar.gz}")
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r.member for r in rows} == {n for n, _ in DOCS}
+    assert all(r.n_bytes == len(dict(DOCS)[r.member]) for r in rows)
+
+    pages = read_archive_pages(
+        spark, str(tmp_path), glob="*.{zip,tar.gz}", member_glob="*.html"
+    )
+    prow = pages.collect()
+    assert len(prow) == 4
+    assert all("!" in r.url and r.url.endswith(".html") for r in prow)
+    assert all(r.warc_ts is not None for r in prow)
+
+    # members feed the same extraction pipeline as every other source
+    from pdf_extractor_spark.operators.extract import extract_chunks
+
+    chunks = extract_chunks(pages)
+    texts = {r.text for r in chunks.select("text").collect()}
+    assert any("page one text" in t for t in texts)
+    assert any("page two text" in t for t in texts)
