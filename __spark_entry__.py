@@ -4528,6 +4528,39 @@ def q_extraction_f1(spark, sf_dir):
     )
 
 
+def q_spoof_hosts(spark, sf_dir):
+    """Homoglyph lookalike-host screen (operators/curate.spoof_hosts +
+    functions/urls.host_skeleton): per doc a host cycles through five
+    classes against a per-doc protected domain pair — Cyrillic confusable
+    (с/о for c/o), the exact legit host (equal skeleton but equal string →
+    NOT flagged), the 1→l typosquat, the rn/m multi-char confusable, and
+    an unrelated host. The oracle emits the expected (host, spoof_of)
+    pairs in closed form — the fixture classes make the skeleton algebra
+    deterministic per doc_id."""
+    from pdf_extractor_spark.operators.curate import spoof_hosts
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("соrner"), k, F.lit(".example")))
+        .when(d % 5 == 1, F.concat(F.lit("corner"), k, F.lit(".example")))
+        .when(d % 5 == 2, F.concat(F.lit("pay1og"), k, F.lit(".example")))
+        .when(d % 5 == 3, F.concat(F.lit("comer"), k, F.lit(".example")))
+        .otherwise(F.concat(F.lit("neutral"), k, F.lit(".example")))
+    )
+    hosts = docs.select(host.alias("host"))
+    protected = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("corner"), k, F.lit(".example")),
+                F.concat(F.lit("paylog"), k, F.lit(".example")),
+            )
+        ).alias("host")
+    )
+    return spoof_hosts(hosts, protected)
+
+
 def q_host_blocklist(spark, sf_dir):
     """UT1/RefinedWeb-style host blocklist: blocking a domain must also drop
     every SUBDOMAIN. The suffix test runs as domain-suffix explode + one
@@ -4967,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # --- 35 never-driver-checked (rounds 1-4) ---
         "host_blocklist": q_host_blocklist,
+        "spoof_hosts": q_spoof_hosts,
         "latest_revision": q_latest_revision,
         "mix_budget": q_mix_budget,
         "meta_robots": q_meta_robots,
@@ -6894,6 +6928,19 @@ SELECT doc_id, url,
 FROM s""",
         # host blocklist: the oracle may use the quadratic LIKE form (test
         # scale); the Spark side must NOT (suffix-explode equi-join)
+        # the fixture classes make the skeleton algebra closed-form: Cyrillic
+        # соrner and ASCII comer both fold to the protected corner's skeleton,
+        # pay1og's 1→l fold lands on paylog; class 1 (the legit host) and
+        # class 4 (unrelated) emit nothing
+        "spoof_hosts": """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'соrner' || doc_id || '.example'
+         WHEN 2 THEN 'pay1og' || doc_id || '.example'
+         WHEN 3 THEN 'comer' || doc_id || '.example' END AS host,
+       CASE doc_id % 5
+         WHEN 2 THEN 'paylog' || doc_id || '.example'
+         ELSE 'corner' || doc_id || '.example' END AS spoof_of
+FROM documents WHERE doc_id % 5 IN (0, 2, 3)""",
         "host_blocklist": """
 WITH d AS (SELECT doc_id,
   CASE doc_id % 6 WHEN 0 THEN 'spam.example.com' WHEN 1 THEN 'cdn.spam.example.com'

@@ -145,3 +145,33 @@ def url_shape(url: Column):
         .alias("n_params"),
         (F.length(path) + F.length(query)).cast("int").alias("path_len"),
     )
+
+
+# curated homoglyph folds (a deliberate UTS-39-style SUBSET, not the full
+# confusables table): the Cyrillic and Greek lowercase letters that IDN
+# spoofs actually deploy against Latin brands. Hosts are nameprep-lowercased
+# already; punycode inputs should pass through idn.host_to_unicode first.
+_CONFUSABLE_SRC = "аеорсухіѕјԛѡԁьεικνου"
+_CONFUSABLE_DST = "aeopcyxisjqwdbeikvou"
+
+
+def host_skeleton(host: Column) -> Column:
+    """Spoof-detection skeleton of a hostname: lowercase, fold curated
+    Cyrillic/Greek homoglyphs to their Latin targets, fold the ASCII
+    typosquat digits 0→o and 1→l inside labels that contain letters
+    (all-digit labels — IPv4 octets, port-ish labels — stay numeric),
+    then collapse the classic multi-character lookalikes ``rn``→``m``
+    and ``vv``→``w``. Two hosts with equal skeletons are visually
+    confusable; equality with a protected domain's skeleton while the
+    raw hosts differ is the spoof signal (operators/curate.spoof_hosts).
+    Pure Column exprs — scan-side, codegen, oracle-replayable."""
+    h = F.lower(host)
+    h = F.translate(h, _CONFUSABLE_SRC, _CONFUSABLE_DST)
+    labels = F.split(h, r"\.")
+    folded = F.transform(
+        labels,
+        lambda l: F.when(l.rlike("[a-z]"), F.translate(l, "01", "ol")).otherwise(l),
+    )
+    h = F.array_join(folded, ".")
+    h = F.replace(h, F.lit("rn"), F.lit("m"))
+    return F.replace(h, F.lit("vv"), F.lit("w"))

@@ -343,3 +343,43 @@ def compliance_screen(
             | F.col("paywalled")
         ),
     )
+
+
+def spoof_hosts(
+    hosts: DataFrame,
+    protected: DataFrame,
+    host_col: str = "host",
+    protected_col: str = "host",
+) -> DataFrame:
+    """Homoglyph-spoof screen: (host, spoof_of) for every corpus host whose
+    confusable SKELETON (functions/urls.host_skeleton — curated
+    Cyrillic/Greek folds, 0→o/1→l typosquat digits in lettered labels,
+    rn→m / vv→w) equals a protected domain's skeleton while the raw
+    strings differ. The lookalike-domain gate a crawl curation pass runs
+    against its brand/blocklist seed: ``раураl.com`` (Cyrillic р/а),
+    ``paypa1.com``, and ``rnicrosoft.com`` all land on their target's
+    skeleton. Punycode inputs should be widened via idn.host_to_unicode
+    first; subdomain-prefix attacks (brand.evil.com) are a different gate
+    (domain_suffixes blocklists), not this one.
+
+    Scale shape: the protected list is a small dimension — skeletonized
+    once and broadcast; the corpus side is one scan-side projection +
+    broadcast equi-join on the skeleton. Distinct-host input recommended
+    (join keys stay unique)."""
+    from pdf_extractor_spark.functions.urls import host_skeleton
+
+    prot = F.broadcast(
+        protected.select(
+            F.col(protected_col).alias("spoof_of"),
+            host_skeleton(F.col(protected_col)).alias("__sk"),
+        ).dropDuplicates(["__sk"])
+    )
+    cand = hosts.select(
+        F.col(host_col).alias("host"),
+        host_skeleton(F.col(host_col)).alias("__sk"),
+    )
+    return (
+        cand.join(prot, "__sk", "inner")
+        .filter(F.col("host") != F.col("spoof_of"))
+        .select("host", "spoof_of")
+    )

@@ -292,3 +292,55 @@ def test_compliance_screen_binary_html(spark):
     )
     r = compliance_screen(df).collect()[0]
     assert r["noai"] and not r["eligible"]
+
+
+def test_host_skeleton_folds(spark):
+    from pdf_extractor_spark.functions.urls import host_skeleton
+
+    rows = spark.createDataFrame(
+        [
+            ("соrner7.example",),   # Cyrillic с + о
+            ("pay1og.example",),    # typosquat 1 → l
+            ("payl0g.example",),    # typosquat 0 → o
+            ("rnicrosoft.com",),    # rn → m
+            ("vvikipedia.org",),    # vv → w
+            ("εxample.gr",),        # Greek epsilon
+            ("10.0.0.1",),          # all-digit labels stay numeric
+            ("PLAIN.Example",),     # just lowercases
+        ],
+        "host string",
+    ).select(host_skeleton(F.col("host")).alias("sk")).collect()
+    assert [r.sk for r in rows] == [
+        "comer7.example",  # confusable fold first, then rn → m (both sides fold)
+        "paylog.example",
+        "paylog.example",
+        "microsoft.com",
+        "wikipedia.org",
+        "example.gr",
+        "10.0.0.1",
+        "plain.example",
+    ]
+
+
+def test_spoof_hosts_screen(spark):
+    from pdf_extractor_spark.operators.curate import spoof_hosts
+
+    protected = spark.createDataFrame(
+        [("paypal.com",), ("corner.example",)], "host string"
+    )
+    hosts = spark.createDataFrame(
+        [
+            ("раypal.com",),      # Cyrillic р + а → spoof
+            ("paypa1.com",),      # digit typosquat → spoof
+            ("paypal.com",),      # the real thing → NOT flagged
+            ("comer.example",),   # rn/m confusable pair → spoof
+            ("neutral.net",),     # unrelated
+        ],
+        "host string",
+    )
+    got = {(r.host, r.spoof_of) for r in spoof_hosts(hosts, protected).collect()}
+    assert got == {
+        ("раypal.com", "paypal.com"),
+        ("paypa1.com", "paypal.com"),
+        ("comer.example", "corner.example"),
+    }
