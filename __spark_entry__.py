@@ -4528,6 +4528,35 @@ def q_extraction_f1(spark, sf_dir):
     )
 
 
+def q_crawl_traps(spark, sf_dir):
+    """Crawler-trap URL screen (functions/urls.crawl_trap_signals): per doc
+    the url cycles through five trap classes — a self-link segment loop
+    (/a/b/a/b/a), a deep calendar-archive chain, a named session param, a
+    facet-permutation query (sort&filter&page), and a clean article path.
+    Signals and the composite gate are closed forms of the class, so the
+    oracle emits them directly; per-doc k in the varying segment keeps
+    urls distinct without touching the signals."""
+    from pdf_extractor_spark.functions.urls import crawl_trap_signals
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("https://h.ex/a"), k, F.lit("/b/a"), k, F.lit("/b/a"), k))
+        .when(d % 5 == 1, F.concat(
+            F.lit("https://h.ex/ar"), k, F.lit("/2026/08/21/2025/07")))
+        .when(d % 5 == 2, F.concat(
+            F.lit("https://h.ex/p"), k, F.lit("?phpsessid=tok"), k))
+        .when(d % 5 == 3, F.concat(
+            F.lit("https://h.ex/cat"), k, F.lit("?sort=a&filter=b&page=2&x=1")))
+        .otherwise(F.concat(F.lit("https://h.ex/articles/item"), k))
+    )
+    return docs.select(url.alias("url")).select(
+        "url", crawl_trap_signals(F.col("url")).alias("t")
+    ).select("url", "t.*")
+
+
 def q_spoof_hosts(spark, sf_dir):
     """Homoglyph lookalike-host screen (operators/curate.spoof_hosts +
     functions/urls.host_skeleton): per doc a host cycles through five
@@ -5001,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 35 never-driver-checked (rounds 1-4) ---
         "host_blocklist": q_host_blocklist,
         "spoof_hosts": q_spoof_hosts,
+        "crawl_traps": q_crawl_traps,
         "latest_revision": q_latest_revision,
         "mix_budget": q_mix_budget,
         "meta_robots": q_meta_robots,
@@ -6928,6 +6958,22 @@ SELECT doc_id, url,
 FROM s""",
         # host blocklist: the oracle may use the quadratic LIKE form (test
         # scale); the Spark side must NOT (suffix-explode equi-join)
+        # signals are closed forms of the fixture class (the per-doc k never
+        # touches them): loop=3 repeats, calendar=6 deep/5 dates, session
+        # param (also counted as a facet name), 3 facet params, clean
+        "crawl_traps": """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'https://h.ex/a' || doc_id || '/b/a' || doc_id || '/b/a' || doc_id
+         WHEN 1 THEN 'https://h.ex/ar' || doc_id || '/2026/08/21/2025/07'
+         WHEN 2 THEN 'https://h.ex/p' || doc_id || '?phpsessid=tok' || doc_id
+         WHEN 3 THEN 'https://h.ex/cat' || doc_id || '?sort=a&filter=b&page=2&x=1'
+         ELSE 'https://h.ex/articles/item' || doc_id END AS url,
+       (CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END)::INT AS max_seg_repeat,
+       (CASE WHEN doc_id % 5 = 1 THEN 5 ELSE 0 END)::INT AS n_date_segs,
+       doc_id % 5 = 2 AS has_session_id,
+       (CASE doc_id % 5 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END)::INT AS n_facet_params,
+       doc_id % 5 <> 4 AS is_crawl_trap
+FROM documents""",
         # the fixture classes make the skeleton algebra closed-form: Cyrillic
         # соrner and ASCII comer both fold to the protected corner's skeleton,
         # pay1og's 1→l fold lands on paylog; class 1 (the legit host) and

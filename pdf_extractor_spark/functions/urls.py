@@ -175,3 +175,68 @@ def host_skeleton(host: Column) -> Column:
     h = F.array_join(folded, ".")
     h = F.replace(h, F.lit("rn"), F.lit("m"))
     return F.replace(h, F.lit("vv"), F.lit("w"))
+
+
+# facet/pagination parameter names whose combinatorial explosion generates
+# crawler traps (every sort x filter x page permutation is a "new" url)
+_FACET_PARAMS = (
+    "sort", "order", "orderby", "filter", "page", "p", "offset", "start",
+    "limit", "view", "ref", "sid", "sessionid", "phpsessid", "jsessionid",
+)
+
+
+def crawl_trap_signals(url: Column):
+    """Struct of crawler-trap signals — the shapes that make a finite site
+    look infinite to a frontier (the classic Heritrix/WIRE trap taxonomy):
+
+    * ``max_seg_repeat`` — highest occurrence count of any single path
+      segment (``/a/b/a/b/a`` → 3): self-linking relative-URL loops grow
+      repeated segments without bound,
+    * ``n_date_segs`` — path segments that look like calendar components
+      (4-digit years, 1-2-digit day/month): infinite archive calendars,
+    * ``has_session_id`` — a session token rides the URL (named session
+      params or a ≥24-hex segment/value): every visit mints a "new" url,
+    * ``n_facet_params`` — query params drawn from the facet/pagination
+      vocabulary: sort×filter×page permutations.
+
+    ``is_crawl_trap`` applies the composite gate (seg loop ≥3, or deep
+    calendar, or session id, or ≥3 facet params). Pure Column exprs —
+    scan-side, codegen; the per-url segment scan is O(depth²) on a
+    depth-bounded array, not corpus-quadratic."""
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    rep_counts = F.transform(
+        segs, lambda s: F.size(F.filter(segs, lambda x: x == s))
+    )
+    max_rep = F.coalesce(F.array_max(rep_counts), F.lit(0)).cast("int")
+    date_segs = F.size(
+        F.filter(
+            segs,
+            lambda s: s.rlike("^(19|20)[0-9]{2}$") | s.rlike("^[0-3]?[0-9]$"),
+        )
+    ).cast("int")
+    has_sess = url.rlike("(?i)(phpsessid|jsessionid|sessionid)=") | url.rlike(
+        "[0-9a-fA-F]{24,}"
+    )
+    pnames = F.transform(
+        F.filter(F.split(query, "&"), lambda p: p != ""),
+        lambda p: F.lower(F.split(p, "=")[0]),
+    )
+    facet_arr = F.array(*[F.lit(x) for x in _FACET_PARAMS])
+    n_facet = F.size(
+        F.filter(pnames, lambda n: F.array_contains(facet_arr, n))
+    ).cast("int")
+    depth = F.size(segs)
+    return F.struct(
+        max_rep.alias("max_seg_repeat"),
+        date_segs.alias("n_date_segs"),
+        has_sess.alias("has_session_id"),
+        n_facet.alias("n_facet_params"),
+        (
+            (max_rep >= 3)
+            | ((depth >= 6) & (date_segs >= 3))
+            | has_sess
+            | (n_facet >= 3)
+        ).alias("is_crawl_trap"),
+    )

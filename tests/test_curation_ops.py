@@ -344,3 +344,39 @@ def test_spoof_hosts_screen(spark):
         ("paypa1.com", "paypal.com"),
         ("comer.example", "corner.example"),
     }
+
+
+def test_crawl_trap_signals(spark):
+    from pdf_extractor_spark.functions.urls import crawl_trap_signals
+
+    rows = (
+        spark.createDataFrame(
+            [
+                ("https://h.ex/a/b/a/b/a",),                 # segment loop
+                ("https://h.ex/blog/2026/08/21/x",),          # calendar, depth 5
+                ("https://h.ex/ar/2026/08/21/2025/07",),      # deep calendar
+                ("https://h.ex/p?phpsessid=ab12",),           # named session param
+                ("https://h.ex/t/deadbeefdeadbeefdeadbeef/x",),  # 24-hex token
+                ("https://h.ex/cat?sort=a&filter=b&page=3&x=1",),  # facet farm
+                ("https://h.ex/articles/one",),               # clean
+            ],
+            "url string",
+        )
+        .select(crawl_trap_signals(F.col("url")).alias("t"))
+        .select("t.*")
+        .collect()
+    )
+    got = [
+        (r.max_seg_repeat, r.n_date_segs, r.has_session_id, r.n_facet_params,
+         r.is_crawl_trap)
+        for r in rows
+    ]
+    assert got == [
+        (3, 0, False, 0, True),
+        (1, 3, False, 0, False),   # calendar but shallow: not a trap
+        (1, 5, False, 0, True),    # deep calendar chain: trap
+        (1, 0, True, 1, True),
+        (1, 0, True, 0, True),
+        (1, 0, False, 3, True),
+        (1, 0, False, 0, False),
+    ]
