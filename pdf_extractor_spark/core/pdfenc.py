@@ -230,3 +230,49 @@ class SimpleFontDecoder:
     def decode(self, raw: bytes) -> str:
         t = self.table
         return "".join(t[b] for b in raw)
+
+
+# --- Type1 font-program builtin encodings -----------------------------------
+#
+# Simple fonts may carry NO /Encoding entry at all: the code→glyph map then
+# lives in the embedded Type1 font program's own /Encoding array — which sits
+# in the program's CLEARTEXT header (only CharStrings/Private are
+# eexec-encrypted), as 'dup <code> /<glyphname> put' entries. pdfminer reads
+# these builtin encodings the same way (reference parity:
+# app/processing/pdf_processor.py:86-101); without them, symbolic and
+# custom-encoded Type1 text decodes as garbage latin-1.
+
+_T1_ENC_SECTION_RE = re.compile(
+    rb"/Encoding(.*?)(?:readonly\s+)?\bdef\b", re.DOTALL
+)
+_T1_ENC_PUT_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/{}()<>\[\]]+)\s+put")
+
+
+def parse_type1_builtin(clear: bytes) -> dict[int, str] | None:
+    """{code: glyph-name} from a Type1 font program's cleartext /Encoding
+    array; None when the program declares no explicit array (e.g.
+    '/Encoding StandardEncoding def' — callers check for that separately).
+    The '0 1 255 {...} for' .notdef-fill idiom carries no 'dup <code>'
+    prefix and is skipped by construction."""
+    m = _T1_ENC_SECTION_RE.search(clear)
+    if not m:
+        return None
+    out: dict[int, str] = {}
+    for code, name in _T1_ENC_PUT_RE.findall(m.group(1)):
+        c = int(code)
+        if 0 <= c <= 255:
+            out[c] = name.decode("latin-1")
+    return out or None
+
+
+def builtin_decoder(mapping: dict[int, str]) -> SimpleFontDecoder:
+    """SimpleFontDecoder over ONLY the font program's builtin encoding:
+    codes outside the array are .notdef and must vanish (a Standard-table
+    fallback would invent letters the font doesn't contain)."""
+    d = SimpleFontDecoder.__new__(SimpleFontDecoder)
+    table = [""] * 256
+    for code, name in mapping.items():
+        if 0 <= code <= 255:
+            table[code] = glyph_to_unicode(name)
+    d.table = table
+    return d

