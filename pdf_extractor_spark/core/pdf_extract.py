@@ -145,6 +145,8 @@ _ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _ENC_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.DOTALL)
 _BASEENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9-]+)")
 _DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_FONTFILE_RE = re.compile(rb"/FontFile\s+(\d+)\s+\d+\s+R")
 
 
 def _simple_font_decoder(objs: dict[int, bytes], font_body: bytes):
@@ -177,6 +179,26 @@ def _simple_font_decoder(objs: dict[int, bytes], font_body: bytes):
         name = nm.group(1).decode("latin-1")
         if base_table(name) is not None:
             return SimpleFontDecoder(name)
+        return None
+    # no /Encoding at all: the map may live in the embedded Type1 font
+    # program's own cleartext /Encoding array (symbolic/custom fonts —
+    # pdfminer reads these builtins the same way). /FontFile only: TTF
+    # (FontFile2) and CFF (FontFile3) programs don't carry this form.
+    from pdf_extractor_spark.core.pdfenc import builtin_decoder, parse_type1_builtin
+
+    fdm = _FONTDESC_RE.search(font_body)
+    if fdm:
+        desc = objs.get(int(fdm.group(1)), b"")
+        ffm = _FONTFILE_RE.search(desc)
+        if ffm:
+            data = _stream_bytes(objs.get(int(ffm.group(1)), b""))
+            if data:
+                clear = data.split(b"eexec", 1)[0]
+                mapping = parse_type1_builtin(clear)
+                if mapping:
+                    return builtin_decoder(mapping)
+                if re.search(rb"/Encoding\s+StandardEncoding\s+def", clear):
+                    return SimpleFontDecoder("StandardEncoding")
     return None
 
 
@@ -1803,6 +1825,7 @@ def render_pdf(
     kerned_tj: bool = False,
     rotate: int | list[int] = 0,
     info: dict[str, str] | None = None,
+    builtin: dict[int, str] | None = None,
 ) -> bytes:
     """Build a minimal PDF: one content stream per page, one BT..ET text
     object per paragraph, lines wrapped at ~60 chars. Deterministic.
@@ -1836,7 +1859,7 @@ def render_pdf(
         return _render_pdf_objstm(pages, compress, images_per_page, xref_predictor)
 
     encode_line = None
-    simple_font = bool(encoding or differences)
+    simple_font = bool(encoding or differences or builtin)
     pdf_enc_name = {
         "winansi": "WinAnsiEncoding",
         "macroman": "MacRomanEncoding",
@@ -1853,9 +1876,15 @@ def render_pdf(
             return "<" + "".join(f"{code_of[c]:04X}" for c in ln) + "> Tj"
 
     elif simple_font:
-        from pdf_extractor_spark.core.pdfenc import SimpleFontDecoder
+        from pdf_extractor_spark.core.pdfenc import SimpleFontDecoder, builtin_decoder
 
-        dec = SimpleFontDecoder(pdf_enc_name, differences)
+        # ``builtin`` ({code: glyph-name}) moves the encoding INTO the
+        # embedded Type1 font program (no /Encoding in the font dict) —
+        # the symbolic/custom-font form _simple_font_decoder's FontFile
+        # fallback has to recover
+        dec = builtin_decoder(builtin) if builtin else SimpleFontDecoder(
+            pdf_enc_name, differences
+        )
         # invert decode table (reverse scan -> lowest code wins; any choice
         # round-trips since every mapped code decodes to the same char)
         code_of_char: dict[str, int] = {}
@@ -1907,7 +1936,9 @@ def render_pdf(
     )  # obj 2
     font_num = 3 + 2 * n_pages  # only emitted when cid_font / simple_font
     img_counts = [_images_for(images_per_page, i) for i in range(n_pages)]
-    xobj_base = font_num + (2 if cid_font else (1 if simple_font else 0))
+    xobj_base = font_num + (
+        2 if cid_font else ((3 if builtin else 1) if simple_font else 0)
+    )
     img_offsets = [sum(img_counts[:i]) for i in range(n_pages)]
     link_lists = [
         (links_per_page[i] if links_per_page and i < len(links_per_page) else [])
@@ -1976,7 +2007,30 @@ def render_pdf(
         add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth /ToUnicode {font_num + 1} 0 R >>")
         add(f"<< /Length {len(cmap)} >>\nstream\n{cmap}\nendstream")
 
-    if simple_font:
+    if simple_font and builtin:
+        puts = "\n".join(f"dup {c} /{n} put" for c, n in sorted(builtin.items()))
+        program = (
+            "%!PS-AdobeFont-1.0: Custom 001.001\n"
+            "/FontName /Custom def\n"
+            "/Encoding 256 array\n"
+            "0 1 255 {1 index exch /.notdef put} for\n"
+            f"{puts}\n"
+            "readonly def\n"
+            "eexec\n0000\n"
+        )
+        add(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            f"/FontDescriptor {font_num + 1} 0 R >>"
+        )
+        add(
+            "<< /Type /FontDescriptor /FontName /Custom /Flags 4 "
+            f"/FontFile {font_num + 2} 0 R >>"
+        )
+        add(
+            f"<< /Length {len(program)} /Length1 {len(program) - 10} "
+            f"/Length2 4 /Length3 0 >>\nstream\n{program}\nendstream"
+        )
+    elif simple_font:
         if differences:
             base_part = f"/BaseEncoding /{pdf_enc_name} " if pdf_enc_name else ""
             diff_items = " ".join(f"{c} /{n}" for c, n in sorted(differences.items()))

@@ -189,6 +189,21 @@ def gen_pages(seed: int = 42, n: int = 200, giant_every: int = 97, include_edge_
                 "text": "Tıtle with ł glyphs – café",
             },
             {
+                # NO /Encoding entry anywhere: the code→glyph map lives only
+                # in the embedded Type1 program's cleartext /Encoding array
+                # (the symbolic/custom-subset form). Codes are deliberately
+                # control-range so a latin-1 fallback would garble all of it.
+                "url": "https://edge.test/pdf-builtin-encoding",
+                "html": render_pdf(
+                    [["flag day?"]],
+                    builtin={
+                        1: "f", 2: "l", 3: "a", 4: "g", 5: "space",
+                        6: "d", 7: "y", 8: "question",
+                    },
+                ),
+                "text": "flag day?",
+            },
+            {
                 "url": "https://edge.test/boilerplate-only",
                 "html": (
                     "<html><body><nav><a href='/a'>a</a><a href='/b'>b</a></nav>"

@@ -127,8 +127,9 @@ def test_pdf_edge_rows_extract_by_construction():
     """The corpus's PDF rows (plain + FlateDecode) dispatch through the S2
     gate and round-trip their by-construction text."""
     rows = [r for r in gen_pages(seed=42, n=5, include_edge_cases=True) if "/pdf-" in r["url"]]
-    # plain, FlateDecode, ObjStm+XRef-stream, CID-font, WinAnsi, Differences
-    assert len(rows) == 6
+    # plain, FlateDecode, ObjStm+XRef-stream, CID-font, WinAnsi, Differences,
+    # Type1-builtin-encoding
+    assert len(rows) == 7
     for row in rows:
         r = extract_any(row["url"], row["html"])
         assert r.status == "ok"

@@ -1251,3 +1251,57 @@ def test_pdf_info_never_raises_on_garbage():
     ]:
         out = pdf_info(payload)
         assert out is None or isinstance(out, dict)
+
+
+def test_type1_builtin_encoding_from_fontfile():
+    """A font with NO /Encoding entry decodes via the embedded Type1
+    program's cleartext /Encoding array; codes sit in the control range so
+    a latin-1 fallback would garble every byte."""
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+
+    builtin = {1: "h", 2: "i", 3: "space", 4: "t", 5: "e", 6: "r", 7: "exclam"}
+    pdf = render_pdf([["hi there!"]], builtin=builtin)
+    # the font DICT carries no /Encoding — only the font program does
+    font_dict = pdf[pdf.index(b"/Type /Font") :][:120]
+    assert b"/Encoding" not in font_dict
+    doc = extract_pdf("u", pdf)
+    assert doc.status == "ok"
+    assert doc.text == "hi there!"
+
+
+def test_type1_builtin_unmapped_codes_vanish():
+    """Codes outside the builtin array are .notdef and must NOT fall back
+    to StandardEncoding letters the font doesn't contain."""
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+
+    # the encoder maps unencodable chars ('X') to code 0x3F; 0x3F is not
+    # in the builtin array, so the mark vanishes rather than decoding as
+    # a StandardEncoding 'question'
+    pdf = render_pdf([["aXb"]], builtin={65: "a", 66: "b"})
+    doc = extract_pdf("u", pdf)
+    assert doc.text == "ab"
+
+
+def test_explicit_encoding_beats_fontfile_builtin():
+    """/Encoding in the font dict wins over the program's builtin array
+    (PDF 9.6.6.1 precedence)."""
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+
+    pdf = render_pdf([["café"]], encoding="winansi")
+    doc = extract_pdf("u", pdf)
+    assert doc.text == "café"
+
+
+def test_fontfile_standardencoding_declaration():
+    """'/Encoding StandardEncoding def' in the program (no explicit array)
+    selects the Standard table."""
+    from pdf_extractor_spark.core.pdf_extract import extract_pdf, render_pdf
+    import re
+
+    pdf = render_pdf([["plain words"]], builtin={1: "p"})
+    # surgically swap the program's array for the StandardEncoding form,
+    # keeping stream lengths consistent by rebuilding the whole fixture:
+    from pdf_extractor_spark.core.pdfenc import parse_type1_builtin
+
+    clear = b"/FontName /X def\n/Encoding StandardEncoding def\neexec"
+    assert parse_type1_builtin(clear) is None  # no explicit array entries
