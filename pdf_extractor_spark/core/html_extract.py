@@ -357,6 +357,73 @@ _SCRIPTISH_RE = re.compile(
 )
 
 
+# --- legacy charset detection (undeclared non-UTF-8 pages) ------------------
+#
+# The pre-2010 web is full of pages that declare NO charset yet are encoded
+# shift_jis / gbk / big5 / euc-kr / koi8-r / cp1251; the cp1252 fallback
+# decodes them "successfully" into mojibake. This tier scores each strict
+# candidate decode by how much of its non-ASCII output lands in the script
+# the codec exists for — LOWERCASE ranges for Cyrillic, which is what
+# separates koi8-r from cp1251 (each maps the other's lowercase to
+# uppercase, and real text is overwhelmingly lowercase). Multibyte codecs
+# get a structural bonus: strictly decoding a whole page through cp932/GBK
+# trail-byte constraints is far stronger evidence than a single-byte codec
+# that can't fail. Deterministic: fixed candidate order breaks ties.
+
+_JP_RANGES = ((0x3000, 0x30FF), (0x4E00, 0x9FFF), (0xFF00, 0xFFEF))
+_ZH_RANGES = ((0x3000, 0x303F), (0x4E00, 0x9FFF), (0xFF00, 0xFF65))
+_KR_RANGES = ((0xAC00, 0xD7A3), (0x3130, 0x318F), (0x4E00, 0x9FFF))
+_RU_RANGES = ((0x0430, 0x045F),)  # lowercase only — see module comment
+_LA_RANGES = ((0x00C0, 0x017F), (0x2013, 0x2122))
+# highest-frequency characters per language: a handful of particles /
+# function letters cover a large share of any real text, while a WRONG
+# decode scatters uniformly over thousands of codepoints and almost never
+# hits them — the discriminator range membership alone cannot provide
+# (Korean bytes decode "successfully" through euc_jp into kanji soup, gbk
+# through euc_jp, koi8-r through cp932 half-width katakana, ...)
+_JP_COMMON = frozenset("のにはをたがでてとしれさあるいうんです。、ー")
+_ZH_COMMON = frozenset("的一是不了在人有我他这這中大来上国個个到们与和你地。，")
+_KR_COMMON = frozenset("이다는에의를하고지은가서로니습있을것기사한")
+_RU_COMMON = frozenset("оеаинтсрвлкмдпуя")
+_LA_COMMON = frozenset("éàèêäöüßçñáíóúãõâîôûëïœ«»")
+_MULTIBYTE = frozenset(("cp932", "euc_jp", "gbk", "big5", "euc_kr"))
+_DETECT_CANDIDATES = (
+    ("cp932", _JP_RANGES, _JP_COMMON), ("euc_jp", _JP_RANGES, _JP_COMMON),
+    ("gbk", _ZH_RANGES, _ZH_COMMON), ("big5", _ZH_RANGES, _ZH_COMMON),
+    ("euc_kr", _KR_RANGES, _KR_COMMON),
+    ("cp1251", _RU_RANGES, _RU_COMMON), ("koi8_r", _RU_RANGES, _RU_COMMON),
+    ("cp1252", _LA_RANGES, _LA_COMMON),
+)
+
+
+def _detect_legacy(html: bytes) -> str | None:
+    """Best-scoring legacy codec for an UNDECLARED non-UTF-8 page, or None
+    when the evidence is too thin (< 4 non-ASCII chars) or too weak
+    (score < 0.45) — callers then keep the cp1252 fallback."""
+    best_codec = None
+    best_score = 0.0
+    for codec, ranges, common in _DETECT_CANDIDATES:
+        try:
+            text = html.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        hi = [c for c in text if ord(c) > 127][:4000]
+        if len(hi) < 4:
+            continue
+        in_range = sum(
+            1 for c in hi if any(lo <= ord(c) <= up for lo, up in ranges)
+        )
+        hits = sum(1 for c in hi if c in common)
+        bad = sum(1 for c in hi if 0x80 <= ord(c) <= 0x9F)  # C1 controls
+        n = len(hi)
+        score = 0.3 * in_range / n + 1.2 * hits / n - 2.0 * bad / n
+        if codec in _MULTIBYTE and in_range:
+            score += 0.1  # structural trail-byte evidence
+        if score > best_score:
+            best_codec, best_score = codec, score
+    return best_codec if best_score >= 0.45 else None
+
+
 def _decode(html: bytes) -> tuple[str, bool]:
     """Decode page bytes; second element flags lossy decode (→ 'fallback').
 
@@ -387,10 +454,15 @@ def _decode(html: bytes) -> tuple[str, bool]:
             return html.decode(codec), False
         except (LookupError, UnicodeDecodeError):
             pass
-    # undeclared legacy page: windows-1252, the browsers' de-facto fallback
-    # for the Latin-1-era web — decodes most such pages losslessly (strict:
-    # only bytes 81/8D/8F/90/9D are undefined), so 'fallback' status is
-    # reserved for genuinely undecodable bytes
+    # undeclared legacy page: statistical charset detection first (the
+    # shift_jis/gbk/big5/euc-kr/koi8-r/cp1251 web predates declarations),
+    # then windows-1252, the browsers' de-facto Latin fallback — it decodes
+    # most remaining pages losslessly (strict: only bytes 81/8D/8F/90/9D
+    # are undefined), so 'fallback' status stays reserved for genuinely
+    # undecodable bytes
+    detected = _detect_legacy(html)
+    if detected:
+        return html.decode(detected), False
     try:
         return html.decode("cp1252"), False
     except UnicodeDecodeError:

@@ -275,3 +275,56 @@ def test_declared_multibyte_charsets_decode_losslessly():
         r = extract_html("u", html)
         assert r.status == "ok", (label, r.status)
         assert r.text == txt, (label, r.text)
+
+
+def test_undeclared_legacy_charsets_detected():
+    """Pages that declare NO charset but are encoded in the classic legacy
+    codecs decode to the right script instead of cp1252 mojibake."""
+    from pdf_extractor_spark.core.html_extract import extract_html
+
+    samples = [
+        ("cp932", "日本語のページです。東京と大阪の天気予報。"),
+        ("euc_kr", "한국어 페이지입니다. 서울의 일기 예보와 뉴스."),
+        ("gbk", "这是一个中文网页。北京和上海的天气预报。"),
+        ("big5", "這是一個中文網頁。台北的天氣預報與新聞。"),
+        ("cp1251", "это русская страница о погоде в москве и новостях дня"),
+        ("koi8_r", "это русская страница о погоде в москве и новостях дня"),
+    ]
+    for codec, text in samples:
+        html = f"<html><body><p>{text}</p></body></html>".encode(codec)
+        doc = extract_html("u", html)
+        assert doc.status == "ok", codec
+        assert text in doc.text, (codec, doc.text[:60])
+
+
+def test_declared_charset_beats_detection():
+    from pdf_extractor_spark.core.html_extract import extract_html
+
+    # bytes are valid in BOTH koi8-r and cp1251; the declaration decides
+    text = "москва и погода сегодня вечером дома"
+    html = (
+        '<html><head><meta charset="koi8-r"></head><body><p>'
+        + text + "</p></body></html>"
+    ).encode("koi8_r")
+    doc = extract_html("u", html)
+    assert text in doc.text
+
+
+def test_latin_cp1252_pages_unaffected_by_detection():
+    from pdf_extractor_spark.core.html_extract import extract_html
+
+    text = "café résumé naïve – déjà vu"
+    html = f"<html><body><p>{text}</p></body></html>".encode("cp1252")
+    doc = extract_html("u", html)
+    assert doc.status == "ok"
+    assert text in doc.text
+
+
+def test_thin_evidence_keeps_cp1252_fallback():
+    from pdf_extractor_spark.core.html_extract import extract_html
+
+    # a single stray high byte is not evidence for any detector
+    html = b"<html><body><p>mostly ascii text with one stray \xe9 byte</p></body></html>"
+    doc = extract_html("u", html)
+    assert doc.status == "ok"
+    assert "é" in doc.text  # cp1252 e-acute
