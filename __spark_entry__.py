@@ -4528,6 +4528,49 @@ def q_extraction_f1(spark, sf_dir):
     )
 
 
+def q_charset_detect(spark, sf_dir):
+    """Undeclared legacy-charset detection (core/html_extract._detect_legacy):
+    per doc an HTML page with NO charset declaration is encoded in one of
+    six legacy codecs (shift_jis, gbk, big5, euc-kr, cp1251, koi8-r) and
+    extraction must recover the exact source text — the tier that turns
+    pre-2010 crawl mojibake into data. Expected text is closed-form (the
+    per-codec phrase + the ASCII doc marker), so the oracle replays it."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.extract import extract_docs
+
+    phrases = [
+        ("cp932", "日本語のページです。東京の天気予報。"),
+        ("gbk", "这是一个中文网页。北京的天气预报。"),
+        ("big5", "這是一個中文網頁。台北的天氣預報。"),
+        ("euc_kr", "한국어 페이지입니다. 서울의 일기 예보."),
+        ("cp1251", "это русская страница о погоде в москве"),
+        ("koi8_r", "это русская страница о погоде в москве"),
+    ]
+
+    def mk_pages(batches):
+        for batch in batches:
+            urls, htmls = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                codec, phrase = phrases[d % 6]
+                text = f"{phrase} doc {d}"
+                urls.append(f"doc://{d}")
+                htmls.append(
+                    f"<html><body><p>{text}</p></body></html>".encode(codec)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(htmls, type=pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        mk_pages, "url string, html binary"
+    )
+    res = extract_docs(pages)
+    return res.select("url", F.col("text").alias("extracted_text"), "parse_status")
+
+
 def q_crawl_traps(spark, sf_dir):
     """Crawler-trap URL screen (functions/urls.crawl_trap_signals): per doc
     the url cycles through five trap classes — a self-link segment loop
@@ -5031,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "spoof_hosts": q_spoof_hosts,
         "crawl_traps": q_crawl_traps,
+        "charset_detect": q_charset_detect,
         "latest_revision": q_latest_revision,
         "mix_budget": q_mix_budget,
         "meta_robots": q_meta_robots,
@@ -6958,6 +7002,19 @@ SELECT doc_id, url,
 FROM s""",
         # host blocklist: the oracle may use the quadratic LIKE form (test
         # scale); the Spark side must NOT (suffix-explode equi-join)
+        # expected text is the per-codec phrase + ' doc <id>' — detection
+        # recovered it losslessly, so parse_status is 'ok' for every class
+        "charset_detect": """
+SELECT 'doc://' || doc_id AS url,
+       CASE doc_id % 6
+         WHEN 0 THEN '日本語のページです。東京の天気予報。'
+         WHEN 1 THEN '这是一个中文网页。北京的天气预报。'
+         WHEN 2 THEN '這是一個中文網頁。台北的天氣預報。'
+         WHEN 3 THEN '한국어 페이지입니다. 서울의 일기 예보.'
+         ELSE 'это русская страница о погоде в москве' END
+       || ' doc ' || doc_id AS extracted_text,
+       'ok' AS parse_status
+FROM documents""",
         # signals are closed forms of the fixture class (the per-doc k never
         # touches them): loop=3 repeats, calendar=6 deep/5 dates, session
         # param (also counted as a facet name), 3 facet params, clean
