@@ -29,6 +29,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True, help="input pages parquet/table path")
     ap.add_argument("--out", required=True, help="chunks snapshot-table directory")
+    ap.add_argument("--input-format", choices=["parquet", "warc", "archive", "binary"],
+                    default="parquet",
+                    help="pages source: a parquet pages table (default), raw "
+                         ".warc(.gz) dumps, zip/tar archives of page files, or "
+                         "a directory of individual page files")
+    ap.add_argument("--input-glob", default=None,
+                    help="pathGlobFilter for warc/archive/binary inputs")
+    ap.add_argument("--member-glob", default=None,
+                    help="archive-member fnmatch filter (archive format only)")
+    ap.add_argument("--max-input-bytes", type=int, default=None,
+                    help="skip warc/archive/binary files larger than this")
     ap.add_argument("--embeddings", default=None, help="optional embeddings table dir")
     ap.add_argument("--balance-partitions", type=int, default=None,
                     help="explicit size-balanced repartition ahead of the UDF stage")
@@ -43,16 +54,41 @@ def main() -> None:
     from pdf_extractor_spark.sources.tableio import SnapshotTable
 
     spark = get_spark("extraction-job", master=args.master)
-    pages = spark.read.parquet(args.pages)
-    # byte-targeted Arrow batching: one cheap stats scan sizes batches to
-    # ~16 MB of payload (session.arrow_batch_rows) — small crawl pages get
-    # thousands of rows per batch (amortizing the JVM<->Python hop), giant
-    # PDF scans stay at the memory-safe floor
-    avg_payload = pages.agg(F.avg(F.length("html"))).collect()[0][0]
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch",
-        str(arrow_batch_rows(avg_payload or 0)),
-    )
+    if args.input_format == "parquet":
+        pages = spark.read.parquet(args.pages)
+        # byte-targeted Arrow batching: one cheap stats scan sizes batches to
+        # ~16 MB of payload (session.arrow_batch_rows) — small crawl pages get
+        # thousands of rows per batch (amortizing the JVM<->Python hop), giant
+        # PDF scans stay at the memory-safe floor
+        avg_payload = pages.agg(F.avg(F.length("html"))).collect()[0][0]
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_batch_rows(avg_payload or 0)),
+        )
+    elif args.input_format == "warc":
+        from pdf_extractor_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(
+            spark, args.pages, glob=args.input_glob or "*.warc*",
+            max_bytes=args.max_input_bytes,
+        )
+    elif args.input_format == "archive":
+        from pdf_extractor_spark.sources.archives import read_archive_pages
+
+        pages = read_archive_pages(
+            spark, args.pages, glob=args.input_glob or "*.{zip,tar,tar.gz,tgz}",
+            member_glob=args.member_glob, max_bytes=args.max_input_bytes,
+        )
+    else:
+        from pdf_extractor_spark.sources.binaryfiles import read_binary_pages
+
+        pages = read_binary_pages(
+            spark, args.pages, glob=args.input_glob,
+            max_bytes=args.max_input_bytes,
+        )
+    # non-parquet sources parse payloads inside the scan itself, so the
+    # stats pre-scan would double the work: keep the memory-safe floor
+    # batch size there (giant pages can't overshoot it)
     lineage = run_extraction(
         spark,
         pages,
