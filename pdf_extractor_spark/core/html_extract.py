@@ -407,7 +407,9 @@ def _detect_legacy(html: bytes) -> str | None:
             text = html.decode(codec)
         except (UnicodeDecodeError, LookupError):
             continue
-        hi = [c for c in text if ord(c) > 127][:4000]
+        # bounded evidence window: slice first (O(window)), never a full
+        # filter over a 10 MB page per candidate
+        hi = [c for c in text[:200_000] if ord(c) > 127][:4000]
         if len(hi) < 4:
             continue
         in_range = sum(

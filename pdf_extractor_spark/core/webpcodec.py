@@ -25,8 +25,8 @@ Reference capability: app/processing/pdf_processor.py:86-101 (the
 reference gets image decoding from PIL inside unstructured).
 
 Degrades, never raises: malformed/truncated/hostile payloads return
-None; declared-dimension bombs are capped before allocation (same
-64M-pixel cap as the other codecs).
+None; declared-dimension bombs are capped before allocation, and the cap
+bounds WALL TIME too (see _MAX_PIXELS — the entropy loop is pure Python).
 """
 from __future__ import annotations
 
@@ -34,7 +34,17 @@ import struct
 
 import numpy as np
 
-_MAX_PIXELS = 64_000_000  # same declared-dims cap as PNG/BMP/TIFF/GIF/JPEG
+# Unlike the other codecs (whose hot loops are zlib/numpy at C speed), the
+# VP8L entropy loop and predictor inverse are pure Python per pixel
+# (~2-3 us/px measured): the declared-dims cap must bound WALL TIME, not
+# just memory, or one big lossless frame pins an executor for an hour while
+# looking hung. 4M pixels ~= 10-15 s worst case; larger frames degrade
+# honestly to sniff-level metadata.
+_MAX_PIXELS = 4_000_000
+# animated compositing budget: total OUTPUT pixels across all emitted
+# frames (canvas px x frames) — a few-KB file declaring a huge canvas and
+# thousands of tiny ANMF rects must not allocate terabytes of canvases
+_MAX_ANIM_TOTAL_PIXELS = 64_000_000
 
 
 class _Bad(Exception):
@@ -1035,7 +1045,11 @@ def webp_frames(payload: bytes | None, max_frames: int = 10_000):
         canvas = np.empty((ch, cw, 4), np.uint8)
         canvas[:] = bg
         out = []
+        pixel_budget = _MAX_ANIM_TOTAL_PIXELS
         for body in anmf[:max_frames]:
+            pixel_budget -= cw * ch
+            if pixel_budget < 0:
+                break  # aggregate canvas-copy budget: keep what composited
             if len(body) < 16:
                 return None
             fx = _u24(body[0:3]) * 2

@@ -194,8 +194,11 @@ def crawl_trap_signals(url: Column):
       repeated segments without bound,
     * ``n_date_segs`` — path segments that look like calendar components
       (4-digit years, 1-2-digit day/month): infinite archive calendars,
-    * ``has_session_id`` — a session token rides the URL (named session
-      params or a ≥24-hex segment/value): every visit mints a "new" url,
+    * ``has_session_id`` — a NAMED session parameter rides the URL
+      (phpsessid/jsessionid/sessionid): every visit mints a "new" url.
+      Bare hex-run heuristics are deliberately excluded — content-hashed
+      assets, commit URLs, and dashless UUIDs are stable, crawlable pages
+      that a hex-token gate would throw away wholesale,
     * ``n_facet_params`` — query params drawn from the facet/pagination
       vocabulary: sort×filter×page permutations.
 
@@ -216,9 +219,7 @@ def crawl_trap_signals(url: Column):
             lambda s: s.rlike("^(19|20)[0-9]{2}$") | s.rlike("^[0-3]?[0-9]$"),
         )
     ).cast("int")
-    has_sess = url.rlike("(?i)(phpsessid|jsessionid|sessionid)=") | url.rlike(
-        "[0-9a-fA-F]{24,}"
-    )
+    has_sess = url.rlike("(?i)(phpsessid|jsessionid|sessionid)=")
     pnames = F.transform(
         F.filter(F.split(query, "&"), lambda p: p != ""),
         lambda p: F.lower(F.split(p, "=")[0]),

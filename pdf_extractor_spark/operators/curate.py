@@ -368,11 +368,17 @@ def spoof_hosts(
     (join keys stay unique)."""
     from pdf_extractor_spark.functions.urls import host_skeleton
 
+    # deterministic reduction: if the protected list itself contains two
+    # hosts with one skeleton (a brand plus its registered defensive
+    # lookalike), the lexicographically smallest is the canonical target —
+    # dropDuplicates would keep a partition-order-dependent row
     prot = F.broadcast(
         protected.select(
-            F.col(protected_col).alias("spoof_of"),
             host_skeleton(F.col(protected_col)).alias("__sk"),
-        ).dropDuplicates(["__sk"])
+            F.col(protected_col).alias("spoof_of"),
+        )
+        .groupBy("__sk")
+        .agg(F.min("spoof_of").alias("spoof_of"))
     )
     cand = hosts.select(
         F.col(host_col).alias("host"),

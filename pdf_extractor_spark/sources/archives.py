@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 # per-member inflate cap, matching the WARC gzip-member guard: a crafted
 # member amplifying 1000x must not OOM the executor
 _MAX_MEMBER_BYTES = 1 << 30
+# aggregate per-archive expansion cap: 10,000 members each just under the
+# member cap would still OOM — once an archive's TOTAL inflated bytes pass
+# this, remaining members are not materialized
+_MAX_ARCHIVE_BYTES = 1 << 31
 
 
 def iter_archive_members(
@@ -45,12 +49,18 @@ def iter_archive_members(
     """(member_path, mtime, member_bytes) for every regular-file member of
     a zip / tar / tar.gz / tgz archive. Pure Python — shared verbatim
     between pytest and the Spark operator. Non-archive input yields
-    nothing; corrupt archives yield what parsed before the error."""
+    nothing; corrupt archives yield what parsed before the error; members
+    past the per-member or per-archive inflate caps are skipped/stop
+    iteration (bomb guards — declared sizes lie, the caps bound actual
+    expansion)."""
     buf = io.BytesIO(data)
+    total = 0
     if data[:4] == b"PK\x03\x04" or data[:4] == b"PK\x05\x06":
         try:
             with zipfile.ZipFile(buf) as zf:
                 for info in zf.infolist():
+                    if total > _MAX_ARCHIVE_BYTES:
+                        return  # aggregate bomb guard
                     if info.is_dir():
                         continue
                     if member_glob and not fnmatch(info.filename, member_glob):
@@ -62,6 +72,7 @@ def iter_archive_members(
                         continue
                     if len(payload) > _MAX_MEMBER_BYTES:
                         continue  # bomb guard: stored size lies, cap is real
+                    total += len(payload)
                     mtime = None
                     try:
                         mtime = datetime(*info.date_time, tzinfo=timezone.utc)
@@ -94,6 +105,9 @@ def iter_archive_members(
                     continue
                 if payload is None or len(payload) > _MAX_MEMBER_BYTES:
                     continue
+                total += len(payload)
+                if total > _MAX_ARCHIVE_BYTES:
+                    return  # aggregate bomb guard
                 mtime = None
                 try:
                     mtime = datetime.fromtimestamp(info.mtime, tz=timezone.utc)
@@ -125,11 +139,13 @@ def read_archive_members(
         files = files.filter(F.col("length") <= max_bytes)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # one output RecordBatch PER ARCHIVE: accumulating several archives'
+        # inflated members in one batch multiplies peak memory for nothing
         for batch in batches:
             paths = batch.column("path").to_pylist()
             contents = batch.column("content").to_pylist()
-            arcs, members, mtimes, payloads, sizes = [], [], [], [], []
             for apath, content in zip(paths, contents):
+                arcs, members, mtimes, payloads, sizes = [], [], [], [], []
                 for name, mtime, payload in iter_archive_members(
                     content or b"", member_glob
                 ):
@@ -138,16 +154,16 @@ def read_archive_members(
                     mtimes.append(mtime)
                     payloads.append(payload)
                     sizes.append(len(payload))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(arcs, type=pa.string()),
-                    pa.array(members, type=pa.string()),
-                    pa.array(mtimes, type=pa.timestamp("us", tz="UTC")),
-                    pa.array(payloads, type=pa.binary()),
-                    pa.array(sizes, type=pa.int64()),
-                ],
-                names=["archive", "member", "mtime", "payload", "n_bytes"],
-            )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(arcs, type=pa.string()),
+                        pa.array(members, type=pa.string()),
+                        pa.array(mtimes, type=pa.timestamp("us", tz="UTC")),
+                        pa.array(payloads, type=pa.binary()),
+                        pa.array(sizes, type=pa.int64()),
+                    ],
+                    names=["archive", "member", "mtime", "payload", "n_bytes"],
+                )
 
     return files.select("path", "content").mapInArrow(
         run,
