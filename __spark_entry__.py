@@ -6516,7 +6516,7 @@ WITH t AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                      w -> regexp_matches(w, '[a-z]')) AS words,
-         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS raw_sent
+         len(regexp_extract_all(text, '[.!?。！？]+'))::BIGINT AS raw_sent
   FROM documents),
 c AS (
   SELECT doc_id,
@@ -7443,17 +7443,17 @@ WITH raw AS (SELECT doc_id,
   AS raw FROM documents),
 k AS (SELECT doc_id, raw,
       list_filter(string_split(raw, chr(10)),
-                  x -> regexp_matches(trim(x), '[.!?"]$')
+                  x -> regexp_matches(trim(x), '[.!?"。！？」』]$')
                        AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
                        AND NOT contains(lower(x), 'javascript')) AS kept
       FROM raw),
 c AS (SELECT doc_id, raw, array_to_string(kept, chr(10)) AS clean_text, len(kept) AS nl FROM k)
 SELECT doc_id, clean_text, nl::BIGINT AS n_lines,
-       len(regexp_extract_all(clean_text, '[.!?]+'))::BIGINT AS n_sentences,
+       len(regexp_extract_all(clean_text, '[.!?。！？]+'))::BIGINT AS n_sentences,
        (NOT contains(lower(raw), '{') AND NOT contains(lower(raw), 'lorem ipsum')
         AND NOT contains(lower(raw), 'viagra') AND NOT contains(lower(raw), 'casino')
         AND NOT contains(lower(raw), 'porn')
-        AND len(regexp_extract_all(clean_text, '[.!?]+')) >= 5) AS keep
+        AND len(regexp_extract_all(clean_text, '[.!?。！？]+')) >= 5) AS keep
 FROM c""",
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
@@ -7778,7 +7778,9 @@ FROM b""",
 WITH built AS (SELECT doc_id, 'Accept all cookies. ' || text AS text FROM documents),
 t AS (SELECT doc_id,
              regexp_split_to_array(
-               regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)
+               regexp_replace(
+                 regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+                 '([。！？])', '\1' || chr(30), 'g'), chr(30)
              ) AS parts
       FROM built),
 p0 AS (SELECT doc_id, trim(unnest(parts)) AS sent,

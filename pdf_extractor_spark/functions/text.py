@@ -234,7 +234,7 @@ def mean_line_len(text: Column) -> Column:
 # spam screen (parameterizable; stands in for C4's external blocklist, which
 # is a resource, not an algorithm)
 C4_BAD_WORDS = ("viagra", "casino", "porn")
-TERMINAL_PUNCT_RE = r'[.!?"]$'
+TERMINAL_PUNCT_RE = r'[.!?"。！？」』]$'
 
 
 def c4_keep_line(line: Column) -> Column:
@@ -255,7 +255,9 @@ def c4_clean_text(text: Column) -> Column:
 
 def sentence_count(text: Column) -> Column:
     """Number of terminal-punctuation runs — the C4 sentence proxy."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))).cast("long")
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[.!?。！？]+"), F.lit(0))
+    ).cast("long")
 
 
 # RS (record separator) — a control char CONTROL_CLASS strips from clean
@@ -266,7 +268,8 @@ _SENT_MARK = "\x1e"
 def sentences(text: Column) -> Column:
     """Sentence segmentation as an array<string> (trimmed, empties dropped).
 
-    Boundary rule: terminal punctuation [.!?] followed by whitespace. RE2
+    Boundary rule: terminal punctuation [.!?] followed by whitespace, or a
+    CJK terminator 。！？ anywhere (they are self-delimiting). RE2
     (the oracle engine) has no lookbehind, so the boundary is expressed as
     marker injection — replace "([.!?])\\s+" with "$1<RS>", split on <RS> —
     which both Spark's regexp_replace and DuckDB's (with the 'g' flag)
@@ -274,6 +277,9 @@ def sentences(text: Column) -> Column:
     out of scope: corpus-dedup segmentation needs determinism and
     cross-engine parity, not linguistic perfection."""
     marked = F.regexp_replace(text, r"([.!?])\s+", "$1" + _SENT_MARK)
+    # CJK terminators are SELF-delimiting (no whitespace follows 。！？ in
+    # running text), so they mark a boundary unconditionally
+    marked = F.regexp_replace(marked, r"([。！？])", "$1" + _SENT_MARK)
     # NOT `F.transform(..., F.trim)`: trim's optional second parameter makes
     # transform pass (element, index), i.e. the two-arg trim form that
     # strips the element's own INDEX DIGITS from its edges ("1984 was…" at

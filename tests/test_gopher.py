@@ -73,3 +73,27 @@ def test_script_ratios(spark):
     assert row["cyr"] == round(3 / 11, 4)
     assert row["cjk"] == round(3 / 11, 4)
     assert row["blank"] == 0.0
+
+
+def test_cjk_sentence_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.text import sentence_count, sentences
+
+    rows = spark.createDataFrame(
+        [
+            ("日本語の文です。次の文。最後です。",),
+            ("中文句子。第二句！第三句？",),
+            ("Mixed latin. と日本語。done.",),
+        ],
+        "text string",
+    ).select(
+        sentences(F.col("text")).alias("s"),
+        sentence_count(F.col("text")).alias("n"),
+    ).collect()
+    assert [r.s for r in rows] == [
+        ["日本語の文です。", "次の文。", "最後です。"],
+        ["中文句子。", "第二句！", "第三句？"],
+        ["Mixed latin.", "と日本語。", "done."],
+    ]
+    assert [r.n for r in rows] == [3, 3, 3]
