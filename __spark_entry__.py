@@ -5398,11 +5398,23 @@ def _sql_lang_id() -> str:
     case = "CASE " + " ".join(
         f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
     ) + " ELSE 'und' END"
+    # script tier mirrors functions/text.py: kana → ja, hangul → ko,
+    # han-without-kana → zh, each needing >= 2 script chars at >= 5%
+    script_case = (
+        "CASE WHEN kana >= 2 AND (kana + han) * 20 >= n THEN 'ja' "
+        "WHEN hang >= 2 AND hang * 20 >= n THEN 'ko' "
+        "WHEN han >= 2 AND han * 20 >= n THEN 'zh' "
+        f"ELSE {{marker}} END"
+    ).format(marker=case)
     return f"""
-WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM t),
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, length(text) AS n,
+        length(regexp_replace(text, '[^ぁ-ゖァ-ヺー]', '', 'g')) AS kana,
+        length(regexp_replace(text, '[^가-힣]', '', 'g')) AS hang,
+        length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS han,
+        {', '.join(hit_cols)} FROM t),
 b AS (SELECT *, {best} AS best FROM s)
-SELECT doc_id, lang AS lang_true, {case} AS lang_pred FROM b"""
+SELECT doc_id, lang AS lang_true, {script_case} AS lang_pred FROM b"""
 
 
 def _sql_vec_lit(vals) -> str:

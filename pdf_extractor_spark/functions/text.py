@@ -140,15 +140,43 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
 
 
+# script tiers for languages whose running text has NO spaces — the marker
+# tier tokenizes on whitespace, so real CJK prose is one giant token and
+# never hits a marker. Negated classes: length(regexp_replace(text, cls, ''))
+# counts the chars IN the script, identically in Spark and DuckDB (RE2).
+_KANA_NOT = "[^ぁ-ゖァ-ヺー]"      # kana uniquely marks Japanese vs Chinese
+_HANGUL_NOT = "[^가-힣]"
+_HAN_NOT = "[^一-鿿]"
+# a script tier fires on >= 2 script chars making up >= 5% of the text
+# (integer arithmetic: count*20 >= n_chars — exact in both engines)
+_SCRIPT_MIN_CHARS = 2
+
+
+def _script_chars(text: Column, not_class: str) -> Column:
+    return F.length(F.regexp_replace(text, not_class, ""))
+
+
 def lang_id(text: Column) -> Column:
-    """Predicted language: argmax marker-hit count, first-wins ties in
-    LANG_ORDER; 'und' when no marker hits at all."""
+    """Predicted language. Script tier first — kana → 'ja', hangul → 'ko',
+    han without kana → 'zh' (unspaced CJK prose never reaches the marker
+    tokens) — then argmax marker-hit count, first-wins ties in LANG_ORDER;
+    'und' when nothing fires."""
     scores = lang_scores(text)
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):  # build CASE so earlier langs win ties
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    n = F.length(text)
+    kana = _script_chars(text, _KANA_NOT)
+    hang = _script_chars(text, _HANGUL_NOT)
+    han = _script_chars(text, _HAN_NOT)
+    m = F.lit(_SCRIPT_MIN_CHARS)
+    return (
+        F.when((kana >= m) & ((kana + han) * 20 >= n), F.lit("ja"))
+        .when((hang >= m) & (hang * 20 >= n), F.lit("ko"))
+        .when((han >= m) & (han * 20 >= n), F.lit("zh"))
+        .otherwise(expr)
+    )
 
 
 # --- fingerprinting ---------------------------------------------------------

@@ -97,3 +97,21 @@ def test_cjk_sentence_boundaries(spark):
         ["Mixed latin.", "と日本語。", "done."],
     ]
     assert [r.n for r in rows] == [3, 3, 3]
+
+
+def test_lang_id_script_tier_for_unspaced_cjk(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.text import lang_id
+
+    rows = spark.createDataFrame(
+        [
+            ("日本語のページです。東京の天気予報。",),          # ja: kana present
+            ("한국어 페이지입니다. 서울의 일기 예보.",),        # ko: hangul
+            ("这是一个中文网页没有空格的长句子测试内容",),      # zh: han, no kana
+            ("the quick brown fox and the lazy dog in the yard",),  # en markers
+            ("an english sentence that merely mentions 東京 once",),  # sparse CJK → en
+        ],
+        "text string",
+    ).select(lang_id(F.col("text")).alias("lang")).collect()
+    assert [r.lang for r in rows] == ["ja", "ko", "zh", "en", "en"]
