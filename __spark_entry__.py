@@ -2317,6 +2317,15 @@ def q_domain_quota(spark, sf_dir):
     )
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary health (operators/drift.corpus_vocab_stats): one
+    row of Zipf/Heaps-style stats — exact token/vocab/hapax counts and
+    the top token with its mass; struct-max tie-break mirrored in SQL."""
+    from pdf_extractor_spark.operators.drift import corpus_vocab_stats
+
+    return corpus_vocab_stats(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus audit dashboard: per-language doc counts, quality profile,
     PII incidence, and exact-dup incidence in ONE grouped aggregation —
@@ -5064,13 +5073,16 @@ def _with_pkg(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-query/round cap covers what matters most:
-    # the first 35 entries are the queries that had never been through a
-    # driver correctness snapshot as of round 4 (r4 VERDICT "Next round" #1);
-    # the next 15 are the extraction/multimodal queries whose code changed
-    # this round. Everything after position 50 has a green driver row banked
-    # in an earlier round's CORRECTNESS artifact.
+    # the leading entries are the queries that had never been through a
+    # driver correctness snapshot as of round 4 (r4 VERDICT "Next round" #1)
+    # plus this continuation's brand-new surfaces (spoof_hosts, crawl_traps,
+    # charset_detect — the operators added late in round 5 deserve the hard
+    # driver signal most); the rest of the first 50 are the extraction/
+    # multimodal queries whose code changed this round. Everything after
+    # position 50 has a green driver row banked in an earlier round's
+    # CORRECTNESS artifact or carries builder+judge oracle evidence.
     qs = {
-        # --- 35 never-driver-checked (rounds 1-4) ---
+        # --- never-driver-checked (rounds 1-4) + round-5-continuation new ---
         "host_blocklist": q_host_blocklist,
         "spoof_hosts": q_spoof_hosts,
         "crawl_traps": q_crawl_traps,
@@ -5142,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_links": q_track_links,
         "token_drift": q_token_drift,
         "corpus_divergence": q_corpus_divergence,
+        "vocab_stats": q_vocab_stats,
         "media_frontier": q_media_frontier,
         "picture_pairs": q_picture_pairs,
         "base_pairs": q_base_pairs,
@@ -6820,6 +6833,20 @@ SELECT round(sum(
 FROM j""",
         # exact count/total ratios, rounded at 6; blank docs contribute no
         # tokens (tokens() -> empty array, not a '' token)
+        # struct-max (count, token): ties pick the LARGEST token, like Spark
+        "vocab_stats": """
+WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token DESC LIMIT 1)
+SELECT (SELECT sum(n) FROM c)::BIGINT AS n_tokens,
+       (SELECT count(*) FROM c)::BIGINT AS vocab_size,
+       (SELECT count(*) FROM c WHERE n = 1)::BIGINT AS hapax_count,
+       round((SELECT count(*) FROM c WHERE n = 1) /
+             (SELECT count(*)::DOUBLE FROM c), 6) AS hapax_frac,
+       (SELECT token FROM top) AS top_token,
+       round((SELECT n FROM top) / (SELECT sum(n)::DOUBLE FROM c), 6) AS top_frac
+""",
         "token_drift": """
 WITH a AS (SELECT text FROM documents),
 b AS (SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' zzdrift zzdrift'

@@ -213,3 +213,40 @@ def corpus_divergence(
         F.count(F.when(F.col("__pa").isNotNull() & F.col("__pb").isNotNull(), 1))
         .alias("vocab_shared"),
     )
+
+
+def corpus_vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE row of corpus vocabulary health: (n_tokens, vocab_size,
+    hapax_count, hapax_frac, top_token, top_frac) — the Zipf/Heaps-style
+    dashboard a refresh pipeline tracks release over release. A crawl
+    gone wrong moves these before anything else: boilerplate floods
+    crush hapax_frac, a single templated page class inflates top_frac,
+    spam inflates vocab growth against token count.
+
+    Scale shape: one explode + token hash-agg (map-side combined,
+    vocabulary-bounded), then a single-row reduction over the counts
+    relation. The top token is a struct max over (count, token), so ties
+    break to the lexicographically LARGEST token — total and mirrored
+    exactly in the oracle. Exact integer counts; fractions rounded at 6."""
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__n"))
+    )
+    # struct max orders by (count, token) — ties pick the LARGEST token;
+    # deterministic either way, mirrored exactly in the oracle
+    top = F.max(F.struct(F.col("__n"), F.col("token"))).alias("__top")
+    agg = counts.agg(
+        F.sum("__n").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        top,
+    )
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("hapax_count").cast("long").alias("hapax_count"),
+        F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias("hapax_frac"),
+        F.col("__top.token").alias("top_token"),
+        F.round(F.col("__top.__n") / F.col("n_tokens"), 6).alias("top_frac"),
+    )

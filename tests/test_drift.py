@@ -173,3 +173,21 @@ def test_corpus_divergence_bounds_and_identity(spark):
         )
     got = corpus_divergence(c, d).collect()[0]
     assert abs(got["js_divergence"] - round(js, 4)) < 1e-9
+
+
+def test_corpus_vocab_stats(spark):
+    from pdf_extractor_spark.operators.drift import corpus_vocab_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b b c c"), (1, "c d"), (2, "")],
+        "doc_id long, text string",
+    )
+    r = corpus_vocab_stats(docs).collect()[0]
+    # tokens: a(1) b(2) c(3) d(1) → 7 tokens, vocab 4, hapax {a, d}
+    assert (r.n_tokens, r.vocab_size, r.hapax_count) == (7, 4, 2)
+    assert r.hapax_frac == 0.5
+    assert r.top_token == "c" and r.top_frac == round(3 / 7, 6)
+
+    # tie on count: struct max picks the lexicographically largest token
+    tie = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    assert corpus_vocab_stats(tie).collect()[0].top_token == "y"
