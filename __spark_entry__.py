@@ -1438,11 +1438,12 @@ def q_audio_tags(spark, sf_dir):
 
 
 def _mk_exif_payload(d: int) -> bytes:
-    """Deterministic EXIF-tagged JPEG for doc ``d`` (core/exif.py
-    exif_encode fixture twin): make = Cam<d%5>; docs with d%4==3 carry no
-    GPS IFD; the rest carry integer (deg, min, centisec) coordinates whose
-    decimal value quantizes back exactly: lat*360000 = ±(deg*360000 +
-    min*6000 + cs)."""
+    """Deterministic EXIF-tagged payload for doc ``d`` (core/exif.py
+    exif_encode fixture twin) — JPEG APP1 for even docs, WebP EXIF chunk
+    (VP8X container) for odd, same metadata rules: make = Cam<d%5>; docs
+    with d%4==3 carry no GPS IFD; the rest carry integer (deg, min,
+    centisec) coordinates whose decimal value quantizes back exactly:
+    lat*360000 = ±(deg*360000 + min*6000 + cs)."""
     from pdf_extractor_spark.core.exif import exif_encode
 
     gps = None
@@ -1451,7 +1452,10 @@ def _mk_exif_payload(d: int) -> bytes:
             (d % 90, d % 60, d % 3600), "N" if d % 2 == 0 else "S",
             (d % 180, (d * 7) % 60, (d * 13) % 6000), "W" if d % 3 == 0 else "E",
         )
-    return exif_encode(make=f"Cam{d % 5}", gps=gps)
+    return exif_encode(
+        make=f"Cam{d % 5}", gps=gps,
+        container="jpeg" if d % 2 == 0 else "webp",
+    )
 
 
 def _exif_media(spark, sf_dir):

@@ -58,6 +58,33 @@ def _app1_tiff(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _webp_exif_span(b: bytes) -> tuple[int, int] | None:
+    """(tiff_start, tiff_end) of a WebP EXIF chunk's TIFF body (VP8X
+    extended container). The spec stores raw TIFF; some writers prefix the
+    JPEG-style 'Exif\\0\\0' header — both accepted."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    pos, n = 12, len(b)
+    while pos + 8 <= n:
+        fourcc = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > n:
+            return None
+        if fourcc == b"EXIF":
+            start = pos + 8
+            if b[start : start + 6] == b"Exif\x00\x00":
+                start += 6
+            return start, pos + 8 + size
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def _exif_span(b: bytes) -> tuple[int, int] | None:
+    """TIFF body span of the payload's EXIF block: JPEG APP1 or WebP
+    EXIF chunk."""
+    return _app1_tiff(b) if b[:2] == b"\xff\xd8" else _webp_exif_span(b)
+
+
 def _ifd_entries(b: bytes, tiff: int, end: int, ifd_off: int, order: str):
     """Yield (tag, typ, count, value_field_abs_offset) for one IFD."""
     p = tiff + ifd_off
@@ -118,10 +145,11 @@ def _gps_decimal(rats, ref: str | None) -> float | None:
 
 
 def exif_parse(payload: bytes | None) -> dict | None:
-    """EXIF summary of a JPEG payload or None when no APP1 Exif exists:
+    """EXIF summary of a JPEG (APP1) or WebP (EXIF chunk) payload, None
+    when no EXIF block exists:
     ``{make, model, software, datetime, datetime_original, orientation,
     gps_lat, gps_lon}`` (absent fields None)."""
-    span = _app1_tiff(payload or b"")
+    span = _exif_span(payload or b"")
     if span is None:
         return None
     b = payload
@@ -166,7 +194,7 @@ def exif_parse(payload: bytes | None) -> dict | None:
 
 
 def strip_exif_gps(payload: bytes | None, drop_all: bool = False) -> bytes | None:
-    """JPEG with location PII removed.
+    """JPEG/WebP with location PII removed.
 
     Default: zero the GPS IFD in place — entry tags, types, counts, value
     fields AND the RATIONAL data they point to — plus the IFD0 pointer to
@@ -176,9 +204,27 @@ def strip_exif_gps(payload: bytes | None, drop_all: bool = False) -> bytes | Non
     Non-JPEG / EXIF-less payloads return unchanged."""
     if not payload:
         return payload
-    span = _app1_tiff(payload)
+    span = _exif_span(payload)
     if span is None:
         return payload
+    if drop_all and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # splice out EXIF chunks and clear the VP8X EXIF flag (bit 0x08)
+        b = payload
+        out = bytearray(b[:12])
+        pos, n = 12, len(b)
+        while pos + 8 <= n:
+            fourcc = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            chunk = b[pos : pos + 8 + size + (size & 1)]
+            if fourcc == b"VP8X" and size >= 1:
+                chunk = bytearray(chunk)
+                chunk[8] &= ~0x08
+                chunk = bytes(chunk)
+            if fourcc != b"EXIF":
+                out += chunk
+            pos += 8 + size + (size & 1)
+        out[4:8] = (len(out) - 8).to_bytes(4, "little")
+        return bytes(out)
     if drop_all:
         b = payload
         out = bytearray(b[:2])
@@ -244,9 +290,12 @@ def exif_encode(
     datetime: str = "2020:01:02 03:04:05",
     datetime_original: str = "2021:06:07 08:09:10",
     gps: tuple[tuple[int, int, int], str, tuple[int, int, int], str] | None = None,
+    container: str = "jpeg",
 ) -> bytes:
-    """Minimal JPEG (SOI + APP1 Exif + EOI) carrying the given metadata —
-    the writer twin of ``exif_parse`` for tests and oracle fixtures.
+    """Minimal JPEG (SOI + APP1 Exif + EOI) — or, with container='webp', a
+    VP8X extended WebP (1x1 VP8L frame + EXIF chunk, EXIF flag set) —
+    carrying the given metadata; the writer twin of ``exif_parse`` for
+    tests and oracle fixtures.
 
     ``gps`` is ((lat_deg, lat_min, lat_sec100), lat_ref, (lon_deg, lon_min,
     lon_sec100), lon_ref): integer degrees/minutes + centiseconds, so the
@@ -295,6 +344,19 @@ def exif_encode(
         gps_entries = [e1, e2, e3, e4]
     tiff = (b"II*\x00" + _s.pack("<I", ifd0_off) + _ifd(ifd0_entries)
             + _ifd([e_dto]) + _ifd(gps_entries) + heap)
+    if container == "webp":
+        import numpy as _np
+
+        from pdf_extractor_spark.core.webpcodec import vp8l_encode
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return fourcc + _s.pack("<I", len(body)) + body + pad
+
+        vp8x = bytes([0x08]) + b"\x00\x00\x00" + b"\x00\x00\x00" * 2
+        frame = chunk(b"VP8L", vp8l_encode(_np.zeros((1, 1, 3), _np.uint8)))
+        payload = chunk(b"VP8X", vp8x) + frame + chunk(b"EXIF", tiff)
+        return b"RIFF" + _s.pack("<I", 4 + len(payload)) + b"WEBP" + payload
     body = b"Exif\x00\x00" + tiff
     return (b"\xff\xd8" + b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
             + b"\xff\xd9")

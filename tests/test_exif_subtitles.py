@@ -266,3 +266,50 @@ def test_extract_subtitles_operator(meta_media_df):
         ("vtt", 0, 1000, 2000, "hello"),
         ("vtt", 1, 3000, 4000, "world"),
     ]
+
+
+def test_webp_exif_parse_scrub_and_drop():
+    """EXIF in the WebP EXIF chunk (VP8X container): parse, in-place GPS
+    scrub (length preserved, make survives), and drop_all (chunk spliced
+    out, VP8X EXIF flag cleared, image still sniffs)."""
+    from pdf_extractor_spark.core.exif import exif_encode, exif_parse, strip_exif_gps
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+    gps = ((48, 51, 2400), "N", (2, 21, 300), "E")
+    w = exif_encode(make="CamW", gps=gps, container="webp")
+    p = exif_parse(w)
+    assert p["make"] == "CamW"
+    assert round(p["gps_lat"], 4) == 48.8567 and round(p["gps_lon"], 4) == 2.3508
+
+    scrubbed = strip_exif_gps(w)
+    assert len(scrubbed) == len(w)
+    p2 = exif_parse(scrubbed)
+    assert p2["make"] == "CamW" and p2["gps_lat"] is None and p2["gps_lon"] is None
+
+    dropped = strip_exif_gps(w, drop_all=True)
+    assert exif_parse(dropped) is None
+    assert b"EXIF" not in dropped
+    assert sniff_image(dropped) == ("webp", 1, 1)
+    # the VP8X EXIF flag byte is cleared
+    i = dropped.index(b"VP8X")
+    assert dropped[i + 8] & 0x08 == 0
+
+
+def test_webp_exif_prefixed_header_tolerated():
+    """Some writers put the JPEG-style Exif\\0\\0 prefix inside the WebP
+    chunk; the span finder skips it."""
+    import struct
+
+    from pdf_extractor_spark.core.exif import exif_encode, exif_parse
+
+    w = exif_encode(make="CamP", container="webp")
+    i = w.index(b"EXIF")
+    (size,) = struct.unpack("<I", w[i + 4 : i + 8])
+    body = w[i + 8 : i + 8 + size]
+    prefixed = b"Exif\x00\x00" + body
+    rebuilt = (
+        w[:i] + b"EXIF" + struct.pack("<I", len(prefixed)) + prefixed
+        + (b"\x00" if len(prefixed) & 1 else b"")
+    )
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    assert exif_parse(rebuilt)["make"] == "CamP"
