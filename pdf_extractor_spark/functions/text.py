@@ -38,6 +38,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def token_count_cjk(text: Column) -> Column:
+    """Token count that prices CJK correctly: whitespace tokens PLUS one
+    token per han/kana/hangul character minus the whitespace tokens those
+    characters already occupy — i.e. each CJK char counts as its own
+    token (how LLM tokenizers actually bill them), while spaced scripts
+    keep the whitespace count. Unspaced CJK prose is ONE whitespace token
+    under token_count, which understates a budget by 50-100x; mix/packing
+    budgets over multilingual corpora should use this counter.
+
+    Spec: ws_tokens + cjk_chars - cjk_only_tokens, where cjk_only_tokens
+    is the number of whitespace tokens consisting ENTIRELY of CJK chars
+    (they were already counted once). Pure Column exprs, oracle-exact."""
+    toks = tokens(text)
+    cjk_class = "[ぁ-ゖァ-ヺー一-鿿가-힣]"
+    cjk_chars = F.length(F.regexp_replace(text, "[^ぁ-ゖァ-ヺー一-鿿가-힣]", ""))
+    cjk_only = F.size(F.filter(toks, lambda t: t.rlike(f"^{cjk_class}+$")))
+    return (F.size(toks) + cjk_chars - cjk_only).cast("long")
+
+
 def bpe_token_count(text: Column) -> Column:
     """Sub-word-ish token count: letter runs + digit runs + punct symbols.
 

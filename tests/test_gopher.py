@@ -115,3 +115,28 @@ def test_lang_id_script_tier_for_unspaced_cjk(spark):
         "text string",
     ).select(lang_id(F.col("text")).alias("lang")).collect()
     assert [r.lang for r in rows] == ["ja", "ko", "zh", "en", "en"]
+
+
+def test_token_count_cjk_prices_unspaced_text(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.text import token_count, token_count_cjk
+
+    rows = spark.createDataFrame(
+        [
+            ("plain english words here",),        # 4 ws tokens, no CJK
+            ("日本語のページ",),                    # 1 ws token, 7 CJK chars
+            ("mixed 東京 words",),                 # 3 ws tokens, 2 CJK chars
+            ("",),
+        ],
+        "text string",
+    ).select(
+        token_count(F.col("text")).alias("ws"),
+        token_count_cjk(F.col("text")).alias("cjk"),
+    ).collect()
+    assert [(r.ws, r.cjk) for r in rows] == [
+        (4, 4),
+        (1, 7),    # the single giant token re-prices to 7
+        (3, 4),    # 東京 token (2 chars) replaces its 1 ws token: 3 - 1 + 2
+        (0, 0),
+    ]
