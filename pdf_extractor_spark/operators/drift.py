@@ -133,13 +133,12 @@ def _unigram_dist(docs: DataFrame, name: str, text_col: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("__n"))
     )
-    # constant-key equi-join (not crossJoin) so the 1-row total broadcast
-    # plans as BroadcastHashJoin — the audit's no-nested-loop rule holds
-    total = counts.agg(F.sum("__n").alias("__total")).withColumn("__k", F.lit(1))
-    return (
-        counts.withColumn("__k", F.lit(1))
-        .join(F.broadcast(total), "__k")
-        .select("token", (F.col("__n") / F.col("__total")).alias(name))
+    # the 1-row total broadcast is a BroadcastNestedLoopJoin by shape —
+    # O(n) with a single-row build side (plan-audit allowlisted); a
+    # constant-key equi-join would fold back to the same plan anyway
+    total = counts.agg(F.sum("__n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("__n") / F.col("__total")).alias(name)
     )
 
 
