@@ -1,0 +1,121 @@
+"""Hypothesis property sweeps for the round-5-continuation modules:
+WebP codec round-trips over random images and encoder options, archive
+member round-trips over random names/payloads, host-skeleton algebra,
+and WARC HTTP payload decoding over random framings."""
+
+import io
+import tarfile
+import zipfile
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    sg=st.booleans(),
+    rle=st.booleans(),
+    cache=st.sampled_from([0, 3, 6]),
+)
+def test_webp_roundtrip_property(h, w, ch, seed, sg, rle, cache):
+    from pdf_extractor_spark.core.webpcodec import webp_decode, webp_encode
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.uint8)
+    if ch == 4:
+        arr[0, 0, 3] = 7  # keep at least one non-opaque pixel
+    got = webp_decode(
+        webp_encode(arr, subtract_green=sg, rle=rle, cache_bits=cache)
+    )
+    assert got is not None and got.shape == arr.shape
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    mode=st.integers(0, 13),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_predictor_roundtrip_property(mode, seed):
+    from pdf_extractor_spark.core.webpcodec import webp_decode, webp_encode
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(9, 17, 3), dtype=np.uint8).astype(np.uint8)
+    got = webp_decode(webp_encode(arr, predictor_mode=mode, size_bits=3))
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    names=st.lists(
+        st.text(
+            alphabet="abcdefghij0123456789_-/",
+            min_size=1,
+            max_size=24,
+        ).filter(lambda s: not s.startswith("/") and not s.endswith("/")
+                 and "//" not in s and s not in (".", "..")),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    gz=st.booleans(),
+    use_zip=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_archive_member_roundtrip_property(names, gz, use_zip, seed):
+    from pdf_extractor_spark.sources.archives import iter_archive_members
+
+    rng = np.random.RandomState(seed)
+    docs = [(n, bytes(rng.randint(0, 256, size=rng.randint(0, 200), dtype=np.uint8)))
+            for n in names]
+    if use_zip:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for n, payload in docs:
+                zf.writestr(zipfile.ZipInfo(n, date_time=(2026, 1, 1, 0, 0, 0)), payload)
+        data = buf.getvalue()
+    else:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz" if gz else "w") as tf:
+            for n, payload in docs:
+                info = tarfile.TarInfo(n)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+    got = [(n, p) for n, _, p in iter_archive_members(data)]
+    assert got == docs
+
+
+@settings(max_examples=60, deadline=None)
+@given(host=st.text(alphabet="rnvmwlo01аесье.x-", min_size=0, max_size=40))
+def test_host_skeleton_idempotent(spark, host):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.urls import host_skeleton
+
+    df = spark.createDataFrame([(host,)], "host string").select(
+        host_skeleton(F.col("host")).alias("s1")
+    ).select("s1", host_skeleton(F.col("s1")).alias("s2"))
+    r = df.collect()[0]
+    assert r.s2 == r.s1  # folding is a projection: applying twice = once
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    body=st.binary(max_size=300),
+    enc=st.sampled_from([None, "gzip", "deflate"]),
+    chunked=st.booleans(),
+)
+def test_warc_http_roundtrip_property(body, enc, chunked):
+    from pdf_extractor_spark.sources.warc import (
+        _encode_http_response,
+        _http_body,
+    )
+
+    payload = _encode_http_response(body, chunked=chunked, content_encoding=enc)
+    assert _http_body(payload) == body
