@@ -2184,6 +2184,63 @@ def q_frame_sample_webp(spark, sf_dir):
     )
 
 
+def q_frame_sample_apng(spark, sf_dir):
+    """APNG frame sampling (core/imagemeta.py apng_frames): every doc
+    becomes an acTL/fcTL/fdAT animation of n = d%3+2 flat 8x8 RGB frames
+    at 200 ms each (full-canvas, blend=source), sampled like the
+    GIF/WebP/AVI twins; PNG frames are lossless, so the oracle's shas are
+    the same closed forms: frame i's 192 RGB bytes are all
+    (d*7 + i*31) % 127 + 1."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    def mk_media(batches):
+        import numpy as np
+
+        from pdf_extractor_spark.core.imagemeta import apng_encode
+
+        def payload(d: int) -> bytes:
+            n = d % 3 + 2
+            return apng_encode(
+                [
+                    (200, np.full((8, 8, 3), (d * 7 + i * 31) % 127 + 1, np.uint8))
+                    for i in range(n)
+                ]
+            )
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                ids.append(f"doc://{d}")
+                payloads.append(payload(d))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit("image/apng").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    return sample_frames(media, every_ms=200, fake=False).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"), "frame_sha"
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """Similarity (IVF): coarse quantizer → probe the n_probe nearest lists
     → exact cosine within them. Centroids here are deterministic seed rows
@@ -5194,6 +5251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "frame_sample_avi": q_frame_sample_avi,
         "frame_sample_webp": q_frame_sample_webp,
+        "frame_sample_apng": q_frame_sample_apng,
         "audio_features_flac": q_audio_features_flac,
         "microdata_fields": q_microdata_fields,
         "audio_tags": q_audio_tags,
@@ -8146,6 +8204,13 @@ FROM documents
 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
 WHERE i.i < doc_id % 3 + 2""",
         # lossless frames → same closed-form shas as the AVI twin
+        "frame_sample_apng": """
+SELECT 'doc://' || doc_id AS media_id,
+       (200 * i.i)::BIGINT AS frame_ts_ms,
+       sha256(repeat(chr(((doc_id * 7 + i.i * 31) % 127 + 1)::INT), 192)) AS frame_sha
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+WHERE i.i < doc_id % 3 + 2""",
         "frame_sample_webp": """
 SELECT 'doc://' || doc_id AS media_id,
        (200 * i.i)::BIGINT AS frame_ts_ms,

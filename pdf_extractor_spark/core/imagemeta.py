@@ -648,3 +648,189 @@ def tiff_encode(
     for s in strips:
         out += s
     return bytes(out)
+
+
+# --- APNG (animated PNG) ------------------------------------------------------
+#
+# acTL/fcTL/fdAT chunks over the baseline PNG machinery above: each frame's
+# compressed data is re-wrapped as a standalone PNG (IHDR patched to the
+# frame rect's dims, PLTE/tRNS carried over) and decoded by png_decode, then
+# composited per fcTL dispose/blend ops. Completes the real animation
+# matrix beside GIF (gifcodec), animated WebP (webpcodec) and MJPEG AVI
+# (avmedia) in operators/multimodal.sample_frames.
+
+_APNG_MAX_TOTAL_PIXELS = 64_000_000  # canvas px × frames copy budget
+
+
+def apng_frames(payload: bytes | None, max_frames: int = 10_000):
+    """[(delay_ms, (h, w, 3) uint8 RGB), ...] for an APNG, or None for
+    non-APNG / malformed input (a plain PNG has no acTL and returns None —
+    decode_media already covers stills). Canvas starts transparent black
+    per the spec; dispose_op 0/1/2 = none / background / previous;
+    blend_op 0/1 = source / over. Never raises."""
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos, n = 8, len(payload)
+        ihdr = None
+        plte = trns = b""
+        actl = False
+        # (fctl_dict, [data...]) per frame, in sequence order
+        frames: list[tuple[dict, list[bytes]]] = []
+        default_idat: list[bytes] = []
+        cur: tuple[dict, list[bytes]] | None = None
+        first_fctl_before_idat = False
+        seen_idat = False
+        while pos + 8 <= n:
+            (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                break
+            if ctype == b"IHDR":
+                ihdr = data
+            elif ctype == b"acTL":
+                actl = True
+            elif ctype == b"PLTE":
+                plte = _png_chunk(b"PLTE", data)
+            elif ctype == b"tRNS":
+                trns = _png_chunk(b"tRNS", data)
+            elif ctype == b"fcTL" and len(data) >= 26:
+                if not seen_idat:
+                    first_fctl_before_idat = True
+                f = dict(zip(
+                    ("seq", "w", "h", "x", "y", "dnum", "dden", "dispose", "blend"),
+                    _struct.unpack(">IIIIIHHBB", data[:26]),
+                ))
+                cur = (f, [])
+                frames.append(cur)
+            elif ctype == b"IDAT":
+                seen_idat = True
+                if cur is not None and first_fctl_before_idat and cur[0]["seq"] == 0:
+                    cur[1].append(data)
+                else:
+                    default_idat.append(data)
+            elif ctype == b"fdAT" and len(data) >= 4:
+                if cur is not None:
+                    cur[1].append(data[4:])  # strip the sequence number
+            elif ctype == b"IEND":
+                break
+            pos += 8 + length + 4  # length + type + data + crc
+        if ihdr is None or not actl or not frames:
+            return None
+        cw, ch_ = _struct.unpack(">II", ihdr[:8])
+        if cw * ch_ > 64_000_000:
+            return None
+        canvas = _np.zeros((ch_, cw, 4), _np.uint8)  # transparent black
+        out = []
+        budget = _APNG_MAX_TOTAL_PIXELS
+        for f, datas in frames[:max_frames]:
+            if not datas:
+                return None
+            budget -= cw * ch_
+            if budget < 0:
+                break
+            fw, fh, fx, fy = f["w"], f["h"], f["x"], f["y"]
+            if fw == 0 or fh == 0 or fx + fw > cw or fy + fh > ch_:
+                return None
+            sub_ihdr = _struct.pack(">II", fw, fh) + ihdr[8:]
+            sub_png = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", sub_ihdr)
+                + plte + trns
+                + _png_chunk(b"IDAT", b"".join(datas))
+                + _png_chunk(b"IEND", b"")
+            )
+            arr = png_decode(sub_png)
+            if arr is None or arr.shape[0] != fh or arr.shape[1] != fw:
+                return None
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[2] == 1:
+                arr = _np.repeat(arr, 3, axis=2)
+            if arr.shape[2] == 2:  # gray+alpha
+                arr = _np.concatenate(
+                    [_np.repeat(arr[..., :1], 3, axis=2), arr[..., 1:]], axis=2
+                )
+            if arr.shape[2] == 3:
+                arr = _np.concatenate(
+                    [arr, _np.full((fh, fw, 1), 255, _np.uint8)], axis=2
+                )
+            prev = canvas[fy : fy + fh, fx : fx + fw].copy()
+            if f["blend"] == 0:  # source: replace the rect
+                canvas[fy : fy + fh, fx : fx + fw] = arr
+            else:  # over: straight alpha blend
+                src = arr.astype(_np.float64)
+                dst = canvas[fy : fy + fh, fx : fx + fw].astype(_np.float64)
+                sa = src[..., 3:4] / 255.0
+                da = dst[..., 3:4] / 255.0
+                oa = sa + da * (1 - sa)
+                rgb = src[..., :3] * sa + dst[..., :3] * da * (1 - sa)
+                safe = _np.where(oa > 0, oa, 1.0)
+                blended = _np.concatenate(
+                    [_np.rint(rgb / safe), _np.rint(oa * 255.0)], axis=-1
+                )
+                canvas[fy : fy + fh, fx : fx + fw] = _np.clip(
+                    blended, 0, 255
+                ).astype(_np.uint8)
+            dden = f["dden"] or 100
+            out.append((round(1000 * f["dnum"] / dden), canvas[..., :3].copy()))
+            if f["dispose"] == 1:  # background: clear the rect
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+            elif f["dispose"] == 2:  # previous: restore pre-frame rect
+                canvas[fy : fy + fh, fx : fx + fw] = prev
+        return out or None
+    except (_struct.error, ValueError, IndexError, MemoryError, OverflowError):
+        return None
+
+
+def apng_encode(frames, canvas_size=None) -> bytes:
+    """APNG fixture twin: entries are (delay_ms, arr) or
+    (delay_ms, arr, x, y, dispose_op, blend_op); all frames share one
+    channel count. Frame 0 is the default image (fcTL before IDAT).
+    Deterministic."""
+    norm = []
+    for f in frames:
+        delay, arr = f[0], _np.asarray(f[1], _np.uint8)
+        x, y = (f[2], f[3]) if len(f) > 2 else (0, 0)
+        dispose = f[4] if len(f) > 4 else 0
+        blend = f[5] if len(f) > 5 else 0
+        norm.append((delay, arr, x, y, dispose, blend))
+    if canvas_size is None:
+        cw = max(x + a.shape[1] for _, a, x, _, _, _ in norm)
+        ch_ = max(y + a.shape[0] for _, a, _, y, _, _ in norm)
+    else:
+        cw, ch_ = canvas_size
+    ch_n = norm[0][1].shape[2] if norm[0][1].ndim == 3 else 1
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch_n]
+    ihdr = _struct.pack(">IIBBBBB", cw, ch_, 8, colortype, 0, 0, 0)
+
+    def rows(a):
+        if a.ndim == 2:
+            a = a[:, :, None]
+        return _zlib.compress(
+            b"".join(b"\x00" + a[yy].tobytes() for yy in range(a.shape[0])), 6
+        )
+
+    def fctl(seq, a, x, y, delay, dispose, blend):
+        return _png_chunk(
+            b"fcTL",
+            _struct.pack(
+                ">IIIIIHHBB", seq, a.shape[1], a.shape[0], x, y,
+                delay, 1000, dispose, blend,
+            ),
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", _struct.pack(">II", len(norm), 0))
+    seq = 0
+    for i, (delay, arr, x, y, dispose, blend) in enumerate(norm):
+        out += fctl(seq, arr, x, y, delay, dispose, blend)
+        seq += 1
+        data = rows(arr)
+        if i == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", _struct.pack(">I", seq) + data)
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")

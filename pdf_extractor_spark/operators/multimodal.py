@@ -249,6 +249,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
 
                     frames = webp_frames(raw)  # animated WebP (VP8L frames)
                 if not frames:
+                    from pdf_extractor_spark.core.imagemeta import apng_frames
+
+                    frames = apng_frames(raw)  # APNG (acTL/fcTL/fdAT)
+                if not frames:
                     if raw is not None:
                         _avi_rows(mid, raw)  # MJPEG AVI appends its own rows
                     continue  # mp4/webm etc: no decoder in this container

@@ -322,3 +322,99 @@ def test_sample_frames_real_webp_path(spark):
     assert rows[0].frame_sha == hashlib.sha256(f0.tobytes()).hexdigest()
     assert rows[1].frame_sha == hashlib.sha256(f0.tobytes()).hexdigest()
     assert rows[2].frame_sha == hashlib.sha256(f1.tobytes()).hexdigest()
+
+
+# --- APNG (shares the compositing contract with the WebP/GIF animations) ----
+
+
+def test_apng_subrect_dispose_and_blend():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import apng_encode, apng_frames
+
+    base = np.full((8, 8, 4), 50, np.uint8)
+    base[..., 3] = 255
+    patch = np.zeros((2, 4, 4), np.uint8)
+    patch[0, :, :3] = 240
+    patch[0, :, 3] = 255   # top row opaque
+    # bottom row alpha 0: blend=1 keeps the canvas there
+    data = apng_encode(
+        [
+            (10, base, 0, 0, 0, 0),
+            (20, patch, 2, 4, 2, 1),   # blend over; dispose previous
+            (30, np.full((2, 2, 4), 7, np.uint8) * 0 + 7, 0, 0, 0, 0),
+        ],
+        canvas_size=(8, 8),
+    )
+    frames = apng_frames(data)
+    assert [d for d, _ in frames] == [10, 20, 30]
+    f1 = frames[1][1]
+    assert np.all(f1[4, 2:6] == 240)   # opaque patch row landed
+    assert np.all(f1[5, 2:6] == 50)    # transparent row kept canvas
+    # dispose=previous: frame 2 outside its own rect shows frame 0 content
+    f2 = frames[2][1]
+    assert np.all(f2[4, 2:6] == 50)
+
+
+def test_apng_dispose_background_clears_rect():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import apng_encode, apng_frames
+
+    full = np.full((4, 4, 3), 90, np.uint8)
+    data = apng_encode(
+        [(10, full, 0, 0, 1, 0), (10, np.full((1, 1, 3), 5, np.uint8), 0, 0, 0, 0)],
+        canvas_size=(4, 4),
+    )
+    frames = apng_frames(data)
+    # after dispose-background, everything outside frame 1's 1x1 rect is
+    # transparent black → renders as RGB 0
+    f1 = frames[1][1]
+    assert tuple(f1[0, 0]) == (5, 5, 5)
+    assert np.all(f1[1:] == 0)
+
+
+def test_apng_fuzz_never_raises():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import apng_encode, apng_frames
+
+    base = apng_encode(
+        [(10, np.full((4, 4, 3), 1, np.uint8)), (10, np.full((4, 4, 3), 2, np.uint8))]
+    )
+    rng = np.random.RandomState(41)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randint(8, len(mut))
+            mut[i] ^= 1 << rng.randint(0, 8)
+        out = apng_frames(bytes(mut))
+        assert out is None or isinstance(out, list)
+
+
+def test_sample_frames_real_apng_path(spark):
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.core.imagemeta import apng_encode
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    f0 = np.full((4, 4, 3), 60, np.uint8)
+    f1 = np.full((4, 4, 3), 61, np.uint8)
+    payload = apng_encode([(1500, f0), (1500, f1)])
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(payload))],
+        "media_id string, kind string, payload binary",
+    ).select(
+        "media_id", "kind", "payload",
+        F.struct(
+            F.lit("image/apng").alias("mime"), F.lit(4).alias("width"),
+            F.lit(4).alias("height"), F.lit(3000).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    rows = sample_frames(media, every_ms=1000).orderBy("frame_ts_ms").collect()
+    assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000]
+    assert rows[0].frame_sha == hashlib.sha256(f0.tobytes()).hexdigest()
+    assert rows[2].frame_sha == hashlib.sha256(f1.tobytes()).hexdigest()
