@@ -1079,13 +1079,14 @@ def q_webp_features(spark, sf_dir):
 
 def q_image_sniff(spark, sf_dir):
     """Web-media header sniffing beyond PNG/JPEG/GIF: per doc_id a payload
-    cycles through the five modern-web container variants — WebP lossy
-    (VP8 frame tag + 9D012A sync), WebP lossless (VP8L packed 14-bit dims),
-    WebP extended (VP8X u24 canvas), uncompressed BMP (real bmp_encode
-    bytes, not a bare header), and TIFF (II byte order, SHORT/LONG dim
-    tags) — and decode_media's REAL path recovers codec + dimensions from
-    the magic bytes (core/imagemeta.py sniff_image). Dims are a closed form
-    of doc_id, so the oracle reconstructs them exactly (the reference gets
+    cycles through SEVEN container variants — WebP lossy (VP8 frame tag +
+    9D012A sync), WebP lossless (VP8L packed 14-bit dims), WebP extended
+    (VP8X u24 canvas), uncompressed BMP (real bmp_encode bytes), TIFF
+    (II byte order, SHORT/LONG dim tags), ICO (real PNG-in-ICO favicon,
+    largest-entry dims), and SVG (width/height attributes) — and
+    decode_media's REAL path recovers codec + dimensions from the magic
+    bytes (core/imagemeta.py sniff_image). Dims are a closed form of
+    doc_id, so the oracle reconstructs them exactly (the reference gets
     container geometry free from PIL inside unstructured,
     app/processing/pdf_processor.py:86-101)."""
     import pyarrow as pa
@@ -1101,7 +1102,15 @@ def q_image_sniff(spark, sf_dir):
 
         def payload(d: int) -> bytes:
             w, h = d % 13 + 1, d % 11 + 1
-            v = d % 5
+            v = d % 7
+            if v == 5:  # real PNG-in-ICO favicon
+                from pdf_extractor_spark.core.imagemeta import ico_encode
+
+                arr = np.full((h, w, 3), (d * 5) % 256, dtype=np.uint8)
+                return ico_encode(arr)
+            if v == 6:  # SVG markup
+                return (f'<svg xmlns="http://www.w3.org/2000/svg" '
+                        f'width="{w}" height="{h}"><rect/></svg>').encode()
             if v == 0:  # WebP lossy
                 return (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 "
                         + struct.pack("<I", 20) + b"\x00\x00\x00\x9d\x01\x2a"
@@ -7603,8 +7612,9 @@ SELECT 'doc://' || doc_id AS media_id,
 FROM documents""",
         "image_sniff": """
 SELECT 'doc://' || doc_id AS media_id,
-       CASE doc_id % 5 WHEN 0 THEN 'webp' WHEN 1 THEN 'webp'
-            WHEN 2 THEN 'webp' WHEN 3 THEN 'bmp' ELSE 'tiff' END AS codec,
+       CASE doc_id % 7 WHEN 0 THEN 'webp' WHEN 1 THEN 'webp'
+            WHEN 2 THEN 'webp' WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff'
+            WHEN 5 THEN 'ico' ELSE 'svg' END AS codec,
        (doc_id % 13 + 1)::BIGINT AS width,
        (doc_id % 11 + 1)::BIGINT AS height
 FROM documents""",

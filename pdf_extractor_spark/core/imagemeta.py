@@ -11,6 +11,8 @@ via pdfminer/PIL, reference: app/processing/pdf_processor.py:86-101).
 
 from __future__ import annotations
 
+import re
+
 _SOF_MARKERS = frozenset(
     range(0xC0, 0xD0)
 ) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
@@ -22,7 +24,9 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
     Supported: JPEG (SOFn segment walk), PNG (IHDR), GIF (logical screen
     descriptor), WebP (VP8 lossy / VP8L lossless / VP8X extended), BMP
     (BITMAPINFOHEADER family), TIFF (IFD walk for tags 256/257, both byte
-    orders). Truncated or foreign bytes → None, never an exception.
+    orders), ICO (largest directory entry; 0 → 256 px), SVG (width/height
+    attrs else viewBox). Truncated or foreign bytes → None, never an
+    exception.
     """
     if not payload:
         return None
@@ -132,6 +136,50 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
                 h = _tiff_val(entry)
             if w is not None and h is not None:
                 return ("tiff", w, h)
+        return None
+    # ICO: reserved 0, type 1, count >= 1; per-entry dims (0 means 256).
+    # Report the LARGEST directory entry — the one a crawler would keep.
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 6 + 16:
+        count = int.from_bytes(b[4:6], "little")
+        if 1 <= count <= 64:
+            best = None
+            for k in range(count):
+                e = b[6 + 16 * k : 6 + 16 * (k + 1)]
+                if len(e) < 16:
+                    break
+                w = e[0] or 256
+                h = e[1] or 256
+                if best is None or w * h > best[0] * best[1]:
+                    best = (w, h)
+            if best:
+                return ("ico", best[0], best[1])
+        return None
+    # SVG: XML text — width/height attributes, else the viewBox span.
+    # Rasterization is out of scope (no renderer here); dims still flow.
+    head = b[:1024].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if head[:5] == b"<?xml" or head[:4] == b"<svg" or b"<svg" in head[:256]:
+        m = re.search(rb"<svg\b[^>]*>", b[:4096], re.DOTALL)
+        if m:
+            tag = m.group(0)
+
+            def attr(name: bytes):
+                am = re.search(
+                    name + rb"""\s*=\s*["']?\s*([0-9]+(?:\.[0-9]+)?)""", tag
+                )
+                return int(float(am.group(1))) if am else None
+
+            w, h = attr(rb"\bwidth"), attr(rb"\bheight")
+            if w is None or h is None:
+                vb = re.search(
+                    rb"""viewBox\s*=\s*["']\s*[-0-9.]+[ ,]+[-0-9.]+[ ,]+"""
+                    rb"""([0-9.]+)[ ,]+([0-9.]+)""",
+                    tag,
+                )
+                if vb:
+                    w = w or int(float(vb.group(1)))
+                    h = h or int(float(vb.group(2)))
+            if w and h:
+                return ("svg", w, h)
         return None
     return None
 
@@ -834,3 +882,48 @@ def apng_encode(frames, canvas_size=None) -> bytes:
             out += _png_chunk(b"fdAT", _struct.pack(">I", seq) + data)
             seq += 1
     return out + _png_chunk(b"IEND", b"")
+
+
+def ico_decode(payload: bytes | None):
+    """(h, w, ch) uint8 pixels from an ICO favicon whose LARGEST directory
+    entry is a PNG payload (the modern favicon form — Vista+ 256px icons
+    are PNG-in-ICO by spec). Headerless-DIB entries return None (caller
+    keeps the sniffed dims; the legacy XOR/AND-mask raster is out of
+    scope). Never raises."""
+    b = payload or b""
+    if b[:4] != b"\x00\x00\x01\x00" or len(b) < 22:
+        return None
+    count = int.from_bytes(b[4:6], "little")
+    if not 1 <= count <= 64:
+        return None
+    best = None
+    for k in range(count):
+        e = b[6 + 16 * k : 6 + 16 * (k + 1)]
+        if len(e) < 16:
+            return None
+        w = e[0] or 256
+        h = e[1] or 256
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    if best is None:
+        return None
+    _, off, size = best
+    entry = b[off : off + size]
+    if entry[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    return png_decode(entry)
+
+
+def ico_encode(arr) -> bytes:
+    """PNG-in-ICO fixture twin: one directory entry wrapping png_encode."""
+    a = _np.asarray(arr, dtype=_np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    if w > 256 or h > 256:
+        raise ValueError("ICO entries cap at 256px")
+    png = png_encode(a)
+    entry = bytes([w % 256, h % 256, 0, 0]) + _struct.pack(
+        "<HHII", 1, 32, len(png), 22
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + png

@@ -114,6 +114,10 @@ def _decode_pixels(payload: bytes):
         from pdf_extractor_spark.core.webpcodec import webp_decode
 
         arr = webp_decode(payload)
+    if arr is None:
+        from pdf_extractor_spark.core.imagemeta import ico_decode
+
+        arr = ico_decode(payload)  # PNG-in-ICO favicons
     return arr
 
 

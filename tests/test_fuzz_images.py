@@ -185,3 +185,49 @@ def test_exif_scrub_fuzz_roundtrip_invariants():
         assert isinstance(out, bytes)
         parsed = exif_parse(bytes(buf))
         assert parsed is None or isinstance(parsed, dict)
+
+
+def test_ico_sniff_decode_and_svg_sniff():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import (
+        ico_decode,
+        ico_encode,
+        sniff_image,
+    )
+    from pdf_extractor_spark.operators.multimodal import _decode_pixels
+
+    arr = np.random.RandomState(9).randint(0, 256, (32, 16, 3), np.uint8).astype(np.uint8)
+    ico = ico_encode(arr)
+    assert sniff_image(ico) == ("ico", 16, 32)
+    assert np.array_equal(ico_decode(ico), arr)
+    assert np.array_equal(_decode_pixels(ico), arr)  # decode-seam reach
+
+    assert sniff_image(b'<svg width="10" height="20"></svg>') == ("svg", 10, 20)
+    assert sniff_image(
+        b'<?xml version="1.0"?><!-- c --><svg viewBox="0 0 300.5 200"/>'
+    ) == ("svg", 300, 200)
+    assert sniff_image(b"<html><body>not svg image</body></html>") is None
+    # 256px sentinel: directory byte 0 means 256
+    big = bytearray(ico_encode(np.zeros((8, 8, 3), np.uint8)))
+    big[6] = 0  # width byte
+    assert sniff_image(bytes(big))[1] == 256
+
+
+def test_ico_and_svg_fuzz_never_raise():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import ico_decode, ico_encode, sniff_image
+
+    base = bytearray(ico_encode(np.full((8, 8, 3), 3, np.uint8)))
+    rng = np.random.RandomState(43)
+    for _ in range(200):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randint(0, len(mut))
+            mut[i] ^= 1 << rng.randint(0, 8)
+        ico_decode(bytes(mut))
+        sniff_image(bytes(mut))
+    for _ in range(100):
+        junk = bytes(rng.randint(0, 256, size=rng.randint(0, 64), dtype=np.uint8))
+        sniff_image(b"<svg " + junk)
