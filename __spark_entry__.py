@@ -838,6 +838,31 @@ def q_picture_pairs(spark, sf_dir):
     return mine_picture_pairs(pages)
 
 
+def q_icon_links(spark, sf_dir):
+    """Favicon-family link mining (operators/multimodal.mine_icon_links):
+    rel=icon / SHORTCUT ICON (case-folded) / apple-touch-icon with sizes,
+    resolved through the shared base-aware resolver; stylesheet links are
+    decoys; d%4==3 pages carry no icons (zero rows)."""
+    from pdf_extractor_spark.operators.multimodal import mine_icon_links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    k = d.cast("string")
+    html = F.concat(
+        F.lit('<head><link rel="icon" href="/fav'), k, F.lit('.ico">'),
+        F.lit('<link rel="apple-touch-icon" sizes="180x180" href="/tou'),
+        k, F.lit('.png">'),
+        F.lit('<link rel="stylesheet" href="/css'), k, F.lit('.css">'),
+        F.lit('<link rel="SHORTCUT ICON" href="https://c.ex/'), k,
+        F.lit('.ico"></head>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), k).alias("url"),
+        F.when(d % 4 != 3, html).otherwise(F.lit("<p>no icons</p>")).alias("html"),
+    )
+    return mine_icon_links(pages)
+
+
 def q_base_pairs(spark, sf_dir):
     """<base href> rebasing (operators/multimodal._with_base): the page's
     declared base — absolute cross-origin (d%4==0), relative (d%4==1),
@@ -5222,6 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_pairs": q_card_pairs,
         "media_links": q_media_links,
         "track_links": q_track_links,
+        "icon_links": q_icon_links,
         "token_drift": q_token_drift,
         "corpus_divergence": q_corpus_divergence,
         "vocab_stats": q_vocab_stats,
@@ -6936,6 +6962,19 @@ SELECT coalesce(ca.token, cb.token) AS token,
        round(abs(coalesce(pa, 0) - coalesce(pb, 0)), 6) AS delta
 FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
 ORDER BY delta DESC, token ASC LIMIT 20""",
+        # three kept icon rows per page in document order; stylesheet decoy
+        # drops; rel comes back lowercased; d%4==3 pages emit nothing
+        "icon_links": """
+WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)
+SELECT 'doc://' || k AS url, 0 AS icon_index,
+       'doc://' || k || '/fav' || k || '.ico' AS src,
+       'icon' AS rel, '' AS sizes FROM d
+UNION ALL
+SELECT 'doc://' || k, 1, 'doc://' || k || '/tou' || k || '.png',
+       'apple-touch-icon', '180x180' FROM d
+UNION ALL
+SELECT 'doc://' || k, 2, 'https://c.ex/' || k || '.ico',
+       'shortcut icon', '' FROM d""",
         # three kept track rows per page; kind defaults to subtitles
         "track_links": """
 WITH d AS (SELECT doc_id::VARCHAR AS k FROM documents WHERE doc_id % 4 <> 3)

@@ -942,3 +942,55 @@ def mine_picture_pairs(
         min_alt_chars,
         html_col=html_col,
     )
+
+
+_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+# rel tokens that mark a favicon-family link (HTML spec 'icon' keyword +
+# the Apple/Safari vendor extensions every real site ships)
+_ICON_REL_RE = r"(^|\s)(shortcut\s+)?icon(\s|$)|apple-touch-icon|mask-icon"
+
+
+def mine_icon_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, icon_index, src, rel, sizes): favicon-family ``<link rel>``
+    targets — site-identity assets whose payloads the new ICO/PNG/SVG
+    sniff-and-decode path opens downstream (core/imagemeta.ico_decode).
+    Per-host favicons also make a cheap site-template fingerprint: one
+    hash groups every page of a white-label template farm. rel and sizes
+    come back lowercased; non-icon links (stylesheet, preload, canonical)
+    drop; same scan-only shape, shared resolver, and data:/javascript:
+    screen as the other miners."""
+    from pdf_extractor_spark.functions.htmlmeta import _tag_attr
+
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
+    pages = _with_base(pages, url_col, html_col)
+    _resolve = _src_resolver("__base")
+
+    links = F.transform(
+        F.filter(
+            tags,
+            lambda t: F.lower(_tag_attr(t, "rel")).rlike(_ICON_REL_RE)
+            & (_tag_attr(t, "href") != ""),
+        ),
+        lambda t: F.struct(
+            _resolve(_tag_attr(t, "href")).alias("src"),
+            F.lower(_tag_attr(t, "rel")).alias("rel"),
+            F.lower(_tag_attr(t, "sizes")).alias("sizes"),
+        ),
+    )
+    kept = F.filter(links, lambda p: ~p["src"].rlike(r"^(?i)(data|javascript):"))
+    staged = pages.withColumn("__icons", kept)
+    return staged.select(
+        F.col(url_col).alias("url"),
+        F.posexplode("__icons").alias("icon_index", "icon"),
+    ).select(
+        "url",
+        "icon_index",
+        F.col("icon.src").alias("src"),
+        F.col("icon.rel").alias("rel"),
+        F.col("icon.sizes").alias("sizes"),
+    )

@@ -407,3 +407,28 @@ def test_media_links_include_iframe_embeds(spark):
         ("iframe", "https://www.youtube.com/embed/abc123"),
         ("audio", "https://h.ex/pod.mp3"),
     ]
+
+
+def test_icon_links_rel_family_and_decoys(spark):
+    from pdf_extractor_spark.operators.multimodal import mine_icon_links
+
+    html = (
+        '<head><base href="https://cdn.h.ex/a/">'
+        '<link rel="icon" href="fav.ico">'
+        '<link rel="SHORTCUT ICON" href="/s.ico">'
+        '<link rel="apple-touch-icon-precomposed" sizes="152x152" href="t.png">'
+        '<link rel="mask-icon" href="m.svg" color="#000">'
+        '<link rel="stylesheet" href="x.css">'        # decoy
+        '<link rel="preload" href="y.woff2">'          # decoy
+        '<link rel="icon" href="data:image/png;base64,xx">'  # data: screened
+        "</head>"
+    )
+    pages = _pages(spark, [("https://h.ex/p", html)])
+    rows = mine_icon_links(pages).orderBy("icon_index").collect()
+    assert [(r.src, r.rel, r.sizes) for r in rows] == [
+        ("https://cdn.h.ex/a/fav.ico", "icon", ""),
+        # root-relative resolves against the <base> origin (HTML §4.2.3)
+        ("https://cdn.h.ex/s.ico", "shortcut icon", ""),
+        ("https://cdn.h.ex/a/t.png", "apple-touch-icon-precomposed", "152x152"),
+        ("https://cdn.h.ex/a/m.svg", "mask-icon", ""),
+    ]
