@@ -6,13 +6,13 @@
         scripts/run_mining_job.py \
         --pages <pages table/parquet path> --out <output root dir>
 
-Runs all six mining tiers over one pages scan family and commits each as
+Runs all seven mining tiers over one pages scan family and commits each as
 its own snapshot table under ``<out>/``: image_pairs (alt tier, srcset-
 aware), figure_pairs (figcaption tier), picture_pairs (responsive
 <picture> tier), card_pairs (og:image tier),
 media_links (video/audio/source), track_links (subtitle tracks). Every
 miner is scan-only (shared resolver, no shuffles), so the job's cost is
-six parquet scans of the html column — or one, when the input is a
+seven parquet scans of the html column — or one, when the input is a
 column-pruned table whose scan Spark caches. Prints one JSON line with
 per-table row counts and snapshot ids.
 """
@@ -29,7 +29,7 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True, help="input pages parquet/table path")
-    ap.add_argument("--out", required=True, help="root dir for the six mined tables")
+    ap.add_argument("--out", required=True, help="root dir for the seven mined tables")
     ap.add_argument("--min-alt-chars", type=int, default=3)
     ap.add_argument("--master", default=None, help="override master (local runs)")
     args = ap.parse_args()
@@ -38,6 +38,7 @@ def main() -> None:
         mine_card_pairs,
         mine_figure_pairs,
         mine_image_pairs,
+        mine_icon_links,
         mine_media_links,
         mine_picture_pairs,
         mine_track_links,
@@ -57,6 +58,7 @@ def main() -> None:
         "card_pairs": mine_card_pairs,
         "media_links": mine_media_links,
         "track_links": mine_track_links,
+        "icon_links": mine_icon_links,
     }
     report = {}
     committed = {}
@@ -71,7 +73,7 @@ def main() -> None:
         report[name] = {"rows": rows, "run_id": run_id}
 
     # combined download frontier over every miner's COMMITTED srcs: one
-    # fetch row per distinct asset across all six tiers, with popularity
+    # fetch row per distinct asset across all seven tiers, with popularity
     # counts — the table the politeness scheduler consumes
     from functools import reduce
 
