@@ -5497,34 +5497,49 @@ def _sql_secret_scrub() -> str:
     )
 
 
-def _sql_lang_id() -> str:
+def _sql_lang_bits(var: str = "t"):
+    """(hit_cols, script_cols, best, case) — THE shared SQL mirror of
+    functions/text.lang_id: every oracle that predicts a language (lang_id,
+    lang_mismatch, the curate family, the funnel) must consume this one
+    builder, or the marker/script spec silently forks between Spark and
+    DuckDB (the r5 CJK script tier made that a live hazard)."""
     from pdf_extractor_spark.functions.text import LANG_MARKERS, LANG_ORDER
 
     hit_cols = []
     for lang in LANG_ORDER:
         arr = "['" + "','".join(LANG_MARKERS[lang]) + "']"
-        hit_cols.append(f"len(list_filter(toks, t -> list_contains({arr}, t))) AS c_{lang}")
+        hit_cols.append(
+            f"len(list_filter(toks, {var} -> list_contains({arr}, {var}))) AS c_{lang}"
+        )
+    script_cols = [
+        "length(text) AS __sn",
+        "length(regexp_replace(text, '[^ぁ-ゖァ-ヺー]', '', 'g')) AS __kana",
+        "length(regexp_replace(text, '[^가-힣]', '', 'g')) AS __hang",
+        "length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS __han",
+    ]
     best = f"greatest({', '.join('c_' + lang for lang in LANG_ORDER)})"
-    case = "CASE " + " ".join(
+    marker_case = "CASE " + " ".join(
         f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
     ) + " ELSE 'und' END"
     # script tier mirrors functions/text.py: kana → ja, hangul → ko,
     # han-without-kana → zh, each needing >= 2 script chars at >= 5%
-    script_case = (
-        "CASE WHEN kana >= 2 AND (kana + han) * 20 >= n THEN 'ja' "
-        "WHEN hang >= 2 AND hang * 20 >= n THEN 'ko' "
-        "WHEN han >= 2 AND han * 20 >= n THEN 'zh' "
-        f"ELSE {{marker}} END"
-    ).format(marker=case)
+    case = (
+        "CASE WHEN __kana >= 2 AND (__kana + __han) * 20 >= __sn THEN 'ja' "
+        "WHEN __hang >= 2 AND __hang * 20 >= __sn THEN 'ko' "
+        "WHEN __han >= 2 AND __han * 20 >= __sn THEN 'zh' "
+        f"ELSE {marker_case} END"
+    )
+    return hit_cols, script_cols, best, case
+
+
+def _sql_lang_id() -> str:
+    hit_cols, script_cols, best, case = _sql_lang_bits("t")
     return f"""
 WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, lang, length(text) AS n,
-        length(regexp_replace(text, '[^ぁ-ゖァ-ヺー]', '', 'g')) AS kana,
-        length(regexp_replace(text, '[^가-힣]', '', 'g')) AS hang,
-        length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS han,
+s AS (SELECT doc_id, lang, {', '.join(script_cols)},
         {', '.join(hit_cols)} FROM t),
 b AS (SELECT *, {best} AS best FROM s)
-SELECT doc_id, lang AS lang_true, {script_case} AS lang_pred FROM b"""
+SELECT doc_id, lang AS lang_true, {case} AS lang_pred FROM b"""
 
 
 def _sql_vec_lit(vals) -> str:
@@ -5646,16 +5661,7 @@ SELECT inc.doc_id FROM ({_INCOMING}) inc ANTI JOIN dup ON inc.doc_id = dup.new_i
 def _sql_curate() -> str:
     """SQL twin of operators/curate.py::curate_corpus over the dup-injected
     union — lang-ID, guarded quality features, filter, then keep-first."""
-    from pdf_extractor_spark.functions.text import LANG_MARKERS, LANG_ORDER
-
-    hit_cols = []
-    for lang in LANG_ORDER:
-        arr = "['" + "','".join(LANG_MARKERS[lang]) + "']"
-        hit_cols.append(f"len(list_filter(toks, t2 -> list_contains({arr}, t2))) AS c_{lang}")
-    best = f"greatest({', '.join('c_' + lang for lang in LANG_ORDER)})"
-    case = "CASE " + " ".join(
-        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
-    ) + " ELSE 'und' END"
+    hit_cols, script_cols, best, case = _sql_lang_bits("t2")
     return f"""
 WITH u AS ({_U_DUPS}),
 t AS (SELECT doc_id, text, {_TOKS} AS toks,
@@ -5666,7 +5672,7 @@ t AS (SELECT doc_id, text, {_TOKS} AS toks,
       CASE WHEN length(text) = 0 THEN 0.0
            ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr
       FROM u),
-s AS (SELECT *, {', '.join(hit_cols)} FROM t),
+s AS (SELECT *, {', '.join(script_cols)}, {', '.join(hit_cols)} FROM t),
 b AS (SELECT *, {best} AS best FROM s),
 f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
              round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
@@ -5761,16 +5767,7 @@ def _sql_curate_full() -> str:
         IPV4_PATTERN,
         PHONE_PATTERN,
     )
-    from pdf_extractor_spark.functions.text import LANG_MARKERS, LANG_ORDER
-
-    hit_cols = []
-    for lang in LANG_ORDER:
-        arr = "['" + "','".join(LANG_MARKERS[lang]) + "']"
-        hit_cols.append(f"len(list_filter(toks, t2 -> list_contains({arr}, t2))) AS c_{lang}")
-    best = f"greatest({', '.join('c_' + lang for lang in LANG_ORDER)})"
-    case = "CASE " + " ".join(
-        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
-    ) + " ELSE 'und' END"
+    hit_cols, script_cols, best, case = _sql_lang_bits("t2")
     scrub = "text"
     for pat, tok in ((EMAIL_PATTERN, "<EMAIL>"), (IPV4_PATTERN, "<IP>"), (PHONE_PATTERN, "<PHONE>")):
         scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
@@ -5787,7 +5784,7 @@ t AS (SELECT doc_id, text, {_TOKS} AS toks,
  FROM u),
 g AS (SELECT *, list_transform(generate_series(1, greatest(1, len(toks)-2)),
                                i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams FROM t),
-s AS (SELECT *, {', '.join(hit_cols)} FROM g),
+s AS (SELECT *, {', '.join(script_cols)}, {', '.join(hit_cols)} FROM g),
 b AS (SELECT *, {best} AS best FROM s),
 f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
         round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
@@ -5806,6 +5803,47 @@ FROM f
 WHERE lang_pred IN ('en') AND n_tokens >= 20 AND quality >= 0.3
   AND rep_ratio <= 0.2 AND bullet_ratio <= 0.5
 QUALIFY row_number() OVER (PARTITION BY {scrub} ORDER BY doc_id) = 1"""
+
+
+def _sql_curation_funnel() -> str:
+    """SQL twin of curate.curation_funnel — first-failing-gate attribution;
+    lang spec from the SHARED _sql_lang_bits builder (full marker table +
+    script tier), matching the Spark side's TXT.lang_id exactly."""
+    hit_cols, script_cols, best, case = _sql_lang_bits("t2")
+    return rf"""
+WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id+10000, text FROM documents WHERE doc_id % 50 = 0),
+t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^\.\!\?\,\;\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr,
+      len(regexp_split_to_array(text, chr(10))) AS nl
+ FROM u),
+g AS (SELECT *, list_transform(generate_series(1, greatest(1, len(toks)-2)),
+                               i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams FROM t),
+s AS (SELECT *, {', '.join(script_cols)}, {', '.join(hit_cols)} FROM g),
+b AS (SELECT *, {best} AS best FROM s),
+f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
+        round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
+        {case} AS lang_pred,
+        round(CASE WHEN trim(text) = '' THEN 0.0
+                   ELSE (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE END, 4) AS rep_ratio,
+        round(CASE WHEN nl = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '(?m)^\s*[-*•]')) / nl::DOUBLE END, 4) AS bullet_ratio
+      FROM b),
+c AS (SELECT doc_id, text,
+        CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
+             WHEN n_tokens < 20 THEN 'min_tokens'
+             WHEN quality < 0.3 THEN 'quality'
+             WHEN rep_ratio > 0.2 THEN 'repetition'
+             WHEN bullet_ratio > 0.5 THEN 'line_shape' END AS g0
+      FROM f),
+w2 AS (SELECT text, min(doc_id) AS keep FROM c WHERE g0 IS NULL GROUP BY text),
+r AS (SELECT coalesce(c.g0, CASE WHEN c.doc_id = w2.keep THEN 'kept' ELSE 'duplicate' END) AS gate
+      FROM c LEFT JOIN w2 ON c.g0 IS NULL AND c.text = w2.text)
+SELECT gate, count(*)::BIGINT AS n_docs FROM r GROUP BY gate"""
 
 
 def _sql_corpus_report() -> str:
@@ -8015,40 +8053,7 @@ FROM p""",
         # curation funnel: first-failing-gate attribution over the same
         # signal expressions as curate_full; dedup on RAW text among gate
         # survivors; counts disjoint by construction
-        "curation_funnel": r"""
-WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id+10000, text FROM documents WHERE doc_id % 50 = 0),
-t AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-      CASE WHEN trim(text) = '' THEN 0
-           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
-      CASE WHEN length(text) = 0 THEN 0.0
-           ELSE length(regexp_replace(text, '[^\.\!\?\,\;\:]', '', 'g')) / length(text)::DOUBLE END AS pr,
-      CASE WHEN length(text) = 0 THEN 0.0
-           ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE END AS dr,
-      len(regexp_split_to_array(text, chr(10))) AS nl
- FROM u),
-g AS (SELECT *, list_transform(generate_series(1, greatest(1, len(toks)-2)),
-                               i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS grams FROM t),
-s AS (SELECT *, len(list_filter(toks, t2 -> list_contains(['the','and','of','is','in','to','that','it','was','for'], t2))) AS c_en, len(list_filter(toks, t2 -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t2))) AS c_de, len(list_filter(toks, t2 -> list_contains(['el','la','los','las','es','de','que','en','un','una'], t2))) AS c_es, len(list_filter(toks, t2 -> list_contains(['le','la','les','et','est','dans','que','pour','une','du'], t2))) AS c_fr, len(list_filter(toks, t2 -> list_contains(['的','了','是','在','我','有','和','就','不','人'], t2))) AS c_zh FROM g),
-b AS (SELECT *, greatest(c_en, c_de, c_es, c_fr, c_zh) AS best FROM s),
-f AS (SELECT doc_id, text, w::BIGINT AS n_tokens,
-        round(least(1.0, w / 50.0) * (1 - pr) * (1 - dr), 4) AS quality,
-        CASE WHEN c_en = best AND best > 0 THEN 'en' WHEN c_de = best AND best > 0 THEN 'de' WHEN c_es = best AND best > 0 THEN 'es' WHEN c_fr = best AND best > 0 THEN 'fr' WHEN c_zh = best AND best > 0 THEN 'zh' ELSE 'und' END AS lang_pred,
-        round(CASE WHEN trim(text) = '' THEN 0.0
-                   ELSE (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE END, 4) AS rep_ratio,
-        round(CASE WHEN nl = 0 THEN 0.0
-                   ELSE len(regexp_extract_all(text, '(?m)^\s*[-*•]')) / nl::DOUBLE END, 4) AS bullet_ratio
-      FROM b),
-c AS (SELECT doc_id, text,
-        CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
-             WHEN n_tokens < 20 THEN 'min_tokens'
-             WHEN quality < 0.3 THEN 'quality'
-             WHEN rep_ratio > 0.2 THEN 'repetition'
-             WHEN bullet_ratio > 0.5 THEN 'line_shape' END AS g0
-      FROM f),
-w2 AS (SELECT text, min(doc_id) AS keep FROM c WHERE g0 IS NULL GROUP BY text),
-r AS (SELECT coalesce(c.g0, CASE WHEN c.doc_id = w2.keep THEN 'kept' ELSE 'duplicate' END) AS gate
-      FROM c LEFT JOIN w2 ON c.g0 IS NULL AND c.text = w2.text)
-SELECT gate, count(*)::BIGINT AS n_docs FROM r GROUP BY gate""",
+        "curation_funnel": _sql_curation_funnel(),
         # crawl snapshot diff: full-outer join of (url, sha256) sides
         "crawl_diff": """
 WITH o AS (SELECT 'https://s.com/p/' || doc_id::VARCHAR AS url,

@@ -163,12 +163,18 @@ def sniff_image(payload: bytes | None) -> tuple[str, int, int] | None:
             tag = m.group(0)
 
             def attr(name: bytes):
+                # (?<![-\w]) keeps stroke-width/data-width from matching;
+                # the trailing delimiter (px allowed) rejects %/mm/em
+                # values so responsive SVGs fall through to the viewBox
                 am = re.search(
-                    name + rb"""\s*=\s*["']?\s*([0-9]+(?:\.[0-9]+)?)""", tag
+                    rb"(?<![-\w])" + name
+                    + rb"""\s*=\s*["']?\s*([0-9]+(?:\.[0-9]+)?)"""
+                    + rb"""(?:px)?\s*["'\s>/]""",
+                    tag,
                 )
                 return int(float(am.group(1))) if am else None
 
-            w, h = attr(rb"\bwidth"), attr(rb"\bheight")
+            w, h = attr(rb"width"), attr(rb"height")
             if w is None or h is None:
                 vb = re.search(
                     rb"""viewBox\s*=\s*["']\s*[-0-9.]+[ ,]+[-0-9.]+[ ,]+"""

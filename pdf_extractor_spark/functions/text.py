@@ -38,6 +38,14 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# shared CJK script ranges — token pricing, language ID, and the SQL
+# mirrors must all agree on what counts as kana/han/hangul, so the ranges
+# exist exactly once
+_KANA_RANGES = "ぁ-ゖァ-ヺー"
+_HAN_RANGES = "一-鿿"
+_HANGUL_RANGES = "가-힣"
+
+
 def token_count_cjk(text: Column) -> Column:
     """Token count that prices CJK correctly: whitespace tokens PLUS one
     token per han/kana/hangul character minus the whitespace tokens those
@@ -51,8 +59,10 @@ def token_count_cjk(text: Column) -> Column:
     is the number of whitespace tokens consisting ENTIRELY of CJK chars
     (they were already counted once). Pure Column exprs, oracle-exact."""
     toks = tokens(text)
-    cjk_class = "[ぁ-ゖァ-ヺー一-鿿가-힣]"
-    cjk_chars = F.length(F.regexp_replace(text, "[^ぁ-ゖァ-ヺー一-鿿가-힣]", ""))
+    cjk_class = f"[{_KANA_RANGES}{_HAN_RANGES}{_HANGUL_RANGES}]"
+    cjk_chars = F.length(
+        F.regexp_replace(text, f"[^{_KANA_RANGES}{_HAN_RANGES}{_HANGUL_RANGES}]", "")
+    )
     cjk_only = F.size(F.filter(toks, lambda t: t.rlike(f"^{cjk_class}+$")))
     return (F.size(toks) + cjk_chars - cjk_only).cast("long")
 
@@ -163,9 +173,9 @@ def lang_scores(text: Column) -> dict[str, Column]:
 # tier tokenizes on whitespace, so real CJK prose is one giant token and
 # never hits a marker. Negated classes: length(regexp_replace(text, cls, ''))
 # counts the chars IN the script, identically in Spark and DuckDB (RE2).
-_KANA_NOT = "[^ぁ-ゖァ-ヺー]"      # kana uniquely marks Japanese vs Chinese
-_HANGUL_NOT = "[^가-힣]"
-_HAN_NOT = "[^一-鿿]"
+_KANA_NOT = f"[^{_KANA_RANGES}]"  # kana uniquely marks Japanese vs Chinese
+_HANGUL_NOT = f"[^{_HANGUL_RANGES}]"
+_HAN_NOT = f"[^{_HAN_RANGES}]"
 # a script tier fires on >= 2 script chars making up >= 5% of the text
 # (integer arithmetic: count*20 >= n_chars — exact in both engines)
 _SCRIPT_MIN_CHARS = 2

@@ -944,9 +944,9 @@ def mine_picture_pairs(
     )
 
 
-_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
 # rel tokens that mark a favicon-family link (HTML spec 'icon' keyword +
-# the Apple/Safari vendor extensions every real site ships)
+# the Apple/Safari vendor extensions every real site ships); the <link>
+# tag grammar itself is shared with functions/htmlmeta (_LINK_TAG_RE)
 _ICON_REL_RE = r"(^|\s)(shortcut\s+)?icon(\s|$)|apple-touch-icon|mask-icon"
 
 
@@ -963,7 +963,7 @@ def mine_icon_links(
     come back lowercased; non-icon links (stylesheet, preload, canonical)
     drop; same scan-only shape, shared resolver, and data:/javascript:
     screen as the other miners."""
-    from pdf_extractor_spark.functions.htmlmeta import _tag_attr
+    from pdf_extractor_spark.functions.htmlmeta import _LINK_TAG_RE, _tag_attr
 
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)

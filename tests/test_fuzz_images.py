@@ -231,3 +231,20 @@ def test_ico_and_svg_fuzz_never_raise():
     for _ in range(100):
         junk = bytes(rng.randint(0, 256, size=rng.randint(0, 64), dtype=np.uint8))
         sniff_image(b"<svg " + junk)
+
+
+def test_svg_attr_precision():
+    """stroke-width must not masquerade as width; %/mm units fall through
+    to the viewBox instead of reporting bogus absolute dims."""
+    from pdf_extractor_spark.core.imagemeta import sniff_image
+
+    assert sniff_image(
+        b'<svg stroke-width="3" height="20" viewBox="0 0 100 50"><rect/></svg>'
+    ) == ("svg", 100, 20)
+    assert sniff_image(
+        b'<svg width="100%" height="50%" viewBox="0 0 640 480"/>'
+    ) == ("svg", 640, 480)
+    assert sniff_image(
+        b'<svg width="10mm" height="5mm" viewBox="0 0 200 100"/>'
+    ) == ("svg", 200, 100)
+    assert sniff_image(b'<svg width="120px" height="80px"/>') == ("svg", 120, 80)
