@@ -890,12 +890,54 @@ def apng_encode(frames, canvas_size=None) -> bytes:
     return out + _png_chunk(b"IEND", b"")
 
 
+def _ico_dib_decode(entry: bytes):
+    """(h, w, ch) from a headerless-DIB icon entry: BITMAPINFOHEADER with
+    DOUBLED height (XOR raster + 1-bit AND mask), uncompressed 24/32 bpp
+    bottom-up BGR(A). 24 bpp applies the AND mask as alpha; 32 bpp trusts
+    its alpha channel. None for palette/RLE variants."""
+    if len(entry) < 40:
+        return None
+    hdr = int.from_bytes(entry[0:4], "little")
+    if hdr < 40 or hdr > len(entry):
+        return None
+    bw = int.from_bytes(entry[4:8], "little", signed=True)
+    bh2 = int.from_bytes(entry[8:12], "little", signed=True)
+    bpp = int.from_bytes(entry[14:16], "little")
+    comp = int.from_bytes(entry[16:20], "little")
+    if comp != 0 or bpp not in (24, 32) or bw <= 0 or bh2 <= 0 or bh2 % 2:
+        return None
+    bh = bh2 // 2
+    if bw * bh > 64_000_000:
+        return None
+    row = ((bw * bpp // 8) + 3) & ~3
+    need = row * bh
+    data = entry[hdr : hdr + need]
+    if len(data) < need:
+        return None
+    raw = _np.frombuffer(data, _np.uint8).reshape(bh, row)[::-1]  # bottom-up
+    px = raw[:, : bw * (bpp // 8)].reshape(bh, bw, bpp // 8)
+    if bpp == 32:
+        out = px[..., [2, 1, 0, 3]].copy()  # BGRA → RGBA
+        return out
+    rgb = px[..., [2, 1, 0]].copy()
+    # AND mask: 1 bpp rows (padded to 4 bytes), bottom-up; set bit = hole
+    mrow = ((bw + 31) // 32) * 4
+    mdata = entry[hdr + need : hdr + need + mrow * bh]
+    alpha = _np.full((bh, bw, 1), 255, _np.uint8)
+    if len(mdata) == mrow * bh:
+        bits = _np.unpackbits(
+            _np.frombuffer(mdata, _np.uint8).reshape(bh, mrow), axis=1
+        )[::-1, :bw]
+        alpha = _np.where(bits[..., None] == 1, 0, 255).astype(_np.uint8)
+    return _np.concatenate([rgb, alpha], axis=2)
+
+
 def ico_decode(payload: bytes | None):
-    """(h, w, ch) uint8 pixels from an ICO favicon whose LARGEST directory
-    entry is a PNG payload (the modern favicon form — Vista+ 256px icons
-    are PNG-in-ICO by spec). Headerless-DIB entries return None (caller
-    keeps the sniffed dims; the legacy XOR/AND-mask raster is out of
-    scope). Never raises."""
+    """(h, w, ch) uint8 pixels from an ICO favicon's LARGEST directory
+    entry: PNG payloads (the modern Vista+ form) decode via png_decode,
+    and legacy uncompressed 24/32 bpp DIB entries via the doubled-height
+    XOR/AND-mask raster. Undecodable variants return None (caller keeps
+    the sniffed dims). Never raises."""
     b = payload or b""
     if b[:4] != b"\x00\x00\x01\x00" or len(b) < 22:
         return None
@@ -917,19 +959,37 @@ def ico_decode(payload: bytes | None):
         return None
     _, off, size = best
     entry = b[off : off + size]
-    if entry[:8] != b"\x89PNG\r\n\x1a\n":
+    if entry[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(entry)
+    try:
+        return _ico_dib_decode(entry)
+    except (ValueError, OverflowError, MemoryError):
         return None
-    return png_decode(entry)
 
 
-def ico_encode(arr) -> bytes:
-    """PNG-in-ICO fixture twin: one directory entry wrapping png_encode."""
+def ico_encode(arr, dib: bool = False) -> bytes:
+    """ICO fixture twin: one directory entry wrapping png_encode, or —
+    with ``dib=True`` — a legacy 32 bpp headerless-DIB raster (doubled
+    height, bottom-up BGRA + empty AND mask)."""
     a = _np.asarray(arr, dtype=_np.uint8)
     h, w = a.shape[0], a.shape[1]
     if w > 256 or h > 256:
         raise ValueError("ICO entries cap at 256px")
-    png = png_encode(a)
+    if dib:
+        if a.ndim == 2:
+            a = _np.stack([a] * 3, axis=-1)
+        if a.shape[2] == 3:
+            a = _np.concatenate([a, _np.full((h, w, 1), 255, _np.uint8)], axis=2)
+        bgra = a[..., [2, 1, 0, 3]][::-1]  # bottom-up
+        mrow = ((w + 31) // 32) * 4
+        body = (
+            _struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+            + bgra.tobytes()
+            + b"\x00" * (mrow * h)
+        )
+    else:
+        body = png_encode(a)
     entry = bytes([w % 256, h % 256, 0, 0]) + _struct.pack(
-        "<HHII", 1, 32, len(png), 22
+        "<HHII", 1, 32, len(body), 22
     )
-    return b"\x00\x00\x01\x00\x01\x00" + entry + png
+    return b"\x00\x00\x01\x00\x01\x00" + entry + body

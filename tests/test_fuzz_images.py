@@ -248,3 +248,43 @@ def test_svg_attr_precision():
         b'<svg width="10mm" height="5mm" viewBox="0 0 200 100"/>'
     ) == ("svg", 200, 100)
     assert sniff_image(b'<svg width="120px" height="80px"/>') == ("svg", 120, 80)
+
+
+def test_ico_dib_entries_decode():
+    import numpy as np
+
+    from pdf_extractor_spark.core.imagemeta import (
+        _ico_dib_decode,
+        ico_decode,
+        ico_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (10, 7, 4), np.uint8).astype(np.uint8)
+    assert np.array_equal(ico_decode(ico_encode(arr, dib=True)), arr)
+
+    # 24bpp entry with an AND mask punching a transparent hole
+    import struct
+
+    w, h = 8, 4
+    rgb = rng.randint(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+    bgr = rgb[..., ::-1][::-1]
+    mrow = ((w + 31) // 32) * 4
+    mask = np.zeros((h, mrow * 8), np.uint8)
+    mask[0, 0] = 1  # top-left pixel transparent (bottom-up storage → last row)
+    mask_rows = np.packbits(mask[::-1], axis=1).tobytes()
+    row = ((w * 3) + 3) & ~3
+    px = np.zeros((h, row), np.uint8)
+    px[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = (
+        struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, 0, 0, 0, 0, 0)
+        + px.tobytes() + mask_rows
+    )
+    out = _ico_dib_decode(body)
+    assert out.shape == (h, w, 4)
+    assert np.array_equal(out[..., :3], rgb)
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 255
+
+    # palette/RLE variants refuse cleanly
+    bad = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0, 0, 0, 0, 0, 0)
+    assert _ico_dib_decode(bad) is None
