@@ -8,15 +8,18 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
 Decode honesty: pixel work is REAL for every codec the header sniffer
-knows — baseline PNG (core/imagemeta.py, zlib + scanline filters),
-baseline JPEG (core/jpegcodec.py, T.81 Huffman + IDCT), and GIF
-(core/gifcodec.py, LZW + palettes + interlace), including animated-GIF
-frame sampling with GCE delays/disposal/transparency. ``decode_media``
+knows — full-spec PNG (core/imagemeta.py, zlib + scanline filters,
+palette/tRNS/Adam7), baseline+progressive+CMYK JPEG (core/jpegcodec.py,
+T.81 Huffman + IDCT), GIF (core/gifcodec.py, LZW + palettes + interlace),
+uncompressed BMP, baseline TIFF, VP8L lossless WebP (core/webpcodec.py),
+and ICO favicons (PNG or legacy DIB entries). Animation frame sampling is
+real for GIF, animated WebP, APNG, and MJPEG AVI. ``decode_media``
 features, ``resize_media`` resampling, and ``sample_frames`` all run these
-codecs in their non-fake paths; only true video containers still need
-ffmpeg (absent here) and those rows degrade — null feature, unresized
-pass-through, zero frame rows — never a crash. The deterministic ``fake``
-variants remain for fixture corpora whose payloads aren't media at all.
+codecs in their non-fake paths; only inter-frame video containers
+(mp4/webm) and lossy VP8 stills genuinely need ffmpeg/libwebp (absent
+here) and those rows degrade — null feature, unresized pass-through, zero
+frame rows — never a crash. The deterministic ``fake`` variants remain
+for fixture corpora whose payloads aren't media at all.
 
 Scale notes: media bytes dominate row size, so the arrow batch cap
 (byte-targeted via session.arrow_batch_rows — media-heavy rows clamp to
@@ -62,13 +65,13 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("payload_sha", T.StringType(), False),
         # header-sniffed (REAL, stdlib — core/imagemeta.py): null when the
-        # payload isn't a recognisable JPEG/PNG/GIF
+        # payload isn't a recognisable image/container format
         T.StructField("codec", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         # pixel-level feature vector: REAL 4x4 grayscale thumbnail for
-        # baseline-PNG payloads (zlib+numpy codec, core/imagemeta.py);
-        # null for codecs that need PIL/ffmpeg (absent in this container);
+        # every decodable payload (PNG/JPEG/GIF/BMP/TIFF/VP8L-WebP/ICO —
+        # see _decode_pixels); null only for genuinely undecodable bytes;
         # sha-derived deterministic stand-in with fake=True
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
@@ -87,10 +90,10 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 def _decode_pixels(payload: bytes):
     """(h, w, ch) uint8 from a PNG, JPEG (baseline or progressive), GIF,
-    uncompressed BMP, or baseline TIFF payload, else None — the
-    pure-stdlib(+numpy) codecs (core/imagemeta.py
-    png_decode/bmp_decode/tiff_decode, core/jpegcodec.py,
-    core/gifcodec.py). No PIL anywhere."""
+    uncompressed BMP, baseline TIFF, lossless-WebP, or ICO payload, else
+    None — the pure-stdlib(+numpy) codecs (core/imagemeta.py,
+    core/jpegcodec.py, core/gifcodec.py, core/webpcodec.py). No PIL
+    anywhere."""
     from pdf_extractor_spark.core.imagemeta import (
         bmp_decode,
         png_decode,
@@ -140,12 +143,12 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """media rows → per-media feature rows (decode + feature-extract stage).
 
     The REAL path: byte stats, payload sha, codec + pixel dimensions sniffed
-    from JPEG/PNG/GIF headers, and — for baseline-PNG payloads — an ACTUAL
-    pixel feature (4x4 grayscale thumbnail via the pure zlib+numpy decoder,
-    core/imagemeta.py png_decode). JPEG/video pixel work still needs
-    PIL/ffmpeg (absent in this container): those rows carry a null feature.
-    ``fake=True`` swaps in the sha-derived deterministic stand-in for every
-    row (fixture corpora whose payloads aren't images at all).
+    from the container headers, and an ACTUAL pixel feature (4x4 grayscale
+    thumbnail) for every payload the pure-numpy codec matrix can open —
+    PNG, JPEG, GIF, BMP, TIFF, VP8L WebP, and ICO (_decode_pixels).
+    Genuinely undecodable rows carry a null feature. ``fake=True`` swaps in
+    the sha-derived deterministic stand-in for every row (fixture corpora
+    whose payloads aren't images at all).
     """
     from pdf_extractor_spark.core.imagemeta import sniff_image
 
@@ -285,12 +288,12 @@ def resize_media(
 ) -> DataFrame:
     """image rows → resized payload rows (downscale stage).
 
-    REAL path: baseline-PNG payloads decode (core/imagemeta.py, pure
-    zlib+numpy), nearest-neighbor downscale so the longest side is
-    ``max_side`` (aspect preserved, never upscaled), and re-encode as PNG
-    with the metadata rewritten; payloads that aren't decodable PNGs pass
-    through UNCHANGED (a resize stage must not destroy rows it can't
-    process — JPEG needs PIL, absent here). The deterministic ``fake``
+    REAL path: every codec-matrix payload decodes (_decode_pixels —
+    PNG/JPEG/GIF/BMP/TIFF/VP8L-WebP/ICO), nearest-neighbor downscale so
+    the longest side is ``max_side`` (aspect preserved, never upscaled),
+    and re-encode as PNG with the metadata rewritten; undecodable
+    payloads pass through UNCHANGED (a resize stage must not destroy rows
+    it can't process). The deterministic ``fake``
     truncates every payload to ``max_bytes`` instead (fixture corpora whose
     payloads aren't images). Either way the output schema equals the input
     schema so resize stages compose (resize → decode → features).
