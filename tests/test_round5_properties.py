@@ -119,3 +119,49 @@ def test_warc_http_roundtrip_property(body, enc, chunked):
 
     payload = _encode_http_response(body, chunked=chunked, content_encoding=enc)
     assert _http_body(payload) == body
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_frames=st.integers(1, 4),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_apng_fullframe_roundtrip_property(n_frames, h, w, ch, seed):
+    from pdf_extractor_spark.core.imagemeta import apng_encode, apng_frames
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        (10 * (i + 1),
+         rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.uint8))
+        for i in range(n_frames)
+    ]
+    if ch == 4:  # opaque frames: the RGB canvas equals the frame exactly
+        for _, a in frames:
+            a[..., 3] = 255
+    got = apng_frames(apng_encode(frames))
+    assert [d for d, _ in got] == [d for d, _ in frames]
+    for (_, want), (_, have) in zip(frames, got):
+        assert np.array_equal(have, want[..., :3])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    ch=st.sampled_from([3, 4]),
+    dib=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ico_roundtrip_property(h, w, ch, dib, seed):
+    from pdf_extractor_spark.core.imagemeta import ico_decode, ico_encode
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.uint8)
+    got = ico_decode(ico_encode(arr, dib=dib))
+    assert got is not None
+    assert np.array_equal(got[..., :3], arr[..., :3])
+    if ch == 4:
+        assert np.array_equal(got[..., 3], arr[..., 3])
