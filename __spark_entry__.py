@@ -1102,6 +1102,63 @@ def q_webp_features(spark, sf_dir):
     )
 
 
+def q_ico_features(spark, sf_dir):
+    """REAL favicon pixel path (core/imagemeta.ico_decode): per doc_id a
+    constant-color 8x8 icon alternates between the modern PNG-in-ICO form
+    (even docs) and the legacy 32bpp headerless-DIB form with doubled
+    height and AND mask (odd docs); decode_media(fake=False) opens both
+    and emits the grayscale feature. Constant pixels make gray a closed
+    form of doc_id, identical across entry forms."""
+    import pyarrow as pa
+
+    from pdf_extractor_spark.operators.multimodal import decode_media
+
+    def mk_media(batches):
+        import numpy as np
+
+        from pdf_extractor_spark.core.imagemeta import ico_encode
+
+        for batch in batches:
+            ids, payloads = [], []
+            for d in batch.column("doc_id").to_pylist():
+                d = int(d)
+                arr = np.empty((8, 8, 3), dtype=np.uint8)
+                arr[:, :, 0] = d % 256
+                arr[:, :, 1] = (d * 7) % 256
+                arr[:, :, 2] = (d * 13) % 256
+                ids.append(f"doc://{d}")
+                payloads.append(ico_encode(arr, dib=d % 2 == 1))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInArrow(mk_media, "media_id string, payload binary")
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "payload",
+            F.struct(
+                F.lit("image/x-icon").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    feats = decode_media(media, fake=False)
+    return feats.select(
+        "media_id",
+        "codec",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("gray"),
+    )
+
+
 def q_image_sniff(spark, sf_dir):
     """Web-media header sniffing beyond PNG/JPEG/GIF: per doc_id a payload
     cycles through SEVEN container variants — WebP lossy (VP8 frame tag +
@@ -5324,6 +5381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": q_extract_tables,
         "png_features": q_png_features,
         "webp_features": q_webp_features,
+        "ico_features": q_ico_features,
         "jpeg_features": q_jpeg_features,
         "media_resize": q_media_resize,
         "clean_text": q_clean_text,
@@ -7671,6 +7729,13 @@ SELECT 'doc://' || doc_id AS media_id,
        'png' AS codec,
        4::BIGINT AS width,
        4::BIGINT AS height,
+       ROUND((((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) / 3.0) / 255.0, 4) AS gray
+FROM documents""",
+        "ico_features": """
+SELECT 'doc://' || doc_id AS media_id,
+       'ico' AS codec,
+       8::BIGINT AS width,
+       8::BIGINT AS height,
        ROUND((((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) / 3.0) / 255.0, 4) AS gray
 FROM documents""",
         "webp_features": """

@@ -960,11 +960,17 @@ def ico_decode(payload: bytes | None):
     _, off, size = best
     entry = b[off : off + size]
     if entry[:8] == b"\x89PNG\r\n\x1a\n":
-        return png_decode(entry)
-    try:
-        return _ico_dib_decode(entry)
-    except (ValueError, OverflowError, MemoryError):
-        return None
+        arr = png_decode(entry)
+    else:
+        try:
+            arr = _ico_dib_decode(entry)
+        except (ValueError, OverflowError, MemoryError):
+            return None
+    # uniformly-opaque alpha collapses to RGB (same contract as webp_decode)
+    if arr is not None and arr.ndim == 3 and arr.shape[2] == 4:
+        if int(arr[..., 3].min()) == 255:
+            arr = arr[..., :3].copy()
+    return arr
 
 
 def ico_encode(arr, dib: bool = False) -> bytes:

@@ -163,5 +163,7 @@ def test_ico_roundtrip_property(h, w, ch, dib, seed):
     got = ico_decode(ico_encode(arr, dib=dib))
     assert got is not None
     assert np.array_equal(got[..., :3], arr[..., :3])
-    if ch == 4:
+    if ch == 4 and int(arr[..., 3].min()) < 255:
         assert np.array_equal(got[..., 3], arr[..., 3])
+    else:
+        assert got.shape[2] == 3  # uniformly-opaque alpha collapses
